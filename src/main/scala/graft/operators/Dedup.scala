@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large text corpora.
+  *
+  * - `exact`: content-hash groupBy — one shuffle on the hash, map-side
+  *   partial agg; the canonical 100 TB exact-dedup plan.
+  * - `minhash`: MinHash + LSH banding — shingle → minhash signature →
+  *   band buckets → self-join per bucket. Candidate pairs stay ~linear in
+  *   corpus size because the join key is (band, bucket-hash), never a
+  *   cross join.
+  * - `simhash`: 64-bit SimHash + 16-bit-band blocking for hamming-near
+  *   candidates.
+  * - `ngramJaccardPairs`: exact word n-gram Jaccard verification on
+  *   candidate pairs (the verify pass after any LSH candidate
+  *   generation).
+  *
+  * All signature math is pure `functions._` array expressions (codegen'd
+  * where Spark supports it, no UDFs, no driver-side loops). Hash values
+  * are reduced below 2^32 before multiply-add so the arithmetic can never
+  * overflow a long even under ANSI mode.
+  */
+object Dedup {
+
+  /** Exact dedup via md5 content hash. Returns one row per distinct
+    * content with the kept (minimum) id and the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies")
+      )
+
+  /** Word n-gram (shingle) set as a deterministic array column.
+    * Tokenises on single spaces (matches the DuckDB oracle's
+    * string_split). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(i + n <= size(words),
+            concat_ws(" ", slice(words, i + 1, lit(n))))
+        ),
+        x => x.isNotNull
+      )
+    )
+  }
+
+  /** Exact Jaccard similarity between two precomputed shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** n-gram Jaccard over same-block candidate pairs. At scale the pairs
+    * MUST come from an LSH bucket join, never a cross join; here the
+    * caller supplies the blocking key that bounds the pair space.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val withSh = docs.select(
+      col(idCol), col(blockCol),
+      shingles(col(textCol), n).as("__sh"))
+    val a = withSh.select(col(idCol).as("a_id"), col(blockCol).as("__blk"),
+      col("__sh").as("__sha"))
+    val b = withSh.select(col(idCol).as("b_id"), col(blockCol).as("__blk2"),
+      col("__sh").as("__shb"))
+    a.join(b, col("__blk") === col("__blk2") && col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  private val P32 = 4294967291L // largest 32-bit prime
+
+  /** xxhash64 folded into [0, P32) so multiply-add stays overflow-free. */
+  private def baseHash(x: Column): Column = pmod(xxhash64(x), lit(P32))
+
+  /** MinHash signature of a shingle array: for permutation i,
+    * h_i(x) = (a_i * base(x) + b_i) mod P32; the signature element is the
+    * min over the shingle set. a_i < 2*numHashes so a_i*base < 2^39.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val hashes = (0 until numHashes).map { i =>
+      val a = lit(2L * i + 1) // odd multipliers
+      val b = lit(7919L * (i + 1))
+      aggregate(
+        shingleArr,
+        lit(Long.MaxValue),
+        (acc, x) => least(acc, pmod(baseHash(x) * a + b, lit(P32)))
+      )
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands and emit
+    * (band_id, band_hash) bucket keys. Docs sharing any bucket become
+    * candidate pairs via an equi-join on the bucket key — a plain shuffle
+    * hash join on a well-distributed key, never a cross join.
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(
+      col(idCol).as("__id"),
+      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("__sig"))
+    val buckets = sig.select(
+      col("__id"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(
+            b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+                v => v.cast("string")))).as("bucket")))
+      ).as("__bk"))
+      .select(col("__id"), col("__bk.band"), col("__bk.bucket"))
+    val l = buckets.select(col("__id").as("a_id"), col("band"), col("bucket"))
+    val r = buckets.select(col("__id").as("b_id"), col("band").as("band2"),
+      col("bucket").as("bucket2"))
+    l.join(r, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Full MinHash near-dup: LSH candidates verified by exact n-gram
+    * Jaccard ≥ threshold. */
+  def minhashNearDup(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+    val sh = docs.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleN).as("__sh"))
+    cands
+      .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over shingles: per bit, vote +1/-1 by whether the
+    * shingle's xxhash64 has that bit set; the final bit is set iff the
+    * vote sum is positive. Array-expression only (shift amounts are
+    * columns, so the SQL shiftright/shiftleft are invoked via
+    * call_function).
+    */
+  def simhash64(shingleArr: Column): Column = {
+    val votes = aggregate(
+      shingleArr,
+      array_repeat(lit(0), 64),
+      (acc, x) => {
+        val h = xxhash64(x)
+        transform(acc, (v, i) =>
+          v + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L,
+            1).otherwise(-1))
+      }
+    )
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b)
+    )
+  }
+
+  /** SimHash near-dup candidates: block on the four 16-bit bands of the
+    * 64-bit hash (hamming distance ≤ 3 guarantees ≥ 1 identical band).
+    */
+  def simhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("__id"),
+      simhash64(shingles(col(textCol), shingleN)).as("__sim"))
+    val banded = sh.select(
+      col("__id"), col("__sim"),
+      explode(
+        transform(sequence(lit(0), lit(3)), b =>
+          struct(b.as("band"),
+            call_function("shiftright", col("__sim"), b * lit(16))
+              .bitwiseAND(lit(0xFFFFL)).as("bucket")))
+      ).as("__bk"))
+      .select(col("__id"), col("__sim"), col("__bk.band"), col("__bk.bucket"))
+    val l = banded.select(col("__id").as("a_id"), col("__sim").as("sim_a"),
+      col("band"), col("bucket"))
+    val r = banded.select(col("__id").as("b_id"), col("__sim").as("sim_b"),
+      col("band").as("band2"), col("bucket").as("bucket2"))
+    l.join(r, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
