@@ -1,20 +1,200 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent SQL oracle where the semantics
   * are SQL-expressible. Column names are aliased identically on both
   * sides (the driver sorts columns by name before hashing).
+  *
+  * The reference's scraped-record inputs (composite info strings,
+  * '(P-SS-DD)' tokens) don't exist in the driver testdata, so q01/q02/
+  * q08 synthesise them deterministically from `customer` with identical
+  * expressions on both engines, then exercise the real parsing/matching
+  * operators on the synthesised column.
   */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q10(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------
+  // A. Reference ETL surface
+  // ----------------------------------------------------------------
+
+  /** Deterministic composite info string, e.g. "Sen. First42 C. Last7 Jr.". */
+  private def synthInfo(k: Column): Column = {
+    val title = element_at(
+      array(TextFunctions.Titles.map(lit): _*), (k % 8).cast("int") + 1)
+    val fn = concat(lit("First"), (k % 97).cast("string"))
+    val mi = when(k % 3 === 0,
+      concat(call_function("char", lit(65) + (k % 26).cast("int")), lit("."))
+    ).otherwise(lit(""))
+    val ln = concat(lit("Last"), (k % 53).cast("string"))
+    val sfx = element_at(
+      array(Seq("Jr.", "Sr.", "II", "III", "IV", "", "").map(lit): _*),
+      (k % 7).cast("int") + 1)
+    concat(
+      title, lit(" "), fn,
+      when(mi === "", lit("")).otherwise(concat(lit(" "), mi)),
+      lit(" "), ln,
+      when(sfx === "", lit("")).otherwise(concat(lit(" "), sfx)))
+  }
+
+  /** Matching synthesis in DuckDB SQL (CTE text reused by q01). */
+  private val synthInfoSql =
+    """SELECT c_custkey AS id,
+      |  (['Rep.','Sen.','Gov.','Del.','Hon.','Mr.','Mrs.','Ms.'])[CAST(c_custkey % 8 AS INT) + 1]
+      |  || ' ' || 'First' || CAST(c_custkey % 97 AS VARCHAR)
+      |  || CASE WHEN c_custkey % 3 = 0
+      |       THEN ' ' || chr(65 + CAST(c_custkey % 26 AS INT)) || '.' ELSE '' END
+      |  || ' ' || 'Last' || CAST(c_custkey % 53 AS VARCHAR)
+      |  || CASE WHEN CAST(c_custkey % 7 AS INT) + 1 <= 5
+      |       THEN ' ' || (['Jr.','Sr.','II','III','IV'])[CAST(c_custkey % 7 AS INT) + 1]
+      |       ELSE '' END AS info
+      |FROM customer""".stripMargin.replace("\n", " ")
+
+  /** q01: composite info string → name parts. Pure regexp expressions —
+    * narrow, codegen'd, no shuffle. Ref: votervoice/transform.py:16-56. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).customer
+      .select(col("c_custkey").as("id"), synthInfo(col("c_custkey")).as("info"))
+      .select(
+        col("id"), col("info"),
+        TextFunctions.firstName(col("info")).as("firstname"),
+        TextFunctions.middleName(col("info")).as("middlename"),
+        TextFunctions.lastName(col("info")).as("lastname"),
+        TextFunctions.extractSuffix(col("info")).as("suffix"))
+
+  /** Deterministic '(P-SS-DD)' token, e.g. "X (R-TX-07)". */
+  private def synthPsd(k: Column): Column =
+    concat(
+      lit("X ("),
+      element_at(array(Seq("R", "D", "I").map(lit): _*), (k % 3).cast("int") + 1),
+      lit("-"),
+      element_at(array(Seq("TX", "CA", "NY", "DC", "VT").map(lit): _*),
+        (k % 5).cast("int") + 1),
+      lit("-"),
+      lpad((k % 25).cast("string"), 2, "0"),
+      lit(")"))
+
+  private val synthPsdSql =
+    """SELECT c_custkey AS id,
+      |  'X (' || (['R','D','I'])[CAST(c_custkey % 3 AS INT) + 1]
+      |  || '-' || (['TX','CA','NY','DC','VT'])[CAST(c_custkey % 5 AS INT) + 1]
+      |  || '-' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0') || ')' AS info
+      |FROM customer""".stripMargin.replace("\n", " ")
+
+  /** q02: '(P-SS-DD)' → party/state/district, district de-padded,
+    * Delegate special-case. Ref: votervoice/transform.py:59-70. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).customer
+      .select(col("c_custkey").as("id"), synthPsd(col("c_custkey")).as("info"))
+      .select(
+        col("id"), col("info"),
+        TextFunctions.party(col("info")).as("party"),
+        TextFunctions.state(col("info")).as("state"),
+        TextFunctions.district(col("info")).as("district"))
+
+  /** q03: map-based value normalisation + null→''.
+    * Ref: votervoice/transform.py:7-10. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val seg = Map("BUILDING" -> "BLDG", "AUTOMOBILE" -> "AUTO",
+      "MACHINERY" -> "MACH")
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      TextFunctions.replaceValues(col("c_mktsegment"), seg).as("seg_norm"),
+      TextFunctions.nullToEmpty(
+        when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_name"))
+      ).as("name_norm"))
+  }
+
+  /** q04: Postgres DISTINCT ON emulation — latest order per customer.
+    * Ref: queries/election_candidates_by_electionyear.sql:9. */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    DistinctOn(Tables(s, dir).orders,
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_orderdate").desc, col("o_orderkey")))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+        round(col("o_totalprice"), 4).as("latest_price"))
+
+  /** q05: candidates-by-year shape — multi-way dim join + IN-list
+    * filters + semi-join on the fact. Dims broadcast; the only shuffle
+    * is the semi-join on custkey.
+    * Ref: queries/election_candidates_by_electionyear.sql. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ordersF = t.orders
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select("o_custkey")
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name").isin("ASIA", "EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(ordersF, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+  }
+
+  /** q06: incumbents-by-term shape — date-window join + count.
+    * Ref: queries/office-candidates_by_congstatus.sql. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val inWindow = t.orders
+      .filter(col("o_orderdate").between("1998-01-01", "1998-12-31"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    t.customer.join(inWindow, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"))
+  }
+
+  /** q07: small-dim broadcast lookup + rollup counts.
+    * Ref: queries/office_list.sql, state_list.sql. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+  }
+
+  /** q08: blocked fuzzy record linkage — scraped names (synthesised
+    * "Cust <k>") matched against the roster (c_name) blocking on
+    * nation; integer levenshtein keeps exact cross-engine parity.
+    * Ref: votervoice/match.py:44-99. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val scraped = t.customer.select(
+      col("c_custkey").as("s_id"),
+      concat(lit("Cust "), col("c_custkey").cast("string")).as("s_name"),
+      col("c_nationkey").as("s_blk"))
+    val roster = t.customer.select(
+      col("c_custkey").as("r_id"), col("c_name").as("r_name"),
+      col("c_nationkey").as("r_blk"))
+    FuzzyMatch.bestByDistance(
+      scraped, roster, "s_id", "r_id", "s_blk", "r_blk",
+      (a, b) => levenshtein(a, b).cast("long"),
+      "s_name", "r_name", threshold = 12)
+  }
+
+  /** q09: wide scorecard → long rows (pivot there and back — the melt
+    * direction is the reference's; both are narrow map-side ops).
+    * Ref: national/_674/ratings/extract.py:27-33. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum("o_totalprice"), 4))
+    Unpivot(wide, Seq("o_custkey"), Seq("O", "F", "P"), "status", "total")
+  }
 
   // ----------------------------------------------------------------
   // B. Analytics core
@@ -39,18 +219,6 @@ object SparkEntry {
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** q04: Postgres DISTINCT ON emulation — latest order per customer.
-    * Ref: queries/election_candidates_by_electionyear.sql:9. */
-  private def q04(s: SparkSession, dir: String): DataFrame =
-    DistinctOn(Tables(s, dir).orders,
-      keys = Seq(col("o_custkey")),
-      order = Seq(col("o_orderdate").desc, col("o_orderkey")))
-      .select(
-        col("o_custkey"),
-        col("o_orderkey").as("latest_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
-        round(col("o_totalprice"), 4).as("latest_price"))
-
   // ----------------------------------------------------------------
   // D. LLM-training-data pipeline
   // ----------------------------------------------------------------
@@ -64,12 +232,120 @@ object SparkEntry {
   // ----------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q10_pricing_summary" -> (q10 _),
+    "q01_name_parse" -> (q01 _),
+    "q02_party_state_district" -> (q02 _),
+    "q03_normalize" -> (q03 _),
     "q04_distinct_on" -> (q04 _),
+    "q05_election_candidates" -> (q05 _),
+    "q06_incumbents_by_term" -> (q06 _),
+    "q07_reference_lists" -> (q07 _),
+    "q08_fuzzy_match" -> (q08 _),
+    "q09_unpivot_scores" -> (q09 _),
+    "q10_pricing_summary" -> (q10 _),
     "q30_dedup_exact" -> (q30 _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q01_name_parse" ->
+      s"""WITH synth AS ($synthInfoSql),
+        |p1 AS (
+        |  SELECT id, info,
+        |    regexp_replace(info, '^(Rep\\.|Sen\\.|Gov\\.|Del\\.|Hon\\.|Mr\\.|Mrs\\.|Ms\\.)\\s', '') AS stripped
+        |  FROM synth),
+        |p2 AS (
+        |  SELECT id, info,
+        |    regexp_extract(stripped, '\\s(Jr\\.|Sr\\.|III|II|IV)$$', 1) AS suffix,
+        |    regexp_replace(stripped, '\\s(Jr\\.|Sr\\.|III|II|IV)$$', '') AS base
+        |  FROM p1)
+        |SELECT id, info,
+        |  regexp_extract(base, '^(\\S+)', 1) AS firstname,
+        |  regexp_extract(base, '^\\S+\\s(.*)\\s\\S+$$', 1) AS middlename,
+        |  regexp_extract(base, '(\\S+)$$', 1) AS lastname,
+        |  suffix
+        |FROM p2""".stripMargin,
+    "q02_party_state_district" ->
+      s"""WITH synth AS ($synthPsdSql)
+        |SELECT id, info,
+        |  regexp_extract(info, '\\(([A-Z])-', 1) AS party,
+        |  regexp_extract(info, '-([A-Z]{2})-', 1) AS state,
+        |  CASE WHEN regexp_extract(info, '-([A-Z]{2})-', 1) = 'DC' THEN 'Delegate'
+        |       ELSE CAST(CAST(regexp_extract(info, '-(\\d+)\\)', 1) AS INT) AS VARCHAR)
+        |  END AS district
+        |FROM synth""".stripMargin,
+    "q03_normalize" ->
+      """SELECT c_custkey,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'BLDG'
+        |    WHEN 'AUTOMOBILE' THEN 'AUTO' WHEN 'MACHINERY' THEN 'MACH'
+        |    ELSE c_mktsegment END AS seg_norm,
+        |  coalesce(CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_name END, '') AS name_norm
+        |FROM customer""".stripMargin,
+    "q04_distinct_on" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+        | round(o_totalprice, 4) AS latest_price
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q05_election_candidates" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |  AND c_custkey IN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE year(o_orderdate) IN (1995, 1996))""".stripMargin,
+    "q06_incumbents_by_term" ->
+      """SELECT c_custkey, c_name, w.n_orders
+        |FROM customer
+        |JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-12-31'
+        |  GROUP BY 1) w
+        |ON c_custkey = o_custkey""".stripMargin,
+    "q07_reference_lists" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q08_fuzzy_match" ->
+      """WITH scraped AS (
+        |  SELECT c_custkey AS s_id,
+        |    'Cust ' || CAST(c_custkey AS VARCHAR) AS s_name,
+        |    c_nationkey AS blk
+        |  FROM customer),
+        |roster AS (
+        |  SELECT c_custkey AS r_id, c_name AS r_name, c_nationkey AS blk
+        |  FROM customer),
+        |scored AS (
+        |  SELECT s_id, r_id, levenshtein(s_name, r_name) AS score
+        |  FROM scraped JOIN roster USING (blk)),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY s_id ORDER BY score, r_id) AS rn,
+        |    CAST(sum(CASE WHEN score <= 12 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY s_id) AS BIGINT) AS n_within
+        |  FROM scored)
+        |SELECT s_id, r_id AS best_id, score AS best_score,
+        |  n_within > 1 AS is_dup
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q09_unpivot_scores" ->
+      """WITH wide AS (
+        |  SELECT o_custkey,
+        |    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_sum,
+        |    round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f_sum,
+        |    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS p_sum
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, 'O' AS status, o_sum AS total FROM wide WHERE o_sum IS NOT NULL
+        |UNION ALL
+        |SELECT o_custkey, 'F' AS status, f_sum AS total FROM wide WHERE f_sum IS NOT NULL
+        |UNION ALL
+        |SELECT o_custkey, 'P' AS status, p_sum AS total FROM wide WHERE p_sum IS NOT NULL""".stripMargin,
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,
@@ -83,16 +359,6 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q04_distinct_on" ->
-      """SELECT o_custkey, o_orderkey AS latest_orderkey,
-        | strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
-        | round(o_totalprice, 4) AS latest_price
-        |FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY o_custkey
-        |    ORDER BY o_orderdate DESC, o_orderkey) AS rn
-        |  FROM orders)
-        |WHERE rn = 1""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
