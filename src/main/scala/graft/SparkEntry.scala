@@ -227,6 +227,90 @@ object SparkEntry {
   private def q30(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
 
+  /** q31: MinHash+LSH candidate pairs (pre-verify). rows-only. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables(s, dir).documents, "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16)
+
+  /** q32: SimHash hamming-band near-dup candidates. rows-only. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Tables(s, dir).documents, "doc_id", "text",
+      shingleN = 2, maxHamming = 8)
+
+  /** q33: full near-dup pipeline — LSH candidates verified by exact
+    * trigram Jaccard ≥ 0.5. The oracle brute-forces all pairs; parity
+    * holds because 16 bands of 3 give deterministic 100% recall on the
+    * high-similarity pairs the threshold keeps. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDup(Tables(s, dir).documents, "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+
+  /** q34: embedding-cosine near-dup pairs, label-blocked (the blocking
+    * key bounds the pair space; both engines compute the same blocks). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables(s, dir).embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("__n"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("__va"), col("__n").as("__na"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("label2"),
+      col("embedding").as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("label") === col("label2") && col("a_id") < col("b_id"))
+      .withColumn("cosine", round(
+        cosinePrenormed(dot(col("__va"), col("__vb")), col("__na"), col("__nb")), 4))
+      .filter(col("cosine") >= 0.35)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** q35: brute-force cosine top-k — broadcast query set over the
+    * corpus, no corpus shuffle. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    Ann.bruteForceTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+  }
+
+  /** q36: IVF-bucketed ANN — centroids = every 50th vector, probe 3.
+    * rows-only (approximate by construction). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    Ann.ivfTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      centroids = e.filter(col("vec_id") % 50 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
+  }
+
+  /** q37: stopword-profile language ID. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextStats.langId(col("text")).as("pred_lang"),
+      TextStats.stopwordHits(col("text"), TextStats.StopwordProfiles.head._2)
+        .as("c_en"),
+      size(TextStats.words(col("text"))).as("n_words"))
+
+  /** q38: length/stopword-ratio quality score. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextStats.qualityScore(col("text")).as("quality"))
+
+  /** q39: whitespace + BPE-ish regex token counts. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("n_ws"),
+      TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+
+  /** q40: rolling-hash document fingerprint. rows-only (engine-specific
+    * xxhash64 inside). */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextStats.fingerprint(col("text")).as("fingerprint"))
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -242,7 +326,17 @@ object SparkEntry {
     "q08_fuzzy_match" -> (q08 _),
     "q09_unpivot_scores" -> (q09 _),
     "q10_pricing_summary" -> (q10 _),
-    "q30_dedup_exact" -> (q30 _)
+    "q30_dedup_exact" -> (q30 _),
+    "q31_dedup_minhash" -> (q31 _),
+    "q32_dedup_simhash" -> (q32 _),
+    "q33_ngram_jaccard" -> (q33 _),
+    "q34_embed_neardup" -> (q34 _),
+    "q35_ann_bruteforce" -> (q35 _),
+    "q36_ann_ivf" -> (q36 _),
+    "q37_lang_id" -> (q37 _),
+    "q38_quality_score" -> (q38 _),
+    "q39_token_count" -> (q39 _),
+    "q40_fingerprint" -> (q40 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,6 +456,71 @@ object SparkEntry {
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q33_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |          for i in generate_series(1, len(words)-2)]) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.tri, b.tri)) AS i,
+        |    len(list_distinct(list_concat(a.tri, b.tri))) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(CAST(i AS DOUBLE)/u, 4) AS jaccard FROM pairs
+        |WHERE round(CAST(i AS DOUBLE)/u, 4) >= 0.5""".stripMargin,
+    "q34_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
+        |   for i in generate_series(1,64)])/(a.nrm*b.nrm), 4) AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
+        |   for i in generate_series(1,64)])/(a.nrm*b.nrm), 4) >= 0.35""".stripMargin,
+    "q35_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+        |     for i in generate_series(1,64)])/(q.nrm*c.nrm) AS cos
+        | FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |r AS (SELECT *, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |  round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q37_lang_id" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x))) AS c_en,
+        |  len(list_filter(words, x -> list_contains(['der','die','das','und'], x))) AS c_de,
+        |  len(list_filter(words, x -> list_contains(['el','la','los','y'], x))) AS c_es,
+        |  len(list_filter(words, x -> list_contains(['le','les','et','du'], x))) AS c_fr,
+        |  len(list_filter(words, x -> list_contains(['的','是','在'], x))) AS c_zh,
+        |  len(words) AS n_words
+        | FROM w)
+        |SELECT doc_id,
+        | CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |      WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |      WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |      WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+        | CAST(c_en AS INT) AS c_en, CAST(n_words AS INT) AS n_words
+        |FROM c""".stripMargin,
+    "q38_quality_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) AS c_en,
+        |  CAST(len(words) AS DOUBLE) AS n_words
+        | FROM w)
+        |SELECT doc_id,
+        | round(least(n_words / 200.0, 1.0) * 0.6
+        |   + least(c_en / n_words * 5.0, 1.0) * 0.4, 4) AS quality
+        |FROM c""".stripMargin,
+    "q39_token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(text, '\s+')) AS n_ws,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest neighbour search over an `array<float>` embedding
+  * column.
+  *
+  * - `bruteForceTopK`: the exactness baseline. The query set is small →
+  *   broadcast it over the (huge) corpus: a broadcast nested-loop join
+  *   with NO shuffle of the corpus; per-partition scoring then a top-k
+  *   window on the query id. Corpus row norms are computed once in a
+  *   projection before the join, not per pair.
+  * - `ivfTopK`: IVF-style pruning. A fixed set of centroid rows
+  *   partitions the corpus into buckets (one pass, broadcast centroids,
+  *   argmax-cosine assignment); queries probe only the `nprobe` nearest
+  *   buckets. At full probe (nprobe = #centroids) this is exact.
+  *
+  * At 100 TB the corpus never moves: both variants stream it through a
+  * broadcast join; the only shuffle is the final per-query top-k, whose
+  * input is already reduced to candidates.
+  */
+object Ann {
+
+  /** Exact top-k neighbours per query row.
+    *
+    * @param corpus  (id, embedding) — the big side, streamed
+    * @param queries (id, embedding) — the small side, broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val joinCond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = c.join(q, joinCond)
+      .withColumn("__cos",
+        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** Assign every corpus row to its nearest centroid (argmax cosine,
+    * ties → lowest centroid id). Centroids are broadcast; assignment is
+    * a narrow map — no shuffle. */
+  def assignBuckets(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = centroids.select(
+      col(idCol).as("centroid_id"), col(vecCol).as("__ev"),
+      norm(col(vecCol)).as("__en"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("centroid_id"))
+    corpus
+      .withColumn("__n", norm(col(vecCol)))
+      .join(broadcast(c))
+      .withColumn("__cos",
+        cosinePrenormed(dot(col(vecCol), col("__ev")), col("__n"), col("__en")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__ev", "__en", "__cos", "__rn", "__n")
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest to each query and
+    * rank candidates only within those buckets. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val bucketed = assignBuckets(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"), col("centroid_id"))
+    // which buckets each query probes
+    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+    val scored = bucketed
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("__cos",
+        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** Top-`nprobe` centroids per query (broadcast-size output). */
+  private def assignProbes(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val c = centroids.select(
+      col(idCol).as("centroid_id"), col(vecCol).as("__ev"),
+      norm(col(vecCol)).as("__en"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pcos").desc, col("centroid_id"))
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      .join(broadcast(c))
+      .withColumn("__pcos",
+        cosinePrenormed(dot(col("__qv"), col("__ev")), col("__qn"), col("__en")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("centroid_id"), col("query_id"), col("__qv"), col("__qn"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure `functions._` expressions — narrow, codegen'd, shuffle-free;
+  * at 100 TB these run at parquet-scan speed.
+  */
+object TextStats {
+
+  /** Ordered stopword profiles; prediction is first-wins argmax over
+    * this order (deterministic, mirrors the SQL CASE cascade). */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "du"),
+    "zh" -> Seq("的", "是", "在"))
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Occurrences of any word from `stops`. */
+  def stopwordHits(text: Column, stops: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(stops: _*)))
+
+  /** Per-profile hit counts as named columns (c_en, c_de, ...). */
+  def profileCounts(text: Column): Seq[(String, Column)] =
+    StopwordProfiles.map { case (lang, stops) =>
+      lang -> stopwordHits(text, stops)
+    }
+
+  /** First-wins argmax over the profile order: lang i wins iff its count
+    * is >= every later profile's count. */
+  def langId(text: Column): Column = {
+    val counts = profileCounts(text)
+    val preds = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val laterGte = counts.drop(i + 1).map { case (_, c2) => c >= c2 }
+      (lang, laterGte.foldLeft(lit(true))(_ && _))
+    }
+    preds.init.reverse.foldLeft(lit(preds.last._1): Column) {
+      case (acc, (lang, cond)) => when(cond, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.6 * min(n_words/200, 1)  — length credit
+    * + 0.4 * min(5 * stopword_ratio, 1) — naturalness credit.
+    */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(words(text)).cast("double")
+    val enHits = stopwordHits(text, StopwordProfiles.head._2).cast("double")
+    val lenScore = least(nWords / 200.0, lit(1.0))
+    val stopScore = least(enHits / nWords * 5.0, lit(1.0))
+    round(lenScore * 0.6 + stopScore * 0.4, 4)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Rolling polynomial fingerprint over words mod the largest 32-bit
+    * prime: order-sensitive (unlike a bag hash) and overflow-free
+    * (acc < 2^32 so acc*31 + h < 2^38). */
+  def fingerprint(text: Column): Column = {
+    val P = lit(4294967291L)
+    aggregate(
+      words(text),
+      lit(0L),
+      (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), P), P))
+  }
+}
