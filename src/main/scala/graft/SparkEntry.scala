@@ -219,6 +219,66 @@ object SparkEntry {
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** q11: TPC-H Q3-shape ship-priority — filtered 3-way join, agg,
+    * top-10. Customer filter is broadcast; lineitem never reshuffles
+    * except for the final agg on orderkey. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < "1999-01-01")
+    val li = t.lineitem.filter(col("l_shipdate") > "1999-01-01")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q12: top-k per group via rank window. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"),
+        round(col("o_totalprice"), 4).as("price"))
+  }
+
+  /** q13: JSON field extraction from events.props. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        round(col("value"), 4).as("value"))
+
+  // ----------------------------------------------------------------
+  // C. Events / streaming (batch forms)
+  // ----------------------------------------------------------------
+
+  /** q20: gap-based sessionization (30 min) + per-session rollup. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(Tables(s, dir).events,
+      keyCol = "user_id", tsCol = "ts", gapMillis = 30L * 60 * 1000,
+      tieBreak = "event_id", valueCol = "value")
+
+  /** q21: tumbling 1-hour window aggregation (event-time). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   // ----------------------------------------------------------------
   // D. LLM-training-data pipeline
   // ----------------------------------------------------------------
@@ -326,6 +386,11 @@ object SparkEntry {
     "q08_fuzzy_match" -> (q08 _),
     "q09_unpivot_scores" -> (q09 _),
     "q10_pricing_summary" -> (q10 _),
+    "q11_ship_priority" -> (q11 _),
+    "q12_topk_per_group" -> (q12 _),
+    "q13_json_extract" -> (q13 _),
+    "q20_sessionize" -> (q20 _),
+    "q21_tumbling_agg" -> (q21 _),
     "q30_dedup_exact" -> (q30 _),
     "q31_dedup_minhash" -> (q31 _),
     "q32_dedup_simhash" -> (q32 _),
@@ -453,6 +518,55 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_ship_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q12_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank,
+        | round(o_totalprice, 4) AS price
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        | round(value, 4) AS value
+        |FROM events""".stripMargin,
+    "q20_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |l AS (
+        |  SELECT *, lag(ms) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (
+        |  SELECT *, CAST(sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms,
+        |  round(sum(value), 4) AS sum_value
+        |FROM c GROUP BY user_id, session_id""".stripMargin,
+    "q21_tumbling_agg" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Typed loaders for the driver-generated star schema (see TESTDATA.md).
   *
@@ -18,7 +20,19 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot map to
+    * its micros timestamp. Sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true, and the loader converts
+    * nanos→micros here with integer division (`div` — a double division
+    * would lose precision above 2^53). */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
