@@ -1,0 +1,143 @@
+package graft.functions
+
+/** JVM implementations behind the fuzzy-match Catalyst expressions.
+  * Pure static functions so generated code can call them directly
+  * (the same pattern Spark's own Levenshtein uses with UTF8String).
+  *
+  * Scorers mirror the rapidfuzz family the reference relies on
+  * (ref: votervoice/match.py:58-71 — WRatio default, token scorers,
+  * per-column thresholds in [0,100]).
+  */
+object FuzzyImpl {
+
+  /** Classic Levenshtein distance, O(min(n,m)) memory. */
+  def levenshtein(a: String, b: String): Int = {
+    if (a == b) return 0
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val prev = new Array[Int](s.length + 1)
+    val cur = new Array[Int](s.length + 1)
+    var i = 0
+    while (i <= s.length) { prev(i) = i; i += 1 }
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var k = 1
+      while (k <= s.length) {
+        val cost = if (s.charAt(k - 1) == t.charAt(j - 1)) 0 else 1
+        cur(k) = math.min(math.min(cur(k - 1) + 1, prev(k) + 1), prev(k - 1) + cost)
+        k += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, s.length + 1)
+      j += 1
+    }
+    prev(s.length)
+  }
+
+  /** rapidfuzz `ratio`: 100 * (1 - dist / max(len)). */
+  def ratio(a: String, b: String): Double = {
+    val m = math.max(a.length, b.length)
+    if (m == 0) 100.0 else 100.0 * (1.0 - levenshtein(a, b).toDouble / m)
+  }
+
+  /** Jaro similarity in [0,1]. */
+  def jaro(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val aM = new Array[Boolean](a.length)
+    val bM = new Array[Boolean](b.length)
+    var matches = 0
+    var i = 0
+    while (i < a.length) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < a.length) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler similarity scaled to [0,100], prefix weight 0.1,
+    * max prefix 4 (the standard parameterisation). */
+  def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    var prefix = 0
+    val maxP = math.min(4, math.min(a.length, b.length))
+    while (prefix < maxP && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    100.0 * (j + prefix * 0.1 * (1.0 - j))
+  }
+
+  private def sortedTokens(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty).sorted
+
+  /** rapidfuzz token_sort_ratio: ratio over whitespace tokens sorted. */
+  def tokenSortRatio(a: String, b: String): Double =
+    ratio(sortedTokens(a).mkString(" "), sortedTokens(b).mkString(" "))
+
+  /** rapidfuzz token_set_ratio: max ratio over (∩, ∩+restA, ∩+restB)
+    * pairings of sorted token sets. */
+  def tokenSetRatio(a: String, b: String): Double = {
+    val sa = sortedTokens(a).toSet
+    val sb = sortedTokens(b).toSet
+    val inter = (sa & sb).toSeq.sorted.mkString(" ")
+    val diffA = (sa -- sb).toSeq.sorted.mkString(" ")
+    val diffB = (sb -- sa).toSeq.sorted.mkString(" ")
+    val combA = if (diffA.isEmpty) inter else if (inter.isEmpty) diffA else s"$inter $diffA"
+    val combB = if (diffB.isEmpty) inter else if (inter.isEmpty) diffB else s"$inter $diffB"
+    math.max(ratio(inter, combA), math.max(ratio(inter, combB), ratio(combA, combB)))
+  }
+
+  /** rapidfuzz partial_ratio: best ratio of the shorter string against
+    * any same-length substring of the longer. */
+  def partialRatio(a: String, b: String): Double = {
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return if (t.isEmpty) 100.0 else 0.0
+    if (s.length == t.length) return ratio(s, t)
+    var best = 0.0
+    var i = 0
+    while (i + s.length <= t.length) {
+      val r = ratio(s, t.substring(i, i + s.length))
+      if (r > best) best = r
+      if (best == 100.0) return best
+      i += 1
+    }
+    best
+  }
+
+  /** WRatio-style combined score: max of full, token-sort, token-set
+    * and (length-ratio-penalised) partial scores — a documented
+    * simplification of rapidfuzz's WRatio cascade. */
+  def wRatio(a: String, b: String): Double = {
+    val full = ratio(a, b)
+    val ts = tokenSortRatio(a, b) * 0.95
+    val tset = tokenSetRatio(a, b) * 0.95
+    val lenRatio =
+      if (a.isEmpty || b.isEmpty) 1.0
+      else math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
+    val partial =
+      if (lenRatio > 1.5) partialRatio(a, b) * 0.9 else 0.0
+    math.max(math.max(full, ts), math.max(tset, partial))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions installing graft's native expressions into the
+  * session function registry, so SQL text and `call_function` both
+  * resolve them (`SELECT jaro_winkler(a, b)`).
+  *
+  * Activate with
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(
+      name: String,
+      builder: Seq[Expression] => Expression,
+      usage: String): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("jaro_winkler",
+      es => JaroWinkler(es.head, es(1)),
+      "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,100]"))
+    ext.injectFunction(fn("token_sort_ratio",
+      es => TokenSortRatio(es.head, es(1)),
+      "token_sort_ratio(a, b) - rapidfuzz token_sort_ratio in [0,100]"))
+    ext.injectFunction(fn("token_set_ratio",
+      es => TokenSetRatio(es.head, es(1)),
+      "token_set_ratio(a, b) - rapidfuzz token_set_ratio in [0,100]"))
+    ext.injectFunction(fn("partial_ratio",
+      es => PartialRatio(es.head, es(1)),
+      "partial_ratio(a, b) - rapidfuzz partial_ratio in [0,100]"))
+    ext.injectFunction(fn("w_ratio",
+      es => WRatio(es.head, es(1)),
+      "w_ratio(a, b) - combined WRatio-style score in [0,100]"))
+  }
+}

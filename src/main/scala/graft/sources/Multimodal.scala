@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with a
+  * typed metadata struct, processed in partition-local batches.
+  *
+  * The Spark-side design is the real deliverable here — schema,
+  * partition sizing, batch iteration, feature output shape. The codec
+  * itself is STUBBED (`decodeStub`): this container has no image/audio
+  * libraries, so the decode produces deterministic fake pixels from the
+  * byte content. Swapping in a real codec changes ONE function and no
+  * plan shape.
+  *
+  * Scale posture: media rows are large (MBs) — `mediaRepartition`
+  * targets ~128 MB per partition by byte size, not row count, so
+  * executors neither starve (1 huge row per task) nor OOM (thousands of
+  * rows per task). Feature extraction is mapPartitions: one codec init
+  * per partition, streaming through rows without materialising the
+  * partition.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      kind: String, // image | audio | video
+      width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
+
+  case class MediaRow(
+      media_id: Long, bytes: Array[Byte], meta: MediaMeta)
+
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** Deterministic synthetic media table (stands in for a real binary
+    * source; byte payload is a seeded pattern so tests are stable). */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val kind = Seq("image", "audio", "video")((i % 3).toInt)
+      val len = 256 + (i % 7).toInt * 128
+      val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta(kind, 64 + (i % 4).toInt * 32, 64, 0, 0L)
+        case "audio" => MediaMeta(kind, 0, 0, 16000, 1000L + i % 5000)
+        case _       => MediaMeta(kind, 128, 128, 0, 2000L + i % 9000)
+      }
+      MediaRow(i, bytes, meta)
+    }
+  }
+
+  /** STUB decode — a real implementation would invoke an image/audio
+    * codec here. Deterministic fake: 8 float features from a rolling
+    * byte hash. The signature (bytes, meta) => features is the real
+    * contract. */
+  def decodeStub(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+    val dim = 8
+    val out = new Array[Float](dim)
+    var acc = 17L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xFF)) % 4294967291L
+      out(i % dim) += ((acc % 1000) / 1000.0f - 0.5f)
+      i += 1
+    }
+    out
+  }
+
+  /** Repartition a media frame so each partition holds ~targetBytes of
+    * payload (byte-weighted, not row-count) — the knob that keeps codec
+    * tasks uniform at 100 TB. */
+  def mediaRepartition(
+      df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
+    val total = df.select(sum(length(col(bytesCol)))).head.getLong(0)
+    val parts = math.max(1, (total / targetBytes).toInt)
+    df.repartition(parts)
+  }
+
+  /** Batched feature extraction: mapPartitions so the (stub) codec is
+    * initialised once per partition and rows stream through. */
+  def extractFeatures(
+      media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real impl: init codec/model once here
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+          decodeStub(r.bytes, r.meta))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: emit every `stride`-th synthetic
+    * frame index with its byte offset — the plumbing (explode shape)
+    * for a real frame extractor. */
+  def frameSample(
+      media: Dataset[MediaRow], stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.meta.kind == "video")
+      .flatMap { r =>
+        val nFrames = math.max(1, (r.meta.durationMs / 1000L).toInt)
+        (0 until nFrames by stride).map { f =>
+          (r.media_id, f, f.toLong * 1000L, r.bytes.length.toLong)
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset_ms", "n_bytes")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.05f)), // close to 2
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val r = vecs.filter($"vec_id" === 0).select(
+      VectorFunctions.cosine(col("embedding"), col("embedding")).as("self"))
+      .as[Double].head
+    assert(math.abs(r - 1.0) < 1e-12)
+    val df = vecs.filter($"vec_id" === 0).crossJoin(
+      vecs.filter($"vec_id" === 2).select(col("embedding").as("e2")))
+    val o = df.select(VectorFunctions.cosine(col("embedding"), col("e2")))
+      .as[Double].head
+    assert(math.abs(o) < 1e-12)
+  }
+
+  test("bruteForceTopK returns nearest neighbours in rank order") {
+    val out = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(out(0).getInt(2) === 1)
+  }
+
+  test("ivfTopK with full probe matches brute force") {
+    val queries = vecs.filter($"vec_id" === 0)
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L, 4L))
+    val ivf = Ann.ivfTopK(vecs, queries, centroids,
+      "vec_id", "embedding", k = 2, nprobe = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    val bf = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(ivf.toSeq === bf.toSeq)
+  }
+
+  test("ivfTopK with nprobe=1 prunes to the query's bucket") {
+    val queries = vecs.filter($"vec_id" === 0)
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L, 4L))
+    val out = Ann.ivfTopK(vecs, queries, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    // bucket of centroid 0 holds vec 1 only (vec 0 excluded as self)
+    assert(out === Set(1L))
+  }
+
+  test("hyperplaneBucket is deterministic and groups identical vectors") {
+    val b = vecs.select(col("vec_id"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = vecs.select(col("vec_id"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === b2)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.FuzzyImpl
+import graft.operators.FuzzyMatch
+
+class FuzzyMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FuzzyImpl scorers match known values") {
+    assert(FuzzyImpl.levenshtein("kitten", "sitting") === 3)
+    assert(FuzzyImpl.ratio("abcd", "abcd") === 100.0)
+    assert(math.abs(FuzzyImpl.jaroWinkler("MARTHA", "MARHTA") - 96.11) < 0.01)
+    assert(FuzzyImpl.tokenSortRatio("smith john", "john smith") === 100.0)
+    assert(FuzzyImpl.tokenSetRatio("john smith extra", "john smith") === 100.0)
+    assert(FuzzyImpl.partialRatio("smith", "mr smith jr") === 100.0)
+    assert(FuzzyImpl.wRatio("john q smith", "smith john") > 90.0)
+  }
+
+  test("registered SQL functions resolve via extensions") {
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw, " +
+        "token_sort_ratio('a b', 'b a') AS tsr, " +
+        "w_ratio('john smith', 'smith, john') AS wr").head
+    assert(math.abs(r.getDouble(0) - 96.11) < 0.01)
+    assert(r.getDouble(1) === 100.0)
+    assert(r.getDouble(2) > 85.0)
+  }
+
+  test("null inputs yield null scores") {
+    val r = spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS jw").head
+    assert(r.isNullAt(0))
+  }
+
+  test("bestByDistance picks nearest roster row within block, flags dups") {
+    val scraped = Seq((1L, "jon smith", 10), (2L, "ann lee", 20))
+      .toDF("s_id", "s_name", "s_blk")
+    val roster = Seq(
+      (100L, "john smith", 10), (101L, "jane smythe", 10),
+      (200L, "ann lee", 20), (201L, "ann leigh", 20))
+      .toDF("r_id", "r_name", "r_blk")
+    val out = FuzzyMatch.bestByDistance(
+      scraped, roster, "s_id", "r_id", "s_blk", "r_blk",
+      (a, b) => levenshtein(a, b).cast("long"), "s_name", "r_name",
+      threshold = 3)
+      .orderBy("s_id").collect()
+    assert(out(0).getLong(1) === 100L) // jon smith -> john smith
+    assert(out(1).getLong(1) === 200L) // exact
+    assert(out(1).getBoolean(3) === true) // ann leigh also within 3
+  }
+
+  test("link applies per-column thresholds and overall requirement") {
+    val left = Seq((1L, "john", "smith", 5), (2L, "zzz", "qqq", 5))
+      .toDF("l_id", "l_first", "l_last", "l_blk")
+    val right = Seq((10L, "jon", "smith", 5), (11L, "mary", "jones", 5))
+      .toDF("r_id", "r_first", "r_last", "r_blk")
+    val rules = Seq(
+      FuzzyMatch.Rule("l_first", "r_first",
+        (a, b) => call_function("jaro_winkler", a, b), threshold = 80),
+      FuzzyMatch.Rule("l_last", "r_last",
+        (a, b) => call_function("jaro_winkler", a, b), threshold = 85))
+    val out = FuzzyMatch.link(left, right, "l_id", "r_id", "l_blk", "r_blk",
+      rules, requiredOverall = 85)
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 1L && rows(0).getLong(1) === 10L)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.sources.{Multimodal, StageSink}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StageSink writes timestamped stage-foldered exports") {
+    val base = Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val at = Instant.parse("2024-03-04T05:06:07Z")
+    val path = StageSink.save(df, base, "TRANSFORMED", "ratings", at,
+      format = "csv", coalesceTo = Some(1))
+    assert(path === s"$base/TRANSFORMED/ratings_2024-03-04-05-06-07")
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() === 2)
+    assert(back.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("StageSink rejects unknown stages and double-writes") {
+    val base = Files.createTempDirectory("graft_sink2").toString
+    val df = Seq((1, "a")).toDF("id", "v")
+    val at = Instant.parse("2024-03-04T05:06:07Z")
+    intercept[IllegalArgumentException] {
+      StageSink.save(df, base, "BOGUS", "x", at)
+    }
+    StageSink.save(df, base, "EXTRACT", "x", at)
+    intercept[Exception] { // mode("error") refuses overwrite
+      StageSink.save(df, base, "EXTRACT", "x", at)
+    }
+  }
+
+  test("Multimodal feature extraction preserves ids and emits fixed-dim features") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 30)
+    assert(feats.forall(_.features.length === 8))
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.features.toSeq).toSeq ===
+      again.map(_.features.toSeq).toSeq)
+    // kinds round-robin
+    assert(feats.count(_.kind == "image") === 10)
+  }
+
+  test("Multimodal frameSample explodes video rows by stride") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
+    val frames = Multimodal.frameSample(media, stride = 2)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet === Set(2L, 5L, 8L))
+    assert(byId.values.forall(_ >= 1))
+  }
+
+  test("mediaRepartition sizes partitions by payload bytes") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 64).toDF()
+    val parts = Multimodal.mediaRepartition(media, "bytes", targetBytes = 4096)
+      .rdd.getNumPartitions
+    assert(parts >= 2) // 64 rows * ~600B >> 4KB target
+  }
+}

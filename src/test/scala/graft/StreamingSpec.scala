@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamSessionize
+import graft.streaming.StreamSessionize.{ClosedSession, Event}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("streaming sessionization closes sessions via watermark timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamSessionize.sessionUpdates(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMillis = 10 * 60 * 1000)
+    // session for user 1, plus a far-future event that advances the
+    // watermark past end+gap so the timeout fires in the no-data batch.
+    // Data added BEFORE start: AvailableNow snapshots offsets at start.
+    input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+    input.addData(Event(2L, ts(50), 9.0))
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val closed = spark.table("sessions_out").as[ClosedSession].collect()
+    assert(closed.exists(c =>
+      c.user_id == 1L && c.n_events == 2 && c.sum_value == 3.0 &&
+        c.start_ms == ts(0).getTime && c.end_ms == ts(5).getTime))
+  }
+
+  test("in-batch gap split emits the earlier session immediately") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamSessionize.sessionUpdates(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMillis = 10 * 60 * 1000)
+    input.addData(
+      Event(1L, ts(0), 1.0), Event(1L, ts(2), 1.0), // session A
+      Event(1L, ts(30), 5.0)) // gap > 10min -> A closes in-batch
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_split")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val closed = spark.table("sessions_split").as[ClosedSession].collect()
+    assert(closed.exists(c => c.user_id == 1L && c.n_events == 2
+      && c.end_ms == ts(2).getTime))
+  }
+
+  test("tumblingAgg emits finalized windows under append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamSessionize.tumblingAgg(df, "10 minutes", "0 seconds")
+    input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0))
+    input.addData((ts(45), "view", 1.0)) // advances watermark, closes first window
+    val query = agg.writeStream
+      .format("memory").queryName("tumbling_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val rows = spark.table("tumbling_out").collect()
+    assert(rows.exists(r =>
+      r.getString(1) == "click" && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(info: String): (String, String, String, String) = {
+    val r = Seq(info).toDF("info").select(
+      TextFunctions.firstName(col("info")),
+      TextFunctions.middleName(col("info")),
+      TextFunctions.lastName(col("info")),
+      TextFunctions.extractSuffix(col("info"))).head
+    (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+  }
+
+  test("full name with title, middle initial and suffix") {
+    assert(parse("Rep. John A. Smith Jr.") === (("John", "A.", "Smith", "Jr.")))
+  }
+
+  test("two-token name") {
+    assert(parse("Jane Doe") === (("Jane", "", "Doe", "")))
+  }
+
+  test("suffix III not swallowed by II") {
+    assert(parse("Sen. Al B. Carson III") === (("Al", "B.", "Carson", "III")))
+  }
+
+  test("multi-word middle name") {
+    assert(parse("Mr. Ann Van Der Berg") === (("Ann", "Van Der", "Berg", "")))
+  }
+
+  test("party-state-district extraction with de-pad and Delegate rule") {
+    val df = Seq("Rep X (R-TX-07)", "Del Y (D-DC-00)").toDF("info").select(
+      TextFunctions.party(col("info")).as("p"),
+      TextFunctions.state(col("info")).as("s"),
+      TextFunctions.district(col("info")).as("d"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) === (("R", "TX", "7")))
+    assert(rows(1) === (("D", "DC", "Delegate")))
+  }
+
+  test("replaceValues maps listed values and passes others through") {
+    val out = Seq("BUILDING", "FURNITURE").toDF("v")
+      .select(TextFunctions.replaceValues(col("v"),
+        Map("BUILDING" -> "BLDG")).as("v"))
+      .as[String].collect()
+    assert(out === Array("BLDG", "FURNITURE"))
+  }
+
+  test("nullToEmpty") {
+    val out = Seq(Some("x"), None).toDF("v")
+      .select(TextFunctions.nullToEmpty(col("v"))).as[String].collect()
+    assert(out === Array("x", ""))
+  }
+}
