@@ -23,7 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Seq(
-      "q10_pricing_summary", "q04_distinct_on", "q30_dedup_exact"
+      "q10_pricing_summary", "q11_ship_priority", "q04_distinct_on",
+      "q08_fuzzy_match", "q20_sessionize", "q30_dedup_exact",
+      "q31_dedup_minhash", "q33_ngram_jaccard", "q35_ann_bruteforce"
     ).filter(SparkEntry.queries.contains)
 
     val results = headline.map { name =>

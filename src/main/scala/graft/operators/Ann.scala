@@ -34,9 +34,9 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+    val c = Parallelism.ensure(corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn")))

@@ -66,9 +66,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val withSh = docs.select(
-      col(idCol), col(blockCol),
-      shingles(col(textCol), n).as("__sh"))
+    val withSh = Parallelism.ensure(
+      docs.select(col(idCol), col(blockCol), col(textCol)))
+      .select(col(idCol), col(blockCol),
+        shingles(col(textCol), n).as("__sh"))
     val a = withSh.select(col(idCol).as("a_id"), col(blockCol).as("__blk"),
       col("__sh").as("__sha"))
     val b = withSh.select(col(idCol).as("b_id"), col(blockCol).as("__blk2"),
@@ -85,25 +86,32 @@ object Dedup {
 
   private val P32 = 4294967291L // largest 32-bit prime
 
-  /** xxhash64 folded into [0, P32) so multiply-add stays overflow-free. */
-  private def baseHash(x: Column): Column = pmod(xxhash64(x), lit(P32))
+  /** Shingle set hashed once into [0, P32) longs — the expensive string
+    * hashing happens a single time per row; every permutation then works
+    * on integer arithmetic only. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, x => pmod(xxhash64(x), lit(P32)))
 
-  /** MinHash signature of a shingle array: for permutation i,
-    * h_i(x) = (a_i * base(x) + b_i) mod P32; the signature element is the
-    * min over the shingle set. a_i < 2*numHashes so a_i*base < 2^39.
+  /** MinHash signature from pre-hashed shingles: for permutation i,
+    * h_i(x) = (a_i * x + b_i) mod P32; the signature element is the min
+    * over the set. a_i < 2*numHashes so a_i*x < 2^39 — overflow-free.
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+  def minhashSignatureFromHashes(hashArr: Column, numHashes: Int): Column = {
     val hashes = (0 until numHashes).map { i =>
       val a = lit(2L * i + 1) // odd multipliers
       val b = lit(7919L * (i + 1))
       aggregate(
-        shingleArr,
+        hashArr,
         lit(Long.MaxValue),
-        (acc, x) => least(acc, pmod(baseHash(x) * a + b, lit(P32)))
+        (acc, x) => least(acc, pmod(x * a + b, lit(P32)))
       )
     }
     array(hashes: _*)
   }
+
+  /** MinHash signature of a shingle array. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(shingleArr), numHashes)
 
   /** LSH banding: split the signature into `bands` bands and emit
     * (band_id, band_hash) bucket keys. Docs sharing any bucket become
@@ -115,9 +123,17 @@ object Dedup {
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("__id"),
-      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("__sig"))
+    // repartition the raw text BEFORE the expensive stages so signature
+    // work spreads across all cores even from a one-split scan; hash
+    // shingles to longs once so the permutation aggregates never re-hash
+    // strings
+    val spread = Parallelism.ensure(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
+    val sig = spread
+      .select(col("__id"),
+        shingleHashes(shingles(col("__t"), shingleN)).as("__h"))
+      .select(col("__id"),
+        minhashSignatureFromHashes(col("__h"), numHashes).as("__sig"))
     val buckets = sig.select(
       col("__id"),
       explode(
@@ -144,8 +160,9 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
-    val sh = docs.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleN).as("__sh"))
+    val sh = Parallelism.ensure(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), shingles(col("__t"), shingleN).as("__sh"))
     cands
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
@@ -166,14 +183,12 @@ object Dedup {
     */
   def simhash64(shingleArr: Column): Column = {
     val votes = aggregate(
-      shingleArr,
+      transform(shingleArr, x => xxhash64(x)), // hash each shingle once
       array_repeat(lit(0), 64),
-      (acc, x) => {
-        val h = xxhash64(x)
+      (acc, h) =>
         transform(acc, (v, i) =>
           v + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L,
             1).otherwise(-1))
-      }
     )
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
@@ -189,9 +204,10 @@ object Dedup {
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("__id"),
-      simhash64(shingles(col(textCol), shingleN)).as("__sim"))
+    val sh = Parallelism.ensure(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"),
+        simhash64(shingles(col("__t"), shingleN)).as("__sim"))
     val banded = sh.select(
       col("__id"), col("__sim"),
       explode(

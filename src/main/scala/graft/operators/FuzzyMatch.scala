@@ -57,8 +57,10 @@ object FuzzyMatch {
       leftCol: String, rightCol: String,
       threshold: Int,
       broadcastRight: Boolean = true): DataFrame = {
-    val l = left.select(col(leftId).as("s_id"), col(blockLeft).as("__blk"),
-      col(leftCol).as("__lv"))
+    // pairwise scoring is CPU-bound: spread the streamed side first
+    val l = Parallelism.ensure(
+      left.select(col(leftId).as("s_id"), col(blockLeft).as("__blk"),
+        col(leftCol).as("__lv")))
     val r0 = right.select(col(rightId).as("r_id"), col(blockRight).as("__blk2"),
       col(rightCol).as("__rv"))
     val r = if (broadcastRight) broadcast(r0) else r0
@@ -90,7 +92,8 @@ object FuzzyMatch {
       broadcastRight: Boolean = true): DataFrame = {
     val r0 = right
     val r = if (broadcastRight) broadcast(r0) else r0
-    val joined = left.join(r, left(blockLeft) === r0(blockRight))
+    val spreadLeft = Parallelism.ensure(left)
+    val joined = spreadLeft.join(r, left(blockLeft) === r0(blockRight))
     val scores = rules.map(rule =>
       rule.scorer(left(rule.leftCol), r0(rule.rightCol)))
     val passes = rules.zip(scores).map { case (rule, s) => s >= rule.threshold }
