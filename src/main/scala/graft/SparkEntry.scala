@@ -371,6 +371,37 @@ object SparkEntry {
       col("doc_id"),
       TextStats.fingerprint(col("text")).as("fingerprint"))
 
+  /** q41: embedding near-dup via random-hyperplane LSH buckets + exact
+    * cosine verify. rows-only (bucket recall is probabilistic by
+    * design; q34 is the oracle-exact variant). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables(s, dir).embeddings, "vec_id", "embedding",
+      dim = 64, numPlanes = 4, threshold = 0.2)
+
+  /** q42: fuzzy linkage on the custom jaro_winkler Catalyst expression
+    * (registered via GraftExtensions); oracle is DuckDB's
+    * jaro_winkler_similarity — both sides use the standard 0.7-boost
+    * parameterisation, ordered on the 4dp-rounded score. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val scraped = t.customer.select(
+      col("c_custkey").as("s_id"),
+      concat(lit("Cust "), col("c_custkey").cast("string")).as("s_name"),
+      col("c_nationkey").as("s_blk"))
+    val roster = t.customer.select(
+      col("c_custkey").as("r_id"), col("c_name").as("r_name"),
+      col("c_nationkey").as("r_blk"))
+    val scored = Parallelism.ensure(scraped)
+      .join(broadcast(roster), col("s_blk") === col("r_blk"))
+      .withColumn("jw",
+        round(call_function("jaro_winkler", col("s_name"), col("r_name")), 4))
+    val w = Window.partitionBy(col("s_id")).orderBy(col("jw").desc, col("r_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("s_id"), col("r_id").as("best_id"), col("jw").as("best_jw"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -401,7 +432,9 @@ object SparkEntry {
     "q37_lang_id" -> (q37 _),
     "q38_quality_score" -> (q38 _),
     "q39_token_count" -> (q39 _),
-    "q40_fingerprint" -> (q40 _)
+    "q40_fingerprint" -> (q40 _),
+    "q41_embed_lsh" -> (q41 _),
+    "q42_fuzzy_jaro_winkler" -> (q42 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -635,6 +668,25 @@ object SparkEntry {
       """SELECT doc_id,
         | len(string_split_regex(text, '\s+')) AS n_ws,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q42_fuzzy_jaro_winkler" ->
+      """WITH scraped AS (
+        |  SELECT c_custkey AS s_id,
+        |    'Cust ' || CAST(c_custkey AS VARCHAR) AS s_name,
+        |    c_nationkey AS blk
+        |  FROM customer),
+        |roster AS (
+        |  SELECT c_custkey AS r_id, c_name AS r_name, c_nationkey AS blk
+        |  FROM customer),
+        |scored AS (
+        |  SELECT s_id, r_id,
+        |    round(100 * jaro_winkler_similarity(s_name, r_name), 4) AS jw
+        |  FROM scraped JOIN roster USING (blk)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY s_id ORDER BY jw DESC, r_id) AS rn
+        |  FROM scored)
+        |SELECT s_id, r_id AS best_id, jw AS best_jw
+        |FROM ranked WHERE rn = 1""".stripMargin
   )
 }

@@ -76,13 +76,18 @@ object FuzzyImpl {
       i += 1
     }
     val m = matches.toDouble
-    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+    // mismatched-position count halved with INTEGER division — the
+    // rapidfuzz convention (greedy matching can leave an odd count)
+    (m / a.length + m / b.length + (m - transpositions / 2) / m) / 3.0
   }
 
-  /** Jaro-Winkler similarity scaled to [0,100], prefix weight 0.1,
-    * max prefix 4 (the standard parameterisation). */
+  /** Jaro-Winkler similarity scaled to [0,100]: prefix weight 0.1, max
+    * prefix 4, boost threshold 0.7 (the standard parameterisation —
+    * the prefix bonus applies only when jaro > 0.7, matching common
+    * implementations including DuckDB's). */
   def jaroWinkler(a: String, b: String): Double = {
     val j = jaro(a, b)
+    if (j <= 0.7) return 100.0 * j
     var prefix = 0
     val maxP = math.min(4, math.min(a.length, b.length))
     while (prefix < maxP && a.charAt(prefix) == b.charAt(prefix)) prefix += 1

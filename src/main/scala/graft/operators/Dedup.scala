@@ -172,6 +172,36 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Embedding near-dup (hyperplane LSH)
+  // ------------------------------------------------------------------
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH: vectors
+    * sharing a sign-bucket become candidates (equi-join on the packed
+    * bucket long — similar vectors agree on most hyperplane signs), then
+    * exact cosine verifies. `numPlanes` trades recall (fewer planes =
+    * bigger buckets) against candidate volume. Scale: one narrow
+    * projection + one equi-join; the corpus never cross-joins. */
+  def embeddingNearDup(
+      vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = Parallelism.ensure(
+      vecs.select(col(idCol).as("__id"), col(vecCol).as("__v")))
+      .select(col("__id"), col("__v"),
+        hyperplaneBucket(col("__v"), dim, numPlanes).as("__bkt"),
+        norm(col("__v")).as("__n"))
+    val a = bucketed.select(col("__id").as("a_id"), col("__v").as("__va"),
+      col("__bkt"), col("__n").as("__na"))
+    val b = bucketed.select(col("__id").as("b_id"), col("__v").as("__vb"),
+      col("__bkt").as("__bkt2"), col("__n").as("__nb"))
+    a.join(b, col("__bkt") === col("__bkt2") && col("a_id") < col("b_id"))
+      .withColumn("cosine", round(
+        cosinePrenormed(dot(col("__va"), col("__vb")), col("__na"), col("__nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 
