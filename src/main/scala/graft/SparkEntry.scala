@@ -396,10 +396,12 @@ object SparkEntry {
       .join(broadcast(roster), col("s_blk") === col("r_blk"))
       .withColumn("jw",
         round(call_function("jaro_winkler", col("s_name"), col("r_name")), 4))
-    val w = Window.partitionBy(col("s_id")).orderBy(col("jw").desc, col("r_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("s_id"), col("r_id").as("best_id"), col("jw").as("best_jw"))
+    // struct-min aggregation (negated score for max-first, r_id for tie)
+    // instead of a window: map-side partial combine, tiny shuffle
+    scored.groupBy(col("s_id"))
+      .agg(min(struct(negate(col("jw")).as("njw"), col("r_id"))).as("__best"))
+      .select(col("s_id"), col("__best.r_id").as("best_id"),
+        negate(col("__best.njw")).as("best_jw"))
   }
 
   // ----------------------------------------------------------------

@@ -93,21 +93,21 @@ object Dedup {
     transform(shingleArr, x => pmod(xxhash64(x), lit(P32)))
 
   /** MinHash signature from pre-hashed shingles: for permutation i,
-    * h_i(x) = (a_i * x + b_i) mod P32; the signature element is the min
-    * over the set. a_i < 2*numHashes so a_i*x < 2^39 — overflow-free.
-    */
-  def minhashSignatureFromHashes(hashArr: Column, numHashes: Int): Column = {
-    val hashes = (0 until numHashes).map { i =>
-      val a = lit(2L * i + 1) // odd multipliers
-      val b = lit(7919L * (i + 1))
-      aggregate(
-        hashArr,
-        lit(Long.MaxValue),
-        (acc, x) => least(acc, pmod(x * a + b, lit(P32)))
-      )
-    }
-    array(hashes: _*)
-  }
+    * h_i(x) = ((2i+1) * x + 7919(i+1)) mod P32; the signature element is
+    * the min over the set. x < 2^32 and 2i+1 < 2^7, so the multiply
+    * never overflows a long.
+    *
+    * A single aggregate with an array accumulator (not numHashes
+    * separate aggregates): the generated code is one tight loop, small
+    * enough for the JIT — the N-aggregate form compiled to a method too
+    * large to stay hot. */
+  def minhashSignatureFromHashes(hashArr: Column, numHashes: Int): Column =
+    aggregate(
+      hashArr,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (v, i) => least(v, pmod(x * (i.cast("long") * 2L + 1L)
+          + lit(7919L) * (i.cast("long") + 1L), lit(P32)))))
 
   /** MinHash signature of a shingle array. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =

@@ -66,16 +66,18 @@ object FuzzyMatch {
     val r = if (broadcastRight) broadcast(r0) else r0
     val scored = l.join(r, col("__blk") === col("__blk2"))
       .withColumn("score", distance(col("__lv"), col("__rv")))
-    val w = Window.partitionBy(col("s_id"))
-    val ranked = scored
-      .withColumn("__rn", row_number().over(w.orderBy(col("score"), col("r_id"))))
-      .withColumn("n_within",
-        sum(when(col("score") <= threshold, 1L).otherwise(0L)).over(w))
-    ranked.filter(col("__rn") === 1)
+    // best-match as a lexicographic struct-min aggregation, NOT a window:
+    // the map side pre-combines to one candidate per s_id per partition,
+    // so the shuffle moves |left| rows instead of |scored pairs| — the
+    // difference between shuffling 9M and 15k rows per 15k-row input.
+    scored.groupBy(col("s_id"))
+      .agg(
+        min(struct(col("score"), col("r_id"))).as("__best"),
+        sum(when(col("score") <= threshold, 1L).otherwise(0L)).as("n_within"))
       .select(
         col("s_id"),
-        col("r_id").as("best_id"),
-        col("score").as("best_score"),
+        col("__best.r_id").as("best_id"),
+        col("__best.score").as("best_score"),
         (col("n_within") > 1).as("is_dup"))
   }
 
