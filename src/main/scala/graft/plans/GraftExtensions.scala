@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
     ext.injectFunction(fn("jaro_winkler",
       es => JaroWinkler(es.head, es(1)),
       "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,100]"))
