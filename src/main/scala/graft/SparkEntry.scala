@@ -27,35 +27,49 @@ object SparkEntry {
   // A. Reference ETL surface
   // ----------------------------------------------------------------
 
-  /** Deterministic composite info string, e.g. "Sen. First42 C. Last7 Jr.". */
+  /** Deterministic composite info string in the reference's scraped
+    * shape, e.g. "Sen. First42 C. Van Last7, Jr. (R-TX-07)" — titles
+    * (incl. multi-word), optional middle initial, multi-word last
+    * names, comma-optional suffixes, optional paren token. */
   private def synthInfo(k: Column): Column = {
-    val title = element_at(
-      array(TextFunctions.Titles.map(lit): _*), (k % 8).cast("int") + 1)
+    val title = element_at(array(Seq(
+      "Rep. ", "Sen. ", "Speaker ", "Delegate ", "Minority Leader ",
+      "Senate President ", "", "").map(lit): _*), (k % 8).cast("int") + 1)
     val fn = concat(lit("First"), (k % 97).cast("string"))
     val mi = when(k % 3 === 0,
-      concat(call_function("char", lit(65) + (k % 26).cast("int")), lit("."))
-    ).otherwise(lit(""))
-    val ln = concat(lit("Last"), (k % 53).cast("string"))
-    val sfx = element_at(
-      array(Seq("Jr.", "Sr.", "II", "III", "IV", "", "").map(lit): _*),
+      concat(lit(" "), call_function("char", lit(65) + (k % 26).cast("int")),
+        lit("."))).otherwise(lit(""))
+    val ln = concat(
+      when(k % 11 === 0, lit("Van ")).otherwise(lit("")),
+      lit("Last"), (k % 53).cast("string"))
+    val sfx = element_at(array(Seq(
+      ", Jr.", " Sr.", " III", " II", ", M.D.", "", "").map(lit): _*),
       (k % 7).cast("int") + 1)
-    concat(
-      title, lit(" "), fn,
-      when(mi === "", lit("")).otherwise(concat(lit(" "), mi)),
-      lit(" "), ln,
-      when(sfx === "", lit("")).otherwise(concat(lit(" "), sfx)))
+    val paren = when(k % 2 === 0, concat(
+      lit(" ("),
+      element_at(array(Seq("R", "D", "I").map(lit): _*), (k % 3).cast("int") + 1),
+      lit("-"),
+      element_at(array(Seq("TX", "CA", "NY", "DC", "VT").map(lit): _*),
+        (k % 5).cast("int") + 1),
+      lit("-"), lpad((k % 25).cast("string"), 2, "0"), lit(")")
+    )).otherwise(lit(""))
+    concat(title, fn, mi, lit(" "), ln, sfx, paren)
   }
 
   /** Matching synthesis in DuckDB SQL (CTE text reused by q01). */
   private val synthInfoSql =
     """SELECT c_custkey AS id,
-      |  (['Rep.','Sen.','Gov.','Del.','Hon.','Mr.','Mrs.','Ms.'])[CAST(c_custkey % 8 AS INT) + 1]
-      |  || ' ' || 'First' || CAST(c_custkey % 97 AS VARCHAR)
+      |  (['Rep. ','Sen. ','Speaker ','Delegate ','Minority Leader ','Senate President ','',''])[CAST(c_custkey % 8 AS INT) + 1]
+      |  || 'First' || CAST(c_custkey % 97 AS VARCHAR)
       |  || CASE WHEN c_custkey % 3 = 0
       |       THEN ' ' || chr(65 + CAST(c_custkey % 26 AS INT)) || '.' ELSE '' END
-      |  || ' ' || 'Last' || CAST(c_custkey % 53 AS VARCHAR)
-      |  || CASE WHEN CAST(c_custkey % 7 AS INT) + 1 <= 5
-      |       THEN ' ' || (['Jr.','Sr.','II','III','IV'])[CAST(c_custkey % 7 AS INT) + 1]
+      |  || ' ' || CASE WHEN c_custkey % 11 = 0 THEN 'Van ' ELSE '' END
+      |  || 'Last' || CAST(c_custkey % 53 AS VARCHAR)
+      |  || ([', Jr.',' Sr.',' III',' II',', M.D.','',''])[CAST(c_custkey % 7 AS INT) + 1]
+      |  || CASE WHEN c_custkey % 2 = 0
+      |       THEN ' (' || (['R','D','I'])[CAST(c_custkey % 3 AS INT) + 1]
+      |         || '-' || (['TX','CA','NY','DC','VT'])[CAST(c_custkey % 5 AS INT) + 1]
+      |         || '-' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0') || ')'
       |       ELSE '' END AS info
       |FROM customer""".stripMargin.replace("\n", " ")
 
@@ -71,23 +85,29 @@ object SparkEntry {
         TextFunctions.lastName(col("info")).as("lastname"),
         TextFunctions.extractSuffix(col("info")).as("suffix"))
 
-  /** Deterministic '(P-SS-DD)' token, e.g. "X (R-TX-07)". */
+  /** Deterministic '(P-SS[-DD])' token with a title prefix — Delegate
+    * rows and district-less tokens included, e.g. "Delegate X (D-DC)". */
   private def synthPsd(k: Column): Column =
     concat(
+      element_at(array(Seq("Rep. ", "Delegate ", "Sen. ", "").map(lit): _*),
+        (k % 4).cast("int") + 1),
       lit("X ("),
       element_at(array(Seq("R", "D", "I").map(lit): _*), (k % 3).cast("int") + 1),
       lit("-"),
       element_at(array(Seq("TX", "CA", "NY", "DC", "VT").map(lit): _*),
         (k % 5).cast("int") + 1),
-      lit("-"),
-      lpad((k % 25).cast("string"), 2, "0"),
+      when(k % 6 === 0, lit(""))
+        .otherwise(concat(lit("-"), lpad((k % 25).cast("string"), 2, "0"))),
       lit(")"))
 
   private val synthPsdSql =
     """SELECT c_custkey AS id,
-      |  'X (' || (['R','D','I'])[CAST(c_custkey % 3 AS INT) + 1]
+      |  (['Rep. ','Delegate ','Sen. ',''])[CAST(c_custkey % 4 AS INT) + 1]
+      |  || 'X (' || (['R','D','I'])[CAST(c_custkey % 3 AS INT) + 1]
       |  || '-' || (['TX','CA','NY','DC','VT'])[CAST(c_custkey % 5 AS INT) + 1]
-      |  || '-' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0') || ')' AS info
+      |  || CASE WHEN c_custkey % 6 = 0 THEN ''
+      |       ELSE '-' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0') END
+      |  || ')' AS info
       |FROM customer""".stripMargin.replace("\n", " ")
 
   /** q02: '(P-SS-DD)' → party/state/district, district de-padded,
@@ -404,6 +424,61 @@ object SparkEntry {
         negate(col("__best.njw")).as("best_jw"))
   }
 
+  /** q43: the reference's FULL record_matcher configuration
+    * (votervoice/match.py:44-92): WRatio default scorer, lowercased
+    * partial_token_ratio for middlename, firstname also matched against
+    * middlename/nickname, per-column thresholds (85/90/88/98/100/95/
+    * 100), required overall 75, duplicate margin 3, blocked on
+    * state_id. rows-only (rapidfuzz WRatio is not replicable in SQL).
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val base = Tables(s, dir).customer.select(
+      k.as("id"),
+      concat(lit("First"), (k % 97).cast("string")).as("firstname"),
+      when(k % 3 === 0,
+        concat(call_function("char", lit(65) + (k % 26).cast("int")), lit("."))
+      ).otherwise(lit("")).as("middlename"),
+      concat(lit("Last"), (k % 53).cast("string")).as("lastname"),
+      concat(lit("Nick"), (k % 41).cast("string")).as("nickname"),
+      element_at(array(lit("Jr."), lit("Sr."), lit("")), (k % 3).cast("int") + 1)
+        .as("suffix"),
+      element_at(array(lit("U.S. House"), lit("U.S. Senate")),
+        (k % 2).cast("int") + 1).as("office"),
+      regexp_replace((k % 25).cast("string"), "^0+", "").as("district"),
+      element_at(array(lit("Republican"), lit("Democratic"), lit("Independent")),
+        (k % 3).cast("int") + 1).as("party"),
+      (k % 5).cast("int").as("state_id"))
+    // scraped side: lowercase-noise on firstname, nickname used as the
+    // visible first name for every 13th row (exercises the alternates)
+    val scraped = base.select(
+      col("id").as("s_id"),
+      when(col("id") % 13 === 0, col("nickname"))
+        .otherwise(lower(col("firstname"))).as("firstname"),
+      col("middlename"), col("lastname"), col("suffix"),
+      col("office"), col("district"), col("party"), col("state_id"))
+    val roster = base.select(
+      col("id").as("r_id"), col("firstname"), col("middlename"),
+      col("lastname"), col("nickname"), col("suffix"),
+      col("office"), col("district"), col("party"),
+      col("state_id").as("r_state_id"))
+    val wr = (a: Column, b: Column) => call_function("w_ratio", a, b)
+    val ptr = (a: Column, b: Column) =>
+      call_function("partial_token_ratio", lower(a), lower(b))
+    FuzzyMatch.link(
+      scraped, roster, "s_id", "r_id", "state_id", "r_state_id",
+      rules = Seq(
+        FuzzyMatch.Rule("firstname", Seq("firstname", "middlename", "nickname"),
+          wr, threshold = 85),
+        FuzzyMatch.Rule("middlename", Seq("middlename"), ptr, threshold = 90),
+        FuzzyMatch.Rule("lastname", Seq("lastname"), wr, threshold = 88),
+        FuzzyMatch.Rule("suffix", Seq("suffix"), wr, threshold = 98),
+        FuzzyMatch.Rule("office", Seq("office"), wr, threshold = 100),
+        FuzzyMatch.Rule("district", Seq("district"), wr, threshold = 95),
+        FuzzyMatch.Rule("party", Seq("party"), wr, threshold = 100)),
+      requiredOverall = 75, dupMargin = 3.0)
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -436,7 +511,8 @@ object SparkEntry {
     "q39_token_count" -> (q39 _),
     "q40_fingerprint" -> (q40 _),
     "q41_embed_lsh" -> (q41 _),
-    "q42_fuzzy_jaro_winkler" -> (q42 _)
+    "q42_fuzzy_jaro_winkler" -> (q42 _),
+    "q43_fuzzy_link_full" -> (q43 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -444,26 +520,39 @@ object SparkEntry {
       s"""WITH synth AS ($synthInfoSql),
         |p1 AS (
         |  SELECT id, info,
-        |    regexp_replace(info, '^(Rep\\.|Sen\\.|Gov\\.|Del\\.|Hon\\.|Mr\\.|Mrs\\.|Ms\\.)\\s', '') AS stripped
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      info,
+        |      '\\s\\([^)]*\\)', '', 'g'),
+        |      '^Rep\\.\\s', ''), '^Sen\\.\\s', ''), '^Minority Leader\\s', ''),
+        |      '^Majority Leader\\s', ''), '^Resident Commissioner\\s', ''),
+        |      '^Speaker\\s', ''), '^Delegate\\s', ''), '^President\\s', ''),
+        |      '^Senate President\\s', ''), 'Pro Tempore\\s', '', 'g') AS name
         |  FROM synth),
         |p2 AS (
-        |  SELECT id, info,
-        |    regexp_extract(stripped, '\\s(Jr\\.|Sr\\.|III|II|IV)$$', 1) AS suffix,
-        |    regexp_replace(stripped, '\\s(Jr\\.|Sr\\.|III|II|IV)$$', '') AS base
-        |  FROM p1)
+        |  SELECT id, info, name,
+        |    regexp_extract(name, ',?\\s?((?:[IVX]{2,3}|Jr\\.?|Sr\\.?|Dr\\.?|Mr\\.?|Ms\\.?|Mrs\\.?|M\\.?\\s?D\\.?))$$', 1) AS suffix,
+        |    regexp_replace(name, ',?\\s?((?:[IVX]{2,3}|Jr\\.?|Sr\\.?|Dr\\.?|Mr\\.?|Ms\\.?|Mrs\\.?|M\\.?\\s?D\\.?))$$', '') AS base
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT id, info, suffix,
+        |    regexp_extract(base, '\\s+([A-Z]\\.)', 1) AS middlename,
+        |    regexp_replace(base, '\\s+[A-Z]\\.', '', 'g') AS first_last
+        |  FROM p2)
         |SELECT id, info,
-        |  regexp_extract(base, '^(\\S+)', 1) AS firstname,
-        |  regexp_extract(base, '^\\S+\\s(.*)\\s\\S+$$', 1) AS middlename,
-        |  regexp_extract(base, '(\\S+)$$', 1) AS lastname,
+        |  regexp_extract(first_last, '^(\\S+)', 1) AS firstname,
+        |  middlename,
+        |  trim(regexp_replace(regexp_replace(first_last, '^\\S+\\s*', ''), '\\s+', ' ', 'g')) AS lastname,
         |  suffix
-        |FROM p2""".stripMargin,
+        |FROM p3""".stripMargin,
     "q02_party_state_district" ->
       s"""WITH synth AS ($synthPsdSql)
         |SELECT id, info,
-        |  regexp_extract(info, '\\(([A-Z])-', 1) AS party,
-        |  regexp_extract(info, '-([A-Z]{2})-', 1) AS state,
-        |  CASE WHEN regexp_extract(info, '-([A-Z]{2})-', 1) = 'DC' THEN 'Delegate'
-        |       ELSE CAST(CAST(regexp_extract(info, '-(\\d+)\\)', 1) AS INT) AS VARCHAR)
+        |  regexp_extract(info, '\\((\\w+)-(\\w+)-?(\\w+)?\\)', 1) AS party,
+        |  regexp_extract(info, '\\((\\w+)-(\\w+)-?(\\w+)?\\)', 2) AS state,
+        |  CASE WHEN regexp_matches(info, '^Delegate') THEN 'Delegate'
+        |       ELSE regexp_replace(regexp_extract(info, '\\((\\w+)-(\\w+)-?(\\w+)?\\)', 3), '^0+', '')
         |  END AS district
         |FROM synth""".stripMargin,
     "q03_normalize" ->

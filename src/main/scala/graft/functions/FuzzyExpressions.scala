@@ -80,6 +80,17 @@ case class PartialRatio(left: Expression, right: Expression)
   override def prettyName: String = "partial_ratio"
 }
 
+case class PartialTokenRatio(left: Expression, right: Expression)
+    extends FuzzyScoreExpression {
+  override protected def method: String = "partialTokenRatio"
+  override protected def score(a: String, b: String): Double =
+    FuzzyImpl.partialTokenRatio(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "partial_token_ratio"
+}
+
 case class WRatio(left: Expression, right: Expression)
     extends FuzzyScoreExpression {
   override protected def method: String = "wRatio"

@@ -131,6 +131,12 @@ object FuzzyImpl {
     best
   }
 
+  /** rapidfuzz partial_token_ratio: partial_ratio over the
+    * token-sorted forms (the reference's middlename scorer, lowercased
+    * at the call site — match.py:55-57). */
+  def partialTokenRatio(a: String, b: String): Double =
+    partialRatio(sortedTokens(a).mkString(" "), sortedTokens(b).mkString(" "))
+
   /** WRatio-style combined score: max of full, token-sort, token-set
     * and (length-ratio-penalised) partial scores — a documented
     * simplification of rapidfuzz's WRatio cascade. */

@@ -12,44 +12,60 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Honorific titles stripped from the head of a composite info string
-    * (ref: votervoice/transform.py:23-29). */
-  val Titles: Seq[String] =
-    Seq("Rep.", "Sen.", "Gov.", "Del.", "Hon.", "Mr.", "Mrs.", "Ms.")
+  /** Title prefixes stripped from the head of a composite info string —
+    * the reference's exact list, including multi-word legislative
+    * titles (ref: votervoice/transform.py:22-33). `Pro Tempore` is
+    * unanchored there, so it is here too. */
+  val TitlePatterns: Seq[String] = Seq(
+    "^Rep\\.\\s", "^Sen\\.\\s", "^Minority Leader\\s", "^Majority Leader\\s",
+    "^Resident Commissioner\\s", "^Speaker\\s", "^Delegate\\s",
+    "^President\\s", "^Senate President\\s", "Pro Tempore\\s")
 
-  /** Name suffixes recognised at the tail (ref: transform.py:31-38).
-    * Longest-first ordering (III before II) so the regex alternation is
-    * unambiguous under both Java regex and RE2 semantics. */
-  val Suffixes: Seq[String] = Seq("Jr.", "Sr.", "III", "II", "IV")
+  /** Trailing-suffix pattern (ref: transform.py:18-20): roman numerals,
+    * Jr/Sr with optional dot, honorifics, and M.D. — optionally preceded
+    * by a comma. */
+  val SuffixRe: String =
+    ",?\\s?((?:[IVX]{2,3}|Jr\\.?|Sr\\.?|Dr\\.?|Mr\\.?|Ms\\.?|Mrs\\.?|M\\.?\\s?D\\.?))$"
 
-  private def alt(xs: Seq[String]): String =
-    xs.map(_.replace(".", "\\.")).mkString("|")
+  private val ParenTokenRe = "\\s\\([^)]*\\)"
+  private val MiddleInitialRe = "\\s+([A-Z]\\.)"
 
-  private val titleRe = s"^(${alt(Titles)})\\s"
-  private val suffixRe = s"\\s(${alt(Suffixes)})$$"
+  /** Drop the '(P-SS-DD)'-style parenthesized token (step 1 of
+    * get_name). */
+  def stripParenToken(info: Column): Column =
+    regexp_replace(info, ParenTokenRe, "")
 
-  /** Drop a leading honorific title. */
-  def stripTitle(info: Column): Column = regexp_replace(info, titleRe, "")
+  /** Drop every known title prefix (step 2). */
+  def stripTitles(info: Column): Column =
+    TitlePatterns.foldLeft(stripParenToken(info))(
+      (acc, pat) => regexp_replace(acc, pat, ""))
 
   /** Extract the trailing name suffix ('' when absent). */
   def extractSuffix(info: Column): Column =
-    regexp_extract(stripTitle(info), suffixRe, 1)
+    regexp_extract(stripTitles(info), SuffixRe, 1)
 
-  /** The name with title and suffix removed. */
+  /** Name with title + suffix removed (the reference's
+    * first_mid_last). */
   def baseName(info: Column): Column =
-    regexp_replace(stripTitle(info), suffixRe, "")
+    regexp_replace(stripTitles(info), SuffixRe, "")
 
-  /** First token of the base name. */
-  def firstName(info: Column): Column =
-    regexp_extract(baseName(info), "^(\\S+)", 1)
-
-  /** Last token of the base name. */
-  def lastName(info: Column): Column =
-    regexp_extract(baseName(info), "(\\S+)$", 1)
-
-  /** Everything between first and last token ('' for 2-token names). */
+  /** Middle initial 'X.' extracted from the base name ('' if none). */
   def middleName(info: Column): Column =
-    regexp_extract(baseName(info), "^\\S+\\s(.*)\\s\\S+$", 1)
+    regexp_extract(baseName(info), MiddleInitialRe, 1)
+
+  private def firstLast(info: Column): Column =
+    regexp_replace(baseName(info), MiddleInitialRe, "")
+
+  /** First whitespace token of the name. */
+  def firstName(info: Column): Column =
+    regexp_extract(firstLast(info), "^(\\S+)", 1)
+
+  /** Everything after the first token — multi-word last names stay
+    * intact, re-joined by single spaces (the reference joins
+    * tokens[1:] with ' '). */
+  def lastName(info: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(firstLast(info), "^\\S+\\s*", ""), "\\s+", " "))
 
   /** Parsed name as a struct column (firstname, middlename, lastname,
     * suffix). Ref: votervoice/transform.py:16-56. */
@@ -63,20 +79,23 @@ object TextFunctions {
   // (party-state-district) token — ref: transform.py:59-70
   // ------------------------------------------------------------------
 
-  /** Party letter from a '(P-SS-DD)' token. */
-  def party(info: Column): Column =
-    regexp_extract(info, "\\(([A-Z])-", 1)
+  /** The reference's exact token pattern: party, state_id, optional
+    * district inside parentheses (transform.py:60). */
+  val PsdRe: String = "\\((\\w+)-(\\w+)-?(\\w+)?\\)"
 
-  /** Two-letter state from a '(P-SS-DD)' token. */
-  def state(info: Column): Column =
-    regexp_extract(info, "-([A-Z]{2})-", 1)
+  /** Party from a '(P-SS-DD)' token. */
+  def party(info: Column): Column = regexp_extract(info, PsdRe, 1)
 
-  /** District with zero-padding stripped; at-large delegate states map
-    * to 'Delegate' (ref: transform.py:66-70 Delegate special-case). */
-  def district(info: Column, delegateStates: Seq[String] = Seq("DC")): Column = {
-    val raw = regexp_extract(info, "-(\\d+)\\)", 1)
-    when(state(info).isin(delegateStates: _*), lit("Delegate"))
-      .otherwise(raw.cast("int").cast("string"))
+  /** State id from a '(P-SS-DD)' token. */
+  def state(info: Column): Column = regexp_extract(info, PsdRe, 2)
+
+  /** District with leading zeros stripped ('07' → '7', '00' → '');
+    * rows whose info string carries the Delegate title get district
+    * 'Delegate' (ref: transform.py:59-70 — the flag is `^Delegate` on
+    * the info string; the de-pad is regex `^0+` → ''). */
+  def district(info: Column): Column = {
+    val raw = regexp_replace(regexp_extract(info, PsdRe, 3), "^0+", "")
+    when(info.rlike("^Delegate"), lit("Delegate")).otherwise(raw)
   }
 
   // ------------------------------------------------------------------

@@ -21,12 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyMatch {
 
-  /** A per-column match rule: score via `scorer` (higher = better, in
-    * [0,100] like rapidfuzz), require `threshold`. */
+  /** A per-column match rule: the left column is scored against each
+    * candidate right column (alternates take the max — the reference
+    * lets firstname match middlename/nickname too, match.py:66);
+    * a score below `threshold` contributes 0 to the overall score.
+    * Scores are [0,100] like rapidfuzz. */
   final case class Rule(
-      leftCol: String, rightCol: String,
+      leftCol: String, rightCols: Seq[String],
       scorer: (Column, Column) => Column,
       threshold: Double, weight: Double = 1.0)
+
+  object Rule {
+    def apply(leftCol: String, rightCol: String,
+        scorer: (Column, Column) => Column,
+        threshold: Double): Rule =
+      Rule(leftCol, Seq(rightCol), scorer, threshold, 1.0)
+  }
 
   /** rapidfuzz-style normalized levenshtein ratio in [0,100]:
     * 100 * (1 - dist / max(len_a, len_b)). Integer levenshtein keeps
@@ -81,43 +91,53 @@ object FuzzyMatch {
         (col("n_within") > 1).as("is_dup"))
   }
 
-  /** Multi-rule linkage: every rule's score must clear its threshold
-    * (ref per-column thresholds, match.py:58-71); overall score is the
-    * weighted mean; best row per left id wins; `is_dup` flags several
-    * clearing candidates (ref duplicate detection, match.py:83-92). */
+  /** Multi-rule linkage mirroring the reference's record_matcher setup
+    * (votervoice/match.py:44-92): per-column scorers with per-column
+    * thresholds (below-threshold columns contribute 0), alternate
+    * right-hand columns per rule, an overall required threshold on the
+    * weighted mean, and duplicate flagging when a runner-up scores
+    * within `dupMargin` of the best (duplicate_threshold 3).
+    */
   def link(
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       blockLeft: String, blockRight: String,
       rules: Seq[Rule],
       requiredOverall: Double,
+      dupMargin: Double = 3.0,
       broadcastRight: Boolean = true): DataFrame = {
-    val r0 = right
+    // alias both sides so self-joins (left and right derived from the
+    // same source) resolve unambiguously
+    val l = Parallelism.ensure(left).alias("__l")
+    val r0 = right.alias("__r")
     val r = if (broadcastRight) broadcast(r0) else r0
-    val spreadLeft = Parallelism.ensure(left)
-    val joined = spreadLeft.join(r, left(blockLeft) === r0(blockRight))
-    val scores = rules.map(rule =>
-      rule.scorer(left(rule.leftCol), r0(rule.rightCol)))
-    val passes = rules.zip(scores).map { case (rule, s) => s >= rule.threshold }
-      .reduce(_ && _)
+    def lc(c: String) = col(s"__l.$c")
+    def rc(c: String) = col(s"__r.$c")
+    val joined = l.join(r, lc(blockLeft) === rc(blockRight))
+    val scores = rules.map { rule =>
+      val per = rule.rightCols.map(c => rule.scorer(lc(rule.leftCol), rc(c)))
+      val best = if (per.size == 1) per.head else greatest(per: _*)
+      when(best >= rule.threshold, best).otherwise(lit(0.0))
+    }
     val totalW = rules.map(_.weight).sum
     val overall = rules.zip(scores)
       .map { case (rule, s) => s * rule.weight }
       .reduce(_ + _) / totalW
     val cand = joined
-      .withColumn("__pass", passes && overall >= requiredOverall)
       .withColumn("__overall", overall)
-      .filter(col("__pass"))
-    val w = Window.partitionBy(left(leftId))
+      .filter(col("__overall") >= requiredOverall)
+    val w = Window.partitionBy(lc(leftId))
     cand
       .withColumn("__rn",
-        row_number().over(w.orderBy(col("__overall").desc, r0(rightId))))
-      .withColumn("n_candidates", count(lit(1)).over(w))
+        row_number().over(w.orderBy(col("__overall").desc, rc(rightId))))
+      .withColumn("__nclose",
+        sum(when(col("__overall") >= max(col("__overall")).over(w) - dupMargin,
+          1L).otherwise(0L)).over(w))
       .filter(col("__rn") === 1)
       .select(
-        left(leftId).as("s_id"),
-        r0(rightId).as("best_id"),
+        lc(leftId).as("s_id"),
+        rc(rightId).as("best_id"),
         round(col("__overall"), 4).as("match_score"),
-        (col("n_candidates") > 1).as("is_dup"))
+        (col("__nclose") > 1).as("is_dup"))
   }
 }

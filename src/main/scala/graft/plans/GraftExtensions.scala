@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("partial_ratio",
       es => PartialRatio(es.head, es(1)),
       "partial_ratio(a, b) - rapidfuzz partial_ratio in [0,100]"))
+    ext.injectFunction(fn("partial_token_ratio",
+      es => PartialTokenRatio(es.head, es(1)),
+      "partial_token_ratio(a, b) - rapidfuzz partial_token_ratio in [0,100]"))
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))

@@ -19,26 +19,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(parse("Rep. John A. Smith Jr.") === (("John", "A.", "Smith", "Jr.")))
   }
 
+  test("comma suffix and paren token are handled like the reference") {
+    assert(parse("Sen. First1 C. Last1, Jr. (R-TX-01)") ===
+      (("First1", "C.", "Last1", "Jr.")))
+  }
+
   test("two-token name") {
     assert(parse("Jane Doe") === (("Jane", "", "Doe", "")))
   }
 
-  test("suffix III not swallowed by II") {
+  test("roman-numeral suffix via [IVX]{2,3}") {
     assert(parse("Sen. Al B. Carson III") === (("Al", "B.", "Carson", "III")))
   }
 
-  test("multi-word middle name") {
-    assert(parse("Mr. Ann Van Der Berg") === (("Ann", "Van Der", "Berg", "")))
+  test("multi-word title and multi-word last name") {
+    assert(parse("Minority Leader Ann Van Der Berg") ===
+      (("Ann", "", "Van Der Berg", "")))
   }
 
-  test("party-state-district extraction with de-pad and Delegate rule") {
-    val df = Seq("Rep X (R-TX-07)", "Del Y (D-DC-00)").toDF("info").select(
-      TextFunctions.party(col("info")).as("p"),
-      TextFunctions.state(col("info")).as("s"),
-      TextFunctions.district(col("info")).as("d"))
+  test("M.D. suffix") {
+    assert(parse("Rep. Bo K. Ruiz, M.D.") === (("Bo", "K.", "Ruiz", "M.D.")))
+  }
+
+  test("party-state-district: de-pad, Delegate title rule, missing district") {
+    val df = Seq("Rep. X (R-TX-07)", "Delegate Y (D-DC-00)", "Z (I-VT)")
+      .toDF("info").select(
+        TextFunctions.party(col("info")).as("p"),
+        TextFunctions.state(col("info")).as("s"),
+        TextFunctions.district(col("info")).as("d"))
     val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows(0) === (("R", "TX", "7")))
     assert(rows(1) === (("D", "DC", "Delegate")))
+    assert(rows(2) === (("I", "VT", "")))
   }
 
   test("replaceValues maps listed values and passes others through") {
