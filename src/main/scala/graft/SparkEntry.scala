@@ -479,6 +479,30 @@ object SparkEntry {
       requiredOverall = 75, dupMargin = 3.0)
   }
 
+  /** q44: the reference's roster-query shape end to end — DISTINCT ON
+    * over LEFT-joined dims ("left join to assume data entry error",
+    * election_candidates_by_electionyear.sql:25) with IN-list filters
+    * and the state-id-OR-state-name disjunction (ibid:40-48). Dims are
+    * broadcast; the only shuffle is the DISTINCT ON key. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val joined = t.orders
+      .filter(year(col("o_orderdate")).isin(1996, 1997) &&
+        col("o_orderstatus").isin("O", "F"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+      .filter(col("c_nationkey").isin(1, 2, 3, 4, 5) || col("r_name") === "ASIA")
+    DistinctOn(joined,
+      keys = Seq(col("c_custkey")),
+      order = Seq(col("o_orderdate").desc, col("o_orderkey")))
+      .select(
+        col("c_custkey"), col("c_name"),
+        col("n_name").as("office"), col("r_name").as("state"),
+        col("o_orderkey").as("latest_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -512,7 +536,8 @@ object SparkEntry {
     "q40_fingerprint" -> (q40 _),
     "q41_embed_lsh" -> (q41 _),
     "q42_fuzzy_jaro_winkler" -> (q42 _),
-    "q43_fuzzy_link_full" -> (q43 _)
+    "q43_fuzzy_link_full" -> (q43 _),
+    "q44_roster_query" -> (q44 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -778,6 +803,25 @@ object SparkEntry {
         |    PARTITION BY s_id ORDER BY jw DESC, r_id) AS rn
         |  FROM scored)
         |SELECT s_id, r_id AS best_id, jw AS best_jw
-        |FROM ranked WHERE rn = 1""".stripMargin
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q44_roster_query" ->
+      """WITH joined AS (
+        |  SELECT c_custkey, c_name, n_name, r_name, o_orderkey, o_orderdate
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN region ON n_regionkey = r_regionkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |    AND o_orderstatus IN ('O', 'F')
+        |    AND (c_nationkey IN (1, 2, 3, 4, 5) OR r_name = 'ASIA'))
+        |SELECT c_custkey, c_name, n_name AS office, r_name AS state,
+        |  o_orderkey AS latest_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM joined)
+        |WHERE rn = 1""".stripMargin
   )
 }

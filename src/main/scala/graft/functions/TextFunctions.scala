@@ -113,4 +113,24 @@ object TextFunctions {
   /** NaN/null → '' (the reference frames are pandas, where missing is
     * NaN; here missing is SQL NULL). */
   def nullToEmpty(c: Column): Column = coalesce(c, lit(""))
+
+  /** The reference's votervoice scorecard methodology: raw per-vote
+    * labels → plus/minus/star symbols (ref: votervoice/extract.py:22-29). */
+  val RatingsMethodology: Map[String, String] = Map(
+    "Voted with us" -> "+", "Voted against us" -> "-", "No position" -> "*",
+    "vvSupportContainer" -> "+", "vvOpposeContainer" -> "-",
+    "vvNeutralContainer" -> "*")
+
+  /** Translate an array of per-vote labels into a rating string like
+    * "++-*+" (unknown labels drop out, like the reference's loop —
+    * votervoice/extract.py:36-49). */
+  def ratingString(
+      votes: Column,
+      mapping: Map[String, String] = RatingsMethodology): Column = {
+    val mapped = transform(votes, v =>
+      mapping.foldLeft(lit(null).cast("string")) {
+        case (acc, (label, sym)) => when(v === label, lit(sym)).otherwise(acc)
+      })
+    concat_ws("", filter(mapped, _.isNotNull))
+  }
 }

@@ -87,6 +87,18 @@ object StreamSessionize {
     sessionUpdates(typed, gapMillis)
   }
 
+  /** Streaming exact dedup: first occurrence per content hash wins;
+    * state is bounded by the watermark (a duplicate arriving later than
+    * the delay is passed through — the standard streaming-dedup
+    * contract of dropDuplicatesWithinWatermark). */
+  def streamingDedup(
+      docs: DataFrame, tsCol: String, contentCol: String,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("content_hash", md5(col(contentCol)))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Tumbling event-time window aggregation with watermark — append
     * mode emits a window once the watermark passes its end. */
   def tumblingAgg(

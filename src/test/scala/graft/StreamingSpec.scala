@@ -58,6 +58,23 @@ class StreamingSpec extends SparkSpec {
       && c.end_ms == ts(2).getTime))
   }
 
+  test("streamingDedup keeps first occurrence per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = StreamSessionize.streamingDedup(df, "ts", "text", "1 hour")
+    input.addData((ts(0), "aaa"), (ts(1), "bbb"), (ts(2), "aaa"))
+    val query = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val rows = spark.table("dedup_out").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).sorted.toSeq === Seq("aaa", "bbb"))
+  }
+
   test("tumblingAgg emits finalized windows under append mode") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

@@ -61,6 +61,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out === Array("BLDG", "FURNITURE"))
   }
 
+  test("ratingString translates vote labels to symbols, dropping unknowns") {
+    val out = Seq(Seq("Voted with us", "mystery", "Voted against us",
+      "No position", "vvSupportContainer"))
+      .toDF("votes")
+      .select(TextFunctions.ratingString(col("votes"))).as[String].head
+    assert(out === "+-*+")
+  }
+
   test("nullToEmpty") {
     val out = Seq(Some("x"), None).toDF("v")
       .select(TextFunctions.nullToEmpty(col("v"))).as[String].collect()
