@@ -75,7 +75,7 @@ object Dedup {
     val b = withSh.select(col(idCol).as("b_id"), col(blockCol).as("__blk2"),
       col("__sh").as("__shb"))
     a.join(b, col("__blk") === col("__blk2") && col("a_id") < col("b_id"))
-      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4))
+      .withColumn("jaccard", round(jaccardCol(docs, col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -113,6 +113,33 @@ object Dedup {
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(shingleArr), numHashes)
 
+  /** Prefer the native MinHashSignature expression (codegen'd tight
+    * loop, ~20x) when GraftExtensions is installed; identical hash
+    * values either way, so bucket assignments don't depend on the
+    * path. */
+  private def signatureCol(
+      docs: DataFrame, shingleArr: Column, numHashes: Int): Column =
+    if (docs.sparkSession.catalog.functionExists("minhash_signature"))
+      call_function("minhash_signature", shingleArr, lit(numHashes))
+    else
+      minhashSignature(shingleArr, numHashes)
+
+  /** Same adaptive choice for shingle construction (identical output
+    * sets either way). */
+  private def shinglesCol(docs: DataFrame, text: Column, n: Int): Column =
+    if (docs.sparkSession.catalog.functionExists("word_shingles"))
+      call_function("word_shingles", text, lit(n))
+    else
+      shingles(text, n)
+
+  /** Adaptive set-Jaccard: native single-pass expression when
+    * registered, array_intersect/array_union otherwise. */
+  private def jaccardCol(docs: DataFrame, a: Column, b: Column): Column =
+    if (docs.sparkSession.catalog.functionExists("jaccard_shingles"))
+      call_function("jaccard_shingles", a, b)
+    else
+      jaccard(a, b)
+
   /** LSH banding: split the signature into `bands` bands and emit
     * (band_id, band_hash) bucket keys. Docs sharing any bucket become
     * candidate pairs via an equi-join on the bucket key — a plain shuffle
@@ -124,16 +151,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     // repartition the raw text BEFORE the expensive stages so signature
-    // work spreads across all cores even from a one-split scan; hash
-    // shingles to longs once so the permutation aggregates never re-hash
-    // strings
+    // work spreads across all cores even from a one-split scan
     val spread = Parallelism.ensure(
       docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
     val sig = spread
+      .select(col("__id"), shinglesCol(docs, col("__t"), shingleN).as("__sh"))
       .select(col("__id"),
-        shingleHashes(shingles(col("__t"), shingleN)).as("__h"))
-      .select(col("__id"),
-        minhashSignatureFromHashes(col("__h"), numHashes).as("__sig"))
+        signatureCol(docs, col("__sh"), numHashes).as("__sig"))
     val buckets = sig.select(
       col("__id"),
       explode(
@@ -160,13 +184,19 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+    // verify-stage shingles only for docs that appear in a candidate
+    // pair (semi-join first): at corpus scale the candidate set is a
+    // tiny fraction, so this avoids re-shingling the whole corpus
+    val candIds = cands.select(col("a_id").as("__id"))
+      .union(cands.select(col("b_id").as("__id"))).distinct()
     val sh = Parallelism.ensure(
-      docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
-      .select(col("__id"), shingles(col("__t"), shingleN).as("__sh"))
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+        .join(candIds, Seq("__id"), "left_semi"))
+      .select(col("__id"), shinglesCol(docs, col("__t"), shingleN).as("__sh"))
     cands
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
-      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4))
+      .withColumn("jaccard", round(jaccardCol(docs, col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -237,7 +267,7 @@ object Dedup {
     val sh = Parallelism.ensure(
       docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
       .select(col("__id"),
-        simhash64(shingles(col("__t"), shingleN)).as("__sim"))
+        simhash64(shinglesCol(docs, col("__t"), shingleN)).as("__sim"))
     val banded = sh.select(
       col("__id"), col("__sim"),
       explode(

@@ -41,6 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("partial_token_ratio",
       es => PartialTokenRatio(es.head, es(1)),
       "partial_token_ratio(a, b) - rapidfuzz partial_token_ratio in [0,100]"))
+    ext.injectFunction(fn("word_shingles",
+      es => WordShingles(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()),
+      "word_shingles(text, n) - distinct word n-grams as array<string>"))
+    ext.injectFunction(fn("jaccard_shingles",
+      es => JaccardShingles(es.head, es(1)),
+      "jaccard_shingles(a, b) - set Jaccard similarity of two string arrays"))
+    ext.injectFunction(fn("minhash_signature",
+      es => MinHashSignature(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()),
+      "minhash_signature(shingles, numHashes) - MinHash signature as array<bigint>"))
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))

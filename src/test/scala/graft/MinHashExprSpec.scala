@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class MinHashExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "completely different words entirely here now").toDF("text")
+
+  test("native expression matches the Column-function signature exactly") {
+    val sh = Dedup.shingles(col("text"), 2)
+    val both = docs.select(
+      Dedup.minhashSignature(sh, 16).as("hof"),
+      call_function("minhash_signature", sh, lit(16)).as("native"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (hof, native) => assert(hof === native) }
+  }
+
+  test("empty shingle array yields MaxValue sentinels") {
+    val sig = Seq("x").toDF("t")
+      .select(call_function("minhash_signature",
+        Dedup.shingles(col("t"), 3), lit(4)))
+      .as[Seq[Long]].head
+    assert(sig === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("type check rejects non-string arrays") {
+    val e = intercept[Exception] {
+      Seq((Seq(1L, 2L))).toDF("a")
+        .select(call_function("minhash_signature", col("a"), lit(4)))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("minhash_signature"))
+  }
+}
