@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{FuzzyMatch, HtmlTable}
+import graft.sources.StageSink
+
+/** The reference's full votervoice flow (votervoice/__main__.py main):
+  * extract (HTML → records) → transform (name/psd/normalize) → match
+  * (fuzzy linkage vs roster) → save each stage — end to end on Spark.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val page =
+    """<table>
+      |<tr><th>info</th><th>office</th><th>sig_rating</th></tr>
+      |<tr><td>Rep. John A. Smith Jr. (R-TX-07)</td><td>US House</td><td>95</td></tr>
+      |<tr><td>Delegate Mary Jones (D-DC-00)</td><td>US House</td><td>88</td></tr>
+      |<tr><td>Sen. Bob Lee (I-VT-01)</td><td>US Senate</td><td>72</td></tr>
+      |</table>""".stripMargin
+
+  test("extract -> transform -> match -> staged exports") {
+    val base = Files.createTempDirectory("graft_pipeline").toString
+    val t0 = Instant.parse("2024-05-06T07:08:09.000001Z")
+
+    // EXTRACT: page source -> records keyed by header
+    val extracted = HtmlTable.toRecords(
+      Seq((1L, page)).toDF("page_id", "page"), "page", Seq("page_id"))
+      .select(col("page_id"), col("row_idx"),
+        col("record")("info").as("info"),
+        col("record")("office").as("office"),
+        col("record")("sig_rating").as("sig_rating"))
+    StageSink.save(extracted, base, "EXTRACT_FILES", "Ratings-Extract", t0)
+
+    // TRANSFORM: the reference's get_name + get_party_state_district +
+    // VALUES_TO_REPLACE + nan->''
+    val transformed = extracted.select(
+      col("row_idx").as("s_id"),
+      TextFunctions.firstName(col("info")).as("firstname"),
+      TextFunctions.middleName(col("info")).as("middlename"),
+      TextFunctions.lastName(col("info")).as("lastname"),
+      TextFunctions.extractSuffix(col("info")).as("suffix"),
+      TextFunctions.party(col("info")).as("party_raw"),
+      TextFunctions.state(col("info")).as("state_id"),
+      TextFunctions.district(col("info")).as("district"),
+      TextFunctions.nullToEmpty(
+        TextFunctions.replaceValues(col("office"),
+          Map("US House" -> "U.S. House", "US Senate" -> "U.S. Senate")))
+        .as("office"),
+      col("sig_rating"), col("sig_rating").as("our_rating"))
+      .withColumn("party", TextFunctions.replaceValues(col("party_raw"),
+        Map("R" -> "Republican", "D" -> "Democratic", "I" -> "Independent")))
+      .drop("party_raw")
+    StageSink.save(transformed, base, "TRANSFORMED_FILES",
+      "Ratings-Transformed", t0)
+
+    val rows = transformed.orderBy("s_id").collect()
+    assert(rows(0).getAs[String]("firstname") === "John")
+    assert(rows(0).getAs[String]("district") === "7")
+    assert(rows(0).getAs[String]("party") === "Republican")
+    assert(rows(1).getAs[String]("district") === "Delegate")
+    assert(rows(2).getAs[String]("office") === "U.S. Senate")
+
+    // MATCH: against a DB-roster-shaped frame, reference config subset
+    val roster = Seq(
+      (100L, "John", "A.", "Smith", "Jr.", "U.S. House", "7", "Republican", "TX"),
+      (101L, "Mary", "", "Jones", "", "U.S. House", "Delegate", "Democratic", "DC"),
+      (102L, "Robert", "", "Lee", "", "U.S. Senate", "1", "Independent", "VT"),
+      (103L, "Jane", "", "Smythe", "", "U.S. House", "7", "Republican", "TX"))
+      .toDF("candidate_id", "firstname", "middlename", "lastname", "suffix",
+        "office", "district", "party", "state_id")
+    val wr = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("w_ratio", a, b)
+    val matched = FuzzyMatch.link(
+      transformed, roster, "s_id", "candidate_id", "state_id", "state_id",
+      rules = Seq(
+        FuzzyMatch.Rule("firstname", Seq("firstname", "middlename"), wr, 85),
+        FuzzyMatch.Rule("lastname", Seq("lastname"), wr, 88),
+        FuzzyMatch.Rule("office", Seq("office"), wr, 100),
+        FuzzyMatch.Rule("district", Seq("district"), wr, 95),
+        FuzzyMatch.Rule("party", Seq("party"), wr, 100)),
+      requiredOverall = 75)
+    StageSink.save(matched, base, "MATCHED_FILES", "Ratings-Matched", t0)
+
+    val m = matched.orderBy("s_id").collect()
+    assert(m.length >= 2)
+    assert(m(0).getAs[Long]("best_id") === 100L) // Smith -> Smith
+    assert(m(1).getAs[Long]("best_id") === 101L) // Jones -> Jones
+    // "Bob" vs roster "Robert" only clears if WRatio is generous; don't
+    // assert it — the reference would drop sub-threshold rows the same way
+
+    // read back the latest transformed export, like the -m flow
+    val reread = StageSink.loadLatest(spark, base, "TRANSFORMED_FILES",
+      "Ratings-Transformed")
+    assert(reread.count() === 3)
+  }
+}

@@ -8,29 +8,36 @@ import graft.sources.{Multimodal, StageSink}
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("StageSink writes timestamped stage-foldered exports") {
+  test("StageSink writes timestamped stage-foldered exports with session tag") {
     val base = Files.createTempDirectory("graft_sink").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
-    val at = Instant.parse("2024-03-04T05:06:07Z")
-    val path = StageSink.save(df, base, "TRANSFORMED", "ratings", at,
-      format = "csv", coalesceTo = Some(1))
-    assert(path === s"$base/TRANSFORMED/ratings_2024-03-04-05-06-07")
+    val at = Instant.parse("2024-03-04T05:06:07.000123Z")
+    val path = StageSink.save(df, base, "TRANSFORMED_FILES", "Ratings-Transformed",
+      at, additionalInfo = Seq("2023-2024"), format = "csv", coalesceTo = Some(1))
+    assert(path === s"$base/TRANSFORMED_FILES/" +
+      "Ratings-Transformed_2023-2024-2024-03-04-050607-000123")
     val back = spark.read.option("header", "true").csv(path)
     assert(back.count() === 2)
     assert(back.columns.toSeq === Seq("id", "v"))
   }
 
-  test("StageSink rejects unknown stages and double-writes") {
+  test("StageSink rejects unknown stages and double-writes; loadLatest picks newest") {
     val base = Files.createTempDirectory("graft_sink2").toString
     val df = Seq((1, "a")).toDF("id", "v")
-    val at = Instant.parse("2024-03-04T05:06:07Z")
+    val at = Instant.parse("2024-03-04T05:06:07.000001Z")
     intercept[IllegalArgumentException] {
       StageSink.save(df, base, "BOGUS", "x", at)
     }
-    StageSink.save(df, base, "EXTRACT", "x", at)
+    StageSink.save(df, base, "EXTRACT_FILES", "x", at)
     intercept[Exception] { // mode("error") refuses overwrite
-      StageSink.save(df, base, "EXTRACT", "x", at)
+      StageSink.save(df, base, "EXTRACT_FILES", "x", at)
     }
+    val df2 = Seq((9, "z")).toDF("id", "v")
+    StageSink.save(df2, base, "EXTRACT_FILES", "x",
+      Instant.parse("2024-03-05T00:00:00.000001Z"))
+    val latest = StageSink.loadLatest(spark, base, "EXTRACT_FILES", "x")
+    assert(latest.count() === 1)
+    assert(latest.head.getInt(0) === 9)
   }
 
   test("Multimodal feature extraction preserves ids and emits fixed-dim features") {
