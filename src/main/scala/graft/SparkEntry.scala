@@ -279,6 +279,50 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         round(col("value"), 4).as("value"))
 
+  /** q14: hierarchical rollup totals (region → nation → grand total). */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 4).as("total_bal"))
+      .select(
+        TextFunctions.nullToEmpty(col("r_name")).as("r_name"),
+        TextFunctions.nullToEmpty(col("n_name")).as("n_name"),
+        col("n_customers"), col("total_bal"))
+  }
+
+  /** q15: anti join — customers with no order in a date window. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val inWindow = t.orders
+      .filter(col("o_orderdate").between("2000-01-01", "2000-12-31"))
+      .select("o_custkey")
+    t.customer
+      .join(inWindow, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** q16: exact interpolated percentiles per group. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+
+  /** q17: second-moment aggregates (stddev / correlation) per group. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_cov"))
+
   // ----------------------------------------------------------------
   // C. Events / streaming (batch forms)
   // ----------------------------------------------------------------
@@ -521,6 +565,10 @@ object SparkEntry {
     "q11_ship_priority" -> (q11 _),
     "q12_topk_per_group" -> (q12 _),
     "q13_json_extract" -> (q13 _),
+    "q14_rollup" -> (q14 _),
+    "q15_anti_join" -> (q15 _),
+    "q16_percentiles" -> (q16 _),
+    "q17_moments" -> (q17 _),
     "q20_sessionize" -> (q20 _),
     "q21_tumbling_agg" -> (q21 _),
     "q30_dedup_exact" -> (q30 _),
@@ -694,6 +742,31 @@ object SparkEntry {
         | CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         | round(value, 4) AS value
         |FROM events""".stripMargin,
+    "q14_rollup" ->
+      """SELECT coalesce(r_name, '') AS r_name, coalesce(n_name, '') AS n_name,
+        | count(*) AS n_customers, round(sum(c_acctbal), 4) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '2000-01-01' AND TIMESTAMP '2000-12-31')""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q17_moments" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q20_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
