@@ -169,8 +169,13 @@ object Dedup {
                 v => v.cast("string")))).as("bucket")))
       ).as("__bk"))
       .select(col("__id"), col("__bk.band"), col("__bk.bucket"))
-    val l = buckets.select(col("__id").as("a_id"), col("band"), col("bucket"))
-    val r = buckets.select(col("__id").as("b_id"), col("band").as("band2"),
+    // repartition on the join key BEFORE the self-join: both sides then
+    // share one identical exchange subtree, so ReuseExchange computes
+    // the signatures once and the join is co-partitioned (no further
+    // shuffle)
+    val keyed = buckets.repartition(col("band"), col("bucket"))
+    val l = keyed.select(col("__id").as("a_id"), col("band"), col("bucket"))
+    val r = keyed.select(col("__id").as("b_id"), col("band").as("band2"),
       col("bucket").as("bucket2"))
     l.join(r, col("band") === col("band2") && col("bucket") === col("bucket2") &&
         col("a_id") < col("b_id"))
@@ -220,9 +225,10 @@ object Dedup {
       .select(col("__id"), col("__v"),
         hyperplaneBucket(col("__v"), dim, numPlanes).as("__bkt"),
         norm(col("__v")).as("__n"))
-    val a = bucketed.select(col("__id").as("a_id"), col("__v").as("__va"),
+    val keyed = bucketed.repartition(col("__bkt"))
+    val a = keyed.select(col("__id").as("a_id"), col("__v").as("__va"),
       col("__bkt"), col("__n").as("__na"))
-    val b = bucketed.select(col("__id").as("b_id"), col("__v").as("__vb"),
+    val b = keyed.select(col("__id").as("b_id"), col("__v").as("__vb"),
       col("__bkt").as("__bkt2"), col("__n").as("__nb"))
     a.join(b, col("__bkt") === col("__bkt2") && col("a_id") < col("b_id"))
       .withColumn("cosine", round(
@@ -277,6 +283,7 @@ object Dedup {
               .bitwiseAND(lit(0xFFFFL)).as("bucket")))
       ).as("__bk"))
       .select(col("__id"), col("__sim"), col("__bk.band"), col("__bk.bucket"))
+      .repartition(col("band"), col("bucket"))
     val l = banded.select(col("__id").as("a_id"), col("__sim").as("sim_a"),
       col("band"), col("bucket"))
     val r = banded.select(col("__id").as("b_id"), col("__sim").as("sim_b"),
