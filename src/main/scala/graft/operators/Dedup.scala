@@ -270,10 +270,14 @@ object Dedup {
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val simCol =
+      if (docs.sparkSession.catalog.functionExists("simhash64"))
+        (sh: Column) => call_function("simhash64", sh)
+      else simhash64 _
     val sh = Parallelism.ensure(
       docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
       .select(col("__id"),
-        simhash64(shinglesCol(docs, col("__t"), shingleN)).as("__sim"))
+        simCol(shinglesCol(docs, col("__t"), shingleN)).as("__sim"))
     val banded = sh.select(
       col("__id"), col("__sim"),
       explode(

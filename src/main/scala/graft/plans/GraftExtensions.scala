@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => WordShingles(es.head,
         es(1).eval().asInstanceOf[Number].intValue()),
       "word_shingles(text, n) - distinct word n-grams as array<string>"))
+    ext.injectFunction(fn("simhash64",
+      es => SimHash64(es.head),
+      "simhash64(shingles) - 64-bit SimHash of a string array"))
     ext.injectFunction(fn("jaccard_shingles",
       es => JaccardShingles(es.head, es(1)),
       "jaccard_shingles(a, b) - set Jaccard similarity of two string arrays"))

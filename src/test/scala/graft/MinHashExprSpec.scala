@@ -19,6 +19,26 @@ class MinHashExprSpec extends SparkSpec {
     both.foreach { case (hof, native) => assert(hof === native) }
   }
 
+  test("native simhash64 matches the Column-function formulation") {
+    val sh = Dedup.shingles(col("text"), 2)
+    val both = docs.select(
+      Dedup.simhash64(sh).as("hof"),
+      call_function("simhash64", sh).as("native"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (hof, native) => assert(hof === native) }
+  }
+
+  test("native jaccard matches array_intersect/union formulation") {
+    val sh = Dedup.shingles(col("text"), 2)
+    val a = docs.select(sh.as("s")).limit(1)
+    val pairs = a.crossJoin(docs.select(sh.as("t")))
+    val both = pairs.select(
+      Dedup.jaccard(col("s"), col("t")).as("hof"),
+      call_function("jaccard_shingles", col("s"), col("t")).as("native"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (hof, native) => assert(hof === native) }
+  }
+
   test("empty shingle array yields MaxValue sentinels") {
     val sig = Seq("x").toDF("t")
       .select(call_function("minhash_signature",
