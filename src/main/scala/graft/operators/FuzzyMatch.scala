@@ -66,15 +66,29 @@ object FuzzyMatch {
       distance: (Column, Column) => Column,
       leftCol: String, rightCol: String,
       threshold: Int,
-      broadcastRight: Boolean = true): DataFrame = {
-    // pairwise scoring is CPU-bound: spread the streamed side first
-    val l = Parallelism.ensure(
+      broadcastRight: Boolean = true,
+      saltBuckets: Int = 1): DataFrame = {
+    // pairwise scoring is CPU-bound: spread the streamed side first.
+    // saltBuckets > 1 splits skewed blocks: each left row takes one
+    // deterministic salt, the roster is replicated across every salt,
+    // so results are identical but a hot block's pairs spread over
+    // saltBuckets times more partitions.
+    val l0 = Parallelism.ensure(
       left.select(col(leftId).as("s_id"), col(blockLeft).as("__blk"),
         col(leftCol).as("__lv")))
-    val r0 = right.select(col(rightId).as("r_id"), col(blockRight).as("__blk2"),
+    val l =
+      if (saltBuckets <= 1) l0.withColumn("__salt", lit(0))
+      else l0.withColumn("__salt",
+        pmod(xxhash64(col("s_id")), lit(saltBuckets)).cast("int"))
+    val r1 = right.select(col(rightId).as("r_id"), col(blockRight).as("__blk2"),
       col(rightCol).as("__rv"))
+    val r0 =
+      if (saltBuckets <= 1) r1.withColumn("__salt2", lit(0))
+      else r1.withColumn("__salt2",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
     val r = if (broadcastRight) broadcast(r0) else r0
-    val scored = l.join(r, col("__blk") === col("__blk2"))
+    val scored = l.join(r,
+      col("__blk") === col("__blk2") && col("__salt") === col("__salt2"))
       .withColumn("score", distance(col("__lv"), col("__rv")))
     // best-match as a lexicographic struct-min aggregation, NOT a window:
     // the map side pre-combines to one candidate per s_id per partition,

@@ -49,6 +49,22 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out(1).getBoolean(3) === true) // ann leigh also within 3
   }
 
+  test("salting a skewed block leaves results identical") {
+    val scraped = Tables(spark, "/root/testdata/sf0.001").customer
+      .selectExpr("c_custkey AS s_id",
+        "concat('Cust ', CAST(c_custkey AS STRING)) AS s_name",
+        "CAST(1 AS INT) AS s_blk") // everything in ONE block: max skew
+    val roster = Tables(spark, "/root/testdata/sf0.001").customer
+      .selectExpr("c_custkey AS r_id", "c_name AS r_name",
+        "CAST(1 AS INT) AS r_blk")
+    def run(salt: Int) = FuzzyMatch.bestByDistance(
+      scraped, roster, "s_id", "r_id", "s_blk", "r_blk",
+      (a, b) => levenshtein(a, b).cast("long"), "s_name", "r_name",
+      threshold = 12, saltBuckets = salt)
+      .orderBy("s_id").collect().map(_.toSeq).toSeq
+    assert(run(1) === run(8))
+  }
+
   test("link applies per-column thresholds and overall requirement") {
     val left = Seq((1L, "john", "smith", 5), (2L, "zzz", "qqq", 5))
       .toDF("l_id", "l_first", "l_last", "l_blk")
