@@ -79,16 +79,43 @@ object Multimodal {
   }
 
   /** Batched feature extraction: mapPartitions so the (stub) codec is
-    * initialised once per partition and rows stream through. */
+    * initialised once per partition, and rows flow through in
+    * `batchSize` groups — the record-batch shape a vectorised codec or
+    * model forward-pass wants (one call per batch, not per row). */
   def extractFeatures(
-      media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+      media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // real impl: init codec/model once here
-      rows.map { r =>
-        MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
-          decodeStub(r.bytes, r.meta))
+      rows.grouped(batchSize).flatMap { batch =>
+        // real impl: one vectorised decode call over the whole batch
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+            decodeStub(r.bytes, r.meta))
+        }
       }
+    }
+  }
+
+  /** Resize plumbing for image rows: meta is updated for real (aspect
+    * and target dims), the pixel transform itself is the STUB — a real
+    * codec swap changes only `resizeBytesStub`. */
+  def resizeBytesStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // deterministic fake: sample bytes proportionally to the new area
+    val n = math.max(16, math.min(bytes.length, w * h / 64))
+    Array.tabulate[Byte](n)(i => bytes((i.toLong * bytes.length / n).toInt))
+  }
+
+  def resize(
+      media: Dataset[MediaRow], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.map { r =>
+      if (r.meta.kind != "image") r
+      else r.copy(
+        bytes = resizeBytesStub(r.bytes, targetW, targetH),
+        meta = r.meta.copy(width = targetW, height = targetH))
     }
   }
 

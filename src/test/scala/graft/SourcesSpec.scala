@@ -54,6 +54,17 @@ class SourcesSpec extends SparkSpec {
     assert(feats.count(_.kind == "image") === 10)
   }
 
+  test("Multimodal resize updates image meta, leaves audio/video untouched") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val resized = Multimodal.resize(media, 32, 32).collect()
+    val images = resized.filter(_.meta.kind == "image")
+    assert(images.nonEmpty)
+    assert(images.forall(r => r.meta.width == 32 && r.meta.height == 32))
+    val audio = resized.filter(_.meta.kind == "audio")
+    assert(audio.forall(_.meta.sampleRate == 16000))
+  }
+
   test("Multimodal frameSample explodes video rows by stride") {
     implicit val s = spark
     val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
