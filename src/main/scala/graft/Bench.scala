@@ -30,9 +30,12 @@ object Bench {
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      // warm-up pass: JIT + codegen + parquet footer caches
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // two warm-up passes: JIT + codegen + parquet footer caches (one
+      // pass leaves the generated code still interpreting on occasion)
+      (1 to 2).foreach { _ =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -67,7 +67,8 @@ object FuzzyMatch {
       leftCol: String, rightCol: String,
       threshold: Int,
       broadcastRight: Boolean = true,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      packIds: Boolean = true): DataFrame = {
     // pairwise scoring is CPU-bound: spread the streamed side first.
     // saltBuckets > 1 splits skewed blocks: each left row takes one
     // deterministic salt, the roster is replicated across every salt,
@@ -90,19 +91,37 @@ object FuzzyMatch {
     val scored = l.join(r,
       col("__blk") === col("__blk2") && col("__salt") === col("__salt2"))
       .withColumn("score", distance(col("__lv"), col("__rv")))
-    // best-match as a lexicographic struct-min aggregation, NOT a window:
-    // the map side pre-combines to one candidate per s_id per partition,
-    // so the shuffle moves |left| rows instead of |scored pairs| — the
-    // difference between shuffling 9M and 15k rows per 15k-row input.
-    scored.groupBy(col("s_id"))
-      .agg(
-        min(struct(col("score"), col("r_id"))).as("__best"),
-        sum(when(col("score") <= threshold, 1L).otherwise(0L)).as("n_within"))
-      .select(
-        col("s_id"),
-        col("__best.r_id").as("best_id"),
-        col("__best.score").as("best_score"),
-        (col("n_within") > 1).as("is_dup"))
+    // best-match as a min aggregation, NOT a window: the map side
+    // pre-combines to one candidate per s_id per partition, so the
+    // shuffle moves |left| rows instead of |scored pairs|.
+    //
+    // With packIds (default), (score, id) packs into one long —
+    // min stays a codegen'd HashAggregate. Requires id < 2^40 and
+    // distance < 2^23 (any realistic edit distance). packIds=false
+    // falls back to a lexicographic struct-min (SortAggregate) with no
+    // bounds assumption.
+    if (packIds) {
+      val base = lit(1L << 40)
+      scored.groupBy(col("s_id"))
+        .agg(
+          min(col("score") * base + col("r_id")).as("__p"),
+          sum(when(col("score") <= threshold, 1L).otherwise(0L)).as("n_within"))
+        .select(
+          col("s_id"),
+          col("__p").bitwiseAND(lit((1L << 40) - 1)).as("best_id"),
+          shiftright(col("__p"), 40).as("best_score"),
+          (col("n_within") > 1).as("is_dup"))
+    } else {
+      scored.groupBy(col("s_id"))
+        .agg(
+          min(struct(col("score"), col("r_id"))).as("__best"),
+          sum(when(col("score") <= threshold, 1L).otherwise(0L)).as("n_within"))
+        .select(
+          col("s_id"),
+          col("__best.r_id").as("best_id"),
+          col("__best.score").as("best_score"),
+          (col("n_within") > 1).as("is_dup"))
+    }
   }
 
   /** Multi-rule linkage mirroring the reference's record_matcher setup
