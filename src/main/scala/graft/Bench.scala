@@ -24,8 +24,10 @@ object Bench {
 
     val headline = Seq(
       "q10_pricing_summary", "q11_ship_priority", "q04_distinct_on",
-      "q08_fuzzy_match", "q20_sessionize", "q30_dedup_exact",
-      "q31_dedup_minhash", "q33_ngram_jaccard", "q35_ann_bruteforce"
+      "q08_fuzzy_match", "q14_rollup", "q16_percentiles",
+      "q20_sessionize", "q21_tumbling_agg", "q30_dedup_exact",
+      "q31_dedup_minhash", "q33_ngram_jaccard", "q34_embed_neardup",
+      "q35_ann_bruteforce", "q37_lang_id"
     ).filter(SparkEntry.queries.contains)
 
     val results = headline.map { name =>

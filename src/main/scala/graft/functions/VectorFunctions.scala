@@ -14,15 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double. */
+  private def hasNative(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists(name))
+
+  /** Σ aᵢ·bᵢ in double (native kernel when GraftExtensions is
+    * installed — bit-identical accumulation either way). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
+    if (hasNative("dot_f")) call_function("dot_f", a, b)
+    else aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** ‖a‖₂ in double. */
+  /** ‖a‖₂ in double (native kernel when available). */
   def norm(a: Column): Column =
-    sqrt(aggregate(
+    if (hasNative("norm_f")) call_function("norm_f", a)
+    else sqrt(aggregate(
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 

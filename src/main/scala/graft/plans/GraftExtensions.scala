@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => WordShingles(es.head,
         es(1).eval().asInstanceOf[Number].intValue()),
       "word_shingles(text, n) - distinct word n-grams as array<string>"))
+    ext.injectFunction(fn("dot_f",
+      es => DotF(es.head, es(1)),
+      "dot_f(a, b) - double dot product of two array<float>"))
+    ext.injectFunction(fn("norm_f",
+      es => NormF(es.head),
+      "norm_f(a) - L2 norm of an array<float> in double"))
     ext.injectFunction(fn("simhash64",
       es => SimHash64(es.head),
       "simhash64(shingles) - 64-bit SimHash of a string array"))
