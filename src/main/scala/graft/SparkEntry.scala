@@ -369,8 +369,12 @@ object SparkEntry {
     Dedup.minhashNearDup(Tables(s, dir).documents, "doc_id", "text",
       shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
 
-  /** q34: embedding-cosine near-dup pairs, label-blocked (the blocking
-    * key bounds the pair space; both engines compute the same blocks). */
+  /** q34: embedding-cosine near-dup pairs, label-blocked and EXACT —
+    * the oracle-checkable formulation. Within-block pairing is
+    * quadratic in block size, so this shape is only for corpora whose
+    * blocks stay small; the scale path for near-dup over a growing
+    * corpus is the hyperplane-LSH variant (q41 /
+    * Dedup.embeddingNearDup), whose candidate volume stays near-linear. */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = Tables(s, dir).embeddings.select(

@@ -46,6 +46,70 @@ private object VectorExprCheck {
       s"$name requires array<float> arguments, got ${dts.map(_.simpleString).mkString(", ")}")
 }
 
+/** Static kernel for the random-hyperplane LSH bucket. The
+  * pseudo-random weight matrix (derived from xxhash of the flat index,
+  * exactly like VectorFunctions.hyperplaneBucket's Column form) is
+  * memoized per (dim, planes) — the Column form re-derives it per row,
+  * which dominated profile at 100k vectors. */
+object HyperplaneImpl {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  def weights(dim: Int, planes: Int): Array[Double] =
+    cache.computeIfAbsent((dim, planes), { _ =>
+      val w = new Array[Double](planes * dim)
+      var k = 0
+      while (k < w.length) {
+        w(k) = java.lang.Math.floorMod(XXH64.hashInt(k, 42L), 2000003L) /
+          1000001.5 - 1.0
+        k += 1
+      }
+      w
+    })
+
+  def bucket(vec: ArrayData, dim: Int, planes: Int): Long = {
+    val w = weights(dim, planes)
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      val off = p * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc = acc + vec.getFloat(i).toDouble * w(off + i)
+        i += 1
+      }
+      if (acc > 0.0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+/** `hyperplane_bucket(vec, dim, planes)` — packed sign-bit LSH bucket. */
+case class HyperplaneBucket(child: Expression, dim: Int, numPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprCheck.floatArray(prettyName, child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneImpl.bucket(input.asInstanceOf[ArrayData], dim, numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneImpl.bucket($c, $dim, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bucket"
+}
+
 /** `dot_f(a, b)` — Σ aᵢ·bᵢ in double over two equal-length
   * array<float> columns. */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {

@@ -54,16 +54,21 @@ object VectorFunctions {
     */
   def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
     require(numPlanes <= 62, "bucket packs into a long")
-    val bits = (0 until numPlanes).map { p =>
-      // component weights: hash((p * dim + i) * goldenPrime) scaled
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => {
-          val h = pmod(xxhash64(i + lit(p * dim)), lit(2000003L))
-          x.cast("double") * (h.cast("double") / 1000001.5 - 1.0)
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    if (hasNative("hyperplane_bucket"))
+      call_function("hyperplane_bucket", vec, lit(dim), lit(numPlanes))
+    else {
+      val bits = (0 until numPlanes).map { p =>
+        // component weights: hash of the flat (plane, dim) index scaled
+        // to [-1, 1] — reproducible, no stored model
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => {
+            val h = pmod(xxhash64(i + lit(p * dim)), lit(2000003L))
+            x.cast("double") * (h.cast("double") / 1000001.5 - 1.0)
+          }),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 }

@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => WordShingles(es.head,
         es(1).eval().asInstanceOf[Number].intValue()),
       "word_shingles(text, n) - distinct word n-grams as array<string>"))
+    ext.injectFunction(fn("hyperplane_bucket",
+      es => HyperplaneBucket(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()),
+      "hyperplane_bucket(vec, dim, planes) - packed sign-bit LSH bucket"))
     ext.injectFunction(fn("dot_f",
       es => DotF(es.head, es(1)),
       "dot_f(a, b) - double dot product of two array<float>"))
