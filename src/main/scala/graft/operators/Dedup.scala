@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *   candidate pairs (the verify pass after any LSH candidate
   *   generation).
   *
-  * All signature math is pure `functions._` array expressions (codegen'd
-  * where Spark supports it, no UDFs, no driver-side loops). Hash values
-  * are reduced below 2^32 before multiply-add so the arithmetic can never
-  * overflow a long even under ANSI mode.
+  * Signature math has two interchangeable forms with identical hash
+  * values: pure `functions._` array expressions (portable, no session
+  * requirements) and native Catalyst kernels (minhash_signature /
+  * word_shingles / simhash64 / jaccard_shingles, picked automatically
+  * when GraftExtensions is installed — the higher-order-function forms
+  * evaluate interpreted, the kernels run inside codegen). No UDFs, no
+  * driver-side loops; hash values are reduced below 2^32 before
+  * multiply-add so the arithmetic can never overflow a long even under
+  * ANSI mode.
   */
 object Dedup {
 
