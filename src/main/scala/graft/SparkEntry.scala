@@ -314,6 +314,23 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
 
+  /** q18: window-frame moving average — 7-row trailing mean of daily
+    * revenue per priority class (the remaining window shape: frames,
+    * alongside rank/lag/cumsum elsewhere). */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir).orders
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice")).as("__rev"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rev_ma7", round(avg(col("__rev")).over(w), 4))
+      .select(col("o_orderpriority"), col("day"),
+        round(col("__rev"), 4).as("revenue"), col("rev_ma7"))
+  }
+
   /** q17: second-moment aggregates (stddev / correlation) per group. */
   private def q17(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem
@@ -573,6 +590,7 @@ object SparkEntry {
     "q15_anti_join" -> (q15 _),
     "q16_percentiles" -> (q16 _),
     "q17_moments" -> (q17 _),
+    "q18_moving_avg" -> (q18 _),
     "q20_sessionize" -> (q20 _),
     "q21_tumbling_agg" -> (q21 _),
     "q30_dedup_exact" -> (q30 _),
@@ -771,6 +789,16 @@ object SparkEntry {
         | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q18_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day, round(rev, 4) AS revenue,
+        |  round(avg(rev) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_ma7
+        |FROM daily""".stripMargin,
     "q20_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
