@@ -93,6 +93,69 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** Static kernel for stopword-occurrence counting: tokenizes on single
+  * spaces and counts members of the (memoized, comma-separated) word
+  * set — semantics of size(filter(split(text,' '), w.isin(stops))). */
+object StopwordImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, java.util.HashSet[UTF8String]]()
+
+  private def set(csv: UTF8String): java.util.HashSet[UTF8String] =
+    cache.computeIfAbsent(csv, { c =>
+      val s = new java.util.HashSet[UTF8String]()
+      c.toString.split(",").foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    })
+
+  def hits(text: UTF8String, stopCsv: UTF8String): Int = {
+    val stops = set(stopCsv)
+    var count = 0
+    var start = 0
+    val str = text.toString
+    var i = 0
+    val n = str.length
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (stops.contains(UTF8String.fromString(str.substring(start, i))))
+          count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+/** `stopword_hits(text, 'w1,w2,...')` — occurrences of any listed word. */
+case class StopwordHits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"stopword_hits requires (string, string)")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StopwordImpl.hits(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StopwordImpl.hits($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "stopword_hits"
+}
+
 /** Static kernel for 64-bit SimHash — identical votes to the
   * higher-order-function formulation in Dedup.simhash64 (xxhash64 seed
   * 42 per shingle, +1/-1 vote per bit, bit set iff votes > 0). */

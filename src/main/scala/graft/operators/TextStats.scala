@@ -21,9 +21,14 @@ object TextStats {
 
   def words(text: Column): Column = split(text, " ")
 
-  /** Occurrences of any word from `stops`. */
+  /** Occurrences of any word from `stops` (native kernel when
+    * GraftExtensions is installed — identical counts either way). */
   def stopwordHits(text: Column, stops: Seq[String]): Column =
-    size(filter(words(text), w => w.isin(stops: _*)))
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("stopword_hits")))
+      call_function("stopword_hits", text, lit(stops.mkString(",")))
+    else
+      size(filter(words(text), w => w.isin(stops: _*)))
 
   /** Per-profile hit counts as named columns (c_en, c_de, ...). */
   def profileCounts(text: Column): Seq[(String, Column)] =

@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => WordShingles(es.head,
         es(1).eval().asInstanceOf[Number].intValue()),
       "word_shingles(text, n) - distinct word n-grams as array<string>"))
+    ext.injectFunction(fn("stopword_hits",
+      es => StopwordHits(es.head, es(1)),
+      "stopword_hits(text, 'w1,w2,...') - occurrences of any listed word"))
     ext.injectFunction(fn("hyperplane_bucket",
       es => HyperplaneBucket(es.head,
         es(1).eval().asInstanceOf[Number].intValue(),

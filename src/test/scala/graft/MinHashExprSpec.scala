@@ -39,6 +39,17 @@ class MinHashExprSpec extends SparkSpec {
     both.foreach { case (hof, native) => assert(hof === native) }
   }
 
+  test("native stopword_hits matches the filter/isin formulation") {
+    val stops = Seq("the", "now", "quick")
+    val both = docs.select(
+      size(filter(split(col("text"), " "), w => w.isin(stops: _*))).as("hof"),
+      call_function("stopword_hits", col("text"),
+        lit(stops.mkString(","))).as("native"))
+      .as[(Int, Int)].collect()
+    both.foreach { case (hof, native) => assert(hof === native) }
+    assert(both.map(_._2).toSeq === Seq(3, 1)) // 'the' x2 + quick; now
+  }
+
   test("empty shingle array yields MaxValue sentinels") {
     val sig = Seq("x").toDF("t")
       .select(call_function("minhash_signature",
