@@ -417,9 +417,25 @@ object SparkEntry {
       idCol = "vec_id", vecCol = "embedding", k = 5)
   }
 
-  /** q36: IVF-bucketed ANN — centroids = every 50th vector, probe 3.
-    * rows-only (approximate by construction). */
+  /** q36: IVF-bucketed ANN at FULL probe — every bucket searched, so the
+    * result is exact and hash-checked against the brute-force oracle
+    * (each corpus row lives in exactly one bucket; probing all buckets
+    * scores each (query, neighbor) pair exactly once). Bucket assignment
+    * is a pure projection against the driver-materialised centroid
+    * model — zero exchanges on the corpus. q45 is the pruned
+    * (approximate) production shape. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    Ann.ivfTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      centroids = e.filter(col("vec_id") % 50 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = Int.MaxValue)
+  }
+
+  /** q45: IVF-bucketed ANN, pruned — probe only the 3 buckets nearest
+    * each query. rows-only (approximate by construction; q36 proves the
+    * machinery exact at full probe). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
     Ann.ivfTopK(
       corpus = e, queries = e.filter(col("vec_id") < 10),
@@ -607,8 +623,24 @@ object SparkEntry {
     "q41_embed_lsh" -> (q41 _),
     "q42_fuzzy_jaro_winkler" -> (q42 _),
     "q43_fuzzy_link_full" -> (q43 _),
-    "q44_roster_query" -> (q44 _)
+    "q44_roster_query" -> (q44 _),
+    "q45_ann_ivf_pruned" -> (q45 _)
   )
+
+  /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
+    * (IVF at full probe, which must equal brute force). */
+  private val annTopkSql =
+    """WITH v AS (SELECT vec_id, embedding,
+      |   sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm FROM embeddings),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |   list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+      |     for i in generate_series(1,64)])/(q.nrm*c.nrm) AS cos
+      | FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |r AS (SELECT *, row_number() OVER (
+      |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+      |  round(cos, 4) AS cosine
+      |FROM r WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_name_parse" ->
@@ -846,18 +878,10 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
         |   for i in generate_series(1,64)])/(a.nrm*b.nrm), 4) >= 0.35""".stripMargin,
-    "q35_ann_bruteforce" ->
-      """WITH v AS (SELECT vec_id, embedding,
-        |   sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm FROM embeddings),
-        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |   list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
-        |     for i in generate_series(1,64)])/(q.nrm*c.nrm) AS cos
-        | FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
-        |r AS (SELECT *, row_number() OVER (
-        |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-        |  round(cos, 4) AS cosine
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "q35_ann_bruteforce" -> annTopkSql,
+    // q36 at full probe is exact: every bucket is searched, so IVF must
+    // reproduce the brute-force top-k bit-for-bit.
+    "q36_ann_ivf" -> annTopkSql,
     "q37_lang_id" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |c AS (SELECT doc_id,

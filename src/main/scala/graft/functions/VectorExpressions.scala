@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native kernels for float-vector math. Accumulation is a left fold in
   * index order with per-element double promotion — bit-identical to the
@@ -108,6 +108,105 @@ case class HyperplaneBucket(child: Expression, dim: Int, numPlanes: Int)
     copy(child = newChild)
 
   override def prettyName: String = "hyperplane_bucket"
+}
+
+/** Driver-materialised centroid matrix with precomputed norms. Shipped
+  * to every task once, as a codegen reference object — the same data
+  * movement as a broadcast join's build side, but the per-row argmax
+  * stays a pure projection (zero exchanges on the corpus side). */
+final class CentroidModel(val vecs: Array[Array[Float]]) extends Serializable {
+  val norms: Array[Double] = vecs.map { v =>
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+}
+
+object CentroidImpl {
+  def build(arr: ArrayData): CentroidModel = {
+    val k = arr.numElements()
+    val vecs = new Array[Array[Float]](k)
+    var i = 0
+    while (i < k) {
+      val row = arr.getArray(i)
+      val d = row.numElements()
+      val v = new Array[Float](d)
+      var j = 0
+      while (j < d) { v(j) = row.getFloat(j); j += 1 }
+      vecs(i) = v
+      i += 1
+    }
+    new CentroidModel(vecs)
+  }
+
+  /** 1-based index of the max-cosine centroid (ties → lowest index).
+    * Same left-fold double accumulation and zero-norm→0.0 guard as the
+    * `array_position(scores, array_max(scores))` HOF fallback, so the
+    * adaptive switch can never change bucket assignments. */
+  def nearest(vec: ArrayData, m: CentroidModel): Long = {
+    val n = vec.numElements()
+    var nv = 0.0
+    var j = 0
+    while (j < n) { val x = vec.getFloat(j).toDouble; nv += x * x; j += 1 }
+    nv = math.sqrt(nv)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < m.vecs.length) {
+      val cv = m.vecs(c)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      val score =
+        if (nv == 0.0 || m.norms(c) == 0.0) 0.0 else dot / (nv * m.norms(c))
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    (best + 1).toLong
+  }
+}
+
+/** `nearest_centroid(vec, matrix)` — 1-based index of the max-cosine row
+  * of a FOLDABLE array<array<float>> centroid matrix (ties → lowest
+  * index). The matrix literal is evaluated once into a [[CentroidModel]]
+  * and referenced from generated code. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _))
+          if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, foldable array<array<float>>), " +
+          s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  @transient private lazy val model: CentroidModel = {
+    val arr = right.eval(null)
+    require(arr != null, s"$prettyName: centroid matrix must not be null")
+    CentroidImpl.build(arr.asInstanceOf[ArrayData])
+  }
+
+  override protected def nullSafeEval(v: Any, unused: Any): Any =
+    CentroidImpl.nearest(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", model,
+      "graft.functions.CentroidModel")
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.CentroidImpl.nearest($v, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "nearest_centroid"
 }
 
 /** `dot_f(a, b)` — Σ aᵢ·bᵢ in double over two equal-length

@@ -47,6 +47,27 @@ object VectorFunctions {
     when(normA === 0.0 || normB === 0.0, lit(0.0))
       .otherwise(dotCol / (normA * normB))
 
+  /** 1-based index of the max-cosine centroid row (ties → lowest index)
+    * for a driver-materialised centroid matrix. A pure projection — the
+    * matrix ships as a foldable literal (native kernel) so bucket
+    * assignment never shuffles the corpus. The HOF fallback computes
+    * bit-identical double-accumulated scores, so the adaptive switch can
+    * never change an assignment. */
+  def nearestCentroid(vec: Column, matrix: Seq[Seq[Float]]): Column = {
+    require(matrix.nonEmpty, "nearestCentroid: empty centroid matrix")
+    if (hasNative("nearest_centroid"))
+      call_function("nearest_centroid", vec, typedlit(matrix))
+    else nearestCentroidHof(vec, matrix)
+  }
+
+  /** HOF form of [[nearestCentroid]] — kept callable so tests can pin
+    * the native kernel to it value-for-value. */
+  private[graft] def nearestCentroidHof(
+      vec: Column, matrix: Seq[Seq[Float]]): Column = {
+    val scores = transform(typedlit(matrix), c => cosine(vec, c))
+    array_position(scores, array_max(scores))
+  }
+
   /** Random-hyperplane LSH bucket: sign bits of `numPlanes` pseudo-random
     * projections, packed into a long. Plane p's component i is a
     * deterministic hash of (p, i) mapped to [-1, 1] — reproducible

@@ -55,24 +55,41 @@ object Ann {
   }
 
   /** Assign every corpus row to its nearest centroid (argmax cosine,
-    * ties → lowest centroid id). Centroids are broadcast; assignment is
-    * a narrow map — no shuffle. */
+    * ties → lowest centroid id). The centroid set IS the IVF model — a
+    * deliberately small table — so it is materialised on the driver once
+    * (the same data movement as a broadcast join's build side) and the
+    * per-row argmax runs as a pure projection: zero exchanges, the
+    * corpus never moves. */
   def assignBuckets(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val c = centroids.select(
-      col(idCol).as("centroid_id"), col(vecCol).as("__ev"),
-      norm(col(vecCol)).as("__en"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("centroid_id"))
-    corpus
-      .withColumn("__n", norm(col(vecCol)))
-      .join(broadcast(c))
-      .withColumn("__cos",
-        cosinePrenormed(dot(col(vecCol), col("__ev")), col("__n"), col("__en")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__ev", "__en", "__cos", "__rn", "__n")
+    val (ids, matrix) = collectCentroids(centroids, idCol, vecCol)
+    corpus.withColumn("centroid_id",
+      element_at(ids,
+        nearestCentroid(col(vecCol), matrix).cast("int")))
+  }
+
+  /** Centroid model, driver-side: (id lookup literal, matrix) ordered by
+    * ascending centroid id so argmax tie-breaking (lowest matrix index)
+    * means lowest centroid id. */
+  private def collectCentroids(
+      centroids: DataFrame, idCol: String,
+      vecCol: String): (Column, Seq[Seq[Float]]) = {
+    val rows = centroids.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).collect()
+    require(rows.nonEmpty, "assignBuckets: empty centroid set")
+    val matrix = rows.toSeq.map(_.getSeq[Float](1).toSeq)
+    val ids: Column = rows.head.get(0) match {
+      case _: java.lang.Long =>
+        typedLit(rows.toSeq.map(_.getLong(0)))
+      case _: java.lang.Integer =>
+        typedLit(rows.toSeq.map(_.getInt(0)))
+      case _: String =>
+        typedLit(rows.toSeq.map(_.getString(0)))
+      case other => throw new IllegalArgumentException(
+        s"assignBuckets: unsupported centroid id type ${other.getClass}")
+    }
+    (ids, matrix)
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to each query and

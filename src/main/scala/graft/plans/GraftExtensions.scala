@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashSignature(es.head,
         es(1).eval().asInstanceOf[Number].intValue()),
       "minhash_signature(shingles, numHashes) - MinHash signature as array<bigint>"))
+    ext.injectFunction(fn("nearest_centroid",
+      es => NearestCentroid(es.head, es(1)),
+      "nearest_centroid(vec, matrix) - 1-based index of the max-cosine centroid row"))
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))

@@ -75,6 +75,25 @@ class AnnSpec extends SparkSpec {
     assert(full === bf)
   }
 
+  test("assignBuckets is a pure projection — zero exchanges of any kind") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L, 4L))
+    val out = Ann.assignBuckets(vecs, centroids, "vec_id", "embedding")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    val buckets = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(buckets === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("nearest_centroid native kernel matches the HOF fallback on real data") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val matrix = e.filter($"vec_id" % 50 === 0).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val both = e.select(
+      VectorFunctions.nearestCentroid(col("embedding"), matrix).as("native"),
+      VectorFunctions.nearestCentroidHof(col("embedding"), matrix).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
   test("hyperplaneBucket is deterministic and groups identical vectors") {
     val b = vecs.select(col("vec_id"),
       VectorFunctions.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
