@@ -152,8 +152,12 @@ object SparkEntry {
     * Ref: queries/election_candidates_by_electionyear.sql. */
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // raw range predicate on the stored column (NOT year(..).isin):
+    // function-wrapped predicates defeat parquet row-group pruning, and
+    // at 100 TB that decides whether the scan prunes or reads everything
     val ordersF = t.orders
-      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select("o_custkey")
     t.customer
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
@@ -225,7 +229,9 @@ object SparkEntry {
     */
   private def q10(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem
-      .filter(to_date(col("l_shipdate")) <= lit("2001-09-01"))
+      // to_date(l_shipdate) <= d rewritten as a raw timestamp range so
+      // the predicate reaches the parquet scan (row-group pruning)
+      .filter(col("l_shipdate") < lit("2001-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
@@ -568,7 +574,8 @@ object SparkEntry {
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val joined = t.orders
-      .filter(year(col("o_orderdate")).isin(1996, 1997) &&
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
         col("o_orderstatus").isin("O", "F"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
