@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *   band buckets → self-join per bucket. Candidate pairs stay ~linear in
   *   corpus size because the join key is (band, bucket-hash), never a
   *   cross join.
-  * - `simhash`: 64-bit SimHash + 16-bit-band blocking for hamming-near
-  *   candidates.
+  * - `simhash`: 64-bit SimHash + disjoint bit-band blocking for
+  *   hamming-near candidates; band count derives from the hamming
+  *   radius so candidate recall is 100% by pigeonhole.
   * - `ngramJaccardPairs`: exact word n-gram Jaccard verification on
   *   candidate pairs (the verify pass after any LSH candidate
   *   generation).
@@ -269,8 +270,32 @@ object Dedup {
     )
   }
 
-  /** SimHash near-dup candidates: block on the four 16-bit bands of the
-    * 64-bit hash (hamming distance ≤ 3 guarantees ≥ 1 identical band).
+  /** Band boundaries for a 64-bit SimHash at a given hamming radius.
+    *
+    * Pigeonhole recall guarantee: splitting 64 bits into `maxHamming + 1`
+    * disjoint bands means any pair at hamming ≤ maxHamming has at least
+    * one band with ZERO differing bits — so banding on `h + 1` bands
+    * gives 100% candidate recall at radius h (the post-filter then
+    * removes false positives exactly). Returns (shift, width) per band,
+    * widths as even as possible (e.g. h=8 → 9 bands: 8×7 bits + 1×8).
+    */
+  private[graft] def simhashBands(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands // first `extra` bands get one more bit
+    val widths = Seq.tabulate(bands)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (shift, w) => (shift, w) }
+  }
+
+  /** SimHash near-dup candidates: block on `maxHamming + 1` disjoint
+    * bit-bands of the 64-bit hash. Band count DERIVES from the radius so
+    * the pigeonhole recall contract holds at any maxHamming (a fixed
+    * 4x16 banding is only complete to hamming ≤ 3); SimhashRecallSpec
+    * pins 100% candidate recall on planted pairs at exactly maxHamming.
+    * More bands = smaller buckets = more candidate volume, so keep the
+    * radius as tight as the use case allows.
     */
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -283,14 +308,24 @@ object Dedup {
       docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
       .select(col("__id"),
         simCol(shinglesCol(docs, col("__t"), shingleN)).as("__sim"))
+    simhashBandPairs(sh, maxHamming)
+  }
+
+  /** Banding + bucket self-join over a precomputed (__id, __sim) frame —
+    * split out so recall tests can plant exact signatures. Emits
+    * (a_id, b_id, hamming) with hamming ≤ maxHamming. */
+  private[graft] def simhashBandPairs(
+      sh: DataFrame, maxHamming: Int): DataFrame = {
+    val bandSpecs = simhashBands(maxHamming)
+    val bandStructs = bandSpecs.zipWithIndex.map { case ((shift, width), i) =>
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"),
+        call_function("shiftright", col("__sim"), lit(shift))
+          .bitwiseAND(lit(mask)).as("bucket"))
+    }
     val banded = sh.select(
       col("__id"), col("__sim"),
-      explode(
-        transform(sequence(lit(0), lit(3)), b =>
-          struct(b.as("band"),
-            call_function("shiftright", col("__sim"), b * lit(16))
-              .bitwiseAND(lit(0xFFFFL)).as("bucket")))
-      ).as("__bk"))
+      explode(array(bandStructs: _*)).as("__bk"))
       .select(col("__id"), col("__sim"), col("__bk.band"), col("__bk.bucket"))
       .repartition(col("band"), col("bucket"))
     val l = banded.select(col("__id").as("a_id"), col("__sim").as("sim_a"),
