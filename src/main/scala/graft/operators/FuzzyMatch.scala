@@ -138,15 +138,36 @@ object FuzzyMatch {
       rules: Seq[Rule],
       requiredOverall: Double,
       dupMargin: Double = 3.0,
-      broadcastRight: Boolean = true): DataFrame = {
+      broadcastRight: Boolean = true,
+      saltBuckets: Int = 1): DataFrame = {
     // alias both sides so self-joins (left and right derived from the
-    // same source) resolve unambiguously
-    val l = Parallelism.ensure(left).alias("__l")
-    val r0 = right.alias("__r")
+    // same source) resolve unambiguously.
+    // saltBuckets > 1 splits skewed/low-cardinality blocks exactly like
+    // bestByDistance: each left row takes one deterministic salt from
+    // its id, the roster replicates across every salt, so the pair set
+    // (and therefore the result) is identical but a hot block's scoring
+    // spreads over saltBuckets times more partitions. With few distinct
+    // blocks (the reference blocks on state_id — ≤ 56 values) a shuffle
+    // join caps at #blocks busy cores; salting restores parallelism.
+    // Under broadcastRight the probe side never shuffles on the block
+    // key (no skew to split), so salting is skipped — replicating the
+    // build side would only multiply broadcast memory.
+    val salting = saltBuckets > 1 && !broadcastRight
+    val l0 = Parallelism.ensure(left)
+    val l = (if (!salting) l0.withColumn("__salt", lit(0))
+             else l0.withColumn("__salt",
+               pmod(xxhash64(col(leftId)), lit(saltBuckets)).cast("int"))
+            ).alias("__l")
+    val r1 =
+      if (!salting) right.withColumn("__salt2", lit(0))
+      else right.withColumn("__salt2",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val r0 = r1.alias("__r")
     val r = if (broadcastRight) broadcast(r0) else r0
     def lc(c: String) = col(s"__l.$c")
     def rc(c: String) = col(s"__r.$c")
-    val joined = l.join(r, lc(blockLeft) === rc(blockRight))
+    val joined = l.join(r,
+      lc(blockLeft) === rc(blockRight) && lc("__salt") === rc("__salt2"))
     val scores = rules.map { rule =>
       val per = rule.rightCols.map(c => rule.scorer(lc(rule.leftCol), rc(c)))
       val best = if (per.size == 1) per.head else greatest(per: _*)

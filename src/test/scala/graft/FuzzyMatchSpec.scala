@@ -65,6 +65,25 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(run(1) === run(8))
   }
 
+  test("link salting on a skewed shuffle join leaves results identical") {
+    val base = Tables(spark, "/root/testdata/sf0.001").customer.limit(300)
+    val left = base.selectExpr("c_custkey AS l_id",
+      "concat('Cust ', CAST(c_custkey AS STRING)) AS l_first",
+      "c_name AS l_last", "CAST(1 AS INT) AS l_blk") // ONE block: max skew
+    val right = base.selectExpr("c_custkey AS r_id", "c_name AS r_first",
+      "c_name AS r_last", "CAST(1 AS INT) AS r_blk")
+    val rules = Seq(
+      FuzzyMatch.Rule("l_first", "r_first",
+        (a, b) => call_function("jaro_winkler", a, b), threshold = 50),
+      FuzzyMatch.Rule("l_last", "r_last",
+        (a, b) => call_function("jaro_winkler", a, b), threshold = 50))
+    def run(salt: Int) = FuzzyMatch.link(
+      left, right, "l_id", "r_id", "l_blk", "r_blk", rules,
+      requiredOverall = 50, broadcastRight = false, saltBuckets = salt)
+      .orderBy("s_id").collect().map(_.toSeq).toSeq
+    assert(run(1) === run(8))
+  }
+
   test("link applies per-column thresholds and overall requirement") {
     val left = Seq((1L, "john", "smith", 5), (2L, "zzz", "qqq", 5))
       .toDF("l_id", "l_first", "l_last", "l_blk")
