@@ -6,11 +6,26 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are materialised through the noop sink
   * so every output column is actually computed (a bare count() would let
   * Catalyst prune the expensive projections).
+  *
+  * Timing discipline (the numbers must be usable as a regression gate):
+  * - per query: 2 warm-up passes (JIT + codegen + parquet footer caches)
+  *   then `iters` timed passes, reporting the MEDIAN — a single-shot
+  *   number on a shared sandbox swings 5-10x and can't detect a real 2x
+  *   regression.
+  * - errors are NEVER swallowed: a throwing query reports `"err"` with
+  *   the exception class+message and contributes 0 to the total rather
+  *   than a bogus near-zero time that would 'improve' the result.
   */
 object Bench {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").take(200) + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,26 +42,66 @@ object Bench {
       "q08_fuzzy_match", "q14_rollup", "q16_percentiles",
       "q20_sessionize", "q21_tumbling_agg", "q30_dedup_exact",
       "q31_dedup_minhash", "q33_ngram_jaccard", "q34_embed_neardup",
-      "q35_ann_bruteforce", "q37_lang_id"
+      "q35_ann_bruteforce", "q37_lang_id",
+      // LLM-pipeline + linkage paths (added r4 — invisible before)
+      "q41_embed_lsh", "q43_fuzzy_link_full", "q45_ann_ivf_pruned"
     ).filter(SparkEntry.queries.contains)
+
+    final case class Result(name: String, median: Double, runs: Seq[Double],
+        err: Option[String])
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      // two warm-up passes: JIT + codegen + parquet footer caches (one
-      // pass leaves the generated code still interpreting on occasion)
-      (1 to 2).foreach { _ =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      def once(): Either[String, Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+        }
+      (1 to 2).foreach(_ => once()) // warm-up (errors re-surface in timed runs)
+      // per-query budget: run `iters` timed passes, but stop early once
+      // cumulative timed seconds exceed 60 (always ≥ 1 pass) so one slow
+      // query can't stall the round; fast queries get the full median-of-N
+      val runsBuf = scala.collection.mutable.ListBuffer.empty[Either[String, Double]]
+      var cum = 0.0
+      while (runsBuf.size < iters && (runsBuf.isEmpty || cum < 60.0)) {
+        val r = once()
+        runsBuf += r
+        cum += r.getOrElse(0.0)
       }
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = runsBuf.toList
+      val times = runs.collect { case Right(t) => t }
+      val errs = runs.collect { case Left(e) => e }
+      if (errs.nonEmpty)
+        Result(name, 0.0, times, Some(errs.head))
+      else {
+        val sorted = times.sorted
+        Result(name, sorted(sorted.size / 2), times, None)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val qs = results.map { r =>
+      jsonStr(r.name) + ":" + r.median
+    }.mkString("{", ",", "}")
+    val errs = results.filter(_.err.isDefined)
+      .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.filter(_.runs.nonEmpty).map { r =>
+      val mn = r.runs.min; val mx = r.runs.max
+      jsonStr(r.name) + ":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_.median).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
+    if (results.exists(_.err.isDefined)) {
+      results.filter(_.err.isDefined).foreach { r =>
+        System.err.println(s"[bench] ${r.name} FAILED: ${r.err.get}")
+      }
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

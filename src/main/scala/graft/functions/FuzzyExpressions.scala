@@ -82,9 +82,10 @@ case class PartialRatio(left: Expression, right: Expression)
 
 case class PartialTokenRatio(left: Expression, right: Expression)
     extends FuzzyScoreExpression {
-  override protected def method: String = "partialTokenRatio"
+  // memoized: linkage re-scores identical pairs across a block
+  override protected def method: String = "partialTokenRatioCached"
   override protected def score(a: String, b: String): Double =
-    FuzzyImpl.partialTokenRatio(a, b)
+    FuzzyImpl.partialTokenRatioCached(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -93,9 +94,10 @@ case class PartialTokenRatio(left: Expression, right: Expression)
 
 case class WRatio(left: Expression, right: Expression)
     extends FuzzyScoreExpression {
-  override protected def method: String = "wRatio"
+  // memoized: linkage re-scores identical pairs across a block
+  override protected def method: String = "wRatioCached"
   override protected def score(a: String, b: String): Double =
-    FuzzyImpl.wRatio(a, b)
+    FuzzyImpl.wRatioCached(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -151,4 +151,51 @@ object FuzzyImpl {
       if (lenRatio > 1.5) partialRatio(a, b) * 0.9 else 0.0
     math.max(math.max(full, ts), math.max(tset, partial))
   }
+
+  // ------------------------------------------------------------------
+  // Memoized entry points for the blocked-linkage hot path
+  // ------------------------------------------------------------------
+
+  /** Open-addressed, overwrite-on-collision score memo. Blocked record
+    * linkage re-scores the same argument pair constantly: categorical
+    * columns (office / party / district / suffix — the reference's
+    * match schema) have tens of distinct values, and name columns
+    * repeat across every roster row of a block. One thread-local memo
+    * per scorer turns the 5-6 levenshtein+tokenise passes of a repeat
+    * WRatio call into a single hash probe — the Catalyst equivalent of
+    * rapidfuzz's cached/preprocessed scorers. 2^16 slots ≈ 1.5 MB per
+    * thread; misses cost two hashCodes, so high-cardinality inputs
+    * degrade to the uncached path, never worse.
+    */
+  private final class Memo {
+    val mask: Int = (1 << 16) - 1
+    val ka = new Array[String](1 << 16)
+    val kb = new Array[String](1 << 16)
+    val vs = new Array[Double](1 << 16)
+
+    @inline def getOrCompute(a: String, b: String, f: (String, String) => Double): Double = {
+      val h = (a.hashCode * 31 + b.hashCode) & mask
+      if (a.equals(ka(h)) && b.equals(kb(h))) vs(h)
+      else {
+        val v = f(a, b)
+        ka(h) = a; kb(h) = b; vs(h) = v
+        v
+      }
+    }
+  }
+
+  private val wMemo: ThreadLocal[Memo] = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+  private val ptMemo: ThreadLocal[Memo] = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+
+  /** Memoized [[wRatio]] — identical values, cached per thread. */
+  def wRatioCached(a: String, b: String): Double =
+    wMemo.get().getOrCompute(a, b, wRatio)
+
+  /** Memoized [[partialTokenRatio]]. */
+  def partialTokenRatioCached(a: String, b: String): Double =
+    ptMemo.get().getOrCompute(a, b, partialTokenRatio)
 }
