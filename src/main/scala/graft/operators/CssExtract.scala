@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CSS-selector-style extraction over a column of HTML pages — the
+  * reference's dominant non-`<table>` extractor shape: find a container
+  * div by class or id, pull labeled text out of typed children
+  * (ref: billtrack50_app/extract.py:25-42 — div.bt50-scorecard-container
+  * → div.legislator-sub-head + p.legislator-detail-score strong/span
+  * pairs; national/_674/ratings/extract.py:17-33 — div#rep →
+  * span.eyebrow + div.score strong/em zips).
+  *
+  * All extraction runs as native codegen'd expressions (balanced-tag
+  * linear scan, see [[graft.functions.HtmlImpl]]) so a corpus of scraped
+  * pages is processed at scan speed with no external parser and no UDF.
+  * Requires GraftExtensions on the session (the html_* registry).
+  */
+object CssExtract {
+
+  /** Inner HTML of the first `<tag>` whose `attrName` matches
+    * `attrValue` (class = token contains, others exact); null if absent
+    * — bs4 `find(tag, {attrName: attrValue})`. */
+  def element(html: Column, tag: String, attrName: String, attrValue: String): Column =
+    call_function("html_element", html, lit(tag), lit(attrName), lit(attrValue))
+
+  /** First `<tag>` regardless of attributes. */
+  def element(html: Column, tag: String): Column = element(html, tag, "", "")
+
+  /** Inner HTML of ALL matching elements, as array<string> — bs4
+    * `find_all`. */
+  def elements(html: Column, tag: String, attrName: String, attrValue: String): Column =
+    call_function("html_elements", html, lit(tag), lit(attrName), lit(attrValue))
+
+  def elements(html: Column, tag: String): Column = elements(html, tag, "", "")
+
+  def byClass(html: Column, tag: String, cls: String): Column =
+    element(html, tag, "class", cls)
+
+  def byId(html: Column, tag: String, id: String): Column =
+    element(html, tag, "id", id)
+
+  /** bs4 `get_text(strip=True)`: tags stripped, entities unescaped,
+    * whitespace collapsed. */
+  def text(html: Column): Column = call_function("html_text", html)
+
+  /** Heading→value map zipped from two child-element streams of a
+    * container — the scorecard idiom both reference extractors share
+    * (`dict(zip(score_headings, score_texts))`). */
+  def zippedScores(container: Column, headTag: String, valueTag: String): Column =
+    map_from_arrays(
+      transform(elements(container, headTag), text(_)),
+      transform(elements(container, valueTag), text(_)))
+
+  /** billtrack50_app/extract.py:25-42 `extract_candidate`: container by
+    * class, info line, per-`<p class="legislator-detail-score">`
+    * strong→span score pulls. Returns struct(info, scores map). */
+  def bt50Scorecard(html: Column): Column = {
+    val container = element(html, "div", "class", "bt50-scorecard-container")
+    val ps = elements(container, "p", "class", "legislator-detail-score")
+    struct(
+      text(element(container, "div", "class", "legislator-sub-head")).as("info"),
+      map_from_entries(transform(ps, p =>
+        struct(text(element(p, "strong")), text(element(p, "span"))))).as("scores"))
+  }
+
+  /** national/_674/ratings/extract.py:17-33 `extract_candidate`:
+    * div#rep → div.detail → span.eyebrow info, div.score strong/em
+    * zipped scores. Returns struct(info, scores map). */
+  def repScorecard(html: Column): Column = {
+    val rep = element(html, "div", "id", "rep")
+    val info = element(element(rep, "div", "class", "detail"),
+      "span", "class", "eyebrow")
+    struct(
+      text(info).as("info"),
+      zippedScores(element(rep, "div", "class", "score"), "strong", "em")
+        .as("scores"))
+  }
+}

@@ -75,5 +75,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))
+    def s(e: Expression): String = String.valueOf(e.eval())
+    ext.injectFunction(fn("html_element",
+      es => HtmlElement(es.head, s(es(1)), s(es(2)), s(es(3))),
+      "html_element(html, tag, attrName, attrValue) - inner HTML of the first matching element (null if absent)"))
+    ext.injectFunction(fn("html_elements",
+      es => HtmlElements(es.head, s(es(1)), s(es(2)), s(es(3))),
+      "html_elements(html, tag, attrName, attrValue) - inner HTML of all matching elements as array<string>"))
+    ext.injectFunction(fn("html_text",
+      es => HtmlText(es.head),
+      "html_text(html) - tags stripped, entities unescaped, whitespace collapsed"))
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlImpl
+import graft.operators.CssExtract
+
+/** Pins CssExtract to the reference extractors' behavior on sample
+  * pages (billtrack50_app/extract.py:25-42 `extract_candidate`,
+  * national/_674/ratings/extract.py:17-33 `extract_candidate`). */
+class CssExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- the billtrack50 scorecard shape, with a NESTED div inside the
+  // container (a non-greedy regex would close the container at the
+  // first </div> and lose every <p> after it)
+  private val bt50Page =
+    """<html><body><div class="outer">
+      |<div class="bt50-scorecard-container" data-legislatorid="L42">
+      |  <div class="legislator-sub-head">Sen. Jane Q. Doe &amp; Co <em>(R-TX-07)</em></div>
+      |  <p class="legislator-detail-score"><strong>2023</strong><span> 87% </span></p>
+      |  <p class="legislator-detail-score"><strong>Lifetime</strong><span>91%</span></p>
+      |  <p class="unrelated"><strong>ignore</strong><span>me</span></p>
+      |</div>
+      |<div class="bt50-scorecard-container"><div class="legislator-sub-head">SECOND</div></div>
+      |</body></html>""".stripMargin
+
+  test("bt50 scorecard: container is balanced, info + scores match bs4") {
+    val out = Seq(bt50Page).toDF("html")
+      .select(CssExtract.bt50Scorecard(col("html")).as("r"))
+      .select(col("r.info"), col("r.scores"))
+      .head
+    assert(out.getString(0) == "Sen. Jane Q. Doe & Co (R-TX-07)")
+    val scores = out.getMap[String, String](1)
+    assert(scores == Map("2023" -> "87%", "Lifetime" -> "91%"))
+  }
+
+  test("rep scorecard: div#rep -> span.eyebrow + strong/em zip") {
+    val page =
+      """<div id="page"><div id="rep"><div class="detail">
+        |<span class="eyebrow">Rep. John Smith (D-CA-12)</span><span class="other">x</span>
+        |</div><div class="score">
+        |<strong>2024</strong><em>95</em><strong>Career</strong><em>88</em>
+        |</div></div></div>""".stripMargin
+    val out = Seq(page).toDF("html")
+      .select(CssExtract.repScorecard(col("html")).as("r"))
+      .select(col("r.info"), col("r.scores"))
+      .head
+    assert(out.getString(0) == "Rep. John Smith (D-CA-12)")
+    assert(out.getMap[String, String](1) == Map("2024" -> "95", "Career" -> "88"))
+  }
+
+  test("class attribute matches whitespace-separated tokens (bs4 rule)") {
+    val h = """<div class="a bt50-scorecard-container b">X</div>"""
+    assert(HtmlImpl.findAll(h, "div", "class", "bt50-scorecard-container",
+      firstOnly = true) == List("X"))
+    assert(HtmlImpl.findAll(h, "div", "class", "bt50", firstOnly = true).isEmpty)
+  }
+
+  test("'>' inside a quoted attribute value does not end the tag") {
+    val h = """<div class="c" title="a>b">inner</div>"""
+    assert(HtmlImpl.findAll(h, "div", "class", "c", firstOnly = true) ==
+      List("inner"))
+  }
+
+  test("missing element yields null (bs4 find -> None)") {
+    val out = Seq("<div class='x'>y</div>").toDF("html")
+      .select(CssExtract.element(col("html"), "div", "class", "absent"))
+      .head
+    assert(out.isNullAt(0))
+  }
+
+  test("html_text strips tags, unescapes entities, collapses whitespace") {
+    assert(HtmlImpl.text("  <b>A&amp;B</b>\n &nbsp; <i>c</i>  ") == "A&B c")
+  }
+
+  test("self-closing and nested same-tag elements") {
+    val h = "<div class=\"o\">a<div>b<div>c</div>d</div>e</div><div class=\"o\">2</div>"
+    assert(HtmlImpl.findAll(h, "div", "class", "o", firstOnly = false) ==
+      List("a<div>b<div>c</div>d</div>e", "2"))
+    assert(HtmlImpl.findAll("<br/><div class=\"z\">q</div>", "br", "", "",
+      firstOnly = false) == List(""))
+  }
+}
