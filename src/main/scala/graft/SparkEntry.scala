@@ -146,26 +146,17 @@ object SparkEntry {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
         round(col("o_totalprice"), 4).as("latest_price"))
 
-  /** q05: candidates-by-year shape — multi-way dim join + IN-list
-    * filters + semi-join on the fact. Dims broadcast; the only shuffle
-    * is the semi-join on custkey.
+  /** q05: candidates-by-year shape — multi-way dim join + param
+    * filters + semi-join on the fact, expressed through the typed
+    * RosterQuery param API. Year params compile to raw range predicates
+    * at the scan (PushdownSpec pins this); dims broadcast; the only
+    * shuffle is the semi-join on custkey.
     * Ref: queries/election_candidates_by_electionyear.sql. */
-  private def q05(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables(s, dir)
-    // raw range predicate on the stored column (NOT year(..).isin):
-    // function-wrapped predicates defeat parquet row-group pruning, and
-    // at 100 TB that decides whether the scan prunes or reads everything
-    val ordersF = t.orders
-      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      .select("o_custkey")
-    t.customer
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t.region.filter(col("r_name").isin("ASIA", "EUROPE"))),
-        col("n_regionkey") === col("r_regionkey"))
-      .join(ordersF, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
-  }
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    RosterQuery.activeEntities(Tables(s, dir),
+      RosterQuery.RosterParams(
+        electionYears = Seq(1995, 1996),
+        stateNames = Seq("ASIA", "EUROPE")))
 
   /** q06: incumbents-by-term shape — date-window join + count.
     * Ref: queries/office-candidates_by_congstatus.sql. */
@@ -449,6 +440,34 @@ object SparkEntry {
       idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
   }
 
+  /** q46: CSS/div HTML extraction round-trip — pages synthesised in the
+    * reference's billtrack50 scorecard shape (nested container div +
+    * labeled strong/span score pulls), then extracted back with the
+    * balanced-scan html_* kernels. The oracle computes the fields
+    * directly from the source columns, so any extraction defect breaks
+    * parity. Ref: billtrack50_app/extract.py:25-42. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val page = concat(
+      lit("<html><body><div class=\"bt50-scorecard-container\" data-legislatorid=\"L"),
+      k.cast("string"),
+      lit("\"><div class=\"legislator-sub-head\">"),
+      col("c_name"), lit(" ("), col("c_mktsegment"), lit(")"),
+      lit("</div><p class=\"legislator-detail-score\"><strong>2023</strong><span> "),
+      (k % 101).cast("string"),
+      lit("%</span></p><p class=\"legislator-detail-score\"><strong>Lifetime</strong><span>"),
+      ((k * 7) % 101).cast("string"),
+      lit("%</span></p></div></body></html>"))
+    Tables(s, dir).customer
+      .select(k.as("id"), page.as("__html"))
+      .select(col("id"), CssExtract.bt50Scorecard(col("__html")).as("__r"))
+      .select(
+        col("id"),
+        col("__r.info").as("info"),
+        element_at(col("__r.scores"), "2023").as("score_2023"),
+        element_at(col("__r.scores"), "Lifetime").as("lifetime"))
+  }
+
   /** q37: stopword-profile language ID. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
@@ -535,7 +554,10 @@ object SparkEntry {
       regexp_replace((k % 25).cast("string"), "^0+", "").as("district"),
       element_at(array(lit("Republican"), lit("Democratic"), lit("Independent")),
         (k % 3).cast("int") + 1).as("party"),
-      (k % 5).cast("int").as("state_id"))
+      // ~50 states like the reference's real blocking key (match.py
+      // blocks on state_id): 5 synthetic blocks made every block 10x
+      // the realistic pair volume
+      (k % 50).cast("int").as("state_id"))
     // scraped side: lowercase-noise on firstname, nickname used as the
     // visible first name for every 13th row (exercises the alternates)
     val scraped = base.select(
@@ -568,28 +590,19 @@ object SparkEntry {
 
   /** q44: the reference's roster-query shape end to end — DISTINCT ON
     * over LEFT-joined dims ("left join to assume data entry error",
-    * election_candidates_by_electionyear.sql:25) with IN-list filters
-    * and the state-id-OR-state-name disjunction (ibid:40-48). Dims are
-    * broadcast; the only shuffle is the DISTINCT ON key. */
-  private def q44(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables(s, dir)
-    val joined = t.orders
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
-        col("o_orderstatus").isin("O", "F"))
-      .join(t.customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
-      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
-      .filter(col("c_nationkey").isin(1, 2, 3, 4, 5) || col("r_name") === "ASIA")
-    DistinctOn(joined,
-      keys = Seq(col("c_custkey")),
-      order = Seq(col("o_orderdate").desc, col("o_orderkey")))
-      .select(
-        col("c_custkey"), col("c_name"),
-        col("n_name").as("office"), col("r_name").as("state"),
-        col("o_orderkey").as("latest_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
-  }
+    * election_candidates_by_electionyear.sql:25) with the full
+    * parameter set (years / stages / state_ids OR state_names) through
+    * the typed RosterQuery API. Dims are broadcast; the only shuffle is
+    * the DISTINCT ON key; year params reach the scan as range
+    * predicates. In production the fact/entity frames come from
+    * graft.sources.Jdbc instead of parquet — same plan either way. */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    RosterQuery.candidates(Tables(s, dir),
+      RosterQuery.RosterParams(
+        electionYears = Seq(1996, 1997),
+        stages = Seq("O", "F"),
+        stateIds = Seq(1, 2, 3, 4, 5),
+        stateNames = Seq("ASIA")))
 
   // ----------------------------------------------------------------
   // Registry
@@ -631,7 +644,8 @@ object SparkEntry {
     "q42_fuzzy_jaro_winkler" -> (q42 _),
     "q43_fuzzy_link_full" -> (q43 _),
     "q44_roster_query" -> (q44 _),
-    "q45_ann_ivf_pruned" -> (q45 _)
+    "q45_ann_ivf_pruned" -> (q45 _),
+    "q46_css_extract" -> (q46 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -958,6 +972,12 @@ object SparkEntry {
         |    PARTITION BY c_custkey
         |    ORDER BY o_orderdate DESC, o_orderkey) AS rn
         |  FROM joined)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "q46_css_extract" ->
+      """SELECT c_custkey AS id,
+        |  c_name || ' (' || c_mktsegment || ')' AS info,
+        |  CAST(c_custkey % 101 AS VARCHAR) || '%' AS score_2023,
+        |  CAST((c_custkey * 7) % 101 AS VARCHAR) || '%' AS lifetime
+        |FROM customer""".stripMargin
   )
 }

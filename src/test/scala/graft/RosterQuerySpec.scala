@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RosterQuery
+import graft.operators.RosterQuery.RosterParams
+import graft.sources.Jdbc
+
+/** Param compilation for the reference's runtime-parameterized roster
+  * queries and the JDBC source plumbing. */
+class RosterQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("yearRangePredicate merges contiguous years into single ranges") {
+    val df = Seq("1995-06-01", "1996-06-01", "1997-06-01", "1999-06-01", "2000-06-01")
+      .toDF("d").select(col("d").cast("timestamp").as("d"))
+    def years(ys: Int*): Set[String] =
+      df.filter(RosterQuery.yearRangePredicate(col("d"), ys).get)
+        .select(date_format(col("d"), "yyyy")).as[String].collect().toSet
+    assert(years(1995, 1996) == Set("1995", "1996"))
+    // non-contiguous list → OR of ranges, gap excluded
+    assert(years(1995, 1997, 1999) == Set("1995", "1997", "1999"))
+    // duplicates and order don't matter
+    assert(years(1996, 1995, 1996) == Set("1995", "1996"))
+    assert(RosterQuery.yearRangePredicate(col("d"), Nil).isEmpty)
+  }
+
+  test("empty params = no filters (full DISTINCT ON roster)") {
+    val t = Tables(spark, sf)
+    val all = RosterQuery.candidates(t, RosterParams())
+    // one row per customer with >= 1 order
+    val expected = t.orders.select("o_custkey").distinct().count()
+    assert(all.count() == expected)
+  }
+
+  test("stages and stateIds params filter the roster") {
+    val t = Tables(spark, sf)
+    val p = RosterParams(stages = Seq("F"), stateIds = Seq(3))
+    val out = RosterQuery.candidates(t, p)
+    // spot-check against a direct formulation
+    val direct = t.orders.filter(col("o_orderstatus") === "F")
+      .join(t.customer.filter(col("c_nationkey") === 3),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey").distinct().count()
+    assert(out.count() == direct)
+  }
+
+  test("officeIds param restricts the office dimension") {
+    val t = Tables(spark, sf)
+    val out = RosterQuery.candidates(t, RosterParams(officeIds = Seq(7)))
+    assert(out.select("office").distinct().count() == 1)
+  }
+
+  test("Jdbc.reader builds without a live database; load is the only connect") {
+    val cfg = Jdbc.Config(
+      url = "jdbc:postgresql://localhost:5432/roster", table = "candidate",
+      user = Some("u"), password = Some("p"),
+      partitionColumn = Some("candidate_id"),
+      lowerBound = Some(0L), upperBound = Some(1000000L),
+      numPartitions = Some(32))
+    Jdbc.reader(spark, cfg) // must not throw (no connection yet)
+  }
+
+  test("Jdbc.configFor fails fast with the missing key name") {
+    val e = intercept[IllegalArgumentException] {
+      Jdbc.configFor(spark, "candidate")
+    }
+    assert(e.getMessage.contains("graft.jdbc.url"))
+    spark.conf.set("graft.jdbc.url", "jdbc:postgresql://cfg/db")
+    try {
+      val cfg = Jdbc.configFor(spark, "candidate")
+      assert(cfg.url == "jdbc:postgresql://cfg/db" && cfg.table == "candidate")
+    } finally spark.conf.unset("graft.jdbc.url")
+  }
+}
