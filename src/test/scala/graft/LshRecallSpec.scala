@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.VectorFunctions
+
+/** Quantified recall tests for the probabilistic LSH paths (q31 MinHash
+  * banding, q41 hyperplane buckets) — no SQL oracle can check these, so
+  * the banding formulas are the contract:
+  *
+  * - MinHash, r rows per band, b bands, pair Jaccard s:
+  *   P(candidate) = 1 - (1 - s^r)^b. At the registered config
+  *   (numHashes 48, bands 16, r = 3) a pair at s ≈ 0.8 is a candidate
+  *   with probability 1 - 7e-6 — planted pairs must be recalled
+  *   essentially always, while low-similarity pairs stay mostly
+  *   un-paired (selectivity, the other half of the contract).
+  *
+  * - Random-hyperplane LSH, `planes` sign bits, pair angle θ:
+  *   P(same bucket) = (1 - θ/π)^planes. Planted pairs at a fixed angle
+  *   must collide at ≥ the predicted rate minus sampling margin.
+  *
+  * Both tests are deterministic: seeded inputs, fixed hash/plane
+  * constructions.
+  */
+class LshRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted docs: base doc i and partner i+n share a prefix of
+    * L - m words (per-pair-unique vocab so cross-pair overlap is zero).
+    * Word-trigram Jaccard is exactly (L-m-2)/(L+m-2). */
+  private def plantedDocs(n: Int, L: Int, m: Int): Seq[(Long, String)] = {
+    (0 until n).flatMap { i =>
+      val base = (0 until L).map(j => s"w${i}_$j")
+      val partner = base.take(L - m) ++ (0 until m).map(j => s"v${i}_$j")
+      Seq((i.toLong, base.mkString(" ")),
+        ((i + n).toLong, partner.mkString(" ")))
+    }
+  }
+
+  private def minhashRecall(n: Int, L: Int, m: Int): Double = {
+    val docs = plantedDocs(n, L, m).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    (0 until n).count(i => cands.contains((i.toLong, (i + n).toLong)))
+      .toDouble / n
+  }
+
+  test("minhash banding: high-similarity planted pairs recalled at formula rate") {
+    // L=30, m=3 → trigram jaccard 25/31 ≈ 0.806
+    // P(candidate) = 1 - (1 - 0.806^3)^16 ≈ 0.99999
+    assert(minhashRecall(n = 200, L = 30, m = 3) >= 0.97)
+  }
+
+  test("minhash banding stays selective on low-similarity pairs") {
+    // L=30, m=24 → jaccard 4/52 ≈ 0.077
+    // P(candidate) = 1 - (1 - 0.077^3)^16 ≈ 0.007
+    assert(minhashRecall(n = 200, L = 30, m = 24) <= 0.1)
+  }
+
+  test("hyperplane buckets: collision rate matches the angular formula") {
+    val dim = 16
+    val planes = 4
+    val theta = math.toRadians(25) // cos ≈ 0.906
+    val pPred = math.pow(1.0 - theta / math.Pi, planes) // ≈ 0.55
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    def unit(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x / nm)
+    }
+    val rows = (0 until n).flatMap { i =>
+      val v = unit(Array.fill(dim)(rnd.nextGaussian()))
+      // w orthonormal to v → u at exactly angle theta from v
+      val w0 = Array.fill(dim)(rnd.nextGaussian())
+      val d = v.zip(w0).map { case (a, b) => a * b }.sum
+      val w = unit(w0.zip(v).map { case (b, a) => b - d * a })
+      val u = v.zip(w).map { case (a, b) =>
+        math.cos(theta) * a + math.sin(theta) * b }
+      Seq((i.toLong, v.map(_.toFloat)), ((i + n).toLong, u.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val buckets = df.select(col("vec_id"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), dim, planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val collide = (0 until n).count(i => buckets(i.toLong) == buckets((i + n).toLong))
+    val rate = collide.toDouble / n
+    // 3σ sampling margin at p ≈ 0.55, n = 400 is ~0.075
+    assert(rate >= pPred - 0.09,
+      s"collision rate $rate below predicted $pPred - margin")
+    // and the buckets must still separate: random pairs collide at ~1/16
+    val cross = (0 until n - 1).count(i =>
+      buckets(i.toLong) == buckets((i + 1).toLong))
+    assert(cross.toDouble / (n - 1) <= 0.25)
+  }
+
+  test("embeddingNearDup end-to-end recovers planted near-dups it buckets together") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val n = 150
+    val rows = (0 until n).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val u = v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat) // cos ≈ 0.999
+      Seq((i.toLong, v), ((i + n).toLong, u))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      dim = dim, numPlanes = 4, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recalled = (0 until n).count(i => pairs.contains((i.toLong, (i + n).toLong)))
+    // near-identical vectors (θ ≈ 2-4°) collide at ≈ (1 - θ/π)^4 ≥ 0.93
+    assert(recalled.toDouble / n >= 0.85,
+      s"end-to-end recall ${recalled.toDouble / n}")
+  }
+}
