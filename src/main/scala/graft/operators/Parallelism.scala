@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Guards CPU-bound narrow stages against under-partitioned inputs.
@@ -13,10 +14,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelism {
 
-  /** Repartition up to the cluster's default parallelism iff the
-    * current plan has fewer partitions. */
+  /** Estimated scan split count from LOGICAL plan statistics — no
+    * physical planning, no job. FileSourceScan packs splittable files
+    * into ~maxPartitionBytes partitions, so bytes / maxPartitionBytes
+    * approximates the split count; column-pruned projections shrink
+    * sizeInBytes, which only biases toward repartitioning (the safe
+    * direction for a CPU-bound stage). The previous implementation
+    * forced `df.rdd.getNumPartitions`, physical-planning a throwaway
+    * copy of the query on every operator entry. */
+  private def estimatedSplits(df: DataFrame): Long = {
+    val maxPartBytes = JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / math.max(1L, maxPartBytes)).toLong + 1
+  }
+
+  /** Repartition up to the cluster's default parallelism iff the scan
+    * would yield fewer splits. */
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (estimatedSplits(df) < target) df.repartition(target) else df
   }
 }

@@ -70,12 +70,36 @@ object Multimodal {
 
   /** Repartition a media frame so each partition holds ~targetBytes of
     * payload (byte-weighted, not row-count) — the knob that keeps codec
-    * tasks uniform at 100 TB. */
+    * tasks uniform at 100 TB.
+    *
+    * Payload size comes from METADATA, never a data pass (the previous
+    * implementation ran `sum(length(bytes))` — a full second scan of
+    * the binary payload): an explicit `totalBytesHint` if the caller
+    * knows it, else the sum of input-file lengths from the filesystem
+    * (zero jobs; compressed size, the right unit for IO-balanced
+    * partitioning), else the optimizer's logical size estimate. */
   def mediaRepartition(
-      df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
-    val total = df.select(sum(length(col(bytesCol)))).head.getLong(0)
+      df: DataFrame, bytesCol: String, targetBytes: Long,
+      totalBytesHint: Option[Long] = None): DataFrame = {
+    val total = totalBytesHint
+      .orElse(inputFileBytes(df))
+      .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
     val parts = math.max(1, (total / targetBytes).toInt)
     df.repartition(parts)
+  }
+
+  /** Sum of the frame's input-file sizes via filesystem metadata; None
+    * when the frame isn't file-backed (e.g. an in-memory dataset). */
+  private def inputFileBytes(df: DataFrame): Option[Long] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      Some(files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }.sum)
+    }
   }
 
   /** Batched feature extraction: mapPartitions so the (stub) codec is

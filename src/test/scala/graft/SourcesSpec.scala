@@ -75,11 +75,33 @@ class SourcesSpec extends SparkSpec {
     assert(byId.values.forall(_ >= 1))
   }
 
-  test("mediaRepartition sizes partitions by payload bytes") {
+  test("mediaRepartition sizes partitions by payload bytes — no data pass") {
     implicit val s = spark
+    // explicit hint path: exact sizing, zero inspection
     val media = Multimodal.syntheticMedia(spark, 64).toDF()
-    val parts = Multimodal.mediaRepartition(media, "bytes", targetBytes = 4096)
-      .rdd.getNumPartitions
-    assert(parts >= 2) // 64 rows * ~600B >> 4KB target
+    val hinted = Multimodal.mediaRepartition(media, "bytes",
+      targetBytes = 4096, totalBytesHint = Some(64L * 600))
+    assert(hinted.rdd.getNumPartitions >= 2)
+
+    // file-backed path: size from filesystem metadata, and the sizing
+    // itself must launch ZERO jobs (the old implementation ran a full
+    // sum(length(bytes)) scan of the payload)
+    val dir = java.nio.file.Files.createTempDirectory("media_rep").toString
+    media.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sized = Multimodal.mediaRepartition(onDisk, "bytes", targetBytes = 8192)
+      Thread.sleep(500) // let any (unexpected) job-start event arrive
+      assert(jobs.get() == 0, "sizing must not run a Spark job")
+      assert(sized.rdd.getNumPartitions >= 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
