@@ -113,8 +113,13 @@ case class HyperplaneBucket(child: Expression, dim: Int, numPlanes: Int)
 /** Driver-materialised centroid matrix with precomputed norms. Shipped
   * to every task once, as a codegen reference object — the same data
   * movement as a broadcast join's build side, but the per-row argmax
-  * stays a pure projection (zero exchanges on the corpus side). */
+  * stays a pure projection (zero exchanges on the corpus side).
+  * All centroid rows must share one dimensionality. */
 final class CentroidModel(val vecs: Array[Array[Float]]) extends Serializable {
+  require(vecs.nonEmpty, "CentroidModel: empty centroid set")
+  val dim: Int = vecs.head.length
+  require(vecs.forall(_.length == dim),
+    s"CentroidModel: ragged centroid rows (expected uniform dim $dim)")
   val norms: Array[Double] = vecs.map { v =>
     var acc = 0.0
     var i = 0
@@ -143,9 +148,18 @@ object CentroidImpl {
   /** 1-based index of the max-cosine centroid (ties → lowest index).
     * Same left-fold double accumulation and zero-norm→0.0 guard as the
     * `array_position(scores, array_max(scores))` HOF fallback, so the
-    * adaptive switch can never change bucket assignments. */
+    * adaptive switch can never change bucket assignments. That parity
+    * extends to NaN scores: Spark orders NaN greater than any double
+    * (array_max returns the first NaN), so a NaN score beats every
+    * non-NaN best and the FIRST NaN wins — mirrored here explicitly,
+    * since Java's `>` is false for NaN and would silently skip it.
+    * Input dimensionality must match the model (a shorter centroid row
+    * would throw AIOOBE mid-loop in an executor; a longer one would
+    * silently truncate the dot). */
   def nearest(vec: ArrayData, m: CentroidModel): Long = {
     val n = vec.numElements()
+    require(n == m.dim,
+      s"nearest_centroid: vector dim $n != centroid dim ${m.dim}")
     var nv = 0.0
     var j = 0
     while (j < n) { val x = vec.getFloat(j).toDouble; nv += x * x; j += 1 }
@@ -160,7 +174,10 @@ object CentroidImpl {
       while (i < n) { dot += vec.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
       val score =
         if (nv == 0.0 || m.norms(c) == 0.0) 0.0 else dot / (nv * m.norms(c))
-      if (score > bestScore) { bestScore = score; best = c }
+      val better =
+        if (java.lang.Double.isNaN(score)) !java.lang.Double.isNaN(bestScore)
+        else score > bestScore
+      if (better) { bestScore = score; best = c }
       c += 1
     }
     (best + 1).toLong

@@ -59,26 +59,56 @@ object Ann {
     * deliberately small table — so it is materialised on the driver once
     * (the same data movement as a broadcast join's build side) and the
     * per-row argmax runs as a pure projection: zero exchanges, the
-    * corpus never moves. */
+    * corpus never moves.
+    *
+    * NOTE: calling this EAGERLY RUNS a Spark job (the centroid
+    * `collect()`) at DataFrame-construction time — acceptable because
+    * the model table is small by construction, but callers composing
+    * lazy pipelines should construct it once and reuse.
+    *
+    * Corpus rows with a null embedding are EXCLUDED from the index
+    * (filtered here, explicitly): a null vector has no bucket, and
+    * letting it fall through as a null centroid_id would silently drop
+    * it later in ivfTopK's bucket join. Filter nulls upstream if they
+    * should be scored some other way. */
   def assignBuckets(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val (ids, matrix) = collectCentroids(centroids, idCol, vecCol)
-    corpus.withColumn("centroid_id",
-      element_at(ids,
-        nearestCentroid(col(vecCol), matrix).cast("int")))
+    corpus.filter(col(vecCol).isNotNull)
+      .withColumn("centroid_id",
+        element_at(ids,
+          nearestCentroid(col(vecCol), matrix).cast("int")))
   }
+
+  /** Driver-side model size cap: beyond this the foldable-literal
+    * shipping strategy bloats plan serialization/analysis — at that
+    * scale use a broadcast-join bucket assignment instead. sqrt(N)
+    * centroids for a 10^9-vector index (~31k rows of 768 floats ≈ 95 MB
+    * of literal) stays within; a 10^5 x 768 matrix does not. */
+  private val MaxCentroidRows = 65536
+  private val MaxCentroidFloats = 32L << 20 // 32M floats ≈ 128 MB
 
   /** Centroid model, driver-side: (id lookup literal, matrix) ordered by
     * ascending centroid id so argmax tie-breaking (lowest matrix index)
-    * means lowest centroid id. */
+    * means lowest centroid id. Null ids/vectors are rejected, not
+    * NPE'd. */
   private def collectCentroids(
       centroids: DataFrame, idCol: String,
       vecCol: String): (Column, Seq[Seq[Float]]) = {
     val rows = centroids.select(col(idCol), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .orderBy(col(idCol)).collect()
-    require(rows.nonEmpty, "assignBuckets: empty centroid set")
+    require(rows.nonEmpty,
+      "assignBuckets: empty centroid set (after dropping null id/vec rows)")
+    require(rows.length <= MaxCentroidRows,
+      s"assignBuckets: ${rows.length} centroids exceed $MaxCentroidRows — " +
+        "ship the model as a broadcast join, not a plan literal")
     val matrix = rows.toSeq.map(_.getSeq[Float](1).toSeq)
+    val floats = matrix.iterator.map(_.size.toLong).sum
+    require(floats <= MaxCentroidFloats,
+      s"assignBuckets: centroid matrix of $floats floats exceeds " +
+        s"$MaxCentroidFloats — use a broadcast-join assignment instead")
     val ids: Column = rows.head.get(0) match {
       case _: java.lang.Long =>
         typedLit(rows.toSeq.map(_.getLong(0)))
@@ -93,7 +123,10 @@ object Ann {
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to each query and
-    * rank candidates only within those buckets. */
+    * rank candidates only within those buckets. "Exact at full probe"
+    * holds over the INDEXED corpus — rows with null embeddings are
+    * excluded by assignBuckets (they cannot be scored); on a nullable
+    * corpus an engine that ranks null similarity last would differ. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,

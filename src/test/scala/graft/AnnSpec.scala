@@ -94,6 +94,51 @@ class AnnSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
 
+  test("NaN scores follow Spark's NaN-greatest ordering in both kernel paths") {
+    // a NaN component makes every cosine NaN; Spark's array_max returns
+    // NaN and array_position finds the FIRST NaN, so both paths must
+    // pick centroid index 1
+    val nanVec = Seq((0L, Array(Float.NaN, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val matrix = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    val r = nanVec.select(
+      VectorFunctions.nearestCentroid(col("embedding"), matrix).as("native"),
+      VectorFunctions.nearestCentroidHof(col("embedding"), matrix).as("hof"))
+      .head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1L)
+  }
+
+  test("dimension mismatch fails loudly, ragged matrices are rejected") {
+    val bad = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding") // dim 2
+    val matrix = Seq(Seq(1.0f, 0.0f, 0.0f)) // dim 3
+    val e = intercept[Exception] {
+      bad.select(VectorFunctions.nearestCentroid(col("embedding"), matrix)).head
+    }
+    assert(e.getMessage.contains("dim") ||
+      e.getCause != null && e.getCause.getMessage.contains("dim"))
+    intercept[IllegalArgumentException] {
+      new graft.functions.CentroidModel(
+        Array(Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)))
+    }
+  }
+
+  test("null embeddings are excluded from the IVF index, null ids from the model") {
+    val withNull = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = withNull.filter($"vec_id".isin(0L, 2L))
+    val out = Ann.assignBuckets(withNull, centroids, "vec_id", "embedding")
+    assert(out.select("vec_id").as[Long].collect().toSet === Set(0L, 2L))
+    // a model consisting only of null rows is an explicit error
+    val allNull = Seq((5L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Ann.assignBuckets(withNull, allNull, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("empty centroid set"))
+  }
+
   test("hyperplaneBucket is deterministic and groups identical vectors") {
     val b = vecs.select(col("vec_id"),
       VectorFunctions.hyperplaneBucket(col("embedding"), 3, 8).as("b"))
