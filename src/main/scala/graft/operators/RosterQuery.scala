@@ -91,6 +91,33 @@ object RosterQuery {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
   }
 
+  /** The reference's main() glue (votervoice/match.py:107-126): derive
+    * the roster-query params from the TRANSFORMED scraped records —
+    * office names resolve to ids through the office reference list
+    * (`office_list.get(r["office"])`; names absent from the list drop
+    * out, exactly like the reference's `if r["office"] in office_list`
+    * guard, via the inner join), distinct state ids collect directly.
+    * The reference list and the distinct sets are tiny — two small
+    * driver-side pulls that then compile into scan-pushable predicates.
+    */
+  def paramsFromRecords(
+      records: DataFrame, officeCol: String, stateCol: String,
+      officeList: DataFrame, officeNameCol: String, officeIdCol: String,
+      electionYears: Seq[Int] = Nil, stages: Seq[String] = Nil): RosterParams = {
+    val officeIds = records
+      .select(col(officeCol).as("__name")).distinct()
+      .join(officeList.select(col(officeNameCol).as("__name"),
+        col(officeIdCol).cast("int").as("__id")), "__name")
+      .select("__id").collect().map(_.getInt(0)).toSeq.sorted
+    val stateIds = records
+      .select(col(stateCol).cast("int").as("__sid"))
+      .filter(col("__sid").isNotNull).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    RosterParams(
+      electionYears = electionYears, stages = stages,
+      officeIds = officeIds, stateIds = stateIds)
+  }
+
   /** The candidates-by-year semi-join shape (q05): entities with ≥ 1
     * fact row inside the param window, dims attached, dims filtered by
     * state names. INNER dim joins here — this is the strict variant the

@@ -52,6 +52,27 @@ class RosterQuerySpec extends SparkSpec {
     assert(out.select("office").distinct().count() == 1)
   }
 
+  test("paramsFromRecords: office names resolve through the reference list") {
+    val t = Tables(spark, sf)
+    // scraped records carrying office NAMES and state ids — one office
+    // name is not in the reference list and must drop out (match.py's
+    // `if r["office"] in office_list` guard)
+    val records = Seq(
+      ("NATION_3", 3), ("NATION_3", 7), ("No Such Office", 3), ("NATION_12", 12))
+      .toDF("office", "state_id")
+    val p = RosterQuery.paramsFromRecords(
+      records, "office", "state_id",
+      officeList = t.nation, officeNameCol = "n_name", officeIdCol = "n_nationkey",
+      electionYears = Seq(1996), stages = Seq("F"))
+    assert(p.officeIds == Seq(3, 12)) // "No Such Office" dropped
+    assert(p.stateIds == Seq(3, 7, 12))
+    assert(p.electionYears == Seq(1996) && p.stages == Seq("F"))
+    // and the derived params drive the roster query end to end
+    val out = RosterQuery.candidates(t, p)
+    assert(out.select("office").distinct().as[String].collect().toSet
+      .subsetOf(Set("NATION_3", "NATION_12")))
+  }
+
   test("Jdbc.reader builds without a live database; load is the only connect") {
     val cfg = Jdbc.Config(
       url = "jdbc:postgresql://localhost:5432/roster", table = "candidate",
