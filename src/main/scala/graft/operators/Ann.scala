@@ -122,6 +122,36 @@ object Ann {
     (ids, matrix)
   }
 
+  /** Bucket assignment via BROADCAST JOIN — the path for centroid sets
+    * too large for the plan-literal model (beyond the collectCentroids
+    * caps). One broadcast of the centroid table, per-pair cosine, then
+    * a max_by argmax aggregated per corpus row: the corpus still never
+    * key-shuffles (the aggregation key is the corpus row id, already
+    * unique per row, so the "shuffle" moves one row per input row and
+    * map-side combine collapses it; with AQE it stays local). Ties →
+    * lowest centroid id, matching assignBuckets. (One edge diverges:
+    * NaN cosines sort LAST under struct-min here, while the literal
+    * model follows Spark's NaN-greatest ordering — filter NaN vectors
+    * upstream if that distinction matters.) */
+  def assignBucketsJoin(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = broadcast(centroids
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn")))
+    val corpusV = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__vn", norm(col(vecCol)))
+    corpusV.join(c)
+      .withColumn("__score",
+        cosinePrenormed(dot(col(vecCol), col("__cv")), col("__vn"), col("__cn")))
+      .groupBy(corpusV.columns.map(col): _*)
+      .agg(min(struct(negate(col("__score")).as("n"), col("__cid").as("id")))
+        .as("__best"))
+      .withColumn("centroid_id", col("__best.id"))
+      .drop("__best", "__vn")
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to each query and
     * rank candidates only within those buckets. "Exact at full probe"
     * holds over the INDEXED corpus — rows with null embeddings are

@@ -294,8 +294,15 @@ object Dedup {
     * the pigeonhole recall contract holds at any maxHamming (a fixed
     * 4x16 banding is only complete to hamming ≤ 3); SimhashRecallSpec
     * pins 100% candidate recall on planted pairs at exactly maxHamming.
-    * More bands = smaller buckets = more candidate volume, so keep the
-    * radius as tight as the use case allows.
+    *
+    * Selectivity is the price of radius: band width is 64/(h+1) bits,
+    * so random-pair collision probability per band is 2^-width —
+    * h = 3 gives 16-bit bands (2^16 buckets, the classic Manku
+    * configuration, corpus-scale selective), while h = 8 gives 7-bit
+    * bands (128 buckets per band, ~7% of ALL pairs become candidates).
+    * Keep h ≤ 3 for whole-corpus dedup; radii beyond that are for
+    * small or pre-blocked inputs where the exact hamming post-filter
+    * can afford the candidate volume.
     */
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,

@@ -94,6 +94,18 @@ class AnnSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
 
+  test("assignBucketsJoin (large-model path) agrees with the literal model") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val centroids = e.filter($"vec_id" % 50 === 0)
+    val lit = Ann.assignBuckets(e, centroids, "vec_id", "embedding")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Ann.assignBucketsJoin(e, centroids, "vec_id", "embedding")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(joined === lit)
+  }
+
   test("NaN scores follow Spark's NaN-greatest ordering in both kernel paths") {
     // a NaN component makes every cosine NaN; Spark's array_max returns
     // NaN and array_position finds the FIRST NaN, so both paths must
