@@ -468,6 +468,52 @@ object SparkEntry {
         element_at(col("__r.scores"), "Lifetime").as("lifetime"))
   }
 
+  /** q47: PII redaction — deterministic PII-laced text synthesised from
+    * customer rows, scrubbed with the RE2-safe email/phone/SSN chain.
+    * The oracle applies the same patterns in DuckDB, so any divergence
+    * in the redaction semantics breaks parity. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val text = concat(
+      lit("Reach "), col("c_name"),
+      lit(" at user"), k.cast("string"), lit("@example.com or "),
+      lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((k % 741).cast("string"), 3, "0"), lit("-"),
+      lpad((k % 10000).cast("string"), 4, "0"), lit("; ssn "),
+      lpad((k % 900).cast("string"), 3, "0"), lit("-"),
+      lpad((k % 89).cast("string"), 2, "0"), lit("-"),
+      lpad((k % 7919).cast("string"), 4, "0"), lit("."))
+    Tables(s, dir).customer.select(
+      k.as("id"),
+      TextStats.redactPii(text).as("clean"))
+  }
+
+  /** q48: corpus n-gram frequency table (top bigrams by doc frequency —
+    * shingles are per-doc distinct). Explode → hash-agg with map-side
+    * combine; vocabulary-bounded output at any corpus size. */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Corpus.ngramFreq(Tables(s, dir).documents, "text", n = 2, topK = 100)
+
+  /** q49: benchmark-contamination screen — docs sharing ≥ 1 trigram
+    * with the probe set (here: the first five documents), with the
+    * shared-distinct-trigram count. Probe side broadcast; the corpus
+    * shuffles only (doc_id, ngram) hits. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Corpus.contamination(
+      t.documents, "doc_id", "text",
+      probes = t.documents.filter(col("doc_id") < 5), probeTextCol = "text",
+      n = 3)
+  }
+
+  /** q50: deterministic train/val/test split by id hash — stable across
+    * runs and layouts, pure projection. rows-only (xxhash64 is
+    * engine-specific); CorpusSpec pins determinism, coverage and
+    * proportions. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitAssign(Tables(s, dir).documents, "doc_id")
+      .select(col("doc_id"), col("split"))
+
   /** q37: stopword-profile language ID. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
@@ -645,7 +691,11 @@ object SparkEntry {
     "q43_fuzzy_link_full" -> (q43 _),
     "q44_roster_query" -> (q44 _),
     "q45_ann_ivf_pruned" -> (q45 _),
-    "q46_css_extract" -> (q46 _)
+    "q46_css_extract" -> (q46 _),
+    "q47_redact_pii" -> (q47 _),
+    "q48_ngram_freq" -> (q48 _),
+    "q49_contamination" -> (q49 _),
+    "q50_split_assign" -> (q50 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -978,6 +1028,43 @@ object SparkEntry {
         |  c_name || ' (' || c_mktsegment || ')' AS info,
         |  CAST(c_custkey % 101 AS VARCHAR) || '%' AS score_2023,
         |  CAST((c_custkey * 7) % 101 AS VARCHAR) || '%' AS lifetime
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "q47_redact_pii" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS id,
+        |    'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |    || '@example.com or '
+        |    || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(c_custkey % 741 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '; ssn '
+        |    || lpad(CAST(c_custkey % 900 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(c_custkey % 89 AS VARCHAR), 2, '0') || '-'
+        |    || lpad(CAST(c_custkey % 7919 AS VARCHAR), 4, '0') || '.' AS text
+        |  FROM customer)
+        |SELECT id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS clean
+        |FROM raw""".stripMargin,
+    "q48_ngram_freq" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT list_distinct([words[i] || ' ' || words[i+1]
+        |         for i in generate_series(1, len(words)-1)]) AS bi FROM w),
+        |u AS (SELECT unnest(bi) AS ngram FROM sh)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+        |FROM u GROUP BY 1
+        |ORDER BY freq DESC, ngram
+        |LIMIT 100""".stripMargin,
+    "q49_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |    for i in generate_series(1, len(words)-2)]) AS tri FROM w),
+        |probe AS (SELECT DISTINCT unnest(tri) AS ngram FROM sh WHERE doc_id < 5),
+        |d AS (SELECT doc_id, unnest(tri) AS ngram FROM sh)
+        |SELECT d.doc_id, CAST(count(DISTINCT d.ngram) AS BIGINT) AS n_hits
+        |FROM d JOIN probe USING (ngram)
+        |GROUP BY d.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operations for training-data curation: n-gram frequency
+  * tables, benchmark-contamination flagging, deterministic dataset
+  * splits. All are single-shuffle shapes (explode → partial-agg →
+  * final-agg, or bucket-join) that hold at corpus scale.
+  */
+object Corpus {
+
+  /** n-gram frequency table: count of each distinct word n-gram across
+    * the corpus, ties broken by n-gram text for determinism. The explode
+    * feeds a hash aggregation with map-side partial combine, so the
+    * shuffle carries one row per distinct n-gram per partition — the
+    * canonical word-count plan, vocabulary-bounded at any corpus size.
+    * Frequency tables drive contamination screens and quality heuristics
+    * over training corpora. */
+  def ngramFreq(
+      docs: DataFrame, textCol: String, n: Int, topK: Int): DataFrame =
+    Parallelism.ensure(docs.select(col(textCol).as("__t")))
+      .select(explode(Dedup.shingles(col("__t"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(topK)
+
+  /** Benchmark-contamination screen: per document, how many n-grams it
+    * shares with a probe set (e.g. benchmark/eval shingles), keeping
+    * only contaminated docs. Both sides shingle once; the join is an
+    * equi-join on the n-gram (probe side broadcast — probe sets are
+    * small), then a count per doc: the corpus never cross-joins and
+    * never shuffles its text, only (doc_id, ngram) hits. */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
+    val docGrams = Parallelism.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), explode(Dedup.shingles(col("__t"), n)).as("ngram"))
+    val probeGrams = probes
+      .select(explode(Dedup.shingles(col(probeTextCol), n)).as("ngram"))
+      .distinct()
+    docGrams
+      .join(broadcast(probeGrams), "ngram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ngram")).as("n_hits"))
+  }
+
+  /** Deterministic train/val/test assignment by content-independent id
+    * hash: stable across runs and cluster layouts (xxhash64 of the id,
+    * never Math.random or row position), pure projection, no shuffle.
+    * Weights are percentages summing to ≤ 100 (remainder → last split).
+    */
+  def splitAssign(
+      docs: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100,
+      "split weights must sum to <= 100")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100)).cast("int")
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val assign = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assign)
+  }
+}

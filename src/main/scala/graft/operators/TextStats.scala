@@ -61,6 +61,20 @@ object TextStats {
     round(lenScore * 0.6 + stopScore * 0.4, 4)
   }
 
+  /** PII redaction for training corpora: emails, dashed/dotted US phone
+    * numbers, SSN-shaped ids → typed placeholders. RE2-safe patterns
+    * (no lookaround) so one regex set behaves identically on Spark and
+    * the DuckDB oracle; order is email → phone → SSN (the 3-3-4 phone
+    * and 3-2-4 SSN shapes are disjoint). Pure regexp_replace chain —
+    * codegen'd, scan-speed. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val phone = regexp_replace(email,
+      "\\d{3}[-.]\\d{3}[-.]\\d{4}", "[PHONE]")
+    regexp_replace(phone, "\\d{3}-\\d{2}-\\d{4}", "[SSN]")
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
     size(split(text, "\\s+"))

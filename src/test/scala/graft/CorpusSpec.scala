@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.operators.TextStats
+
+/** Corpus curation operators: n-gram frequency, contamination screen,
+  * deterministic splits, PII redaction. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramFreq counts doc-distinct bigrams with deterministic order") {
+    val docs = Seq(
+      "a b a b", // distinct bigrams: "a b", "b a"
+      "a b c",   // "a b", "b c"
+      "x"        // none
+    ).toDF("text")
+    val out = Corpus.ngramFreq(docs, "text", n = 2, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 2L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("contamination counts shared distinct trigrams per doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sits"),
+      (3L, "entirely different words here now")
+    ).toDF("doc_id", "text")
+    val probes = Seq("the quick brown fox").toDF("text")
+    val out = Corpus.contamination(docs, "doc_id", "text", probes, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown" + "quick brown fox"; doc 2 only
+    // "the quick brown"; doc 3 nothing (absent from output)
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("splitAssign is deterministic, exhaustive, and near the weights") {
+    val docs = spark.range(10000).toDF("doc_id")
+    val a = Corpus.splitAssign(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.keySet == Set("train", "val", "test"))
+    assert(a.values.sum == 10000L)
+    assert(math.abs(a("train") - 8000L) < 400, s"train=${a("train")}")
+    assert(math.abs(a("val") - 1000L) < 200)
+    // byte-stable across invocations
+    val b = Corpus.splitAssign(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b)
+    // a different seed reshuffles membership but keeps proportions
+    val c = Corpus.splitAssign(docs, "doc_id", seed = 1L)
+    val moved = Corpus.splitAssign(docs, "doc_id")
+      .withColumnRenamed("split", "s0")
+      .join(c.withColumnRenamed("split", "s1"), "doc_id")
+      .filter(col("s0") =!= col("s1")).count()
+    assert(moved > 0)
+  }
+
+  test("splitAssign validates weights") {
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(spark.range(1).toDF("id"), "id",
+        splits = Seq("a" -> 60, "b" -> 60))
+    }
+  }
+
+  test("redactPii scrubs emails, phones, SSNs and nothing else") {
+    val out = Seq(
+      "mail a.smith+x@sub.example.org now",
+      "call 555-123-4567 or 555.987.6543",
+      "ssn 123-45-6789 stays typed",
+      "clean text 1234567890 with plain digits"
+    ).toDF("t").select(TextStats.redactPii(col("t"))).as[String].collect()
+    assert(out(0) == "mail [EMAIL] now")
+    assert(out(1) == "call [PHONE] or [PHONE]")
+    assert(out(2) == "ssn [SSN] stays typed")
+    assert(out(3) == "clean text 1234567890 with plain digits")
+  }
+}
