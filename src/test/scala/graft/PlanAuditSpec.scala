@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Suite-level plan audit over EVERY registered query: structural
+  * guards that catch scale regressions at plan-build time, the way the
+  * round-1 function-wrapped date filters should have been caught.
+  *
+  * - No CartesianProduct anywhere: a cross join that sneaks into any
+  *   operator is a 100 TB death sentence regardless of small-SF timing.
+  * - BroadcastNestedLoopJoin only where it is the DESIGN (the ANN
+  *   queries broadcast a small query/probe set over the corpus with a
+  *   non-equi or unconditioned join) — anywhere else it means an
+  *   equi-join key was lost.
+  * - Dim-join queries must actually broadcast their dims.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Flatten through AQE wrappers. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case n => Seq(n)
+    }.flatten
+
+  // ANN shapes deliberately stream the corpus through a broadcast
+  // nested-loop join (query set × corpus, non-equi condition)
+  private val bnljByDesign = Set(
+    "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned")
+
+  test("no registered query plans a cartesian product; BNLJ only by design") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
+        val cart = nodes.exists(_.isInstanceOf[CartesianProductExec])
+        val bnlj = nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+        (if (cart) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (bnlj && !bnljByDesign(name)) Seq(s"$name: unexpected BNLJ") else Nil)
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("dim-join queries broadcast their dimensions") {
+    for (name <- Seq("q05_election_candidates", "q07_reference_lists",
+      "q11_ship_priority", "q14_rollup", "q44_roster_query")) {
+      val nodes = allNodes(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name: no BroadcastHashJoin in plan")
+    }
+  }
+}
