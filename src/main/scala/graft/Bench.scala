@@ -44,7 +44,10 @@ object Bench {
       "q31_dedup_minhash", "q33_ngram_jaccard", "q34_embed_neardup",
       "q35_ann_bruteforce", "q37_lang_id",
       // LLM-pipeline + linkage paths (added r4 — invisible before)
-      "q41_embed_lsh", "q43_fuzzy_link_full", "q45_ann_ivf_pruned"
+      "q41_embed_lsh", "q43_fuzzy_link_full", "q45_ann_ivf_pruned",
+      // corpus-curation + extraction paths (added r4)
+      "q46_css_extract", "q47_redact_pii", "q48_ngram_freq",
+      "q49_contamination"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -194,12 +194,23 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // The candidate-pair set is consumed twice below (candidate ids +
+    // the verify join). Without a materialization barrier each consumer
+    // re-runs the ENTIRE shingle→signature→band-join pipeline (plan
+    // audit showed 3 evaluations, zero exchange reuse across them) —
+    // so checkpoint the pairs once: they are tiny relative to the
+    // corpus (~candidates/doc rows of two ids), and every consumer then
+    // reads the materialized pairs instead of recomputing signatures.
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint(false)
     // verify-stage shingles only for docs that appear in a candidate
     // pair (semi-join first): at corpus scale the candidate set is a
-    // tiny fraction, so this avoids re-shingling the whole corpus
-    val candIds = cands.select(col("a_id").as("__id"))
-      .union(cands.select(col("b_id").as("__id"))).distinct()
+    // tiny fraction, so this avoids re-shingling the whole corpus.
+    // Single explode pass, not a two-branch union (a union would
+    // evaluate `cands` once per branch).
+    val candIds = cands
+      .select(explode(array(col("a_id"), col("b_id"))).as("__id"))
+      .distinct()
     val sh = Parallelism.ensure(
       docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
         .join(candIds, Seq("__id"), "left_semi"))
