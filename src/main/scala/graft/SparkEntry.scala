@@ -158,16 +158,11 @@ object SparkEntry {
         electionYears = Seq(1995, 1996),
         stateNames = Seq("ASIA", "EUROPE")))
 
-  /** q06: incumbents-by-term shape — date-window join + count.
+  /** q06: incumbents-by-term shape — runtime date-window params +
+    * count, through the typed RosterQuery API.
     * Ref: queries/office-candidates_by_congstatus.sql. */
-  private def q06(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables(s, dir)
-    val inWindow = t.orders
-      .filter(col("o_orderdate").between("1998-01-01", "1998-12-31"))
-      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
-    t.customer.join(inWindow, col("c_custkey") === col("o_custkey"))
-      .select(col("c_custkey"), col("c_name"), col("n_orders"))
-  }
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    RosterQuery.incumbents(Tables(s, dir), "1998-01-01", "1998-12-31")
 
   /** q07: small-dim broadcast lookup + rollup counts.
     * Ref: queries/office_list.sql, state_list.sql. */

@@ -91,6 +91,36 @@ object RosterQuery {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
   }
 
+  /** The reference's OTHER parameterized roster query
+    * (office-candidates_by_congstatus.sql: incumbents whose status
+    * date falls BETWEEN the runtime term bounds, refined by the same
+    * office/state params; invoked from match.py:118-125 with bounds
+    * derived from the scrape years). Mapping: orders plays the status
+    * fact — activity count per entity inside the window. Date bounds
+    * are raw inclusive range predicates on the stored column (scan-
+    * pushable); dim joins only enter the plan when a param needs them.
+    */
+  def incumbents(
+      t: Tables, startDate: String, endDate: String,
+      p: RosterParams = RosterParams()): DataFrame = {
+    val statusInWindow = t.orders
+      .filter(col("o_orderdate").between(startDate, endDate))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val base = t.customer
+      .join(statusInWindow, col("c_custkey") === col("o_custkey"))
+    val needDims = p.officeIds.nonEmpty || p.stateNames.nonEmpty
+    val refined =
+      if (needDims)
+        base
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+          .filter(stateFilter(p))
+          .filter(inList(col("n_nationkey"), p.officeIds).getOrElse(lit(true)))
+      else
+        base.filter(inList(col("c_nationkey"), p.stateIds).getOrElse(lit(true)))
+    refined.select(col("c_custkey"), col("c_name"), col("n_orders"))
+  }
+
   /** The reference's main() glue (votervoice/match.py:107-126): derive
     * the roster-query params from the TRANSFORMED scraped records —
     * office names resolve to ids through the office reference list

@@ -52,6 +52,26 @@ class RosterQuerySpec extends SparkSpec {
     assert(out.select("office").distinct().count() == 1)
   }
 
+  test("incumbents: date window + param refinement") {
+    val t = Tables(spark, sf)
+    val all = RosterQuery.incumbents(t, "1998-01-01", "1998-12-31")
+    val direct = t.orders
+      .filter(col("o_orderdate").between("1998-01-01", "1998-12-31"))
+      .select("o_custkey").distinct().count()
+    assert(all.count() == direct)
+    // state refinement without dims in the plan
+    val byState = RosterQuery.incumbents(t, "1998-01-01", "1998-12-31",
+      RosterQuery.RosterParams(stateIds = Seq(2)))
+    assert(byState.count() ==
+      all.join(t.customer.filter(col("c_nationkey") === 2)
+          .select(col("c_custkey").as("k")),
+        col("c_custkey") === col("k")).count())
+    // office refinement pulls the dims in
+    val byOffice = RosterQuery.incumbents(t, "1998-01-01", "1998-12-31",
+      RosterQuery.RosterParams(officeIds = Seq(2)))
+    assert(byOffice.count() == byState.count())
+  }
+
   test("paramsFromRecords: office names resolve through the reference list") {
     val t = Tables(spark, sf)
     // scraped records carrying office NAMES and state ids — one office
