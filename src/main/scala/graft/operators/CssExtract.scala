@@ -64,6 +64,47 @@ object CssExtract {
         struct(text(element(p, "strong")), text(element(p, "span"))))).as("scores"))
   }
 
+  /** Label-run extraction for mixed-content blocks — the reference's
+    * endorsement-list shape (national/_674/endorse/extract.py:20-47:
+    * a single `<p>` of interleaved `<strong>Office</strong><br>name
+    * <br>name` runs, walked with a current-office cursor). Each
+    * `<labelTag>` starts a run; the texts are the non-empty lines
+    * AFTER each `<sepTag>` (text between the label and the first
+    * separator is skipped, exactly like the reference's
+    * next-sibling-of-br walk). Returns array<struct<label, texts>>.
+    */
+  def labeledRuns(
+      container: Column, labelTag: String = "strong",
+      sepTag: String = "br"): Column = {
+    val segs = split(container, s"(?i)<$labelTag[^>]*>")
+    transform(
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
+      seg => {
+        val label = text(regexp_extract(seg, s"(?is)^(.*?)</$labelTag>", 1))
+        val rest = regexp_replace(seg, s"(?is)^.*?</$labelTag>", "")
+        val brSplit = split(rest, s"(?i)<$sepTag\\s*/?>")
+        val lines = filter(
+          transform(
+            slice(brSplit, lit(2), greatest(size(brSplit) - 1, lit(0))),
+            l => text(l)),
+          l => length(l) > 0)
+        struct(label.as("label"), lines.as("texts"))
+      })
+  }
+
+  /** national/_674/endorse/extract.py:20-47 `extract_list` end to end:
+    * one struct(office, info, state) per endorsement line — office from
+    * the enclosing run's `<strong>`, state from the page's `<h3>`
+    * heading. Explode the result for one row per endorsement. */
+  def endorsements(html: Column): Column = {
+    val list = element(element(html, "div", "class", "endorsements-list"), "p")
+    val state = text(element(html, "h3"))
+    flatten(transform(labeledRuns(list), run =>
+      transform(run.getField("texts"), t =>
+        struct(run.getField("label").as("office"), t.as("info"),
+          state.as("state")))))
+  }
+
   /** national/_674/ratings/extract.py:17-33 `extract_candidate`:
     * div#rep → div.detail → span.eyebrow info, div.score strong/em
     * zipped scores. Returns struct(info, scores map). */

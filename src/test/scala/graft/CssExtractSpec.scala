@@ -49,6 +49,26 @@ class CssExtractSpec extends SparkSpec {
     assert(out.getMap[String, String](1) == Map("2024" -> "95", "Career" -> "88"))
   }
 
+  test("endorsement label-run walk mirrors extract_list") {
+    // hslf endorsements shape: one <p> of strong/br runs under a state h3
+    val page =
+      """<h3>Texas</h3><div class="endorsements-list"><p>
+        |<strong>U.S. Senate</strong><br>Jane Doe (D)<br>Bob Lee (I)
+        |<strong>U.S. House</strong> ignored preamble<br>John Smith (R)<br>
+        |<strong>Governor</strong><br></p></div>""".stripMargin.replace("\n", "")
+    val out = Seq(page).toDF("html")
+      .select(explode(CssExtract.endorsements(col("html"))).as("e"))
+      .select("e.office", "e.info", "e.state")
+      .as[(String, String, String)].collect().toSeq
+    // "ignored preamble" sits between </strong> and the first <br> —
+    // the reference's next-sibling-of-br walk skips it; Governor has no
+    // lines and emits nothing
+    assert(out == Seq(
+      ("U.S. Senate", "Jane Doe (D)", "Texas"),
+      ("U.S. Senate", "Bob Lee (I)", "Texas"),
+      ("U.S. House", "John Smith (R)", "Texas")))
+  }
+
   test("class attribute matches whitespace-separated tokens (bs4 rule)") {
     val h = """<div class="a bt50-scorecard-container b">X</div>"""
     assert(HtmlImpl.findAll(h, "div", "class", "bt50-scorecard-container",
