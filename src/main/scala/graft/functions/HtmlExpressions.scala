@@ -80,6 +80,66 @@ object HtmlImpl {
     false
   }
 
+  /** Raw value of attribute `name` within an opening-tag span
+    * [from, to), or null when absent. */
+  private def attrValueOf(
+      html: String, from: Int, to: Int, name: String): String = {
+    var i = from
+    while (i < to) {
+      while (i < to && Character.isWhitespace(html.charAt(i))) i += 1
+      val nameStart = i
+      while (i < to && html.charAt(i) != '=' &&
+        !Character.isWhitespace(html.charAt(i)) && html.charAt(i) != '/') i += 1
+      val n = html.substring(nameStart, i)
+      while (i < to && Character.isWhitespace(html.charAt(i))) i += 1
+      var value: String = null
+      if (i < to && html.charAt(i) == '=') {
+        i += 1
+        while (i < to && Character.isWhitespace(html.charAt(i))) i += 1
+        if (i < to && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+          val q = html.charAt(i)
+          val vStart = i + 1
+          i += 1
+          while (i < to && html.charAt(i) != q) i += 1
+          value = html.substring(vStart, math.min(i, to))
+          i += 1
+        } else {
+          val vStart = i
+          while (i < to && !Character.isWhitespace(html.charAt(i))) i += 1
+          value = html.substring(vStart, i)
+        }
+      }
+      if (n.equalsIgnoreCase(name)) return value
+      if (n.isEmpty) i += 1
+    }
+    null
+  }
+
+  /** Attribute `wantAttr` of the FIRST `<tag attrName~=attrValue>`
+    * element (bs4 `find(...)["attr"]`), null when the element or the
+    * attribute is absent. */
+  def firstAttr(
+      html: String, tag: String, attrName: String, attrValue: String,
+      wantAttr: String): String = {
+    var i = 0
+    while (i < html.length) {
+      if (tagOpensAt(html, i, tag)) {
+        val gt = tagEnd(html, i)
+        if (gt < 0) return null
+        if (attrMatches(html, i + 1 + tag.length, gt, attrName, attrValue))
+          return attrValueOf(html, i + 1 + tag.length, gt, wantAttr)
+        i = gt + 1
+      } else i += 1
+    }
+    null
+  }
+
+  def firstAttrU(html: UTF8String, tag: String, an: String, av: String,
+      want: String): UTF8String = {
+    val r = firstAttr(html.toString, tag, an, av, want)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
   /** True iff html has `<tag` starting at i (case-insensitive) followed
     * by a name boundary. */
   private def tagOpensAt(html: String, i: Int, tag: String): Boolean =
@@ -271,6 +331,38 @@ case class HtmlElements(child: Expression, tag: String,
     copy(child = newChild)
 
   override def prettyName: String = "html_elements"
+}
+
+/** `html_attr(html, tag, attrName, attrValue, wantAttr)` — attribute
+  * value of the first matching element (bs4 `find(...)["attr"]`), null
+  * when the element or attribute is absent. */
+case class HtmlAttr(child: Expression, tag: String,
+    attrName: String, attrValue: String, wantAttr: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HtmlExprCheck.string(prettyName, child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlImpl.firstAttrU(input.asInstanceOf[UTF8String],
+      tag, attrName, attrValue, wantAttr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      import HtmlExprCheck.lit
+      s"""
+         |${ev.value} = graft.functions.HtmlImpl.firstAttrU(
+         |  $c, ${lit(tag)}, ${lit(attrName)}, ${lit(attrValue)}, ${lit(wantAttr)});
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "html_attr"
 }
 
 /** `html_text(html)` — tags stripped, entities unescaped, whitespace

@@ -44,6 +44,42 @@ object CssExtract {
     * whitespace collapsed. */
   def text(html: Column): Column = call_function("html_text", html)
 
+  /** Attribute value of the first matching element — bs4
+    * `find(tag, {attrName: attrValue})["wantAttr"]`; null when the
+    * element or attribute is absent. Covers the href / data-* pulls of
+    * the card extractors (billtrack50_app/extract.py:90,
+    * card.find("a")["href"]). */
+  def attr(html: Column, tag: String, attrName: String, attrValue: String,
+      wantAttr: String): Column =
+    call_function("html_attr", html, lit(tag), lit(attrName), lit(attrValue),
+      lit(wantAttr))
+
+  /** First element of ANY common tag carrying the class — for the
+    * reference's tag-less `.class` selectors (select_one(".party
+    * .value")). */
+  private def byClassAnyTag(html: Column, cls: String): Column =
+    coalesce(element(html, "div", "class", cls),
+      element(html, "span", "class", cls),
+      element(html, "p", "class", cls))
+
+  /** billtrack50_app/extract.py:84-102 `extract_cards`: one struct per
+    * `div.card` in div#legislators-container — candidate page url (the
+    * card's first <a> href), the id segment parsed from it (same regex
+    * as the reference, extract.py:91), and the name / party / info
+    * texts. Explode for one row per card. */
+  def cards(html: Column): Column = {
+    val container = element(html, "div", "id", "legislators-container")
+    transform(elements(container, "div", "class", "card"), card => {
+      val url = attr(card, "a", "", "", "href")
+      struct(
+        url.as("url"),
+        regexp_extract(url, "/+([^\\W_]\\w*)\\W*$", 1).as("sig_candidate_id"),
+        text(element(card, "div", "class", "name")).as("name"),
+        text(byClassAnyTag(byClassAnyTag(card, "party"), "value")).as("party"),
+        text(element(card, "div", "class", "info")).as("card_info"))
+    })
+  }
+
   /** Heading→value map zipped from two child-element streams of a
     * container — the scorecard idiom both reference extractors share
     * (`dict(zip(score_headings, score_texts))`). */

@@ -85,5 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("html_text",
       es => HtmlText(es.head),
       "html_text(html) - tags stripped, entities unescaped, whitespace collapsed"))
+    ext.injectFunction(fn("html_attr",
+      es => HtmlAttr(es.head, s(es(1)), s(es(2)), s(es(3)), s(es(4))),
+      "html_attr(html, tag, attrName, attrValue, wantAttr) - attribute of the first matching element"))
   }
 }

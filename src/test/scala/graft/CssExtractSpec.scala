@@ -69,6 +69,35 @@ class CssExtractSpec extends SparkSpec {
       ("U.S. House", "John Smith (R)", "Texas")))
   }
 
+  test("card extraction pulls hrefs, parses id segments, reads texts") {
+    val page =
+      """<div id="legislators-container"><div class="legislator-list">
+        |<div class="card"><a href="/legislators/smith42/">go</a>
+        |  <div class="name">John Smith</div>
+        |  <div class="party"><span class="value">R</span></div>
+        |  <div class="info">TX-07</div></div>
+        |<div class="card"><a href="/legislators/doe7">go</a>
+        |  <div class="name">Jane Doe</div>
+        |  <div class="party"><span class="value">D</span></div>
+        |  <div class="info">CA-12</div></div>
+        |</div></div>""".stripMargin
+    val out = Seq(page).toDF("html")
+      .select(explode(CssExtract.cards(col("html"))).as("c"))
+      .select("c.url", "c.sig_candidate_id", "c.name", "c.party", "c.card_info")
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("/legislators/smith42/", "smith42", "John Smith", "R", "TX-07"),
+      ("/legislators/doe7", "doe7", "Jane Doe", "D", "CA-12")))
+  }
+
+  test("html_attr: absent element or attribute yields null") {
+    import graft.functions.HtmlImpl
+    val h = """<a class="x" href="/p">t</a><a class="y">no href</a>"""
+    assert(HtmlImpl.firstAttr(h, "a", "class", "x", "href") == "/p")
+    assert(HtmlImpl.firstAttr(h, "a", "class", "y", "href") == null)
+    assert(HtmlImpl.firstAttr(h, "a", "class", "z", "href") == null)
+  }
+
   test("class attribute matches whitespace-separated tokens (bs4 rule)") {
     val h = """<div class="a bt50-scorecard-container b">X</div>"""
     assert(HtmlImpl.findAll(h, "div", "class", "bt50-scorecard-container",
