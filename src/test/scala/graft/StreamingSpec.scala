@@ -38,6 +38,41 @@ class StreamingSpec extends SparkSpec {
         c.start_ms == ts(0).getTime && c.end_ms == ts(5).getTime))
   }
 
+  test("corpus-curation operators compose unchanged over a stream") {
+    // the curation column functions are stateless projections/filters,
+    // so the SAME operator code runs batch or streaming — quality
+    // score + PII redaction + split assignment over a document stream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Corpus, TextStats}
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val curated = Corpus.splitAssign(
+      docs.withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("clean", TextStats.redactPii(col("text")))
+        .filter(col("quality") > 0.0),
+      "doc_id")
+    input.addData(
+      (1L, "the quick brown fox and the lazy dog of the farm"),
+      (2L, "contact me at a@b.com for details of the offer"))
+    val query = curated.writeStream
+      .format("memory").queryName("curated_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val byId = spark.table("curated_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean"), r.getAs[String]("split"))).toMap
+    assert(byId(2L)._1 == "contact me at [EMAIL] for details of the offer")
+    assert(Set("train", "val", "test").contains(byId(1L)._2))
+    // streaming assignment must equal the batch assignment (same hash)
+    val batchSplit = Corpus.splitAssign(
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(byId.map { case (k, v) => k -> v._2 } == batchSplit)
+  }
+
   test("in-batch gap split emits the earlier session immediately") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
