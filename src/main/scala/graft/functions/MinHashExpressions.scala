@@ -212,6 +212,40 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * size(array_intersect(a,b)) / size(array_union(a,b)) (operands
   * deduplicated, 0.0 when the union is empty). */
 object JaccardImpl {
+  /** Set Jaccard over two long arrays (hashed shingles): copy, sort
+    * primitives, merge-count distinct intersection/union — no boxing,
+    * no string hashing. Duplicates within an input are collapsed
+    * (set semantics, matching the string form over distinct shingles).
+    */
+  def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0
+    var j = 0
+    var inter = 0
+    var union = 0
+    var last = 0L
+    var hasLast = false
+    @inline def take(v: Long, isInter: Boolean): Unit = {
+      if (!hasLast || v != last) {
+        union += 1
+        if (isInter) inter += 1
+        last = v
+        hasLast = true
+      }
+    }
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { take(xs(i), isInter = true); i += 1; j += 1 }
+      else if (xs(i) < ys(j)) { take(xs(i), isInter = false); i += 1 }
+      else { take(ys(j), isInter = false); j += 1 }
+    }
+    while (i < xs.length) { take(xs(i), isInter = false); i += 1 }
+    while (j < ys.length) { take(ys(j), isInter = false); j += 1 }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
@@ -257,6 +291,36 @@ case class JaccardShingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "jaccard_shingles"
+}
+
+/** `jaccard_longs(a, b)` — set Jaccard over two array<bigint> columns
+  * of hashed shingles. */
+case class JaccardLongs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_longs requires two array<bigint>, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaccardImpl.jaccardLongs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardImpl.jaccardLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_longs"
 }
 
 /** `minhash_signature(shingles, numHashes)` as a native Catalyst

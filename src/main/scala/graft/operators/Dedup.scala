@@ -211,17 +211,32 @@ object Dedup {
     val candIds = cands
       .select(explode(array(col("a_id"), col("b_id"))).as("__id"))
       .distinct()
+    // Shingles travel to the pair join as RAW 64-bit hashes, not
+    // strings: set Jaccard is preserved exactly unless two distinct
+    // shingles in one pair's union collide in 64-bit space (~1e-16 per
+    // pair — negligible and deterministic), while the shuffle payload
+    // shrinks to 8 bytes per shingle and the per-pair kernel becomes a
+    // primitive sort-merge instead of string hash sets.
     val sh = Parallelism.ensure(
       docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
         .join(candIds, Seq("__id"), "left_semi"))
-      .select(col("__id"), shinglesCol(docs, col("__t"), shingleN).as("__sh"))
+      .select(col("__id"),
+        transform(shinglesCol(docs, col("__t"), shingleN), xxhash64(_)).as("__sh"))
     cands
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
-      .withColumn("jaccard", round(jaccardCol(docs, col("__sha"), col("__shb")), 4))
+      .withColumn("jaccard", round(jaccardLongsCol(docs, col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** Adaptive long-array Jaccard: native sort-merge kernel when
+    * registered, array_intersect/array_union otherwise. */
+  private def jaccardLongsCol(docs: DataFrame, a: Column, b: Column): Column =
+    if (docs.sparkSession.catalog.functionExists("jaccard_longs"))
+      call_function("jaccard_longs", a, b)
+    else
+      jaccard(a, b)
 
   // ------------------------------------------------------------------
   // Embedding near-dup (hyperplane LSH)

@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("jaccard_shingles",
       es => JaccardShingles(es.head, es(1)),
       "jaccard_shingles(a, b) - set Jaccard similarity of two string arrays"))
+    ext.injectFunction(fn("jaccard_longs",
+      es => JaccardLongs(es.head, es(1)),
+      "jaccard_longs(a, b) - set Jaccard similarity of two bigint arrays"))
     ext.injectFunction(fn("minhash_signature",
       es => MinHashSignature(es.head,
         es(1).eval().asInstanceOf[Number].intValue()),
