@@ -72,16 +72,19 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
+    // shingles travel to the pair join as raw 64-bit hashes (8 bytes
+    // each, primitive sort-merge Jaccard) — see minhashNearDup for the
+    // collision bound
     val withSh = Parallelism.ensure(
       docs.select(col(idCol), col(blockCol), col(textCol)))
       .select(col(idCol), col(blockCol),
-        shingles(col(textCol), n).as("__sh"))
+        transform(shinglesCol(docs, col(textCol), n), xxhash64(_)).as("__sh"))
     val a = withSh.select(col(idCol).as("a_id"), col(blockCol).as("__blk"),
       col("__sh").as("__sha"))
     val b = withSh.select(col(idCol).as("b_id"), col(blockCol).as("__blk2"),
       col("__sh").as("__shb"))
     a.join(b, col("__blk") === col("__blk2") && col("a_id") < col("b_id"))
-      .withColumn("jaccard", round(jaccardCol(docs, col("__sha"), col("__shb")), 4))
+      .withColumn("jaccard", round(jaccardLongsCol(docs, col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
