@@ -19,8 +19,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").take(200) + "\""
+    // truncate BEFORE escaping: a cut after escaping can land mid
+    // escape-pair (lone trailing backslash) and emit invalid JSON
+    "\"" + s.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ") + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

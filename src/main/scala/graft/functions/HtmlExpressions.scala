@@ -154,7 +154,13 @@ object HtmlImpl {
   private def tagClosesAt(html: String, i: Int, tag: String): Boolean =
     i + 2 + tag.length <= html.length &&
       html.charAt(i) == '<' && html.charAt(i + 1) == '/' &&
-      html.regionMatches(true, i + 2, tag, 0, tag.length)
+      html.regionMatches(true, i + 2, tag, 0, tag.length) && {
+        // name boundary, mirroring tagOpensAt: without it `</pre>` would
+        // count as a close of `p` and truncate the inner HTML early
+        val c = if (i + 2 + tag.length < html.length)
+          html.charAt(i + 2 + tag.length) else '>'
+        c == '>' || Character.isWhitespace(c)
+      }
 
   /** End index (exclusive of '>') of the tag starting at `i`, skipping
     * quoted attribute values; returns -1 if unterminated. */
@@ -223,6 +229,33 @@ object HtmlImpl {
     "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
     "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
 
+  /** Single left-to-right entity unescape: each source '&' is consumed
+    * by at most one entity, so "&amp;lt;" yields the literal "&lt;"
+    * (bs4 parity) instead of the double-unescaped "<" that sequential
+    * whole-string replaces produce. */
+  private def unescapeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        var matched = false
+        val it = Entities.iterator
+        while (!matched && it.hasNext) {
+          val (from, to) = it.next()
+          if (s.regionMatches(i, from, 0, from.length)) {
+            sb.append(to)
+            i += from.length
+            matched = true
+          }
+        }
+        if (!matched) { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** bs4 `get_text(strip=True)`-style text: tags stripped, entities
     * unescaped, whitespace collapsed, trimmed. */
   def text(html: String): String = {
@@ -240,9 +273,7 @@ object HtmlImpl {
       else sb.append(c)
       i += 1
     }
-    var s = sb.toString
-    Entities.foreach { case (from, to) => s = s.replace(from, to) }
-    s.replaceAll("\\s+", " ").trim
+    unescapeEntities(sb.toString).replaceAll("\\s+", " ").trim
   }
 
   // UTF8String entry points for generated code

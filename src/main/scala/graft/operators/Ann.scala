@@ -125,14 +125,17 @@ object Ann {
   /** Bucket assignment via BROADCAST JOIN — the path for centroid sets
     * too large for the plan-literal model (beyond the collectCentroids
     * caps). One broadcast of the centroid table, per-pair cosine, then
-    * a max_by argmax aggregated per corpus row: the corpus still never
-    * key-shuffles (the aggregation key is the corpus row id, already
-    * unique per row, so the "shuffle" moves one row per input row and
-    * map-side combine collapses it; with AQE it stays local). Ties →
-    * lowest centroid id, matching assignBuckets. (One edge diverges:
-    * NaN cosines sort LAST under struct-min here, while the literal
-    * model follows Spark's NaN-greatest ordering — filter NaN vectors
-    * upstream if that distinction matters.) */
+    * an argmax aggregated per corpus row KEYED ON `idCol` ONLY (the
+    * non-key columns ride along in a `first(struct(...))`, so map and
+    * other non-groupable column types work): the shuffle moves one
+    * combined row per input row after map-side combine. REQUIRES
+    * `idCol` to be unique per corpus row — duplicate ids collapse to
+    * one output row with an arbitrary survivor's payload (the literal-
+    * model `assignBuckets` is a pure projection and has no such
+    * constraint). Ties → lowest centroid id, matching assignBuckets.
+    * (One edge diverges: NaN cosines sort LAST under struct-min here,
+    * while the literal model follows Spark's NaN-greatest ordering —
+    * filter NaN vectors upstream if that distinction matters.) */
   def assignBucketsJoin(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
@@ -141,15 +144,19 @@ object Ann {
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn")))
     val corpusV = corpus.filter(col(vecCol).isNotNull)
-      .withColumn("__vn", norm(col(vecCol)))
-    corpusV.join(c)
+    val others = corpusV.columns.filterNot(_ == idCol)
+    corpusV.withColumn("__vn", norm(col(vecCol)))
+      .join(c)
       .withColumn("__score",
         cosinePrenormed(dot(col(vecCol), col("__cv")), col("__vn"), col("__cn")))
-      .groupBy(corpusV.columns.map(col): _*)
-      .agg(min(struct(negate(col("__score")).as("n"), col("__cid").as("id")))
-        .as("__best"))
-      .withColumn("centroid_id", col("__best.id"))
-      .drop("__best", "__vn")
+      .groupBy(col(idCol))
+      .agg(
+        min(struct(negate(col("__score")).as("n"), col("__cid").as("id")))
+          .as("__best"),
+        first(struct(others.map(col): _*)).as("__row"))
+      .select(col(idCol) +:
+        others.map(n => col(s"__row.$n").as(n)) :+
+        col("__best.id").as("centroid_id"): _*)
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to each query and

@@ -24,6 +24,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions", name, usage),
       builder)
 
+  /** Selector/size args are baked into generated code at registration
+    * time, so they must be non-null foldable literals; a column there
+    * would otherwise surface as an opaque unbound-attribute error (and
+    * a null literal as the string "null" used as a tag name). */
+  private def litArg(fnName: String, pos: Int, e: Expression): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fnName: argument ${pos + 1} must be a literal, not a column " +
+          s"(got ${e.sql})")
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        s"$fnName: argument ${pos + 1} must be a non-null literal")
+    v
+  }
+
+  private def litStr(fnName: String, pos: Int, e: Expression): String =
+    litArg(fnName, pos, e).toString
+
+  private def litInt(fnName: String, pos: Int, e: Expression): Int =
+    litArg(fnName, pos, e) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fnName: argument ${pos + 1} must be an integer literal (got $other)")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
     ext.injectFunction(fn("jaro_winkler",
@@ -42,16 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => PartialTokenRatio(es.head, es(1)),
       "partial_token_ratio(a, b) - rapidfuzz partial_token_ratio in [0,100]"))
     ext.injectFunction(fn("word_shingles",
-      es => WordShingles(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()),
+      es => WordShingles(es.head, litInt("word_shingles", 1, es(1))),
       "word_shingles(text, n) - distinct word n-grams as array<string>"))
     ext.injectFunction(fn("stopword_hits",
       es => StopwordHits(es.head, es(1)),
       "stopword_hits(text, 'w1,w2,...') - occurrences of any listed word"))
     ext.injectFunction(fn("hyperplane_bucket",
       es => HyperplaneBucket(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue()),
+        litInt("hyperplane_bucket", 1, es(1)),
+        litInt("hyperplane_bucket", 2, es(2))),
       "hyperplane_bucket(vec, dim, planes) - packed sign-bit LSH bucket"))
     ext.injectFunction(fn("dot_f",
       es => DotF(es.head, es(1)),
@@ -69,8 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => JaccardLongs(es.head, es(1)),
       "jaccard_longs(a, b) - set Jaccard similarity of two bigint arrays"))
     ext.injectFunction(fn("minhash_signature",
-      es => MinHashSignature(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()),
+      es => MinHashSignature(es.head, litInt("minhash_signature", 1, es(1))),
       "minhash_signature(shingles, numHashes) - MinHash signature as array<bigint>"))
     ext.injectFunction(fn("nearest_centroid",
       es => NearestCentroid(es.head, es(1)),
@@ -78,18 +102,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))
-    def s(e: Expression): String = String.valueOf(e.eval())
     ext.injectFunction(fn("html_element",
-      es => HtmlElement(es.head, s(es(1)), s(es(2)), s(es(3))),
+      es => HtmlElement(es.head,
+        litStr("html_element", 1, es(1)),
+        litStr("html_element", 2, es(2)),
+        litStr("html_element", 3, es(3))),
       "html_element(html, tag, attrName, attrValue) - inner HTML of the first matching element (null if absent)"))
     ext.injectFunction(fn("html_elements",
-      es => HtmlElements(es.head, s(es(1)), s(es(2)), s(es(3))),
+      es => HtmlElements(es.head,
+        litStr("html_elements", 1, es(1)),
+        litStr("html_elements", 2, es(2)),
+        litStr("html_elements", 3, es(3))),
       "html_elements(html, tag, attrName, attrValue) - inner HTML of all matching elements as array<string>"))
     ext.injectFunction(fn("html_text",
       es => HtmlText(es.head),
       "html_text(html) - tags stripped, entities unescaped, whitespace collapsed"))
     ext.injectFunction(fn("html_attr",
-      es => HtmlAttr(es.head, s(es(1)), s(es(2)), s(es(3)), s(es(4))),
+      es => HtmlAttr(es.head,
+        litStr("html_attr", 1, es(1)),
+        litStr("html_attr", 2, es(2)),
+        litStr("html_attr", 3, es(3)),
+        litStr("html_attr", 4, es(4))),
       "html_attr(html, tag, attrName, attrValue, wantAttr) - attribute of the first matching element"))
   }
 }

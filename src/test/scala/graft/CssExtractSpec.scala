@@ -122,6 +122,40 @@ class CssExtractSpec extends SparkSpec {
     assert(HtmlImpl.text("  <b>A&amp;B</b>\n &nbsp; <i>c</i>  ") == "A&B c")
   }
 
+  test("closing tag needs a name boundary: </pre> is not a close of p") {
+    // without the boundary check, </pre> prefix-matches </p, depth goes
+    // negative mid-element, and the inner HTML truncates at the <pre>
+    val h = "<p class=\"s\">foo<pre>x</pre>bar</p><param name=\"n\"></param>"
+    assert(HtmlImpl.findAll(h, "p", "class", "s", firstOnly = true) ==
+      List("foo<pre>x</pre>bar"))
+    // whitespace before '>' still closes: </p > is a valid close of p
+    assert(HtmlImpl.findAll("<p class=\"s\">a</p >", "p", "class", "s",
+      firstOnly = true) == List("a"))
+  }
+
+  test("entity unescape is single-pass: &amp;lt; stays the literal &lt;") {
+    // bs4's get_text consumes each source '&' once — sequential
+    // whole-string replaces would double-unescape to '<'
+    assert(HtmlImpl.text("<b>&amp;lt;</b>") == "&lt;")
+    assert(HtmlImpl.text("&amp;amp;") == "&amp;")
+    assert(HtmlImpl.text("a &notanentity b") == "a &notanentity b")
+  }
+
+  test("sql selector args must be non-null literals (clear error)") {
+    Seq(("<div class='x'>y</div>", "div")).toDF("html", "t")
+      .createOrReplaceTempView("css_arg_check")
+    val colErr = intercept[Exception] {
+      spark.sql("SELECT html_element(html, t, 'class', 'x') FROM css_arg_check")
+        .collect()
+    }
+    assert(colErr.getMessage.contains("must be a literal"))
+    val nullErr = intercept[Exception] {
+      spark.sql("SELECT html_element(html, CAST(NULL AS STRING), 'class', 'x') " +
+        "FROM css_arg_check").collect()
+    }
+    assert(nullErr.getMessage.contains("non-null"))
+  }
+
   test("self-closing and nested same-tag elements") {
     val h = "<div class=\"o\">a<div>b<div>c</div>d</div>e</div><div class=\"o\">2</div>"
     assert(HtmlImpl.findAll(h, "div", "class", "o", firstOnly = false) ==
