@@ -509,6 +509,32 @@ object SparkEntry {
     Corpus.splitAssign(Tables(s, dir).documents, "doc_id")
       .select(col("doc_id"), col("split"))
 
+  /** q51: near-dup clustering — connected components over the verified
+    * MinHash near-dup pairs (q33's graph), alternating large-star/
+    * small-star. The oracle recomputes the same pair graph by brute
+    * force and takes components via a recursive CTE, so the check
+    * covers BOTH the LSH pair recall and the clustering itself. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDup(Tables(s, dir).documents,
+      "doc_id", "text", shingleN = 3, numHashes = 48, bands = 16,
+      threshold = 0.5)
+    Dedup.connectedComponents(pairs, "a_id", "b_id")
+  }
+
+  /** q52: Gopher-style per-doc repetition signals (dup-word /
+    * dup-bigram / top-bigram fractions) — pure projection, the quality
+    * gate that runs beside q38 in a curation pass. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionStats(Tables(s, dir).documents, "doc_id", "text")
+
+  /** q53: the end-to-end corpus dedup a pipeline actually ships —
+    * LSH pairs → exact-Jaccard verify → transitive clusters → keep the
+    * min-id doc per cluster. Output is the surviving doc ids. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(Tables(s, dir).documents, "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+      .select(col("doc_id"))
+
   /** q37: stopword-profile language ID. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
@@ -690,7 +716,10 @@ object SparkEntry {
     "q47_redact_pii" -> (q47 _),
     "q48_ngram_freq" -> (q48 _),
     "q49_contamination" -> (q49 _),
-    "q50_split_assign" -> (q50 _)
+    "q50_split_assign" -> (q50 _),
+    "q51_dedup_cluster" -> (q51 _),
+    "q52_repetition" -> (q52 _),
+    "q53_dedup_survivors" -> (q53 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1060,6 +1089,67 @@ object SparkEntry {
         |d AS (SELECT doc_id, unnest(tri) AS ngram FROM sh)
         |SELECT d.doc_id, CAST(count(DISTINCT d.ngram) AS BIGINT) AS n_hits
         |FROM d JOIN probe USING (ngram)
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+    // q51/q53 recompute the near-dup pair graph by brute force (same
+    // construction as the q33 oracle), then take connected components
+    // with a recursive CTE (min reachable id per node). `pairs` is
+    // MATERIALIZED: DuckDB otherwise re-evaluates the all-pairs Jaccard
+    // on every recursion step.
+    "q51_dedup_cluster" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |  for i in generate_series(1, len(words)-2)]) AS tri FROM w),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tri, b.tri))), 4) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id""".stripMargin,
+    "q52_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words,
+        |  [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)] AS bg
+        |  FROM w),
+        |tops AS (SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(words) AS INT) AS n_words,
+        |  CASE WHEN len(words) > 0 THEN
+        |    round(CAST(len(words) - len(list_distinct(words)) AS DOUBLE)/len(words), 4)
+        |    ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)/len(bg), 4)
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    round(CAST(coalesce(tops.topc, 0) AS DOUBLE)/len(bg), 4)
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM b LEFT JOIN tops USING (doc_id)""".stripMargin,
+    "q53_dedup_survivors" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |  for i in generate_series(1, len(words)-2)]) AS tri FROM w),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tri, b.tri))), 4) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE component < id)""".stripMargin
   )
 }

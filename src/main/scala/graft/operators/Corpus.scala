@@ -47,6 +47,64 @@ object Corpus {
       .agg(countDistinct(col("ngram")).as("n_hits"))
   }
 
+  /** Word n-grams WITH multiplicity (unlike Dedup.shingles, which
+    * dedups) — repetition measurement needs every occurrence. */
+  private def gramsAll(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words),
+          concat_ws(" ", slice(words, i + 1, lit(n))))),
+      x => x.isNotNull)
+  }
+
+  /** Longest run length in a PRE-SORTED array — i.e. the count of the
+    * most frequent element — as a single left-to-right fold. */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Per-document repetition signals (Gopher-style quality filters,
+    * Rae et al. 2021 §A1.1): duplicate-word fraction, duplicate-bigram
+    * fraction, and the fraction of bigram occurrences taken by the
+    * single most frequent bigram. High values flag boilerplate and
+    * degenerate machine-generated text that survives exact dedup.
+    *
+    * Pure projection — per-row array math only, no shuffle, no join:
+    * the canonical shape for a 100 TB quality-scoring pass (the mode
+    * count comes from sort + single-pass run-length fold inside the
+    * row, never an explode → groupBy round trip).
+    */
+  def repetitionStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words)
+    val bigrams = gramsAll(col(textCol), 2)
+    val nBigrams = size(bigrams)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+        .otherwise(lit(0.0))
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      frac(nWords - size(array_distinct(words)), nWords)
+        .as("dup_word_frac"),
+      frac(nBigrams - size(array_distinct(bigrams)), nBigrams)
+        .as("dup_bigram_frac"),
+      frac(maxRunLength(array_sort(bigrams)), nBigrams)
+        .as("top_bigram_frac"))
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.

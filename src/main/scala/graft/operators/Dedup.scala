@@ -347,6 +347,101 @@ object Dedup {
     simhashBandPairs(sh, maxHamming)
   }
 
+  // ------------------------------------------------------------------
+  // Near-dup clustering (connected components) + survivor selection
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list, via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the standard
+    * shared-nothing formulation: every round is two key-grouped
+    * aggregations plus two equi-joins on node ids, converging in
+    * O(log² n) rounds regardless of component diameter (plain min-label
+    * propagation needs O(diameter) rounds — a 1M-long chain of near-dups
+    * would take 1M rounds; this takes ~40). No driver-side graph state:
+    * the edge list never leaves the cluster, so the operator holds at
+    * corpus scale where the pair graph itself is distributed.
+    *
+    * Each round's edge list is `localCheckpoint`ed: iterative plans
+    * otherwise stack lineage until planning itself dominates.
+    *
+    * Returns one row per node appearing in `pairs`: (id, component),
+    * where component is the minimum node id in the node's component.
+    * Singleton docs (no near-dup edge) don't appear — they are their
+    * own component trivially.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // canonical directed form: (u, v) with u > v ("child" -> smaller)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: for each node u, m = min(N(u) ∪ {u}); connect every
+      // strictly-larger neighbor to m. Operates on the symmetric view.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u")
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val ls = sym.join(lsMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m, so u > v holds
+        .distinct()
+      // SMALL-STAR: edges already point larger -> smaller; for each u,
+      // m = min of its smaller neighbors; connect u and every smaller
+      // neighbor to m.
+      val ssMins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMins, "u")
+        .select(col("v").as("node"), col("m"))
+        .union(ssMins.select(col("u").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      // At the fixpoint both passes leave the star forest unchanged.
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged && !edges.isEmpty)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // star forest: every non-root points straight at its component min
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** End-to-end corpus near-dedup: MinHash-LSH candidate pairs, exact
+    * Jaccard verify, connected-component clustering, then keep the
+    * minimum-id document of every near-dup cluster (docs with no
+    * near-dup survive untouched). This is the shape a training-data
+    * pipeline actually runs — pairs alone aren't a dedup until a
+    * survivor policy collapses each cluster, and clustering must be
+    * transitive (A~B, B~C puts A,C in one cluster even when A~C scores
+    * below threshold). The loser set is tiny relative to the corpus, so
+    * the final filter is a broadcast-able left-anti join keyed on id.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDup(docs, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val cc = connectedComponents(pairs, "a_id", "b_id")
+    val losers = cc.filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Banding + bucket self-join over a precomputed (__id, __sim) frame —
     * split out so recall tests can plant exact signatures. Emits
     * (a_id, b_id, hamming) with hamming ≤ maxHamming. */
