@@ -49,7 +49,9 @@ object Bench {
       "q41_embed_lsh", "q43_fuzzy_link_full", "q45_ann_ivf_pruned",
       // corpus-curation + extraction paths (added r4)
       "q46_css_extract", "q47_redact_pii", "q48_ngram_freq",
-      "q49_contamination"
+      "q49_contamination",
+      // clustering + repetition (added r5)
+      "q52_repetition", "q53_dedup_survivors"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema'd text-format readers and a scale-aware parquet writer — the
+  * ingest/egress boundary of the pipeline (ref: the CSV snapshots the
+  * reference's stages exchange, votervoice/__main__.py:15-33; pandas
+  * `read_csv` infers dtypes per file, which a distributed engine must
+  * not do).
+  *
+  * Scale posture:
+  * - Schemas are EXPLICIT, never inferred: `inferSchema` is a full
+  *   extra pass over the data before the real read — at 100 TB that
+  *   doubles the scan, and per-file inference can disagree across
+  *   files and silently widen types.
+  * - FAILFAST by default: a malformed row aborts the job instead of
+  *   becoming a silent null. The quarantine variant captures bad rows
+  *   in a side column so load jobs can divert them without losing the
+  *   batch.
+  * - Writes partition by the columns queries filter on (partition
+  *   pruning at read time) and bound file sizes with
+  *   `maxRecordsPerFile` (a 100 GB single file defeats parallel
+  *   scheduling; a million 1 MB files defeat the scan planner).
+  */
+object Records {
+
+  /** CSV with an explicit schema. FAILFAST: malformed input aborts. */
+  def csv(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** CSV with bad-row quarantine: returns (good, bad) DataFrames. Bad
+    * rows carry the raw line in `raw`; good rows match `schema`
+    * exactly. One read each, same scan — Spark prunes the corrupt
+    * column from the good branch. */
+  def csvQuarantine(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("__corrupt", StringType, nullable = true))
+    val read = spark.read
+      .schema(withCorrupt)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__corrupt")
+      .csv(path)
+      // PERMISSIVE + corrupt-column requires materializing the parsed
+      // row before the corrupt predicate is trustworthy (SPARK-21610:
+      // filtering the raw scan on the corrupt column alone is
+      // disallowed), so cache the narrow parsed frame once.
+      .cache()
+    val good = read.filter(col("__corrupt").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = read.filter(col("__corrupt").isNotNull)
+      .select(col("__corrupt").as("raw"))
+    (good, bad)
+  }
+
+  /** JSON-lines with an explicit schema, FAILFAST. One JSON object per
+    * line — the only JSON layout that splits across executors
+    * (multiline JSON documents are single-split). */
+  def jsonl(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  /** Parquet write partitioned for downstream pruning: directory
+    * partitions on `partitionCols` (equality/range filters on them
+    * never touch other partitions' files), rows clustered within
+    * partitions by `sortCols` (tighter min/max row-group stats →
+    * better row-group skipping), file sizes bounded by
+    * `maxRecordsPerFile`. */
+  def writePartitioned(
+      df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val clustered =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
+    clustered.write
+      .mode("error")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}

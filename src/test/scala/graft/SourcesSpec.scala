@@ -3,10 +3,82 @@ package graft
 import java.nio.file.Files
 import java.time.Instant
 
-import graft.sources.{Multimodal, StageSink}
+import graft.sources.{Multimodal, Records, StageSink}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
+
+  test("Records.csv reads an explicit schema typed, FAILFAST on garbage") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "id,name,score,seen\n1,ann,9.5,2024-03-04\n2,bo,8.25,2024-03-05\n"
+        .getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("seen", DateType)))
+    val df = Records.csv(spark, s"$dir/a.csv", schema)
+    assert(df.schema === schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(0) === 1L && rows(0).getDouble(2) === 9.5)
+    assert(rows(1).getDate(3).toString === "2024-03-05")
+    // malformed row -> FAILFAST aborts instead of silent nulls
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "id,name,score,seen\nnot_a_number,x,y,z\n".getBytes)
+    intercept[Exception] {
+      Records.csv(spark, s"$dir/bad.csv", schema).collect()
+    }
+  }
+
+  test("Records.csvQuarantine diverts malformed rows, keeps good ones typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csvq").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.csv"),
+      "id,score\n1,2.5\noops,not_a_double\n3,4.5\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val (good, bad) = Records.csvQuarantine(spark, s"$dir/m.csv", schema)
+    assert(good.schema === schema)
+    assert(good.orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 2.5), (3L, 4.5)))
+    val badRows = bad.as[String].collect()
+    assert(badRows.toSeq === Seq("oops,not_a_double"))
+  }
+
+  test("Records.jsonl reads json-lines with explicit schema") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"id":1,"tags":["a","b"],"meta":{"k":"v1"}}
+        |{"id":2,"tags":[],"meta":{"k":"v2"}}
+        |""".stripMargin.getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("meta", StructType(Seq(StructField("k", StringType))))))
+    val df = Records.jsonl(spark, s"$dir/d.jsonl", schema)
+    assert(df.count() === 2)
+    assert(df.filter($"id" === 1).select($"meta.k").as[String].head === "v1")
+  }
+
+  test("Records.writePartitioned enables partition pruning at read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 30.0))
+      .toDF("id", "lang", "v")
+    Records.writePartitioned(df, dir, partitionCols = Seq("lang"),
+      sortCols = Seq("id"))
+    // directory layout carries the partition values
+    assert(new java.io.File(s"$dir/lang=en").exists())
+    assert(new java.io.File(s"$dir/lang=de").exists())
+    val back = spark.read.parquet(dir).filter($"lang" === "en")
+    assert(back.count() === 2)
+    // the lang filter must be a partition filter, not a data filter
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang not pruned via partition filters:\n$scan")
+  }
 
   test("StageSink writes timestamped stage-foldered exports with session tag") {
     val base = Files.createTempDirectory("graft_sink").toString
