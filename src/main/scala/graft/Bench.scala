@@ -50,8 +50,9 @@ object Bench {
       // corpus-curation + extraction paths (added r4)
       "q46_css_extract", "q47_redact_pii", "q48_ngram_freq",
       "q49_contamination",
-      // clustering + repetition (added r5)
-      "q52_repetition", "q53_dedup_survivors"
+      // clustering + repetition + event joins (added r5)
+      "q52_repetition", "q53_dedup_survivors", "q54_asof_join",
+      "q55_range_join"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

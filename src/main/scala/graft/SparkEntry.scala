@@ -535,6 +535,30 @@ object SparkEntry {
       shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
       .select(col("doc_id"))
 
+  /** q54: as-of join — each purchase annotated with the user's most
+    * recent prior (or simultaneous) view. No join in the plan: union +
+    * one window over (user, ts, side) carries the last view payload
+    * forward (see AsOfJoin). Oracle is DuckDB's native ASOF LEFT JOIN. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val views = ev.filter(col("event_type") === "view")
+    AsOfJoin.asOf(purchases, views, keys = Seq("user_id"), tsCol = "ts",
+      rightPayload = Seq("event_id", "value"), prefix = "view_")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("view_event_id"), col("view_value"))
+  }
+
+  /** q55: banded range join — pairs of same-user events within one
+    * hour, as an equi-join on (user, time bin) with the exact band
+    * filter post-join (see RangeJoin; the naive inequality join is the
+    * oracle). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.withinWindow(Tables(s, dir).events, keys = Seq("user_id"),
+      idCol = "event_id", tsMs = unix_millis(col("ts")),
+      windowMs = 3600000L)
+
   /** q37: stopword-profile language ID. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
@@ -719,7 +743,9 @@ object SparkEntry {
     "q50_split_assign" -> (q50 _),
     "q51_dedup_cluster" -> (q51 _),
     "q52_repetition" -> (q52 _),
-    "q53_dedup_survivors" -> (q53 _)
+    "q53_dedup_survivors" -> (q53 _),
+    "q54_asof_join" -> (q54 _),
+    "q55_range_join" -> (q55 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1150,6 +1176,18 @@ object SparkEntry {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
         |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
         |SELECT d.doc_id FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE component < id)""".stripMargin
+        |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE component < id)""".stripMargin,
+    "q54_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  v.event_id AS view_event_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q55_range_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** As-of join (union+window, no join node) and banded range join
+  * (equi-join on window bins). */
+class EventJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    // (id, key, ts)
+    (100L, "u1", 50L), (101L, "u1", 10L), (102L, "u2", 30L),
+    (103L, "u3", 99L))
+    .toDF("id", "key", "ts")
+  private val right = Seq(
+    // (rid, key, ts, v)
+    (1L, "u1", 10L, 1.5), (2L, "u1", 40L, 2.5), (3L, "u1", 60L, 3.5),
+    (4L, "u2", 31L, 9.0))
+    .toDF("rid", "key", "ts", "v")
+
+  test("asOf picks the latest right row at-or-before each left row") {
+    val got = AsOfJoin.asOf(left, right, Seq("key"), "ts",
+      rightPayload = Seq("rid", "v"))
+      .select("id", "right_rid", "right_v")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(100L) == ((Some(2L), Some(2.5)))) // 40 <= 50, not 60
+    assert(got(101L) == ((Some(1L), Some(1.5)))) // exact tie ts=10 matches
+    assert(got(102L) == ((None, None)))          // u2's only view is AFTER
+    assert(got(103L) == ((None, None)))          // no u3 rows at all
+  }
+
+  test("asOf plan has no join node and exactly one exchange") {
+    val plan = AsOfJoin.asOf(left, right, Seq("key"), "ts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1, s"want 1 exchange:\n$plan")
+  }
+
+  test("withinWindow finds cross-bin pairs, honors boundary, no dups") {
+    val ev = Seq(
+      // bins of 100: 95 and 105 are adjacent bins, gap 10
+      (1L, "k", 95L), (2L, "k", 105L),
+      // exact boundary gap == window
+      (3L, "k", 300L), (4L, "k", 400L),
+      // same position, different keys: never paired
+      (5L, "x", 95L),
+      // gap just over the window
+      (6L, "k", 702L), (7L, "k", 803L))
+      .toDF("event_id", "key", "ms")
+    val got = RangeJoin.withinWindow(ev, Seq("key"), "event_id",
+      col("ms"), windowMs = 100L)
+      .select("a_id", "b_id", "gap_ms")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 2L, 10L), (3L, 4L, 100L)))
+  }
+
+  test("withinWindow with no key columns is a pure band join") {
+    val ev = Seq((1L, 10L), (2L, 15L), (3L, 500L)).toDF("event_id", "ms")
+    val got = RangeJoin.withinWindow(ev, Nil, "event_id", col("ms"), 20L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("withinWindow plans as an equi-join, never nested-loop") {
+    val ev = Seq((1L, "k", 10L)).toDF("event_id", "key", "ms")
+    val plan = RangeJoin.withinWindow(ev, Seq("key"), "event_id",
+      col("ms"), 100L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
+  }
+}
