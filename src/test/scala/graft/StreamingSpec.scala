@@ -127,4 +127,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r =>
       r.getString(1) == "click" && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
   }
+
+  test("stream -> fuzzy match -> timestamped stage snapshot per batch") {
+    import java.nio.file.Files
+    import java.time.Instant
+    import org.apache.spark.sql.functions.call_function
+    import graft.operators.FuzzyMatch
+    import graft.sources.StageSink
+    import graft.streaming.StreamStage
+
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_stage").toString
+    val roster = Seq((10L, "jon", "smith", 5), (11L, "mary", "jones", 5))
+      .toDF("r_id", "r_first", "r_last", "r_blk")
+    val rules = Seq(
+      FuzzyMatch.Rule("l_first", "r_first",
+        (a, b) => call_function("jaro_winkler", a, b), threshold = 80),
+      FuzzyMatch.Rule("l_last", "r_last",
+        (a, b) => call_function("jaro_winkler", a, b), threshold = 85))
+
+    val input = MemoryStream[(Long, String, String, Int)]
+    input.addData((1L, "john", "smith", 5), (2L, "zzz", "qqq", 5))
+    val stream = input.toDF().toDF("l_id", "l_first", "l_last", "l_blk")
+
+    var tick = 0
+    val clock = () => { tick += 1; Instant.parse(f"2024-05-06T00:00:0$tick%dZ") }
+    val query = StreamStage.snapshotWriter(
+      stream,
+      batch => FuzzyMatch.link(batch, roster, "l_id", "r_id",
+        "l_blk", "r_blk", rules, requiredOverall = 85),
+      base, "MATCHED_FILES", "VoterVoice-Matched", clock = clock)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val back = StageSink.loadLatest(spark, base, "MATCHED_FILES",
+      "VoterVoice-Matched")
+    val rows = back.collect()
+    assert(rows.length === 1) // john/smith matched; zzz/qqq filtered out
+    assert(rows(0).getLong(0) === 1L && rows(0).getLong(1) === 10L)
+    // batch-id-tagged folder name with the injected timestamp
+    val dir = new java.io.File(s"$base/MATCHED_FILES")
+    val names = dir.listFiles().map(_.getName).toSeq
+    assert(names.exists(n => n.startsWith("VoterVoice-Matched_b00000-") &&
+      n.endsWith("2024-05-06-000001-000000")), names.toString)
+  }
 }
