@@ -102,6 +102,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))
+    ext.injectFunction(fn("repetition_counts",
+      es => RepetitionCounts(es.head),
+      "repetition_counts(text) - word/bigram repetition counters as a struct"))
     ext.injectFunction(fn("html_element",
       es => HtmlElement(es.head,
         litStr("html_element", 1, es(1)),

@@ -98,6 +98,21 @@ class ClusterSpec extends SparkSpec {
     assert(got(2) == ((3L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("native repetition_counts matches the portable HOF formulation") {
+    val texts = Seq(
+      "a b a b a", "x y z", "w", "",
+      "a  b", "  ", "same same same same",
+      "one two one two three one two")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select($"id",
+      call_function("repetition_counts", $"text").as("c")).orderBy("id")
+    val portable = df.select($"id",
+      graft.operators.Corpus.repetitionCountsPortable($"text").as("c"))
+      .orderBy("id")
+    assert(native.collect().toSeq == portable.collect().toSeq)
+  }
+
   test("repetitionStats is a pure projection (no exchange)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Corpus.repetitionStats(docs, "doc_id", "text")
