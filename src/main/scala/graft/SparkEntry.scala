@@ -559,6 +559,24 @@ object SparkEntry {
       idCol = "event_id", tsMs = unix_millis(col("ts")),
       windowMs = 3600000L)
 
+  /** q56: the 100 TB formulation of q16 — exact `percentile` buffers
+    * every value per group (a full sort's worth of state); the approx
+    * pass keeps constant-size MERGEABLE sketches (HLL++ for distinct,
+    * KLL-style quantile summaries), so the shuffle carries one sketch
+    * per group per partition and map-side combine does the heavy
+    * lifting. rows-only (sketch internals are engine-specific);
+    * ApproxSpec pins error vs the exact answers. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.02)
+          .as("approx_custs"),
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4)
+          .as("ap50"),
+        round(expr("approx_percentile(o_totalprice, 0.99, 10000)"), 4)
+          .as("ap99"))
+
   /** q37: stopword-profile language ID. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
@@ -745,7 +763,8 @@ object SparkEntry {
     "q52_repetition" -> (q52 _),
     "q53_dedup_survivors" -> (q53 _),
     "q54_asof_join" -> (q54 _),
-    "q55_range_join" -> (q55 _)
+    "q55_range_join" -> (q55 _),
+    "q56_approx_stats" -> (q56 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

@@ -406,6 +406,9 @@ object Dedup {
         .distinct()
         .localCheckpoint(false)
       // At the fixpoint both passes leave the star forest unchanged.
+      // The (shuffling) set-compare only runs once counts agree —
+      // counts differ on most non-final rounds, so the common case is
+      // two cheap counts over checkpointed edge lists.
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       edges = next
