@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * with the exact band filter applied post-join. Candidate volume is
   * bounded by bin occupancy, never |A|x|B|.
   *
-  * Emits each unordered pair once (a_id < b_id).
+  * Emits each unordered pair once (a_id < b_id); `gap_ms` is signed
+  * (b's time minus a's — pairs are ordered by id, not time).
   */
 object RangeJoin {
 

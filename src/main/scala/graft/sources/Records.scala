@@ -39,11 +39,21 @@ object Records {
 
   /** CSV with bad-row quarantine: returns (good, bad) DataFrames. Bad
     * rows carry the raw line in `raw`; good rows match `schema`
-    * exactly. One read each, same scan — Spark prunes the corrupt
-    * column from the good branch. */
+    * exactly.
+    *
+    * The parsed frame is persisted before the corrupt-column split:
+    * Spark disallows filtering a raw scan on the corrupt column alone
+    * (SPARK-21610 — the pushed-down filter would bypass the parse that
+    * populates it), so both branches must read a materialized parse.
+    * `storageLevel` defaults to memory-with-disk-spill; for loads that
+    * dwarf cluster memory, pass `StorageLevel.DISK_ONLY` — or better,
+    * land the parsed+corrupt frame to parquet once and split from
+    * there (one extra sequential write instead of a giant cache). */
   def csvQuarantine(
       spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) = {
+      header: Boolean = true, delimiter: String = ",",
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, DataFrame) = {
     val withCorrupt = StructType(schema.fields :+
       StructField("__corrupt", StringType, nullable = true))
     val read = spark.read
@@ -53,11 +63,7 @@ object Records {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "__corrupt")
       .csv(path)
-      // PERMISSIVE + corrupt-column requires materializing the parsed
-      // row before the corrupt predicate is trustworthy (SPARK-21610:
-      // filtering the raw scan on the corrupt column alone is
-      // disallowed), so cache the narrow parsed frame once.
-      .cache()
+      .persist(storageLevel)
     val good = read.filter(col("__corrupt").isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = read.filter(col("__corrupt").isNotNull)
