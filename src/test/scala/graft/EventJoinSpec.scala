@@ -38,6 +38,17 @@ class EventJoinSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, s"want 1 exchange:\n$plan")
   }
 
+  test("asOf prunes unused left columns through the window (q54 shape)") {
+    // the left-side struct carries ALL left columns pre-window; nested
+    // schema pruning must cut the ones the final projection drops, so
+    // the scan never reads the wide payload (props) at 100 TB
+    val q54 = SparkEntry.queries("q54_asof_join")(
+      spark, "/root/testdata/sf0.001")
+    val scans = q54.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("props"), s"props not pruned:\n$scans")
+  }
+
   test("withinWindow finds cross-bin pairs, honors boundary, no dups") {
     val ev = Seq(
       // bins of 100: 95 and 105 are adjacent bins, gap 10
