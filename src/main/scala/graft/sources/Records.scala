@@ -102,4 +102,20 @@ object Records {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Idempotent partition reload: replaces ONLY the directory
+    * partitions present in `df`, leaving every other partition's files
+    * untouched (dynamic partition overwrite). The re-run-safe shape for
+    * incremental loads — a failed daily batch reruns without touching
+    * history and without a full-table rewrite. */
+  def upsertPartitions(
+      df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

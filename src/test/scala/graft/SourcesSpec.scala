@@ -80,6 +80,22 @@ class SourcesSpec extends SparkSpec {
       s"lang not pruned via partition filters:\n$scan")
   }
 
+  test("upsertPartitions replaces only the partitions present in the batch") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    Records.writePartitioned(
+      Seq((1L, "en", 1.0), (2L, "de", 2.0)).toDF("id", "lang", "v"),
+      dir, partitionCols = Seq("lang"))
+    // reload en with different rows; de must survive untouched
+    Records.upsertPartitions(
+      Seq((9L, "en", 9.0), (10L, "en", 10.0)).toDF("id", "lang", "v"),
+      dir, partitionCols = Seq("lang"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"lang" === "de").select("id").as[Long].collect()
+      .toSeq == Seq(2L))
+    assert(back.filter($"lang" === "en").select("id").as[Long].collect()
+      .sorted.toSeq == Seq(9L, 10L))
+  }
+
   test("StageSink writes timestamped stage-foldered exports with session tag") {
     val base = Files.createTempDirectory("graft_sink").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
