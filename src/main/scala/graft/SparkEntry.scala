@@ -559,6 +559,80 @@ object SparkEntry {
       idCol = "event_id", tsMs = unix_millis(col("ts")),
       windowMs = 3600000L)
 
+  /** Deterministic composite columns for the _1034 split-row shape:
+    * every 7th row carries two slash-joined candidates whose name,
+    * grade and location align by position. */
+  private def synthSplit(k: Column): (Column, Column, Column) = (
+    when(k % 7 === 0,
+      concat(lit("Cand A"), k.cast("string"), lit("/Cand B"), k.cast("string")))
+      .otherwise(concat(lit("Cand "), k.cast("string"))),
+    when(k % 7 === 0, lit("A/B")).otherwise(lit("C")),
+    when(k % 7 === 0,
+      concat(lit("House D"), (k % 9).cast("string"),
+        lit("/Senate D"), (k % 9).cast("string")))
+      .otherwise(lit("Governor")))
+
+  /** q57: positional split-row explosion — "Name1/Name2" with grade
+    * "A/B" becomes two rows, paired by position, other columns
+    * replicated (transform_split, national/_1034/transform.py:55-92).
+    * Pure narrow projection via arrays_zip + explode. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val (nm, gr, loc) = synthSplit(k)
+    val base = Tables(s, dir).customer.select(
+      k.as("id"), nm.as("name"), gr.as("grade"), loc.as("loc"))
+    SplitRows.splitZip(base, Seq("name", "grade", "loc"), "/")
+      .select("id", "name", "grade", "loc")
+  }
+
+  /** q59: election location/date parsing (transform_election_location /
+    * transform_election_date, national/_1034/transform.py:160-206):
+    * "Office - District N" → office + district, "Month day, year" →
+    * ISO date with invalid inputs (TBD) → null, year as text. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val loc = when(k % 3 === 0,
+      concat(lit("U.S. House - District "), (k % 30).cast("string")))
+      .when(k % 3 === 1, lit("Governor"))
+      .otherwise(concat(lit("State Senate - District "), (k % 40).cast("string")))
+    val dt = when(k % 4 === 0, lit("November 5, 2024"))
+      .when(k % 4 === 1, lit("March 3, 2026"))
+      .when(k % 4 === 2, lit("TBD"))
+      .otherwise(lit("June 10, 2025"))
+    Tables(s, dir).customer
+      .select(k.as("id"), loc.as("loc"), dt.as("dt"))
+      .select(
+        col("id"),
+        element_at(split(col("loc"), " - "), 1).as("office"),
+        regexp_extract(col("loc"), "District ([0-9]+)", 1).as("district"),
+        regexp_extract(col("dt"), "([0-9]{4})$", 1).as("election_year"),
+        date_format(to_date(col("dt"), "MMMM d, yyyy"), "yyyy-MM-dd")
+          .as("election_date"))
+  }
+
+  /** q58: full-name parsing, _1034 style — accent fold + nickname +
+    * suffix + middle initial + BOTH name orders ("First Last" and
+    * "Last, First"). Five deterministic case families exercise every
+    * branch (transform_name, national/_1034/transform.py:95-150). */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val ks = k.cast("string")
+    val info = when(k % 5 === 0,
+      concat(lit("Gárcía"), ks, lit(", José \"Pepe\"")))
+      .when(k % 5 === 1, concat(lit("Ann Lee"), ks))
+      .when(k % 5 === 2, concat(lit("John Q. Public"), ks))
+      .when(k % 5 === 3, concat(lit("Sam Hill"), ks, lit(" Jr.")))
+      .otherwise(concat(lit("Tom (Tommy) Ford"), ks, lit(" III")))
+    Tables(s, dir).customer
+      .select(k.as("id"), info.as("info"))
+      .select(col("id"), col("info"),
+        TextFunctions.parseFullName(col("info")).as("p"))
+      .select(col("id"), col("info"),
+        col("p.firstname").as("firstname"), col("p.lastname").as("lastname"),
+        col("p.nickname").as("nickname"), col("p.suffix").as("suffix"),
+        col("p.middlename").as("middlename"))
+  }
+
   /** q56: the 100 TB formulation of q16 — exact `percentile` buffers
     * every value per group (a full sort's worth of state); the approx
     * pass keeps constant-size MERGEABLE sketches (HLL++ for distinct,
@@ -764,7 +838,10 @@ object SparkEntry {
     "q53_dedup_survivors" -> (q53 _),
     "q54_asof_join" -> (q54 _),
     "q55_range_join" -> (q55 _),
-    "q56_approx_stats" -> (q56 _)
+    "q56_approx_stats" -> (q56 _),
+    "q57_split_rows" -> (q57 _),
+    "q58_name_full" -> (q58 _),
+    "q59_election_parse" -> (q59 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1207,6 +1284,58 @@ object SparkEntry {
         |  epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-        | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin
+        | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin,
+    // multiple unnest() in one DuckDB SELECT zip positionally — the
+    // exact semantics of arrays_zip + explode
+    "q57_split_rows" ->
+      """WITH t AS (SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey % 7 = 0
+        |    THEN 'Cand A' || CAST(c_custkey AS VARCHAR) || '/Cand B' || CAST(c_custkey AS VARCHAR)
+        |    ELSE 'Cand ' || CAST(c_custkey AS VARCHAR) END AS name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'A/B' ELSE 'C' END AS grade,
+        |  CASE WHEN c_custkey % 7 = 0
+        |    THEN 'House D' || CAST(c_custkey % 9 AS VARCHAR) || '/Senate D' || CAST(c_custkey % 9 AS VARCHAR)
+        |    ELSE 'Governor' END AS loc
+        |  FROM customer)
+        |SELECT id, unnest(string_split(name, '/')) AS name,
+        |  unnest(string_split(grade, '/')) AS grade,
+        |  unnest(string_split(loc, '/')) AS loc FROM t""".stripMargin,
+    "q58_name_full" ->
+      """WITH t AS (SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'Gárcía' || CAST(c_custkey AS VARCHAR) || ', José "Pepe"'
+        |       WHEN c_custkey % 5 = 1 THEN 'Ann Lee' || CAST(c_custkey AS VARCHAR)
+        |       WHEN c_custkey % 5 = 2 THEN 'John Q. Public' || CAST(c_custkey AS VARCHAR)
+        |       WHEN c_custkey % 5 = 3 THEN 'Sam Hill' || CAST(c_custkey AS VARCHAR) || ' Jr.'
+        |       ELSE 'Tom (Tommy) Ford' || CAST(c_custkey AS VARCHAR) || ' III' END AS info
+        |  FROM customer),
+        |f AS (SELECT id, info, strip_accents(info) AS folded FROM t),
+        |c AS (SELECT *, regexp_replace(folded, '\s?["(]([^")]*)[")]', '', 'g') AS c1 FROM f),
+        |s AS (SELECT *, regexp_extract(c1, ',? ?(III|II|IV|Jr\.?|Sr\.?)$', 1) AS suffix,
+        |  regexp_replace(c1, ',? ?(III|II|IV|Jr\.?|Sr\.?)$', '') AS c2 FROM c),
+        |m AS (SELECT *, regexp_extract(c2, ' ([A-Z]\.) ', 1) AS middlename,
+        |  regexp_replace(c2, ' [A-Z]\. ', ' ') AS c3 FROM s)
+        |SELECT id, info,
+        |  trim(CASE WHEN strpos(c3, ',') > 0 THEN string_split(c3, ',')[2]
+        |       ELSE regexp_replace(c3, ' [^ ]+$', '') END) AS firstname,
+        |  trim(CASE WHEN strpos(c3, ',') > 0 THEN string_split(c3, ',')[1]
+        |       ELSE regexp_extract(c3, '([^ ]+)$', 1) END) AS lastname,
+        |  regexp_extract(folded, '["(]([^")]*)[")]', 1) AS nickname,
+        |  suffix, middlename
+        |FROM m""".stripMargin,
+    "q59_election_parse" ->
+      """WITH t AS (SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'U.S. House - District ' || CAST(c_custkey % 30 AS VARCHAR)
+        |       WHEN c_custkey % 3 = 1 THEN 'Governor'
+        |       ELSE 'State Senate - District ' || CAST(c_custkey % 40 AS VARCHAR) END AS loc,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'November 5, 2024'
+        |       WHEN c_custkey % 4 = 1 THEN 'March 3, 2026'
+        |       WHEN c_custkey % 4 = 2 THEN 'TBD'
+        |       ELSE 'June 10, 2025' END AS dt
+        |  FROM customer)
+        |SELECT id, string_split(loc, ' - ')[1] AS office,
+        |  regexp_extract(loc, 'District ([0-9]+)', 1) AS district,
+        |  regexp_extract(dt, '([0-9]{4})$', 1) AS election_year,
+        |  strftime(try_strptime(dt, '%B %d, %Y'), '%Y-%m-%d') AS election_date
+        |FROM t""".stripMargin
   )
 }

@@ -133,4 +133,48 @@ object TextFunctions {
       })
     concat_ws("", filter(mapped, _.isNotNull))
   }
+
+  // ------------------------------------------------------------------
+  // Full-name parsing, _1034 style (national/_1034/transform.py:95-150
+  // transform_name): unidecode fold, quoted/parenthesized nickname,
+  // roman/Jr/Sr suffix, single-initial middle name, and BOTH name
+  // orders — "First [M.] Last" and "Last, First".
+  // ------------------------------------------------------------------
+
+  /** unidecode-lite: fold the Latin accents scraped pages actually
+    * carry to ASCII (a fixed `translate` — codegen'd, no per-char UDF;
+    * DuckDB parity via strip_accents). */
+  def foldAccents(c: Column): Column = translate(c,
+    "áéíóúñçàèìòùâêîôûäëïöüÁÉÍÓÚÑ",
+    "aeiouncaeiouaeiouaeiouAEIOUN")
+
+  private val NicknameRe = "[\"(]([^\")]*)[\")]"
+  private val FullSuffixRe = "(III|II|IV|Jr\\.?|Sr\\.?)"
+
+  /** Nickname in quotes or parens ('' when absent). */
+  def nickname(c: Column): Column = regexp_extract(c, NicknameRe, 1)
+
+  /** Name parts from a free-form candidate name. Returns a struct of
+    * (firstname, lastname, nickname, suffix, middlename); absent parts
+    * are ''. Mirrors the reference's order of operations: fold, strip
+    * nickname, strip suffix, strip middle initial, then split on the
+    * comma if the "Last, First" order is used, else last whitespace
+    * token is the lastname. */
+  def parseFullName(info: Column): Column = {
+    val folded = foldAccents(info)
+    val c1 = regexp_replace(folded, "\\s?" + NicknameRe, "")
+    val suffix = regexp_extract(c1, ",? ?" + FullSuffixRe + "$", 1)
+    val c2 = regexp_replace(c1, ",? ?" + FullSuffixRe + "$", "")
+    val middle = regexp_extract(c2, " ([A-Z]\\.) ", 1)
+    val c3 = regexp_replace(c2, " [A-Z]\\. ", " ")
+    val comma = c3.contains(",")
+    val first = trim(when(comma, element_at(split(c3, ","), 2))
+      .otherwise(regexp_replace(c3, " [^ ]+$", "")))
+    val last = trim(when(comma, element_at(split(c3, ","), 1))
+      .otherwise(regexp_extract(c3, "([^ ]+)$", 1)))
+    struct(
+      first.as("firstname"), last.as("lastname"),
+      nickname(folded).as("nickname"), suffix.as("suffix"),
+      middle.as("middlename"))
+  }
 }
