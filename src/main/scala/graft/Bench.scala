@@ -52,7 +52,7 @@ object Bench {
       "q49_contamination",
       // clustering + repetition + event joins (added r5)
       "q52_repetition", "q53_dedup_survivors", "q54_asof_join",
-      "q55_range_join"
+      "q55_range_join", "q60_curate"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -633,6 +633,17 @@ object SparkEntry {
         col("p.middlename").as("middlename"))
   }
 
+  /** q60: the full curation pass — quality gate, repetition gate, then
+    * near-dup dedup over the survivors (gates are pure projections and
+    * run FIRST, shrinking the corpus before the shuffling dedup). The
+    * oracle reproduces all three stages in SQL, so the final kept set
+    * is checked end to end. */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    Corpus.curate(Tables(s, dir).documents, "doc_id", "text",
+      minQuality = 0.25, maxDupWordFrac = 0.65, maxDupBigramFrac = 0.08,
+      shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+      .select(col("doc_id"))
+
   /** q56: the 100 TB formulation of q16 — exact `percentile` buffers
     * every value per group (a full sort's worth of state); the approx
     * pass keeps constant-size MERGEABLE sketches (HLL++ for distinct,
@@ -841,7 +852,8 @@ object SparkEntry {
     "q56_approx_stats" -> (q56 _),
     "q57_split_rows" -> (q57 _),
     "q58_name_full" -> (q58 _),
-    "q59_election_parse" -> (q59 _)
+    "q59_election_parse" -> (q59 _),
+    "q60_curate" -> (q60 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1336,6 +1348,38 @@ object SparkEntry {
         |  regexp_extract(loc, 'District ([0-9]+)', 1) AS district,
         |  regexp_extract(dt, '([0-9]{4})$', 1) AS election_year,
         |  strftime(try_strptime(dt, '%B %d, %Y'), '%Y-%m-%d') AS election_date
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    // q60: quality gate (q38 formula) + repetition gate (q52 formula)
+    // + near-dup dedup over the gated survivors (q53 machinery)
+    "q60_curate" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words,
+        |  [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)] AS bg FROM w),
+        |g AS (SELECT doc_id, words FROM b
+        |  WHERE round(least(len(words)/200.0, 1.0) * 0.6
+        |      + least(CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+        |          / len(words) * 5.0, 1.0) * 0.4, 4) >= 0.25
+        |    AND (CASE WHEN len(words) > 0 THEN
+        |      round(CAST(len(words) - len(list_distinct(words)) AS DOUBLE)/len(words), 4)
+        |      ELSE 0.0 END) <= 0.65
+        |    AND (CASE WHEN len(bg) > 0 THEN
+        |      round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)/len(bg), 4)
+        |      ELSE 0.0 END) <= 0.08),
+        |sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |  for i in generate_series(1, len(words)-2)]) AS tri FROM g),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tri, b.tri))), 4) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT g.doc_id FROM g
+        |WHERE g.doc_id NOT IN (SELECT id FROM cc WHERE component < id)""".stripMargin
   )
 }

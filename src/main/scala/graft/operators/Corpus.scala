@@ -123,6 +123,46 @@ object Corpus {
           .as("top_bigram_frac"))
   }
 
+  /** End-to-end corpus curation — the pass a training-data pipeline
+    * actually ships, in execution order:
+    *
+    *  1. quality gate (q38's length/stopword score ≥ minQuality)
+    *  2. repetition gate (q52's dup-word / dup-bigram fractions ≤ caps)
+    *  3. near-dup dedup over the SURVIVORS (LSH pairs → exact-Jaccard
+    *     verify → transitive clusters → keep min-id per cluster)
+    *
+    * Gates run first on purpose: they are pure projections that shrink
+    * the corpus before the (shuffling) dedup stage ever sees it — at
+    * 100 TB the cheap filters pay for themselves many times over.
+    * All gate comparisons use the same 4-dp-rounded values the q38/q52
+    * oracles emit, so the kept set is reproducible cross-engine.
+    */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.25,
+      maxDupWordFrac: Double = 0.65,
+      maxDupBigramFrac: Double = 0.08,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cnts =
+      if (docs.sparkSession.catalog.functionExists("repetition_counts"))
+        call_function("repetition_counts", col(textCol))
+      else repetitionCountsPortable(col(textCol))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+        .otherwise(lit(0.0))
+    val gated = docs
+      .withColumn("__c", cnts)
+      .filter(TextStats.qualityScore(col(textCol)) >= minQuality &&
+        frac(col("__c.n_words") - col("__c.n_distinct_words"),
+          col("__c.n_words")) <= maxDupWordFrac &&
+        frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
+          col("__c.n_bigrams")) <= maxDupBigramFrac)
+      .drop("__c")
+    Dedup.dropNearDuplicates(gated, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.
