@@ -51,6 +51,18 @@ object StressCluster {
       val cc = Dedup.connectedComponents(edges, "hub", "node")
       (cc.count(), cc.select("component").distinct().count())
     }
+
+    // full pipeline on the r4 stress corpus when present: LSH pairs →
+    // verify → clusters → survivors
+    val stressDocs = new java.io.File("/tmp/stress/documents.parquet")
+    if (stressDocs.exists()) {
+      val docs = spark.read.parquet(stressDocs.getPath)
+      time("dropNearDuplicates 200k docs") {
+        val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+        (kept.count(), 0L)
+      }
+    }
     spark.stop()
   }
 }
