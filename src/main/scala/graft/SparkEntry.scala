@@ -435,6 +435,21 @@ object SparkEntry {
       idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
   }
 
+  /** q61: IVF with TRAINED centroids — k-means (Lloyd's, cosine
+    * assignment via the zero-exchange nearest_centroid projection)
+    * replaces the row-sample centroids of q36/q45, completing the
+    * index-construction story. rows-only (approximate by construction;
+    * AnnSpec pins full-probe exactness and objective improvement). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val trained = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3)
+    Ann.ivfTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      centroids = trained.withColumnRenamed("centroid_id", "vec_id"),
+      idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
+  }
+
   /** q46: CSS/div HTML extraction round-trip — pages synthesised in the
     * reference's billtrack50 scorecard shape (nested container div +
     * labeled strong/span score pulls), then extracted back with the
@@ -853,7 +868,8 @@ object SparkEntry {
     "q57_split_rows" -> (q57 _),
     "q58_name_full" -> (q58 _),
     "q59_election_parse" -> (q59 _),
-    "q60_curate" -> (q60 _)
+    "q60_curate" -> (q60 _),
+    "q61_ann_ivf_trained" -> (q61 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

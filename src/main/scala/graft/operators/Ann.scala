@@ -71,6 +71,60 @@ object Ann {
     * letting it fall through as a null centroid_id would silently drop
     * it later in ivfTopK's bucket join. Filter nulls upstream if they
     * should be scored some other way. */
+  /** Train IVF centroids with distributed Lloyd's k-means (spherical:
+    * assignment by cosine via the same zero-exchange `nearest_centroid`
+    * projection queries use, means recomputed per dimension).
+    *
+    * Per iteration: one narrow assignment pass (NO shuffle — the
+    * centroid model ships in the plan) + one aggregation whose shuffle
+    * carries at most k × dim × partitions partial sums (map-side
+    * combine; independent of corpus size). Initialisation is a
+    * deterministic content-hash sample — stable across runs and
+    * cluster layouts, never Math.random. Empty clusters keep their
+    * previous centroid. Returns (centroid_id int, `vecCol`
+    * array<float>) ready for `ivfTopK`/`assignBuckets`.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    require(k > 0 && iters >= 0, "trainCentroids: k > 0, iters >= 0")
+    val vecs = Parallelism.ensure(
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v")))
+    // deterministic init: k lowest content-hashes
+    var centroids = vecs
+      .orderBy(xxhash64(col("__id"), lit(seed)))
+      .limit(k)
+      .select(
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(xxhash64(col("__id"), lit(seed)))) - 1)
+          .as("centroid_id"),
+        col("__v"))
+    for (_ <- 1 to iters) {
+      val assigned = assignBuckets(vecs, centroids, "centroid_id", "__v")
+      // per-dimension mean: posexplode -> (cid, pos) partial sums ->
+      // rebuild the array ordered by position
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("centroid_id"), col("__p"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m"))))
+          .as("__pm"))
+        .select(col("centroid_id"),
+          transform(col("__pm"), e => e.getField("__m").cast("float"))
+            .as("__mv"))
+      // empty clusters keep their previous centroid
+      centroids = centroids
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__mv"), col("__v")).as("__v"))
+        .localCheckpoint(false)
+    }
+    centroids.select(col("centroid_id"), col("__v").as(vecCol))
+  }
+
   def assignBuckets(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {

@@ -75,6 +75,37 @@ class AnnSpec extends SparkSpec {
     assert(full === bf)
   }
 
+  test("trainCentroids: objective improves over init, full probe stays exact") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    // mean cosine of each vector to its assigned centroid — the
+    // (spherical) k-means objective
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      import graft.functions.VectorFunctions._
+      val assigned = Ann.assignBuckets(e, cents, "centroid_id", "embedding")
+      assigned.join(cents.withColumnRenamed("embedding", "__ce"), "centroid_id")
+        .select(avg(cosine(col("embedding"), col("__ce"))))
+        .as[Double].head
+    }
+    val init = Ann.trainCentroids(e, "vec_id", "embedding", k = 10, iters = 0)
+    val trained = Ann.trainCentroids(e, "vec_id", "embedding", k = 10, iters = 3)
+    val (oInit, oTrained) = (objective(init), objective(trained))
+    assert(oTrained > oInit,
+      s"k-means objective did not improve: init $oInit trained $oTrained")
+    // any centroid set is exact at full probe — trained ones included
+    val queries = e.filter($"vec_id" < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = asSet(Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    val full = asSet(Ann.ivfTopK(e, queries,
+      trained.withColumnRenamed("centroid_id", "vec_id"),
+      "vec_id", "embedding", k = 5, nprobe = 10))
+    assert(full === bf)
+    // deterministic: same seed -> identical centroids
+    val again = Ann.trainCentroids(e, "vec_id", "embedding", k = 10, iters = 3)
+    assert(trained.orderBy("centroid_id").collect().map(_.toSeq).toSeq ==
+      again.orderBy("centroid_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("assignBuckets is a pure projection — zero exchanges of any kind") {
     val centroids = vecs.filter($"vec_id".isin(0L, 2L, 4L))
     val out = Ann.assignBuckets(vecs, centroids, "vec_id", "embedding")
