@@ -38,10 +38,32 @@ object StageSink {
       at: Instant, additionalInfo: Seq[String] = Nil,
       format: String = "parquet",
       coalesceTo: Option[Int] = None): String = {
-    require(Stages.contains(stage), s"unknown stage $stage (want $Stages)")
     val infix =
       if (additionalInfo.isEmpty) "" else additionalInfo.mkString("-") + "-"
-    val path = s"$baseDir/$stage/${name}_$infix${stamp(at)}"
+    writeTo(df, baseDir, stage, s"${name}_$infix${stamp(at)}", format,
+      coalesceTo)
+  }
+
+  /** Batch-id-keyed snapshot: `<baseDir>/<stage>/<name>_b<batchId>`.
+    * The folder name is DETERMINISTIC for a given batch id — a retried
+    * micro-batch recomputes the same path, so `mode("error")` collides
+    * with the earlier write and the replay fails loudly instead of
+    * silently double-exporting (a wall-clock stamp in the name would
+    * fork a fresh folder on every retry and defeat that check). The
+    * zero-padded id keeps `loadLatest`'s lexicographic ordering equal
+    * to batch order. */
+  def saveBatch(
+      df: DataFrame, baseDir: String, stage: String, name: String,
+      batchId: Long, format: String = "parquet",
+      coalesceTo: Option[Int] = None): String =
+    writeTo(df, baseDir, stage, f"${name}_b$batchId%010d", format,
+      coalesceTo)
+
+  private def writeTo(
+      df: DataFrame, baseDir: String, stage: String, folder: String,
+      format: String, coalesceTo: Option[Int]): String = {
+    require(Stages.contains(stage), s"unknown stage $stage (want $Stages)")
+    val path = s"$baseDir/$stage/$folder"
     val out = coalesceTo.map(df.coalesce).getOrElse(df)
     val writer = out.write.mode("error")
     (format match {
