@@ -46,26 +46,29 @@ object StageSink {
 
   /** Batch-id-keyed snapshot: `<baseDir>/<stage>/<name>_b<batchId>`.
     * The folder name is DETERMINISTIC for a given batch id — a retried
-    * micro-batch recomputes the same path, so `mode("error")` collides
-    * with the earlier write and the replay fails loudly instead of
-    * silently double-exporting (a wall-clock stamp in the name would
-    * fork a fresh folder on every retry and defeat that check). The
-    * zero-padded id keeps `loadLatest`'s lexicographic ordering equal
-    * to batch order. */
+    * micro-batch (foreachBatch is at-least-once: write done, checkpoint
+    * commit lost) recomputes the same path, and `mode("overwrite")`
+    * makes the replay idempotent: the retry rewrites the same folder
+    * with the same deterministic bytes. (A wall-clock stamp in the name
+    * would fork a fresh folder on every retry = silent duplicates;
+    * `mode("error")` would throw on every restart once a partial folder
+    * exists = a wedged stream.) The zero-padded id keeps batch order
+    * equal to name order. */
   def saveBatch(
       df: DataFrame, baseDir: String, stage: String, name: String,
       batchId: Long, format: String = "parquet",
       coalesceTo: Option[Int] = None): String =
     writeTo(df, baseDir, stage, f"${name}_b$batchId%010d", format,
-      coalesceTo)
+      coalesceTo, mode = "overwrite")
 
   private def writeTo(
       df: DataFrame, baseDir: String, stage: String, folder: String,
-      format: String, coalesceTo: Option[Int]): String = {
+      format: String, coalesceTo: Option[Int],
+      mode: String = "error"): String = {
     require(Stages.contains(stage), s"unknown stage $stage (want $Stages)")
     val path = s"$baseDir/$stage/$folder"
     val out = coalesceTo.map(df.coalesce).getOrElse(df)
-    val writer = out.write.mode("error")
+    val writer = out.write.mode(mode)
     (format match {
       case "csv" => writer.option("header", "true")
       case _ => writer
@@ -73,20 +76,42 @@ object StageSink {
     path
   }
 
-  /** Loads the newest export matching `<name>_*` under the stage folder
-    * (timestamps sort lexicographically in the reference's format). */
+  // `name_b0000000042` -> Some(42); anything else -> None
+  private def batchIdOf(name: String, folder: String): Option[Long] = {
+    val suffix = folder.stripPrefix(s"${name}_")
+    if (suffix.length == 11 && suffix.head == 'b' &&
+      suffix.tail.forall(_.isDigit)) Some(suffix.tail.toLong) else None
+  }
+
+  /** Loads the newest export matching `<name>_*` under the stage
+    * folder. Batch-keyed exports (`name_b<10-digit id>`) compare by
+    * NUMERIC batch id; timestamped exports compare lexicographically
+    * (the reference's `%Y-%m-%d-%H%M%S-%f` format sorts correctly as a
+    * string). The two kinds carry incomparable keys (a batch counter vs
+    * a wall clock), so a (stage, name) must hold only one kind — mixing
+    * them fails loudly here rather than silently returning whichever
+    * sorts last. */
   def loadLatest(
       spark: SparkSession, baseDir: String, stage: String, name: String,
       format: String = "parquet"): DataFrame = {
     val dir = new java.io.File(s"$baseDir/$stage")
     val candidates = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(s"${name}_"))
-      .sortBy(_.getName)
     require(candidates.nonEmpty, s"no $name export under $dir")
+    val (batchKeyed, stamped) =
+      candidates.partition(f => batchIdOf(name, f.getName).isDefined)
+    require(batchKeyed.isEmpty || stamped.isEmpty,
+      s"(stage=$stage, name=$name) mixes batch-keyed and timestamped " +
+        s"exports — their orderings are incomparable; use distinct names. " +
+        s"Found: ${candidates.map(_.getName).sorted.toSeq}")
+    val latest =
+      if (batchKeyed.nonEmpty)
+        batchKeyed.maxBy(f => batchIdOf(name, f.getName).get)
+      else stamped.maxBy(_.getName)
     val reader = format match {
       case "csv" => spark.read.option("header", "true")
       case _ => spark.read
     }
-    reader.format(format).load(candidates.last.getAbsolutePath)
+    reader.format(format).load(latest.getAbsolutePath)
   }
 }

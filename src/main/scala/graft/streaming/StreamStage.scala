@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.StageSink
 
@@ -16,14 +17,16 @@ import graft.sources.StageSink
   * streaming sinks can't express), and the sink below it stays a plain
   * distributed write.
   *
-  * Exactly-once discipline: snapshot folders are keyed on the
-  * micro-batch id ALONE (`StageSink.saveBatch`), never on a wall
-  * clock. foreachBatch is at-least-once — a failed batch is retried
-  * with the SAME id — so a retry recomputes the same folder path and
-  * `mode("error")` collides with any partial earlier write, failing
-  * loudly instead of silently exporting the batch twice. (A
-  * wall-clock stamp in the folder name would give every retry a fresh
-  * path and turn replays into silent duplicates.)
+  * Replay discipline: snapshot folders are keyed on the micro-batch
+  * id ALONE (`StageSink.saveBatch`), never on a wall clock.
+  * foreachBatch is at-least-once — a batch whose write completed but
+  * whose checkpoint commit was lost is retried with the SAME id — so
+  * the retry recomputes the same folder path and the overwrite mode
+  * inside `saveBatch` makes the replay idempotent (same bytes, same
+  * folder) instead of either double-exporting (a wall-clock stamp
+  * would fork a fresh folder per retry) or permanently wedging the
+  * stream (`mode("error")` would throw on every restart once a
+  * partial folder exists).
   */
 object StreamStage {
 
@@ -32,24 +35,24 @@ object StreamStage {
     * export nothing (no empty snapshot folders at idle). The
     * transformed frame is persisted across the emptiness probe and the
     * write so the per-batch plan (fuzzy linkage, joins) runs once, not
-    * twice. */
+    * twice — DISK_ONLY, because a batch can be arbitrarily large and
+    * this cache exists only to avoid recomputation, not to be fast. */
   def snapshotWriter(
       stream: DataFrame,
       transform: DataFrame => DataFrame,
       baseDir: String, stage: String, name: String,
-      format: String = "parquet"): DataStreamWriter[Row] =
+      format: String = "parquet"): DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val out = transform(batch).persist(StorageLevel.DISK_ONLY)
+      try {
+        if (out.take(1).nonEmpty) {
+          StageSink.saveBatch(out, baseDir, stage, name, batchId,
+            format = format)
+        }
+      } finally out.unpersist()
+    }
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = transform(batch).persist()
-        try {
-          if (!out.isEmpty) {
-            StageSink.saveBatch(out, baseDir, stage, name, batchId,
-              format = format)
-          }
-        } finally {
-          out.unpersist()
-          ()
-        }
-      }
+      .foreachBatch(exportBatch)
+  }
 }

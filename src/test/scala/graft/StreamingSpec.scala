@@ -128,9 +128,8 @@ class StreamingSpec extends SparkSpec {
       r.getString(1) == "click" && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
   }
 
-  test("stream -> fuzzy match -> timestamped stage snapshot per batch") {
+  test("stream -> fuzzy match -> batch-keyed stage snapshot per batch") {
     import java.nio.file.Files
-    import java.time.Instant
     import org.apache.spark.sql.functions.call_function
     import graft.operators.FuzzyMatch
     import graft.sources.StageSink
@@ -150,13 +149,11 @@ class StreamingSpec extends SparkSpec {
     input.addData((1L, "john", "smith", 5), (2L, "zzz", "qqq", 5))
     val stream = input.toDF().toDF("l_id", "l_first", "l_last", "l_blk")
 
-    var tick = 0
-    val clock = () => { tick += 1; Instant.parse(f"2024-05-06T00:00:0$tick%dZ") }
     val query = StreamStage.snapshotWriter(
       stream,
       batch => FuzzyMatch.link(batch, roster, "l_id", "r_id",
         "l_blk", "r_blk", rules, requiredOverall = 85),
-      base, "MATCHED_FILES", "VoterVoice-Matched", clock = clock)
+      base, "MATCHED_FILES", "VoterVoice-Matched")
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination(60000)
@@ -166,10 +163,38 @@ class StreamingSpec extends SparkSpec {
     val rows = back.collect()
     assert(rows.length === 1) // john/smith matched; zzz/qqq filtered out
     assert(rows(0).getLong(0) === 1L && rows(0).getLong(1) === 10L)
-    // batch-id-tagged folder name with the injected timestamp
+    // deterministic batch-id-keyed folder name (no wall clock)
     val dir = new java.io.File(s"$base/MATCHED_FILES")
     val names = dir.listFiles().map(_.getName).toSeq
-    assert(names.exists(n => n.startsWith("VoterVoice-Matched_b00000-") &&
-      n.endsWith("2024-05-06-000001-000000")), names.toString)
+    assert(names.contains("VoterVoice-Matched_b0000000000"), names.toString)
+    // an idempotent replay of the same batch id must not throw or fork
+    // (a real retry RECOMPUTES the batch; reading the target folder back
+    // and overwriting it with itself is not the replay shape)
+    val recomputed = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("l_id", "r_id")
+    StageSink.saveBatch(recomputed, base, "MATCHED_FILES",
+      "VoterVoice-Matched", 0L)
+    val names2 = dir.listFiles().map(_.getName).toSeq
+      .filter(_.startsWith("VoterVoice-Matched_b"))
+    assert(names2 === Seq("VoterVoice-Matched_b0000000000"), names2.toString)
+  }
+
+  test("loadLatest orders batch-keyed exports numerically, rejects mixes") {
+    import java.nio.file.Files
+    import graft.sources.StageSink
+    val base = Files.createTempDirectory("graft_load_latest").toString
+    val two = Seq((2L, "second")).toDF("batch", "tag")
+    val ten = Seq((10L, "tenth")).toDF("batch", "tag")
+    StageSink.saveBatch(two, base, "QUERY_FILES", "snap", 2L)
+    StageSink.saveBatch(ten, base, "QUERY_FILES", "snap", 10L)
+    val latest = StageSink.loadLatest(spark, base, "QUERY_FILES", "snap")
+    assert(latest.collect().map(_.getString(1)).toSeq === Seq("tenth"))
+    // a timestamped export under the same name is an incomparable key
+    StageSink.save(two, base, "QUERY_FILES", "snap",
+      java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val ex = intercept[IllegalArgumentException] {
+      StageSink.loadLatest(spark, base, "QUERY_FILES", "snap")
+    }
+    assert(ex.getMessage.contains("incomparable"))
   }
 }
