@@ -797,6 +797,64 @@ object SparkEntry {
       requiredOverall = 75, dupMargin = 3.0)
   }
 
+  /** q62: the `_1034` matcher configuration — the OTHER record_matcher
+    * setup the reference runs (national/_1034/match.py:44-76). It
+    * differs from q43's votervoice config in every knob: the default
+    * WRatio scorer lowercases BOTH sides (match.py:45-46), blocking is
+    * on `state_name` (GROUPED via columns_to_group, match.py:57-59 —
+    * never scored), and the thresholds are default 85 / middlename 90 /
+    * lastname 88 / suffix 98 / office 95 / district 95 / party 93 with
+    * required_threshold 85 and duplicate_threshold 3 (match.py:63-71).
+    * rows-only (WRatio is not SQL-expressible); FuzzyMatchSpec pins
+    * best-match + dup flags for this config on a constructed fixture. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val base = Tables(s, dir).customer.select(
+      k.as("id"),
+      concat(lit("First"), (k % 97).cast("string")).as("firstname"),
+      when(k % 3 === 0,
+        concat(call_function("char", lit(65) + (k % 26).cast("int")), lit("."))
+      ).otherwise(lit("")).as("middlename"),
+      concat(lit("Last"), (k % 53).cast("string")).as("lastname"),
+      concat(lit("Nick"), (k % 41).cast("string")).as("nickname"),
+      element_at(array(lit("Jr."), lit("Sr."), lit("")), (k % 3).cast("int") + 1)
+        .as("suffix"),
+      element_at(array(lit("U.S. House"), lit("U.S. Senate")),
+        (k % 2).cast("int") + 1).as("office"),
+      regexp_replace((k % 25).cast("string"), "^0+", "").as("district"),
+      element_at(array(lit("Republican"), lit("Democratic"), lit("Independent")),
+        (k % 3).cast("int") + 1).as("party"),
+      // _1034 groups on the state NAME string, not an id (match.py:58)
+      concat(lit("State"), (k % 50).cast("string")).as("state_name"))
+    val scraped = base.select(
+      col("id").as("s_id"),
+      // UPPERCASE noise: the _1034 default scorer lowercases both sides,
+      // so these still hit 100 — a config that didn't lowercase wouldn't
+      when(col("id") % 13 === 0, col("nickname"))
+        .otherwise(upper(col("firstname"))).as("firstname"),
+      col("middlename"), col("lastname"), col("suffix"),
+      col("office"), col("district"), col("party"), col("state_name"))
+    val roster = base.select(
+      col("id").as("r_id"), col("firstname"), col("middlename"),
+      col("lastname"), col("nickname"), col("suffix"),
+      col("office"), col("district"), col("party"),
+      col("state_name").as("r_state_name"))
+    val wr = (a: Column, b: Column) =>
+      call_function("w_ratio", lower(a), lower(b))
+    FuzzyMatch.link(
+      scraped, roster, "s_id", "r_id", "state_name", "r_state_name",
+      rules = Seq(
+        FuzzyMatch.Rule("firstname", Seq("firstname", "middlename", "nickname"),
+          wr, threshold = 85),
+        FuzzyMatch.Rule("middlename", Seq("middlename"), wr, threshold = 90),
+        FuzzyMatch.Rule("lastname", Seq("lastname"), wr, threshold = 88),
+        FuzzyMatch.Rule("suffix", Seq("suffix"), wr, threshold = 98),
+        FuzzyMatch.Rule("office", Seq("office"), wr, threshold = 95),
+        FuzzyMatch.Rule("district", Seq("district"), wr, threshold = 95),
+        FuzzyMatch.Rule("party", Seq("party"), wr, threshold = 93)),
+      requiredOverall = 85, dupMargin = 3.0)
+  }
+
   /** q44: the reference's roster-query shape end to end — DISTINCT ON
     * over LEFT-joined dims ("left join to assume data entry error",
     * election_candidates_by_electionyear.sql:25) with the full
@@ -869,7 +927,8 @@ object SparkEntry {
     "q58_name_full" -> (q58 _),
     "q59_election_parse" -> (q59 _),
     "q60_curate" -> (q60 _),
-    "q61_ann_ivf_trained" -> (q61 _)
+    "q61_ann_ivf_trained" -> (q61 _),
+    "q62_fuzzy_link_1034" -> (q62 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy record linkage (ref: votervoice/match.py:44-99).
@@ -14,10 +13,13 @@ import org.apache.spark.sql.functions._
   * Spark-first shape: the ONLY join is an equi-join on the blocking key
   * — a shuffle hash join whose cost is sum of per-block products, never
   * a cross join. Scoring happens row-wise inside the joined relation
-  * (codegen'd expressions), and best-match selection is a row_number
-  * window partitioned by the left id — one extra shuffle on s_id.
-  * At 100 TB: roster side is usually small → mark it broadcast and the
-  * plan becomes scan + broadcast join + window, a single shuffle.
+  * (codegen'd expressions), and best-match selection is a plain
+  * aggregation on the left id: the map side pre-combines to one
+  * candidate per left id per partition, so the one shuffle moves
+  * |left| rows, never |surviving pairs|. At 100 TB: roster side is
+  * usually small → mark it broadcast and the plan is scan + broadcast
+  * join + aggregate — a single |left|-sized shuffle, no Window node
+  * anywhere (PlanAuditSpec pins that structurally).
   */
 object FuzzyMatch {
 
@@ -180,18 +182,27 @@ object FuzzyMatch {
     val cand = joined
       .withColumn("__overall", overall)
       .filter(col("__overall") >= requiredOverall)
-    val w = Window.partitionBy(lc(leftId))
+    // best/dup selection as ONE aggregation, not a window: a window
+    // shuffles every surviving pair to its left id and sorts; the
+    // aggregate map-side combines to one candidate per left id per
+    // partition first, so the shuffle is |left|-sized. Semantics are
+    // unchanged: min(struct(-overall, rid)) is argmax by
+    // (overall desc, rid asc) — the old row_number order — and
+    // "a runner-up within dupMargin of the best exists" is exactly
+    // second_max(overall) >= max(overall) - dupMargin (two candidates
+    // tied at the max give second_max == max).
     cand
-      .withColumn("__rn",
-        row_number().over(w.orderBy(col("__overall").desc, rc(rightId))))
-      .withColumn("__nclose",
-        sum(when(col("__overall") >= max(col("__overall")).over(w) - dupMargin,
-          1L).otherwise(0L)).over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(lc(leftId).as("s_id"))
+      .agg(
+        min(struct(negate(col("__overall")).as("__neg"),
+          rc(rightId).as("__rid"))).as("__best"),
+        call_function("second_max", col("__overall")).as("__m2"))
       .select(
-        lc(leftId).as("s_id"),
-        rc(rightId).as("best_id"),
-        round(col("__overall"), 4).as("match_score"),
-        (col("__nclose") > 1).as("is_dup"))
+        col("s_id"),
+        col("__best.__rid").as("best_id"),
+        round(negate(col("__best.__neg")), 4).as("match_score"),
+        coalesce(
+          col("__m2") >= negate(col("__best.__neg")) - dupMargin,
+          lit(false)).as("is_dup"))
   }
 }

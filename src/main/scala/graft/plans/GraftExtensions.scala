@@ -99,6 +99,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("nearest_centroid",
       es => NearestCentroid(es.head, es(1)),
       "nearest_centroid(vec, matrix) - 1-based index of the max-cosine centroid row"))
+    ext.injectFunction(fn("second_max",
+      es => SecondMax(es.head),
+      "second_max(col) - multiset second-largest value (null until two non-null inputs)"))
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))
