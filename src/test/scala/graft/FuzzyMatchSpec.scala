@@ -126,7 +126,7 @@ class FuzzyMatchSpec extends SparkSpec {
     val leftIds = Seq(
       // case-noisy but identical after lower(): must score 100
       (1L, "JOHN", "SMITH", "U.S. HOUSE", "REPUBLICAN", "Ohio"),
-      // two roster rows tie for this one -> dup flag
+      // two identical roster rows (distinct ids) tie -> dup flag
       (2L, "ann", "lee", "U.S. Senate", "Democratic", "Utah"),
       // same name exists only in ANOTHER state: state_name is a block
       // key, never scored, so the cross-state candidate is unreachable
@@ -135,7 +135,7 @@ class FuzzyMatchSpec extends SparkSpec {
     val roster = Seq(
       (10L, "John", "Smith", "U.S. House", "Republican", "Ohio"),
       (20L, "Ann", "Lee", "U.S. Senate", "Democratic", "Utah"),
-      (21L, "Anne", "Lee", "U.S. Senate", "Democratic", "Utah"),
+      (21L, "Ann", "Lee", "U.S. Senate", "Democratic", "Utah"),
       (30L, "John", "Smith", "U.S. House", "Republican", "Montana"))
       .toDF("r_id", "firstname", "lastname", "office", "party", "state_name")
       .withColumnRenamed("state_name", "r_state_name")
@@ -156,7 +156,8 @@ class FuzzyMatchSpec extends SparkSpec {
     // case noise scores 100 through the lowercased default scorer
     assert(out(0).getLong(1) === 10L && out(0).getDouble(2) === 100.0)
     assert(out(0).getBoolean(3) === false)
-    // ann/anne both clear every threshold -> duplicate within margin 3
+    // identical roster rows both score 100 -> duplicate within margin 3,
+    // tie broken to the lower roster id
     assert(out(1).getLong(1) === 20L && out(1).getBoolean(3) === true)
   }
 
