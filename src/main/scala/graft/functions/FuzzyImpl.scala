@@ -139,8 +139,13 @@ object FuzzyImpl {
 
   /** WRatio-style combined score: max of full, token-sort, token-set
     * and (length-ratio-penalised) partial scores — a documented
-    * simplification of rapidfuzz's WRatio cascade. */
+    * simplification of rapidfuzz's WRatio cascade. Like rapidfuzz's
+    * WRatio (and unlike plain `ratio`), an EMPTY side scores 0, not
+    * 100 — two blank middlename fields are "no evidence", not a
+    * perfect match, so they can't carry a row over required_threshold.
+    */
   def wRatio(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
     val full = ratio(a, b)
     val ts = tokenSortRatio(a, b) * 0.95
     val tset = tokenSetRatio(a, b) * 0.95

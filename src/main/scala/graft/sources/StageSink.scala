@@ -76,10 +76,14 @@ object StageSink {
     path
   }
 
-  // `name_b0000000042` -> Some(42); anything else -> None
+  // `name_b0000000042` -> Some(42); anything else -> None. Accepts any
+  // run of >= 10 digits after the 'b': %010d pads to 10 but emits MORE
+  // digits past batch 10^10, and classifying those as "timestamped"
+  // would trip the mixed-kind guard below forever. Numeric comparison
+  // handles the variable widths.
   private def batchIdOf(name: String, folder: String): Option[Long] = {
     val suffix = folder.stripPrefix(s"${name}_")
-    if (suffix.length == 11 && suffix.head == 'b' &&
+    if (suffix.length >= 11 && suffix.head == 'b' &&
       suffix.tail.forall(_.isDigit)) Some(suffix.tail.toLong) else None
   }
 
@@ -90,7 +94,15 @@ object StageSink {
     * string). The two kinds carry incomparable keys (a batch counter vs
     * a wall clock), so a (stage, name) must hold only one kind — mixing
     * them fails loudly here rather than silently returning whichever
-    * sorts last. */
+    * sorts last.
+    *
+    * Concurrency caveat: a batch-keyed replay rewrites its folder with
+    * `mode("overwrite")`, which deletes before rewriting — a reader
+    * that picked that folder as newest during the retry window can fail
+    * or see partial data. Acceptable for the stage-handoff cadence
+    * (reader and writer are phases of one pipeline, not concurrent
+    * services); for stronger guarantees write to a temp folder and
+    * atomically rename over the target. */
   def loadLatest(
       spark: SparkSession, baseDir: String, stage: String, name: String,
       format: String = "parquet"): DataFrame = {

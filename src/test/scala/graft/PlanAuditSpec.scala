@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Suite-level plan audit over EVERY registered query: structural
   * guards that catch scale regressions at plan-build time, the way the
@@ -43,6 +44,19 @@ class PlanAuditSpec extends SparkSpec {
           (if (bnlj && !bnljByDesign(name)) Seq(s"$name: unexpected BNLJ") else Nil)
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("fuzzy linkage plans select best/dup by aggregate, never a window") {
+    // FuzzyMatch.link/bestByDistance promise a |left|-sized shuffle via
+    // map-side-combined aggregation; a Window node would mean the
+    // pair-sized shuffle snuck back in.
+    for (name <- Seq("q08_fuzzy_match", "q43_fuzzy_link_full",
+      "q62_fuzzy_link_1034")) {
+      val nodes = allNodes(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        s"$name: Window node in linkage plan")
+    }
   }
 
   test("dim-join queries broadcast their dimensions") {
