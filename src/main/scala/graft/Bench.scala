@@ -52,7 +52,10 @@ object Bench {
       "q49_contamination",
       // clustering + repetition + event joins (added r5)
       "q52_repetition", "q53_dedup_survivors", "q54_asof_join",
-      "q55_range_join", "q60_curate"
+      "q55_range_join", "q60_curate",
+      // r5-r7 surfaces promoted to headline (added r8)
+      "q51_dedup_cluster", "q57_split_rows", "q58_name_full",
+      "q59_election_parse", "q61_ann_ivf_trained", "q62_fuzzy_link_1034"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],
@@ -101,8 +104,14 @@ object Bench {
       val mn = r.runs.min; val mx = r.runs.max
       jsonStr(r.name) + ":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]"
     }.mkString("{", ",", "}")
+    // per-query timed-pass count: the 60 s budget can quietly reduce a
+    // slow query to a median of 1-2 passes — make that explicit rather
+    // than readable only from the spread
+    val passes = results.map { r =>
+      jsonStr(r.name) + ":" + r.runs.size
+    }.mkString("{", ",", "}")
     val total = results.map(_.median).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spread,"passes":$passes,"iters":$iters,"sf":"$sfDir"}""")
     // failures are loud (stderr + the "errors" field, 0.0 contribution)
     // but the exit stays clean so the JSON line is always harvested
     results.filter(_.err.isDefined).foreach { r =>

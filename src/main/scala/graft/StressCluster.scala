@@ -17,11 +17,11 @@ object StressCluster {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def time(name: String)(f: => (Long, Long)): Unit = {
+    def time(name: String)(f: => (Long, Long, Int)): Unit = {
       val t0 = System.nanoTime()
-      val (nodes, comps) = f
+      val (nodes, comps, rounds) = f
       println(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
-        f"  ($nodes%d nodes, $comps%d components)")
+        f"  ($nodes%d nodes, $comps%d components, $rounds%d rounds)")
     }
 
     // 1M-node single chain: i -- i+1, shuffled ids so the chain order
@@ -30,8 +30,8 @@ object StressCluster {
     val chain = spark.range(n - 1).select(
       xxhash64(col("id")).as("a"), xxhash64(col("id") + 1).as("b"))
     time("chain 1M nodes (diameter 1M)") {
-      val cc = Dedup.connectedComponents(chain, "a", "b")
-      (cc.count(), cc.select("component").distinct().count())
+      val (cc, rounds) = Dedup.connectedComponentsWithRounds(chain, "a", "b")
+      (cc.count(), cc.select("component").distinct().count(), rounds)
     }
 
     // realistic near-dup graph: 2M nodes, 500k clusters of size 2-6
@@ -48,8 +48,8 @@ object StressCluster {
       .select(col("hub"), explode(col("ns")).as("node"))
       .filter(col("hub") =!= col("node"))
     time("near-dup graph 1.5M edges") {
-      val cc = Dedup.connectedComponents(edges, "hub", "node")
-      (cc.count(), cc.select("component").distinct().count())
+      val (cc, rounds) = Dedup.connectedComponentsWithRounds(edges, "hub", "node")
+      (cc.count(), cc.select("component").distinct().count(), rounds)
     }
 
     // full pipeline on the r4 stress corpus when present: LSH pairs →
@@ -60,7 +60,7 @@ object StressCluster {
       time("dropNearDuplicates 200k docs") {
         val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
           shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
-        (kept.count(), 0L)
+        (kept.count(), 0L, 0)
       }
     }
     spark.stop()

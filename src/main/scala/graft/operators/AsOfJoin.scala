@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * greatest payload struct wins (deterministic; cross-engine oracle
   * parity then requires (key, ts) unique on the right, which event
   * streams with sub-second timestamps satisfy).
+  *
+  * Skew bound: like every keyed window, one pathological key (a single
+  * user holding a large fraction of all events) serialises that key's
+  * sort into one task — the per-task cost is O(max-key-rows log
+  * max-key-rows), not O(total). That is the standard as-of plan and
+  * strictly better than the BNLJ inequality join it replaces; if a
+  * real corpus ever concentrates events that hard, the fix is a
+  * two-level variant (range-partition each hot key by time, carry the
+  * last right row of each chunk forward as a boundary row) — not
+  * needed until a single key approaches a partition's memory.
   */
 object AsOfJoin {
 

@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup via md5 content hash. Returns one row per distinct
     * content with the kept (minimum) id and the duplicate count.
     */
@@ -372,7 +374,17 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * convergence telemetry an operator at real scale alerts on (rounds
+    * creeping toward maxIter means the pair graph's shape changed, e.g.
+    * a threshold regression chaining the whole corpus together). Also
+    * logged at info. */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
     // canonical directed form: (u, v) with u > v ("child" -> smaller)
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
@@ -417,10 +429,13 @@ object Dedup {
     if (!converged && !edges.isEmpty)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
+    log.info(s"connectedComponents converged in $iter rounds " +
+      s"(maxIter=$maxIter)")
     // star forest: every non-root points straight at its component min
-    edges.select(col("u").as("id"), col("v").as("component"))
+    val cc = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+    (cc, iter)
   }
 
   /** End-to-end corpus near-dedup: MinHash-LSH candidate pairs, exact

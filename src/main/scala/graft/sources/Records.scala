@@ -81,6 +81,30 @@ object Records {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** JSON-lines with bad-row quarantine: returns (good, bad) exactly
+    * like [[csvQuarantine]] — PERMISSIVE parse into a corrupt side
+    * column, persisted once before the split (same SPARK-21610
+    * constraint: neither branch may filter a raw scan on the corrupt
+    * column alone). Bad rows carry the raw line in `raw`. */
+  def jsonlQuarantine(
+      spark: SparkSession, path: String, schema: StructType,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("__corrupt", StringType, nullable = true))
+    val read = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__corrupt")
+      .json(path)
+      .persist(storageLevel)
+    val good = read.filter(col("__corrupt").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = read.filter(col("__corrupt").isNotNull)
+      .select(col("__corrupt").as("raw"))
+    (good, bad)
+  }
+
   /** Parquet write partitioned for downstream pruning: directory
     * partitions on `partitionCols` (equality/range filters on them
     * never touch other partitions' files), rows clustered within

@@ -106,6 +106,42 @@ class AnnSpec extends SparkSpec {
       again.orderBy("centroid_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("recall@5 curve: trained centroids match or beat sampled at equal nprobe") {
+    // the production quality number for q61's machinery: recall@5 vs
+    // brute force at nprobe ∈ {1,3,5}, trained (3 Lloyd's iterations)
+    // vs the deterministic hash-sampled init (iters = 0). Everything
+    // here is deterministic, so these are fixed values, not a flaky
+    // statistical bound.
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queries = e.filter($"vec_id" < 20)
+    def centroidsAt(iters: Int) =
+      Ann.trainCentroids(e, "vec_id", "embedding", k = 10, iters = iters)
+        .withColumnRenamed("centroid_id", "vec_id")
+    val sampled = centroidsAt(0)
+    val trained = centroidsAt(3)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = asSet(Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    def recallAt(cents: org.apache.spark.sql.DataFrame, nprobe: Int) = {
+      val got = asSet(Ann.ivfTopK(e, queries, cents,
+        "vec_id", "embedding", k = 5, nprobe = nprobe))
+      (bf & got).size.toDouble / bf.size
+    }
+    val curve = Seq(1, 3, 5).map { np =>
+      (np, recallAt(sampled, np), recallAt(trained, np))
+    }
+    for ((np, rSampled, rTrained) <- curve) {
+      assert(rTrained >= rSampled,
+        s"trained recall below sampled at nprobe=$np: " +
+          curve.map(c => s"nprobe=${c._1} sampled=${c._2} trained=${c._3}")
+            .mkString(", "))
+    }
+    // recall must be monotone in nprobe for a fixed model
+    for (Seq((_, s1, t1), (_, s2, t2)) <- curve.sliding(2)) {
+      assert(s2 >= s1 && t2 >= t1, s"recall not monotone in nprobe: $curve")
+    }
+  }
+
   test("assignBuckets is a pure projection — zero exchanges of any kind") {
     val centroids = vecs.filter($"vec_id".isin(0L, 2L, 4L))
     val out = Ann.assignBuckets(vecs, centroids, "vec_id", "embedding")

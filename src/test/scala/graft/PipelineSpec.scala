@@ -5,9 +5,11 @@ import java.time.Instant
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.DataFrame
+
 import graft.functions.TextFunctions
 import graft.operators.{FuzzyMatch, HtmlTable}
-import graft.sources.StageSink
+import graft.sources.{Pipeline, StageSink}
 
 /** The reference's full votervoice flow (votervoice/__main__.py main):
   * extract (HTML → records) → transform (name/psd/normalize) → match
@@ -98,5 +100,85 @@ class PipelineSpec extends SparkSpec {
     val reread = StageSink.loadLatest(spark, base, "TRANSFORMED_FILES",
       "Ratings-Transformed")
     assert(reread.count() === 3)
+  }
+
+  // the same stages, this time composed by the orchestrator
+  private def transformStage(extracted: DataFrame): DataFrame =
+    extracted.select(
+      col("row_idx").as("s_id"),
+      TextFunctions.firstName(col("info")).as("firstname"),
+      TextFunctions.lastName(col("info")).as("lastname"),
+      TextFunctions.nullToEmpty(
+        TextFunctions.replaceValues(col("office"),
+          Map("US House" -> "U.S. House", "US Senate" -> "U.S. Senate")))
+        .as("office"),
+      TextFunctions.state(col("info")).as("state_id"),
+      col("sig_rating"))
+
+  private def matchStage(transformed: DataFrame): (DataFrame, DataFrame) = {
+    val roster = Seq(
+      (100L, "John", "Smith", "U.S. House", "TX"),
+      (101L, "Mary", "Jones", "U.S. House", "DC"),
+      (102L, "Robert", "Lee", "U.S. Senate", "VT"))
+      .toDF("candidate_id", "firstname", "lastname", "office", "state_id")
+    val wr = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("w_ratio", a, b)
+    val matched = FuzzyMatch.link(
+      transformed, roster, "s_id", "candidate_id", "state_id", "state_id",
+      rules = Seq(
+        FuzzyMatch.Rule("firstname", Seq("firstname"), wr, 85),
+        FuzzyMatch.Rule("lastname", Seq("lastname"), wr, 88),
+        FuzzyMatch.Rule("office", Seq("office"), wr, 100)),
+      requiredOverall = 75)
+    // the reference's records_query: the matched candidate ids, shaped
+    // for the DB lookup (VSDB-Candidates)
+    val query = matched.select(col("best_id").as("candidate_id")).distinct()
+    (matched, query)
+  }
+
+  test("Pipeline.run orchestrates extract -> transform -> match -> query exports") {
+    val base = Files.createTempDirectory("graft_pipeline_run").toString
+    val t0 = Instant.parse("2024-05-06T07:08:09.000001Z")
+    val exports = Pipeline.run(
+      spark,
+      extract = () => HtmlTable.toRecords(
+        Seq((1L, page)).toDF("page_id", "page"), "page", Seq("page_id"))
+        .select(col("page_id"), col("row_idx"),
+          col("record")("info").as("info"),
+          col("record")("office").as("office"),
+          col("record")("sig_rating").as("sig_rating")),
+      transform = transformStage,
+      matcher = matchStage,
+      baseDir = base, session = "2023-2024", at = t0)
+
+    // every stage exported, named <name>_<session>-<timestamp>
+    val stamp = StageSink.stamp(t0)
+    assert(exports.extract.get ===
+      s"$base/EXTRACT_FILES/Ratings-Extract_2023-2024-$stamp")
+    assert(exports.transformed.get ===
+      s"$base/TRANSFORMED_FILES/Ratings-Transformed_2023-2024-$stamp")
+    assert(exports.matched.get ===
+      s"$base/MATCHED_FILES/Ratings-Matched_2023-2024-$stamp")
+    assert(exports.query.get ===
+      s"$base/QUERY_FILES/VSDB-Candidates_2023-2024-$stamp")
+    exports.productIterator.foreach { p =>
+      assert(new java.io.File(p.asInstanceOf[Option[String]].get).isDirectory)
+    }
+    val matched = spark.read.parquet(exports.matched.get)
+    assert(matched.count() >= 2)
+    assert(spark.read.parquet(exports.query.get).count() === matched
+      .select("best_id").distinct().count())
+
+    // -m resume flow: newest transformed export -> match-only rerun
+    val resumed = Pipeline.runFromTransformed(
+      spark,
+      Pipeline.resumeLatest(spark, base, "TRANSFORMED_FILES",
+        "Ratings-Transformed"),
+      matchStage, base, "2023-2024",
+      Instant.parse("2024-05-07T00:00:00.000001Z"))
+    assert(resumed.extract.isEmpty && resumed.transformed.isEmpty)
+    val latestMatch = StageSink.loadLatest(spark, base, "MATCHED_FILES",
+      "Ratings-Matched")
+    assert(latestMatch.count() === matched.count())
   }
 }

@@ -61,6 +61,24 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter($"id" === 1).select($"meta.k").as[String].head === "v1")
   }
 
+  test("Records.jsonlQuarantine diverts malformed lines, keeps good ones typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonlq").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.jsonl"),
+      """{"id":1,"score":2.5}
+        |{"id":"oops","score":not even json
+        |{"id":3,"score":4.5}
+        |""".stripMargin.getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val (good, bad) = Records.jsonlQuarantine(spark, s"$dir/m.jsonl", schema)
+    assert(good.schema === schema)
+    assert(good.orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 2.5), (3L, 4.5)))
+    val badRows = bad.as[String].collect()
+    assert(badRows.toSeq === Seq("""{"id":"oops","score":not even json"""))
+  }
+
   test("Records.writePartitioned enables partition pruning at read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
     val df = Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 30.0))
