@@ -855,6 +855,38 @@ object SparkEntry {
       requiredOverall = 85, dupMargin = 3.0)
   }
 
+  /** q63: EXACT incremental dedup — a new batch (doc_id % 4 == 0)
+    * anti-joined against the corpus's content hashes (doc_id % 4 != 0),
+    * then min-id per remaining distinct content. The continuous-ingest
+    * shape: the corpus contributes only its (tiny) distinct-hash set,
+    * never its text. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val corpusHashes = Dedup.exact(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
+      .select("content_hash")
+    Dedup.exactIncremental(
+      docs.filter(col("doc_id") % 4 === 0), corpusHashes, "doc_id", "text")
+  }
+
+  /** q64: MinHash incremental dedup — the batch (doc_id % 4 == 0)
+    * probes a MinHash index built over the corpus (doc_id % 4 != 0):
+    * batch bands broadcast against the index's band table, verify
+    * fetches corpus shingles for candidates only, survivors then dedup
+    * within the batch. Per-batch cost is O(batch + candidates),
+    * independent of corpus size. rows-only (LSH banding recall is not
+    * SQL-expressible); DedupSpec pins drop/keep/delta semantics. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val index = Dedup.buildMinhashIndex(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16)
+    val (survivors, _) = Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 4 === 0), index, "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+    survivors.select(col("doc_id"))
+  }
+
   /** q44: the reference's roster-query shape end to end — DISTINCT ON
     * over LEFT-joined dims ("left join to assume data entry error",
     * election_candidates_by_electionyear.sql:25) with the full
@@ -928,7 +960,9 @@ object SparkEntry {
     "q59_election_parse" -> (q59 _),
     "q60_curate" -> (q60 _),
     "q61_ann_ivf_trained" -> (q61 _),
-    "q62_fuzzy_link_1034" -> (q62 _)
+    "q62_fuzzy_link_1034" -> (q62 _),
+    "q63_dedup_incr_exact" -> (q63 _),
+    "q64_dedup_incremental" -> (q64 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1161,6 +1195,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q63_dedup_incr_exact" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0)
+        |SELECT h AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM batch WHERE h NOT IN (SELECT h FROM corpus)
+        |GROUP BY 1""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]

@@ -151,6 +151,19 @@ object Dedup {
     else
       jaccard(a, b)
 
+  /** (band, bucket) structs for a signature array — the ONE banding
+    * hash, shared by the self-join path and the incremental index so
+    * bucket keys computed in different runs (or persisted to parquet)
+    * stay join-compatible. */
+  private def bandBucketStructs(
+      sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).as("bucket")))
+
   /** LSH banding: split the signature into `bands` bands and emit
     * (band_id, band_hash) bucket keys. Docs sharing any bucket become
     * candidate pairs via an equi-join on the bucket key — a plain shuffle
@@ -171,14 +184,7 @@ object Dedup {
         signatureCol(docs, col("__sh"), numHashes).as("__sig"))
     val buckets = sig.select(
       col("__id"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(
-            b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-                v => v.cast("string")))).as("bucket")))
-      ).as("__bk"))
+      explode(bandBucketStructs(col("__sig"), bands, rowsPerBand)).as("__bk"))
       .select(col("__id"), col("__bk.band"), col("__bk.bucket"))
     // repartition on the join key BEFORE the self-join: both sides then
     // share one identical exchange subtree, so ReuseExchange computes
@@ -242,6 +248,163 @@ object Dedup {
       call_function("jaccard_longs", a, b)
     else
       jaccard(a, b)
+
+  // ------------------------------------------------------------------
+  // Incremental dedup: a new batch against a persisted corpus index
+  // ------------------------------------------------------------------
+
+  /** Persisted MinHash state of an already-deduped corpus:
+    * `bands` (id, band, bucket) for candidate generation and
+    * `shingles` (id, shingles array<long>) for exact-Jaccard verify.
+    *
+    * This is THE 100 TB shape for a training pipeline that ingests
+    * continuously: the corpus is shingled and signed ONCE when it
+    * enters, and every later batch dedups against the stored index —
+    * never re-reading, re-shingling, or re-signing the corpus. Daily
+    * cost is O(batch) + a band equi-join against the index, not
+    * O(corpus).
+    */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame) {
+    /** Persist to `<dir>/bands` + `<dir>/shingles` parquet. Bands are
+      * clustered by bucket key so the probe join's scan localises. */
+    def save(dir: String): Unit = {
+      bands.sortWithinPartitions("band", "bucket")
+        .write.mode("error").parquet(s"$dir/bands")
+      shingles.write.mode("error").parquet(s"$dir/shingles")
+    }
+
+    /** Index for the grown corpus: existing entries plus a delta
+      * (typically [[Dedup.incrementalDedup]]'s survivor index). */
+    def union(delta: MinhashIndex): MinhashIndex =
+      MinhashIndex(bands.unionByName(delta.bands),
+        shingles.unionByName(delta.shingles))
+  }
+
+  object MinhashIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
+      MinhashIndex(spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/shingles"))
+  }
+
+  /** Batch feature frame shared by index build and probe:
+    * (id, shingles array<long>, __sig). One pass computes both the
+    * verify-shingles (raw xxhash64 longs — see minhashNearDup for the
+    * collision bound) and the MinHash signature. */
+  private def minhashFeatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    Parallelism.ensure(
+      docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), shinglesCol(docs, col("__t"), shingleN).as("__shstr"))
+      .select(col("id"),
+        transform(col("__shstr"), xxhash64(_)).as("shingles"),
+        signatureCol(docs, col("__shstr"), numHashes).as("__sig"))
+
+  /** Build the MinHash index for a (deduped) corpus. The same
+    * (shingleN, numHashes, bands) MUST be used for every later probe —
+    * bucket hashes from different parameters never match. */
+  def buildMinhashIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): MinhashIndex = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val feat = minhashFeatures(docs, idCol, textCol, shingleN, numHashes)
+    MinhashIndex(
+      feat.select(col("id"),
+        explode(bandBucketStructs(col("__sig"), bands, numHashes / bands))
+          .as("__bk"))
+        .select(col("id"), col("__bk.band"), col("__bk.bucket")),
+      feat.select(col("id"), col("shingles")))
+  }
+
+  /** Near-dup pairs between a new batch and the indexed corpus:
+    * (corpus_id, batch_id, jaccard) with jaccard ≥ threshold.
+    *
+    * Plan shape: the batch (the small side by construction — a daily
+    * delta vs the whole corpus) is shingled/signed once and
+    * localCheckpointed, then BROADCAST against the index's band table —
+    * the corpus never shuffles. Verify fetches corpus shingles for
+    * candidate ids only (semi-join), so the per-batch cost is
+    * O(batch + candidates), independent of corpus size. Set
+    * `broadcastBatch = false` for a batch too big to broadcast — the
+    * joins fall back to shuffles on (band, bucket) and id. */
+  def incrementalNearDup(
+      batch: DataFrame, index: MinhashIndex, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, broadcastBatch: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    // tiny relative to the corpus; consumed by the band join AND the
+    // verify join — materialise once
+    val feat = minhashFeatures(batch, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint(false)
+    def maybeB(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val batchBands = feat.select(col("id").as("b_id"),
+      explode(bandBucketStructs(col("__sig"), bands, numHashes / bands))
+        .as("__bk"))
+      .select(col("b_id"), col("__bk.band").as("band"),
+        col("__bk.bucket").as("bucket"))
+    val cands = index.bands
+      .join(maybeB(batchBands), Seq("band", "bucket"))
+      .select(col("id").as("a_id"), col("b_id"))
+      .distinct()
+      .localCheckpoint(false)
+    // corpus shingles for candidate corpus docs ONLY
+    val corpusSh = index.shingles
+      .join(cands.select(col("a_id").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id").as("a_id"), col("shingles").as("__sha"))
+    cands
+      .join(corpusSh, "a_id")
+      .join(maybeB(feat.select(col("id").as("b_id"),
+        col("shingles").as("__shb"))), "b_id")
+      .withColumn("jaccard",
+        round(jaccardLongsCol(batch, col("__sha"), col("__shb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Incremental near-dedup of a batch against an indexed corpus.
+    * Returns (survivors, delta-index):
+    * - a batch doc near-duplicating ANY corpus doc is dropped (the
+    *   corpus copy is already in the training set);
+    * - among the rest, within-batch near-dup clusters keep their
+    *   minimum id (same policy as [[dropNearDuplicates]]);
+    * - the delta is the survivors' index, ready to
+    *   [[MinhashIndex.union]] into the corpus index for the next batch.
+    *
+    * Near-duplication is not transitive, so a batch doc whose only link
+    * to the corpus runs THROUGH a dropped batch sibling survives — by
+    * design: it cleared the similarity bar against everything retained.
+    */
+  def incrementalDedup(
+      batch: DataFrame, index: MinhashIndex, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, broadcastBatch: Boolean = true): (DataFrame, MinhashIndex) = {
+    val vsCorpus = incrementalNearDup(batch, index, idCol, textCol,
+      shingleN, numHashes, bands, threshold, broadcastBatch)
+      .select(col("b_id").as(idCol))
+    val inBatch = batch.join(vsCorpus, Seq(idCol), "left_anti")
+    val survivors = dropNearDuplicates(inBatch, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    (survivors,
+      buildMinhashIndex(survivors, idCol, textCol, shingleN, numHashes, bands))
+  }
+
+  /** Exact incremental dedup: drop batch rows whose content already
+    * appears in the corpus (hash anti-join), then keep the minimum id
+    * per remaining distinct content. The corpus side reduces to its
+    * distinct content hashes — at scale, persist those once and
+    * anti-join each batch against the (small) hash set, not the corpus.
+    */
+  def exactIncremental(
+      batch: DataFrame, corpusHashes: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val fresh = batch
+      .withColumn("__h", md5(col(contentCol)))
+      .join(corpusHashes.select(col("content_hash").as("__h")),
+        Seq("__h"), "left_anti")
+    fresh
+      .groupBy(col("__h").as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
 
   // ------------------------------------------------------------------
   // Embedding near-dup (hyperplane LSH)

@@ -55,6 +55,83 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.get._3 === 0)
   }
 
+  test("incrementalNearDup probes a saved index without touching corpus text") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words entirely here now"),
+      (2L, "grand unified theories of modern physics explained simply"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (11L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (12L, "fresh novel content with no corpus counterpart at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    // build + save in one "run", load + probe in another: persisted
+    // bucket keys must stay join-compatible across the parquet boundary
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16).save(dir)
+    val index = Dedup.MinhashIndex.load(spark, dir)
+    val pairs = Dedup.incrementalNearDup(batch, index, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 10L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 11L))
+    assert(!pairs.exists(p => p._2 == 12L))
+    // broadcast off must give the identical pair set
+    val shuffled = Dedup.incrementalNearDup(batch, index, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16, threshold = 0.5,
+      broadcastBatch = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSet === shuffled.toSet)
+  }
+
+  test("incrementalDedup drops corpus dups, keeps min id within batch, emits delta") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus
+      (11L, "brand new document about distributed query engines"),
+      (12L, "brand new document about distributed query engines"), // dup of 11
+      (13L, "a singleton with entirely original narrative text"))
+      .toDF("doc_id", "text")
+    val (survivors, delta) = Dedup.incrementalDedup(batch, index,
+      "doc_id", "text", shingleN = 2, numHashes = 48, bands = 16,
+      threshold = 0.5)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(11L, 13L))
+    // delta indexes exactly the survivors
+    assert(delta.shingles.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(11L, 13L))
+    // next batch dedups against the GROWN index: a dup of survivor 11
+    // is now caught
+    val grown = index.union(delta)
+    val next = Seq(
+      (20L, "brand new document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val (nextSurvivors, _) = Dedup.incrementalDedup(next, grown,
+      "doc_id", "text", shingleN = 2, numHashes = 48, bands = 16,
+      threshold = 0.5)
+    assert(nextSurvivors.isEmpty)
+  }
+
+  test("exactIncremental anti-joins corpus hashes then keeps min id per content") {
+    val corpusHashes = Dedup.exact(docs, "doc_id", "text")
+      .select("content_hash")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // in corpus
+      (11L, "novel content one"), (12L, "novel content one"),
+      (13L, "novel content two"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, corpusHashes, "doc_id", "text")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(out.toSeq === Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val blocked = docs.withColumn("blk", lit(1))
     val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "blk",
