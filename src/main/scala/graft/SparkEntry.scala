@@ -880,7 +880,7 @@ object SparkEntry {
     val docs = Tables(s, dir).documents
     val index = Dedup.buildMinhashIndex(
       docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
-      shingleN = 3, numHashes = 48, bands = 16)
+      shingleN = 3, numHashes = 48, bands = 16).materialize()
     val (survivors, _) = Dedup.incrementalDedup(
       docs.filter(col("doc_id") % 4 === 0), index, "doc_id", "text",
       shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)

@@ -253,9 +253,10 @@ object Dedup {
   // Incremental dedup: a new batch against a persisted corpus index
   // ------------------------------------------------------------------
 
-  /** Persisted MinHash state of an already-deduped corpus:
-    * `bands` (id, band, bucket) for candidate generation and
-    * `shingles` (id, shingles array<long>) for exact-Jaccard verify.
+  /** Persisted MinHash state of an already-deduped corpus: ONE table
+    * of (id, shingles array<long>, bands array<struct<band,bucket>>) —
+    * the band keys for candidate generation and the hashed shingles
+    * for exact-Jaccard verify.
     *
     * This is THE 100 TB shape for a training pipeline that ingests
     * continuously: the corpus is shingled and signed ONCE when it
@@ -263,27 +264,42 @@ object Dedup {
     * never re-reading, re-shingling, or re-signing the corpus. Daily
     * cost is O(batch) + a band equi-join against the index, not
     * O(corpus).
+    *
+    * One combined table deliberately: [[save]] is a single corpus pass
+    * (two tables from one lineage would each recompute the features),
+    * and a loaded index serves the probe's two consumers as two
+    * column-pruned scans of the same parquet. A freshly BUILT index
+    * probed without saving would still evaluate its lineage per
+    * consumer — call [[materialize]] first (or save + load, which at
+    * scale is the point of an index).
     */
-  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame) {
-    /** Persist to `<dir>/bands` + `<dir>/shingles` parquet. Bands are
-      * clustered by bucket key so the probe join's scan localises. */
-    def save(dir: String): Unit = {
-      bands.sortWithinPartitions("band", "bucket")
-        .write.mode("error").parquet(s"$dir/bands")
-      shingles.write.mode("error").parquet(s"$dir/shingles")
-    }
+  final case class MinhashIndex(entries: DataFrame) {
+    /** (id, band, bucket) view for candidate generation. */
+    def bands: DataFrame =
+      entries.select(col("id"), explode(col("bands")).as("__bk"))
+        .select(col("id"), col("__bk.band"), col("__bk.bucket"))
+
+    /** (id, shingles) view for exact-Jaccard verify. */
+    def shingles: DataFrame = entries.select("id", "shingles")
+
+    /** Persist to `<dir>/entries` parquet — one corpus pass. */
+    def save(dir: String): Unit =
+      entries.write.mode("error").parquet(s"$dir/entries")
+
+    /** Pin the entries so repeated probes don't recompute the feature
+      * lineage (for in-memory use; persisted indexes don't need it). */
+    def materialize(): MinhashIndex =
+      MinhashIndex(entries.localCheckpoint(false))
 
     /** Index for the grown corpus: existing entries plus a delta
       * (typically [[Dedup.incrementalDedup]]'s survivor index). */
     def union(delta: MinhashIndex): MinhashIndex =
-      MinhashIndex(bands.unionByName(delta.bands),
-        shingles.unionByName(delta.shingles))
+      MinhashIndex(entries.unionByName(delta.entries))
   }
 
   object MinhashIndex {
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
-      MinhashIndex(spark.read.parquet(s"$dir/bands"),
-        spark.read.parquet(s"$dir/shingles"))
+      MinhashIndex(spark.read.parquet(s"$dir/entries"))
   }
 
   /** Batch feature frame shared by index build and probe:
@@ -307,13 +323,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): MinhashIndex = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val feat = minhashFeatures(docs, idCol, textCol, shingleN, numHashes)
     MinhashIndex(
-      feat.select(col("id"),
-        explode(bandBucketStructs(col("__sig"), bands, numHashes / bands))
-          .as("__bk"))
-        .select(col("id"), col("__bk.band"), col("__bk.bucket")),
-      feat.select(col("id"), col("shingles")))
+      minhashFeatures(docs, idCol, textCol, shingleN, numHashes)
+        .select(col("id"), col("shingles"),
+          bandBucketStructs(col("__sig"), bands, numHashes / bands)
+            .as("bands")))
   }
 
   /** Near-dup pairs between a new batch and the indexed corpus:
