@@ -282,9 +282,12 @@ object Dedup {
     /** (id, shingles) view for exact-Jaccard verify. */
     def shingles: DataFrame = entries.select("id", "shingles")
 
-    /** Persist to `<dir>/entries` parquet — one corpus pass. */
-    def save(dir: String): Unit =
-      entries.write.mode("error").parquet(s"$dir/entries")
+    /** Persist to `<dir>/entries` parquet — one corpus pass.
+      * `mode = "overwrite"` is for deterministic replays (streaming
+      * delta folders keyed on batch id); the default refuses to clobber
+      * an existing index. */
+    def save(dir: String, mode: String = "error"): Unit =
+      entries.write.mode(mode).parquet(s"$dir/entries")
 
     /** Pin the entries so repeated probes don't recompute the feature
       * lineage (for in-memory use; persisted indexes don't need it). */

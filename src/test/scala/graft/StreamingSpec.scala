@@ -179,6 +179,55 @@ class StreamingSpec extends SparkSpec {
     assert(names2 === Seq("VoterVoice-Matched_b0000000000"), names2.toString)
   }
 
+  test("streaming incremental near-dedup: each batch dedups against all prior") {
+    import java.nio.file.Files
+    import graft.streaming.StreamDedup
+
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val indexDir = Files.createTempDirectory("graft_sdedup_idx").toString
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val query = StreamDedup.incrementalWriter(
+      stream, "doc_id", "text", base, "TRANSFORMED_FILES", "Docs-Deduped",
+      indexDir, shingleN = 2, numHashes = 48, bands = 16, threshold = 0.5)
+      .start()
+    try {
+      // batch 0: a within-batch dup pair + a singleton
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different words entirely here now"))
+      query.processAllAvailable()
+      // batch 1: a near-dup of batch 0's survivor + fresh content
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy cat"),
+        (11L, "grand unified theories of modern physics explained simply"))
+      query.processAllAvailable()
+      // batch 2: an exact dup of batch 1's survivor
+      input.addData(
+        (20L, "grand unified theories of modern physics explained simply"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def survivorsOf(b: Int): Seq[Long] =
+      spark.read.parquet(
+        f"$base/TRANSFORMED_FILES/Docs-Deduped_b$b%010d")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivorsOf(0) === Seq(1L, 3L))
+    assert(survivorsOf(1) === Seq(11L)) // 10 near-dups doc 1 across batches
+    assert(survivorsOf(2) === Seq())    // 20 exact-dups doc 11 across batches
+    // one delta folder per batch, loadable as one index
+    val deltas = new java.io.File(indexDir).listFiles().map(_.getName).sorted
+    assert(deltas.toSeq === Seq("delta_b0000000000", "delta_b0000000001",
+      "delta_b0000000002"))
+    val all = graft.operators.Dedup.MinhashIndex(
+      spark.read.parquet(deltas.map(d => s"$indexDir/$d/entries").toIndexedSeq: _*))
+    assert(all.shingles.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 11L))
+  }
+
   test("loadLatest orders batch-keyed exports numerically, rejects mixes") {
     import java.nio.file.Files
     import graft.sources.StageSink
