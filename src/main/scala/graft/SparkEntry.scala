@@ -887,6 +887,22 @@ object SparkEntry {
     survivors.select(col("doc_id"))
   }
 
+  /** q65: incremental EMBEDDING near-dedup — the batch (vec_id % 4
+    * == 0) probes a sign-bucket index over the corpus (vec_id % 4 !=
+    * 0); survivors dedup within the batch. Same parameters as q41 so
+    * the two share recall characteristics. rows-only (hyperplane LSH
+    * recall is not SQL-expressible); DedupSpec pins drop/keep/delta. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(s, dir).embeddings
+    val index = Dedup.buildEmbeddingIndex(
+      vecs.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+      dim = 64, numPlanes = 4).materialize()
+    val (survivors, _) = Dedup.incrementalEmbeddingDedup(
+      vecs.filter(col("vec_id") % 4 === 0), index, "vec_id", "embedding",
+      dim = 64, numPlanes = 4, threshold = 0.2)
+    survivors.select(col("vec_id"))
+  }
+
   /** q44: the reference's roster-query shape end to end — DISTINCT ON
     * over LEFT-joined dims ("left join to assume data entry error",
     * election_candidates_by_electionyear.sql:25) with the full
@@ -962,7 +978,8 @@ object SparkEntry {
     "q61_ann_ivf_trained" -> (q61 _),
     "q62_fuzzy_link_1034" -> (q62 _),
     "q63_dedup_incr_exact" -> (q63 _),
-    "q64_dedup_incremental" -> (q64 _)
+    "q64_dedup_incremental" -> (q64 _),
+    "q65_embed_incremental" -> (q65 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

@@ -454,6 +454,97 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** Embedding near-dedup with the same survivor policy as
+    * [[dropNearDuplicates]]: sign-bucket candidate pairs, exact-cosine
+    * verify, transitive clusters, keep the minimum-id vector per
+    * cluster. */
+  def dropEmbeddingNearDuplicates(
+      vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val pairs = embeddingNearDup(vecs, idCol, vecCol, dim, numPlanes,
+      threshold)
+    val losers = connectedComponents(pairs, "a_id", "b_id")
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    vecs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Persisted sign-bucket state of an embedding corpus: ONE table of
+    * (id, vec, bucket, norm) — the same single-table/continuous-ingest
+    * rationale as [[MinhashIndex]], for the embedding modality. The
+    * bucket function is deterministic in (dim, numPlanes), so buckets
+    * computed in different runs (or loaded from parquet) stay
+    * join-compatible. */
+  final case class EmbeddingIndex(entries: DataFrame) {
+    def save(dir: String, mode: String = "error"): Unit =
+      entries.write.mode(mode).parquet(s"$dir/entries")
+
+    def materialize(): EmbeddingIndex =
+      EmbeddingIndex(entries.localCheckpoint(false))
+
+    def union(delta: EmbeddingIndex): EmbeddingIndex =
+      EmbeddingIndex(entries.unionByName(delta.entries))
+  }
+
+  object EmbeddingIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): EmbeddingIndex =
+      EmbeddingIndex(spark.read.parquet(s"$dir/entries"))
+  }
+
+  /** Build the sign-bucket index for an embedding corpus. The same
+    * (dim, numPlanes) MUST be used for every later probe. */
+  def buildEmbeddingIndex(
+      vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int = 8): EmbeddingIndex = {
+    import graft.functions.VectorFunctions._
+    EmbeddingIndex(Parallelism.ensure(
+      vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        hyperplaneBucket(col("vec"), dim, numPlanes).as("bucket"),
+        norm(col("vec")).as("nrm")))
+  }
+
+  /** Near-dup pairs between a new embedding batch and the indexed
+    * corpus: (corpus a_id, batch b_id, cosine ≥ threshold). Batch side
+    * bucketed once and broadcast (`broadcastBatch = false` for shuffle
+    * joins); the corpus index never moves beyond the bucket equi-join.
+    */
+  def incrementalEmbeddingNearDup(
+      batch: DataFrame, index: EmbeddingIndex, idCol: String,
+      vecCol: String, dim: Int, numPlanes: Int = 8,
+      threshold: Double = 0.8, broadcastBatch: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val b0 = batch
+      .select(col(idCol).as("b_id"), col(vecCol).as("__vb"),
+        hyperplaneBucket(col(vecCol), dim, numPlanes).as("bucket"),
+        norm(col(vecCol)).as("__nb"))
+    val b = if (broadcastBatch) broadcast(b0) else b0
+    index.entries
+      .join(b, Seq("bucket"))
+      .withColumn("cosine", round(
+        cosinePrenormed(dot(col("vec"), col("__vb")), col("nrm"), col("__nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id").as("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Incremental embedding near-dedup: drop batch vectors
+    * near-duplicating the indexed corpus, dedup the remainder within
+    * the batch, return (survivors, delta-index) — the embedding twin of
+    * [[incrementalDedup]]. */
+  def incrementalEmbeddingDedup(
+      batch: DataFrame, index: EmbeddingIndex, idCol: String,
+      vecCol: String, dim: Int, numPlanes: Int = 8,
+      threshold: Double = 0.8, broadcastBatch: Boolean = true): (DataFrame, EmbeddingIndex) = {
+    val hits = incrementalEmbeddingNearDup(batch, index, idCol, vecCol,
+      dim, numPlanes, threshold, broadcastBatch)
+      .select(col("b_id").as(idCol))
+    val survivors = dropEmbeddingNearDuplicates(
+      batch.join(hits, Seq(idCol), "left_anti"), idCol, vecCol, dim,
+      numPlanes, threshold)
+    (survivors,
+      buildEmbeddingIndex(survivors, idCol, vecCol, dim, numPlanes))
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

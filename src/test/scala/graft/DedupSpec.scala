@@ -132,6 +132,37 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("incrementalEmbeddingDedup drops corpus near-dups, dedups within batch") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_embidx").toString
+    Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      dim = 4, numPlanes = 6).save(dir)
+    val index = Dedup.EmbeddingIndex.load(spark, dir)
+    val batch = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // near-dup of corpus 0
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // fresh
+      (12L, Array(0.0f, 0.0f, 0.99f, 0.01f)),  // near-dup of 11 in batch
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f)))    // fresh
+      .toDF("vec_id", "embedding")
+    val (survivors, delta) = Dedup.incrementalEmbeddingDedup(
+      batch, index, "vec_id", "embedding", dim = 4, numPlanes = 6,
+      threshold = 0.9)
+    val kept = survivors.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 13L))
+    assert(delta.entries.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(11L, 13L))
+    // grown index catches a next-batch dup of survivor 11
+    val next = Seq((20L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (nextKept, _) = Dedup.incrementalEmbeddingDedup(
+      next, index.union(delta), "vec_id", "embedding", dim = 4,
+      numPlanes = 6, threshold = 0.9)
+    assert(nextKept.isEmpty)
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val blocked = docs.withColumn("blk", lit(1))
     val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "blk",
