@@ -903,6 +903,24 @@ object SparkEntry {
     survivors.select(col("vec_id"))
   }
 
+  /** q67: q63's exact incremental dedup with a Bloom pre-filter — the
+    * corpus ships as one constant-size sketch (Spark's own
+    * BloomFilterAggregate over xxhash64(text)); bloom-negative batch
+    * rows (no false negatives) skip the anti-join, bloom-positives
+    * alone probe the corpus hash set. Same oracle as q63: the sketch
+    * only routes rows, output is row-identical. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val corpusHashes = Dedup.exact(corpus, "doc_id", "text")
+      .select("content_hash")
+    val bloom = Dedup.buildContentBloom(
+      corpus, "text", expectedItems = 1 << 20, fpp = 0.03)
+    Dedup.exactIncrementalBloom(
+      docs.filter(col("doc_id") % 4 === 0), bloom, corpusHashes,
+      "doc_id", "text")
+  }
+
   /** q44: the reference's roster-query shape end to end — DISTINCT ON
     * over LEFT-joined dims ("left join to assume data entry error",
     * election_candidates_by_electionyear.sql:25) with the full
@@ -979,7 +997,8 @@ object SparkEntry {
     "q62_fuzzy_link_1034" -> (q62 _),
     "q63_dedup_incr_exact" -> (q63 _),
     "q64_dedup_incremental" -> (q64 _),
-    "q65_embed_incremental" -> (q65 _)
+    "q65_embed_incremental" -> (q65 _),
+    "q67_dedup_incr_bloom" -> (q67 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1213,6 +1232,17 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "q63_dedup_incr_exact" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0)
+        |SELECT h AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM batch WHERE h NOT IN (SELECT h FROM corpus)
+        |GROUP BY 1""".stripMargin,
+    // q67 is q63 behind a Bloom pre-filter; the sketch only routes rows,
+    // so the exact-dedup oracle is identical.
+    "q67_dedup_incr_bloom" ->
       """WITH corpus AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
         |batch AS (

@@ -423,6 +423,58 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Serialized Bloom filter over `xxhash64(content)` of every corpus
+    * row — the constant-size stand-in for the corpus hash set. One
+    * corpus pass, map-side combined, a single binary to the driver.
+    * Sized by [[graft.functions.BloomFunctions.optimalNumBits]]; the
+    * session's runtime-bloom clamp confs are raised to fit (they cap,
+    * never fail — an under-sized sketch only raises the false-positive
+    * rate, never produces a false negative).
+    */
+  def buildContentBloom(
+      corpus: DataFrame, contentCol: String,
+      expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
+    import graft.functions.BloomFunctions._
+    val bits = optimalNumBits(expectedItems, fpp)
+    val conf = corpus.sparkSession.conf
+    def raise(key: String, needed: Long): Unit =
+      if (conf.getOption(key).forall(_.toLong < needed))
+        conf.set(key, needed.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+    corpus
+      .select(bloomAgg(xxhash64(col(contentCol)), expectedItems, bits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** [[exactIncremental]] with a Bloom pre-filter: batch rows whose
+    * content hash is bloom-NEGATIVE are definitively new (no false
+    * negatives) and bypass the anti-join entirely; only bloom-positives
+    * — true duplicates plus an fpp-sized sliver — shuffle against the
+    * corpus hash set. Output is row-identical to [[exactIncremental]];
+    * the sketch only routes rows.
+    *
+    * The 100 TB shape: the corpus participates as one broadcast binary
+    * (built once per ingest epoch by [[buildContentBloom]]) plus an
+    * anti-join whose probe side is ~fpp × batch instead of the whole
+    * batch. */
+  def exactIncrementalBloom(
+      batch: DataFrame, bloom: Array[Byte], corpusHashes: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    import graft.functions.BloomFunctions.bloomMightContain
+    val probed = batch
+      .withColumn("__h", md5(col(contentCol)))
+      .withColumn("__maybe",
+        bloomMightContain(bloom, xxhash64(col(contentCol))))
+    val definitelyNew = probed.filter(!col("__maybe"))
+    val checked = probed.filter(col("__maybe"))
+      .join(corpusHashes.select(col("content_hash").as("__h")),
+        Seq("__h"), "left_anti")
+    definitelyNew.unionByName(checked)
+      .groupBy(col("__h").as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   // ------------------------------------------------------------------
   // Embedding near-dup (hyperplane LSH)
   // ------------------------------------------------------------------

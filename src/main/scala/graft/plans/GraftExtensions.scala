@@ -108,6 +108,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("repetition_counts",
       es => RepetitionCounts(es.head),
       "repetition_counts(text) - word/bigram repetition counters as a struct"))
+    ext.injectFunction(fn("bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2)),
+      "bloom_agg(hash, items, bits) - serialized Bloom filter of a bigint hash column"))
+    ext.injectFunction(fn("bloom_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1)),
+      "bloom_might_contain(bloom, hash) - Bloom membership probe of a bigint hash"))
     ext.injectFunction(fn("html_element",
       es => HtmlElement(es.head,
         litStr("html_element", 1, es(1)),

@@ -132,6 +132,44 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("exactIncrementalBloom matches exactIncremental row for row") {
+    val corpusHashes = Dedup.exact(docs, "doc_id", "text")
+      .select("content_hash")
+    val bloom = Dedup.buildContentBloom(docs, "text", expectedItems = 100)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // in corpus
+      (11L, "novel content one"), (12L, "novel content one"),
+      (13L, "novel content two"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.exactIncremental(batch, corpusHashes, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val bloomed = Dedup.exactIncrementalBloom(
+      batch, bloom, corpusHashes, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(bloomed === plain)
+    assert(bloomed.map(_(1)) === Set(11L, 13L))
+  }
+
+  test("bloom probe is negative-definitive and routes around the anti-join") {
+    import graft.functions.BloomFunctions._
+    val bloom = Dedup.buildContentBloom(docs, "text", expectedItems = 100)
+    // every corpus content probes positive (no false negatives, ever)
+    val hits = docs
+      .select(bloomMightContain(bloom, xxhash64(col("text"))).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity))
+    // the probe sits in the plan as a pure filter below the anti-join
+    // (a parquet source, because ConvertToLocalRelation pre-evaluates
+    // filters — bloom probe included — on in-memory relations)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = Dedup.exactIncrementalBloom(
+      spark.read.parquet(dir), bloom, Dedup.exact(docs, "doc_id", "text")
+        .select("content_hash"), "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
   test("incrementalEmbeddingDedup drops corpus near-dups, dedups within batch") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
