@@ -524,6 +524,16 @@ object SparkEntry {
     Corpus.splitAssign(Tables(s, dir).documents, "doc_id")
       .select(col("doc_id"), col("split"))
 
+  /** q68: training-corpus source mixing — re-weight three sources to
+    * 40/40/20 by deterministic hash sampling (src0/src1 land at rate
+    * 1.0, src2 at 0.5 — both the exact and the Bernoulli path run).
+    * rows-only (xxhash64 sampling is engine-specific); CorpusSpec pins
+    * proportions, determinism, upsampling copy numbering. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixSources(Tables(s, dir).documents, "doc_id", "source",
+      Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2))
+      .select(col("doc_id"), col("source"), col("copy"))
+
   /** q51: near-dup clustering — connected components over the verified
     * MinHash near-dup pairs (q33's graph), alternating large-star/
     * small-star. The oracle recomputes the same pair graph by brute
@@ -998,7 +1008,8 @@ object SparkEntry {
     "q63_dedup_incr_exact" -> (q63 _),
     "q64_dedup_incremental" -> (q64 _),
     "q65_embed_incremental" -> (q65 _),
-    "q67_dedup_incr_bloom" -> (q67 _)
+    "q67_dedup_incr_bloom" -> (q67 _),
+    "q68_mix_sources" -> (q68 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

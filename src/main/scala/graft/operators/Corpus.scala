@@ -163,6 +163,61 @@ object Corpus {
       bands, threshold)
   }
 
+  /** Re-weight a multi-source corpus to target proportions (training-
+    * data mixing: N raw sources → one corpus at chosen weights) by
+    * DETERMINISTIC hash sampling — stable across runs, cluster layouts
+    * and partitionings (xxhash64 of the id, never rand()).
+    *
+    * Given per-source counts n_s and normalized target weights t_s, the
+    * output total T is the largest satisfying rate_s = t_s·T/n_s ≤
+    * `maxRepeat` for every weighted source, so expected output per
+    * source is EXACTLY t_s·T. With `maxRepeat` = 1 this is pure
+    * downsampling (a hash filter — no explode, no shuffle); > 1 allows
+    * upsampling scarce sources by row duplication, each copy numbered
+    * in `copy` (0-based). Sources absent from `targets` are dropped.
+    *
+    * Scale: per-source counts are one tiny aggregate collected to the
+    * driver (rows = #sources — the same model-on-driver pattern as
+    * Ann's centroids); the mix itself is a pure projection/filter.
+    * Mix AFTER dedup: upsampled copies are intentional exact dups.
+    */
+  def mixSources(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      targets: Map[String, Double], seed: Long = 0L,
+      maxRepeat: Int = 1): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
+      targets.values.sum > 0, "mixSources: need nonnegative weights, sum > 0")
+    require(maxRepeat >= 1, "mixSources: maxRepeat >= 1")
+    val wsum = targets.values.sum
+    val weighted = targets.collect {
+      case (s, w) if w > 0 => s -> w / wsum
+    }
+    val counts = docs
+      .filter(col(sourceCol).isin(weighted.keys.toSeq.map(lit): _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weighted.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixSources: weighted sources absent from corpus: ${missing.mkString(", ")}")
+    val total = weighted.map { case (s, t) => maxRepeat * counts(s) / t }.min
+    val rates = weighted.map { case (s, t) => s -> t * total / counts(s) }
+    val rate = coalesce(
+      element_at(typedlit(rates), col(sourceCol)), lit(0.0))
+    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+      .cast("double") / 1000000.0
+    if (maxRepeat == 1)
+      docs.filter(u < rate).withColumn("copy", lit(0))
+    else {
+      val copies = (floor(rate).cast("int") +
+        when(u < rate - floor(rate), 1).otherwise(0))
+      // guard the empty case explicitly: sequence(0, -1) would emit a
+      // DESCENDING two-element array, not an empty one
+      val idx = when(copies > 0, sequence(lit(0), copies - lit(1)))
+        .otherwise(array().cast("array<int>"))
+      docs.withColumn("copy", explode(idx))
+    }
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.

@@ -55,6 +55,60 @@ class CorpusSpec extends SparkSpec {
     assert(moved > 0)
   }
 
+  test("mixSources hits target proportions, deterministic, downsampling is a filter") {
+    // 8000 a's, 1600 b's, 400 c's -> mix to 50/25/25
+    val docs = spark.range(10000).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 8000, "a")
+          .when(col("doc_id") < 9600, "b").otherwise("c"))
+    val targets = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val mixed = Corpus.mixSources(docs, "doc_id", "source", targets)
+    val n = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    // binding source is c: T = 400/0.25 = 1600 -> expect 800/400/400
+    assert(n("c") === 400L) // rate 1.0: kept in full
+    assert(math.abs(n("a") - 800L) < 120, s"a=${n("a")}")
+    assert(math.abs(n("b") - 400L) < 90, s"b=${n("b")}")
+    // deterministic
+    val again = Corpus.mixSources(docs, "doc_id", "source", targets)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(n === again)
+    // unweighted sources are dropped entirely
+    val partial = Corpus.mixSources(docs, "doc_id", "source",
+      Map("b" -> 1.0)).select("source").distinct().as[String].collect()
+    assert(partial.toSeq === Seq("b"))
+  }
+
+  test("mixSources upsamples scarce sources with numbered copies") {
+    val docs = spark.range(1000).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 900, "big").otherwise("small"))
+    // 50/50 target needs small (100 rows) upsampled vs big (900)
+    val mixed = Corpus.mixSources(docs, "doc_id", "source",
+      Map("big" -> 0.5, "small" -> 0.5), maxRepeat = 4)
+    val n = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    // binding: small at rate 4 -> T = 800, expect 400/400
+    assert(n("small") === 400L)
+    assert(math.abs(n("big") - 400L) < 80, s"big=${n("big")}")
+    // copies are numbered 0..3 and each original id appears 4x
+    val copies = mixed.filter(col("source") === "small")
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(copies.forall(_._2 === 4L))
+    assert(mixed.filter(col("source") === "small")
+      .select("copy").distinct().as[Int].collect().sorted.toSeq === Seq(0, 1, 2, 3))
+  }
+
+  test("mixSources validates weights and presence") {
+    intercept[IllegalArgumentException] {
+      Corpus.mixSources(spark.range(1).toDF("id")
+        .withColumn("source", lit("x")), "id", "source", Map("x" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixSources(spark.range(1).toDF("id")
+        .withColumn("source", lit("x")), "id", "source",
+        Map("x" -> 0.5, "ghost" -> 0.5))
+    }
+  }
+
   test("splitAssign validates weights") {
     intercept[IllegalArgumentException] {
       Corpus.splitAssign(spark.range(1).toDF("id"), "id",
