@@ -57,7 +57,9 @@ object Bench {
       "q51_dedup_cluster", "q57_split_rows", "q58_name_full",
       "q59_election_parse", "q61_ann_ivf_trained", "q62_fuzzy_link_1034",
       // incremental dedup (added r8)
-      "q63_dedup_incr_exact", "q64_dedup_incremental", "q65_embed_incremental"
+      "q63_dedup_incr_exact", "q64_dedup_incremental", "q65_embed_incremental",
+      // PQ search, bloom dedup, corpus mixing (added r8)
+      "q66_ann_ivfpq", "q67_dedup_incr_bloom", "q68_mix_sources"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -450,6 +450,27 @@ object SparkEntry {
       idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
   }
 
+  /** q66: IVF-PQ compressed search — PQ codebooks trained per subspace
+    * (driver-side Lloyd's over a deterministic bounded sample, the
+    * FAISS recipe), corpus encoded to 16 one-byte codes + true norm
+    * (16× smaller than raw float32), queries score buckets by ADC
+    * table lookups, then the top candidates rerank with exact cosine.
+    * rows-only (PQ quantization is engine-specific); AnnSpec pins ADC
+    * error bounds, recall, and rerank-equals-brute-force at full
+    * probe. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+      iters = 5, maxTrain = 4096)
+    Ann.ivfPqTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      centroids = centroids, codebooks = books,
+      idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3,
+      refine = 4)
+  }
+
   /** q46: CSS/div HTML extraction round-trip — pages synthesised in the
     * reference's billtrack50 scorecard shape (nested container div +
     * labeled strong/span score pulls), then extracted back with the
@@ -1008,6 +1029,7 @@ object SparkEntry {
     "q63_dedup_incr_exact" -> (q63 _),
     "q64_dedup_incremental" -> (q64 _),
     "q65_embed_incremental" -> (q65 _),
+    "q66_ann_ivfpq" -> (q66 _),
     "q67_dedup_incr_bloom" -> (q67 _),
     "q68_mix_sources" -> (q68 _)
   )

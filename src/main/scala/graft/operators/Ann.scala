@@ -241,6 +241,157 @@ object Ann {
         round(col("__cos"), 4).as("cosine"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ: product-quantization compressed search
+  // ------------------------------------------------------------------
+
+  /** Cap on the PQ training sample materialised on the driver. At
+    * 16384 × 768 floats that is ~48 MB — k-means over a bounded sample
+    * is the standard PQ training recipe (FAISS trains on a sample too);
+    * ENCODING and SEARCH stay fully distributed. */
+  private val MaxPqTrainRows = 65536
+
+  /** Train PQ codebooks: split dim-d vectors into `m` subvectors of
+    * d/m floats and run Lloyd's k-means (L2) per subspace over a
+    * DETERMINISTIC hash-ordered sample collected to the driver.
+    * Deterministic init (first `ksub` sampled subvectors), empty
+    * clusters keep their previous centroid — same contracts as
+    * [[trainCentroids]]. Returns m × ksub × d/m codebooks ready for
+    * [[buildPqIndex]] / [[ivfPqTopK]].
+    */
+  def trainPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 256, iters: Int = 10,
+      maxTrain: Int = 16384, seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && ksub > 0 && ksub <= 256 && iters >= 0,
+      "trainPq: m > 0, 0 < ksub <= 256, iters >= 0")
+    require(maxTrain >= ksub && maxTrain <= MaxPqTrainRows,
+      s"trainPq: maxTrain must be in [$ksub, $MaxPqTrainRows]")
+    val sample = corpus.filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(maxTrain)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    require(sample.forall(_.length == dim), "trainPq: ragged vectors")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val off = j * dsub
+      val subs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, off, off + dsub))
+      var cents = subs.take(ksub).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val ns = new Array[Long](cents.length)
+        subs.foreach { s =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = s(i).toDouble - cents(c)(i).toDouble
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          ns(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          if (ns(c) == 0) prev
+          else Array.tabulate(dsub)(i => (sums(c)(i) / ns(c)).toFloat)
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Encode the corpus into the IVF-PQ index: (id, centroid_id, codes,
+    * vec_norm). One pass, pure projection — `codes` is m bytes instead
+    * of 4·dim (32× smaller at dim=64, m=8) and `vec_norm` keeps the
+    * TRUE row norm so approximate cosine divides by the exact
+    * denominator. At scale, persist this as parquet and search against
+    * it; the raw corpus is only touched again by the rerank fetch. */
+  private def requirePqKernels(df: DataFrame): Unit =
+    require(df.sparkSession.catalog.functionExists("pq_encode"),
+      "PQ kernels need graft.plans.GraftExtensions installed " +
+        "(spark.sql.extensions=graft.plans.GraftExtensions)")
+
+  def buildPqIndex(
+      corpus: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    requirePqKernels(corpus)
+    assignBuckets(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"),
+        call_function("pq_encode", col(vecCol), typedlit(codebooks))
+          .as("codes"),
+        norm(col(vecCol)).as("vec_norm"))
+  }
+
+  /** IVF-PQ search: queries probe their `nprobe` nearest buckets and
+    * score the bucket's PQ codes by ADC — per candidate, m table
+    * lookups against the query's precomputed m×ksub dot-product table,
+    * no float math on corpus data. `refine` > 0 then reranks the top
+    * refine·k ADC candidates with EXACT cosine (one broadcast join back
+    * to the raw vectors — candidates only, never the corpus); at full
+    * probe with a wide enough refine the result is byte-identical to
+    * [[bruteForceTopK]]. refine=0 returns pure-ADC ranks with the
+    * approximate cosine in `cosine`.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      refine: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    val index = buildPqIndex(corpus, centroids, codebooks, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .withColumn("__lut",
+        call_function("pq_lut", col("__qv"), typedlit(codebooks)))
+    val scored = index
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .withColumn("__adc", graft.functions.VectorFunctions.cosinePrenormed(
+        call_function("pq_adc", col("codes"), col("__lut")),
+        col("__qn"), col("vec_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    if (refine <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("__adc"), 4).as("cosine"))
+    } else {
+      import graft.functions.VectorFunctions._
+      val candidates = scored
+        .withColumn("__arank", row_number().over(w))
+        .filter(col("__arank") <= k.toLong * refine)
+        .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__qn"))
+      val exact = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+          norm(col(vecCol)).as("__cn"))
+        .join(broadcast(candidates), Seq("neighbor_id"))
+        .withColumn("__cos", cosinePrenormed(
+          dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("__cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("__cos"), 4).as("cosine"))
+    }
+  }
+
   /** Top-`nprobe` centroids per query (broadcast-size output). */
   private def assignProbes(
       queries: DataFrame, centroids: DataFrame,

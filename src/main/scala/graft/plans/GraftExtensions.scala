@@ -108,6 +108,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("repetition_counts",
       es => RepetitionCounts(es.head),
       "repetition_counts(text) - word/bigram repetition counters as a struct"))
+    ext.injectFunction(fn("pq_encode",
+      es => PqEncode(es.head, es(1)),
+      "pq_encode(vec, codebooks) - m-byte product-quantization code"))
+    ext.injectFunction(fn("pq_lut",
+      es => PqLut(es.head, es(1)),
+      "pq_lut(qvec, codebooks) - flat m*ksub ADC dot-product table"))
+    ext.injectFunction(fn("pq_adc",
+      es => PqAdc(es.head, es(1)),
+      "pq_adc(codes, lut) - approximate dot product via table lookups"))
     ext.injectFunction(fn("bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es.head, es(1), es(2)),

@@ -142,6 +142,84 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes are m bytes, encoding is deterministic, ADC ≈ exact dot") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+      iters = 5, maxTrain = 1000)
+    assert(books.length === 16)
+    assert(books.forall(cb => cb.length === 128 && cb.forall(_.length === 4)))
+    val enc = e.select(col("vec_id"),
+      call_function("pq_encode", col("embedding"), typedlit(books)).as("c"))
+    val codes = enc.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]]("c").toSeq).toMap
+    assert(codes.values.forall(_.length == 16))
+    val again = enc.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]]("c").toSeq).toMap
+    assert(codes === again)
+    // ADC of a vector against ITS OWN lut approximates its squared norm
+    val err = e.limit(50)
+      .select((call_function("pq_adc",
+        call_function("pq_encode", col("embedding"), typedlit(books)),
+        call_function("pq_lut", col("embedding"), typedlit(books)))
+        - graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
+        .as("err"),
+        graft.functions.VectorFunctions
+          .dot(col("embedding"), col("embedding")).as("d"))
+      .select(abs(col("err")) / col("d")).as[Double].collect()
+    info(s"ADC self-dot relative error: worst ${err.max}, " +
+      s"mean ${err.sum / err.length}")
+    assert(err.forall(_ < 0.35), s"worst relative ADC error ${err.max}")
+    assert(err.sum / err.length < 0.15,
+      s"mean relative ADC error ${err.sum / err.length}")
+  }
+
+  test("IVF-PQ: ADC recall is useful, rerank recovers brute force exactly") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queries = e.filter($"vec_id" < 20)
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding", k = 10,
+      iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+      iters = 5, maxTrain = 1000)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = asSet(Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    val full = centroids.count().toInt
+    // pure ADC at full probe: approximate ranks, decent recall
+    val adc = asSet(Ann.ivfPqTopK(e, queries, centroids, books,
+      "vec_id", "embedding", k = 5, nprobe = full))
+    val adcRecall = (bf & adc).size.toDouble / bf.size
+    info(s"pure-ADC recall@5 at full probe: $adcRecall")
+    assert(adcRecall >= 0.5, s"ADC recall $adcRecall too low")
+    // rerank with exact cosine over 10x candidates + full probe == brute force
+    val reranked = Ann.ivfPqTopK(e, queries, centroids, books,
+      "vec_id", "embedding", k = 5, nprobe = full, refine = 10)
+    assert(asSet(reranked) === bf)
+    // rerank at-or-above pure ADC recall even at partial probe
+    val rerankedPartial = asSet(Ann.ivfPqTopK(e, queries, centroids, books,
+      "vec_id", "embedding", k = 5, nprobe = 3, refine = 10))
+    val adcPartial = asSet(Ann.ivfPqTopK(e, queries, centroids, books,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    val rr = (bf & rerankedPartial).size.toDouble / bf.size
+    val ar = (bf & adcPartial).size.toDouble / bf.size
+    assert(rr >= ar, s"rerank recall $rr below ADC recall $ar")
+  }
+
+  test("PQ validates dimensions and codebook shape") {
+    intercept[IllegalArgumentException] {
+      Ann.trainPq(vecs, "vec_id", "embedding", m = 2) // dim 3 % 2 != 0
+    }
+    val books = Seq.fill(3)(Seq.fill(4)(Seq.fill(1)(0.0f))) // m=3, dsub=1
+    // encoding a dim-3 vector with a dim-3 model works; ragged rejected
+    val ok = vecs.select(call_function("pq_encode",
+      col("embedding"), typedlit(books)))
+    assert(ok.collect().length === 5)
+    val ragged = Seq(Seq(Seq(0.0f, 0.0f)), Seq(Seq(0.0f)))
+    intercept[Exception] {
+      vecs.select(call_function("pq_encode",
+        col("embedding"), typedlit(ragged))).collect()
+    }
+  }
+
   test("assignBuckets is a pure projection — zero exchanges of any kind") {
     val centroids = vecs.filter($"vec_id".isin(0L, 2L, 4L))
     val out = Ann.assignBuckets(vecs, centroids, "vec_id", "embedding")
