@@ -127,6 +127,37 @@ object Records {
       .parquet(path)
   }
 
+  /** Z-ordered parquet write: rows are laid out along a Morton curve
+    * over the quantile buckets of `zCols` (numeric), so every file
+    * covers a small hyper-rectangle of the combined value space and
+    * parquet min/max stats skip files for predicates on ANY curve
+    * column — where a linear sort only serves its leading column.
+    *
+    * Cost: one approx-quantile sketch pass per column (constant driver
+    * memory) + the range shuffle + the write — the standard one-time
+    * layout job, paid once to make every subsequent selective scan
+    * cheaper. `bits` controls grid resolution (6 → 64 buckets/column);
+    * file-level skipping saturates well below per-row precision. */
+  def writeZOrdered(
+      df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 6, numFiles: Int = 64,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import graft.functions.LayoutFunctions._
+    require(zCols.size >= 2,
+      "writeZOrdered: needs >= 2 columns (use writePartitioned sortCols for 1)")
+    val buckets = zCols.map { c =>
+      quantileBucket(col(c), quantileBounds(df, c, bits))
+    }
+    df.withColumn("__z", zValue(buckets, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("error")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** Idempotent partition reload: replaces ONLY the directory
     * partitions present in `df`, leaving every other partition's files
     * untouched (dynamic partition overwrite). The re-run-safe shape for

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.time.Instant
 
+import org.apache.spark.sql.functions._
+
 import graft.sources.{Multimodal, Records, StageSink}
 
 class SourcesSpec extends SparkSpec {
@@ -96,6 +98,50 @@ class SourcesSpec extends SparkSpec {
       scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("lang"),
       s"lang not pruned via partition filters:\n$scan")
+  }
+
+  test("writeZOrdered: files cover small rectangles, point queries touch fewer files") {
+    import graft.functions.LayoutFunctions._
+    // 40k rows over a 200x200 uniform grid; x and y are independent
+    val df = spark.range(40000).toDF("id")
+      .withColumn("x", pmod(xxhash64(col("id"), lit(1L)), lit(200L)))
+      .withColumn("y", pmod(xxhash64(col("id"), lit(2L)), lit(200L)))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zord").toString + "/t"
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString + "/t"
+    Records.writeZOrdered(df, zDir, Seq("x", "y"), bits = 4, numFiles = 16)
+    // the linear strawman: same file count, sorted by x only
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(linDir)
+
+    def perFile(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    val zFiles = perFile(zDir)
+    val linFiles = perFile(linDir)
+    assert(zFiles.length >= 8, s"expected >=8 z files, got ${zFiles.length}")
+    // round trip preserves the data
+    assert(spark.read.parquet(zDir).count() === 40000L)
+    // the x-sorted layout serves only its leading column: every file
+    // spans (nearly) the full y domain. Z-order bounds BOTH extents —
+    // files are Morton tiles, not full-height slabs.
+    def meanYExtent(fs: Array[(Long, Long, Long, Long)]) =
+      fs.map { case (_, _, y0, y1) => (y1 - y0 + 1).toDouble }.sum / fs.length
+    assert(meanYExtent(linFiles) > 180.0, // sanity: slabs see all of y
+      s"linear mean y extent ${meanYExtent(linFiles)}")
+    assert(meanYExtent(zFiles) < 0.6 * meanYExtent(linFiles),
+      s"z mean y extent ${meanYExtent(zFiles)} vs linear ${meanYExtent(linFiles)}")
+    // skipping simulation for a y-only predicate (y in [90,110]): count
+    // files whose min/max stats cannot exclude it — what the parquet
+    // reader prunes on. Linear cannot skip ANY file; z-order must.
+    def eligible(fs: Array[(Long, Long, Long, Long)]) = fs.count {
+      case (_, _, y0, y1) => y1 >= 90 && y0 <= 110
+    }
+    assert(eligible(linFiles) === linFiles.length) // slabs: all touched
+    assert(eligible(zFiles) <= (zFiles.length * 3) / 4,
+      s"z eligible ${eligible(zFiles)} of ${zFiles.length}")
   }
 
   test("upsertPartitions replaces only the partitions present in the batch") {
