@@ -49,6 +49,58 @@ class EventJoinSpec extends SparkSpec {
     assert(!scans.contains("props"), s"props not pruned:\n$scans")
   }
 
+  test("asOfSkewed matches asOf on the fixture, including right-empty chunks") {
+    val got = AsOfJoin.asOfSkewed(left, right, Seq("key"), "ts",
+      rightPayload = Seq("rid", "v"), chunks = 3)
+      .select("id", "right_rid", "right_v")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(100L) == ((Some(2L), Some(2.5))))
+    assert(got(101L) == ((Some(1L), Some(1.5))))
+    assert(got(102L) == ((None, None)))
+    assert(got(103L) == ((None, None))) // u3: chunk with no right rows at all
+  }
+
+  test("asOfSkewed equals asOf row-for-row on a hot-keyed random corpus") {
+    // one key holds half of all events — the shape the chunked variant
+    // exists for. Equality must hold at every chunk granularity.
+    val n = 5000L
+    val hotLeft = spark.range(n).toDF("id")
+      .withColumn("key", when(pmod(col("id"), lit(2)) === 0, "hot")
+        .otherwise(concat(lit("u"), pmod(col("id"), lit(97)))))
+      .withColumn("ts", pmod(xxhash64(col("id"), lit(7L)), lit(10000L)))
+    val hotRight = spark.range(n / 2).toDF("rid")
+      .withColumn("key", when(pmod(col("rid"), lit(2)) === 0, "hot")
+        .otherwise(concat(lit("u"), pmod(col("rid"), lit(97)))))
+      .withColumn("ts", pmod(xxhash64(col("rid"), lit(11L)), lit(10000L)))
+      .withColumn("v", (pmod(xxhash64(col("rid")), lit(1000L))).cast("double"))
+      // the tie rule (greatest payload at equal (key, ts)) is engine-
+      // internal; dedupe (key, ts) so equality is well-defined
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key", "ts").orderBy(col("rid"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "right_rid", "right_v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val base = asSet(AsOfJoin.asOf(hotLeft, hotRight, Seq("key"), "ts",
+      rightPayload = Seq("rid", "v")))
+    for (chunks <- Seq(2, 8, 32)) {
+      val skewed = asSet(AsOfJoin.asOfSkewed(hotLeft, hotRight, Seq("key"),
+        "ts", rightPayload = Seq("rid", "v"), chunks = chunks))
+      assert(skewed === base, s"asOfSkewed diverged at chunks=$chunks")
+    }
+  }
+
+  test("asOfSkewed level-1 window partitions on (key, chunk), not key alone") {
+    val plan = AsOfJoin.asOfSkewed(left, right, Seq("key"), "ts",
+      Seq("rid"), chunks = 4)
+      .queryExecution.optimizedPlan.toString
+    // the hot-key bound comes from the chunked partition spec
+    assert(plan.contains("windowspecdefinition(key#") &&
+      plan.contains("__chunk"), s"chunked window missing:\n$plan")
+  }
+
   test("withinWindow finds cross-bin pairs, honors boundary, no dups") {
     val ev = Seq(
       // bins of 100: 95 and 105 are adjacent bins, gap 10
