@@ -58,8 +58,9 @@ object Bench {
       "q59_election_parse", "q61_ann_ivf_trained", "q62_fuzzy_link_1034",
       // incremental dedup (added r8)
       "q63_dedup_incr_exact", "q64_dedup_incremental", "q65_embed_incremental",
-      // PQ search, bloom dedup, corpus mixing (added r8)
-      "q66_ann_ivfpq", "q67_dedup_incr_bloom", "q68_mix_sources"
+      // PQ search, bloom dedup, corpus mixing, heavy hitters (added r8)
+      "q66_ann_ivfpq", "q67_dedup_incr_bloom", "q68_mix_sources",
+      "q69_heavy_hitters"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -525,6 +525,17 @@ object SparkEntry {
   private def q48(s: SparkSession, dir: String): DataFrame =
     Corpus.ngramFreq(Tables(s, dir).documents, "text", n = 2, topK = 100)
 
+  /** q69: sketch-first heavy hitters — q48's top-100 bigrams via an
+    * approx_top_k sketch pass (constant-size, map-side combined) whose
+    * top-400 candidates broadcast into an exact-count second pass. The
+    * 100 TB path for open vocabularies: the count shuffle carries only
+    * candidates × partitions rows. maxTracked here exceeds the sf0.01
+    * vocabulary, so the sketch superset is guaranteed and the output
+    * is EXACT — same oracle as q48. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    Corpus.heavyHitters(Tables(s, dir).documents, "text", n = 2,
+      topK = 100, maxTracked = 1 << 17)
+
   /** q49: benchmark-contamination screen — docs sharing ≥ 1 trigram
     * with the probe set (here: the first five documents), with the
     * shared-distinct-trigram count. Probe side broadcast; the corpus
@@ -1031,7 +1042,8 @@ object SparkEntry {
     "q65_embed_incremental" -> (q65 _),
     "q66_ann_ivfpq" -> (q66 _),
     "q67_dedup_incr_bloom" -> (q67 _),
-    "q68_mix_sources" -> (q68 _)
+    "q68_mix_sources" -> (q68 _),
+    "q69_heavy_hitters" -> (q69 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1404,6 +1416,18 @@ object SparkEntry {
         |    '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS clean
         |FROM raw""".stripMargin,
     "q48_ngram_freq" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT list_distinct([words[i] || ' ' || words[i+1]
+        |         for i in generate_series(1, len(words)-1)]) AS bi FROM w),
+        |u AS (SELECT unnest(bi) AS ngram FROM sh)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+        |FROM u GROUP BY 1
+        |ORDER BY freq DESC, ngram
+        |LIMIT 100""".stripMargin,
+    // q69 is q48 computed sketch-first; with maxTracked above the
+    // sf0.01 vocabulary the candidate superset is guaranteed, so the
+    // exact-count second pass reproduces q48's oracle verbatim.
+    "q69_heavy_hitters" ->
       """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT list_distinct([words[i] || ' ' || words[i+1]
         |         for i in generate_series(1, len(words)-1)]) AS bi FROM w),

@@ -26,6 +26,42 @@ object Corpus {
       .orderBy(col("freq").desc, col("ngram"))
       .limit(topK)
 
+  /** Sketch-first heavy hitters: the 100 TB path for [[ngramFreq]]'s
+    * top-k. The exact plan's shuffle carries one row per distinct
+    * n-gram per partition — fine while the vocabulary is bounded,
+    * quadratic pain when it isn't (open-vocabulary shingles at corpus
+    * scale). Here a first pass aggregates a CONSTANT-SIZE top-k sketch
+    * (Spark's `approx_top_k`, map-side combined), the sketch's top
+    * `sketchK` items become broadcast candidates, and a second pass
+    * exact-counts ONLY those candidates — its shuffle carries ≤
+    * sketchK × partitions rows regardless of vocabulary.
+    *
+    * Output equals [[ngramFreq]] exactly whenever the sketch's
+    * `sketchK` superset contains the true top `topK` — guaranteed when
+    * `maxTracked` ≥ distinct n-grams (the sketch degenerates to exact)
+    * and overwhelmingly likely otherwise with the default 4× headroom;
+    * CorpusSpec pins equality on a Zipf corpus. Same column contract
+    * as ngramFreq (doc-distinct n-grams, freq-then-text ordering). */
+  def heavyHitters(
+      docs: DataFrame, textCol: String, n: Int, topK: Int,
+      sketchK: Int = 0, maxTracked: Int = 100000): DataFrame = {
+    val sk = if (sketchK > 0) sketchK else 4 * topK
+    require(sk >= topK, s"heavyHitters: sketchK $sk < topK $topK")
+    def grams = Parallelism.ensure(docs.select(col(textCol).as("__t")))
+      .select(explode(Dedup.shingles(col("__t"), n)).as("ngram"))
+    val candidates = grams
+      .agg(call_function("approx_top_k",
+        col("ngram"), lit(sk), lit(maxTracked)).as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.item").as("ngram"))
+    grams
+      .join(broadcast(candidates), Seq("ngram"), "left_semi")
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(topK)
+  }
+
   /** Benchmark-contamination screen: per document, how many n-grams it
     * shares with a probe set (e.g. benchmark/eval shingles), keeping
     * only contaminated docs. Both sides shingle once; the join is an

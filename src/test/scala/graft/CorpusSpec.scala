@@ -55,6 +55,26 @@ class CorpusSpec extends SparkSpec {
     assert(moved > 0)
   }
 
+  test("heavyHitters equals exact ngramFreq on a Zipf corpus") {
+    // zipf-ish: word w_i appears with frequency ~ 1/i -> clear head
+    val docs = spark.range(2000).toDF("id")
+      .withColumn("text", concat_ws(" ",
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(1L)), lit(7L))),
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(2L)), lit(23L))),
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(3L)), lit(97L))),
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(4L)), lit(997L)))))
+    val exact = Corpus.ngramFreq(docs, "text", n = 2, topK = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketched = Corpus.heavyHitters(docs, "text", n = 2, topK = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketched === exact)
+    // degenerate-to-exact regime: maxTracked above the vocabulary
+    val wide = Corpus.heavyHitters(docs, "text", n = 2, topK = 25,
+      sketchK = 30, maxTracked = 100000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(wide === exact)
+  }
+
   test("mixSources hits target proportions, deterministic, downsampling is a filter") {
     // 8000 a's, 1600 b's, 400 c's -> mix to 50/25/25
     val docs = spark.range(10000).toDF("doc_id")

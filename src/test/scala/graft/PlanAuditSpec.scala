@@ -32,7 +32,7 @@ class PlanAuditSpec extends SparkSpec {
   // nested-loop join (query set × corpus, non-equi condition)
   private val bnljByDesign = Set(
     "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned",
-    "q61_ann_ivf_trained")
+    "q61_ann_ivf_trained", "q66_ann_ivfpq")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
