@@ -945,6 +945,24 @@ object SparkEntry {
     survivors.select(col("vec_id"))
   }
 
+  /** q70: incremental SIMHASH near-dedup — the batch (doc_id % 4 == 0)
+    * probes an 8-byte-per-doc SimHash index over the corpus (doc_id %
+    * 4 != 0); survivors dedup within the batch. Same parameters as q32
+    * (shingleN=2, maxHamming=3). Completes the incremental family:
+    * exact/Bloom (q63/q67), MinHash (q64), embedding (q65). rows-only
+    * (banded hamming recall is not SQL-expressible); DedupSpec pins
+    * drop/keep/delta + the save/load round trip. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val index = Dedup.buildSimhashIndex(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+      shingleN = 2).materialize()
+    val (survivors, _) = Dedup.incrementalSimhashDedup(
+      docs.filter(col("doc_id") % 4 === 0), index, "doc_id", "text",
+      shingleN = 2, maxHamming = 3)
+    survivors.select(col("doc_id"))
+  }
+
   /** q67: q63's exact incremental dedup with a Bloom pre-filter — the
     * corpus ships as one constant-size sketch (Spark's own
     * BloomFilterAggregate over xxhash64(text)); bloom-negative batch
@@ -1043,7 +1061,8 @@ object SparkEntry {
     "q66_ann_ivfpq" -> (q66 _),
     "q67_dedup_incr_bloom" -> (q67 _),
     "q68_mix_sources" -> (q68 _),
-    "q69_heavy_hitters" -> (q69 _)
+    "q69_heavy_hitters" -> (q69 _),
+    "q70_simhash_incremental" -> (q70 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

@@ -660,16 +660,111 @@ object Dedup {
     */
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+      shingleN: Int = 2, maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(
+      simhashFeatures(docs, idCol, textCol, shingleN), maxHamming)
+
+  /** (\_\_id, __sim) SimHash frame shared by candidate generation, the
+    * index build and the incremental probe. */
+  private def simhashFeatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
     val simCol =
       if (docs.sparkSession.catalog.functionExists("simhash64"))
         (sh: Column) => call_function("simhash64", sh)
       else simhash64 _
-    val sh = Parallelism.ensure(
+    Parallelism.ensure(
       docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
       .select(col("__id"),
         simCol(shinglesCol(docs, col("__t"), shingleN)).as("__sim"))
-    simhashBandPairs(sh, maxHamming)
+  }
+
+  /** SimHash near-dedup with the survivor policy of
+    * [[dropNearDuplicates]]: banded candidates, exact-hamming verify,
+    * transitive clusters, keep the minimum-id doc per cluster. */
+  def dropSimhashDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashCandidates(docs, idCol, textCol, shingleN, maxHamming)
+    val losers = connectedComponents(pairs, "a_id", "b_id")
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Persisted SimHash state of a corpus: ONE table of (id, sim) — at
+    * 8 bytes of state per document this is the LIGHTEST of the three
+    * incremental indexes (MinHash stores shingles + band buckets,
+    * embeddings store the vectors). Bands are pure bit math recomputed
+    * at probe time from the radius, so one index serves ANY maxHamming
+    * — unlike [[MinhashIndex]], whose band buckets bake in the banding
+    * parameters. */
+  final case class SimhashIndex(entries: DataFrame) {
+    def save(dir: String, mode: String = "error"): Unit =
+      entries.write.mode(mode).parquet(s"$dir/entries")
+
+    def materialize(): SimhashIndex =
+      SimhashIndex(entries.localCheckpoint(false))
+
+    def union(delta: SimhashIndex): SimhashIndex =
+      SimhashIndex(entries.unionByName(delta.entries))
+  }
+
+  object SimhashIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): SimhashIndex =
+      SimhashIndex(spark.read.parquet(s"$dir/entries"))
+  }
+
+  /** Build the SimHash index for a (deduped) corpus. The same
+    * `shingleN` MUST be used for every later probe; `maxHamming` is a
+    * probe-time choice. */
+  def buildSimhashIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2): SimhashIndex =
+    SimhashIndex(simhashFeatures(docs, idCol, textCol, shingleN)
+      .select(col("__id").as("id"), col("__sim").as("sim")))
+
+  /** Near-dup pairs between a new batch and the SimHash-indexed corpus:
+    * (corpus a_id, batch b_id, hamming ≤ maxHamming). Batch is signed
+    * once and broadcast against the index's banded view; the corpus
+    * never shuffles beyond the band equi-join. */
+  def incrementalSimhashNearDup(
+      batch: DataFrame, index: SimhashIndex, idCol: String,
+      textCol: String, shingleN: Int = 2, maxHamming: Int = 3,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val feat = simhashFeatures(batch, idCol, textCol, shingleN)
+      .localCheckpoint(false)
+    val b0 = feat.select(col("__id").as("b_id"), col("__sim").as("__simb"),
+      explode(simhashBandStructs(col("__sim"), maxHamming)).as("__bk"))
+      .select(col("b_id"), col("__simb"),
+        col("__bk.band"), col("__bk.bucket"))
+    val b = if (broadcastBatch) broadcast(b0) else b0
+    index.entries
+      .select(col("id").as("a_id"), col("sim").as("__sima"),
+        explode(simhashBandStructs(col("sim"), maxHamming)).as("__bk"))
+      .select(col("a_id"), col("__sima"), col("__bk.band"), col("__bk.bucket"))
+      .join(b, Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__sima").bitwiseXOR(col("__simb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental SimHash near-dedup: drop batch docs within `maxHamming`
+    * of the indexed corpus, dedup the remainder within the batch,
+    * return (survivors, delta-index) — completing the incremental
+    * family (exact/Bloom = q63/q67, MinHash = q64, embedding = q65). */
+  def incrementalSimhashDedup(
+      batch: DataFrame, index: SimhashIndex, idCol: String,
+      textCol: String, shingleN: Int = 2, maxHamming: Int = 3,
+      broadcastBatch: Boolean = true): (DataFrame, SimhashIndex) = {
+    val hits = incrementalSimhashNearDup(batch, index, idCol, textCol,
+      shingleN, maxHamming, broadcastBatch)
+      .select(col("b_id").as(idCol))
+    val survivors = dropSimhashDuplicates(
+      batch.join(hits, Seq(idCol), "left_anti"), idCol, textCol,
+      shingleN, maxHamming)
+    (survivors, buildSimhashIndex(survivors, idCol, textCol, shingleN))
   }
 
   // ------------------------------------------------------------------
@@ -786,18 +881,23 @@ object Dedup {
   /** Banding + bucket self-join over a precomputed (__id, __sim) frame —
     * split out so recall tests can plant exact signatures. Emits
     * (a_id, b_id, hamming) with hamming ≤ maxHamming. */
+  /** array<struct<band,bucket>> for a sim column at a given radius —
+    * shared by whole-corpus banding and the incremental probe (both
+    * sides MUST band identically or buckets never match). */
+  private def simhashBandStructs(sim: Column, maxHamming: Int): Column =
+    array(simhashBands(maxHamming).zipWithIndex.map {
+      case ((shift, width), i) =>
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(i).as("band"),
+          call_function("shiftright", sim, lit(shift))
+            .bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+
   private[graft] def simhashBandPairs(
       sh: DataFrame, maxHamming: Int): DataFrame = {
-    val bandSpecs = simhashBands(maxHamming)
-    val bandStructs = bandSpecs.zipWithIndex.map { case ((shift, width), i) =>
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band"),
-        call_function("shiftright", col("__sim"), lit(shift))
-          .bitwiseAND(lit(mask)).as("bucket"))
-    }
     val banded = sh.select(
       col("__id"), col("__sim"),
-      explode(array(bandStructs: _*)).as("__bk"))
+      explode(simhashBandStructs(col("__sim"), maxHamming)).as("__bk"))
       .select(col("__id"), col("__sim"), col("__bk.band"), col("__bk.bucket"))
       .repartition(col("band"), col("bucket"))
     val l = banded.select(col("__id").as("a_id"), col("__sim").as("sim_a"),

@@ -170,6 +170,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("might_contain"))
   }
 
+  test("incrementalSimhashDedup drops corpus dups, dedups within batch, round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_simidx").toString
+    Dedup.buildSimhashIndex(docs, "doc_id", "text").save(dir)
+    val index = Dedup.SimhashIndex.load(spark, dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact corpus dup
+      (11L, "entirely novel sentence with new words"),      // fresh
+      (12L, "entirely novel sentence with new words"),      // dup of 11 in batch
+      (13L, "another separate batch document altogether"))  // fresh
+      .toDF("doc_id", "text")
+    val (survivors, delta) = Dedup.incrementalSimhashDedup(
+      batch, index, "doc_id", "text")
+    val kept = survivors.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L)) // 10 hit corpus (hamming 0); 12 lost to 11
+    // the delta indexes exactly the survivors, 8 bytes of state each
+    val deltaIds = delta.entries.select("id").as[Long].collect().toSet
+    assert(deltaIds === Set(11L, 13L))
+    assert(delta.entries.columns.toSeq === Seq("id", "sim"))
+    // a second batch against the UNIONED index sees the first's survivors
+    val batch2 = Seq(
+      (20L, "entirely novel sentence with new words"), // dup of indexed 11
+      (21L, "completely fresh second batch text"))
+      .toDF("doc_id", "text")
+    val (s2, _) = Dedup.incrementalSimhashDedup(
+      batch2, index.union(delta).materialize(), "doc_id", "text")
+    assert(s2.select("doc_id").as[Long].collect().toSet === Set(21L))
+  }
+
   test("incrementalEmbeddingDedup drops corpus near-dups, dedups within batch") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
