@@ -536,6 +536,16 @@ object SparkEntry {
     Corpus.heavyHitters(Tables(s, dir).documents, "text", n = 2,
       topK = 100, maxTracked = 1 << 17)
 
+  /** q71: BM25 ranked retrieval — Okapi BM25 top-50 for a four-term
+    * query over the documents corpus (k1=1.2, b=0.75). The shuffle
+    * carries only (doc, query-term) hits — the corpus vocabulary never
+    * moves; per-term doc frequencies broadcast back; N/avgdl are two
+    * driver scalars from one narrow pass. Oracle recomputes the exact
+    * formula in DuckDB. */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Corpus.bm25Search(Tables(s, dir).documents, "doc_id", "text",
+      queryTerms = Seq("hash", "join", "filter", "scan"), topK = 50)
+
   /** q49: benchmark-contamination screen — docs sharing ≥ 1 trigram
     * with the probe set (here: the first five documents), with the
     * shared-distinct-trigram count. Probe side broadcast; the corpus
@@ -1062,7 +1072,8 @@ object SparkEntry {
     "q67_dedup_incr_bloom" -> (q67 _),
     "q68_mix_sources" -> (q68 _),
     "q69_heavy_hitters" -> (q69 _),
-    "q70_simhash_incremental" -> (q70 _)
+    "q70_simhash_incremental" -> (q70 _),
+    "q71_bm25" -> (q71 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1443,6 +1454,19 @@ object SparkEntry {
         |FROM u GROUP BY 1
         |ORDER BY freq DESC, ngram
         |LIMIT 100""".stripMargin,
+    "q71_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(words)) AS avgdl FROM d),
+        |w AS (SELECT doc_id, len(words) AS len, unnest(words) AS term FROM d),
+        |h AS (SELECT doc_id, term, count(*) AS tf, max(len) AS len FROM w
+        |      WHERE term IN ('hash', 'join', 'filter', 'scan') GROUP BY 1, 2),
+        |i AS (SELECT term, count(DISTINCT doc_id) AS nt FROM h GROUP BY 1)
+        |SELECT h.doc_id,
+        |  round(sum(ln((g.n - i.nt + 0.5) / (i.nt + 0.5) + 1.0)
+        |    * h.tf * 2.2 / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.len / g.avgdl))), 4)
+        |    AS score
+        |FROM h, i, g WHERE h.term = i.term
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     // q69 is q48 computed sketch-first; with maxTracked above the
     // sf0.01 vocabulary the candidate superset is guaranteed, so the
     // exact-count second pass reproduces q48's oracle verbatim.

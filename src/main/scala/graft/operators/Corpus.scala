@@ -62,6 +62,53 @@ object Corpus {
       .limit(topK)
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Okapi BM25
+    * formula): score the corpus against a bag-of-words query and return
+    * the top-k documents.
+    *
+    * score(D,Q) = Σ_{t∈Q} IDF(t) · f(t,D)·(k1+1) /
+    *                       (f(t,D) + k1·(1 − b + b·|D|/avgdl))
+    * with IDF(t) = ln((N − n_t + 0.5)/(n_t + 0.5) + 1).
+    *
+    * Plan shape at scale: term frequencies explode→hash-agg (map-side
+    * combined) FILTERED to query terms first — the shuffle carries only
+    * (doc, query-term) hits, never the corpus vocabulary; per-term doc
+    * frequencies aggregate from that same filtered frame (tiny) and
+    * broadcast back; N and avgdl are two scalars collected once
+    * (model-on-driver, same as Ann's centroids). Repeated queries
+    * against one corpus should precompute the term-frequency frame. */
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: empty query")
+    val terms = queryTerms.distinct
+    val words = Parallelism.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), size(split(col("__t"), " ")).as("__len"),
+        explode(split(col("__t"), " ")).as("term"))
+    // two scalars from one narrow pass over the un-exploded corpus
+    val globals = docs
+      .select(size(split(col(textCol), " ")).as("l"))
+      .agg(count(lit(1)).as("n"), avg(col("l")).as("avgdl")).head()
+    val n = globals.getLong(0)
+    val avgdl = globals.getDouble(1)
+    val hits = words.filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("__len")).as("len"))
+    val df = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("nt"))
+    val idf = log((lit(n.toDouble) - col("nt") + 0.5) / (col("nt") + 0.5) + 1.0)
+    hits
+      .join(broadcast(df), "term")
+      .withColumn("__s", idf * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Benchmark-contamination screen: per document, how many n-grams it
     * shares with a probe set (e.g. benchmark/eval shingles), keeping
     * only contaminated docs. Both sides shingle once; the join is an

@@ -55,6 +55,33 @@ class CorpusSpec extends SparkSpec {
     assert(moved > 0)
   }
 
+  test("bm25Search ranks by term frequency, rarity, and length norm") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),       // tf=3, short
+      (2L, "spark engine"),                   // tf=1
+      (3L, "spark spark spark spark spark spark spark spark engine padding " +
+        "padding padding padding padding padding padding padding padding"), // high tf, long
+      (4L, "entirely unrelated words here"),  // no hit
+      (5L, "rare term appears once"))         // hits only 'rare'
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25Search(docs, "doc_id", "text",
+      queryTerms = Seq("spark", "rare"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val byId = got.toMap
+    // no-hit docs are absent entirely
+    assert(!byId.contains(4L))
+    // 'rare' appears in 1/5 docs, 'spark' in 3/5 -> rare has higher IDF
+    // than any spark score at tf=1
+    assert(byId(5L) > byId(2L))
+    // more occurrences score higher at similar length
+    assert(byId(1L) > byId(2L))
+    // length normalisation: doc 3's huge tf is damped by its length but
+    // still beats tf=1
+    assert(byId(3L) > byId(2L))
+    // output is ordered by score desc
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("heavyHitters equals exact ngramFreq on a Zipf corpus") {
     // zipf-ish: word w_i appears with frequency ~ 1/i -> clear head
     val docs = spark.range(2000).toDF("id")
