@@ -60,8 +60,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dim-join queries broadcast their dimensions") {
+    // q69: the sketch's candidate set broadcasts into the exact-count
+    // semi-join; q71: per-term doc frequencies broadcast back into the
+    // hit frame — in both, the big side must never shuffle for the join
     for (name <- Seq("q05_election_candidates", "q07_reference_lists",
-      "q11_ship_priority", "q14_rollup", "q44_roster_query")) {
+      "q11_ship_priority", "q14_rollup", "q44_roster_query",
+      "q69_heavy_hitters", "q71_bm25")) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
