@@ -66,3 +66,89 @@ case class SecondMax(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SecondMax =
     copy(child = newChild)
 }
+
+/** Element-wise sum of an `array<float>` column as one `array<double>`
+  * per group — the vector-mean primitive for distributed k-means
+  * (sum / count), replacing the posexplode → (group, position) →
+  * re-assemble detour, which multiplies the shuffle's row count by the
+  * dimensionality and pays two extra exchanges per Lloyd's iteration.
+  *
+  * TypedImperativeAggregate with a primitive double[] buffer (the
+  * percentile_approx pattern): updates run in ObjectHashAggregate with
+  * map-side partial combine, so the shuffle carries one dim-length
+  * vector per group per partition. The buffer sizes itself on first
+  * input; ragged inputs fail loudly. Empty/all-null groups yield null.
+  */
+case class VectorSumF(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def prettyName: String = "vector_sum_f"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+
+  // empty array = "no input yet" (distinguishable from any real vector,
+  // which must have dim >= 1)
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = if (buf.isEmpty) new Array[Double](n) else buf
+      require(acc.length == n,
+        s"$prettyName: ragged input (dim $n vs ${acc.length})")
+      var i = 0
+      while (i < n) { acc(i) += arr.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"$prettyName: ragged partials (${a.length} vs ${b.length})")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VectorSumF =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VectorSumF =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumF =
+    copy(child = newChild)
+}

@@ -101,20 +101,32 @@ object Ann {
             .orderBy(xxhash64(col("__id"), lit(seed)))) - 1)
           .as("centroid_id"),
         col("__v"))
+    val nativeSum = corpus.sparkSession.catalog.functionExists("vector_sum_f")
     for (_ <- 1 to iters) {
       val assigned = assignBuckets(vecs, centroids, "centroid_id", "__v")
-      // per-dimension mean: posexplode -> (cid, pos) partial sums ->
-      // rebuild the array ordered by position
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__p", "__x")))
-        .groupBy(col("centroid_id"), col("__p"))
-        .agg(avg(col("__x")).as("__m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("__p"), col("__m"))))
-          .as("__pm"))
-        .select(col("centroid_id"),
-          transform(col("__pm"), e => e.getField("__m").cast("float"))
-            .as("__mv"))
+      // per-dimension mean. Native path: ONE ObjectHashAggregate whose
+      // shuffle carries a single dim-length sum vector per (centroid,
+      // partition) — the posexplode fallback multiplies shuffled rows
+      // by dim and pays a second exchange to re-assemble the array.
+      val means =
+        if (nativeSum)
+          assigned
+            .groupBy(col("centroid_id"))
+            .agg(call_function("vector_sum_f", col("__v")).as("__sum"),
+              count(col("__v")).as("__n"))
+            .select(col("centroid_id"),
+              transform(col("__sum"), s => (s / col("__n")).cast("float"))
+                .as("__mv"))
+        else assigned
+          .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__p", "__x")))
+          .groupBy(col("centroid_id"), col("__p"))
+          .agg(avg(col("__x")).as("__m"))
+          .groupBy(col("centroid_id"))
+          .agg(array_sort(collect_list(struct(col("__p"), col("__m"))))
+            .as("__pm"))
+          .select(col("centroid_id"),
+            transform(col("__pm"), e => e.getField("__m").cast("float"))
+              .as("__mv"))
       // empty clusters keep their previous centroid
       centroids = centroids
         .join(means, Seq("centroid_id"), "left")

@@ -108,6 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("repetition_counts",
       es => RepetitionCounts(es.head),
       "repetition_counts(text) - word/bigram repetition counters as a struct"))
+    ext.injectFunction(fn("vector_sum_f",
+      es => VectorSumF(es.head),
+      "vector_sum_f(vec) - element-wise sum of array<float> as array<double>"))
     ext.injectFunction(fn("pq_encode",
       es => PqEncode(es.head, es(1)),
       "pq_encode(vec, codebooks) - m-byte product-quantization code"))

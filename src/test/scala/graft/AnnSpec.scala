@@ -142,6 +142,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("vector_sum_f matches posexplode sums; null vectors and empty groups") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .withColumn("g", pmod(col("vec_id"), lit(5)))
+    val native = e.groupBy("g")
+      .agg(call_function("vector_sum_f", col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val exploded = e
+      .select(col("g"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("g", "p").agg(sum(col("x").cast("double")).as("s"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    assert(native.keySet === exploded.keySet)
+    for (g <- native.keySet; (a, b) <- native(g).zip(exploded(g)))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"group $g: $a vs $b")
+    // null vectors are skipped; an all-null group evaluates to null
+    val withNull = Seq((0L, Some(Array(1.0f, 2.0f))), (0L, None),
+      (1L, None)).toDF("g", "v")
+    val r = withNull.groupBy("g")
+      .agg(call_function("vector_sum_f", col("v")).as("s"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(0L).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+      === Some(Seq(1.0, 2.0)))
+    assert(r(1L) === None)
+  }
+
   test("PQ: codes are m bytes, encoding is deterministic, ADC ≈ exact dot") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
