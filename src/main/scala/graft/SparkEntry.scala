@@ -546,6 +546,23 @@ object SparkEntry {
     Corpus.bm25Search(Tables(s, dir).documents, "doc_id", "text",
       queryTerms = Seq("hash", "join", "filter", "scan"), topK = 50)
 
+  /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
+    * recipe) — lines appearing in ≥ 3 distinct documents are stripped
+    * from every document, which is reassembled from its surviving
+    * lines in order. The synthetic corpus has no newlines, so the
+    * query projects each document into 8-word lines first (the
+    * operator takes any separator); the oracle replicates the chunking
+    * and the strip in SQL. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val lined = Tables(s, dir).documents.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), ((size(words) - 1) / 8).cast("int")),
+          i => concat_ws(" ", slice(words, i * lit(8) + 1, lit(8)))),
+        "\n").as("text"))
+    Dedup.dropRepeatedLines(lined, "doc_id", "text", "\n", minDocs = 3)
+  }
+
   /** q49: benchmark-contamination screen — docs sharing ≥ 1 trigram
     * with the probe set (here: the first five documents), with the
     * shared-distinct-trigram count. Probe side broadcast; the corpus
@@ -1073,7 +1090,8 @@ object SparkEntry {
     "q68_mix_sources" -> (q68 _),
     "q69_heavy_hitters" -> (q69 _),
     "q70_simhash_incremental" -> (q70 _),
-    "q71_bm25" -> (q71 _)
+    "q71_bm25" -> (q71 _),
+    "q72_line_dedup" -> (q72 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1454,6 +1472,22 @@ object SparkEntry {
         |FROM u GROUP BY 1
         |ORDER BY freq DESC, ngram
         |LIMIT 100""".stripMargin,
+    "q72_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ld AS (SELECT doc_id,
+        |  [array_to_string(w[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, CAST(floor((len(w)-1)/8) AS INT))] AS ls
+        |  FROM d),
+        |l AS (SELECT doc_id, unnest(ls) AS line,
+        |  generate_subscripts(ls, 1) AS pos FROM ld),
+        |bp AS (SELECT line FROM l GROUP BY 1
+        |       HAVING count(DISTINCT doc_id) >= 3),
+        |keep AS (SELECT doc_id, line, pos FROM l
+        |         WHERE line NOT IN (SELECT line FROM bp)),
+        |re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+        |       FROM keep GROUP BY 1)
+        |SELECT d.doc_id, coalesce(re.t, '') AS text
+        |FROM d LEFT JOIN re USING (doc_id)""".stripMargin,
     "q71_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(words)) AS avgdl FROM d),

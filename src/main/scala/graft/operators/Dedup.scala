@@ -423,6 +423,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb recipe):
+    * drop every line that appears in at least `minDocs` DISTINCT
+    * documents — navigation chrome, cookie banners, license headers —
+    * and reassemble each document from its surviving lines in order.
+    * This is the practical form of cross-document substring dedup used
+    * by web-scale corpus pipelines.
+    *
+    * Scale shape: lines explode once; the repeat count groups on the
+    * line's xxhash64 (8-byte shuffle payload, map-side combined — the
+    * same raw-64-bit-hash trade as minhashNearDup's shingle verify: a
+    * colliding innocent line is dropped with probability ~lines²/2⁶⁴,
+    * negligible below ~10⁹ distinct lines and bounded-loss above);
+    * the boilerplate hash set anti-joins the exploded lines; the
+    * reassembly groups by doc id. Documents whose every line is
+    * boilerplate come back with empty text (gate downstream).
+    */
+  def dropRepeatedLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, "dropRepeatedLines: minDocs >= 2")
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol)
+    val lines = Parallelism.ensure(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"),
+        posexplode(split(col("__t"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val boilerplate = lines
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val cleaned = lines
+      .join(boilerplate, Seq("__h"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          e => e.getField("__line")),
+        sep).as("__clean"))
+    docs.select(col(idCol).as("__id") +: others.map(col): _*)
+      .join(cleaned, Seq("__id"), "left")
+      .select(col("__id").as(idCol) +:
+        coalesce(col("__clean"), lit("")).as(textCol) +:
+        others.map(col): _*)
+  }
+
   /** Serialized Bloom filter over `xxhash64(content)` of every corpus
     * row — the constant-size stand-in for the corpus hash set. One
     * corpus pass, map-side combined, a single binary to the driver.

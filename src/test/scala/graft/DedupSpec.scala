@@ -132,6 +132,29 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("dropRepeatedLines strips cross-doc boilerplate, keeps order, empties all-boilerplate docs") {
+    val lined = Seq(
+      (1L, "COOKIE BANNER\nalpha one\nSHARED FOOTER\nalpha two", "k1"),
+      (2L, "COOKIE BANNER\nbeta solo\nSHARED FOOTER", "k2"),
+      (3L, "gamma first\nCOOKIE BANNER\ngamma last\nSHARED FOOTER", "k3"),
+      (4L, "COOKIE BANNER\nSHARED FOOTER", "k4"), // all boilerplate
+      (5L, "delta only line", "k5"))
+      .toDF("doc_id", "text", "extra")
+    val out = Dedup.dropRepeatedLines(lined, "doc_id", "text", "\n", minDocs = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("extra"))).toSet
+    assert(out === Set(
+      (1L, "alpha one\nalpha two", "k1"),
+      (2L, "beta solo", "k2"),
+      (3L, "gamma first\ngamma last", "k3"),
+      (4L, "", "k4"),
+      (5L, "delta only line", "k5")))
+    // minDocs = 2 would also strip nothing here that appears once
+    val loose = Dedup.dropRepeatedLines(lined, "doc_id", "text", "\n", minDocs = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(loose(4L) === "COOKIE BANNER\nSHARED FOOTER") // under threshold: kept
+  }
+
   test("exactIncrementalBloom matches exactIncremental row for row") {
     val corpusHashes = Dedup.exact(docs, "doc_id", "text")
       .select("content_hash")
