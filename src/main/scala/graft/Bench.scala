@@ -61,7 +61,7 @@ object Bench {
       // PQ search, bloom dedup, corpus mixing, heavy hitters (added r8)
       "q66_ann_ivfpq", "q67_dedup_incr_bloom", "q68_mix_sources",
       "q69_heavy_hitters", "q70_simhash_incremental", "q71_bm25",
-      "q72_line_dedup"
+      "q72_line_dedup", "q73_lm_quality"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -546,6 +546,17 @@ object SparkEntry {
     Corpus.bm25Search(Tables(s, dir).documents, "doc_id", "text",
       queryTerms = Seq("hash", "join", "filter", "scan"), topK = 50)
 
+  /** q73: LM quality score (CCNet recipe, unigram form) — each doc's
+    * mean add-one-smoothed log-probability under the word distribution
+    * of a reference slice (here: docs 0-99 stand in for the clean
+    * reference corpus). Reference model broadcast; one exploded pass,
+    * map-side-combined avg. Oracle recomputes the formula in DuckDB. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.lmQualityScore(d, "doc_id", "text",
+      reference = d.filter(col("doc_id") < 100), refTextCol = "text")
+  }
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1091,7 +1102,8 @@ object SparkEntry {
     "q69_heavy_hitters" -> (q69 _),
     "q70_simhash_incremental" -> (q70 _),
     "q71_bm25" -> (q71 _),
-    "q72_line_dedup" -> (q72 _)
+    "q72_line_dedup" -> (q72 _),
+    "q73_lm_quality" -> (q73 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1472,6 +1484,19 @@ object SparkEntry {
         |FROM u GROUP BY 1
         |ORDER BY freq DESC, ngram
         |LIMIT 100""".stripMargin,
+    "q73_lm_quality" ->
+      """WITH ref AS (SELECT unnest(string_split(text, ' ')) AS word
+        |            FROM documents WHERE doc_id < 100),
+        |rc AS (SELECT word, count(*) AS c FROM ref GROUP BY 1),
+        |g AS (SELECT CAST(sum(c) AS DOUBLE) AS t,
+        |             CAST(count(*) AS DOUBLE) AS v FROM rc),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |SELECT doc_id,
+        |  round(avg(ln(coalesce(rc.c, 0) + 1.0) - ln(g.t + g.v)), 4)
+        |    AS lm_score
+        |FROM w LEFT JOIN rc USING (word), g
+        |GROUP BY 1""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -26,6 +26,45 @@ object Corpus {
       .orderBy(col("freq").desc, col("ngram"))
       .limit(topK)
 
+  /** Language-model quality score (the CCNet recipe, unigram form):
+    * mean add-one-smoothed log-probability of each document's words
+    * under a reference word distribution — low scores mark gibberish,
+    * boilerplate soup and out-of-domain text the way CCNet's
+    * KenLM-perplexity buckets do.
+    *
+    *   score(D) = (1/|D|) Σ_w ln((c_ref(w) + 1) / (T + V))
+    *
+    * where c_ref counts the word in the reference corpus, T = total
+    * reference tokens, V = reference vocabulary (+1/+V = Laplace
+    * smoothing, so unseen words cost ln(1/(T+V)) instead of −∞).
+    *
+    * Scale: the reference model is a bounded (word, count) table
+    * BROADCAST into the scoring join; T and V are two driver scalars;
+    * the corpus contributes one exploded (doc, word) pass into a
+    * map-side-combined avg. Score against a FIXED reference (e.g.
+    * a clean wiki-like corpus), not the corpus being scored, when
+    * filtering — self-scoring shifts the scale as the corpus drifts. */
+  def lmQualityScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val refCounts = Parallelism.ensure(
+      reference.select(col(refTextCol).as("__t")))
+      .select(explode(split(col("__t"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    val g = refCounts.agg(sum(col("__c")).as("t"), count(lit(1)).as("v")).head()
+    val total = g.getLong(0)
+    val vocab = g.getLong(1)
+    val denom = math.log((total + vocab).toDouble)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(refCounts), Seq("word"), "left")
+      .withColumn("__lp",
+        log(coalesce(col("__c"), lit(0L)) + 1.0) - denom)
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("__lp")), 4).as("lm_score"))
+  }
+
   /** Sketch-first heavy hitters: the 100 TB path for [[ngramFreq]]'s
     * top-k. The exact plan's shuffle carries one row per distinct
     * n-gram per partition — fine while the vocabulary is bounded,

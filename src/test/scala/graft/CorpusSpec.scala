@@ -55,6 +55,29 @@ class CorpusSpec extends SparkSpec {
     assert(moved > 0)
   }
 
+  test("lmQualityScore: in-domain text scores higher than unseen-word soup") {
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // pure in-domain
+      (2L, "the dog sat"),              // in-domain subset
+      (3L, "zx qw vb nm kj hg"))        // all unseen words
+      .toDF("doc_id", "text")
+    val scores = Corpus.lmQualityScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(3L))
+    assert(scores(2L) > scores(3L))
+    // unseen words each cost exactly ln(1/(T+V)): T=12 tokens, V=7 words
+    assert(math.abs(scores(3L) - math.round(
+      math.log(1.0 / 19.0) * 10000).toDouble / 10000) < 1e-9)
+    // 'the' (c=4) contributes ln(5/19); doc of only 'the' would score that
+    val theScore = Corpus.lmQualityScore(
+      Seq((9L, "the")).toDF("doc_id", "text"), "doc_id", "text", ref, "text")
+      .collect().head.getDouble(1)
+    assert(math.abs(theScore -
+      math.round(math.log(5.0 / 19.0) * 10000).toDouble / 10000) < 1e-9)
+  }
+
   test("bm25Search ranks by term frequency, rarity, and length norm") {
     val docs = Seq(
       (1L, "spark spark spark engine"),       // tf=3, short
