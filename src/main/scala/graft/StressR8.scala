@@ -1,0 +1,118 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, AsOfJoin, Corpus, Dedup}
+
+/** Scale validation for the r8 operators against the 200k-doc / 100k-
+  * vector stress corpus (scripts/gen_stress.py). Prints SCALE lines;
+  * numbers are recorded in SURVEY §6. */
+object StressR8 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/tmp/stress/documents.parquet")
+    val embs = spark.read.parquet("/tmp/stress/embeddings.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+
+    // --- incremental exact dedup: 150k corpus, 50k batch ---
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0).localCheckpoint(false)
+    val batch = docs.filter(col("doc_id") % 4 === 0).localCheckpoint(false)
+    val corpusHashes = Dedup.exact(corpus, "doc_id", "text")
+      .select("content_hash").localCheckpoint(false)
+    time("q63 exact incr (150k vs 50k)")(
+      Dedup.exactIncremental(batch, corpusHashes, "doc_id", "text").count())
+    val t0 = System.nanoTime()
+    val bloom = Dedup.buildContentBloom(corpus, "text",
+      expectedItems = 1 << 20, fpp = 0.01)
+    println(f"SCALE q67 bloom build 150k            ${(System.nanoTime() - t0) / 1e9}%7.2f s  (${bloom.length} bytes)")
+    time("q67 bloom incr (150k vs 50k)")(
+      Dedup.exactIncrementalBloom(batch, bloom, corpusHashes,
+        "doc_id", "text").count())
+
+    // --- simhash incremental: 150k corpus index, 50k batch ---
+    val simIdx = Dedup.buildSimhashIndex(corpus, "doc_id", "text",
+      shingleN = 2).materialize()
+    time("q70 simhash incr (150k vs 50k)")(
+      Dedup.incrementalSimhashDedup(batch, simIdx, "doc_id", "text",
+        shingleN = 2, maxHamming = 3)._1.count())
+
+    // --- line dedup at 200k docs (8-word synthesized lines) ---
+    val words = split(col("text"), " ")
+    val lined = docs.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), ((size(words) - 1) / 8).cast("int")),
+          i => concat_ws(" ", slice(words, i * lit(8) + 1, lit(8)))),
+        "\n").as("text"))
+    time("q72 line dedup 200k")(
+      Dedup.dropRepeatedLines(lined, "doc_id", "text", "\n", minDocs = 3)
+        .count())
+
+    // --- LM quality at 200k docs (10k-doc reference) ---
+    time("q73 lm quality 200k")(
+      Corpus.lmQualityScore(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10000), "text").count())
+
+    // --- BM25 and heavy hitters at 200k docs ---
+    time("q71 bm25 200k")(
+      Corpus.bm25Search(docs, "doc_id", "text",
+        Seq("hash", "join", "filter", "scan"), topK = 100).count())
+    time("q69 heavy hitters 200k")(
+      Corpus.heavyHitters(docs, "text", n = 2, topK = 100).count())
+    time("q48 exact ngram freq 200k")(
+      Corpus.ngramFreq(docs, "text", n = 2, topK = 100).count())
+
+    // --- IVF-PQ at 100k vectors ---
+    val cents = Ann.trainCentroids(embs, "vec_id", "embedding",
+      k = 64, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+      .localCheckpoint(false)
+    val books = Ann.trainPq(embs, "vec_id", "embedding", m = 16,
+      ksub = 256, iters = 5, maxTrain = 16384)
+    var pqIdx: org.apache.spark.sql.DataFrame = null
+    time("q66 pq index build+persist 100k")({
+      pqIdx = Ann.buildPqIndex(embs, cents, books, "vec_id", "embedding")
+        .localCheckpoint(false)
+      pqIdx.count()
+    })
+    val queries = embs.filter(col("vec_id") < 50).localCheckpoint(false)
+    // end-to-end (re-encodes the corpus in the call) vs the production
+    // shape (search a persisted index; batch pays probe+ADC+rerank only)
+    time("q66 ivf-pq e2e 50q nprobe=8")(
+      Ann.ivfPqTopK(embs, queries, cents, books, "vec_id", "embedding",
+        k = 10, nprobe = 8, refine = 4).count())
+    time("q66 pq-index search 50q (warm)")(
+      Ann.searchPqIndex(pqIdx, embs, queries, cents, books, "vec_id",
+        "embedding", k = 10, nprobe = 8, refine = 4).count())
+    time("q35 brute force 50q (baseline)")(
+      Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 10)
+        .count())
+
+    // --- as-of join with a pathological hot key: 2M left, 1M right,
+    //     half of all events on ONE key ---
+    val hotL = spark.range(2000000).toDF("id")
+      .withColumn("key", when(pmod(col("id"), lit(2)) === 0, "hot")
+        .otherwise(concat(lit("u"), pmod(col("id"), lit(9973)))))
+      .withColumn("ts", pmod(xxhash64(col("id"), lit(7L)), lit(100000000L)))
+      .localCheckpoint(false)
+    val hotR = spark.range(1000000).toDF("rid")
+      .withColumn("key", when(pmod(col("rid"), lit(2)) === 0, "hot")
+        .otherwise(concat(lit("u"), pmod(col("rid"), lit(9973)))))
+      .withColumn("ts", pmod(xxhash64(col("rid"), lit(11L)), lit(100000000L)))
+      .withColumn("v", pmod(xxhash64(col("rid")), lit(1000L)).cast("double"))
+      .localCheckpoint(false)
+    time("q54 asOf hot-key (2M vs 1M)")(
+      AsOfJoin.asOf(hotL, hotR, Seq("key"), "ts", Seq("rid", "v")).count())
+    time("q54 asOfSkewed c=64 (2M vs 1M)")(
+      AsOfJoin.asOfSkewed(hotL, hotR, Seq("key"), "ts", Seq("rid", "v"),
+        chunks = 64).count())
+
+    spark.stop()
+  }
+}
