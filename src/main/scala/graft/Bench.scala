@@ -61,7 +61,9 @@ object Bench {
       // PQ search, bloom dedup, corpus mixing, heavy hitters (added r8)
       "q66_ann_ivfpq", "q67_dedup_incr_bloom", "q68_mix_sources",
       "q69_heavy_hitters", "q70_simhash_incremental", "q71_bm25",
-      "q72_line_dedup", "q73_lm_quality"
+      "q72_line_dedup", "q73_lm_quality",
+      // sequence packing via the two-level prefix scan (added r8)
+      "q74_pack_sequences"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

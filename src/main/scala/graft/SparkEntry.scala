@@ -557,6 +557,18 @@ object SparkEntry {
       reference = d.filter(col("doc_id") < 100), refTextCol = "text")
   }
 
+  /** q74: GPT-style sequence-packing layout — documents concatenate in
+    * id order into one token stream cut into 512-token training
+    * sequences (docs span boundaries; no padding waste); each doc gets
+    * its token count, global start offset, first/last sequence index
+    * and span. The global cumsum is Corpus.prefixSum's two-level scan
+    * (range-bucketed windows + broadcast bucket offsets) — never the
+    * single-task `sum over (order by)` window. Oracle is the plain
+    * windowed cumsum in DuckDB, hash-exact including tie semantics. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(Tables(s, dir).documents, "doc_id", "text",
+      seqLen = 512)
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1103,7 +1115,8 @@ object SparkEntry {
     "q70_simhash_incremental" -> (q70 _),
     "q71_bm25" -> (q71 _),
     "q72_line_dedup" -> (q72 _),
-    "q73_lm_quality" -> (q73 _)
+    "q73_lm_quality" -> (q73 _),
+    "q74_pack_sequences" -> (q74 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1497,6 +1510,19 @@ object SparkEntry {
         |    AS lm_score
         |FROM w LEFT JOIN rc USING (word), g
         |GROUP BY 1""".stripMargin,
+    "q74_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens
+        |    AS start_offset FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS first_seq,
+        |  (start_offset + n_tokens - 1) // 512 AS last_seq,
+        |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+        |    AS n_seqs
+        |FROM c""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -340,6 +340,81 @@ object Corpus {
     }
   }
 
+  /** Scalable EXCLUSIVE prefix sum of `valueCol` in `orderCol` order —
+    * the parallel-scan building block behind sequence packing, exact
+    * sharding and offset assignment.
+    *
+    * The naive formulation (`sum over (order by k)` with no partition)
+    * funnels the entire dataset through ONE task — the single worst
+    * window shape at scale. Here the classic two-level scan: rows
+    * range-bucket on `orderCol` (boundaries from one constant-memory
+    * approx-quantile sketch — skewed or gappy ids still give balanced
+    * buckets), each bucket cumsums independently under a window
+    * PARTITIONED by bucket, and per-bucket totals (≤ `buckets` rows,
+    * collected once) turn into broadcast starting offsets. Max task ≈
+    * n/buckets however large n grows; boundary accuracy only affects
+    * balance, never correctness.
+    *
+    * Tie semantics match SQL's default RANGE frame (peers share the
+    * inclusive sum; exclusive = that minus the row's own value), and
+    * equal keys always land in the same bucket, so output is
+    * hash-exact against `SUM(v) OVER (ORDER BY k) − v` cross-engine.
+    * Values must be integral (sums carried as long). */
+  def prefixSum(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      buckets: Int = 64, relErr: Double = 0.001): DataFrame = {
+    require(buckets >= 1, "prefixSum: buckets >= 1")
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else df.select(col(orderCol).cast("double").as("__o"))
+        .stat.approxQuantile("__o",
+          (1 until buckets).map(_.toDouble / buckets).toArray, relErr)
+    val withB = df.withColumn("__bkt",
+      graft.functions.LayoutFunctions.quantileBucket(col(orderCol), bounds))
+    val totals = withB.groupBy(col("__bkt"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = totals.keys.toSeq.sorted
+    val offsets: Map[Long, Long] =
+      ids.zip(ids.scanLeft(0L)(_ + totals(_)).init).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col(orderCol))
+    withB
+      .withColumn(outCol,
+        sum(col(valueCol).cast("long")).over(w) +
+          element_at(typedlit(offsets), col("__bkt")) -
+          col(valueCol).cast("long"))
+      .drop("__bkt")
+  }
+
+  /** GPT-style sequence packing layout: documents concatenate in id
+    * order into one token stream cut into fixed `seqLen` training
+    * sequences (documents span boundaries — the standard causal-LM
+    * packing with no padding waste). Emits each document's place in
+    * that layout: token count, global start offset, first/last
+    * sequence index and the number of sequences it touches — the
+    * manifest a tokenize-and-pack writer shards by (`first_seq` range
+    * → output file), and the input to packing-efficiency stats.
+    *
+    * The global offset is [[prefixSum]] (two-level scan — no
+    * single-task window); everything after is a pure projection.
+    * Token counts here are whitespace counts for oracle parity; swap
+    * in q39's BPE-ish regex count (or real tokenizer lengths as a
+    * precomputed column) for production estimates. */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String, seqLen: Int,
+      buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, "packSequences: seqLen > 0")
+    def intDiv(c: Column): Column = call_function("div", c, lit(seqLen.toLong))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    prefixSum(toks, "doc_id", "n_tokens", "start_offset", buckets)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        intDiv(col("start_offset")).as("first_seq"),
+        intDiv(col("start_offset") + col("n_tokens") - 1).as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.

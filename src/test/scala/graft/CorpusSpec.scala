@@ -186,6 +186,58 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("prefixSum matches the single-window scan, ties included") {
+    // gappy, shuffled ids; duplicate order keys exercise the RANGE-frame
+    // tie contract (peers share the inclusive sum)
+    val df = spark.range(5000).toDF("i")
+      .select((pmod(xxhash64(col("i")), lit(2000L))).as("k"),
+        (pmod(xxhash64(col("i"), lit(1L)), lit(50L)) + 1).as("v"))
+    val got = Corpus.prefixSum(df, "k", "v", "off", buckets = 16)
+      .groupBy("k").agg(sum("off").as("s")).as[(Long, Long)]
+      .collect().toMap
+    val naive = df.withColumn("off",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"))) - col("v"))
+      .groupBy("k").agg(sum("off").as("s")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == naive)
+    // degenerate single bucket agrees too
+    val one = Corpus.prefixSum(df, "k", "v", "off", buckets = 1)
+      .groupBy("k").agg(sum("off").as("s")).as[(Long, Long)]
+      .collect().toMap
+    assert(one == naive)
+  }
+
+  test("packSequences lays out a contiguous token stream") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens: [0, 3)
+      (2L, "d e f g h"),        // 5 tokens: [3, 8)   spans seqs 0-1
+      (5L, "i"),                // 1 token:  [8, 9)
+      (9L, "j k l m n o p q")   // 8 tokens: [9, 17)  spans seqs 2-4
+    ).toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, "doc_id", "text", seqLen = 4,
+        buckets = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 5L, 3L, 0L, 1L, 2L),
+      (5L, 1L, 8L, 2L, 2L, 1L),
+      (9L, 8L, 9L, 2L, 4L, 3L)))
+    // offsets are contiguous in id order on a bigger corpus
+    val big = spark.range(2000).toDF("doc_id")
+      .withColumn("text", concat(lit("w "), repeat(lit("x "),
+        pmod(xxhash64(col("doc_id")), lit(30L)).cast("int"))))
+    val rows = Corpus.packSequences(big, "doc_id", "text", seqLen = 128)
+      .orderBy("doc_id").select("start_offset", "n_tokens")
+      .as[(Long, Long)].collect()
+    rows.sliding(2).foreach {
+      case Array((o1, n1), (o2, _)) => assert(o2 == o1 + n1)
+      case _ =>
+    }
+    assert(rows.head._1 == 0L)
+  }
+
   test("redactPii scrubs emails, phones, SSNs and nothing else") {
     val out = Seq(
       "mail a.smith+x@sub.example.org now",
