@@ -569,6 +569,16 @@ object SparkEntry {
     Corpus.packSequences(Tables(s, dir).documents, "doc_id", "text",
       seqLen = 512)
 
+  /** q75: packed training rows — q74's layout materialized: one row
+    * per 512-token sequence, documents concatenated in id order and
+    * split across boundaries (final sequence may run short). Exactly
+    * two text-sized keyed exchanges (prefix-scan window, then piece
+    * reassembly by sequence id); the oracle rebuilds the same chunking
+    * with a lateral series + ordered string_agg in DuckDB. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Corpus.packedSequences(Tables(s, dir).documents, "doc_id", "text",
+      seqLen = 512)
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1116,7 +1126,8 @@ object SparkEntry {
     "q71_bm25" -> (q71 _),
     "q72_line_dedup" -> (q72 _),
     "q73_lm_quality" -> (q73 _),
-    "q74_pack_sequences" -> (q74 _)
+    "q74_pack_sequences" -> (q74 _),
+    "q75_pack_emit" -> (q75 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1523,6 +1534,23 @@ object SparkEntry {
         |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
         |    AS n_seqs
         |FROM c""".stripMargin,
+    "q75_pack_emit" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |  CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS o FROM t),
+        |p AS (SELECT w, n, o,
+        |  unnest(generate_series(o // 512, (o + n - 1) // 512)) AS seq_id
+        |  FROM c),
+        |pieces AS (SELECT seq_id,
+        |  greatest(o, seq_id * 512) AS pstart,
+        |  array_to_string(
+        |    w[CAST(greatest(o, seq_id * 512) - o + 1 AS BIGINT) :
+        |      CAST(least(o + n, (seq_id + 1) * 512) - o AS BIGINT)],
+        |    ' ') AS piece
+        |  FROM p)
+        |SELECT seq_id, string_agg(piece, ' ' ORDER BY pstart) AS text
+        |FROM pieces GROUP BY 1""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

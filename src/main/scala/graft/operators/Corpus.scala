@@ -415,6 +415,49 @@ object Corpus {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Materialize the packed training rows [[packSequences]] lays out:
+    * one row per `seqLen`-token sequence (`seq_id`, `text`), documents
+    * concatenated in id order and split across boundaries (the final
+    * sequence may run short). This is the operator that actually
+    * re-chunks a curated corpus into causal-LM training rows; shard
+    * the output by `seq_id` range.
+    *
+    * Re-chunking is inherently a repartition of the corpus by output
+    * position, so the plan pays exactly two text-sized keyed
+    * exchanges and nothing more: the prefix-scan window (text rides
+    * along to avoid a second scan + join), then one explode into
+    * per-(doc, sequence) pieces — |docs| + |sequences| rows, no
+    * blow-up — grouped by sequence id, pieces reassembled in global
+    * offset order inside the aggregate. */
+  def packedSequences(
+      docs: DataFrame, idCol: String, textCol: String, seqLen: Int,
+      buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, "packedSequences: seqLen > 0")
+    val L = lit(seqLen.toLong)
+    def intDiv(c: Column): Column = call_function("div", c, L)
+    val toks = docs.select(col(idCol).as("__id"),
+      split(col(textCol), " ").as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+    val laid = prefixSum(toks, "__id", "__n", "__o", buckets)
+    val pieces = laid
+      .select(col("__w"), col("__n"), col("__o"),
+        explode(sequence(intDiv(col("__o")),
+          intDiv(col("__o") + col("__n") - 1))).as("seq_id"))
+      // doc-local token range [from, to) overlapping this sequence
+      .withColumn("__from", greatest(col("seq_id") * L - col("__o"), lit(0L)))
+      .withColumn("__to",
+        least((col("seq_id") + 1L) * L - col("__o"), col("__n")))
+      .select(col("seq_id"),
+        (col("__o") + col("__from")).as("__pstart"),
+        concat_ws(" ", slice(col("__w"), (col("__from") + 1L).cast("int"),
+          (col("__to") - col("__from")).cast("int"))).as("__piece"))
+    pieces
+      .groupBy(col("seq_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pstart"),
+          col("__piece")))), p => p.getField("__piece")), " ").as("text"))
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.

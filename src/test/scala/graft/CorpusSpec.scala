@@ -238,6 +238,33 @@ class CorpusSpec extends SparkSpec {
     assert(rows.head._1 == 0L)
   }
 
+  test("packedSequences re-chunks the corpus into fixed-length rows") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g h"), (5L, "i"), (9L, "j k l m n o p q")
+    ).toDF("doc_id", "text")
+    val out = Corpus.packedSequences(docs, "doc_id", "text", seqLen = 4,
+        buckets = 2)
+      .orderBy("seq_id").as[(Long, String)].collect().toSeq
+    // stream: a b c d | e f g h | i j k l | m n o p | q
+    assert(out == Seq(
+      (0L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"),
+      (3L, "m n o p"), (4L, "q")))
+    // invariants at size: every sequence but the last is exactly seqLen
+    // tokens, and the reassembled stream equals the id-ordered corpus
+    val big = spark.range(300).toDF("doc_id")
+      .withColumn("text",
+        concat(lit("d"), col("doc_id").cast("string"),
+          rtrim(repeat(concat(lit(" w"), col("doc_id").cast("string")),
+            pmod(xxhash64(col("doc_id")), lit(9L)).cast("int")))))
+    val seqs = Corpus.packedSequences(big, "doc_id", "text", seqLen = 32)
+      .orderBy("seq_id").as[(Long, String)].collect()
+    seqs.dropRight(1).foreach { case (_, t) =>
+      assert(t.split(" ").length == 32) }
+    val stream = big.orderBy("doc_id").as[(Long, String)].collect()
+      .map(_._2).mkString(" ")
+    assert(seqs.map(_._2).mkString(" ") == stream)
+  }
+
   test("redactPii scrubs emails, phones, SSNs and nothing else") {
     val out = Seq(
       "mail a.smith+x@sub.example.org now",
