@@ -59,6 +59,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // global (unpartitioned) windows allowed ONLY where the window input
+  // is bounded by construction: trainCentroids' init ranks a LIMIT-k
+  // sample (model-sized, never the corpus) to number the seed centroids
+  private val globalWindowByDesign = Set(
+    "q61_ann_ivf_trained", "q66_ann_ivfpq")
+
+  test("no registered query windows over a single partition") {
+    // an empty partitionSpec funnels the whole input through ONE task —
+    // the antipattern Corpus.prefixSum (q74/q75) exists to avoid; any
+    // new query that sneaks one in over unbounded input fails here
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !globalWindowByDesign(name) =>
+        val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
+        if (nodes.exists {
+          case w: WindowExec => w.partitionSpec.isEmpty
+          case _ => false
+        }) Seq(s"$name: unpartitioned Window") else Nil
+      case _ => Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("dim-join queries broadcast their dimensions") {
     // q69: the sketch's candidate set broadcasts into the exact-count
     // semi-join; q71: per-term doc frequencies broadcast back into the
