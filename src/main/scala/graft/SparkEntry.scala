@@ -976,16 +976,21 @@ object SparkEntry {
     * batch bands broadcast against the index's band table, verify
     * fetches corpus shingles for candidates only, survivors then dedup
     * within the batch. Per-batch cost is O(batch + candidates),
-    * independent of corpus size. rows-only (LSH banding recall is not
-    * SQL-expressible); DedupSpec pins drop/keep/delta semantics. */
+    * independent of corpus size. Banding is the suite-wide 32/8 (r=4)
+    * config the batch pipeline (q31/q53/q60) uses — the candidate rate
+    * follows the 1-(1-s^r)^b curve LshRecallSpec pins, and wider
+    * configs (e.g. 48/16, r=3) trade ~4x the candidate volume for
+    * higher recall below the threshold. rows-only (LSH banding recall
+    * is not SQL-expressible); DedupSpec pins drop/keep/delta
+    * semantics. */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val index = Dedup.buildMinhashIndex(
       docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
-      shingleN = 3, numHashes = 48, bands = 16).materialize()
+      shingleN = 3, numHashes = 32, bands = 8).materialize()
     val (survivors, _) = Dedup.incrementalDedup(
       docs.filter(col("doc_id") % 4 === 0), index, "doc_id", "text",
-      shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
     survivors.select(col("doc_id"))
   }
 

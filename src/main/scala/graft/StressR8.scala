@@ -44,6 +44,26 @@ object StressR8 {
       Dedup.incrementalSimhashDedup(batch, simIdx, "doc_id", "text",
         shingleN = 2, maxHamming = 3)._1.count())
 
+    // --- minhash incremental: the production shape — build + persist
+    //     the shard-partitioned index once, probe batches against it
+    //     (the bench's q64 number re-BUILDS the index per pass) ---
+    time("q64 minhash index build+save 150k")({
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8)
+        .save("/tmp/stress_mh_idx", mode = "overwrite")
+      1L
+    })
+    val mhIdx = Dedup.MinhashIndex.load(spark, "/tmp/stress_mh_idx")
+    time("q64 minhash incr (150k vs 50k)")(
+      Dedup.incrementalDedup(batch, mhIdx, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        ._1.count())
+    time("q64 minhash incr (150k vs 500)")(
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 400 === 0), mhIdx, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        ._1.count())
+
     // --- line dedup at 200k docs (8-word synthesized lines) ---
     val words = split(col("text"), " ")
     val lined = docs.select(col("doc_id"),

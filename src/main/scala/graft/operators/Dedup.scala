@@ -254,9 +254,9 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Persisted MinHash state of an already-deduped corpus: ONE table
-    * of (id, shingles array<long>, bands array<struct<band,bucket>>) —
-    * the band keys for candidate generation and the hashed shingles
-    * for exact-Jaccard verify.
+    * of (id, shard, shingles array<long>,
+    * bands array<struct<band,bucket>>) — the band keys for candidate
+    * generation and the hashed shingles for exact-Jaccard verify.
     *
     * This is THE 100 TB shape for a training pipeline that ingests
     * continuously: the corpus is shingled and signed ONCE when it
@@ -264,6 +264,15 @@ object Dedup {
     * never re-reading, re-shingling, or re-signing the corpus. Daily
     * cost is O(batch) + a band equi-join against the index, not
     * O(corpus).
+    *
+    * `shard` = xxhash64(id) mod [[Dedup.IndexShards]]. [[save]]
+    * PARTITIONS the parquet by it, and the probe's verify fetch
+    * filters to the candidate ids' shards first — so a small batch
+    * reads only the candidate-bearing fraction of the (corpus-text-
+    * sized) shingles column instead of scanning it whole. The shard
+    * count is a fixed constant on purpose: it is baked into every
+    * saved index, and a configurable value that disagreed between
+    * build and probe would silently drop true candidates.
     *
     * One combined table deliberately: [[save]] is a single corpus pass
     * (two tables from one lineage would each recompute the features),
@@ -279,15 +288,25 @@ object Dedup {
       entries.select(col("id"), explode(col("bands")).as("__bk"))
         .select(col("id"), col("__bk.band"), col("__bk.bucket"))
 
-    /** (id, shingles) view for exact-Jaccard verify. */
-    def shingles: DataFrame = entries.select("id", "shingles")
+    /** (id, shard, shingles) view for exact-Jaccard verify. */
+    def shingles: DataFrame = entries.select("id", "shard", "shingles")
 
-    /** Persist to `<dir>/entries` parquet — one corpus pass.
+    /** Persist to `<dir>/entries` parquet, partitioned by `shard` so
+      * probes prune the verify fetch — one corpus pass.
       * `mode = "overwrite"` is for deterministic replays (streaming
       * delta folders keyed on batch id); the default refuses to clobber
-      * an existing index. */
-    def save(dir: String, mode: String = "error"): Unit =
-      entries.write.mode(mode).parquet(s"$dir/entries")
+      * an existing index.
+      *
+      * An EMPTY index (a streaming delta whose batch had no survivors)
+      * writes unpartitioned: partitionBy on empty input emits no files
+      * at all, leaving a folder whose schema cannot be inferred back.
+      * The empty parquet file keeps `shard` as a data column, which
+      * unions cleanly with shard-partitioned reads. */
+    def save(dir: String, mode: String = "error"): Unit = {
+      val w = entries.write.mode(mode)
+      if (entries.isEmpty) w.parquet(s"$dir/entries")
+      else w.partitionBy("shard").parquet(s"$dir/entries")
+    }
 
     /** Pin the entries so repeated probes don't recompute the feature
       * lineage (for in-memory use; persisted indexes don't need it). */
@@ -319,6 +338,15 @@ object Dedup {
         transform(col("__shstr"), xxhash64(_)).as("shingles"),
         signatureCol(docs, col("__shstr"), numHashes).as("__sig"))
 
+  /** Verify-fetch pruning granularity baked into every MinhashIndex —
+    * fixed, never a parameter (a build/probe mismatch would silently
+    * drop candidates). 64 shards bound the per-batch verify read at
+    * ~1/64 of the corpus per candidate shard touched. */
+  val IndexShards: Int = 64
+
+  private def shardOf(id: Column): Column =
+    pmod(xxhash64(id), lit(IndexShards.toLong)).cast("int")
+
   /** Build the MinHash index for a (deduped) corpus. The same
     * (shingleN, numHashes, bands) MUST be used for every later probe —
     * bucket hashes from different parameters never match. */
@@ -328,7 +356,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     MinhashIndex(
       minhashFeatures(docs, idCol, textCol, shingleN, numHashes)
-        .select(col("id"), col("shingles"),
+        .select(col("id"), shardOf(col("id")).as("shard"), col("shingles"),
           bandBucketStructs(col("__sig"), bands, numHashes / bands)
             .as("bands")))
   }
@@ -364,8 +392,18 @@ object Dedup {
       .select(col("id").as("a_id"), col("b_id"))
       .distinct()
       .localCheckpoint(false)
-    // corpus shingles for candidate corpus docs ONLY
+    // corpus shingles for candidate corpus docs ONLY. Shard filter
+    // first: the candidate ids' shards are a tiny driver-collected set
+    // (≤ IndexShards ints — cands is already materialised), and on a
+    // saved index `shard` is the parquet partition column, so a small
+    // batch READS only the candidate-bearing fraction of the corpus-
+    // text-sized shingles column instead of scanning it whole; the
+    // semi-join then picks exact rows within those shards.
+    val candShards = cands
+      .select(shardOf(col("a_id")).as("s")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val corpusSh = index.shingles
+      .filter(col("shard").isin(candShards: _*))
       .join(cands.select(col("a_id").as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as("a_id"), col("shingles").as("__sha"))
     cands
@@ -569,14 +607,25 @@ object Dedup {
   }
 
   /** Persisted sign-bucket state of an embedding corpus: ONE table of
-    * (id, vec, bucket, norm) — the same single-table/continuous-ingest
-    * rationale as [[MinhashIndex]], for the embedding modality. The
-    * bucket function is deterministic in (dim, numPlanes), so buckets
-    * computed in different runs (or loaded from parquet) stay
-    * join-compatible. */
+    * (id, vec, shard, bucket, norm) — the same single-table/
+    * continuous-ingest rationale as [[MinhashIndex]], for the embedding
+    * modality. The bucket function is deterministic in (dim,
+    * numPlanes), so buckets computed in different runs (or loaded from
+    * parquet) stay join-compatible.
+    *
+    * `shard` = bucket mod [[Dedup.IndexShards]] (deterministic in the
+    * bucket, so build/probe always agree). [[save]] partitions by it:
+    * a probing batch touches only its own sign-buckets, so the scan of
+    * the (vector-sized) corpus prunes to the batch's shards — the
+    * embedding twin of MinhashIndex's candidate-shard pruning, and
+    * even tighter because the join key itself determines the shard. */
   final case class EmbeddingIndex(entries: DataFrame) {
-    def save(dir: String, mode: String = "error"): Unit =
-      entries.write.mode(mode).parquet(s"$dir/entries")
+    /** Same empty-input guard as [[MinhashIndex.save]]. */
+    def save(dir: String, mode: String = "error"): Unit = {
+      val w = entries.write.mode(mode)
+      if (entries.isEmpty) w.parquet(s"$dir/entries")
+      else w.partitionBy("shard").parquet(s"$dir/entries")
+    }
 
     def materialize(): EmbeddingIndex =
       EmbeddingIndex(entries.localCheckpoint(false))
@@ -590,6 +639,9 @@ object Dedup {
       EmbeddingIndex(spark.read.parquet(s"$dir/entries"))
   }
 
+  private def embeddingShardOf(bucket: Column): Column =
+    pmod(bucket, lit(IndexShards.toLong)).cast("int")
+
   /** Build the sign-bucket index for an embedding corpus. The same
     * (dim, numPlanes) MUST be used for every later probe. */
   def buildEmbeddingIndex(
@@ -599,7 +651,9 @@ object Dedup {
     EmbeddingIndex(Parallelism.ensure(
       vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
-        hyperplaneBucket(col("vec"), dim, numPlanes).as("bucket"),
+        hyperplaneBucket(col("vec"), dim, numPlanes).as("bucket"))
+      .select(col("id"), col("vec"),
+        embeddingShardOf(col("bucket")).as("shard"), col("bucket"),
         norm(col("vec")).as("nrm")))
   }
 
@@ -617,8 +671,16 @@ object Dedup {
       .select(col(idCol).as("b_id"), col(vecCol).as("__vb"),
         hyperplaneBucket(col(vecCol), dim, numPlanes).as("bucket"),
         norm(col(vecCol)).as("__nb"))
+      .localCheckpoint(false)
     val b = if (broadcastBatch) broadcast(b0) else b0
+    // the batch's sign-buckets determine the shards it can possibly
+    // match — a tiny driver-collected set that prunes the (vector-
+    // sized) corpus scan to the batch's partitions on a saved index
+    val batchShards = b0
+      .select(embeddingShardOf(col("bucket")).as("s")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     index.entries
+      .filter(col("shard").isin(batchShards: _*))
       .join(b, Seq("bucket"))
       .withColumn("cosine", round(
         cosinePrenormed(dot(col("vec"), col("__vb")), col("nrm"), col("__nb")), 4))

@@ -63,8 +63,13 @@ object StreamDedup {
           val fresh =
             if (priorEntries.isEmpty) pinned
             else {
+              // one read per delta root: the entries are PARTITIONED by
+              // shard, and partition discovery rejects multiple
+              // partitioned roots in a single read; the probe's shard
+              // filter pushes down into every scan of the union
               val index = Dedup.MinhashIndex(
-                spark.read.parquet(priorEntries.toIndexedSeq: _*))
+                priorEntries.toIndexedSeq.map(spark.read.parquet(_))
+                  .reduce(_ unionByName _))
               val hits = Dedup.incrementalNearDup(pinned, index, idCol,
                 textCol, shingleN, numHashes, bands, threshold)
                 .select(org.apache.spark.sql.functions.col("b_id").as(idCol))

@@ -222,8 +222,11 @@ class StreamingSpec extends SparkSpec {
     val deltas = new java.io.File(indexDir).listFiles().map(_.getName).sorted
     assert(deltas.toSeq === Seq("delta_b0000000000", "delta_b0000000001",
       "delta_b0000000002"))
+    // one read per delta root (shard-partitioned roots reject a single
+    // multi-path read), unioned — same shape StreamDedup itself uses
     val all = graft.operators.Dedup.MinhashIndex(
-      spark.read.parquet(deltas.map(d => s"$indexDir/$d/entries").toIndexedSeq: _*))
+      deltas.map(d => spark.read.parquet(s"$indexDir/$d/entries"))
+        .reduce(_ unionByName _))
     assert(all.shingles.select("id").as[Long].collect().sorted.toSeq ===
       Seq(1L, 3L, 11L))
   }
