@@ -20,21 +20,78 @@ import graft.sources.StageSink
   * semantics for the probe joins.
   *
   * Index layout: `<indexDir>/delta_b<batchId>/entries` — one delta
-  * folder per micro-batch, all loaded as ONE parquet relation (a
-  * multi-path scan, not an N-way union) for the next batch's probe. A
-  * pre-seeded corpus index can be placed at `<indexDir>/seed/entries`
-  * ([[Dedup.MinhashIndex.save]] into `<indexDir>/seed`).
+  * folder per micro-batch, each read as its own shard-partitioned
+  * parquet root and unioned for the next batch's probe (the shard
+  * filter pushes into every scan). A pre-seeded corpus index can be
+  * placed at `<indexDir>/seed/entries` ([[Dedup.MinhashIndex.save]]
+  * into `<indexDir>/seed`).
   *
   * Replay discipline (foreachBatch is at-least-once): both outputs are
   * keyed on the batch id and overwritten on retry — survivors via
   * [[StageSink.saveBatch]], the index delta via its deterministic
   * folder — and a retry EXCLUDES its own delta folder from the index
   * it probes, so a batch never dedups against its own partial state.
-  * Long-running streams should compact delta folders periodically
-  * (load the index, save it as a new seed, clear the deltas) to bound
-  * file counts — the scan stays correct either way.
+  * Long-running streams should [[compact]] periodically to bound root
+  * counts — the scan stays correct either way.
   */
 object StreamDedup {
+
+  /** Index roots under `indexDir` (any folder holding an `entries`
+    * table), minus `exclude`. Underscore-prefixed folders are skipped —
+    * that namespace is reserved for in-flight [[compact]] temp dirs, so
+    * a crashed compaction never gets probed as a (partial) root. */
+  private def indexRoots(
+      indexDir: String, exclude: String = ""): Seq[java.io.File] =
+    Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty).toIndexedSeq
+      .filter(d => d.isDirectory && d.getName != exclude &&
+        !d.getName.startsWith("_") &&
+        new java.io.File(d, "entries").exists())
+      .sortBy(_.getName)
+
+  /** Fold every accumulated root (seed + deltas) into one fresh
+    * `seed_b<lastBatch>` root and delete the originals — the
+    * periodic maintenance the scaladoc prescribes: N roots means N
+    * parquet scans per probe, so long streams compact to keep N small.
+    *
+    * Run while the stream is STOPPED (between restarts): the swap is
+    * not atomic against a concurrent batch. Crash discipline: the
+    * compacted root is written and renamed into place BEFORE the
+    * originals are deleted, so a crash can leave duplicate index
+    * entries (both the compacted root and undeleted originals) but
+    * never lose any — duplicates cost probe work, not correctness, and
+    * the next compact clears them. Returns the new root's name, or
+    * None when there was nothing to fold. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[String] = {
+    val roots = indexRoots(indexDir)
+    if (roots.length <= 1) return None
+    // collision-free epoch naming: seed_0, seed_1, ... — re-compacting
+    // a dir that already holds a compacted seed must pick a NEW name
+    // (the old seed is among the roots being folded and deleted)
+    val seedEpochs = roots.map(_.getName)
+      .filter(_.startsWith("seed_"))
+      .flatMap(n => n.stripPrefix("seed_").toLongOption)
+    val target = s"seed_${seedEpochs.maxOption.getOrElse(-1L) + 1L}"
+    val union = roots
+      .map(d => spark.read.parquet(s"${d.getPath}/entries"))
+      .reduce(_ unionByName _)
+    val tmp = new java.io.File(indexDir, s"_compact_$target")
+    Dedup.MinhashIndex(union).save(tmp.getPath, mode = "overwrite")
+    val dest = new java.io.File(indexDir, target)
+    require(tmp.renameTo(dest),
+      s"compact: rename ${tmp.getPath} -> ${dest.getPath} failed")
+    roots.filter(_.getName != target)
+      .foreach(d => deleteRecursively(d))
+    Some(target)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** foreachBatch writer: near-dedup each micro-batch against the
     * accumulated index, export survivors as a batch-keyed snapshot
@@ -50,11 +107,8 @@ object StreamDedup {
       if (batch.take(1).nonEmpty) {
         val spark = batch.sparkSession
         val own = f"delta_b$batchId%010d"
-        val priorEntries = Option(new java.io.File(indexDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(d => d.isDirectory && d.getName != own)
+        val priorEntries = indexRoots(indexDir, exclude = own)
           .map(d => s"${d.getPath}/entries")
-          .filter(p => new java.io.File(p).exists())
         // the batch feeds the probe AND the within-batch dedup AND the
         // delta build — pin it once (DISK_ONLY: correctness cache, a
         // batch can be arbitrarily large)

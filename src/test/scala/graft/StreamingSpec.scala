@@ -229,6 +229,18 @@ class StreamingSpec extends SparkSpec {
         .reduce(_ unionByName _))
     assert(all.shingles.select("id").as[Long].collect().sorted.toSeq ===
       Seq(1L, 3L, 11L))
+
+    // compact folds the three deltas into one seed root, preserving
+    // the entries; a second compact is a no-op (single root left)
+    assert(StreamDedup.compact(spark, indexDir) === Some("seed_0"))
+    val afterDirs = new java.io.File(indexDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(afterDirs.toSeq === Seq("seed_0"))
+    val compacted = graft.operators.Dedup.MinhashIndex
+      .load(spark, s"$indexDir/seed_0")
+    assert(compacted.shingles.select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L, 11L))
+    assert(StreamDedup.compact(spark, indexDir) === None)
   }
 
   test("loadLatest orders batch-keyed exports numerically, rejects mixes") {
