@@ -347,6 +347,17 @@ object Dedup {
   private def shardOf(id: Column): Column =
     pmod(xxhash64(id), lit(IndexShards.toLong)).cast("int")
 
+  /** Whether an index's entries come from files (a save()d index) —
+    * only then does a shard filter prune I/O via partition pruning.
+    * On an in-memory (materialize()d) index the filter would buy
+    * nothing and its driver-collected shard list would cost an extra
+    * synchronous job per probe. */
+  private def isFileBacked(entries: DataFrame): Boolean =
+    entries.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+
   /** Build the MinHash index for a (deduped) corpus. The same
     * (shingleN, numHashes, bands) MUST be used for every later probe —
     * bucket hashes from different parameters never match. */
@@ -392,18 +403,25 @@ object Dedup {
       .select(col("id").as("a_id"), col("b_id"))
       .distinct()
       .localCheckpoint(false)
-    // corpus shingles for candidate corpus docs ONLY. Shard filter
-    // first: the candidate ids' shards are a tiny driver-collected set
-    // (≤ IndexShards ints — cands is already materialised), and on a
-    // saved index `shard` is the parquet partition column, so a small
-    // batch READS only the candidate-bearing fraction of the corpus-
-    // text-sized shingles column instead of scanning it whole; the
-    // semi-join then picks exact rows within those shards.
-    val candShards = cands
-      .select(shardOf(col("a_id")).as("s")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val corpusSh = index.shingles
-      .filter(col("shard").isin(candShards: _*))
+    // corpus shingles for candidate corpus docs ONLY. On a SAVED index
+    // a shard filter comes first: the candidate ids' shards are a tiny
+    // driver-collected set (≤ IndexShards ints — cands is already
+    // materialised), and `shard` is the parquet partition column, so a
+    // small batch READS only the candidate-bearing fraction of the
+    // corpus-text-sized shingles column instead of scanning it whole
+    // (1-doc probe floor 3.7 → 1.4 s vs a 150k-doc index); the
+    // semi-join then picks exact rows within those shards. An
+    // in-memory index skips the filter — nothing to prune, and the
+    // shard collect would cost an extra synchronous job.
+    val pruned =
+      if (!isFileBacked(index.entries)) index.shingles
+      else {
+        val candShards = cands
+          .select(shardOf(col("a_id")).as("s")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        index.shingles.filter(col("shard").isin(candShards: _*))
+      }
+    val corpusSh = pruned
       .join(cands.select(col("a_id").as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as("a_id"), col("shingles").as("__sha"))
     cands
@@ -673,14 +691,19 @@ object Dedup {
         norm(col(vecCol)).as("__nb"))
       .localCheckpoint(false)
     val b = if (broadcastBatch) broadcast(b0) else b0
-    // the batch's sign-buckets determine the shards it can possibly
-    // match — a tiny driver-collected set that prunes the (vector-
-    // sized) corpus scan to the batch's partitions on a saved index
-    val batchShards = b0
-      .select(embeddingShardOf(col("bucket")).as("s")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    index.entries
-      .filter(col("shard").isin(batchShards: _*))
+    // on a SAVED index, the batch's sign-buckets determine the shards
+    // it can possibly match — a tiny driver-collected set that prunes
+    // the (vector-sized) corpus scan to the batch's partitions; an
+    // in-memory index has nothing to prune, skip the extra job
+    val entries =
+      if (!isFileBacked(index.entries)) index.entries
+      else {
+        val batchShards = b0
+          .select(embeddingShardOf(col("bucket")).as("s")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        index.entries.filter(col("shard").isin(batchShards: _*))
+      }
+    entries
       .join(b, Seq("bucket"))
       .withColumn("cosine", round(
         cosinePrenormed(dot(col("vec"), col("__vb")), col("nrm"), col("__nb")), 4))
