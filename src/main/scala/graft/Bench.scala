@@ -63,7 +63,9 @@ object Bench {
       "q69_heavy_hitters", "q70_simhash_incremental", "q71_bm25",
       "q72_line_dedup", "q73_lm_quality",
       // sequence packing via the two-level prefix scan (added r8)
-      "q74_pack_sequences", "q75_pack_emit"
+      "q74_pack_sequences", "q75_pack_emit",
+      // semantic dedup via k-means blocking (added r8)
+      "q76_semantic_dedup"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -815,6 +815,22 @@ object SparkEntry {
     Dedup.embeddingNearDup(Tables(s, dir).embeddings, "vec_id", "embedding",
       dim = 64, numPlanes = 4, threshold = 0.2)
 
+  /** q76: semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means blocks the embedding space (k=16,
+    * zero-exchange assignment), within-cluster pairs at cosine ≥ 0.35
+    * (this corpus's q34 near-dup bar — real-text embedding spaces use
+    * ~0.95; the synthetic vectors sit much closer to orthogonal) form
+    * duplicate groups, and each
+    * group keeps its member FARTHEST from the cluster centroid —
+    * retain outliers, drop the redundant core. rows-only (k-means
+    * assignment is not SQL-expressible); DedupSpec pins the
+    * keep-farthest policy and the cluster-blocking semantics. */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(
+      Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 16, threshold = 0.35, iters = 2)
+      .select(col("vec_id"))
+
   /** q42: fuzzy linkage on the custom jaro_winkler Catalyst expression
     * (registered via GraftExtensions); oracle is DuckDB's
     * jaro_winkler_similarity — both sides use the standard 0.7-boost
@@ -1132,7 +1148,8 @@ object SparkEntry {
     "q72_line_dedup" -> (q72 _),
     "q73_lm_quality" -> (q73 _),
     "q74_pack_sequences" -> (q74 _),
-    "q75_pack_emit" -> (q75 _)
+    "q75_pack_emit" -> (q75 _),
+    "q76_semantic_dedup" -> (q76 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36

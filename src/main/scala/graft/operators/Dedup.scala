@@ -624,6 +624,84 @@ object Dedup {
     vecs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Semantic dedup over an embedding corpus — the SemDeDup recipe
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): k-means
+    * partitions the embedding space, only WITHIN-cluster pairs are
+    * compared (learned blocking — the step that makes web-scale
+    * semantic dedup tractable), pairs with cosine ≥ `threshold` form
+    * duplicate groups, and each group keeps the member with the LOWEST
+    * cosine to its cluster centroid — the paper's policy: retain the
+    * cluster's outliers, drop its redundant core. Ties → lowest id.
+    * Unlike [[embeddingNearDup]]'s hyperplane LSH (recall decided by
+    * plane count), blocking recall here is decided by the clustering:
+    * a duplicate pair split across clusters is not compared — the
+    * paper accepts this, and larger `k` trades block size against
+    * split risk.
+    *
+    * Plan shape: centroid training + assignment are Ann's
+    * zero-exchange projections (model ships in the plan); the pair
+    * join is an equi-join on centroid_id over repartitioned bounded
+    * blocks — quadratic WITHIN a cluster, so pick k ≈ n/(target
+    * cluster size) exactly as with any blocked pairing; groups resolve
+    * via the O(log² n) connected components; survivor selection is one
+    * min-struct aggregate per group + an anti-join. */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double = 0.95, iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, "semanticDedup: k > 0")
+    semanticDedupWith(vecs,
+      Ann.trainCentroids(
+        vecs.select(col(idCol), col(vecCol)), idCol, vecCol, k, iters,
+        seed),
+      idCol, vecCol, threshold)
+  }
+
+  /** [[semanticDedup]] against PRETRAINED centroids ((centroid_id,
+    * vecCol) as [[Ann.trainCentroids]] emits) — the production shape:
+    * the clustering is trained once (or shared with the IVF index,
+    * which uses the same model) and every dedup pass pays only
+    * assignment + within-cluster pairing. */
+  def semanticDedupWith(
+      vecs: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(threshold > 0 && threshold <= 1,
+      "semanticDedup: threshold in (0, 1]")
+    val assigned = Ann.assignBuckets(
+      Parallelism.ensure(vecs.select(col(idCol), col(vecCol))),
+      centroids.select(col("centroid_id").as(idCol), col(vecCol)),
+      idCol, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .localCheckpoint(false)
+    val a = assigned.select(col("centroid_id"), col("__id").as("a_id"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("centroid_id").as("__c2"),
+      col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val edges = a
+      .join(b, col("centroid_id") === col("__c2") && col("a_id") < col("b_id"))
+      .filter(cosinePrenormed(dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")) >= threshold)
+      .select("a_id", "b_id")
+    val cc = connectedComponents(edges, "a_id", "b_id")
+    val cent = centroids.select(col("centroid_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val simToCent = assigned.join(broadcast(cent), "centroid_id")
+      .select(col("__id").as("id"),
+        cosinePrenormed(dot(col("__v"), col("__cv")),
+          col("__n"), col("__cn")).as("__sc"))
+    val keepers = cc.join(simToCent, "id")
+      .groupBy(col("component"))
+      .agg(min(struct(col("__sc"), col("id"))).as("__k"))
+      .select(col("__k.id").as("id"))
+    val losers = cc.join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    vecs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Persisted sign-bucket state of an embedding corpus: ONE table of
     * (id, vec, shard, bucket, norm) — the same single-table/
     * continuous-ingest rationale as [[MinhashIndex]], for the embedding

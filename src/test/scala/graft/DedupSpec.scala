@@ -260,4 +260,47 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((0L, 3L)))
     assert(out.contains((0L, 1L))) // near-dup above 0.5 on bigrams
   }
+
+  test("semanticDedup keeps the group member FARTHEST from its centroid") {
+    // one cluster (k=1) of three vectors, all pairwise above the 0.95
+    // threshold: ids 1/2 sit near the centroid, id 3 is the outlier
+    // (cos-to-centroid ≈ 0.983 vs 0.995/0.996). SemDeDup's policy
+    // keeps the outlier — a min-id policy would keep 1 instead, so
+    // this discriminates.
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9999f, 0.0141f, 0.0f, 0.0f)),
+      (3L, Array(0.96f, 0.28f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vs, "vec_id", "embedding", k = 1,
+      threshold = 0.95)
+    assert(out.select("vec_id").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("semanticDedup blocks by cluster and removes planted duplicates") {
+    // two orthogonal groups (x-y plane / z-w plane), members 25° apart
+    // (cos 0.906 < 0.95 — distinct members never merge); ids 100/101
+    // exactly duplicate one member of each group
+    def ang(deg: Double) = math.toRadians(deg)
+    val xy = (0 until 4).map(i => (i.toLong,
+      Array(math.cos(ang(25 * i)).toFloat, math.sin(ang(25 * i)).toFloat,
+        0.0f, 0.0f)))
+    val zw = (0 until 4).map(i => (10L + i,
+      Array(0.0f, 0.0f, math.cos(ang(25 * i)).toFloat,
+        math.sin(ang(25 * i)).toFloat)))
+    val dups = Seq((100L, xy(1)._2.clone), (101L, zw(2)._2.clone))
+    val vs = (xy ++ zw ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vs, "vec_id", "embedding", k = 2,
+      threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // exactly one of each planted pair survives; everything else kept
+    assert(out.length === 8)
+    assert((out.contains(1L) ^ out.contains(100L)) &&
+      (out.contains(12L) ^ out.contains(101L)))
+    // deterministic
+    val again = Dedup.semanticDedup(vs, "vec_id", "embedding", k = 2,
+      threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(again === out)
+  }
 }
