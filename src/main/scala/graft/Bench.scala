@@ -65,7 +65,9 @@ object Bench {
       // sequence packing via the two-level prefix scan (added r8)
       "q74_pack_sequences", "q75_pack_emit",
       // semantic dedup via k-means blocking (added r8)
-      "q76_semantic_dedup"
+      "q76_semantic_dedup",
+      // corpus data-card profile (added r8)
+      "q77_corpus_profile"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

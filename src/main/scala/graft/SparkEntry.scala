@@ -579,6 +579,15 @@ object SparkEntry {
     Corpus.packedSequences(Tables(s, dir).documents, "doc_id", "text",
       seqLen = 512)
 
+  /** q77: corpus profile — the data-card stats published with every
+    * corpus snapshot as one (metric, value) frame: doc count, token
+    * totals, exact-dup rate (md5 content hash, q30's dedup key),
+    * language count + top-language share. One narrow aggregate + one
+    * tiny language group; every ratio is a single division of exact
+    * integers (no floating aggregate), so the oracle is hash-exact. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    Corpus.profile(Tables(s, dir).documents, "doc_id", "text", "lang")
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1149,7 +1158,8 @@ object SparkEntry {
     "q73_lm_quality" -> (q73 _),
     "q74_pack_sequences" -> (q74 _),
     "q75_pack_emit" -> (q75 _),
-    "q76_semantic_dedup" -> (q76 _)
+    "q76_semantic_dedup" -> (q76 _),
+    "q77_corpus_profile" -> (q77 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1573,6 +1583,25 @@ object SparkEntry {
         |  FROM p)
         |SELECT seq_id, string_agg(piece, ' ' ORDER BY pstart) AS text
         |FROM pieces GROUP BY 1""".stripMargin,
+    "q77_corpus_profile" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |  md5(text) AS h, lang FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM b),
+        |t AS (SELECT count(*) AS c FROM b GROUP BY lang
+        |      ORDER BY c DESC, lang LIMIT 1)
+        |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+        |UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM g
+        |UNION ALL SELECT 'avg_tokens',
+        |  round(CAST(total_tokens AS DOUBLE) / n_docs, 4) FROM g
+        |UNION ALL SELECT 'exact_dup_rate',
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 4) FROM g
+        |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM g
+        |UNION ALL SELECT 'top_lang_share',
+        |  round(CAST(t.c AS DOUBLE) / g.n_docs, 4) FROM g, t""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -458,6 +458,54 @@ object Corpus {
           col("__piece")))), p => p.getField("__piece")), " ").as("text"))
   }
 
+  /** Corpus profile — the "data card" stats a curation pipeline
+    * publishes with every corpus snapshot, as one long-format
+    * (metric, value) frame: document count, token totals/average,
+    * exact-duplicate rate (md5 content hashing, same as q30's dedup
+    * key), language count and top-language share.
+    *
+    * Everything is exact and SQL-expressible, so the whole profile is
+    * oracle-checkable. Plan: one narrow aggregate over per-doc
+    * projections (count/sum/avg + two distinct-counts) plus one
+    * tiny language group — no joins, nothing corpus-sized shuffles
+    * (distinct-counts shuffle one row per distinct value after
+    * map-side partial dedup). Values round to 4dp at the boundary. */
+  def profile(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      col(idCol).as("__id"),
+      size(split(col(textCol), " ")).cast("long").as("__toks"),
+      md5(col(textCol)).as("__h"),
+      col(langCol).as("__lang"))
+    val g = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__toks")).as("total_tokens"),
+      countDistinct(col("__h")).as("n_distinct"),
+      countDistinct(col("__lang")).as("n_langs")).head()
+    val nDocs = g.getLong(0)
+    require(nDocs > 0, "profile: empty corpus")
+    val topLang = base.groupBy(col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__lang"))
+      .limit(1).head()
+    // every ratio is ONE division of two exact integers, rounded
+    // HALF_UP — bit-identical cross-engine (a floating avg aggregate
+    // would sum partials in partition order and drift)
+    def r4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(
+      ("n_docs", nDocs.toDouble),
+      ("total_tokens", g.getLong(1).toDouble),
+      ("avg_tokens", r4(g.getLong(1).toDouble / nDocs)),
+      ("exact_dup_rate", r4(1.0 - g.getLong(2).toDouble / nDocs)),
+      ("n_langs", g.getLong(3).toDouble),
+      ("top_lang_share", r4(topLang.getLong(1).toDouble / nDocs))
+    ).toDF("metric", "value")
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.

@@ -265,6 +265,23 @@ class CorpusSpec extends SparkSpec {
     assert(seqs.map(_._2).mkString(" ") == stream)
   }
 
+  test("profile emits exact data-card stats") {
+    val docs = Seq(
+      (1L, "a b c", "en"),     // 3 tokens
+      (2L, "a b c", "en"),     // exact dup of 1
+      (3L, "d e", "de"),       // 2 tokens
+      (4L, "f", "en")          // 1 token
+    ).toDF("doc_id", "text", "lang")
+    val m = Corpus.profile(docs, "doc_id", "text", "lang")
+      .as[(String, Double)].collect().toMap
+    assert(m("n_docs") == 4.0)
+    assert(m("total_tokens") == 9.0)
+    assert(m("avg_tokens") == 2.25)
+    assert(m("exact_dup_rate") == 0.25) // 3 distinct of 4
+    assert(m("n_langs") == 2.0)
+    assert(m("top_lang_share") == 0.75) // en: 3 of 4
+  }
+
   test("redactPii scrubs emails, phones, SSNs and nothing else") {
     val out = Seq(
       "mail a.smith+x@sub.example.org now",

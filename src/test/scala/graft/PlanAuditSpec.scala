@@ -81,6 +81,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("text-heavy queries prune their document scans") {
+    // a scan that reads all five documents columns for a two-column
+    // operator ships lang/source/n_chars through every stage — the
+    // column-pruning miss .explain would show as a fat ReadSchema
+    for ((name, allowed) <- Seq(
+      "q74_pack_sequences" -> Set("doc_id", "text"),
+      "q75_pack_emit" -> Set("doc_id", "text"),
+      "q72_line_dedup" -> Set("doc_id", "text"),
+      "q30_dedup_exact" -> Set("doc_id", "text"),
+      // (q77_corpus_profile runs its aggregates eagerly and returns a
+      // driver-local frame — no scan in the returned plan to audit;
+      // its base projection is the pruning)
+      "q71_bm25" -> Set("doc_id", "text"))) {
+      val nodes = allNodes(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      val read = nodes.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSet
+      }
+      assert(read.nonEmpty, s"$name: no file scan found")
+      read.foreach(cols => assert(cols.subsetOf(allowed),
+        s"$name: scan reads ${cols.mkString(",")} beyond $allowed"))
+    }
+  }
+
   test("dim-join queries broadcast their dimensions") {
     // q69: the sketch's candidate set broadcasts into the exact-count
     // semi-join; q71: per-term doc frequencies broadcast back into the
