@@ -89,6 +89,22 @@ object StressR8 {
     time("q48 exact ngram freq 200k")(
       Corpus.ngramFreq(docs, "text", n = 2, topK = 100).count())
 
+    // --- sequence packing at 200k docs ---
+    time("q74 pack layout 200k")(
+      Corpus.packSequences(docs, "doc_id", "text", seqLen = 2048).count())
+    time("q75 pack emit 200k")(
+      Corpus.packedSequences(docs, "doc_id", "text", seqLen = 2048)
+        .count())
+
+    // --- semantic dedup at 100k vectors (k=256 learned blocks;
+    //     0.5 is this corpus's ~1e-5-of-pairs near-dup bar — 0.35
+    //     links 0.2% of ALL pairs and transitively collapses the
+    //     corpus to 321 docs in 31 s, a threshold bug not a scale
+    //     result) ---
+    time("q76 semantic dedup 100k k=256")(
+      Dedup.semanticDedup(embs, "vec_id", "embedding", k = 256,
+        threshold = 0.5, iters = 2).count())
+
     // --- IVF-PQ at 100k vectors ---
     val cents = Ann.trainCentroids(embs, "vec_id", "embedding",
       k = 64, iters = 3).withColumnRenamed("centroid_id", "vec_id")
