@@ -588,6 +588,18 @@ object SparkEntry {
   private def q77(s: SparkSession, dir: String): DataFrame =
     Corpus.profile(Tables(s, dir).documents, "doc_id", "text", "lang")
 
+  /** q78: greedy NO-SPLIT packing ("example packing") — each document
+    * goes whole into a ≤512-token training sequence, first-fit in id
+    * order; oversized docs get their own bin. Registered at buckets=1
+    * so the greedy fold is exactly reproducible in SQL (a recursive
+    * CTE carries the running fill) — hash-exact oracle for the
+    * semantics; the bucketed scale path (independent per-bucket packs,
+    * namespaced sequence ids) is pinned by CorpusSpec instead since
+    * its bin boundaries depend on the quantile sketch. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    Corpus.packGreedy(Tables(s, dir).documents, "doc_id", "text",
+      seqLen = 512, buckets = 1)
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1159,7 +1171,8 @@ object SparkEntry {
     "q74_pack_sequences" -> (q74 _),
     "q75_pack_emit" -> (q75 _),
     "q76_semantic_dedup" -> (q76 _),
-    "q77_corpus_profile" -> (q77 _)
+    "q77_corpus_profile" -> (q77 _),
+    "q78_pack_greedy" -> (q78 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1602,6 +1615,19 @@ object SparkEntry {
         |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM g
         |UNION ALL SELECT 'top_lang_share',
         |  round(CAST(t.c AS DOUBLE) / g.n_docs, 4) FROM g, t""".stripMargin,
+    "q78_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |  row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+        |r AS (
+        |  SELECT rn, doc_id, n, n AS fill, CAST(0 AS BIGINT) AS bin
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.rn, t.doc_id, t.n,
+        |    CASE WHEN r.fill + t.n > 512 THEN t.n ELSE r.fill + t.n END,
+        |    CASE WHEN r.fill + t.n > 512 THEN r.bin + 1 ELSE r.bin END
+        |  FROM r JOIN t ON t.rn = r.rn + 1)
+        |SELECT doc_id, n AS n_tokens, bin AS seq_id FROM r""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -458,6 +458,65 @@ object Corpus {
           col("__piece")))), p => p.getField("__piece")), " ").as("text"))
   }
 
+  /** Greedy NO-SPLIT sequence packing ("example packing"): assign each
+    * document to a training sequence of at most `seqLen` tokens
+    * without ever splitting a document — the packing used when
+    * document integrity matters (instruction tuning, long-context
+    * eval), trading padding waste for whole examples. Documents longer
+    * than `seqLen` get a bin of their own (truncate downstream).
+    * Emits (id, n_tokens, seq_id); sequences are filled first-fit in
+    * id order.
+    *
+    * Greedy fill is inherently a stateful sequential fold — not
+    * expressible as a window (the running total RESETS on overflow),
+    * so this is the codebase's one legitimate `mapPartitions`: rows
+    * range-bucket on the id (same quantile sketch as [[prefixSum]] —
+    * deterministic, balanced), each bucket packs independently inside
+    * its partition in sorted order, and sequence ids namespace by
+    * bucket (bucket·2³² + local bin) so they never collide. Max task
+    * is n/buckets at any n; output is deterministic across runs and
+    * cluster layouts. */
+  def packGreedy(
+      docs: DataFrame, idCol: String, textCol: String, seqLen: Int,
+      buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, "packGreedy: seqLen > 0")
+    require(buckets >= 1, "packGreedy: buckets >= 1")
+    val toks = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else toks.select(col(idCol).cast("double").as("__o"))
+        .stat.approxQuantile("__o",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val bucketed = toks.withColumn("__bkt",
+      graft.functions.LayoutFunctions.quantileBucket(col(idCol), bounds))
+      .repartition(buckets, col("__bkt"))
+      .sortWithinPartitions(col("__bkt"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      bucketed.schema(idCol),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val idIdx = bucketed.schema.fieldIndex(idCol)
+    val nIdx = bucketed.schema.fieldIndex("n_tokens")
+    val bIdx = bucketed.schema.fieldIndex("__bkt")
+    val cap = seqLen.toLong
+    bucketed.mapPartitions { rows =>
+      var curBkt = Long.MinValue
+      var fill = 0L
+      var bin = -1L
+      rows.map { r =>
+        val bkt = r.getLong(bIdx)
+        val n = r.getLong(nIdx)
+        if (bkt != curBkt) { curBkt = bkt; fill = 0L; bin = -1L }
+        if (bin < 0 || fill + n > cap) { bin += 1; fill = 0L }
+        fill += n
+        org.apache.spark.sql.Row(r.get(idIdx), n, bkt * (1L << 32) + bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Corpus profile — the "data card" stats a curation pipeline
     * publishes with every corpus snapshot, as one long-format
     * (metric, value) frame: document count, token totals/average,

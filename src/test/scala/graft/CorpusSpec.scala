@@ -265,6 +265,39 @@ class CorpusSpec extends SparkSpec {
     assert(seqs.map(_._2).mkString(" ") == stream)
   }
 
+  test("packGreedy fills whole-document bins first-fit in id order") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3
+      (2L, "d e f g"),        // 4  -> bin 0 (3+4=7 <= 10)
+      (3L, "h i j k"),        // 4  -> overflow, bin 1
+      (4L, Seq.fill(12)("x").mkString(" ")), // 12 > seqLen -> own bin 2
+      (5L, "y z")             // 2  -> bin 3 (after oversized fill=12)
+    ).toDF("doc_id", "text")
+    val out = Corpus.packGreedy(docs, "doc_id", "text", seqLen = 10,
+        buckets = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) === Seq(3L, 4L, 4L, 12L, 2L))
+    val bins = out.map(_._3)
+    assert(bins(0) == bins(1) && bins(1) != bins(2) &&
+      bins(2) != bins(3) && bins(3) != bins(4))
+    // invariants at size: no bin over capacity (except single
+    // oversized docs), every doc assigned exactly once, deterministic
+    val big = spark.range(3000).toDF("doc_id")
+      .withColumn("text", concat(lit("w"),
+        rtrim(repeat(concat(lit(" t"), col("doc_id").cast("string")),
+          pmod(xxhash64(col("doc_id")), lit(40L)).cast("int")))))
+    val packed = Corpus.packGreedy(big, "doc_id", "text", seqLen = 64)
+    assert(packed.count() === 3000)
+    val over = packed.groupBy("seq_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 64 && col("n") > 1).count()
+    assert(over === 0L)
+    val a = packed.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val b = Corpus.packGreedy(big, "doc_id", "text", seqLen = 64)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
   test("profile emits exact data-card stats") {
     val docs = Seq(
       (1L, "a b c", "en"),     // 3 tokens
