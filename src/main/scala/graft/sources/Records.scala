@@ -158,6 +158,31 @@ object Records {
       .parquet(path)
   }
 
+  /** Parquet write with BLOOM FILTERS on the named columns — the
+    * file-skipping companion to [[writeZOrdered]] for point lookups on
+    * HIGH-CARDINALITY keys (ids, content hashes), where min/max stats
+    * are useless unless the data is sorted by that exact key: an
+    * `id = x` probe skips every file whose bloom says "definitely not
+    * here" at ~fpp false-positive cost, regardless of layout. Pair
+    * with clustering on a DIFFERENT column set — blooms answer the
+    * keys the sort order can't. `ndv` sizes each filter (bits scale
+    * with distinct values per file; the writer caps at
+    * `maxBloomBytes`). */
+  def writeWithBloom(
+      df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 1000000L, maxBloomBytes: Long = 8L << 20,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(bloomCols.nonEmpty, "writeWithBloom: no bloom columns")
+    val w = df.write
+      .mode("error")
+      .option("parquet.bloom.filter.max.bytes", maxBloomBytes)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv)
+    }.parquet(path)
+  }
+
   /** Idempotent partition reload: replaces ONLY the directory
     * partitions present in `df`, leaving every other partition's files
     * untouched (dynamic partition overwrite). The re-run-safe shape for

@@ -144,6 +144,38 @@ class SourcesSpec extends SparkSpec {
       s"z eligible ${eligible(zFiles)} of ${zFiles.length}")
   }
 
+  test("writeWithBloom attaches working bloom filters to the named columns") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(20000).toDF("id")
+      .withColumn("v", pmod(xxhash64(col("id")), lit(1000L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    Records.writeWithBloom(df, dir, Seq("id"), ndv = 20000L)
+    assert(spark.read.parquet(dir).count() === 20000L)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getPath),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val chunks = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val idChunk = chunks.find(_.getPath.toDotString == "id").get
+      val vChunk = chunks.find(_.getPath.toDotString == "v").get
+      // bloom on id, none on v
+      assert(idChunk.getBloomFilterOffset >= 0,
+        "no bloom filter written for id")
+      assert(vChunk.getBloomFilterOffset < 0,
+        "unexpected bloom filter on v")
+      // the filter answers membership: a present id always hits
+      val bloom = reader.readBloomFilter(idChunk)
+      assert(bloom != null)
+      val presentId = spark.read.parquet(file.getPath)
+        .select("id").head().getLong(0)
+      assert(bloom.findHash(bloom.hash(presentId)))
+    } finally reader.close()
+  }
+
   test("upsertPartitions replaces only the partitions present in the batch") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
     Records.writePartitioned(
