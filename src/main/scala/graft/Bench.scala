@@ -66,8 +66,8 @@ object Bench {
       "q74_pack_sequences", "q75_pack_emit",
       // semantic dedup via k-means blocking (added r8)
       "q76_semantic_dedup",
-      // corpus data-card profile + no-split packing (added r8)
-      "q77_corpus_profile", "q78_pack_greedy"
+      // corpus data-card profile + no-split packing + NFC (added r8)
+      "q77_corpus_profile", "q78_pack_greedy", "q79_unicode_normalize"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

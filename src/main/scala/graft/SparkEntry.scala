@@ -600,6 +600,21 @@ object SparkEntry {
     Corpus.packGreedy(Tables(s, dir).documents, "doc_id", "text",
       seqLen = 512, buckets = 1)
 
+  /** q79: Unicode NFC normalization — run before any content hashing
+    * or dedup so visually-identical strings with different codepoint
+    * sequences hash alike. The synthetic corpus is ASCII (NFC would be
+    * the identity), so the query plants combining sequences ("a" →
+    * "a"+U+0301) and normalizes them back to precomposed form ("á");
+    * the oracle applies DuckDB's nfc_normalize to identically mangled
+    * text — hash-exact cross-library conformance (JDK Normalizer vs
+    * utf8proc). Native codegen expression with a quick-check fast
+    * path, so already-normal text costs one scan. */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(col("doc_id"),
+      call_function("unicode_normalize",
+        regexp_replace(col("text"), "a", "a\u0301"), lit("NFC"))
+        .as("text"))
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1172,7 +1187,8 @@ object SparkEntry {
     "q75_pack_emit" -> (q75 _),
     "q76_semantic_dedup" -> (q76 _),
     "q77_corpus_profile" -> (q77 _),
-    "q78_pack_greedy" -> (q78 _)
+    "q78_pack_greedy" -> (q78 _),
+    "q79_unicode_normalize" -> (q79 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1628,6 +1644,11 @@ object SparkEntry {
         |    CASE WHEN r.fill + t.n > 512 THEN r.bin + 1 ELSE r.bin END
         |  FROM r JOIN t ON t.rn = r.rn + 1)
         |SELECT doc_id, n AS n_tokens, bin AS seq_id FROM r""".stripMargin,
+    "q79_unicode_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
+        |    AS text
+        |FROM documents""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -108,6 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("repetition_counts",
       es => RepetitionCounts(es.head),
       "repetition_counts(text) - word/bigram repetition counters as a struct"))
+    ext.injectFunction(fn("unicode_normalize",
+      es => UnicodeNormalize(es.head, litStr("unicode_normalize", 1, es(1))),
+      "unicode_normalize(text, form) - Unicode NFC/NFD/NFKC/NFKD normalization"))
     ext.injectFunction(fn("vector_sum_f",
       es => VectorSumF(es.head),
       "vector_sum_f(vec) - element-wise sum of array<float> as array<double>"))

@@ -74,4 +74,28 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.nullToEmpty(col("v"))).as[String].collect()
     assert(out === Array("x", ""))
   }
+
+  test("unicode_normalize composes, decomposes, folds compatibility forms") {
+    def norm(s: String, form: String): String =
+      Seq(s).toDF("t")
+        .select(call_function("unicode_normalize", col("t"), lit(form)))
+        .as[String].head
+    // NFC composes combining sequences; plain ASCII is untouched
+    assert(norm("cafe\u0301", "NFC") === "caf\u00e9")
+    assert(norm("plain ascii", "NFC") === "plain ascii")
+    // NFD decomposes the precomposed form back
+    assert(norm("caf\u00e9", "NFD") === "cafe\u0301")
+    // NFKC folds compatibility characters: fi-ligature, fullwidth A/1
+    assert(norm("\ufb01t \uff21\uff11", "NFKC") === "fit A1")
+    // nulls pass through; non-literal/bogus forms are rejected loudly
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(call_function("unicode_normalize", col("t"), lit("NFC")))
+      .collect()
+    assert(n.head.isNullAt(0))
+    intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(call_function("unicode_normalize", col("t"), lit("NFX")))
+        .collect()
+    }
+  }
 }
