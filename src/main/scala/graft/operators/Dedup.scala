@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * - `ngramJaccardPairs`: exact word n-gram Jaccard verification on
   *   candidate pairs (the verify pass after any LSH candidate
   *   generation).
+  * - `semanticDedup`: embedding-space dedup with k-means blocking
+  *   (SemDeDup) — keep each duplicate group's farthest-from-centroid
+  *   member.
+  * - incremental family: `exactIncremental` / `incrementalDedup` /
+  *   `incrementalSimhashDedup` / `incrementalEmbeddingDedup` probe
+  *   persisted, shard-partitioned corpus indexes so continuous ingest
+  *   pays O(batch + candidates), never O(corpus).
   *
   * Signature math has two interchangeable forms with identical hash
   * values: pure `functions._` array expressions (portable, no session

@@ -277,6 +277,27 @@ class DedupSpec extends SparkSpec {
     assert(out.select("vec_id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("semanticDedupWith uses supplied centroids without retraining") {
+    // hand-made centroids on the two axes: assignment is fully
+    // determined, so the pretrained path is exactly predictable
+    val cents = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "embedding")
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9999f, 0.0141f, 0.0f, 0.0f)), // dup of 1, nearer x-axis
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))        // other cluster, untouched
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupWith(vs, cents, "vec_id", "embedding",
+      threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // keep-farthest: id 2 (cos to centroid ≈ 0.9999) loses to id 1?
+    // no — id 1 IS the centroid direction (cos 1.0), id 2 is farther
+    // (cos 0.9999) and survives; id 3 is a singleton
+    assert(out === Seq(2L, 3L))
+  }
+
   test("semanticDedup blocks by cluster and removes planted duplicates") {
     // two orthogonal groups (x-y plane / z-w plane), members 25° apart
     // (cos 0.906 < 0.95 — distinct members never merge); ids 100/101
