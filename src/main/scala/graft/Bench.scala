@@ -67,7 +67,8 @@ object Bench {
       // semantic dedup via k-means blocking (added r8)
       "q76_semantic_dedup",
       // corpus data-card profile + no-split packing + NFC (added r8)
-      "q77_corpus_profile", "q78_pack_greedy", "q79_unicode_normalize"
+      "q77_corpus_profile", "q78_pack_greedy", "q79_unicode_normalize",
+      "q80_chunk_overlap"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

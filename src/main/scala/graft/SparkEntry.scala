@@ -615,6 +615,16 @@ object SparkEntry {
         regexp_replace(col("text"), "a", "a\u0301"), lit("NFC"))
         .as("text"))
 
+  /** q80: overlapping token-window chunking — the RAG-ingestion shape:
+    * 256-token windows every 192 tokens (64 shared context tokens), a
+    * pure projection with ~n/stride row growth; short docs yield one
+    * chunk. Oracle replicates the window math with a generated series
+    * + array slices in DuckDB. */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkOverlap(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", chunkTokens = 256, overlapTokens = 64)
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1188,7 +1198,8 @@ object SparkEntry {
     "q76_semantic_dedup" -> (q76 _),
     "q77_corpus_profile" -> (q77 _),
     "q78_pack_greedy" -> (q78 _),
-    "q79_unicode_normalize" -> (q79 _)
+    "q79_unicode_normalize" -> (q79 _),
+    "q80_chunk_overlap" -> (q80 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1649,6 +1660,17 @@ object SparkEntry {
         |  nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
         |    AS text
         |FROM documents""".stripMargin,
+    "q80_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  greatest(1, CAST(ceil((n - 64) / 192.0) AS BIGINT)) AS k FROM t),
+        |e AS (SELECT doc_id, w,
+        |  unnest(generate_series(0, k - 1)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(w[chunk_id*192+1 : chunk_id*192+256], ' ') AS text
+        |FROM e""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -517,6 +517,41 @@ object Corpus {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Overlapping token-window chunking — the retrieval-ingestion shape
+    * (RAG indexing, long-document embedding): each document splits
+    * into windows of `chunkTokens` whitespace tokens starting every
+    * `chunkTokens - overlapTokens` (the stride), so consecutive chunks
+    * share `overlapTokens` of context and no sentence straddles a hard
+    * boundary unseen. Chunk count = max(1, ⌈(n − overlap)/stride⌉) —
+    * short documents yield exactly one chunk, and the final window
+    * simply runs short. Emits (id, chunk_id, text).
+    *
+    * Pure projection (sequence + slice + posexplode): no shuffle, no
+    * join — the canonical 100 TB preprocessing shape. Row growth is
+    * ~n/stride per doc; downstream embedding is the expensive part,
+    * not this. */
+  def chunkOverlap(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      "chunkOverlap: need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    val k = greatest(lit(1L),
+      ceil((n.cast("long") - overlapTokens).cast("double") / stride)
+        .cast("long"))
+    docs
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), k - 1L),
+          i => concat_ws(" ",
+            slice(words, (i * stride + 1L).cast("int"), lit(chunkTokens)))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__chunk").as(textCol))
+  }
+
   /** Corpus profile — the "data card" stats a curation pipeline
     * publishes with every corpus snapshot, as one long-format
     * (metric, value) frame: document count, token totals/average,

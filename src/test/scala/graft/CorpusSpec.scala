@@ -298,6 +298,28 @@ class CorpusSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("chunkOverlap windows documents with shared context") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4, overlap 2 -> starts 0,2,4,6
+      (2L, "x y"),                 // shorter than chunk -> one chunk
+      (3L, "p q r s")              // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkOverlap(docs, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, "a b c d"), (1L, 1L, "c d e f"),
+      (1L, 2L, "e f g h"), (1L, 3L, "g h i j"),
+      (2L, 0L, "x y"),
+      (3L, 0L, "p q r s")))
+    // consecutive chunks overlap by exactly overlapTokens; the union
+    // of chunk tokens reconstructs the document
+    val rebuilt = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+      .reduce((a, b) => a ++ b.drop(2))
+    assert(rebuilt.mkString(" ") === "a b c d e f g h i j")
+  }
+
   test("profile emits exact data-card stats") {
     val docs = Seq(
       (1L, "a b c", "en"),     // 3 tokens
