@@ -95,6 +95,8 @@ object StressR8 {
     time("q75 pack emit 200k")(
       Corpus.packedSequences(docs, "doc_id", "text", seqLen = 2048)
         .count())
+    time("q80 chunk overlap 200k")(
+      Corpus.chunkOverlap(docs, "doc_id", "text", 256, 64).count())
 
     // --- semantic dedup at 100k vectors (k=256 learned blocks;
     //     0.5 is this corpus's ~1e-5-of-pairs near-dup bar — 0.35
