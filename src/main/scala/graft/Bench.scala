@@ -66,8 +66,11 @@ object Bench {
       "q74_pack_sequences", "q75_pack_emit",
       // semantic dedup via k-means blocking (added r8)
       "q76_semantic_dedup",
-      // corpus data-card profile + no-split packing + NFC (added r8)
-      "q77_corpus_profile", "q78_pack_greedy", "q79_unicode_normalize",
+      // corpus data-card profile + NFC + chunking (added r8).
+      // q78_pack_greedy is deliberately NOT headline: its registered
+      // form runs buckets=1 for the recursive-CTE oracle — a
+      // single-task shape; the real bucketed path is timed in StressR8
+      "q77_corpus_profile", "q79_unicode_normalize",
       "q80_chunk_overlap"
     ).filter(SparkEntry.queries.contains)
 

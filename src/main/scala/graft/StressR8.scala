@@ -97,6 +97,8 @@ object StressR8 {
         .count())
     time("q80 chunk overlap 200k")(
       Corpus.chunkOverlap(docs, "doc_id", "text", 256, 64).count())
+    time("q78 pack greedy 200k (64 buckets)")(
+      Corpus.packGreedy(docs, "doc_id", "text", seqLen = 2048).count())
 
     // --- semantic dedup at 100k vectors (k=256 learned blocks;
     //     0.5 is this corpus's ~1e-5-of-pairs near-dup bar — 0.35

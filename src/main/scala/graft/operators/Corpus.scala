@@ -360,15 +360,30 @@ object Corpus {
     * equal keys always land in the same bucket, so output is
     * hash-exact against `SUM(v) OVER (ORDER BY k) − v` cross-engine.
     * Values must be integral (sums carried as long). */
+  /** Range-bucket boundaries for an ORDER-preserving split of a
+    * NUMERIC column. Non-numeric keys fail loudly here: casting e.g. a
+    * string content-hash id to double yields all nulls, empty bounds,
+    * and every row in bucket 0 — the single-task shape these scans
+    * exist to avoid, silently. Map such ids to a numeric key first. */
+  private def rangeBounds(
+      df: DataFrame, orderCol: String, buckets: Int,
+      relErr: Double): Array[Double] = {
+    require(buckets >= 1, "rangeBounds: buckets >= 1")
+    require(df.schema(orderCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"range bucketing needs a numeric order column; '$orderCol' is " +
+        s"${df.schema(orderCol).dataType.simpleString} — map it to a " +
+        "numeric key (e.g. xxhash64) upstream, order semantics permitting")
+    if (buckets == 1) Array.empty[Double]
+    else df.select(col(orderCol).cast("double").as("__o"))
+      .stat.approxQuantile("__o",
+        (1 until buckets).map(_.toDouble / buckets).toArray, relErr)
+  }
+
   def prefixSum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String,
       buckets: Int = 64, relErr: Double = 0.001): DataFrame = {
-    require(buckets >= 1, "prefixSum: buckets >= 1")
-    val bounds =
-      if (buckets == 1) Array.empty[Double]
-      else df.select(col(orderCol).cast("double").as("__o"))
-        .stat.approxQuantile("__o",
-          (1 until buckets).map(_.toDouble / buckets).toArray, relErr)
+    val bounds = rangeBounds(df, orderCol, buckets, relErr)
     val withB = df.withColumn("__bkt",
       graft.functions.LayoutFunctions.quantileBucket(col(orderCol), bounds))
     val totals = withB.groupBy(col("__bkt"))
@@ -480,14 +495,9 @@ object Corpus {
       docs: DataFrame, idCol: String, textCol: String, seqLen: Int,
       buckets: Int = 64): DataFrame = {
     require(seqLen > 0, "packGreedy: seqLen > 0")
-    require(buckets >= 1, "packGreedy: buckets >= 1")
     val toks = docs.select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-    val bounds =
-      if (buckets == 1) Array.empty[Double]
-      else toks.select(col(idCol).cast("double").as("__o"))
-        .stat.approxQuantile("__o",
-          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val bounds = rangeBounds(toks, idCol, buckets, relErr = 0.001)
     val bucketed = toks.withColumn("__bkt",
       graft.functions.LayoutFunctions.quantileBucket(col(idCol), bounds))
       .repartition(buckets, col("__bkt"))

@@ -327,8 +327,16 @@ object Dedup {
   }
 
   object MinhashIndex {
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
-      MinhashIndex(spark.read.parquet(s"$dir/entries"))
+    /** Indexes saved before the shard column existed load with the
+      * shard backfilled from the id — same values [[save]] would have
+      * written, so probes work unchanged (without partition pruning,
+      * which those files never had). */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
+      val e = spark.read.parquet(s"$dir/entries")
+      MinhashIndex(
+        if (e.columns.contains("shard")) e
+        else e.withColumn("shard", shardOf(col("id"))))
+    }
   }
 
   /** Batch feature frame shared by index build and probe:
@@ -354,16 +362,25 @@ object Dedup {
   private def shardOf(id: Column): Column =
     pmod(xxhash64(id), lit(IndexShards.toLong)).cast("int")
 
-  /** Whether an index's entries come from files (a save()d index) —
-    * only then does a shard filter prune I/O via partition pruning.
-    * On an in-memory (materialize()d) index the filter would buy
-    * nothing and its driver-collected shard list would cost an extra
-    * synchronous job per probe. */
-  private def isFileBacked(entries: DataFrame): Boolean =
-    entries.queryExecution.optimizedPlan.exists {
+  /** Whether an index's entries ARE a file scan (a save()d index, or
+    * a union of saved roots, modulo projections/filters) — only then
+    * does a shard filter prune I/O via partition pruning. A freshly
+    * BUILT index has aggregates/generators in its lineage even when
+    * the underlying corpus is parquet, and an in-memory
+    * (materialize()d) one is a LogicalRDD; in both the filter would
+    * buy nothing and its driver-collected shard list would cost an
+    * extra synchronous job per probe. */
+  private def isFileBacked(entries: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanOnly(p: LogicalPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case u: Union => u.children.forall(scanOnly)
+      case pj: Project => scanOnly(pj.child)
+      case f: Filter => scanOnly(f.child)
       case _ => false
     }
+    scanOnly(entries.queryExecution.optimizedPlan)
+  }
 
   /** Build the MinHash index for a (deduped) corpus. The same
     * (shingleN, numHashes, bands) MUST be used for every later probe —
@@ -738,8 +755,14 @@ object Dedup {
   }
 
   object EmbeddingIndex {
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): EmbeddingIndex =
-      EmbeddingIndex(spark.read.parquet(s"$dir/entries"))
+    /** Pre-shard saves load with the shard backfilled from the bucket
+      * (same values save() would have written). */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): EmbeddingIndex = {
+      val e = spark.read.parquet(s"$dir/entries")
+      EmbeddingIndex(
+        if (e.columns.contains("shard")) e
+        else e.withColumn("shard", embeddingShardOf(col("bucket"))))
+    }
   }
 
   private def embeddingShardOf(bucket: Column): Column =

@@ -59,9 +59,10 @@ object StreamDedup {
     * compacted root is written and renamed into place BEFORE the
     * originals are deleted, so a crash can leave duplicate index
     * entries (both the compacted root and undeleted originals) but
-    * never lose any — duplicates cost probe work, not correctness, and
-    * the next compact clears them. Returns the new root's name, or
-    * None when there was nothing to fold. */
+    * never lose any — duplicates cost probe work, not correctness,
+    * and the next compact folds them away (the union dedups on id).
+    * Returns the new root's name, or None when there was nothing to
+    * fold. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[String] = {
@@ -74,9 +75,13 @@ object StreamDedup {
       .filter(_.startsWith("seed_"))
       .flatMap(n => n.stripPrefix("seed_").toLongOption)
     val target = s"seed_${seedEpochs.maxOption.getOrElse(-1L) + 1L}"
+    // dedup on id: a crashed earlier compact leaves the same entries
+    // in two roots; folding them through without this would bake the
+    // duplicates into every future seed
     val union = roots
       .map(d => spark.read.parquet(s"${d.getPath}/entries"))
       .reduce(_ unionByName _)
+      .dropDuplicates("id")
     val tmp = new java.io.File(indexDir, s"_compact_$target")
     Dedup.MinhashIndex(union).save(tmp.getPath, mode = "overwrite")
     val dest = new java.io.File(indexDir, target)

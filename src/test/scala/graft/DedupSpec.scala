@@ -277,6 +277,26 @@ class DedupSpec extends SparkSpec {
     assert(out.select("vec_id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("pre-shard index saves load with the shard backfilled") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the dog"),
+      (2L, "entirely different words live here now today"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_oldidx").toString
+    // simulate a pre-shard save: entries without the shard column,
+    // unpartitioned — the on-disk layout the previous revision wrote
+    idx.entries.drop("shard").write.parquet(s"$dir/entries")
+    val loaded = Dedup.MinhashIndex.load(spark, dir)
+    assert(loaded.entries.columns.contains("shard"))
+    val batch = Seq((10L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDup(batch, loaded, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16, threshold = 0.5)
+    assert(hits.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 10L)))
+  }
+
   test("semanticDedupWith uses supplied centroids without retraining") {
     // hand-made centroids on the two axes: assignment is fully
     // determined, so the pretrained path is exactly predictable
