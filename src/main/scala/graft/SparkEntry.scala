@@ -625,6 +625,22 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("doc_id"), col("text")),
       "doc_id", "text", chunkTokens = 256, overlapTokens = 64)
 
+  /** q81: corpus snapshot diff — the audit a recurring crawl publishes:
+    * ids classified added/removed/modified between two snapshot views
+    * of the corpus (old = ids ∉ 9ℤ with ids ∈ 7ℤ edited; new = ids ∉
+    * 10ℤ), unchanged omitted. One full-outer equi-join of two (id,
+    * md5) projections; the oracle replicates both views and the
+    * classification. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val old = d.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text")).as("text"))
+    val neu = d.filter(col("doc_id") % 10 =!= 0)
+    Corpus.snapshotDiff(old, neu, "doc_id", "text")
+  }
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1199,7 +1215,8 @@ object SparkEntry {
     "q77_corpus_profile" -> (q77 _),
     "q78_pack_greedy" -> (q78 _),
     "q79_unicode_normalize" -> (q79 _),
-    "q80_chunk_overlap" -> (q80 _)
+    "q80_chunk_overlap" -> (q80 _),
+    "q81_snapshot_diff" -> (q81 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1671,6 +1688,19 @@ object SparkEntry {
         |SELECT doc_id, chunk_id,
         |  array_to_string(w[chunk_id*192+1 : chunk_id*192+256], ' ') AS text
         |FROM e""".stripMargin,
+    "q81_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT' ELSE text END)
+        |    AS h
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |n AS (SELECT doc_id, md5(text) AS h
+        |      FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'modified' END AS change
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

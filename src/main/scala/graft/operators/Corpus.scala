@@ -562,6 +562,34 @@ object Corpus {
         col("__chunk").as(textCol))
   }
 
+  /** Snapshot diff — what changed between two corpus versions (the
+    * audit a recurring crawl/curation run publishes next to its
+    * [[profile]]): each id classified `added` (only in the new
+    * snapshot), `removed` (only in the old) or `modified` (present in
+    * both, content hash differs); unchanged ids are omitted. Content
+    * compares by md5 — the same key exact dedup uses — so "modified"
+    * means byte-level change, not formatting opinion.
+    *
+    * Both snapshots reduce to (id, hash) projections before one
+    * full-outer equi-join on the id: two column-pruned scans, one
+    * keyed shuffle each, output bounded by the change volume. */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__oid"),
+      md5(col(contentCol)).as("__oh"))
+    val n = newDocs.select(col(idCol).as("__nid"),
+      md5(col(contentCol)).as("__nh"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .withColumn("change",
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "modified"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("__oid"), col("__nid")).as(idCol),
+        col("change"))
+  }
+
   /** Corpus profile — the "data card" stats a curation pipeline
     * publishes with every corpus snapshot, as one long-format
     * (metric, value) frame: document count, token totals/average,

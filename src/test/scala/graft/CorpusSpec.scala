@@ -320,6 +320,18 @@ class CorpusSpec extends SparkSpec {
     assert(rebuilt.mkString(" ") === "a b c d e f g h i j")
   }
 
+  test("snapshotDiff classifies added/removed/modified, drops unchanged") {
+    val old = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
   test("profile emits exact data-card stats") {
     val docs = Seq(
       (1L, "a b c", "en"),     // 3 tokens
