@@ -71,7 +71,9 @@ object Bench {
       // form runs buckets=1 for the recursive-CTE oracle — a
       // single-task shape; the real bucketed path is timed in StressR8
       "q77_corpus_profile", "q79_unicode_normalize",
-      "q80_chunk_overlap", "q81_snapshot_diff"
+      "q80_chunk_overlap", "q81_snapshot_diff",
+      // URL profile, stratified sampling, trained quality gate (late r8)
+      "q82_domain_profile", "q83_stratified_sample", "q84_quality_classifier"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -641,6 +641,71 @@ object SparkEntry {
     Corpus.snapshotDiff(old, neu, "doc_id", "text")
   }
 
+  /** q82: URL canonicalization + per-domain profile — the data-card
+    * domain breakdown over a crawl's URL column. The fixture
+    * synthesizes every variant class the normalizer handles (scheme/
+    * host case, default vs real ports, tracking params — including
+    * ADJACENT utm params, the case regex-only stripping mis-handles —
+    * fragments, empty paths); the oracle replicates fixture and
+    * normalization rule-for-rule in DuckDB. Pure projection → one
+    * host-bounded aggregate. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val urls = Tables(s, dir).customer.select(
+      concat(
+        element_at(array(lit("http"), lit("HTTPS"), lit("https"),
+          lit("HTTP")), (k % 4).cast("int") + 1),
+        lit("://"),
+        when(k % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("site"), (k % 37).cast("string"), lit(".Example."),
+        element_at(array(lit("com"), lit("org"), lit("net")),
+          (k % 3).cast("int") + 1),
+        element_at(array(lit(""), lit(":80"), lit(":443"), lit(":8080")),
+          (k % 4).cast("int") + 1),
+        when(k % 7 === 0, lit(""))
+          .otherwise(concat(lit("/page/"), (k % 11).cast("string"))),
+        element_at(array(lit(""), lit("?utm_source=feed&ref=r1"),
+          lit("?a=1&utm_campaign=c&utm_medium=m&b=2"), lit("?gclid=xyz"),
+          lit("?a=1&b=2")), (k % 5).cast("int") + 1),
+        when(k % 2 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+    Corpus.domainProfile(urls, "url")
+  }
+
+  /** q83: deterministic stratified EXACT sampling — 20% of customers
+    * per market segment, membership fixed by md5(id) order (exact
+    * ⌈n·20/100⌉ per stratum, stable across runs/layouts, nested under
+    * any larger percent). The oracle replicates the window + integer
+    * ceiling arithmetic. */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleStratified(
+      Tables(s, dir).customer.select(col("c_custkey"), col("c_mktsegment")),
+      "c_mktsegment", "c_custkey", percent = 20)
+
+  /** q84: model-based quality filter — the fastText-shaped classifier
+    * gate (DCLM/FineWeb-Edu recipe) trained and applied in-engine:
+    * hashed-unigram logistic regression, full-batch gradient ascent
+    * (per-iteration shuffle ≤ (dims+1)×partitions partial sums),
+    * apply as a pure projection. Fixture labels are deterministic —
+    * odd doc_ids get spam-injected text (label 0), even keep raw text
+    * (label 1); train on ids ∉ 5ℤ, score the held-out rest. rows-only
+    * (training is iterative float optimization, not SQL-expressible);
+    * ClassifierSpec pins loss descent, holdout separation, and score
+    * determinism given a model. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 2 === 1,
+        concat(col("text"),
+          lit(" click here buy now free winner prize click")))
+        .otherwise(col("text")).as("text"),
+      (col("doc_id") % 2 === 0).cast("int").as("label"))
+    val model = Classifier.train(d.filter(col("doc_id") % 5 =!= 0),
+      "text", "label", dims = 512, iters = 8, lr = 12.0)
+    d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), Classifier.score(col("text"), model).as("__s"))
+      .select(col("doc_id"), round(col("__s"), 3).as("score"),
+        (col("__s") >= 0.5).cast("int").as("pred"))
+  }
+
   /** q72: cross-document line dedup (the CCNet/RefinedWeb boilerplate
     * recipe) — lines appearing in ≥ 3 distinct documents are stripped
     * from every document, which is reassembled from its surviving
@@ -1216,7 +1281,10 @@ object SparkEntry {
     "q78_pack_greedy" -> (q78 _),
     "q79_unicode_normalize" -> (q79 _),
     "q80_chunk_overlap" -> (q80 _),
-    "q81_snapshot_diff" -> (q81 _)
+    "q81_snapshot_diff" -> (q81 _),
+    "q82_domain_profile" -> (q82 _),
+    "q83_stratified_sample" -> (q83 _),
+    "q84_quality_classifier" -> (q84 _)
   )
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
@@ -1701,6 +1769,60 @@ object SparkEntry {
         |       ELSE 'modified' END AS change
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
+    "q82_domain_profile" ->
+      """WITH u AS (SELECT concat(
+        |    ['http','HTTPS','https','HTTP'][CAST(c_custkey % 4 AS INT) + 1],
+        |    '://',
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(c_custkey % 37 AS VARCHAR), '.Example.',
+        |    ['com','org','net'][CAST(c_custkey % 3 AS INT) + 1],
+        |    ['', ':80', ':443', ':8080'][CAST(c_custkey % 4 AS INT) + 1],
+        |    CASE WHEN c_custkey % 7 = 0 THEN ''
+        |         ELSE concat('/page/', CAST(c_custkey % 11 AS VARCHAR)) END,
+        |    ['', '?utm_source=feed&ref=r1',
+        |     '?a=1&utm_campaign=c&utm_medium=m&b=2', '?gclid=xyz',
+        |     '?a=1&b=2'][CAST(c_custkey % 5 AS INT) + 1],
+        |    CASE WHEN c_custkey % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM customer),
+        |s AS (SELECT url, regexp_replace(trim(url), '#.*$', '') AS u
+        |      FROM u),
+        |p AS (SELECT url,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+        |      AS rest
+        |  FROM s),
+        |q AS (SELECT url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+        |         ELSE auth0 END AS auth,
+        |    CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9]+|gclid|fbclid)=')), '&') AS qq
+        |  FROM p),
+        |n AS (SELECT
+        |    concat(scheme, '://', auth, path,
+        |      CASE WHEN qq = '' THEN '' ELSE concat('?', qq) END) AS un,
+        |    regexp_replace(lower(regexp_extract(trim(url),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\.', '')
+        |      AS host
+        |  FROM q)
+        |SELECT host, count(*) AS n_docs,
+        |  count(DISTINCT un) AS n_urls
+        |FROM n GROUP BY host""".stripMargin,
+    "q83_stratified_sample" ->
+      """WITH r AS (SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment FROM r
+        |WHERE rn * 100 <= n * 20 + 99""".stripMargin,
     "q72_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ld AS (SELECT doc_id,

@@ -638,6 +638,55 @@ object Corpus {
     ).toDF("metric", "value")
   }
 
+  /** Per-domain corpus profile over a URL column — the domain-mix
+    * breakdown a web-corpus data card publishes (and the first thing a
+    * curation run checks after a crawl: which hosts dominate, how many
+    * distinct pages each contributed). URLs canonicalize first
+    * ([[graft.functions.UrlFunctions.urlNormalize]]) so scheme-case /
+    * default-port / tracking-param variants of one page count as one
+    * URL. Plan: pure projection → one hash aggregate on host; the
+    * distinct-URL count shuffles one row per distinct (host, url)
+    * after map-side partial dedup — host-cardinality-bounded, never
+    * corpus-sized. */
+  def domainProfile(docs: DataFrame, urlCol: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    docs
+      .select(UrlFunctions.urlHost(col(urlCol)).as("host"),
+        UrlFunctions.urlNormalize(col(urlCol)).as("__u"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__u")).as("n_urls"))
+  }
+
+  /** Deterministic stratified EXACT sampling: from each stratum keep
+    * exactly ⌈percent% · stratum size⌉ rows, chosen by md5(id) order —
+    * the eval-set carve (or debugging slice) where `df.sample`'s
+    * per-row Bernoulli draw is wrong twice over: the per-stratum count
+    * is binomial-random, and the selection changes with partition
+    * layout. Here both are pinned: the count is exact integer
+    * arithmetic (⌈n·p/100⌉ = (n·p+99) div 100 — no float rounding at
+    * the boundary), and membership depends only on (stratum, id).
+    * Growing `percent` grows each stratum's sample monotonically (the
+    * md5 order is fixed), so 10% ⊂ 20% — nested samples for scaling-
+    * law runs. One shuffle: both window functions share the stratum
+    * partition spec. A pathologically hot stratum serialises into one
+    * task (standard window bound — same note as AsOfJoin.asOf). */
+  def sampleStratified(
+      df: DataFrame, stratumCol: String, idCol: String,
+      percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100,
+      s"percent must be in [0,100], got $percent")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cw = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rn").cast("long") * 100 <=
+        col("__n") * percent + 99)
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.
