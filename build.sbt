@@ -28,17 +28,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Commit the whole heap at JVM start (-Xms = -Xmx + AlwaysPreTouch):
-// with a large -Xmx and the default tiny -Xms, G1 grows the heap
-// incrementally under allocation pressure — each expansion is a 1-4 s
-// pause and the freshly-committed pages then page-fault throughout the
-// mutators. Measured on this box at -Xmx90g: q48 22.3 s -> 0.7 s,
-// q43 12-52 s -> 1.9-3.3 s once the heap is pre-touched. The pre-touch
-// cost is paid once at startup, before anything is timed.
-val heapSize = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+// Heap policy: NO AlwaysPreTouch, and Xms stays small. First-touch of
+// fresh pages on this VM is pathologically slow (a proactive-reclaim
+// daemon returns cold pages to the host; re-faulting runs at ~25 MB/s):
+// a measured -Xms90g -XX:+AlwaysPreTouch startup spent 64 MINUTES
+// zeroing the heap before main() ran, and even a bare
+// `java -Xms40g -XX:+AlwaysPreTouch -version` takes >5 min. Committing
+// without touching (Xmx headroom, small Xms) keeps startup instant and
+// only faults pages a query actually uses; G1 expansion commits are
+// mmap-cheap, and the old "expansion pause" symptom was this same
+// slow-fault cost, which pre-touch merely front-loads — catastrophically.
+val heapMax = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xms$heapSize", s"-Xmx$heapSize",
-  "-XX:+AlwaysPreTouch",
+  "-Xms2g", s"-Xmx$heapMax",
 )

@@ -73,7 +73,10 @@ object Bench {
       "q77_corpus_profile", "q79_unicode_normalize",
       "q80_chunk_overlap", "q81_snapshot_diff",
       // URL profile, stratified sampling, trained quality gate (late r8)
-      "q82_domain_profile", "q83_stratified_sample", "q84_quality_classifier"
+      "q82_domain_profile", "q83_stratified_sample", "q84_quality_classifier",
+      // div-grid extraction, funnels/retention, span dedup (late r8)
+      "q85_div_table", "q86_funnel", "q87_span_dedup", "q88_retention",
+      "q89_pagerank"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1205,6 +1205,97 @@ object SparkEntry {
         stateIds = Seq(1, 2, 3, 4, 5),
         stateNames = Seq("ASIA")))
 
+  /** q85: div-grid table extraction with DYNAMIC header zip — the LCV
+    * members-of-congress shape (national/_1012/extract.py:22-47):
+    * pages synthesised one-per-nation with each customer as a
+    * `div.tableRow` of spans, the first span carrying the record key
+    * in its `sort` ATTRIBUTE (the reference reads `row[0]["sort"]`,
+    * never the display text), headers zipped dynamically from the
+    * `span.sortHeader` texts. The oracle computes the three fields
+    * directly from the source columns, so any defect in the balanced
+    * scan, the attr pull, or the zip breaks parity. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val rowHtml = concat(
+      lit("<div class=\"tableRow\"><span sort=\"C"), k.cast("string"),
+      lit("\">"), col("c_name"),
+      lit("</span><span>"), col("c_mktsegment"),
+      lit("</span><span>"), (k % 101).cast("string"),
+      lit("%</span></div>"))
+    val page = concat(
+      lit("<html><body><div id=\"moc-list-table\">" +
+        "<span class=\"sortHeader\">Name</span>" +
+        "<span class=\"sortHeader\">Segment</span>" +
+        "<span class=\"sortHeader\">Score</span>" +
+        "<div id=\"moc-list-table-data\">"),
+      array_join(transform(
+        array_sort(collect_list(struct(k.as("k"), rowHtml.as("h")))),
+        e => e.getField("h")), ""),
+      lit("</div></div></body></html>"))
+    Tables(s, dir).customer
+      .groupBy(col("c_nationkey"))
+      .agg(page.as("__html"))
+      .select(explode(CssExtract.divTable(col("__html"),
+        containerId = "moc-list-table", headerCls = "sortHeader",
+        rowCls = "tableRow", cellTag = "span", keyAttr = "sort")).as("__m"))
+      .select(
+        element_at(col("__m"), "Name").as("row_key"),
+        element_at(col("__m"), "Segment").as("segment"),
+        element_at(col("__m"), "Score").as("score"))
+  }
+
+  /** q86: ordered conversion funnel view → click → purchase with a
+    * 1-day conversion window from the anchor — chained unordered
+    * min-over-partition windows on ONE user exchange, then two
+    * map-side-combined rollups (EventFlow.funnel). ~half the users
+    * drop at each later step at this event density, so the counts
+    * discriminate the ordering + window semantics. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    EventFlow.funnel(Tables(s, dir).events, "user_id", "ts", "event_type",
+      steps = Seq(EventFlow.Step("view"), EventFlow.Step("click"),
+        EventFlow.Step("purchase")),
+      windowDays = 1)
+
+  /** q87: cross-document duplicated-SPAN removal (token-level Lee et
+    * al. 2022) — 8-grams shared by ≥ 2 docs mark spans, spans merge
+    * into maximal islands per doc, covered tokens are stripped. The
+    * oracle recomputes the semantics the DUMB way (explode every
+    * covered position, distinct, count runs) so the engine's
+    * interval-merge implementation is checked against an
+    * implementation-independent definition. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSpans(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", gramN = 8, minDocs = 2)
+
+  /** q88: weekly cohort retention triangle over the events table —
+    * first-event cohort (ISO Monday week), distinct active weeks,
+    * (cohort, offset) user counts. Two user-keyed shuffles + one
+    * bounded rollup (EventFlow.retention). */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    EventFlow.retention(Tables(s, dir).events, "user_id", "ts")
+      // dates dump as strings: parquet DATE → pandas date vs DuckDB
+      // DATE → datetime64 would dtype-mismatch in the driver compare
+      .withColumn("cohort_week",
+        date_format(col("cohort_week"), "yyyy-MM-dd"))
+
+  /** q89: PageRank over the customer–supplier purchase graph (edge =
+    * customer bought from supplier, symmetrised), 10 damped iterations
+    * — the iterative link-analysis workload (CommonCrawl-style domain
+    * scoring as a web-corpus quality prior). The oracle unrolls the
+    * identical 10 iterations as chained CTEs, so the degree join, the
+    * symmetrisation dedup, and the damping arithmetic are all checked
+    * end-to-end (Graph.pageRank). */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val edges = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    Graph.pageRank(edges, "src", "dst", iterations = 10, undirected = true)
+      .select(col("id").as("node_id"), round(col("rank"), 7).as("pr"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1284,8 +1375,42 @@ object SparkEntry {
     "q81_snapshot_diff" -> (q81 _),
     "q82_domain_profile" -> (q82 _),
     "q83_stratified_sample" -> (q83 _),
-    "q84_quality_classifier" -> (q84 _)
+    "q84_quality_classifier" -> (q84 _),
+    "q85_div_table" -> (q85 _),
+    "q86_funnel" -> (q86 _),
+    "q87_span_dedup" -> (q87 _),
+    "q88_retention" -> (q88 _),
+    "q89_pagerank" -> (q89 _)
   )
+
+  /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
+    * generated by a loop so the Spark loop and the SQL loop can't
+    * drift in iteration count or arithmetic shape. */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH dedges AS (
+      |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+      |       FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |c$i AS (SELECT e.dst AS id, sum(r.r / d.d) AS s
+        |  FROM r${i - 1} r JOIN deg d ON r.id = d.src
+        |  JOIN edges e ON e.src = r.id
+        |  GROUP BY 1),
+        |r$i AS (SELECT nodes.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS r
+        |  FROM nodes LEFT JOIN c$i c ON nodes.id = c.id)""".stripMargin
+    }
+    sb ++= s"\nSELECT id AS node_id, round(r, 7) AS pr FROM r$iters"
+    sb.toString
+  }
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
     * (IVF at full probe, which must equal brute force). */
@@ -2030,6 +2155,83 @@ object SparkEntry {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
         |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
         |SELECT g.doc_id FROM g
-        |WHERE g.doc_id NOT IN (SELECT id FROM cc WHERE component < id)""".stripMargin
+        |WHERE g.doc_id NOT IN (SELECT id FROM cc WHERE component < id)""".stripMargin,
+    // q85: the page synthesis round-trips through the div-grid
+    // extractor, so the oracle computes the three fields straight from
+    // the source columns.
+    "q85_div_table" ->
+      """SELECT 'C' || CAST(c_custkey AS VARCHAR) AS row_key,
+        |  c_mktsegment AS segment,
+        |  CAST(c_custkey % 101 AS VARCHAR) || '%' AS score
+        |FROM customer""".stripMargin,
+    "q86_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |u1 AS (SELECT user_id,
+        |         min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |       FROM e GROUP BY 1),
+        |u2 AS (SELECT u1.user_id, u1.t1, min(e.ts) AS t2
+        |       FROM u1 JOIN e ON e.user_id = u1.user_id
+        |         AND e.event_type = 'click' AND e.ts > u1.t1
+        |         AND e.ts <= u1.t1 + INTERVAL 1 DAY
+        |       GROUP BY 1, 2),
+        |u3 AS (SELECT u2.user_id, min(e.ts) AS t3
+        |       FROM u2 JOIN e ON e.user_id = u2.user_id
+        |         AND e.event_type = 'purchase' AND e.ts > u2.t2
+        |         AND e.ts <= u2.t1 + INTERVAL 1 DAY
+        |       GROUP BY 1)
+        |SELECT 1 AS step_no, 'view' AS step, CAST(count(*) AS BIGINT) AS users
+        |FROM u1 WHERE t1 IS NOT NULL
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM u2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM u3""".stripMargin,
+    // q87: implementation-independent recomputation — every covered
+    // position exploded + distinct'd, islands counted via lag runs,
+    // clean text re-joined from uncovered tokens.
+    "q87_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gl AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 8
+        |    THEN [array_to_string(w[i:i+7], ' ')
+        |          for i in generate_series(1, len(w)-7)]
+        |    ELSE [] END AS gs FROM d),
+        |g AS (SELECT doc_id, unnest(gs) AS gram,
+        |  generate_subscripts(gs, 1) AS pos FROM gl),
+        |dup AS (SELECT gram FROM g GROUP BY 1
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, pos FROM g
+        |        WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos+7)) AS p FROM occ)),
+        |runs AS (SELECT doc_id, p,
+        |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM cov),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(CASE WHEN pp IS NULL OR p > pp + 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_spans FROM runs GROUP BY 1),
+        |tok AS (SELECT doc_id, unnest(w) AS t,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |keep AS (SELECT tok.doc_id, tok.t, tok.pos FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+        |  WHERE cov.p IS NULL),
+        |re AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS ct
+        |       FROM keep GROUP BY 1)
+        |SELECT d.doc_id, coalesce(re.ct, '') AS text,
+        |  coalesce(stats.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(stats.dup_spans, 0) AS dup_spans
+        |FROM d LEFT JOIN re USING (doc_id)
+        |LEFT JOIN stats USING (doc_id)""".stripMargin,
+    "q88_retention" ->
+      """WITH f AS (SELECT user_id,
+        |  CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', f.cohort_week, a.wk) // 7 AS INT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q89_pagerank" -> pageRankSql(10)
   )
 }

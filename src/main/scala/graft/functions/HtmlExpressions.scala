@@ -117,7 +117,8 @@ object HtmlImpl {
 
   /** Attribute `wantAttr` of the FIRST `<tag attrName~=attrValue>`
     * element (bs4 `find(...)["attr"]`), null when the element or the
-    * attribute is absent. */
+    * attribute is absent. Entities unescape like bs4 does for
+    * attribute values (html.parser runs unescape over attrs too). */
   def firstAttr(
       html: String, tag: String, attrName: String, attrValue: String,
       wantAttr: String): String = {
@@ -126,8 +127,10 @@ object HtmlImpl {
       if (tagOpensAt(html, i, tag)) {
         val gt = tagEnd(html, i)
         if (gt < 0) return null
-        if (attrMatches(html, i + 1 + tag.length, gt, attrName, attrValue))
-          return attrValueOf(html, i + 1 + tag.length, gt, wantAttr)
+        if (attrMatches(html, i + 1 + tag.length, gt, attrName, attrValue)) {
+          val v = attrValueOf(html, i + 1 + tag.length, gt, wantAttr)
+          return if (v == null) null else unescapeEntities(v)
+        }
         i = gt + 1
       } else i += 1
     }

@@ -153,4 +153,31 @@ object CssExtract {
       zippedScores(element(rep, "div", "class", "score"), "strong", "em")
         .as("scores"))
   }
+
+  /** Div-grid table with a DYNAMIC header zip — the LCV members-of-
+    * congress shape (national/_1012/extract.py:22-47): headers are the
+    * texts of `cellTag.headerCls` anywhere in the `div#containerId`
+    * grid, each `div.rowCls` holds one record as a run of `cellTag`
+    * children, and the FIRST cell's value comes from its `keyAttr`
+    * ATTRIBUTE (the reference reads `row[0]["sort"]` — the sortable
+    * name key — not the display text), the rest from cell text. Rows
+    * zip against the header list into a map, so the schema follows the
+    * page, exactly like the reference's `dict(zip(headers, ...))`.
+    * Returns array<map<string,string>>; explode for one row per
+    * record, `element_at` for typed pulls.
+    */
+  def divTable(html: Column, containerId: String, headerCls: String,
+      rowCls: String, cellTag: String, keyAttr: String): Column = {
+    val container = element(html, "div", "id", containerId)
+    val headers = transform(
+      elements(container, cellTag, "class", headerCls), text(_))
+    transform(elements(container, "div", "class", rowCls), row => {
+      val cells = elements(row, cellTag)
+      val values = concat(
+        array(attr(row, cellTag, "", "", keyAttr)),
+        transform(slice(cells, lit(2), greatest(size(cells) - 1, lit(0))),
+          c => text(c)))
+      map_from_arrays(headers, values)
+    })
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for large text corpora.
@@ -1150,5 +1151,92 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-document duplicated-SPAN removal — the substring-level dedup
+    * between [[dropRepeatedLines]] (needs shared line breaks) and whole-
+    * document dedup (needs full equality): any word `gramN`-gram that
+    * appears in at least `minDocs` DISTINCT documents marks its token
+    * span [pos, pos+gramN-1] as duplicated; overlapping and adjacent
+    * spans merge into maximal islands; each document comes back with
+    * the covered tokens removed plus the island/token counts. This is
+    * the token-level form of the suffix-array substring dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): a shared passage of length n is covered wall-to-wall by
+    * its n-gramN+1 duplicated grams, so contiguous shared prose is
+    * removed exactly as the suffix-array method would, at gramN-1-token
+    * edge resolution — and the whole computation is three keyed
+    * shuffles instead of a distributed suffix array.
+    *
+    * Scale shape: grams shuffle as (xxhash64, id, pos) — 8-byte gram
+    * payload like dropRepeatedLines, same collision bound (~grams²/2⁶⁴,
+    * a colliding innocent span is dropped; negligible below ~10⁹
+    * distinct grams); the dup-gram set is found by a map-side-combined
+    * distinct-doc count and semi-joins back on the hash; span merge is
+    * two window passes over ONE (doc, pos) sort; reconstruction joins
+    * the bounded per-doc span list back to the docs relation — document
+    * text itself never shuffles. Islands per doc are bounded by
+    * len/gramN, so the in-row position filter is cheap.
+    */
+  def dropDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(gramN >= 2, "dropDuplicateSpans: gramN >= 2")
+    require(minDocs >= 2, "dropDuplicateSpans: minDocs >= 2")
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol)
+    val toks = split(col(textCol), " ")
+    // (doc, pos, gramHash) for every gramN-gram; docs shorter than
+    // gramN emit nothing (sequence() descends when stop < start, so
+    // the short side must be guarded, not clamped).
+    val grams = Parallelism.ensure(
+      docs.select(col(idCol).as("__id"), toks.as("__w")))
+      .select(col("__id"),
+        posexplode(
+          when(size(col("__w")) >= gramN,
+            transform(sequence(lit(1), size(col("__w")) - (gramN - 1)),
+              i => xxhash64(concat_ws(" ", slice(col("__w"), i, lit(gramN))))))
+          .otherwise(array().cast("array<bigint>")))
+          .as(Seq("__off", "__h")))
+      .select(col("__id"), (col("__off") + 1).as("__pos"), col("__h"))
+    val dupGrams = grams
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    // Duplicated occurrences → maximal covered islands per doc. Both
+    // window passes share one (partition, order) spec = one sort.
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val prevMaxEnd = max(col("__pos") + (gramN - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val occ = grams
+      .join(dupGrams, Seq("__h"), "left_semi")
+      .withColumn("__start",
+        when(prevMaxEnd.isNull || col("__pos") > prevMaxEnd + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = occ
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__pos")).as("__s"),
+        (max(col("__pos")) + (gramN - 1)).as("__e"))
+      .groupBy(col("__id"))
+      .agg(
+        sort_array(collect_list(struct(col("__s"), col("__e")))).as("__spans"),
+        count(lit(1)).as("__nspans"),
+        sum(col("__e") - col("__s") + 1).as("__ntok"))
+    val covered = (p: Column, sp: Column) =>
+      exists(sp, s => p >= s.getField("__s") && p <= s.getField("__e"))
+    docs.select(col(idCol).as("__id") +: (col(textCol) +: others.map(col)): _*)
+      .join(spans, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol) +:
+          (array_join(
+            when(col("__spans").isNull, toks)
+              .otherwise(filter(toks,
+                (t: Column, i0: Column) => !covered(i0 + 1, col("__spans")))),
+            " ").as(textCol) +:
+            coalesce(col("__ntok"), lit(0L)).as("dup_tokens") +:
+            coalesce(col("__nspans"), lit(0L)).as("dup_spans") +:
+            others.map(col)): _*)
   }
 }

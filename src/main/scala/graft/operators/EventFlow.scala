@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over an event stream — the ordered-sequence
+  * queries (funnel, cohort retention) a product/events warehouse runs
+  * beside the windowed aggregates (q20/q21).
+  *
+  * Both operators key every shuffle on the user id: the funnel is a
+  * chain of min-over-partition windows sharing ONE partition spec (one
+  * exchange, no sort — the windows are unordered full-partition mins),
+  * and retention is two user-keyed aggregates whose final rollup is
+  * cohort-bounded. Event payloads never fan out; at 100 TB the plans
+  * move (user, ts) pairs only.
+  */
+object EventFlow {
+
+  /** Step definition: `name` matches `typeCol`'s value. */
+  final case class Step(name: String)
+
+  /** Ordered conversion funnel: for each user, step 1 anchors at the
+    * user's EARLIEST step-1 event; each later step matches its earliest
+    * event STRICTLY AFTER the previous step's match and within
+    * `windowDays` of the anchor (the standard product-analytics funnel
+    * semantics: fixed conversion window from entry, strict ordering).
+    * Output: one row per step — (step_no, step, users reached).
+    *
+    * Plan shape: filter to step events at the scan (pushed), then one
+    * hash exchange on the user; each step's match time is a
+    * min-over-partition window that references the previous step's
+    * column, so the chain is N Window operators over the SAME
+    * unordered partition spec — Catalyst collapses them onto one
+    * exchange with no sorts. The per-user reduction and the final
+    * 3-row rollup are map-side-combined aggregates.
+    */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[Step], windowDays: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    require(steps.map(_.name).distinct.size == steps.size,
+      "funnel: step names must be distinct")
+    val w = Window.partitionBy(col("__u"))
+    val base = events
+      .filter(col(typeCol).isin(steps.map(_.name): _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(typeCol).as("__t"))
+    val deadline = col("__t1") + expr(s"INTERVAL $windowDays DAYS")
+    val withTimes = steps.zipWithIndex.foldLeft(base) {
+      case (df, (step, 0)) =>
+        df.withColumn("__t1",
+          min(when(col("__t") === step.name, col("__ts"))).over(w))
+      case (df, (step, i)) =>
+        df.withColumn(s"__t${i + 1}",
+          min(when(col("__t") === step.name &&
+              col("__ts") > col(s"__t$i") && col("__ts") <= deadline,
+            col("__ts"))).over(w))
+    }
+    val perUser = withTimes
+      .groupBy(col("__u"))
+      .agg(min(col("__t1")).as("__m1"),
+        steps.indices.drop(1).map(i =>
+          min(col(s"__t${i + 1}")).as(s"__m${i + 1}")): _*)
+    perUser
+      .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i + 1).as("step_no"), lit(step.name).as("step"),
+          col(s"__m${i + 1}").isNotNull.as("__reached"))
+      }: _*)).as("__s"))
+      .filter(col("__s.__reached"))
+      .groupBy(col("__s.step_no").as("step_no"), col("__s.step").as("step"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** Weekly cohort retention: users cohort by the ISO week (Monday
+    * truncation) of their first event; each (user, active week) pair
+    * counts once; output is the classic retention triangle —
+    * (cohort_week, week_offset, users). Two user-keyed shuffles (first
+    * event + distinct active weeks) that AQE plans back-to-back on the
+    * same key, then a cohort×offset-bounded rollup.
+    */
+  def retention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = to_date(date_trunc("week", col(tsCol)))
+    val first = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(wk).as("cohort_week"))
+    val active = events
+      .select(col(userCol).as("__u"), wk.as("__wk"))
+      .distinct()
+    active
+      .join(first, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

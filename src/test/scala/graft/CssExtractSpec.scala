@@ -163,4 +163,29 @@ class CssExtractSpec extends SparkSpec {
     assert(HtmlImpl.findAll("<br/><div class=\"z\">q</div>", "br", "", "",
       firstOnly = false) == List(""))
   }
+
+  test("div-grid table: dynamic header zip, sort-attribute key cell") {
+    // the LCV members-of-congress shape (national/_1012/extract.py:22-47)
+    val page =
+      """<html><body><div id="moc-list-table">
+        |<span class="sortHeader">Name</span>
+        |<span class="sortHeader">Party</span>
+        |<span class="sortHeader">Score</span>
+        |<div id="moc-list-table-data">
+        |<div class="tableRow"><span sort="Doe, Jane">Jane Doe</span><span>D</span><span>95%</span></div>
+        |<div class="tableRow"><span sort="Roe, Rich &amp; Co">Rich Roe</span><span>R</span><span>12%</span></div>
+        |</div></div></body></html>""".stripMargin
+    val out = Seq(page).toDF("html")
+      .select(explode(CssExtract.divTable(col("html"),
+        containerId = "moc-list-table", headerCls = "sortHeader",
+        rowCls = "tableRow", cellTag = "span", keyAttr = "sort")).as("m"))
+      .select(element_at(col("m"), "Name"), element_at(col("m"), "Party"),
+        element_at(col("m"), "Score"))
+      .as[(String, String, String)].collect().toSeq
+    // the key comes from the sort ATTRIBUTE (entity-unescaped, like bs4
+    // row[0]["sort"]), never the display text; the rest from cell text
+    assert(out === Seq(
+      ("Doe, Jane", "D", "95%"),
+      ("Roe, Rich & Co", "R", "12%")))
+  }
 }

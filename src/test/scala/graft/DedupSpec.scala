@@ -344,4 +344,56 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(again === out)
   }
+
+  test("dropDuplicateSpans strips shared spans, merges islands, counts tokens") {
+    val docs = Seq(
+      (1L, "a b c d e f", "s1"),
+      (2L, "x y a b c d z", "s2"),
+      (3L, "u v w q r s t", "s3") // nothing shared
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dropDuplicateSpans(docs, "doc_id", "text",
+      gramN = 3, minDocs = 2)
+      .select("doc_id", "text", "dup_tokens", "dup_spans", "source")
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // shared 3-grams "a b c" + "b c d" cover [1,4] in doc 1, [3,6] in
+    // doc 2 — one merged island each; doc 3 untouched, passthrough
+    // column preserved
+    assert(out(1L) === ((1L, "e f", 4L, 1L, "s1")))
+    assert(out(2L) === ((2L, "x y z", 4L, 1L, "s2")))
+    assert(out(3L) === ((3L, "u v w q r s t", 0L, 0L, "s3")))
+  }
+
+  test("dropDuplicateSpans separates gapped islands, merges adjacent ones") {
+    val docs = Seq(
+      (1L, "a b c q r s t d e f"), // shared at both ends, gap between
+      (2L, "a b c"),
+      (3L, "d e f"),
+      (4L, "a b c d e f") // two shared spans touching → one island
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, "doc_id", "text",
+      gramN = 3, minDocs = 2)
+      .select("doc_id", "text", "dup_tokens", "dup_spans")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "q r s t", 6L, 2L)))
+    assert(out(4L) === ((4L, "", 6L, 1L)))
+    // the 3-token donors are themselves fully covered
+    assert(out(2L) === ((2L, "", 3L, 1L)))
+    assert(out(3L) === ((3L, "", 3L, 1L)))
+  }
+
+  test("dropDuplicateSpans needs DISTINCT docs and leaves short docs alone") {
+    val docs = Seq(
+      (1L, "p q r p q r"), // "p q r" repeats WITHIN one doc only
+      (2L, "a b"),         // shorter than gramN
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, "doc_id", "text",
+      gramN = 3, minDocs = 2)
+      .select("doc_id", "text", "dup_tokens", "dup_spans")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "p q r p q r", 0L, 0L)))
+    assert(out(2L) === ((2L, "a b", 0L, 0L)))
+    assert(out(3L) === ((3L, "c", 0L, 0L)))
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventFlow
+
+/** Funnel + cohort retention semantics: strict step ordering, the
+  * conversion window anchored at step 1, ISO-week cohorts. */
+class EventFlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, String)]) =
+    rows.toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("ts_s")).as("ts"))
+
+  test("funnel: strict order, earliest-match anchoring, 1-day window") {
+    val events = ev(Seq(
+      // full journey inside the window
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      // click BEFORE the first view never counts
+      (2L, "click", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 01:00:00"),
+      (2L, "purchase", "2024-01-01 02:00:00"),
+      // click outside the 1-day window from the anchor
+      (3L, "view", "2024-01-01 00:00:00"),
+      (3L, "click", "2024-01-03 00:00:00"),
+      // purchase past the deadline even though the click was in time
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "click", "2024-01-01 01:00:00"),
+      (4L, "purchase", "2024-01-02 01:00:00"),
+      // never enters the funnel
+      (5L, "purchase", "2024-01-01 00:00:00")))
+    val out = EventFlow.funnel(events, "user_id", "ts", "event_type",
+      steps = Seq(EventFlow.Step("view"), EventFlow.Step("click"),
+        EventFlow.Step("purchase")),
+      windowDays = 1)
+      .as[(Int, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1 -> (("view", 4L)),      // users 1-4 all have a view
+      2 -> (("click", 2L)),     // users 1, 4
+      3 -> (("purchase", 1L)))) // user 1 only
+  }
+
+  test("funnel: later same-step events can still satisfy a step") {
+    // user's first view anchors; the qualifying click is the SECOND
+    // one (first click precedes the view)
+    val events = ev(Seq(
+      (1L, "click", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "click", "2024-01-01 02:00:00")))
+    val out = EventFlow.funnel(events, "user_id", "ts", "event_type",
+      steps = Seq(EventFlow.Step("view"), EventFlow.Step("click")),
+      windowDays = 1)
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out === Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("retention: ISO-week cohorts, distinct active weeks, offsets") {
+    // 2024-01-01 is a Monday — weeks are 01-01 / 01-08 / 01-15
+    val events = ev(Seq(
+      (1L, "view", "2024-01-02 10:00:00"), // cohort w0
+      (1L, "view", "2024-01-16 10:00:00"), // active w2
+      (2L, "view", "2024-01-09 10:00:00"), // cohort w1
+      (3L, "view", "2024-01-01 10:00:00"), // cohort w0
+      (3L, "view", "2024-01-03 10:00:00"), // same week — counts once
+      (3L, "view", "2024-01-10 10:00:00"))) // active w1
+    val out = EventFlow.retention(events, "user_id", "ts")
+      .select(col("cohort_week").cast("string"), col("week_offset"),
+        col("users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0, 2L), // users 1 and 3
+      ("2024-01-01", 1, 1L), // user 3
+      ("2024-01-01", 2, 1L), // user 1
+      ("2024-01-08", 0, 1L))) // user 2
+  }
+}

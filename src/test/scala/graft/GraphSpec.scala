@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Graph
+
+/** PageRank semantics pinned against a scalar reference simulation:
+  * same formula computed with plain Scala collections on tiny graphs,
+  * so a distributed-plumbing defect (lost dangling mass, degree
+  * mis-join, symmetrisation dedup) can't hide behind the formula. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def simulate(
+      edges: Set[(Long, Long)], undirected: Boolean,
+      iters: Int, damping: Double = 0.85): Map[Long, Double] = {
+    val e = if (undirected) edges ++ edges.map(_.swap) else edges
+    val nodes = e.flatMap(t => Set(t._1, t._2))
+    val n = nodes.size
+    val outDeg = e.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dmass = nodes.toSeq.filterNot(outDeg.contains).map(r).sum
+      val recv = e.toSeq.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(t => r(t._1) / outDeg(t._1)).sum
+      }
+      r = nodes.map(v => v ->
+        ((1 - damping) / n +
+          damping * (recv.getOrElse(v, 0.0) + dmass / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Set[(Long, Long)], undirected: Boolean,
+      iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toSeq.toDF("s", "d"), "s", "d",
+      iterations = iters, undirected = undirected)
+      .as[(Long, Double)].collect().toMap
+
+  test("undirected star: hub concentrates rank, leaves symmetric") {
+    val star = (2L to 6L).map(1L -> _).toSet
+    val got = run(star, undirected = true, iters = 10)
+    val want = simulate(star, undirected = true, iters = 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
+    assert(got(1L) > got(2L) * 2, "hub should dominate")
+    assert((3L to 6L).forall(l => math.abs(got(l) - got(2L)) < 1e-12))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "total rank conserved")
+  }
+
+  test("triangle stays uniform at 1/3") {
+    val tri = Set((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = run(tri, undirected = true, iters = 7)
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("directed chain with a dangling sink conserves total rank") {
+    // a -> b -> c; c has no out-edges — its mass must redistribute
+    val chain = Set((1L, 2L), (2L, 3L))
+    val got = run(chain, undirected = false, iters = 12)
+    val want = simulate(chain, undirected = false, iters = 12)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "dangling mass lost")
+    assert(got(3L) > got(2L) && got(2L) > got(1L))
+  }
+
+  test("duplicate and reciprocal input edges collapse before degrees") {
+    // (1,2) listed twice and (2,1) present: symmetrised set is just
+    // {(1,2),(2,1)} — degrees must be 1, not inflated by duplicates
+    val noisy = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d")
+    val got = Graph.pageRank(noisy, "s", "d", iterations = 5,
+      undirected = true).as[(Long, Double)].collect().toMap
+    got.values.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
+  }
+
+  test("deterministic across runs and checkpoint boundaries") {
+    val edges = (1L to 40L).flatMap(i => Seq(i -> (i % 7 + 1), i -> (i % 11 + 1))).toSet
+    val a = run(edges, undirected = true, iters = 9)
+    val b = run(edges, undirected = true, iters = 9)
+    assert(a === b)
+  }
+}
