@@ -76,7 +76,9 @@ object Bench {
       "q82_domain_profile", "q83_stratified_sample", "q84_quality_classifier",
       // div-grid extraction, funnels/retention, span dedup (late r8)
       "q85_div_table", "q86_funnel", "q87_span_dedup", "q88_retention",
-      "q89_pagerank"
+      "q89_pagerank",
+      // SCD2 history + hopping windows (late r8)
+      "q90_scd2_history", "q91_sliding_window"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

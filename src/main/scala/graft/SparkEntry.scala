@@ -1296,6 +1296,47 @@ object SparkEntry {
       .select(col("id").as("node_id"), round(col("rank"), 7).as("pr"))
   }
 
+  /** q90: SCD2 history build over periodic full snapshots — four
+    * weekly customer snapshots synthesised with deterministic segment/
+    * balance-band drift, collapsed into versioned validity intervals
+    * (History.scd2: one key exchange, everything downstream
+    * exchange-free). The oracle replicates the synthesis and the
+    * collapse with lag/run-sum/lead windows, so change detection,
+    * gap handling and interval chaining are all checked. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val snaps = Tables(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        explode(sequence(lit(1), lit(4))).as("__d"))
+      .select(
+        col("c_custkey").as("cust_id"),
+        date_add(lit("2024-01-01").cast("date"),
+          ((col("__d") - 1) * 7).cast("int")).as("snap_date"),
+        concat(col("c_mktsegment"), lit("_"),
+          expr("(__d + c_custkey % 4) div 2").cast("string")).as("segment"),
+        (floor(col("c_acctbal") / 1000) +
+          when(col("__d") >= 3 && col("c_custkey") % 7 === 0, 1)
+            .otherwise(0)).as("bal_band"))
+    History.scd2(snaps, "cust_id", "snap_date", Seq("segment", "bal_band"))
+      .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
+      .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
+  }
+
+  /** q91: sliding (hopping) window aggregation over events — 2-hour
+    * windows every hour, so each event lands in exactly two windows;
+    * counts + distinct users per (window, event type). The built-in
+    * `window()` generator keeps the fan-out in-plan (explode of a
+    * 2-element window array — no join); the oracle replicates it as a
+    * 2-offset cross join on the hour truncation. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("__w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"))
+      .select(
+        date_format(col("__w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("users"))
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1380,7 +1421,9 @@ object SparkEntry {
     "q86_funnel" -> (q86 _),
     "q87_span_dedup" -> (q87 _),
     "q88_retention" -> (q88 _),
-    "q89_pagerank" -> (q89 _)
+    "q89_pagerank" -> (q89 _),
+    "q90_scd2_history" -> (q90 _),
+    "q91_sliding_window" -> (q91 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2232,6 +2275,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
-    "q89_pagerank" -> pageRankSql(10)
+    "q89_pagerank" -> pageRankSql(10),
+    // q90: synthesis replicated, then the SCD2 collapse as lag (change
+    // flags) → running sum (version ids) → rollup → lead (close).
+    "q90_scd2_history" ->
+      """WITH snaps AS (
+        |  SELECT c_custkey AS cust_id,
+        |    DATE '2024-01-01' + CAST((d.d - 1) * 7 AS INTEGER) AS snap_date,
+        |    c_mktsegment || '_' ||
+        |      CAST((d.d + c_custkey % 4) // 2 AS VARCHAR) AS segment,
+        |    CAST(floor(c_acctbal / 1000) +
+        |      CASE WHEN d.d >= 3 AND c_custkey % 7 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS bal_band
+        |  FROM customer
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS d) d),
+        |ch AS (SELECT *,
+        |  CASE WHEN lag(segment) OVER w IS DISTINCT FROM segment
+        |         OR lag(bal_band) OVER w IS DISTINCT FROM bal_band
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM snaps WINDOW w AS (PARTITION BY cust_id ORDER BY snap_date)),
+        |v AS (SELECT *, sum(chg) OVER
+        |  (PARTITION BY cust_id ORDER BY snap_date) AS ver FROM ch),
+        |g AS (SELECT cust_id, ver, min(snap_date) AS valid_from,
+        |  any_value(segment) AS segment, any_value(bal_band) AS bal_band
+        |  FROM v GROUP BY 1, 2)
+        |SELECT cust_id, segment, bal_band,
+        |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(valid_from) OVER
+        |    (PARTITION BY cust_id ORDER BY valid_from), '%Y-%m-%d')
+        |    AS valid_to,
+        |  lead(valid_from) OVER
+        |    (PARTITION BY cust_id ORDER BY valid_from) IS NULL AS is_current
+        |FROM g""".stripMargin,
+    // q91: each event belongs to exactly the two 2h/1h-hop windows
+    // starting at its hour truncation and one hour before it.
+    "q91_sliding_window" ->
+      """SELECT strftime(date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR,
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) o
+        |GROUP BY 1, 2""".stripMargin
   )
 }

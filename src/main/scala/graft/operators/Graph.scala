@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * CommonCrawl-style harmonic/PageRank domain scoring is a standard
   * quality prior for web training data.
   *
-  * Scale shape: the edge relation is hash-partitioned on `src` ONCE and
-  * cached — every iteration's contribution join then reuses that
-  * exchange, so one iteration moves only the (id, rank) pairs (16
-  * bytes/row) through two shuffles (contribution sum on dst, rank join
-  * back on id). Degrees and the node set are cached the same way. No
-  * driver-side loop over data: the per-iteration dangling-mass scalar
-  * (directed graphs only) stays IN-PLAN as a broadcast one-row
+  * Scale shape: the degree join happens ONCE, outside the loop — the
+  * weighted adjacency (src, dst, 1/outDeg) is hash-partitioned on
+  * `src` and cached, and every iteration reuses that exchange. An
+  * undirected iteration is then ONE join + ONE map-side-combined
+  * aggregate moving only (id, rank) pairs (16 bytes/row); directed
+  * adds a left join against the cached node set (zero-in-degree nodes)
+  * and keeps the dangling-mass scalar IN-PLAN as a broadcast one-row
   * aggregate instead of a per-iteration collect. Lineage is truncated
   * with a localCheckpoint every `checkpointEvery` iterations so plan
   * depth stays bounded at 1000 iterations as at 10.
@@ -51,14 +51,19 @@ object Graph {
       if (!undirected) dir
       else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-    // One partitioning, reused by every iteration's join. deg/nodes are
-    // derived from e, so every iteration's join is lineage-wise a
-    // self-join: all frames carry DISJOINT column names and joins use
-    // string-resolved conditions (a dataset-column reference like
-    // e("dst") trips DetectAmbiguousSelfJoin here).
-    val e = und.repartition(col("src")).persist()
+    // Weighted adjacency (src, dst, 1/outDeg) is joined ONCE, outside
+    // the loop, and partitioned on src for every iteration to reuse.
+    // deg/nodes/adj all derive from the same edge scan, so every
+    // iteration's join is lineage-wise a self-join: all frames carry
+    // DISJOINT column names and joins use string-resolved conditions
+    // (a dataset-column reference like e("dst") trips
+    // DetectAmbiguousSelfJoin here).
+    val e = und.persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .withColumnRenamed("src", "__degid").persist()
+      .withColumnRenamed("src", "__degid")
+    val adj = e.join(deg, col("src") === col("__degid"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
+      .repartition(col("src")).persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count() // one tiny driver scalar, outside the loop
@@ -66,22 +71,28 @@ object Graph {
 
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iterations) {
-      val withDeg = ranks.join(deg, col("id") === col("__degid"), "left")
-      val contribs = withDeg
-        .filter(col("__deg").isNotNull)
-        .select(col("id").as("__sid"), (col("rank") / col("__deg")).as("__c"))
-        .join(e, col("__sid") === col("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("__c")).as("__contrib"))
-        .withColumnRenamed("dst", "__nid")
       val next =
         if (undirected)
-          nodes.join(contribs, col("id") === col("__nid"), "left")
-            .select(col("id"),
-              (lit(base) + lit(damping) *
-                coalesce(col("__contrib"), lit(0.0))).as("rank"))
+          // Symmetrised ⇒ every node has an out-edge AND an in-edge:
+          // no dangling mass, and the contribution aggregate already
+          // covers the whole node set — the iteration is ONE join +
+          // ONE map-side-combined aggregate, nothing else.
+          ranks.join(adj, col("id") === col("src"))
+            .groupBy(col("dst"))
+            .agg((lit(base) + lit(damping) *
+              sum(col("rank") * col("__w"))).as("rank"))
+            .withColumnRenamed("dst", "id")
         else {
-          val dangling = withDeg.filter(col("__deg").isNull)
+          val contribs = ranks.join(adj, col("id") === col("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("rank") * col("__w")).as("__contrib"))
+            .withColumnRenamed("dst", "__nid")
+          // Dangling nodes are those without an out-edge: their rank
+          // redistributes uniformly. One broadcast one-row aggregate,
+          // in-plan (no per-iteration collect).
+          val dangling = ranks
+            .join(adj.select(col("src")).distinct(),
+              col("id") === col("src"), "left_anti")
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dmass"))
           nodes.join(contribs, col("id") === col("__nid"), "left")
             .crossJoin(broadcast(dangling))

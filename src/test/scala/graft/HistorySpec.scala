@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Date
+
+import graft.operators.History
+
+/** SCD2 semantics pinned on hand-built snapshot piles: version splits
+  * happen exactly at value changes, gaps don't split, nulls compare
+  * null-safely, and interval chains close correctly. */
+class HistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  private def run(rows: Seq[(Long, String, String)]) =
+    History.scd2(
+      rows.map { case (k, dt, v) => (k, d(dt), v) }
+        .toDF("id", "snap", "v"),
+      "id", "snap", Seq("v"))
+      .as[(Long, String, Date, Option[Date], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.toString))
+
+  test("stable value collapses to one current version") {
+    val got = run(Seq((1L, "2024-01-01", "a"), (1L, "2024-01-08", "a"),
+      (1L, "2024-01-15", "a")))
+    assert(got === Seq((1L, "a", d("2024-01-01"), None, true)))
+  }
+
+  test("each change opens a version and closes the previous at the change date") {
+    val got = run(Seq(
+      (1L, "2024-01-01", "a"), (1L, "2024-01-08", "b"),
+      (1L, "2024-01-15", "b"), (1L, "2024-01-22", "c")))
+    assert(got === Seq(
+      (1L, "a", d("2024-01-01"), Some(d("2024-01-08")), false),
+      (1L, "b", d("2024-01-08"), Some(d("2024-01-22")), false),
+      (1L, "c", d("2024-01-22"), None, true)))
+  }
+
+  test("a date gap without a value change does not split the version") {
+    val got = run(Seq((1L, "2024-01-01", "a"), (1L, "2024-03-01", "a")))
+    assert(got === Seq((1L, "a", d("2024-01-01"), None, true)))
+  }
+
+  test("value returning to an earlier state is a NEW version") {
+    val got = run(Seq(
+      (1L, "2024-01-01", "a"), (1L, "2024-01-08", "b"),
+      (1L, "2024-01-15", "a")))
+    assert(got.map(r => (r._2, r._3)) ===
+      Seq(("a", d("2024-01-01")), ("b", d("2024-01-08")),
+        ("a", d("2024-01-15"))))
+  }
+
+  test("null attributes compare null-safely") {
+    val got = run(Seq(
+      (1L, "2024-01-01", null), (1L, "2024-01-08", null),
+      (1L, "2024-01-15", "x")))
+    assert(got.map(r => (Option(r._2), r._3, r._5)) === Seq(
+      (None, d("2024-01-01"), false), (Some("x"), d("2024-01-15"), true)))
+  }
+
+  test("keys are independent; multiple tracked columns split on either") {
+    val df = Seq(
+      (1L, d("2024-01-01"), "a", 10), (1L, d("2024-01-08"), "a", 11),
+      (2L, d("2024-01-01"), "a", 10), (2L, d("2024-01-08"), "a", 10))
+      .toDF("id", "snap", "v", "n")
+    val got = History.scd2(df, "id", "snap", Seq("v", "n"))
+      .as[(Long, String, Int, Date, Option[Date], Boolean)]
+      .collect().sortBy(r => (r._1, r._4.toString))
+    assert(got === Seq(
+      (1L, "a", 10, d("2024-01-01"), Some(d("2024-01-08")), false),
+      (1L, "a", 11, d("2024-01-08"), None, true),
+      (2L, "a", 10, d("2024-01-01"), None, true)))
+  }
+}
