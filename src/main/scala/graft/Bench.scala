@@ -78,7 +78,9 @@ object Bench {
       "q85_div_table", "q86_funnel", "q87_span_dedup", "q88_retention",
       "q89_pagerank",
       // SCD2 history + hopping windows (late r8)
-      "q90_scd2_history", "q91_sliding_window"
+      "q90_scd2_history", "q91_sliding_window",
+      // dim as-of enrichment, CDC apply, cube, shard shuffle (late r8)
+      "q92_dim_asof", "q93_cdc_apply", "q94_cube", "q95_shard_shuffle"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1303,7 +1303,10 @@ object SparkEntry {
     * exchange-free). The oracle replicates the synthesis and the
     * collapse with lag/run-sum/lead windows, so change detection,
     * gap handling and interval chaining are all checked. */
-  private def q90(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q90/q92: four weekly customer snapshots with
+    * deterministic segment/balance-band drift, collapsed to SCD2
+    * versions (valid_from DATE kept native for q92's as-of join). */
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
     val snaps = Tables(s, dir).customer
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         explode(sequence(lit(1), lit(4))).as("__d"))
@@ -1317,9 +1320,12 @@ object SparkEntry {
           when(col("__d") >= 3 && col("c_custkey") % 7 === 0, 1)
             .otherwise(0)).as("bal_band"))
     History.scd2(snaps, "cust_id", "snap_date", Seq("segment", "bal_band"))
+  }
+
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    scd2Versions(s, dir)
       .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
       .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
-  }
 
   /** q91: sliding (hopping) window aggregation over events — 2-hour
     * windows every hour, so each event lands in exactly two windows;
@@ -1336,6 +1342,78 @@ object SparkEntry {
       .select(
         date_format(col("__w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("users"))
+
+  /** q92: point-in-time dimension enrichment — every event annotated
+    * with the SCD2 version (q90's) valid at the event's date. The
+    * classic "fact × slowly-changing dimension" lookup, expressed as
+    * an as-of join on valid_from (versions are contiguous, so the
+    * latest version at-or-before the date IS the valid one): one keyed
+    * exchange, no inequality join, no interval explode. Oracle is
+    * DuckDB's native ASOF LEFT JOIN over the same version CTE. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    val dims = scd2Versions(s, dir).select(
+      col("cust_id").as("user_id"), col("valid_from").as("d"),
+      col("segment"), col("bal_band"))
+    AsOfJoin.asOf(ev, dims, Seq("user_id"), "d",
+        Seq("segment", "bal_band"), prefix = "dim_")
+      .select(col("event_id"), col("user_id"),
+        col("dim_segment"), col("dim_bal_band"))
+  }
+
+  /** q93: CDC change-feed apply (SCD1 merge) — a deterministic
+    * upsert/delete feed (three change batches over a quarter of the
+    * keys, every fifth change a delete) merged into the customer
+    * snapshot; latest sequence wins per key, winning deletes drop the
+    * key. History.applyChanges: one keyed exchange (DistinctOn
+    * window), delete filter a pure projection. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).customer.select(
+      col("c_custkey").as("id"), col("c_mktsegment").as("segment"),
+      round(col("c_acctbal"), 2).as("bal"))
+    val feed = Tables(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        explode(sequence(lit(1), lit(3))).as("__v"))
+      .filter((col("c_custkey") + col("__v")) % 4 === 0)
+      .select(
+        col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit("_v"), col("__v")).as("segment"),
+        round(col("c_acctbal") + col("__v"), 2).as("bal"),
+        col("__v").cast("long").as("seq"),
+        when((col("c_custkey") + col("__v") * 7) % 5 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+    History.applyChanges(base, feed, "id", "seq", "op")
+  }
+
+  /** q94: CUBE grouping-sets aggregation — all four (status, priority)
+    * grouping combinations in ONE pass (q14 covers ROLLUP's prefix
+    * sets); Spark expands the grouping sets before the exchange so the
+    * shuffle stays a single map-side-combined hash aggregate. Group
+    * columns are never null in the data, so coalesce sentinels
+    * disambiguate subtotal rows cross-engine. */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .select(
+        TextFunctions.nullToEmpty(col("o_orderstatus")).as("status"),
+        TextFunctions.nullToEmpty(col("o_orderpriority")).as("priority"),
+        col("n"), col("total"))
+
+  /** q95: deterministic shard shuffle — the training-data-order step:
+    * every document assigned a reproducible pseudo-random (shard,
+    * position) via md5 of the id (Corpus.shuffleShards: one exchange
+    * on the shard key + per-shard sort; never a global single-task
+    * row_number window). 16² = 256 shards here; hex-string order is
+    * numeric order, so DuckDB replicates with substring + row_number
+    * exactly. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleShards(
+      Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+      hexChars = 2)
+      .select(col("doc_id"), col("shard"), col("pos"))
 
   // ----------------------------------------------------------------
   // Registry
@@ -1423,7 +1501,11 @@ object SparkEntry {
     "q88_retention" -> (q88 _),
     "q89_pagerank" -> (q89 _),
     "q90_scd2_history" -> (q90 _),
-    "q91_sliding_window" -> (q91 _)
+    "q91_sliding_window" -> (q91 _),
+    "q92_dim_asof" -> (q92 _),
+    "q93_cdc_apply" -> (q93 _),
+    "q94_cube" -> (q94 _),
+    "q95_shard_shuffle" -> (q95 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2315,6 +2397,70 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) o
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q92: the q90 version CTE, then DuckDB's native ASOF LEFT JOIN —
+    // latest version at-or-before the event date.
+    "q92_dim_asof" ->
+      """WITH snaps AS (
+        |  SELECT c_custkey AS cust_id,
+        |    DATE '2024-01-01' + CAST((d.d - 1) * 7 AS INTEGER) AS snap_date,
+        |    c_mktsegment || '_' ||
+        |      CAST((d.d + c_custkey % 4) // 2 AS VARCHAR) AS segment,
+        |    CAST(floor(c_acctbal / 1000) +
+        |      CASE WHEN d.d >= 3 AND c_custkey % 7 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS bal_band
+        |  FROM customer
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS d) d),
+        |ch AS (SELECT *,
+        |  CASE WHEN lag(segment) OVER w IS DISTINCT FROM segment
+        |         OR lag(bal_band) OVER w IS DISTINCT FROM bal_band
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM snaps WINDOW w AS (PARTITION BY cust_id ORDER BY snap_date)),
+        |v AS (SELECT *, sum(chg) OVER
+        |  (PARTITION BY cust_id ORDER BY snap_date) AS ver FROM ch),
+        |g AS (SELECT cust_id, ver, min(snap_date) AS valid_from,
+        |  any_value(segment) AS segment, any_value(bal_band) AS bal_band
+        |  FROM v GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT e.event_id, e.user_id, g.segment AS dim_segment,
+        |  g.bal_band AS dim_bal_band
+        |FROM e ASOF LEFT JOIN g
+        |  ON e.user_id = g.cust_id AND e.d >= g.valid_from""".stripMargin,
+    // q93: latest-sequence-wins merge replicated with a row_number
+    // window over the unioned snapshot (seq 0) + feed.
+    "q93_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS segment,
+        |    round(c_acctbal, 2) AS bal, CAST(0 AS BIGINT) AS seq,
+        |    'U' AS op
+        |  FROM customer),
+        |feed AS (
+        |  SELECT c_custkey AS id,
+        |    c_mktsegment || '_v' || CAST(v.v AS VARCHAR) AS segment,
+        |    round(c_acctbal + v.v, 2) AS bal, CAST(v.v AS BIGINT) AS seq,
+        |    CASE WHEN (c_custkey + v.v * 7) % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM customer
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS v) v
+        |  WHERE (c_custkey + v.v) % 4 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM feed),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY id ORDER BY seq DESC) AS rn FROM u)
+        |SELECT id, segment, bal FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "q94_cube" ->
+      """SELECT coalesce(o_orderstatus, '') AS status,
+        |  coalesce(o_orderpriority, '') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // q95: hex-string lexicographic order is md5 numeric order, so
+    // substring sharding + in-shard row_number replicate exactly.
+    "q95_shard_shuffle" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin
   )
 }

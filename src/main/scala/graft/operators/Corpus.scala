@@ -687,6 +687,36 @@ object Corpus {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic global shuffle into training shards — the data-order
+    * step every pretraining run needs: examples must reach the trainer
+    * in a fixed pseudo-random order that no rerun, repartition, or
+    * added machine can change. Shard = the first `hexChars` characters
+    * of md5(id) (16^hexChars shards); order within a shard = the full
+    * md5 string. Both are pure functions of the id, so the permutation
+    * is reproducible anywhere (and cross-engine: hex-string
+    * lexicographic order IS numeric order — '0'<'9'<'a'<'f' is
+    * monotone in ASCII).
+    *
+    * Scale shape: one hash exchange on the shard key, then a per-shard
+    * sort for the position — max task is n/16^hexChars rows, so size
+    * `hexChars` to the corpus (3 → 4096 shards keeps 100 TB at ~25 GB
+    * a shard before row pruning). Never a global `row_number() over
+    * (order by …)` — that window funnels the corpus through one task.
+    */
+  def shuffleShards(
+      df: DataFrame, idCol: String, hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1,8], got $hexChars")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", substring(col("__h"), 1, hexChars))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
+
   /** Deterministic train/val/test assignment by content-independent id
     * hash: stable across runs and cluster layouts (xxhash64 of the id,
     * never Math.random or row position), pure projection, no shuffle.

@@ -55,4 +55,30 @@ object History {
       .select(col(keyCol) +: (tracked.map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
   }
+
+  /** Apply a CDC change feed to a snapshot (SCD type 1 merge): the
+    * highest-`seqCol` row per key wins, and a winning delete (`opCol`
+    * = "D") removes the key. Changes carry the snapshot's payload
+    * columns plus (seqCol, opCol); snapshot rows participate as
+    * upserts at sequence 0, so a feed that never touched a key leaves
+    * its snapshot row as-is, and a delete followed by a
+    * higher-sequence upsert re-inserts the key.
+    *
+    * Scale shape: ONE hash exchange on the key — the union is
+    * shuffle-free, latest-wins is [[DistinctOn]]'s single keyed
+    * window (AQE splits skewed keys), the delete filter is a pure
+    * projection on top. Output ≤ |snapshot| + |upserted keys|. At
+    * 100 TB the snapshot side dominates and moves exactly once,
+    * which is the lower bound for a keyed merge.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String, seqCol: String, opCol: String): DataFrame = {
+    val base = snapshot
+      .withColumn(seqCol, lit(0L))
+      .withColumn(opCol, lit("U"))
+    val all = base.unionByName(changes.select(base.columns.map(col): _*))
+    DistinctOn(all, Seq(col(keyCol)), Seq(col(seqCol).desc))
+      .filter(col(opCol) =!= "D")
+      .drop(seqCol, opCol)
+  }
 }

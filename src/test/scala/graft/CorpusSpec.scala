@@ -361,4 +361,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(2) == "ssn [SSN] stays typed")
     assert(out(3) == "clean text 1234567890 with plain digits")
   }
+
+  test("shuffleShards: a reproducible permutation, layout-independent") {
+    val ids = (0L until 400L).toDF("id")
+    val got = Corpus.shuffleShards(ids, "id", hexChars = 1)
+      .as[(Long, String, Long)].collect().sortBy(r => (r._2, r._3))
+    // complete and duplicate-free
+    assert(got.map(_._1).sorted === (0L until 400L).toArray)
+    // positions are 0..n-1 dense within each shard
+    got.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted === s.indices.map(_.toLong).toArray)
+    }
+    // shard = first md5 hex char of the id string
+    got.foreach { case (id, shard, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(shard == hex.substring(0, 1))
+    }
+    // identical under a different partition layout (order is a pure
+    // function of the id, never of row position)
+    val re = Corpus.shuffleShards(ids.repartition(7), "id", hexChars = 1)
+      .as[(Long, String, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(re === got)
+    // in-shard order is the md5 order, i.e. pseudo-random, not id order
+    val oneShard = got.groupBy(_._2).values.maxBy(_.length).map(_._1)
+    assert(oneShard.toSeq !== oneShard.sorted.toSeq)
+  }
 }

@@ -71,4 +71,37 @@ class HistorySpec extends SparkSpec {
       (1L, "a", 11, d("2024-01-08"), None, true),
       (2L, "a", 10, d("2024-01-01"), None, true)))
   }
+
+  // ---- applyChanges (CDC merge) ----
+
+  private def merge(snapshot: Seq[(Long, String)],
+      feed: Seq[(Long, String, Long, String)]) =
+    History.applyChanges(
+      snapshot.toDF("id", "v"),
+      feed.toDF("id", "v", "seq", "op"),
+      "id", "seq", "op")
+      .as[(Long, String)].collect().sortBy(_._1)
+
+  test("applyChanges: untouched keys keep their snapshot row") {
+    assert(merge(Seq(1L -> "a", 2L -> "b"), Seq((2L, "b2", 1L, "U")))
+      === Seq(1L -> "a", 2L -> "b2"))
+  }
+
+  test("applyChanges: highest sequence wins per key") {
+    assert(merge(Seq(1L -> "a"),
+      Seq((1L, "a1", 1L, "U"), (1L, "a3", 3L, "U"), (1L, "a2", 2L, "U")))
+      === Seq(1L -> "a3"))
+  }
+
+  test("applyChanges: a winning delete removes the key; a later upsert re-inserts") {
+    assert(merge(Seq(1L -> "a", 2L -> "b"),
+      Seq((1L, "a", 1L, "D"),
+        (2L, "b", 1L, "D"), (2L, "b2", 2L, "U")))
+      === Seq(2L -> "b2"))
+  }
+
+  test("applyChanges: feed inserts keys absent from the snapshot") {
+    assert(merge(Seq(1L -> "a"), Seq((9L, "new", 1L, "U")))
+      === Seq(1L -> "a", 9L -> "new"))
+  }
 }
