@@ -80,7 +80,9 @@ object Bench {
       // SCD2 history + hopping windows (late r8)
       "q90_scd2_history", "q91_sliding_window",
       // dim as-of enrichment, CDC apply, cube, shard shuffle (late r8)
-      "q92_dim_asof", "q93_cdc_apply", "q94_cube", "q95_shard_shuffle"
+      "q92_dim_asof", "q93_cdc_apply", "q94_cube", "q95_shard_shuffle",
+      // global rank + skew profile (late r8)
+      "q96_global_rank", "q97_key_profile"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

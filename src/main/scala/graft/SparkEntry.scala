@@ -1415,6 +1415,32 @@ object SparkEntry {
       hexChars = 2)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** q96: exact global ranking + decile assignment — every customer
+    * ranked by (balance, key) via Corpus.globalRank's two-level prefix
+    * scan (range-bucketed windows + broadcast offsets — never the
+    * single-task `row_number over (order by …)` global window), then
+    * deciles cut by pure integer arithmetic on the rank, so the
+    * cross-engine compare is exact. The composite key balInt·2³² + id
+    * is tie-free, making the rank a true permutation. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir).customer.select(col("c_custkey"),
+      (round(col("c_acctbal") * 100).cast("long") * lit(4294967296L) +
+        col("c_custkey")).as("__k"))
+    val n = Tables(s, dir).customer.count() // one driver scalar
+    Corpus.globalRank(c, "__k", "rank0")
+      .select(col("c_custkey"), (col("rank0") + 1).as("rank"),
+        expr(s"(rank0 * 10) div $n").as("decile"))
+  }
+
+  /** q97: key-skew profile over the events stream — the top-20
+    * heaviest users with row counts and corpus share
+    * (Corpus.keyProfile: one map-side-combined count, top-k via
+    * per-partition heaps, grand total as a broadcast one-row
+    * aggregate; the events scan runs once). */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    Corpus.keyProfile(
+      Tables(s, dir).events.select(col("user_id")), "user_id", k = 20)
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1505,7 +1531,9 @@ object SparkEntry {
     "q92_dim_asof" -> (q92 _),
     "q93_cdc_apply" -> (q93 _),
     "q94_cube" -> (q94 _),
-    "q95_shard_shuffle" -> (q95 _)
+    "q95_shard_shuffle" -> (q95 _),
+    "q96_global_rank" -> (q96 _),
+    "q97_key_profile" -> (q97 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2461,6 +2489,23 @@ object SparkEntry {
         |    PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS BIGINT) AS pos
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q96: the same tie-free composite key ranked by a plain window;
+    // decile via integer arithmetic — exact cross-engine.
+    "q96_global_rank" ->
+      """WITH r AS (
+        |  SELECT c_custkey, row_number() OVER (
+        |    ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) * 4294967296
+        |      + c_custkey) - 1 AS rank0
+        |  FROM customer)
+        |SELECT c_custkey, rank0 + 1 AS rank,
+        |  (rank0 * 10) // (SELECT count(*) FROM customer) AS decile
+        |FROM r""".stripMargin,
+    "q97_key_profile" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM events),
+        |    6) AS share
+        |FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
   )
 }

@@ -380,6 +380,19 @@ object Corpus {
         (1 until buckets).map(_.toDouble / buckets).toArray, relErr)
   }
 
+  /** Exact global 0-based rank under a numeric order key WITHOUT a
+    * global window — [[prefixSum]] of ones: range-bucketed windows
+    * from a quantile sketch plus broadcast per-bucket offsets, max
+    * task n/buckets where the naive `row_number() over (order by …)`
+    * funnels the whole relation through one task. Ties in `orderCol`
+    * share a rank of (#rows with key ≤ theirs) − 1 (max-rank
+    * semantics); pass a tie-free composite key (e.g. value·2³² + id)
+    * for a true permutation. */
+  def globalRank(df: DataFrame, orderCol: String, outCol: String,
+      buckets: Int = 64): DataFrame =
+    prefixSum(df.withColumn("__one", lit(1L)), orderCol, "__one", outCol,
+      buckets).drop("__one")
+
   def prefixSum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String,
       buckets: Int = 64, relErr: Double = 0.001): DataFrame = {
@@ -656,6 +669,26 @@ object Corpus {
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("__u")).as("n_urls"))
+  }
+
+  /** Key-skew profile: the top-`k` heaviest values of `keyCol` with
+    * row counts and corpus share — the diagnostic behind every
+    * physical choice on a keyed operation (broadcast vs shuffle,
+    * salting, AQE skew thresholds). One map-side-combined count
+    * aggregate; the top-k is Spark's TakeOrderedAndProject
+    * (per-partition heaps merged on the driver, never a global sort);
+    * the grand total joins back as a broadcast one-row aggregate over
+    * the already-tiny count relation, so the input scans ONCE. Ties
+    * break by key for deterministic output. */
+  def keyProfile(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"keyProfile: k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt") / col("__total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
   }
 
   /** Deterministic stratified EXACT sampling: from each stratum keep

@@ -362,6 +362,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(3) == "clean text 1234567890 with plain digits")
   }
 
+  test("globalRank matches a single-window rank; ties take max-rank") {
+    val df = Seq(5L, 3L, 9L, 1L, 7L, 3L).toDF("k")
+    val got = Corpus.globalRank(df, "k", "r", buckets = 3)
+      .as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // unique keys get their 0-based sort position; the tied 3s share
+    // (#rows <= 3) - 1 = 2
+    assert(got === Seq((1L, 0L), (3L, 2L), (3L, 2L), (5L, 3L),
+      (7L, 4L), (9L, 5L)).sortBy(r => (r._1, r._2)))
+    // bucketing never changes the result
+    val one = Corpus.globalRank(df, "k", "r", buckets = 1)
+      .as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(one === got)
+  }
+
+  test("keyProfile ranks heavy keys with exact shares, ties by key") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(0)("_") :+ "d").toDF("k")
+    val got = Corpus.keyProfile(df, "k", k = 3)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("a", 6L, 0.461538), ("b", 3L, 0.230769),
+      ("c", 3L, 0.230769)))
+  }
+
   test("shuffleShards: a reproducible permutation, layout-independent") {
     val ids = (0L until 400L).toDF("id")
     val got = Corpus.shuffleShards(ids, "id", hexChars = 1)

@@ -29,10 +29,12 @@ class PlanAuditSpec extends SparkSpec {
     }.flatten
 
   // ANN shapes deliberately stream the corpus through a broadcast
-  // nested-loop join (query set × corpus, non-equi condition)
+  // nested-loop join (query set × corpus, non-equi condition); q97
+  // crosses its tiny count relation with a broadcast ONE-ROW grand
+  // total (the in-plan scalar pattern, like PageRank's dangling mass)
   private val bnljByDesign = Set(
     "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned",
-    "q61_ann_ivf_trained", "q66_ann_ivfpq")
+    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q97_key_profile")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
