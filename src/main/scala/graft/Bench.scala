@@ -82,7 +82,9 @@ object Bench {
       // dim as-of enrichment, CDC apply, cube, shard shuffle (late r8)
       "q92_dim_asof", "q93_cdc_apply", "q94_cube", "q95_shard_shuffle",
       // global rank + skew profile (late r8)
-      "q96_global_rank", "q97_key_profile"
+      "q96_global_rank", "q97_key_profile",
+      // token-budget selection + outlink graph (late r8)
+      "q98_token_budget", "q99_outlink_graph"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

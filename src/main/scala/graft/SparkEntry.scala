@@ -1441,6 +1441,64 @@ object SparkEntry {
     Corpus.keyProfile(
       Tables(s, dir).events.select(col("user_id")), "user_id", k = 20)
 
+  /** q98: token-budget data selection — keep the highest-quality
+    * documents whose cumulative token count fits a budget (half the
+    * corpus's tokens), the DCLM/FineWeb-style "best data under a
+    * budget" cut. Greedy prefix in quality order = an exclusive
+    * running token sum over a tie-free key ((10000−qualityInt)·2³² +
+    * id), which is Corpus.prefixSum's two-level scan — never a global
+    * single-task window. Quality is q38's score ×10⁴ as an integer so
+    * the order key and the budget arithmetic are both exact
+    * cross-engine; the budget itself is one driver scalar. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("n_tok"),
+      round(TextStats.qualityScore(col("text")) * 10000).cast("long")
+        .as("__qi"))
+    val budget =
+      d.agg(sum(col("n_tok"))).head.getLong(0) / 2 // one driver scalar
+    val keyed = d.select(col("doc_id"), col("n_tok"),
+      ((lit(10000L) - col("__qi")) * lit(4294967296L) + col("doc_id"))
+        .as("__k"))
+    Corpus.prefixSum(keyed, "__k", "n_tok", "__cum") // __cum = EXCLUSIVE prefix
+      .filter(col("__cum") + col("n_tok") <= budget)
+      .select(col("doc_id"), col("n_tok"))
+  }
+
+  /** q99: outlink-graph extraction — the web-graph edge build that
+    * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
+    * anchors each; hrefs come out with one regexp_extract_all pass
+    * (codegen'd, no per-row parser state), hosts canonicalize through
+    * the native urlHost kernel (lowercase, port strip, www strip),
+    * and the per-host edge rollup is one map-side-combined aggregate.
+    * Row growth is bounded by links-per-page; the page text never
+    * shuffles — only (page_id, host) pairs move. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    def url(i: Int): Column = concat(
+      element_at(array(lit("http"), lit("https")), (k % 2).cast("int") + 1),
+      lit("://"),
+      when(k % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("h"), ((k * i) % 23).cast("string"), lit(".Example.org"),
+      when(k % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (k % 7).cast("string"))
+    val html = concat(
+      lit("<p>see <a href=\""), url(1), lit("\">one</a> and "),
+      lit("<a class=\"x\" href=\""), url(2), lit("\">two</a>"),
+      lit("<a href=\""), url(3), lit("\">three</a></p>"))
+    Tables(s, dir).customer
+      .select(k.as("page_id"), html.as("__html"))
+      .select(col("page_id"),
+        explode(regexp_extract_all(col("__html"),
+          lit("href=\"([^\"]*)\""), lit(1))).as("__u"))
+      .select(col("page_id"),
+        graft.functions.UrlFunctions.urlHost(col("__u")).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("page_id")).as("n_pages"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1533,7 +1591,9 @@ object SparkEntry {
     "q94_cube" -> (q94 _),
     "q95_shard_shuffle" -> (q95 _),
     "q96_global_rank" -> (q96 _),
-    "q97_key_profile" -> (q97 _)
+    "q97_key_profile" -> (q97 _),
+    "q98_token_budget" -> (q98 _),
+    "q99_outlink_graph" -> (q99 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2506,6 +2566,64 @@ object SparkEntry {
         |  round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM events),
         |    6) AS share
         |FROM events GROUP BY user_id
-        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+    // q98: q38's quality formula (×10⁴ as integer), then an exclusive
+    // running token sum in quality order against a half-of-total budget.
+    "q98_token_budget" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to'], x))) AS DOUBLE) AS c_en,
+        |    CAST(len(words) AS DOUBLE) AS n_words
+        |  FROM w),
+        |q AS (SELECT doc_id, n_tok,
+        |    CAST(round(round(least(n_words / 200.0, 1.0) * 0.6
+        |      + least(c_en / n_words * 5.0, 1.0) * 0.4, 4) * 10000)
+        |      AS BIGINT) AS qi
+        |  FROM c),
+        |r AS (SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (
+        |      ORDER BY (10000 - qi) * 4294967296 + doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume
+        |  FROM q)
+        |SELECT doc_id, n_tok FROM r
+        |WHERE cume + n_tok <= (SELECT sum(n_tok) // 2 FROM w)""".stripMargin,
+    // q99: same three-anchor synthesis, hrefs via regexp_extract_all,
+    // host = lowercase authority minus port and leading www.
+    "q99_outlink_graph" ->
+      """WITH pages AS (SELECT c_custkey AS page_id, concat(
+        |    '<p>see <a href="',
+        |    ['http','https'][CAST(c_custkey % 2 AS INT) + 1], '://',
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |    'h', CAST((c_custkey * 1) % 23 AS VARCHAR), '.Example.org',
+        |    CASE WHEN c_custkey % 4 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', CAST(c_custkey % 7 AS VARCHAR),
+        |    '">one</a> and <a class="x" href="',
+        |    ['http','https'][CAST(c_custkey % 2 AS INT) + 1], '://',
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |    'h', CAST((c_custkey * 2) % 23 AS VARCHAR), '.Example.org',
+        |    CASE WHEN c_custkey % 4 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', CAST(c_custkey % 7 AS VARCHAR),
+        |    '">two</a><a href="',
+        |    ['http','https'][CAST(c_custkey % 2 AS INT) + 1], '://',
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |    'h', CAST((c_custkey * 3) % 23 AS VARCHAR), '.Example.org',
+        |    CASE WHEN c_custkey % 4 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', CAST(c_custkey % 7 AS VARCHAR),
+        |    '">three</a></p>') AS html
+        |  FROM customer),
+        |links AS (SELECT page_id, unnest(
+        |    regexp_extract_all(html, 'href="([^"]*)"', 1)) AS u
+        |  FROM pages),
+        |hosts AS (SELECT page_id,
+        |    regexp_replace(lower(regexp_extract(trim(u),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\.', '')
+        |      AS host
+        |  FROM links)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT page_id) AS BIGINT) AS n_pages
+        |FROM hosts GROUP BY host""".stripMargin
   )
 }
