@@ -112,4 +112,23 @@ object StreamSessionize {
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding (hopping) window aggregation — q91's streaming form: each
+    * event contributes to windowDuration/slideDuration overlapping
+    * windows via the same in-plan `window()` explode (no join, no
+    * extra state beyond one aggregate row per open window); append
+    * mode emits a window once the watermark passes its end, exactly
+    * like [[tumblingAgg]]. */
+  def slidingAgg(
+      events: DataFrame, windowDuration: String, slideDuration: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration, slideDuration),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
 }

@@ -128,6 +128,51 @@ class StreamingSpec extends SparkSpec {
       r.getString(1) == "click" && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
   }
 
+  test("slidingAgg lands each event in every overlapping hop window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    // 10-minute windows every 5 minutes: an event at 00:07 belongs to
+    // [00:00,00:10) and [00:05,00:15)
+    val agg = StreamSessionize.slidingAgg(df, "10 minutes", "5 minutes",
+      "0 seconds")
+    input.addData((ts(7), "click", 1.0), (ts(8), "click", 2.0))
+    input.addData((ts(55), "view", 1.0)) // advances watermark, closes both
+    val query = agg.writeStream
+      .format("memory").queryName("sliding_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val clicks = spark.table("sliding_out").collect()
+      .filter(_.getString(1) == "click")
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(clicks === Map(
+      ts(0).getTime -> ((2L, 3.0)), ts(5).getTime -> ((2L, 3.0))))
+  }
+
+  test("stream-static dimension join enriches each micro-batch") {
+    // the supported streaming enrichment shape: a static (broadcastable)
+    // dim equi-joined into every micro-batch — the streaming counterpart
+    // of q92's batch as-of lookup when the dim is a current snapshot
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = input.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    input.addData((1L, 5.0), (3L, 7.0))
+    val query = enriched.writeStream
+      .format("memory").queryName("enriched_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val got = spark.table("enriched_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got === Map(1L -> Some("gold"), 3L -> None))
+  }
+
   test("stream -> fuzzy match -> batch-keyed stage snapshot per batch") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.call_function
