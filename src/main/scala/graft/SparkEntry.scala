@@ -1233,7 +1233,10 @@ object SparkEntry {
         e => e.getField("h")), ""),
       lit("</div></div></body></html>"))
     Tables(s, dir).customer
-      .groupBy(col("c_nationkey"))
+      // one page per (nation, 40-way split): bounded page size — the
+      // balanced-tag scan is linear but a 25-giant-string layout would
+      // cap parallelism at 25 tasks and stall on string reallocation
+      .groupBy(col("c_nationkey"), (k % 40).as("__pg"))
       .agg(page.as("__html"))
       .select(explode(CssExtract.divTable(col("__html"),
         containerId = "moc-list-table", headerCls = "sortHeader",
@@ -1451,11 +1454,15 @@ object SparkEntry {
     * the order key and the budget arithmetic are both exact
     * cross-engine; the budget itself is one driver scalar. */
   private def q98(s: SparkSession, dir: String): DataFrame = {
+    // scored once, then reused by the budget aggregate, the quantile
+    // sketch and the final scan — localCheckpoint stops the string-heavy
+    // quality/token expressions re-running per action (3 actions here)
     val d = Tables(s, dir).documents.select(
       col("doc_id"),
       TextStats.wsTokenCount(col("text")).cast("long").as("n_tok"),
       round(TextStats.qualityScore(col("text")) * 10000).cast("long")
         .as("__qi"))
+      .localCheckpoint(false)
     val budget =
       d.agg(sum(col("n_tok"))).head.getLong(0) / 2 // one driver scalar
     val keyed = d.select(col("doc_id"), col("n_tok"),

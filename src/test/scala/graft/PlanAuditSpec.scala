@@ -83,6 +83,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("warehouse/ordering queries keep their declared exchange budgets") {
+    // Each scale claim in the scaladocs ("ONE hash exchange") pinned
+    // structurally: count UNIQUE shuffle exchanges (ReusedExchange —
+    // e.g. q97's count relation feeding both the top-k and the grand
+    // total — does not double-count, and broadcast exchanges are free).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(name: String): Int =
+      allNodes(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeLike])
+    val budgets = Seq(
+      "q90_scd2_history" -> 1, // lag/run-sum/rollup/lead share one key exchange
+      "q93_cdc_apply" -> 1,    // union is free; DistinctOn's window only
+      "q95_shard_shuffle" -> 1, // one exchange on the shard key
+      "q96_global_rank" -> 1,  // prefixSum's bucket-partitioned window
+      "q98_token_budget" -> 1, // same prefix-scan shape
+      "q94_cube" -> 1)         // grouping sets expand below ONE agg exchange
+    val got = budgets.map { case (n, _) => n -> shuffles(n) }
+    assert(got === budgets, s"exchange budgets drifted: $got")
+  }
+
   test("text-heavy queries prune their document scans") {
     // a scan that reads all five documents columns for a two-column
     // operator ships lang/source/n_chars through every stage — the
