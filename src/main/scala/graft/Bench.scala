@@ -84,7 +84,9 @@ object Bench {
       // global rank + skew profile (late r8)
       "q96_global_rank", "q97_key_profile",
       // token-budget selection + outlink graph (late r8)
-      "q98_token_budget", "q99_outlink_graph"
+      "q98_token_budget", "q99_outlink_graph",
+      // entity resolution with golden records (late r8)
+      "q100_entity_resolution"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

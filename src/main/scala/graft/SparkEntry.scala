@@ -1506,6 +1506,50 @@ object SparkEntry {
         countDistinct(col("page_id")).as("n_pages"))
   }
 
+  /** q100: end-to-end ENTITY RESOLUTION with golden records — the MDM
+    * shape the reference's matcher feeds into: two source systems
+    * (customer + a deterministically perturbed copy), blocked
+    * candidate pairs (equi-join on the block key, never all-pairs)
+    * linked at levenshtein ≤ 1 (integer metric → exact cross-engine
+    * parity), transitive closure via the large-star/small-star
+    * components, every record assigned an entity id (singletons keep
+    * their own id), and one golden record per entity (the min-id
+    * member's name via a struct-min aggregate — no window). The
+    * oracle replays the pairs + a recursive-CTE closure + the same
+    * min-id merge. Digit-adjacent names chain through the closure by
+    * construction — both engines chain them identically, which is the
+    * transitive-closure contract this checks. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).customer.select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("blk"))
+    val alt = base.select((col("id") + lit(10000000L)).as("id"),
+      when(col("id") % 3 === 0, col("name"))
+        .otherwise(concat(col("name"), lit("x"))).as("name"),
+      col("blk"))
+    val recs = base.unionByName(alt).localCheckpoint(false)
+    val a = recs.select(col("id").as("a_id"), col("name").as("a_name"),
+      col("blk").as("a_blk"))
+    val b = recs.select(col("id").as("b_id"), col("name").as("b_name"),
+      col("blk").as("b_blk"))
+    val pairs = a.join(b, col("a_blk") === col("b_blk") &&
+        col("a_id") < col("b_id") &&
+        levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_id"), col("b_id"))
+    val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val withEntity = recs
+      .join(comps.withColumnRenamed("id", "__cid"),
+        col("id") === col("__cid"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("component"), col("id")).as("entity"))
+    val golden = withEntity.groupBy(col("entity"))
+      .agg(min(struct(col("id"), col("name"))).as("__g"))
+      .select(col("entity").as("__ge"),
+        col("__g.name").as("canonical_name"))
+    withEntity.join(golden, col("entity") === col("__ge"))
+      .select(col("id"), col("entity"), col("canonical_name"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1600,7 +1644,8 @@ object SparkEntry {
     "q96_global_rank" -> (q96 _),
     "q97_key_profile" -> (q97 _),
     "q98_token_budget" -> (q98 _),
-    "q99_outlink_graph" -> (q99 _)
+    "q99_outlink_graph" -> (q99 _),
+    "q100_entity_resolution" -> (q100 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2631,6 +2676,34 @@ object SparkEntry {
         |  FROM links)
         |SELECT host, CAST(count(*) AS BIGINT) AS n_links,
         |  CAST(count(DISTINCT page_id) AS BIGINT) AS n_pages
-        |FROM hosts GROUP BY host""".stripMargin
+        |FROM hosts GROUP BY host""".stripMargin,
+    // q100: same blocked pairs, recursive-CTE transitive closure,
+    // min-id golden record.
+    "q100_entity_resolution" ->
+      """WITH RECURSIVE
+        |base AS (SELECT c_custkey AS id, c_name AS name,
+        |  c_nationkey AS blk FROM customer),
+        |alt AS (SELECT id + 10000000 AS id,
+        |  CASE WHEN id % 3 = 0 THEN name ELSE name || 'x' END AS name,
+        |  blk FROM base),
+        |recs AS (SELECT * FROM base UNION ALL SELECT * FROM alt),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS u, b.id AS v FROM recs a JOIN recs b
+        |  ON a.blk = b.blk AND a.id < b.id
+        |    AND levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |ent AS (SELECT r.id, r.name,
+        |  coalesce(c.component, r.id) AS entity
+        |  FROM recs r LEFT JOIN comp c USING (id)),
+        |canon AS (SELECT entity, min(id) AS mid FROM ent GROUP BY entity),
+        |golden AS (SELECT c.entity, e.name AS canonical_name
+        |  FROM canon c JOIN ent e ON e.id = c.mid)
+        |SELECT e.id, e.entity, g.canonical_name
+        |FROM ent e JOIN golden g ON e.entity = g.entity""".stripMargin
   )
 }
