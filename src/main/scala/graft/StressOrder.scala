@@ -76,6 +76,11 @@ object StressOrder {
     time("q85 divTable sf0.1 (1000 pages)")(
       SparkEntry.queries("q85_div_table")(spark, "/tmp/stress").count())
 
+    // --- q100 entity resolution at sf0.1 (30k records, 25 blocks) ---
+    time("q100 entity resolution sf0.1")(
+      SparkEntry.queries("q100_entity_resolution")(spark, "/tmp/stress")
+        .count())
+
     // --- CDC apply: 200k snapshot + 600k-change feed ---
     val base = docs.select(col("doc_id").as("id"),
       col("lang").as("v")).localCheckpoint(false)
