@@ -86,7 +86,9 @@ object Bench {
       // token-budget selection + outlink graph (late r8)
       "q98_token_budget", "q99_outlink_graph",
       // entity resolution with golden records (late r8)
-      "q100_entity_resolution"
+      "q100_entity_resolution",
+      // equi-width histogram (late r8)
+      "q101_histogram"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1564,6 +1564,29 @@ object SparkEntry {
       .select(col("id"), col("entity"), col("canonical_name"))
   }
 
+  /** q101: equi-width histogram of lineitem prices — the profiling
+    * primitive behind range-bucket choices (q96's deciles are the
+    * equi-DEPTH dual). Min/max come from one narrow aggregate (two
+    * driver scalars), bucket assignment is a pure projection, the
+    * count is map-side combined — two passes total, both
+    * full-pushdown column scans. Bucket arithmetic is shared-double
+    * math so DuckDB reproduces the exact cut points. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 20
+    val li = Tables(s, dir).lineitem.select(col("l_extendedprice").as("x"))
+    val r = li.agg(min(col("x")), max(col("x"))).head
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val w = (mx - mn) / buckets
+    li.select(least(floor((col("x") - mn) / w), lit(buckets - 1))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(lit(mn) + col("bucket") * w, 4).as("lo"),
+        round(lit(mn) + (col("bucket") + 1) * w, 4).as("hi"),
+        col("n"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1659,7 +1682,8 @@ object SparkEntry {
     "q97_key_profile" -> (q97 _),
     "q98_token_budget" -> (q98 _),
     "q99_outlink_graph" -> (q99 _),
-    "q100_entity_resolution" -> (q100 _)
+    "q100_entity_resolution" -> (q100 _),
+    "q101_histogram" -> (q101 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2722,6 +2746,18 @@ object SparkEntry {
         |golden AS (SELECT c.entity, e.name AS canonical_name
         |  FROM canon c JOIN ent e ON e.id = c.mid)
         |SELECT e.id, e.entity, g.canonical_name
-        |FROM ent e JOIN golden g ON e.entity = g.entity""".stripMargin
+        |FROM ent e JOIN golden g ON e.entity = g.entity""".stripMargin,
+    // q101: same two-pass min/max + shared-double bucket arithmetic.
+    "q101_histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |    max(l_extendedprice) AS mx FROM lineitem),
+        |b AS (SELECT CAST(least(floor((l_extendedprice - s.mn) /
+        |    ((s.mx - s.mn) / 20)), 19) AS BIGINT) AS bucket
+        |  FROM lineitem, s)
+        |SELECT bucket,
+        |  round(s.mn + bucket * ((s.mx - s.mn) / 20), 4) AS lo,
+        |  round(s.mn + (bucket + 1) * ((s.mx - s.mn) / 20), 4) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b, s GROUP BY bucket, s.mn, s.mx""".stripMargin
   )
 }
