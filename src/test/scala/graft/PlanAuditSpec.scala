@@ -94,11 +94,13 @@ class PlanAuditSpec extends SparkSpec {
         .count(_.isInstanceOf[ShuffleExchangeLike])
     val budgets = Seq(
       "q90_scd2_history" -> 1, // lag/run-sum/rollup/lead share one key exchange
+      "q92_dim_asof" -> 2,     // the as-of union window + the version build
       "q93_cdc_apply" -> 1,    // union is free; DistinctOn's window only
       "q95_shard_shuffle" -> 1, // one exchange on the shard key
       "q96_global_rank" -> 1,  // prefixSum's bucket-partitioned window
       "q98_token_budget" -> 1, // same prefix-scan shape
-      "q94_cube" -> 1)         // grouping sets expand below ONE agg exchange
+      "q94_cube" -> 1,         // grouping sets expand below ONE agg exchange
+      "q101_histogram" -> 1)   // bucket count only; min/max is a scalar pass
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
