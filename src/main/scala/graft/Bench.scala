@@ -87,8 +87,8 @@ object Bench {
       "q98_token_budget", "q99_outlink_graph",
       // entity resolution with golden records (late r8)
       "q100_entity_resolution",
-      // equi-width histogram (late r8)
-      "q101_histogram"
+      // equi-width histogram + incremental SCD2 merge (late r8)
+      "q101_histogram", "q102_scd2_apply"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1306,13 +1306,13 @@ object SparkEntry {
     * exchange-free). The oracle replicates the synthesis and the
     * collapse with lag/run-sum/lead windows, so change detection,
     * gap handling and interval chaining are all checked. */
-  /** Shared by q90/q92: four weekly customer snapshots with
-    * deterministic segment/balance-band drift, collapsed to SCD2
-    * versions (valid_from DATE kept native for q92's as-of join). */
-  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
-    val snaps = Tables(s, dir).customer
+  /** Shared by q90/q92/q102: weekly customer snapshots `dFrom..dTo`
+    * with deterministic segment/balance-band drift. */
+  private def scd2Snaps(s: SparkSession, dir: String,
+      dFrom: Int, dTo: Int): DataFrame =
+    Tables(s, dir).customer
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        explode(sequence(lit(1), lit(4))).as("__d"))
+        explode(sequence(lit(dFrom), lit(dTo))).as("__d"))
       .select(
         col("c_custkey").as("cust_id"),
         date_add(lit("2024-01-01").cast("date"),
@@ -1322,8 +1322,10 @@ object SparkEntry {
         (floor(col("c_acctbal") / 1000) +
           when(col("__d") >= 3 && col("c_custkey") % 7 === 0, 1)
             .otherwise(0)).as("bal_band"))
-    History.scd2(snaps, "cust_id", "snap_date", Seq("segment", "bal_band"))
-  }
+
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame =
+    History.scd2(scd2Snaps(s, dir, 1, 4), "cust_id", "snap_date",
+      Seq("segment", "bal_band"))
 
   private def q90(s: SparkSession, dir: String): DataFrame =
     scd2Versions(s, dir)
@@ -1587,6 +1589,22 @@ object SparkEntry {
         col("n"))
   }
 
+  /** q102: INCREMENTAL SCD2 merge — snapshots 1-3 collapse into a
+    * history (the backfill), then snapshot 4 applies via
+    * History.scd2Apply: only the current slice joins the new
+    * snapshot; closed history passes through untouched. The oracle is
+    * q90's batch collapse over ALL FOUR snapshots — incremental must
+    * be row-identical to the full recollapse, across engines. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val tracked = Seq("segment", "bal_band")
+    val hist3 = History.scd2(scd2Snaps(s, dir, 1, 3), "cust_id",
+      "snap_date", tracked)
+    History.scd2Apply(hist3, scd2Snaps(s, dir, 4, 4), "cust_id",
+        "snap_date", tracked)
+      .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
+      .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1683,7 +1701,8 @@ object SparkEntry {
     "q98_token_budget" -> (q98 _),
     "q99_outlink_graph" -> (q99 _),
     "q100_entity_resolution" -> (q100 _),
-    "q101_histogram" -> (q101 _)
+    "q101_histogram" -> (q101 _),
+    "q102_scd2_apply" -> (q102 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -1714,6 +1733,40 @@ object SparkEntry {
     sb ++= s"\nSELECT id AS node_id, round(r, 7) AS pr FROM r$iters"
     sb.toString
   }
+
+  /** SCD2 batch-collapse oracle — shared by q90 (batch build) and
+    * q102 (incremental apply, which must equal the full recollapse):
+    * synthesis replicated, then lag change flags → running-sum
+    * version ids → per-version rollup → lead interval-close. */
+  private val scd2BatchSql =
+    """WITH snaps AS (
+      |  SELECT c_custkey AS cust_id,
+      |    DATE '2024-01-01' + CAST((d.d - 1) * 7 AS INTEGER) AS snap_date,
+      |    c_mktsegment || '_' ||
+      |      CAST((d.d + c_custkey % 4) // 2 AS VARCHAR) AS segment,
+      |    CAST(floor(c_acctbal / 1000) +
+      |      CASE WHEN d.d >= 3 AND c_custkey % 7 = 0 THEN 1 ELSE 0 END
+      |      AS BIGINT) AS bal_band
+      |  FROM customer
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS d) d),
+      |ch AS (SELECT *,
+      |  CASE WHEN lag(segment) OVER w IS DISTINCT FROM segment
+      |         OR lag(bal_band) OVER w IS DISTINCT FROM bal_band
+      |       THEN 1 ELSE 0 END AS chg
+      |  FROM snaps WINDOW w AS (PARTITION BY cust_id ORDER BY snap_date)),
+      |v AS (SELECT *, sum(chg) OVER
+      |  (PARTITION BY cust_id ORDER BY snap_date) AS ver FROM ch),
+      |g AS (SELECT cust_id, ver, min(snap_date) AS valid_from,
+      |  any_value(segment) AS segment, any_value(bal_band) AS bal_band
+      |  FROM v GROUP BY 1, 2)
+      |SELECT cust_id, segment, bal_band,
+      |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+      |  strftime(lead(valid_from) OVER
+      |    (PARTITION BY cust_id ORDER BY valid_from), '%Y-%m-%d')
+      |    AS valid_to,
+      |  lead(valid_from) OVER
+      |    (PARTITION BY cust_id ORDER BY valid_from) IS NULL AS is_current
+      |FROM g""".stripMargin
 
   /** Exact cosine top-k oracle — shared by q35 (brute force) and q36
     * (IVF at full probe, which must equal brute force). */
@@ -2538,35 +2591,10 @@ object SparkEntry {
     "q89_pagerank" -> pageRankSql(10),
     // q90: synthesis replicated, then the SCD2 collapse as lag (change
     // flags) → running sum (version ids) → rollup → lead (close).
-    "q90_scd2_history" ->
-      """WITH snaps AS (
-        |  SELECT c_custkey AS cust_id,
-        |    DATE '2024-01-01' + CAST((d.d - 1) * 7 AS INTEGER) AS snap_date,
-        |    c_mktsegment || '_' ||
-        |      CAST((d.d + c_custkey % 4) // 2 AS VARCHAR) AS segment,
-        |    CAST(floor(c_acctbal / 1000) +
-        |      CASE WHEN d.d >= 3 AND c_custkey % 7 = 0 THEN 1 ELSE 0 END
-        |      AS BIGINT) AS bal_band
-        |  FROM customer
-        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS d) d),
-        |ch AS (SELECT *,
-        |  CASE WHEN lag(segment) OVER w IS DISTINCT FROM segment
-        |         OR lag(bal_band) OVER w IS DISTINCT FROM bal_band
-        |       THEN 1 ELSE 0 END AS chg
-        |  FROM snaps WINDOW w AS (PARTITION BY cust_id ORDER BY snap_date)),
-        |v AS (SELECT *, sum(chg) OVER
-        |  (PARTITION BY cust_id ORDER BY snap_date) AS ver FROM ch),
-        |g AS (SELECT cust_id, ver, min(snap_date) AS valid_from,
-        |  any_value(segment) AS segment, any_value(bal_band) AS bal_band
-        |  FROM v GROUP BY 1, 2)
-        |SELECT cust_id, segment, bal_band,
-        |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
-        |  strftime(lead(valid_from) OVER
-        |    (PARTITION BY cust_id ORDER BY valid_from), '%Y-%m-%d')
-        |    AS valid_to,
-        |  lead(valid_from) OVER
-        |    (PARTITION BY cust_id ORDER BY valid_from) IS NULL AS is_current
-        |FROM g""".stripMargin,
+    // q102 (incremental apply) shares it verbatim: incremental must
+    // equal the batch recollapse.
+    "q90_scd2_history" -> scd2BatchSql,
+    "q102_scd2_apply" -> scd2BatchSql,
     // q91: each event belongs to exactly the two 2h/1h-hop windows
     // starting at its hour truncation and one hour before it.
     "q91_sliding_window" ->

@@ -72,6 +72,14 @@ object StressOrder {
     time("q90 scd2 800k rows/200k keys")(
       History.scd2(snaps, "id", "snap", Seq("v")).count())
 
+    // --- incremental merge: snapshot 4 applied to the 1-3 history ---
+    val hist3 = History.scd2(snaps.filter(col("snap") < "2024-01-22"),
+      "id", "snap", Seq("v")).localCheckpoint(false)
+    time("q102 scd2Apply 200k onto hist")(
+      History.scd2Apply(hist3,
+        snaps.filter(col("snap") >= "2024-01-22"), "id", "snap",
+        Seq("v")).count())
+
     // --- q85 div-grid extraction at sf0.1 (page-size sensitivity) ---
     time("q85 divTable sf0.1 (1000 pages)")(
       SparkEntry.queries("q85_div_table")(spark, "/tmp/stress").count())

@@ -56,6 +56,56 @@ object History {
         Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
   }
 
+  /** Apply ONE new full snapshot to an existing SCD2 history without
+    * recollapsing it — the production nightly merge ([[scd2]] is the
+    * initial backfill; at scale the history is never re-derived from
+    * all snapshots). Current rows whose tracked attributes differ
+    * (null-safely) from the new snapshot close at the snapshot date
+    * and a new current version opens; keys new to the history open
+    * their first version; keys absent from the snapshot keep their
+    * current row (a skipped load is a gap, and gaps don't split
+    * versions — same contract as [[scd2]]). The result is row-identical
+    * to running [[scd2]] over all snapshots including the new one
+    * (HistorySpec pins the equivalence).
+    *
+    * Scale shape: closed rows and past rows pass through untouched —
+    * only the (small) current slice joins the snapshot, one hash
+    * exchange per side, semi/anti reuse it; output = history +
+    * changed-key rows. Partition the stored history by `is_current`
+    * and the closed majority never even scans. */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame, keyCol: String,
+      dateCol: String, tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "scd2Apply: at least one tracked column")
+    val past = history.filter(!col("is_current"))
+    val cur = history.filter(col("is_current")).localCheckpoint(false)
+    val snap = snapshot.select(
+      col(keyCol) +: (tracked.map(col) :+ col(dateCol).as("__d")): _*)
+      .localCheckpoint(false)
+    val curK = cur.select(col(keyCol).as("__ck") +:
+      tracked.map(c => col(c).as(s"__c_$c")): _*)
+    val snapState = struct(tracked.map(col): _*)
+    val curState = struct(tracked.map(c => col(s"__c_$c")): _*)
+    // snapshot rows that open a version: no current row, or a change
+    val opening = snap.join(curK, col(keyCol) === col("__ck"), "left")
+      .filter(col("__ck").isNull || !(snapState <=> curState))
+      .select(col(keyCol) +: (tracked.map(col) :+ col("__d")): _*)
+      .localCheckpoint(false)
+    val openingKeys = opening.select(col(keyCol).as("__ok"), col("__d"))
+    // current rows for changed keys close at the snapshot date
+    val closed = cur.join(openingKeys, col(keyCol) === col("__ok"))
+      .withColumn("valid_to", col("__d"))
+      .withColumn("is_current", lit(false))
+      .drop("__ok", "__d")
+    val untouched = cur.join(openingKeys, col(keyCol) === col("__ok"),
+      "left_anti")
+    val opened = opening.select(
+      col(keyCol) +: (tracked.map(col) ++ Seq(
+        col("__d").as("valid_from"),
+        lit(null).cast(history.schema("valid_to").dataType).as("valid_to"),
+        lit(true).as("is_current"))): _*)
+    past.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
+
   /** Apply a CDC change feed to a snapshot (SCD type 1 merge): the
     * highest-`seqCol` row per key wins, and a winning delete (`opCol`
     * = "D") removes the key. Changes carry the snapshot's payload

@@ -72,6 +72,31 @@ class HistorySpec extends SparkSpec {
       (2L, "a", 10, d("2024-01-01"), None, true)))
   }
 
+  // ---- scd2Apply (incremental merge) ----
+
+  test("scd2Apply(scd2(s1..s3), s4) is row-identical to scd2(s1..s4)") {
+    // edge keys: 1 unchanged, 2 changed, 3 new in s4, 4 absent from s4,
+    // 5 flip-flops back to its first value, 6 null -> value
+    val all = Seq(
+      (1L, "2024-01-01", "a"), (1L, "2024-01-08", "a"), (1L, "2024-01-22", "a"),
+      (2L, "2024-01-01", "a"), (2L, "2024-01-08", "b"), (2L, "2024-01-22", "c"),
+      (3L, "2024-01-22", "z"),
+      (4L, "2024-01-01", "x"), (4L, "2024-01-08", "x"),
+      (5L, "2024-01-01", "p"), (5L, "2024-01-08", "q"), (5L, "2024-01-22", "p"),
+      (6L, "2024-01-01", null), (6L, "2024-01-22", "v"))
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.map { case (k, dt, v) => (k, d(dt), v) }.toDF("id", "snap", "v")
+    val batch = History.scd2(df(all), "id", "snap", Seq("v"))
+      .as[(Long, String, Date, Option[Date], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.toString))
+    val incr = History.scd2Apply(
+      History.scd2(df(all.filter(_._2 < "2024-01-22")), "id", "snap", Seq("v")),
+      df(all.filter(_._2 == "2024-01-22")), "id", "snap", Seq("v"))
+      .as[(Long, String, Date, Option[Date], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.toString))
+    assert(incr === batch)
+  }
+
   // ---- applyChanges (CDC merge) ----
 
   private def merge(snapshot: Seq[(Long, String)],
