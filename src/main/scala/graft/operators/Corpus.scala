@@ -285,6 +285,72 @@ object Corpus {
       bands, threshold)
   }
 
+  /** Per-stage loss accounting for [[curateObserved]]: call
+    * [[CurationMetrics.snapshot]] after an action on the curated frame.
+    * `rows_in / quality_fail / repetition_fail / rows_gated` come from
+    * the gate pass, `rows_out` from the final frame;
+    * `rows_gated - rows_out` is the near-dup loss. */
+  final case class CurationMetrics(
+      gates: org.apache.spark.sql.Observation,
+      out: org.apache.spark.sql.Observation) {
+    def snapshot: Map[String, Long] =
+      (gates.get ++ out.get).view.mapValues {
+        case l: Long => l
+        case x => x.toString.toLong
+      }.toMap
+  }
+
+  /** [[curate]] with EXACTLY-ONCE pipeline counters via
+    * `Dataset.observe` — the data-loss accounting every production
+    * curation run publishes ("N in, X failed quality, Y failed
+    * repetition, Z lost to dedup, M out"). At 100 TB you cannot
+    * afford a separate count() job per gate: observed metrics ride
+    * the SAME job as the data pass (one aggregate per task, merged on
+    * the driver), and unlike accumulators they are consistent under
+    * task retries and speculative execution. Output rows are
+    * byte-identical to [[curate]]. */
+  def curateObserved(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.25,
+      maxDupWordFrac: Double = 0.65,
+      maxDupBigramFrac: Double = 0.08,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): (DataFrame, CurationMetrics) = {
+    import org.apache.spark.sql.Observation
+    val cnts =
+      if (docs.sparkSession.catalog.functionExists("repetition_counts"))
+        call_function("repetition_counts", col(textCol))
+      else repetitionCountsPortable(col(textCol))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+        .otherwise(lit(0.0))
+    val gatesObs = Observation()
+    val outObs = Observation()
+    val pass = (q: Column, dw: Column, db: Column) => q && dw && db
+    val gated = docs
+      .withColumn("__c", cnts)
+      .withColumn("__q", TextStats.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__dw",
+        frac(col("__c.n_words") - col("__c.n_distinct_words"),
+          col("__c.n_words")) <= maxDupWordFrac)
+      .withColumn("__db",
+        frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
+          col("__c.n_bigrams")) <= maxDupBigramFrac)
+      .observe(gatesObs,
+        count(lit(1)).as("rows_in"),
+        sum(when(!col("__q"), 1L).otherwise(0L)).as("quality_fail"),
+        sum(when(col("__q") && !(col("__dw") && col("__db")), 1L)
+          .otherwise(0L)).as("repetition_fail"),
+        sum(when(pass(col("__q"), col("__dw"), col("__db")), 1L)
+          .otherwise(0L)).as("rows_gated"))
+      .filter(pass(col("__q"), col("__dw"), col("__db")))
+      .drop("__c", "__q", "__dw", "__db")
+    val deduped = Dedup.dropNearDuplicates(gated, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    (deduped.observe(outObs, count(lit(1)).as("rows_out")),
+      CurationMetrics(gatesObs, outObs))
+  }
+
   /** Re-weight a multi-source corpus to target proportions (training-
     * data mixing: N raw sources → one corpus at chosen weights) by
     * DETERMINISTIC hash sampling — stable across runs, cluster layouts

@@ -362,6 +362,32 @@ class CorpusSpec extends SparkSpec {
     assert(out(3) == "clean text 1234567890 with plain digits")
   }
 
+  test("curateObserved: exactly-once gate counters match the data") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks to the old farm house near the river bank every day"
+    val docs = Seq(
+      (1L, good),                         // passes everything
+      (2L, good + " indeed"),             // near-dup of 1 -> dedup loss
+      (3L, "zz"),                         // fails quality (too short)
+      (4L, ("rep rep rep rep rep " * 20) + good) // fails repetition
+    ).toDF("doc_id", "text")
+    val (out, m) = Corpus.curateObserved(docs, "doc_id", "text",
+      minQuality = 0.2, threshold = 0.4)
+    val survivors = out.select("doc_id").as[Long].collect().sorted
+    val snap = m.snapshot
+    assert(snap("rows_in") == 4L)
+    assert(snap("quality_fail") == 1L)
+    assert(snap("repetition_fail") == 1L)
+    assert(snap("rows_gated") == 2L)
+    assert(snap("rows_out") == survivors.length.toLong)
+    assert(snap("rows_gated") - snap("rows_out") == 1L) // dedup loss
+    // identical rows to the unobserved pipeline
+    val plain = Corpus.curate(docs, "doc_id", "text",
+      minQuality = 0.2, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors === plain)
+  }
+
   test("globalRank matches a single-window rank; ties take max-rank") {
     val df = Seq(5L, 3L, 9L, 1L, 7L, 3L).toDF("k")
     val got = Corpus.globalRank(df, "k", "r", buckets = 3)
