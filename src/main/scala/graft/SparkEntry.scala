@@ -1605,6 +1605,89 @@ object SparkEntry {
       .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
   }
 
+  /** q103: pivot — the reverse of q09's unpivot: return-flag columns
+    * out of rows (`groupBy().pivot(col, values)` with the value list
+    * PINNED, so the plan is a single map-side-combined aggregate whose
+    * grouping never widens — a pivot without the value list needs a
+    * distinct-collect pre-pass, which is a second job at 100 TB). */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .withColumnRenamed("A", "qty_a")
+      .withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+
+  /** q104: gap-filled sensor series — sparse (sensor, day, reading)
+    * points densified to each sensor's full daily range with forward
+    * fill (Timeseries.gapFillForward: union + one fill window, no
+    * calendar join). Fixture: per-(user bucket, day) max signup value
+    * — ~26% of the grid absent at sf0.01, so the fill path is
+    * genuinely exercised. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables(s, dir).events
+      .filter(col("event_type") === "signup")
+      .groupBy((col("user_id") % 50).as("sensor"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(round(max(col("value")), 4).as("reading"))
+    Timeseries.gapFillForward(points, "sensor", "day", "reading")
+  }
+
+  /** q105: exact per-bucket mode event type (Stats.modePerKey — the
+    * window-free struct-min tie-break: most frequent, then
+    * lexicographically first). */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    Stats.modePerKey(
+      Tables(s, dir).events
+        .select((col("user_id") % 100).as("bucket"), col("event_type")),
+      "bucket", "event_type")
+      .select(col("bucket"), col("mode_val").as("mode_type"), col("cnt"))
+
+  /** q106: peak concurrency — max overlapping one-hour event windows
+    * per event type (EventFlow.maxConcurrency: ±1 sweep + running sum,
+    * ONE hash exchange, pinned in PlanAuditSpec). */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    EventFlow.maxConcurrency(
+      Tables(s, dir).events.select(col("event_type"), col("ts")),
+      "event_type", col("ts"), col("ts") + expr("INTERVAL 1 HOUR"))
+
+  /** q107: top-5 TF-IDF keywords per document
+    * (Corpus.tfidfTopTerms, sklearn-smoothed idf; ties by term). */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", 5)
+
+  /** q108: per-nation order-priority digest — sorted DISTINCT
+    * priorities as one string plus the order count: the
+    * `string_agg`/`listagg` reporting shape, done as collect_set →
+    * array_sort → array_join so the aggregate stays map-side combined
+    * (the set is bounded by the priority vocabulary, never the order
+    * count; an ORDER-BY-inside-agg would force a per-group sort of
+    * every row at 100 TB). */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).customer
+      .join(Tables(s, dir).orders,
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("int").as("nation"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("prios"),
+        count(lit(1)).as("n_orders"))
+
+  /** q109: per-type z-score outliers (Stats.zscoreOutliers — stats
+    * ride the data's own key window, no join). The fixture plants a
+    * 25× spike on every 97th event id: spikes land at |z| ≈ 10, the
+    * uniform bulk stays under 1, so membership is rounding-robust. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val spiked = Tables(s, dir).events
+      .select(col("event_id"), col("event_type"),
+        (col("value") *
+          when(col("event_id") % 97 === 0, 25).otherwise(1)).as("v"))
+    Stats.zscoreOutliers(spiked, "event_type", col("v"), z = 3.0)
+      .select(col("event_id"), col("event_type"),
+        round(col("v"), 4).as("v"), round(col("zscore"), 4).as("z"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1702,7 +1785,14 @@ object SparkEntry {
     "q99_outlink_graph" -> (q99 _),
     "q100_entity_resolution" -> (q100 _),
     "q101_histogram" -> (q101 _),
-    "q102_scd2_apply" -> (q102 _)
+    "q102_scd2_apply" -> (q102 _),
+    "q103_pivot" -> (q103 _),
+    "q104_gap_fill" -> (q104 _),
+    "q105_mode" -> (q105 _),
+    "q106_concurrency" -> (q106 _),
+    "q107_tfidf" -> (q107 _),
+    "q108_string_agg" -> (q108 _),
+    "q109_zscore_outliers" -> (q109 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

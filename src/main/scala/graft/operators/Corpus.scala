@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level operations for training-data curation: n-gram frequency
@@ -146,6 +147,43 @@ object Corpus {
       .agg(round(sum(col("__s")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
+    * document by smoothed TF-IDF (sklearn's formula: idf =
+    * ln((1+N)/(1+df)) + 1), ties broken by term — the "what is this
+    * page about" signal a corpus profile or a weak labeler wants
+    * beside q71's query-driven BM25.
+    *
+    * Plan shape: explode → (doc, term) counts (the only exchange that
+    * moves corpus-sized data, map-side combined) → per-term document
+    * frequencies, an aggregate over the already-reduced tf table →
+    * joined back on the term. The df table is |vocabulary|-sized:
+    * bounded in practice but NOT guaranteed small, so the join stays a
+    * shuffle equi-join and AQE demotes it to a broadcast when the
+    * vocabulary measures small — the opposite default from bm25Search,
+    * whose df table is capped by the query's own term count. Top-k is
+    * a row_number over the doc key. The corpus count is one
+    * pruned-scan aggregate (same pattern as bm25's globals).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = Parallelism.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), explode(split(col("__t"), " ")).as("term"))
+    val n = docs.select(col(idCol)).count()
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val idf = log((lit(1.0) + n) / (col("__df") + lit(1.0))) + lit(1.0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("__tf") * idf, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
   /** Benchmark-contamination screen: per document, how many n-grams it

@@ -95,4 +95,37 @@ object EventFlow {
           .as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Peak concurrency per key: the maximum number of half-open
+    * intervals [start, end) alive at once — the "how many sessions /
+    * connections / jobs overlapped" question, solved with the classic
+    * sweep: +1 at each start, -1 at each end, running-sum, max.
+    *
+    * Plan shape: the union of the two delta projections is free; the
+    * running sum is one ordered window on the key (ties order by
+    * delta, ends first — half-open semantics; the MAX is invariant to
+    * order WITHIN equal (time, delta) rows, since equal-delta
+    * neighbours only continue a monotone run), and the final per-key
+    * max is an aggregate on the window's own key partitioning — ONE
+    * hash exchange total (pinned in PlanAuditSpec). At 100 TB the
+    * exchange moves (key, ts, ±1) triples; a key's sweep must fit one
+    * partition's sort spill, which a time-bucketed pre-split (max per
+    * (key, day) then a driver-free second sweep) would relax — not
+    * needed at this grain.
+    */
+  def maxConcurrency(
+      events: DataFrame, keyCol: String, startCol: Column,
+      endCol: Column): DataFrame = {
+    val starts = events.select(col(keyCol), startCol.as("__t"),
+      lit(1).as("__d"))
+    val ends = events.select(col(keyCol), endCol.as("__t"),
+      lit(-1).as("__d"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__run")).as("max_concurrent"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group statistical operators: exact mode and z-score outlier
+  * flagging — the data-quality diagnostics a curation pipeline runs
+  * beside the profile aggregates (q77/q97).
+  *
+  * Both stay inside map-side-combined aggregates or key-partitioned
+  * windows: no collect, no global window, no join against a stats
+  * side-table (per-key stats ride the same exchange as the data).
+  */
+object Stats {
+
+  /** Exact per-key mode with a deterministic tie-break (highest count,
+    * then smallest value). Two map-side-combined aggregates: counts on
+    * (key, value) — the only exchange that moves data — then a
+    * struct-min per key, which is an agg over the already-reduced
+    * count table (one row per distinct (key, value), tiny at any
+    * scale). The struct orders (-count, value), so its MIN is "most
+    * frequent, lexicographically first among ties" in one pass — the
+    * window-free equivalent of row_number() = 1 over (count DESC,
+    * value): no per-key sort, and skew in the RAW data is absorbed by
+    * the first aggregate's map-side combine.
+    */
+  def modePerKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(col(keyCol))
+      .agg(min(struct((-col("__cnt")).as("n"), col(valCol).as("v"))).as("__m"))
+      .select(col(keyCol), col("__m.v").as("mode_val"),
+        (-col("__m.n")).as("cnt"))
+  }
+
+  /** Rows whose value deviates more than `z` sample standard
+    * deviations from their group mean. The group mean/stddev ride a
+    * full-partition window over the SAME key exchange as the data —
+    * no separate stats aggregate, no join: one shuffle of (key,
+    * carried columns), and the windows are unordered full-partition
+    * aggregates (no sort). All input columns pass through; `zscore`
+    * is appended. Constant groups (stddev 0 or a single row) yield a
+    * null z-score and are never flagged.
+    *
+    * At 100 TB the one exchange moves only the columns the caller
+    * kept, and a skewed group degrades to one fat partition — the
+    * caller can pre-bucket the key (as q97's profiler would advise)
+    * if a single group outweighs an executor.
+    */
+  def zscoreOutliers(
+      df: DataFrame, keyCol: String, valCol: Column, z: Double): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val score = (valCol - avg(valCol).over(w)) / stddev_samp(valCol).over(w)
+    df.withColumn("zscore", score).filter(abs(col("zscore")) > z)
+  }
+}
