@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.functions.TimeFunctions.tsMillis
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -349,7 +350,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
       .select(
-        unix_millis(col("window.start")).as("window_start_ms"),
+        tsMillis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
   // ----------------------------------------------------------------
@@ -790,7 +791,7 @@ object SparkEntry {
     AsOfJoin.asOf(purchases, views, keys = Seq("user_id"), tsCol = "ts",
       rightPayload = Seq("event_id", "value"), prefix = "view_")
       .select(col("event_id"), col("user_id"),
-        unix_millis(col("ts")).as("ts_ms"),
+        tsMillis(col("ts")).as("ts_ms"),
         col("view_event_id"), col("view_value"))
   }
 
@@ -800,7 +801,7 @@ object SparkEntry {
     * oracle). */
   private def q55(s: SparkSession, dir: String): DataFrame =
     RangeJoin.withinWindow(Tables(s, dir).events, keys = Seq("user_id"),
-      idCol = "event_id", tsMs = unix_millis(col("ts")),
+      idCol = "event_id", tsMs = tsMillis(col("ts")),
       windowMs = 3600000L)
 
   /** Deterministic composite columns for the _1034 split-row shape:

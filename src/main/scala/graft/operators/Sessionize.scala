@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TimeFunctions.tsMillis
+
 /** Gap-based sessionization (batch form).
   *
   * Classic lag + cumulative-sum over a per-key ordered window: a row
@@ -26,7 +28,7 @@ object Sessionize {
   def apply(
       events: DataFrame, keyCol: String, tsCol: String,
       gapMillis: Long, tieBreak: String): DataFrame = {
-    val ms = unix_millis(col(tsCol))
+    val ms = tsMillis(col(tsCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
     val prev = lag(ms, 1).over(w)
     val isNew = when(prev.isNull || ms - prev > gapMillis, 1L).otherwise(0L)
@@ -43,7 +45,7 @@ object Sessionize {
       .groupBy(col(keyCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(unix_millis(col(tsCol))).as("start_ms"),
-        max(unix_millis(col(tsCol))).as("end_ms"),
+        min(tsMillis(col(tsCol))).as("start_ms"),
+        max(tsMillis(col(tsCol))).as("end_ms"),
         round(sum(col(valueCol)), 4).as("sum_value"))
 }

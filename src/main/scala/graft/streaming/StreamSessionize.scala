@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.functions.TimeFunctions.tsMillis
+
 /** Structured Streaming twins of the batch event operators.
   *
   * Sessionization carries per-user state through
@@ -110,7 +112,7 @@ object StreamSessionize {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
       .select(
-        unix_millis(col("window.start")).as("window_start_ms"),
+        tsMillis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Sliding (hopping) window aggregation — q91's streaming form: each
@@ -129,6 +131,6 @@ object StreamSessionize {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
       .select(
-        unix_millis(col("window.start")).as("window_start_ms"),
+        tsMillis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 }
