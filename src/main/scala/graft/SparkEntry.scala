@@ -1608,9 +1608,12 @@ object SparkEntry {
 
   /** q103: pivot — the reverse of q09's unpivot: return-flag columns
     * out of rows (`groupBy().pivot(col, values)` with the value list
-    * PINNED, so the plan is a single map-side-combined aggregate whose
-    * grouping never widens — a pivot without the value list needs a
-    * distinct-collect pre-pass, which is a second job at 100 TB). */
+    * PINNED — a pivot without the value list needs a distinct-collect
+    * pre-pass, which is a second job at 100 TB). Catalyst compiles the
+    * pinned pivot to two stacked aggregates: corpus-sized data moves
+    * only in the first exchange, map-side combined on (linestatus,
+    * returnflag); the PivotFirst exchange reshuffles the handful of
+    * reduced rows (pinned at 2 in PlanAuditSpec). */
   private def q103(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem
       .groupBy(col("l_linestatus"))
@@ -1633,6 +1636,7 @@ object SparkEntry {
         to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(round(max(col("value")), 4).as("reading"))
     Timeseries.gapFillForward(points, "sensor", "day", "reading")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
   }
 
   /** q105: exact per-bucket mode event type (Stats.modePerKey — the
@@ -2877,6 +2881,104 @@ object SparkEntry {
         |  round(s.mn + bucket * ((s.mx - s.mn) / 20), 4) AS lo,
         |  round(s.mn + (bucket + 1) * ((s.mx - s.mn) / 20), 4) AS hi,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM b, s GROUP BY bucket, s.mn, s.mx""".stripMargin
+        |FROM b, s GROUP BY bucket, s.mn, s.mx""".stripMargin,
+    // q103: a pinned-value-list pivot IS conditional aggregation — the
+    // oracle spells out what Catalyst's PivotFirst rewrites to.
+    "q103_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag='A' THEN l_quantity END), 4) AS qty_a,
+        |  round(sum(CASE WHEN l_returnflag='N' THEN l_quantity END), 4) AS qty_n,
+        |  round(sum(CASE WHEN l_returnflag='R' THEN l_quantity END), 4) AS qty_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // q104: the classic calendar-join formulation (spine via
+    // generate_series + last_value IGNORE NULLS) — deliberately the
+    // OTHER plan shape than the engine's join-free union+window.
+    "q104_gap_fill" ->
+      """WITH points AS (
+        |  SELECT user_id % 50 AS sensor,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(max(value), 4) AS reading
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT sensor, min(day) AS lo, max(day) AS hi
+        |  FROM points GROUP BY 1),
+        |spine AS (
+        |  SELECT sensor, CAST(unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (
+        |  SELECT s.sensor, s.day,
+        |    last_value(p.reading IGNORE NULLS) OVER (
+        |      PARTITION BY s.sensor ORDER BY s.day) AS reading
+        |  FROM spine s LEFT JOIN points p
+        |    ON s.sensor = p.sensor AND s.day = p.day)
+        |SELECT sensor, strftime(day, '%Y-%m-%d') AS day, reading
+        |FROM filled""".stripMargin,
+    // q105: the row_number-over-(count DESC, value) formulation the
+    // struct-min plan replaces.
+    "q105_mode" ->
+      """WITH c AS (
+        |  SELECT user_id % 100 AS bucket, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY bucket ORDER BY cnt DESC, event_type) AS rn FROM c)
+        |SELECT bucket, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn = 1""".stripMargin,
+    // q106: the identical ±1 sweep, as SQL — ends sort before starts at
+    // equal timestamps (ORDER BY t, d with d=-1 for ends), giving the
+    // same half-open [start, end) semantics.
+    "q106_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT event_type, ts AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 1 HOUR AS t, -1 AS d
+        |  FROM events),
+        |run AS (
+        |  SELECT event_type, sum(d) OVER (
+        |    PARTITION BY event_type ORDER BY t, d
+        |    ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM deltas)
+        |SELECT event_type, CAST(max(r) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY 1""".stripMargin,
+    // q107: formula replication (sklearn-smoothed idf), as q71 bm25.
+    "q107_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((1.0 + n.n) / (dfreq.df + 1.0)) + 1.0), 4)
+        |      AS tfidf
+        |  FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+    // q108: DuckDB's native ordered string_agg(DISTINCT) — the form
+    // whose per-group sort the collect_set→array_sort plan avoids.
+    "q108_string_agg" ->
+      """SELECT CAST(c_nationkey AS INT) AS nation,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS prios,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q109: avg/stddev_samp as plain windows; the filter uses the
+    // UNROUNDED z on both sides (the fixture keeps |z| far from 3).
+    "q109_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    value * CASE WHEN event_id % 97 = 0 THEN 25 ELSE 1 END AS v
+        |  FROM events),
+        |z AS (
+        |  SELECT *, (v - avg(v) OVER (PARTITION BY event_type)) /
+        |    stddev_samp(v) OVER (PARTITION BY event_type) AS zscore
+        |  FROM s)
+        |SELECT event_id, event_type, round(v, 4) AS v,
+        |  round(zscore, 4) AS z
+        |FROM z WHERE abs(zscore) > 3""".stripMargin
   )
 }

@@ -156,15 +156,21 @@ object Corpus {
     * beside q71's query-driven BM25.
     *
     * Plan shape: explode → (doc, term) counts (the only exchange that
-    * moves corpus-sized data, map-side combined) → per-term document
-    * frequencies, an aggregate over the already-reduced tf table →
-    * joined back on the term. The df table is |vocabulary|-sized:
-    * bounded in practice but NOT guaranteed small, so the join stays a
-    * shuffle equi-join and AQE demotes it to a broadcast when the
-    * vocabulary measures small — the opposite default from bm25Search,
-    * whose df table is capped by the query's own term count. Top-k is
-    * a row_number over the doc key. The corpus count is one
-    * pruned-scan aggregate (same pattern as bm25's globals).
+    * moves corpus-sized data, map-side combined), MATERIALIZED once
+    * with localCheckpoint — both the join's probe side and the df
+    * aggregate consume tf, and without the cut Catalyst plans the
+    * whole scan+explode+count subtree twice (measured: 6 exchanges
+    * and a doubled tokenize at sf0.001; 4 exchanges with the cut,
+    * same answer — the q98 pattern). Per-term document frequencies
+    * are an aggregate over the reduced tf table → joined back on the
+    * term. The df table is |vocabulary|-sized: bounded in practice
+    * but NOT guaranteed small, so the join stays a shuffle equi-join
+    * and AQE demotes it to a broadcast when the vocabulary measures
+    * small — the opposite default from bm25Search, whose df table is
+    * capped by the query's own term count. Top-k is a row_number over
+    * the doc key (WindowGroupLimit prunes to k per doc before the
+    * final exchange). The corpus count is one pruned-scan aggregate
+    * (same pattern as bm25's globals).
     */
   def tfidfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
@@ -174,6 +180,7 @@ object Corpus {
     val n = docs.select(col(idCol)).count()
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
     val idf = log((lit(1.0) + n) / (col("__df") + lit(1.0))) + lit(1.0)

@@ -437,4 +437,33 @@ class CorpusSpec extends SparkSpec {
     val oneShard = got.groupBy(_._2).values.maxBy(_.length).map(_._1)
     assert(oneShard.toSeq !== oneShard.sorted.toSeq)
   }
+
+  test("tfidfTopTerms: sklearn-smoothed idf, rank by score then term") {
+    // 3 docs; "rare" appears only in doc 1, "common" in all three.
+    // idf(common) = ln(4/4)+1 = 1; idf(rare) = ln(4/2)+1 ≈ 1.6931
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common common common"),
+      (3L, "common")).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    // doc 1: common tf=2 → 2.0; rare tf=1 → 1.6931: common ranks first
+    assert(got((1L, 1)) === (("common", 2.0)))
+    assert(got((1L, 2)) === (("rare", 1.6931)))
+    // doc 2: only one distinct term — no padding rows beyond it
+    assert(got((2L, 1)) === (("common", 3.0)))
+    assert(!got.contains((2L, 2)))
+    // doc 3: a single occurrence scores exactly idf
+    assert(got((3L, 1)) === (("common", 1.0)))
+  }
+
+  test("tfidfTopTerms: equal scores break ties by term ascending") {
+    val docs = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // both terms score identically in both docs → "a" wins rank 1
+    assert(got === Map(1L -> "a", 2L -> "a"))
+  }
 }

@@ -77,4 +77,26 @@ class EventFlowSpec extends SparkSpec {
       ("2024-01-01", 2, 1L), // user 1
       ("2024-01-08", 0, 1L))) // user 2
   }
+
+  test("maxConcurrency: half-open intervals — touching endpoints don't overlap") {
+    val iv = Seq(
+      // key a: [0,2) [1,3) [2,4) — the first ENDS exactly when the
+      // third STARTS, so peak is 2 (at t=1 and t=2), not 3
+      ("a", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+      ("a", "2024-01-01 01:00:00", "2024-01-01 03:00:00"),
+      ("a", "2024-01-01 02:00:00", "2024-01-01 04:00:00"),
+      // key b: three genuinely nested intervals → 3
+      ("b", "2024-01-01 00:00:00", "2024-01-01 10:00:00"),
+      ("b", "2024-01-01 01:00:00", "2024-01-01 09:00:00"),
+      ("b", "2024-01-01 02:00:00", "2024-01-01 08:00:00"),
+      // key c: disjoint intervals → 1
+      ("c", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      ("c", "2024-01-01 05:00:00", "2024-01-01 06:00:00"))
+      .toDF("k", "s", "e")
+      .select(col("k"), to_timestamp(col("s")).as("s"),
+        to_timestamp(col("e")).as("e"))
+    val out = EventFlow.maxConcurrency(iv, "k", col("s"), col("e"))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
+  }
 }

@@ -100,7 +100,18 @@ class PlanAuditSpec extends SparkSpec {
       "q96_global_rank" -> 1,  // prefixSum's bucket-partitioned window
       "q98_token_budget" -> 1, // same prefix-scan shape
       "q94_cube" -> 1,         // grouping sets expand below ONE agg exchange
-      "q101_histogram" -> 1)   // bucket count only; min/max is a scalar pass
+      "q101_histogram" -> 1,   // bucket count only; min/max is a scalar pass
+      "q103_pivot" -> 2,       // corpus moves once (map-side combined);
+                               // PivotFirst reshuffles the reduced rows
+      "q104_gap_fill" -> 3,    // fixture pre-agg + bounds agg + fill window
+      "q105_mode" -> 2,        // (key,value) counts + struct-min over the
+                               // already-reduced count table
+      "q106_concurrency" -> 1, // ±1 sweep window; per-key max rides the
+                               // window's own partitioning
+      "q107_tfidf" -> 2,       // post-checkpoint: df agg + top-k window
+                               // (corpus-sized tf moved ONCE, behind the cut)
+      "q108_string_agg" -> 1,  // dim join broadcasts; one agg exchange
+      "q109_zscore_outliers" -> 1) // group stats ride the data's key window
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

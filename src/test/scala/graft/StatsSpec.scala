@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Mode tie-breaking and z-score edge semantics (q105/q109). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("modePerKey: highest count wins; ties break to the smallest value") {
+    val df = Seq(
+      // key a: "x" ×2 beats "y" ×1
+      ("a", "y"), ("a", "x"), ("a", "x"),
+      // key b: two-way tie at 2 — lexicographically first ("p") wins
+      ("b", "q"), ("b", "p"), ("b", "q"), ("b", "p"),
+      // key c: single row
+      ("c", "z")).toDF("k", "v")
+    val out = Stats.modePerKey(df, "k", "v")
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out === Map(
+      "a" -> (("x", 2L)), "b" -> (("p", 2L)), "c" -> (("z", 1L))))
+  }
+
+  test("zscoreOutliers: flags beyond z; constant and singleton groups never flag") {
+    val df = Seq(
+      // group g: mean 0 over 10 zeros + one spike → spike's z ≈ 3.02
+      ("g", 100.0), ("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 0.0),
+      ("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 0.0),
+      ("g", 0.0),
+      // constant group: stddev 0 → null z, never flagged (not a NaN leak)
+      ("c", 5.0), ("c", 5.0), ("c", 5.0),
+      // singleton group: stddev_samp undefined → null z
+      ("s", 42.0)).toDF("k", "v")
+    val out = Stats.zscoreOutliers(df, "k", col("v"), z = 3.0)
+      .select(col("k"), col("v")).as[(String, Double)].collect()
+    assert(out.toSeq === Seq(("g", 100.0)))
+    // the same spike survives only while z clears the bar
+    assert(Stats.zscoreOutliers(df, "k", col("v"), z = 3.1).count() === 0)
+  }
+
+  test("zscoreOutliers: passes input columns through and appends zscore") {
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, -10.0), ("g", 3L, 0.0))
+      .toDF("k", "id", "v")
+    val out = Stats.zscoreOutliers(df, "k", col("v"), z = 100.0)
+    assert(out.columns.toSeq === Seq("k", "id", "v", "zscore"))
+  }
+}
