@@ -92,7 +92,9 @@ object Bench {
       // pivot, gap fill, mode, concurrency, tf-idf, string-agg,
       // z-score outliers (r10 — the r9 orphans, now oracle-checked)
       "q103_pivot", "q104_gap_fill", "q105_mode", "q106_concurrency",
-      "q107_tfidf", "q108_string_agg", "q109_zscore_outliers"
+      "q107_tfidf", "q108_string_agg", "q109_zscore_outliers",
+      // weighted sampling + robust outliers (r10)
+      "q110_weighted_sample", "q111_mad_outliers"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

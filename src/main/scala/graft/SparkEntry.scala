@@ -1693,6 +1693,29 @@ object SparkEntry {
         round(col("v"), 4).as("v"), round(col("zscore"), 4).as("z"))
   }
 
+  /** q110: weighted sample — 100 documents drawn without replacement
+    * with probability proportional to length (Corpus.weightedSample,
+    * Efraimidis–Spirakis keys from the doc id's md5, so the draw is
+    * reproducible across engines). */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(Tables(s, dir).documents, "doc_id", "n_chars",
+      k = 100)
+
+  /** q111: robust outliers — the q109 spike fixture flagged by
+    * median/MAD instead of mean/stddev (Stats.madOutliers). The
+    * contrast IS the point: the 25× spikes inflate a stddev toward
+    * masking themselves but leave the median untouched. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val spiked = Tables(s, dir).events
+      .select(col("event_id"), col("event_type"),
+        (col("value") *
+          when(col("event_id") % 97 === 0, 25).otherwise(1)).as("v"))
+    Stats.madOutliers(spiked, "event_type", col("v"), k = 10.0)
+      .select(col("event_id"), col("event_type"),
+        round(col("v"), 4).as("v"), round(col("deviation"), 4).as("dev"),
+        round(col("median"), 4).as("med"), round(col("mad"), 4).as("mad"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1797,7 +1820,9 @@ object SparkEntry {
     "q106_concurrency" -> (q106 _),
     "q107_tfidf" -> (q107 _),
     "q108_string_agg" -> (q108 _),
-    "q109_zscore_outliers" -> (q109 _)
+    "q109_zscore_outliers" -> (q109 _),
+    "q110_weighted_sample" -> (q110 _),
+    "q111_mad_outliers" -> (q111 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2979,6 +3004,36 @@ object SparkEntry {
         |  FROM s)
         |SELECT event_id, event_type, round(v, 4) AS v,
         |  round(zscore, 4) AS z
-        |FROM z WHERE abs(zscore) > 3""".stripMargin
+        |FROM z WHERE abs(zscore) > 3""".stripMargin,
+    // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
+    // prefixed md5 slice where Spark uses conv(hex, 16, 10).
+    "q110_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    pow((CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |      / 4294967296.0,
+        |      1.0 / n_chars) AS key
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+        |    AS sample_rank
+        |FROM s ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+    // q111: DuckDB's median interpolates even-count groups exactly like
+    // Spark's exact percentile(0.5).
+    "q111_mad_outliers" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    value * CASE WHEN event_id % 97 = 0 THEN 25 ELSE 1 END AS v
+        |  FROM events),
+        |med AS (SELECT event_type, median(v) AS med FROM s GROUP BY 1),
+        |mad AS (
+        |  SELECT s.event_type, median(abs(s.v - med.med)) AS mad
+        |  FROM s JOIN med USING (event_type) GROUP BY 1)
+        |SELECT s.event_id, s.event_type, round(s.v, 4) AS v,
+        |  round(abs(s.v - med.med), 4) AS dev,
+        |  round(med.med, 4) AS med, round(mad.mad, 4) AS mad
+        |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE mad.mad > 0 AND abs(s.v - med.med) > 10 * mad.mad""".stripMargin
   )
 }

@@ -879,4 +879,38 @@ object Corpus {
     }
     docs.withColumn("split", assign)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res, "Weighted random sampling with a reservoir",
+    * IPL 2006): each row draws key = u^(1/w); the k largest keys ARE a
+    * weighted sample without replacement. The usual reservoir walks
+    * the data sequentially; the order-statistics formulation is the
+    * distributed form — no sequential state, the sample is a global
+    * top-k.
+    *
+    * u is derived from the row's ID (first 8 md5 hex chars → [0,1)),
+    * not from an RNG: the sample is reproducible across runs, cluster
+    * layouts and engines (DuckDB reproduces it bit-for-bit, so the
+    * oracle is hash-exact — same trick as q83's stratified order).
+    *
+    * Plan shape: key is a pure projection; top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps of k, only k rows per
+    * partition reach the final merge — never a global sort exchange).
+    * The rank window runs over the k sampled rows only (bounded by
+    * construction, the trainCentroids allowance). At 100 TB: the scan
+    * is the cost; everything after moves k rows.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.select(col(idCol), col(weightCol), key.as("__key"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("__key").desc, col(idCol))))
+      .drop("__key")
+  }
 }

@@ -54,4 +54,42 @@ object Stats {
     val score = (valCol - avg(valCol).over(w)) / stddev_samp(valCol).over(w)
     df.withColumn("zscore", score).filter(abs(col("zscore")) > z)
   }
+
+  /** Robust (median/MAD) per-group outliers — the heavy-tail-safe twin
+    * of [[zscoreOutliers]]: a single extreme value drags a mean and
+    * inflates a stddev (masking itself), but not a median. Flags rows
+    * with |x − median| > k · MAD, where MAD = median(|x − median|).
+    *
+    * Two exact-percentile aggregates on the group key (medians can't
+    * ride a window — Spark's percentile is aggregate-only), the second
+    * over the deviation of the first, joined back broadcast (the stats
+    * tables are group-count-sized). Zero-MAD groups (over half the
+    * group at the median) and singletons never flag — a null/zero
+    * denominator is no evidence of an outlier.
+    *
+    * Scale note: exact `percentile` buffers each group's values in the
+    * aggregation buffer — right for diagnostics over bounded groups
+    * (a group must fit an executor), NOT for billion-row groups; at
+    * that scale substitute `approx_percentile` (the q56 sketch path)
+    * at a small accuracy cost. The flagging pass itself is one
+    * broadcast join + filter, no extra exchange of the data.
+    */
+  def madOutliers(
+      df: DataFrame, keyCol: String, valCol: Column, k: Double): DataFrame = {
+    // materialized: both the MAD aggregate and the flagging join consume
+    // the medians, and without the cut Catalyst plans the full-data
+    // percentile aggregate twice (3 exchanges → 2, one group-count-sized
+    // table held instead)
+    val med = df.groupBy(col(keyCol))
+      .agg(percentile(valCol, lit(0.5)).as("__med"))
+      .localCheckpoint()
+    val mad = df.join(broadcast(med), keyCol)
+      .groupBy(col(keyCol))
+      .agg(percentile(abs(valCol - col("__med")), lit(0.5)).as("__mad"))
+    df.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
+      .withColumn("deviation", abs(valCol - col("__med")))
+      .filter(col("__mad") > 0 && col("deviation") > lit(k) * col("__mad"))
+      .withColumn("median", col("__med")).withColumn("mad", col("__mad"))
+      .drop("__med", "__mad")
+  }
 }

@@ -438,6 +438,35 @@ class CorpusSpec extends SparkSpec {
     assert(oneShard.toSeq !== oneShard.sorted.toSeq)
   }
 
+  test("weightedSample: without replacement, dense ranks, layout-independent") {
+    val docs = (1L to 500L).map(i => (i, 10L)).toDF("id", "w")
+    val got = Corpus.weightedSample(docs, "id", "w", k = 50)
+      .as[(Long, Long, Int)].collect()
+    // exactly k distinct ids, ranks dense 1..k
+    assert(got.length === 50 && got.map(_._1).distinct.length === 50)
+    assert(got.map(_._3).sorted === (1 to 50).toArray)
+    // a different partition layout draws the IDENTICAL sample (keys
+    // are a pure function of the id, never of row position)
+    val re = Corpus.weightedSample(docs.repartition(7), "id", "w", k = 50)
+      .as[(Long, Long, Int)].collect()
+    assert(re.sortBy(_._3).toSeq === got.sortBy(_._3).toSeq)
+    // k >= n degenerates to "all rows"
+    assert(Corpus.weightedSample(docs.limit(10), "id", "w", 50).count() === 10)
+  }
+
+  test("weightedSample: heavier rows dominate the sample") {
+    // 500 light rows (w=1) vs 10 heavy rows (w=1000): a heavy row's
+    // key u^(1/1000) concentrates near 1, so with k=10 the sample
+    // should be nearly all heavy ids (deterministic given the md5 u's)
+    val light = (1L to 500L).map(i => (i, 1L))
+    val heavy = (1001L to 1010L).map(i => (i, 1000L))
+    val sample = Corpus.weightedSample(
+      (light ++ heavy).toDF("id", "w"), "id", "w", k = 10)
+      .as[(Long, Long, Int)].collect()
+    val nHeavy = sample.count(_._1 >= 1001L)
+    assert(nHeavy >= 8, s"expected a heavy-dominated sample, got $nHeavy/10")
+  }
+
   test("tfidfTopTerms: sklearn-smoothed idf, rank by score then term") {
     // 3 docs; "rare" appears only in doc 1, "common" in all three.
     // idf(common) = ln(4/4)+1 = 1; idf(rare) = ln(4/2)+1 ≈ 1.6931

@@ -63,9 +63,10 @@ class PlanAuditSpec extends SparkSpec {
 
   // global (unpartitioned) windows allowed ONLY where the window input
   // is bounded by construction: trainCentroids' init ranks a LIMIT-k
-  // sample (model-sized, never the corpus) to number the seed centroids
+  // sample (model-sized, never the corpus) to number the seed centroids;
+  // weightedSample ranks the k rows its TakeOrdered already selected
   private val globalWindowByDesign = Set(
-    "q61_ann_ivf_trained", "q66_ann_ivfpq")
+    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q110_weighted_sample")
 
   test("no registered query windows over a single partition") {
     // an empty partitionSpec funnels the whole input through ONE task —
@@ -111,7 +112,12 @@ class PlanAuditSpec extends SparkSpec {
       "q107_tfidf" -> 2,       // post-checkpoint: df agg + top-k window
                                // (corpus-sized tf moved ONCE, behind the cut)
       "q108_string_agg" -> 1,  // dim join broadcasts; one agg exchange
-      "q109_zscore_outliers" -> 1) // group stats ride the data's key window
+      "q109_zscore_outliers" -> 1, // group stats ride the data's key window
+      "q110_weighted_sample" -> 0, // TakeOrdered per-partition heaps; the
+                               // rank window rides its single output
+      "q111_mad_outliers" -> 1) // MAD agg only; the median agg sits
+                               // behind its checkpoint cut, stats join
+                               // back broadcast — data never re-shuffles
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

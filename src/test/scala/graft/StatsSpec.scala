@@ -45,4 +45,28 @@ class StatsSpec extends SparkSpec {
     val out = Stats.zscoreOutliers(df, "k", col("v"), z = 100.0)
     assert(out.columns.toSeq === Seq("k", "id", "v", "zscore"))
   }
+
+  test("madOutliers: catches the spike a z-score masks") {
+    // bulk 1..9 plus a 100 spike: the spike inflates the stddev to
+    // ~30 so its own z is only ~2.8 (zscore at 3.0 misses it), while
+    // median 5.5 (10 values interpolate) / MAD 2.5 flags it at 38×
+    // the threshold
+    val df = (Seq.tabulate(9)(i => ("g", (i + 1).toDouble)) :+
+      (("g", 100.0))).toDF("k", "v")
+    assert(Stats.zscoreOutliers(df, "k", col("v"), z = 3.0).count() === 0)
+    val out = Stats.madOutliers(df, "k", col("v"), k = 3.0)
+      .select(col("v"), col("median"), col("mad"))
+      .as[(Double, Double, Double)].collect()
+    assert(out.toSeq === Seq((100.0, 5.5, 2.5)))
+  }
+
+  test("madOutliers: zero-MAD and singleton groups never flag") {
+    val df = Seq(
+      // >half the group at the median → MAD 0 → no flags, even for
+      // the wild value (documented: no denominator, no evidence)
+      ("z", 5.0), ("z", 5.0), ("z", 5.0), ("z", 1000.0),
+      // singleton: deviation 0, MAD 0
+      ("s", 42.0)).toDF("k", "v")
+    assert(Stats.madOutliers(df, "k", col("v"), k = 1.0).count() === 0)
+  }
 }

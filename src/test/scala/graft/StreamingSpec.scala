@@ -306,4 +306,34 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("incomparable"))
   }
+
+  test("stream-stream interval join pairs events within the band only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.functions.col
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val v = views.toDS().toDF("user_id", "vts", "view_id")
+      .withWatermark("vts", "0 seconds")
+    val p = purchases.toDS().toDF("user_id", "pts", "purchase_id")
+      .withWatermark("pts", "0 seconds")
+    val joined = StreamJoin.withinWindow(
+      p, v, "user_id", col("pts"), col("vts"), windowMs = 30 * 60 * 1000)
+    views.addData(
+      (1L, ts(0), 100L),   // 45 min before the purchase — outside 30m
+      (1L, ts(20), 101L),  // 25 min before — inside
+      (1L, ts(50), 102L),  // AFTER the purchase — never joins
+      (2L, ts(20), 200L))  // other user — never joins
+    purchases.addData((1L, ts(45), 900L))
+    val query = joined.writeStream
+      .format("memory").queryName("ssjoin_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val got = spark.table("ssjoin_out")
+      .select("purchase_id", "view_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((900L, 101L)))
+  }
 }
