@@ -1716,6 +1716,42 @@ object SparkEntry {
         round(col("median"), 4).as("med"), round(col("mad"), 4).as("mad"))
   }
 
+  /** q112: first-touch attribution — each purchase credited to the
+    * EARLIEST view in the preceding 30 minutes (AsOfJoin.firstWithin:
+    * union + one range-frame window, no join; q54 is the last-touch
+    * dual). */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val views = ev.filter(col("event_type") === "view")
+    AsOfJoin.firstWithin(purchases, views, keys = Seq("user_id"),
+      tsCol = "ts", rightPayload = Seq("event_id"),
+      windowMs = 30L * 60 * 1000, prefix = "first_")
+      .select(col("event_id"), col("user_id"),
+        tsMillis(col("ts")).as("ts_ms"),
+        col("first_event_id").as("first_view_id"),
+        (tsMillis(col("ts")) - col("first_ms")).as("first_gap_ms"))
+  }
+
+  /** q113: per-type winsorization — event values clamped to their
+    * type's [p05, p95] band (Stats.winsorize; the row survives at the
+    * clipped value where q109/q111 would flag it). */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorize(Tables(s, dir).events, "event_type", col("value"),
+      lo = 0.05, hi = 0.95)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("v"),
+        round(col("winsorized"), 4).as("v_w"),
+        round(col("lo_bound"), 4).as("lo"),
+        round(col("hi_bound"), 4).as("hi"))
+
+  /** q114: per-source weighted sample — 20 docs per source, drawn
+    * without replacement proportional to length
+    * (Corpus.weightedSamplePerStratum). */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSamplePerStratum(Tables(s, dir).documents,
+      "source", "doc_id", "n_chars", k = 20)
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1822,7 +1858,10 @@ object SparkEntry {
     "q108_string_agg" -> (q108 _),
     "q109_zscore_outliers" -> (q109 _),
     "q110_weighted_sample" -> (q110 _),
-    "q111_mad_outliers" -> (q111 _)
+    "q111_mad_outliers" -> (q111 _),
+    "q112_first_touch" -> (q112 _),
+    "q113_winsorize" -> (q113 _),
+    "q114_sample_per_stratum" -> (q114 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3034,6 +3073,52 @@ object SparkEntry {
         |  round(abs(s.v - med.med), 4) AS dev,
         |  round(med.med, 4) AS med, round(mad.mad, 4) AS mad
         |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
-        |WHERE mad.mad > 0 AND abs(s.v - med.med) > 10 * mad.mad""".stripMargin
+        |WHERE mad.mad > 0 AND abs(s.v - med.med) > 10 * mad.mad""".stripMargin,
+    // q112: the naive formulation — left join all in-band views, keep
+    // rn=1 by (view time, view id); the engine's range-frame window
+    // must agree row for row, nulls included.
+    "q112_first_touch" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ms,
+        |    v.event_id AS view_id, v.ms AS vms,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ms, v.event_id) AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |    AND v.ms <= p.ms AND v.ms >= p.ms - 1800000)
+        |SELECT event_id, user_id, ms AS ts_ms, view_id AS first_view_id,
+        |  ms - vms AS first_gap_ms
+        |FROM j WHERE rn = 1""".stripMargin,
+    // q113: quantile_cont interpolates exactly like Spark's exact
+    // percentile; the clamp is least/greatest on both sides.
+    "q113_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS v,
+        |  round(least(greatest(e.value, b.lo), b.hi), 4) AS v_w,
+        |  round(b.lo, 4) AS lo, round(b.hi, 4) AS hi
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
+    // q114: q110's keys ranked per stratum instead of globally.
+    "q114_sample_per_stratum" ->
+      """WITH s AS (
+        |  SELECT source, doc_id, n_chars,
+        |    pow((CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |      / 4294967296.0,
+        |      1.0 / n_chars) AS key
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, sample_rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY key DESC, doc_id) AS INT) AS sample_rank
+        |  FROM s)
+        |WHERE sample_rank <= 20""".stripMargin
   )
 }

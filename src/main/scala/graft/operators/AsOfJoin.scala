@@ -146,4 +146,61 @@ object AsOfJoin {
       .select(left.columns.map(n => col(s"__l.$n").as(n)).toSeq ++
         rightPayload.map(n => col(s"__m.$n").as(s"$prefix$n")): _*)
   }
+
+  /** First-match-within-window join — [[asOf]]'s dual: for each left
+    * row, attach the EARLIEST right row with `right.ts` in
+    * `[left.ts − windowMs, left.ts]` in the same key group (the
+    * first-touch attribution shape: each purchase credited to the
+    * first view in the preceding window, not the last).
+    *
+    * Carrying-forward can't express "earliest within a bounded band"
+    * (old matches must expire), so the window here is a RANGE frame:
+    * both sides union tagged, ordered per key by epoch millis, and
+    * `min(payload-struct)` over `rangeBetween(-windowMs, 0)` finds the
+    * earliest in-band right row for every row position — left rows
+    * project it, right rows are dropped. Still NO join and ONE hash
+    * exchange, same as [[asOf]]. The payload struct leads with the
+    * millis, so min = earliest (ties by the remaining payload fields,
+    * deterministic given unique ids).
+    *
+    * Cost note: min is not invertible, so Spark re-scans each sliding
+    * range frame — per-task cost is O(rows × max in-band rows per
+    * key), the band's own candidate bound (same bound the q55 banded
+    * join carries). Left rows with no in-band right keep null payloads.
+    */
+  def firstWithin(
+      left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightPayload: Seq[String], windowMs: Long,
+      prefix: String = "first_"): DataFrame = {
+    require(keys.nonEmpty, "firstWithin needs at least one key column")
+    require(windowMs > 0, "windowMs must be positive")
+    import graft.functions.TimeFunctions.tsMillis
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val payloadStruct = struct(
+      tsMillis(col(tsCol)).as("__rms") +: rightPayload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftType = left.select(leftStruct).schema.head.dataType
+
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        tsMillis(col(tsCol)).as("__ms"), lit(1).as("__side"),
+        leftStruct.as("__l"),
+        lit(null).cast(payloadType).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        tsMillis(col(tsCol)).as("__ms"), lit(0).as("__side"),
+        lit(null).cast(leftType).as("__l"),
+        payloadStruct.as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ms"))
+      .rangeBetween(-windowMs, 0)
+
+    l.unionByName(r)
+      .withColumn("__m", min(col("__r")).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(n => col(s"__l.$n").as(n)).toSeq ++
+        (col("__m.__rms").as(s"${prefix}ms") +:
+          rightPayload.map(n => col(s"__m.$n").as(s"$prefix$n"))): _*)
+  }
 }

@@ -913,4 +913,27 @@ object Corpus {
         row_number().over(Window.orderBy(col("__key").desc, col(idCol))))
       .drop("__key")
   }
+
+  /** [[weightedSample]] stratified: an independent k-row E-S weighted
+    * draw per stratum (per-source corpus mixing with length/quality
+    * weighting — q68's hash sampler with weights). Same reproducible
+    * u^(1/w) keys; top-k per key is a row_number over the stratum
+    * partition — ONE hash exchange on the stratum, and the rank filter
+    * prunes to k per stratum before anything else consumes the rows
+    * (WindowGroupLimit pushes the bound below the sort at scale).
+    */
+  def weightedSamplePerStratum(
+      df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__key").desc, col(idCol))
+    df.select(col(stratumCol), col(idCol), col(weightCol), key.as("__key"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__key")
+  }
 }

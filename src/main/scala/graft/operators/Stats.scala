@@ -92,4 +92,28 @@ object Stats {
       .withColumn("median", col("__med")).withColumn("mad", col("__mad"))
       .drop("__med", "__mad")
   }
+
+  /** Per-group winsorization: clamp values to the group's [lo, hi]
+    * quantiles — the outlier treatment that KEEPS the row (a doc with
+    * a freak length stays in the corpus at the clipped length) where
+    * [[madOutliers]]/[[zscoreOutliers]] would surface or drop it.
+    *
+    * One exact-percentile aggregate builds the group bound table
+    * (group-count-sized → broadcast back); the clamp is a pure
+    * projection — the data itself never shuffles at all. Same exact-
+    * percentile scale note as [[madOutliers]]: bounded groups, or
+    * substitute approx_percentile. Appends `lo_bound`, `hi_bound`,
+    * `winsorized`; all input columns pass through.
+    */
+  def winsorize(
+      df: DataFrame, keyCol: String, valCol: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1")
+    val bounds = df.groupBy(col(keyCol)).agg(
+      percentile(valCol, lit(lo)).as("lo_bound"),
+      percentile(valCol, lit(hi)).as("hi_bound"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn("winsorized",
+        least(greatest(valCol, col("lo_bound")), col("hi_bound")))
+  }
 }

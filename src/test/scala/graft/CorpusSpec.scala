@@ -467,6 +467,24 @@ class CorpusSpec extends SparkSpec {
     assert(nHeavy >= 8, s"expected a heavy-dominated sample, got $nHeavy/10")
   }
 
+  test("weightedSamplePerStratum: each stratum draws its own global sample") {
+    // stratified draw ≡ the global draw restricted to the stratum: the
+    // E-S keys are a pure per-row function, so per-stratum top-k must
+    // equal weightedSample run on that stratum alone
+    val docs = (1L to 300L).map(i =>
+      (if (i % 3 == 0) "a" else "b", i, 1L + i % 7)).toDF("s", "id", "w")
+    val got = Corpus.weightedSamplePerStratum(docs, "s", "id", "w", k = 15)
+      .as[(String, Long, Long, Int)].collect()
+    assert(got.count(_._1 == "a") === 15 && got.count(_._1 == "b") === 15)
+    for (stratum <- Seq("a", "b")) {
+      val alone = Corpus.weightedSample(
+        docs.filter(col("s") === stratum), "id", "w", k = 15)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._3)).toSet
+      val strat = got.filter(_._1 == stratum).map(r => (r._2, r._4)).toSet
+      assert(strat === alone, s"stratum $stratum diverges from solo draw")
+    }
+  }
+
   test("tfidfTopTerms: sklearn-smoothed idf, rank by score then term") {
     // 3 docs; "rare" appears only in doc 1, "common" in all three.
     // idf(common) = ln(4/4)+1 = 1; idf(rare) = ln(4/2)+1 ≈ 1.6931

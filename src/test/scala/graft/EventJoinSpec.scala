@@ -133,4 +133,41 @@ class EventJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
   }
+
+  private def tmin(min: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("firstWithin attaches the EARLIEST in-band right row, band inclusive") {
+    val purchases = Seq(
+      (900L, "u1", tmin(45)), // band [15, 45]: views 101 (20) and 102 (40)
+      (901L, "u1", tmin(10)), // band [-20, 10]: view 100 (0)
+      (902L, "u2", tmin(5)),  // u2's only view is AFTER → null
+      (903L, "u3", tmin(50)), // no u3 views at all → null
+      (904L, "u4", tmin(30))) // view exactly at ts − window → included
+      .toDF("event_id", "key", "ts")
+    val views = Seq(
+      (100L, "u1", tmin(0)), (101L, "u1", tmin(20)),
+      (102L, "u1", tmin(40)), (200L, "u2", tmin(20)),
+      (105L, "u4", tmin(0)))
+      .toDF("event_id", "key", "ts")
+    val got = AsOfJoin.firstWithin(purchases, views, Seq("key"), "ts",
+      rightPayload = Seq("event_id"), windowMs = 30L * 60 * 1000)
+      .select(col("event_id"), col("first_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      900L -> Some(101L), // earliest in band, NOT the latest (102)
+      901L -> Some(100L),
+      902L -> None, 903L -> None,
+      904L -> Some(105L)))
+  }
+
+  test("firstWithin plan has no join node and exactly one exchange") {
+    val purchases = Seq((1L, "k", tmin(1))).toDF("id", "key", "ts")
+    val views = Seq((2L, "k", tmin(0))).toDF("id", "key", "ts")
+    val plan = AsOfJoin.firstWithin(purchases, views, Seq("key"), "ts",
+      Seq("id"), windowMs = 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1, s"want 1 exchange:\n$plan")
+  }
 }

@@ -115,9 +115,13 @@ class PlanAuditSpec extends SparkSpec {
       "q109_zscore_outliers" -> 1, // group stats ride the data's key window
       "q110_weighted_sample" -> 0, // TakeOrdered per-partition heaps; the
                                // rank window rides its single output
-      "q111_mad_outliers" -> 1) // MAD agg only; the median agg sits
+      "q111_mad_outliers" -> 1, // MAD agg only; the median agg sits
                                // behind its checkpoint cut, stats join
                                // back broadcast — data never re-shuffles
+      "q112_first_touch" -> 1, // union is free; ONE range-frame window
+      "q113_winsorize" -> 1,   // quantile-bounds agg; the clamp joins
+                               // broadcast, the data never shuffles
+      "q114_sample_per_stratum" -> 1) // the stratum rank window only
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

@@ -69,4 +69,20 @@ class StatsSpec extends SparkSpec {
       ("s", 42.0)).toDF("k", "v")
     assert(Stats.madOutliers(df, "k", col("v"), k = 1.0).count() === 0)
   }
+
+  test("winsorize: clamps to the group's interpolated quantiles") {
+    // group g = 1..10: p05 = 1.45, p95 = 9.55 (linear interpolation);
+    // the extremes clip, the middle passes through untouched
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = Stats.winsorize(df, "k", col("v"), 0.05, 0.95)
+      .select(col("v"), round(col("winsorized"), 4))
+      .as[(Double, Double)].collect().toMap
+    assert(got(1.0) === 1.45 && got(10.0) === 9.55)
+    assert(got(5.0) === 5.0)
+    // a singleton group clamps to itself
+    val one = Stats.winsorize(Seq(("s", 7.0)).toDF("k", "v"),
+      "k", col("v"), 0.05, 0.95)
+      .select(col("winsorized")).as[Double].collect()
+    assert(one.toSeq === Seq(7.0))
+  }
 }
