@@ -95,8 +95,10 @@ object Bench {
       "q107_tfidf", "q108_string_agg", "q109_zscore_outliers",
       // weighted sampling + robust outliers (r10)
       "q110_weighted_sample", "q111_mad_outliers",
-      // first-touch attribution, winsorization, stratified sampling (r10)
-      "q112_first_touch", "q113_winsorize", "q114_sample_per_stratum"
+      // first-touch attribution, winsorization, stratified sampling,
+      // cumulative distinct users (r10)
+      "q112_first_touch", "q113_winsorize", "q114_sample_per_stratum",
+      "q115_cumulative_users"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1752,6 +1752,21 @@ object SparkEntry {
     Corpus.weightedSamplePerStratum(Tables(s, dir).documents,
       "source", "doc_id", "n_chars", k = 20)
 
+  /** q115: cumulative distinct users by day
+    * (EventFlow.cumulativeUsers — first-seen reduction, never a
+    * per-day re-dedup of history). */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    // the 150 raw users all land on day one — a synthetic visitor key
+    // (user × event residue, ~5.5k visitors) spreads first-seen days
+    // across the month so the curve is genuinely cumulative
+    val ev = Tables(s, dir).events
+      .withColumn("visitor",
+        col("user_id") * 100 + pmod(col("event_id"), lit(37)))
+    EventFlow.cumulativeUsers(ev, "visitor", "ts")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+  }
+
   // ----------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------
@@ -1861,7 +1876,8 @@ object SparkEntry {
     "q111_mad_outliers" -> (q111 _),
     "q112_first_touch" -> (q112 _),
     "q113_winsorize" -> (q113 _),
-    "q114_sample_per_stratum" -> (q114 _)
+    "q114_sample_per_stratum" -> (q114 _),
+    "q115_cumulative_users" -> (q115 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3119,6 +3135,19 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY key DESC, doc_id) AS INT) AS sample_rank
         |  FROM s)
-        |WHERE sample_rank <= 20""".stripMargin
+        |WHERE sample_rank <= 20""".stripMargin,
+    // q115: the same first-seen identity in SQL (the naive
+    // COUNT(DISTINCT) OVER (ORDER BY day) re-dedups history per day).
+    "q115_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id * 100 + event_id % 37 AS visitor,
+        |    min(CAST(date_trunc('day', ts) AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d""".stripMargin
   )
 }

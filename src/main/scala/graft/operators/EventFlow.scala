@@ -96,6 +96,31 @@ object EventFlow {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Exact cumulative distinct users by day — the corpus/product
+    * growth curve ("how many unique users/contributors ever, as of
+    * each day") that naive SQL writes as COUNT(DISTINCT) OVER (ORDER
+    * BY day), a plan that re-deduplicates the entire history per day.
+    *
+    * The identity that makes it distributable: a user enters the
+    * cumulative count exactly once, on their FIRST day — so reduce to
+    * (user → min day) with a map-side-combined aggregate, roll up new
+    * users per day, and prefix-sum the day-grain table. The running
+    * sum's window is global but bounded by construction: one row per
+    * DAY (a decade ≈ 3.7k rows — the trainCentroids allowance, pinned
+    * in PlanAuditSpec), after two aggregates that both combine
+    * map-side. The raw stream shuffles once, on the user key.
+    */
+  def cumulativeUsers(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(to_date(date_trunc("day", col(tsCol)))).as("day"))
+    val daily = first.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   /** Peak concurrency per key: the maximum number of half-open
     * intervals [start, end) alive at once — the "how many sessions /
     * connections / jobs overlapped" question, solved with the classic

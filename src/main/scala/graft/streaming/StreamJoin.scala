@@ -47,4 +47,22 @@ object StreamJoin {
         rightTs <= leftTs && rightTs >= leftTs - band)
       .drop(right(keyCol))
   }
+
+  /** [[withinWindow]] as a LEFT OUTER stream-stream join: every left
+    * row eventually emits — matched pairs as they meet, unmatched left
+    * rows with null right columns once the watermark passes their
+    * band (only then can "no match" be decided; outer results are
+    * inherently watermark-delayed, the documented Structured
+    * Streaming semantic). Same bounded state as the inner form.
+    */
+  def withinWindowLeftOuter(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: Column, rightTs: Column, windowMs: Long): DataFrame = {
+    val band = expr(s"INTERVAL $windowMs MILLISECONDS")
+    left.join(right,
+      left(keyCol) === right(keyCol) &&
+        rightTs <= leftTs && rightTs >= leftTs - band,
+      "leftOuter")
+      .drop(right(keyCol))
+  }
 }

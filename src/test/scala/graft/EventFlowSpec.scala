@@ -78,6 +78,22 @@ class EventFlowSpec extends SparkSpec {
       ("2024-01-08", 0, 1L))) // user 2
   }
 
+  test("cumulativeUsers: a user counts once, on their first day") {
+    val events = ev(Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-03 10:00:00"), // returning — never recounted
+      (2L, "view", "2024-01-01 23:00:00"),
+      (3L, "view", "2024-01-03 00:00:00"),
+      (4L, "view", "2024-01-05 12:00:00")))
+    val got = EventFlow.cumulativeUsers(events, "user_id", "ts")
+      .select(col("day").cast("string"), col("new_users"), col("cum_users"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 2L),  // users 1, 2
+      ("2024-01-03", 1L, 3L),  // user 3 (user 1's return doesn't count)
+      ("2024-01-05", 1L, 4L))) // user 4; day 2 and 4 have no row
+  }
+
   test("maxConcurrency: half-open intervals — touching endpoints don't overlap") {
     val iv = Seq(
       // key a: [0,2) [1,3) [2,4) — the first ENDS exactly when the

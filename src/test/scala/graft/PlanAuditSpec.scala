@@ -64,9 +64,11 @@ class PlanAuditSpec extends SparkSpec {
   // global (unpartitioned) windows allowed ONLY where the window input
   // is bounded by construction: trainCentroids' init ranks a LIMIT-k
   // sample (model-sized, never the corpus) to number the seed centroids;
-  // weightedSample ranks the k rows its TakeOrdered already selected
+  // weightedSample ranks the k rows its TakeOrdered already selected;
+  // cumulativeUsers prefix-sums a one-row-per-DAY table
   private val globalWindowByDesign = Set(
-    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q110_weighted_sample")
+    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q110_weighted_sample",
+    "q115_cumulative_users")
 
   test("no registered query windows over a single partition") {
     // an empty partitionSpec funnels the whole input through ONE task —
@@ -121,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
       "q112_first_touch" -> 1, // union is free; ONE range-frame window
       "q113_winsorize" -> 1,   // quantile-bounds agg; the clamp joins
                                // broadcast, the data never shuffles
-      "q114_sample_per_stratum" -> 1) // the stratum rank window only
+      "q114_sample_per_stratum" -> 1, // the stratum rank window only
+      "q115_cumulative_users" -> 3) // visitor agg + day agg move the
+                               // data; the third funnels the day-grain
+                               // table (bounded) into the prefix sum
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

@@ -336,4 +336,35 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((900L, 101L)))
   }
+
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.functions.col
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val v = views.toDS().toDF("user_id", "vts", "view_id")
+      .withWatermark("vts", "0 seconds")
+    val p = purchases.toDS().toDF("user_id", "pts", "purchase_id")
+      .withWatermark("pts", "0 seconds")
+    val joined = StreamJoin.withinWindowLeftOuter(
+      p, v, "user_id", col("pts"), col("vts"), windowMs = 10 * 60 * 1000)
+    // one matched purchase, one with no view; the far-future pair
+    // advances the watermark so the unmatched row's band expires
+    views.addData((1L, ts(5), 100L))
+    purchases.addData((1L, ts(10), 900L), (2L, ts(10), 901L))
+    views.addData((9L, ts(59), 999L))
+    purchases.addData((9L, ts(59), 998L))
+    val query = joined.writeStream
+      .format("memory").queryName("ssjoin_outer_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val got = spark.table("ssjoin_outer_out")
+      .select("purchase_id", "view_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((900L, Some(100L))), s"matched pair missing: $got")
+    assert(got.contains((901L, None)), s"unmatched outer row missing: $got")
+  }
 }
