@@ -899,19 +899,35 @@ object Corpus {
     * The rank window runs over the k sampled rows only (bounded by
     * construction, the trainCentroids allowance). At 100 TB: the scan
     * is the cost; everything after moves k rows.
+    *
+    * E-S is defined for POSITIVE weights; non-positive rows are
+    * dropped before the draw (a negative weight would yield a key > 1
+    * that silently dominates every draw). `seed` mixes into the hash
+    * for independent re-draws (per-epoch samples); the default draws
+    * the same sample every run.
     */
   def weightedSample(
-      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") + lit(0.5)) / lit(4294967296.0)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
-    df.select(col(idCol), col(weightCol), key.as("__key"))
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        esKey(idCol, weightCol, seed).as("__key"))
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
       .withColumn("sample_rank",
         row_number().over(Window.orderBy(col("__key").desc, col(idCol))))
       .drop("__key")
+  }
+
+  /** The Efraimidis–Spirakis key u^(1/w) with u drawn from the id's
+    * (seed-salted) md5 — shared by [[weightedSample]] and
+    * [[weightedSamplePerStratum]] so the two draws agree. */
+  private def esKey(idCol: String, weightCol: String, seed: String) = {
+    val u = (conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    pow(u, lit(1.0) / col(weightCol).cast("double"))
   }
 
   /** [[weightedSample]] stratified: an independent k-row E-S weighted
@@ -924,14 +940,13 @@ object Corpus {
     */
   def weightedSamplePerStratum(
       df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
-      k: Int): DataFrame = {
+      k: Int, seed: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") + lit(0.5)) / lit(4294967296.0)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__key").desc, col(idCol))
-    df.select(col(stratumCol), col(idCol), col(weightCol), key.as("__key"))
+    df.filter(col(weightCol) > 0)
+      .select(col(stratumCol), col(idCol), col(weightCol),
+        esKey(idCol, weightCol, seed).as("__key"))
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
       .drop("__key")

@@ -454,6 +454,19 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.weightedSample(docs.limit(10), "id", "w", 50).count() === 10)
   }
 
+  test("weightedSample: seeds draw independently; bad weights drop") {
+    val docs = (1L to 200L).map(i => (i, 5L)).toDF("id", "w")
+    val a = Corpus.weightedSample(docs, "id", "w", 20)
+      .as[(Long, Long, Int)].collect().map(_._1).toSet
+    val b = Corpus.weightedSample(docs, "id", "w", 20, seed = "epoch2")
+      .as[(Long, Long, Int)].collect().map(_._1).toSet
+    assert(a !== b, "different seeds must draw different samples")
+    // E-S is undefined for w <= 0: those rows never enter the draw
+    val mixed = Seq((1L, 10L), (2L, 0L), (3L, -5L)).toDF("id", "w")
+    assert(Corpus.weightedSample(mixed, "id", "w", 10)
+      .as[(Long, Long, Int)].collect().map(_._1).toSeq === Seq(1L))
+  }
+
   test("weightedSample: heavier rows dominate the sample") {
     // 500 light rows (w=1) vs 10 heavy rows (w=1000): a heavy row's
     // key u^(1/1000) concentrates near 1, so with k=10 the sample
