@@ -98,7 +98,7 @@ object Bench {
       // first-touch attribution, winsorization, stratified sampling,
       // cumulative distinct users (r10)
       "q112_first_touch", "q113_winsorize", "q114_sample_per_stratum",
-      "q115_cumulative_users"
+      "q115_cumulative_users", "q116_session_window"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -357,6 +357,22 @@ object SparkEntry {
   // D. LLM-training-data pipeline
   // ----------------------------------------------------------------
 
+  /** q116: native session-window aggregation — the built-in
+    * `session_window(ts, gap)` dual of q20's lag+cumsum plan (same
+    * shape works under Structured Streaming, where the lag+cumsum
+    * form can't). One exchange on the user key; boundary-INCLUSIVE
+    * like the lag+cumsum form (an event exactly at last+gap merges —
+    * pinned in OperatorsSpec), so the oracle is q20's `> gap` rule
+    * rolled up to session bounds. */
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        tsMillis(col("session_window.start")).as("start_ms"),
+        col("n_events"), col("sum_value"))
+
   /** q30: exact dedup via content hash. */
   private def q30(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
@@ -1877,7 +1893,8 @@ object SparkEntry {
     "q112_first_touch" -> (q112 _),
     "q113_winsorize" -> (q113 _),
     "q114_sample_per_stratum" -> (q114 _),
-    "q115_cumulative_users" -> (q115 _)
+    "q115_cumulative_users" -> (q115 _),
+    "q116_session_window" -> (q116 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3148,6 +3165,26 @@ object SparkEntry {
         |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
         |  CAST(sum(new_users) OVER (ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+    // q116: q20's lag+cumsum CTE rolled up to session bounds — the
+    // same `> gap` split rule: Spark's session window is boundary-
+    // INCLUSIVE (an event exactly at last+gap merges; pinned in
+    // OperatorsSpec against the lag+cumsum form).
+    "q116_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |l AS (
+        |  SELECT *, lag(ms) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000
+        |    THEN 1 ELSE 0 END AS is_new FROM l),
+        |c AS (
+        |  SELECT *, CAST(sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, min(ms) AS start_ms,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM c GROUP BY user_id, session_id""".stripMargin
   )
 }

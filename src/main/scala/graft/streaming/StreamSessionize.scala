@@ -101,6 +101,26 @@ object StreamSessionize {
       .withColumn("content_hash", md5(col(contentCol)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Native session-window streaming aggregation — q116's streaming
+    * form: `session_window(ts, gap)` under a watermark merges a user's
+    * events into dynamic sessions inside the aggregation itself (no
+    * flatMapGroupsWithState handwriting); append mode emits a session
+    * once the watermark passes its end + gap. [[sessionUpdates]] stays
+    * the richer path (custom per-session state beyond aggregates);
+    * this is the declarative one — same boundary-inclusive semantics
+    * as the batch q116 (pinned there in OperatorsSpec). */
+  def sessionWindowAgg(
+      events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        tsMillis(col("session_window.start")).as("start_ms"),
+        tsMillis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+
   /** Tumbling event-time window aggregation with watermark — append
     * mode emits a window once the watermark passes its end. */
   def tumblingAgg(

@@ -37,6 +37,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 2L, 1L))
   }
 
+  test("Sessionize and native session_window agree, including at the boundary") {
+    // an event EXACTLY gap after its predecessor merges under BOTH
+    // formulations (Spark's session window is boundary-inclusive,
+    // verified here — q116's oracle encodes the same `> gap` split
+    // rule as q20's lag+cumsum)
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val events = Seq(
+      (1L, ts(0), 1L), (1L, ts(30), 2L), // boundary-exact successor
+      (1L, ts(45), 3L),
+      (2L, ts(0), 4L), (2L, ts(31), 5L)) // over the gap — splits
+      .toDF("user_id", "ts", "event_id")
+    val lagForm = Sessionize(events, "user_id", "ts", 30L * 60 * 1000,
+      "event_id")
+      .groupBy("user_id").agg(max(col("session_id")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val nativeForm = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(lagForm === Map(1L -> 1L, 2L -> 2L))
+    assert(nativeForm === lagForm)
+  }
+
   test("TextStats langId picks profile with most hits, first wins ties") {
     val out = Seq("the cat and the dog", "el gato y la casa", "xyz")
       .toDF("text")

@@ -124,9 +124,11 @@ class PlanAuditSpec extends SparkSpec {
       "q113_winsorize" -> 1,   // quantile-bounds agg; the clamp joins
                                // broadcast, the data never shuffles
       "q114_sample_per_stratum" -> 1, // the stratum rank window only
-      "q115_cumulative_users" -> 3) // visitor agg + day agg move the
+      "q115_cumulative_users" -> 3, // visitor agg + day agg move the
                                // data; the third funnels the day-grain
                                // table (bounded) into the prefix sum
+      "q116_session_window" -> 1) // native session agg: ONE user-key
+                               // exchange, sessions merge in the sort
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

@@ -337,6 +337,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((900L, 101L)))
   }
 
+  test("native session_window streaming agg closes sessions via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamSessionize.sessionWindowAgg(
+      input.toDS().toDF(), gap = "10 minutes", watermarkDelay = "0 seconds")
+    // one two-event session for user 1; the far-future event advances
+    // the watermark past its end+gap so append mode can emit it
+    input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+    input.addData(Event(2L, ts(50), 9.0))
+    val query = sessions.writeStream
+      .format("memory").queryName("swagg_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val got = spark.table("swagg_out")
+      .select("user_id", "start_ms", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.exists(r =>
+      r._1 == 1L && r._2 == ts(0).getTime && r._3 == 2L && r._4 == 3.0),
+      s"closed session missing: ${got.toSeq}")
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
