@@ -98,7 +98,8 @@ object Bench {
       // first-touch attribution, winsorization, stratified sampling,
       // cumulative distinct users (r10)
       "q112_first_touch", "q113_winsorize", "q114_sample_per_stratum",
-      "q115_cumulative_users", "q116_session_window"
+      "q115_cumulative_users", "q116_session_window",
+      "q117_budget_per_source"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],
@@ -142,8 +143,12 @@ object Bench {
       }
     }
 
+    // locale-pinned formatting: the f interpolator uses the JVM default
+    // locale, and a comma-decimal locale would emit unparseable JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { r =>
-      jsonStr(r.name) + ":" + f"${r.median}%.3f"
+      jsonStr(r.name) + ":" + num(r.median)
     }.mkString("{", ",", "}")
     val errs = results.filter(_.err.isDefined)
       .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get))
@@ -154,8 +159,7 @@ object Bench {
     // stdout, and two rounds of parsed:null showed the fat line and
     // post-JSON diagnostics pushed the summary out of that window
     val spread = results.filter(_.runs.nonEmpty).map { r =>
-      val mn = r.runs.min; val mx = r.runs.max
-      jsonStr(r.name) + ":[" + f"$mn%.3f" + "," + f"$mx%.3f" +
+      jsonStr(r.name) + ":[" + num(r.runs.min) + "," + num(r.runs.max) +
         "," + r.runs.size + "]"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
@@ -169,7 +173,10 @@ object Bench {
       System.err.println(s"[bench] ${r.name} FAILED: ${r.err.get}")
     }
     val total = results.map(_.median).sum
-    spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // stop() before the summary so shutdown noise can't trail it — but
+    // guarded: a shutdown hiccup must never suppress the one line the
+    // driver parses
+    try spark.stop() catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
   }
 }

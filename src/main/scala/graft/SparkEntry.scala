@@ -366,6 +366,10 @@ object SparkEntry {
     * rolled up to session bounds. */
   private def q116(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
+      // truncate to millis BEFORE windowing: the oracle's gap rule runs
+      // on epoch_ms, and a sub-millisecond residue (micro-precision
+      // timestamps) must not split a session the ms-domain rule merges
+      .withColumn("ts", timestamp_millis(tsMillis(col("ts"))))
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
@@ -1492,6 +1496,36 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"))
   }
 
+  /** q117: per-source token budgets — q98's cut applied independently
+    * per source (mixture construction with per-domain caps): keep each
+    * source's highest-quality docs until HALF that source's tokens.
+    * The greedy prefix is an exclusive running sum over a per-source
+    * ordered window — keys partition naturally, so no prefixSum
+    * machinery is needed (one hash exchange on the source; a corpus
+    * with ONE dominant source degrades to one fat partition — q98's
+    * bucketed two-level scan is the escape hatch at that shape). The
+    * per-source budget table is group-count-sized and broadcasts
+    * back. Same integer quality key as q98 for cross-engine order. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir).documents.select(
+      col("doc_id"), col("source"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("n_tok"),
+      round(TextStats.qualityScore(col("text")) * 10000).cast("long")
+        .as("__qi"))
+      .localCheckpoint(false) // scored once: budgets + cut both consume
+    val budgets = d.groupBy(col("source"))
+      .agg((sum(col("n_tok")) / 2).cast("long").as("__budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy((lit(10000L) - col("__qi")) * lit(4294967296L) +
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("__cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(budgets), "source")
+      .filter(col("__cum") + col("n_tok") <= col("__budget"))
+      .select(col("source"), col("doc_id"), col("n_tok"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -1894,7 +1928,8 @@ object SparkEntry {
     "q113_winsorize" -> (q113 _),
     "q114_sample_per_stratum" -> (q114 _),
     "q115_cumulative_users" -> (q115 _),
-    "q116_session_window" -> (q116 _)
+    "q116_session_window" -> (q116 _),
+    "q117_budget_per_source" -> (q117 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2900,6 +2935,31 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, n_tok FROM r
         |WHERE cume + n_tok <= (SELECT sum(n_tok) // 2 FROM w)""".stripMargin,
+    // q117: q98's quality/token pipeline with the cumsum and budget
+    // both PARTITIONED BY source.
+    "q117_budget_per_source" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to'], x))) AS DOUBLE) AS c_en,
+        |    CAST(len(words) AS DOUBLE) AS n_words
+        |  FROM w),
+        |q AS (SELECT doc_id, source, n_tok,
+        |    CAST(round(round(least(n_words / 200.0, 1.0) * 0.6
+        |      + least(c_en / n_words * 5.0, 1.0) * 0.4, 4) * 10000)
+        |      AS BIGINT) AS qi
+        |  FROM c),
+        |b AS (SELECT source, sum(n_tok) // 2 AS budget FROM w GROUP BY 1),
+        |r AS (SELECT doc_id, source, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY (10000 - qi) * 4294967296 + doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume
+        |  FROM q)
+        |SELECT r.source, r.doc_id, r.n_tok
+        |FROM r JOIN b USING (source)
+        |WHERE r.cume + r.n_tok <= b.budget""".stripMargin,
     // q99: same three-anchor synthesis, hrefs via regexp_extract_all,
     // host = lowercase authority minus port and leading www.
     "q99_outlink_graph" ->
@@ -3086,7 +3146,7 @@ object SparkEntry {
         |        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |      / 4294967296.0,
         |      1.0 / n_chars) AS key
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
         |    AS sample_rank
@@ -3146,7 +3206,7 @@ object SparkEntry {
         |        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |      / 4294967296.0,
         |      1.0 / n_chars) AS key
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT source, doc_id, n_chars, sample_rank FROM (
         |  SELECT source, doc_id, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -180,7 +180,7 @@ object Corpus {
     val n = docs.select(col(idCol)).count()
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: plan construction stays free
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
     val idf = log((lit(1.0) + n) / (col("__df") + lit(1.0))) + lit(1.0)

@@ -82,7 +82,7 @@ object Stats {
     // table held instead)
     val med = df.groupBy(col(keyCol))
       .agg(percentile(valCol, lit(0.5)).as("__med"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: plan construction stays free
     val mad = df.join(broadcast(med), keyCol)
       .groupBy(col(keyCol))
       .agg(percentile(abs(valCol - col("__med")), lit(0.5)).as("__mad"))

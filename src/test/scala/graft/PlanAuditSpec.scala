@@ -127,8 +127,11 @@ class PlanAuditSpec extends SparkSpec {
       "q115_cumulative_users" -> 3, // visitor agg + day agg move the
                                // data; the third funnels the day-grain
                                // table (bounded) into the prefix sum
-      "q116_session_window" -> 1) // native session agg: ONE user-key
+      "q116_session_window" -> 1, // native session agg: ONE user-key
                                // exchange, sessions merge in the sort
+      "q117_budget_per_source" -> 2) // per-source budget agg + the
+                               // source-partitioned cumsum window;
+                               // budgets join back broadcast
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
