@@ -99,7 +99,7 @@ object Bench {
       // cumulative distinct users (r10)
       "q112_first_touch", "q113_winsorize", "q114_sample_per_stratum",
       "q115_cumulative_users", "q116_session_window",
-      "q117_budget_per_source"
+      "q117_budget_per_source", "q118_interval_overlap"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1526,6 +1526,25 @@ object SparkEntry {
       .select(col("source"), col("doc_id"), col("n_tok"))
   }
 
+  /** q118: interval overlap join — every (purchase window, view
+    * window) intersection per user: purchases live for 2 h, views for
+    * 1 h (RangeJoin.overlapJoin, 1-hour bins — the banded equi-join
+    * form of the inequality join the oracle runs). */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsMillis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), tsMillis(col("ts")).as("ms"))
+    RangeJoin.overlapJoin(p, v, keys = Seq("user_id"),
+      aId = "event_id", aStart = col("ms"), aEnd = col("ms") + 7200000L,
+      bId = "event_id", bStart = col("ms"), bEnd = col("ms") + 3600000L,
+      binMs = 3600000L)
+      .select(col("user_id"), col("a_id").as("purchase_id"),
+        col("b_id").as("view_id"),
+        col("overlap_start_ms"), col("overlap_end_ms"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -1929,7 +1948,8 @@ object SparkEntry {
     "q114_sample_per_stratum" -> (q114 _),
     "q115_cumulative_users" -> (q115 _),
     "q116_session_window" -> (q116 _),
-    "q117_budget_per_source" -> (q117 _)
+    "q117_budget_per_source" -> (q117 _),
+    "q118_interval_overlap" -> (q118 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -2960,6 +2980,22 @@ object SparkEntry {
         |SELECT r.source, r.doc_id, r.n_tok
         |FROM r JOIN b USING (source)
         |WHERE r.cume + r.n_tok <= b.budget""".stripMargin,
+    // q118: the naive inequality join the banded plan replaces.
+    "q118_interval_overlap" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + 7200000 AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + 3600000 AS e
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id AS purchase_id,
+        |  v.event_id AS view_id,
+        |  greatest(p.s, v.s) AS overlap_start_ms,
+        |  least(p.e, v.e) AS overlap_end_ms
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.s <= v.e AND v.s <= p.e""".stripMargin,
     // q99: same three-anchor synthesis, hrefs via regexp_extract_all,
     // host = lowercase authority minus port and leading www.
     "q99_outlink_graph" ->

@@ -51,4 +51,50 @@ object RangeJoin {
       .select((keys.map(col) :+ col("a_id") :+ col("b_id") :+
         (col("__bms") - col("__ams")).as("gap_ms")): _*)
   }
+
+  /** Generic two-relation INTERVAL OVERLAP join: every (a, b) pair in
+    * the same key group whose closed intervals intersect
+    * (aStart ≤ bEnd AND bStart ≤ aEnd) — the "which maintenance
+    * windows hit which sessions" shape that plain SQL writes as an
+    * inequality join (nested-loop at scale).
+    *
+    * Banding generalised to intervals: each side explodes to EVERY
+    * `binMs`-sized bin its interval touches, the join is an EQUI-join
+    * on (keys, bin), and the exact overlap predicate filters
+    * post-join. Two intervals that overlap share at least one bin.
+    * Each pair is emitted exactly ONCE without a distinct: only in
+    * the first bin both touch (bin == greatest(floor(aStart/w),
+    * floor(bStart/w)) — the canonical report-once rule), so no
+    * second dedup shuffle exists in the plan.
+    *
+    * Cost: each row lands in span/binMs + 1 bins — pick `binMs` near
+    * the typical interval span (a row's fan-out is its own span
+    * ratio, never a global constant), and candidate volume is bin
+    * co-occupancy, never |A|×|B|. Output: keys, a_id, b_id, and the
+    * intersection [overlap_start_ms, overlap_end_ms].
+    */
+  def overlapJoin(
+      a: DataFrame, b: DataFrame, keys: Seq[String],
+      aId: String, aStart: Column, aEnd: Column,
+      bId: String, bStart: Column, bEnd: Column,
+      binMs: Long): DataFrame = {
+    require(binMs > 0, "binMs must be positive")
+    def binned(df: DataFrame, id: String, s: Column, e: Column,
+        side: String): DataFrame =
+      df.select(keys.map(col) ++ Seq(col(id).as(s"${side}_id"),
+        s.as(s"__${side}s"), e.as(s"__${side}e")): _*)
+        .filter(col(s"__${side}s") <= col(s"__${side}e"))
+        .withColumn("__bin", explode(sequence(
+          floor(col(s"__${side}s") / binMs),
+          floor(col(s"__${side}e") / binMs))))
+    val joinKeys = keys :+ "__bin"
+    binned(a, aId, aStart, aEnd, "a")
+      .join(binned(b, bId, bStart, bEnd, "b"), joinKeys, "inner")
+      .filter(col("__as") <= col("__be") && col("__bs") <= col("__ae") &&
+        col("__bin") === greatest(floor(col("__as") / binMs),
+          floor(col("__bs") / binMs)))
+      .select(keys.map(col) ++ Seq(col("a_id"), col("b_id"),
+        greatest(col("__as"), col("__bs")).as("overlap_start_ms"),
+        least(col("__ae"), col("__be")).as("overlap_end_ms")): _*)
+  }
 }

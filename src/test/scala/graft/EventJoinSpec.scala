@@ -161,6 +161,44 @@ class EventJoinSpec extends SparkSpec {
       904L -> Some(105L)))
   }
 
+  test("overlapJoin: exact closed-interval semantics, each pair once") {
+    val a = Seq(
+      // [0, 100] overlaps b1 [50, 150] and touches b2 [100, 200]
+      (1L, "k", 0L, 100L),
+      // [300, 1000] spans MANY bins shared with b3 [310, 990] — the
+      // emit-once rule must not duplicate the pair per shared bin
+      (2L, "k", 300L, 1000L),
+      // disjoint from everything
+      (3L, "k", 5000L, 5100L),
+      // inverted interval (end < start) is dropped, not matched
+      (4L, "k", 90L, 10L))
+      .toDF("id", "key", "s", "e")
+    val b = Seq(
+      (10L, "k", 50L, 150L), (11L, "k", 100L, 200L),
+      (12L, "k", 310L, 990L),
+      // other key never matches
+      (13L, "other", 0L, 10000L))
+      .toDF("id", "key", "s", "e")
+    val got = RangeJoin.overlapJoin(a, b, Seq("key"),
+      "id", col("s"), col("e"), "id", col("s"), col("e"), binMs = 100L)
+      .select(col("a_id"), col("b_id"),
+        col("overlap_start_ms"), col("overlap_end_ms"))
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq === Seq(
+      (1L, 10L, 50L, 100L),
+      (1L, 11L, 100L, 100L), // touching endpoints intersect (closed)
+      (2L, 12L, 310L, 990L)))
+  }
+
+  test("overlapJoin plans as an equi-join, never nested-loop") {
+    val iv = Seq((1L, "k", 0L, 10L)).toDF("id", "key", "s", "e")
+    val plan = RangeJoin.overlapJoin(iv, iv, Seq("key"),
+      "id", col("s"), col("e"), "id", col("s"), col("e"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop:\n$plan")
+  }
+
   test("firstWithin plan has no join node and exactly one exchange") {
     val purchases = Seq((1L, "k", tmin(1))).toDF("id", "key", "ts")
     val views = Seq((2L, "k", tmin(0))).toDF("id", "key", "ts")
