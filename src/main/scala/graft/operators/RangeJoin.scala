@@ -70,29 +70,50 @@ object RangeJoin {
     * Cost: each row lands in span/binMs + 1 bins — pick `binMs` near
     * the typical interval span (a row's fan-out is its own span
     * ratio, never a global constant), and candidate volume is bin
-    * co-occupancy, never |A|×|B|. Output: keys, a_id, b_id, and the
-    * intersection [overlap_start_ms, overlap_end_ms].
+    * co-occupancy, never |A|×|B|. A row spanning more than
+    * `maxBinsPerRow` bins raises a CLEAR error instead of silently
+    * exploding the executor (the open-end-sentinel trap: one
+    * 9999-12-31 end date at hour bins is ~70M bins for that row) —
+    * split such intervals or raise binMs. Bin arithmetic is exact
+    * integer floor division (a double `floor(x / w)` rounds the
+    * operand above 2^53 and can silently mis-bin nanosecond-scale
+    * values). Output: keys, a_id, b_id, and the intersection
+    * [overlap_start_ms, overlap_end_ms].
     */
   def overlapJoin(
       a: DataFrame, b: DataFrame, keys: Seq[String],
       aId: String, aStart: Column, aEnd: Column,
       bId: String, bStart: Column, bEnd: Column,
-      binMs: Long): DataFrame = {
+      binMs: Long, maxBinsPerRow: Int = 10000): DataFrame = {
     require(binMs > 0, "binMs must be positive")
+    require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+    // exact floor division on longs: subtract the (always-positive)
+    // pmod first, then IntegralDivide an exact multiple — truncation
+    // of an exact multiple IS the floor, negatives included
+    def binOf(c: Column): Column =
+      call_function("div", c - pmod(c, lit(binMs)), lit(binMs))
     def binned(df: DataFrame, id: String, s: Column, e: Column,
-        side: String): DataFrame =
+        side: String): DataFrame = {
+      val (lo, hi) = (col(s"__${side}lo"), col(s"__${side}hi"))
       df.select(keys.map(col) ++ Seq(col(id).as(s"${side}_id"),
         s.as(s"__${side}s"), e.as(s"__${side}e")): _*)
         .filter(col(s"__${side}s") <= col(s"__${side}e"))
-        .withColumn("__bin", explode(sequence(
-          floor(col(s"__${side}s") / binMs),
-          floor(col(s"__${side}e") / binMs))))
+        .withColumn(s"__${side}lo", binOf(col(s"__${side}s")))
+        .withColumn(s"__${side}hi", binOf(col(s"__${side}e")))
+        .withColumn("__bin", explode(sequence(lo,
+          when(hi - lo < maxBinsPerRow.toLong, hi)
+            .otherwise(raise_error(format_string(
+              s"overlapJoin: interval [%s, %s] spans more than " +
+                s"$maxBinsPerRow bins of $binMs — raise binMs, " +
+                "maxBinsPerRow, or split the interval",
+              col(s"__${side}s"), col(s"__${side}e"))).cast("long")))))
+        .drop(s"__${side}lo", s"__${side}hi")
+    }
     val joinKeys = keys :+ "__bin"
     binned(a, aId, aStart, aEnd, "a")
       .join(binned(b, bId, bStart, bEnd, "b"), joinKeys, "inner")
       .filter(col("__as") <= col("__be") && col("__bs") <= col("__ae") &&
-        col("__bin") === greatest(floor(col("__as") / binMs),
-          floor(col("__bs") / binMs)))
+        col("__bin") === greatest(binOf(col("__as")), binOf(col("__bs"))))
       .select(keys.map(col) ++ Seq(col("a_id"), col("b_id"),
         greatest(col("__as"), col("__bs")).as("overlap_start_ms"),
         least(col("__ae"), col("__be")).as("overlap_end_ms")): _*)

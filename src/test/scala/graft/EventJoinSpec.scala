@@ -190,6 +190,31 @@ class EventJoinSpec extends SparkSpec {
       (2L, 12L, 310L, 990L)))
   }
 
+  test("overlapJoin: exact bins past 2^53; runaway fan-out raises, not OOMs") {
+    // nanosecond-scale epochs (~1.7e18): double floor(x/w) rounds the
+    // operand and can mis-bin — integer bin arithmetic must still pair
+    // these two overlapping intervals
+    val base = 1700000000000000000L
+    val a = Seq((1L, "k", base + 1L, base + 1000L)).toDF("id", "key", "s", "e")
+    val b = Seq((2L, "k", base + 500L, base + 2000L)).toDF("id", "key", "s", "e")
+    val got = RangeJoin.overlapJoin(a, b, Seq("key"),
+      "id", col("s"), col("e"), "id", col("s"), col("e"), binMs = 1000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L)))
+    // an open-end sentinel (9999-12-31-style) at small bins would be
+    // ~millions of bins for ONE row: a clear error, never an OOM
+    val sentinel = Seq((3L, "k", 0L, 253402300799999L)).toDF("id", "key", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.overlapJoin(sentinel, b, Seq("key"),
+        "id", col("s"), col("e"), "id", col("s"), col("e"),
+        binMs = 3600000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("spans more than")),
+      s"wanted the fan-out guard, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("overlapJoin plans as an equi-join, never nested-loop") {
     val iv = Seq((1L, "k", 0L, 10L)).toDF("id", "key", "s", "e")
     val plan = RangeJoin.overlapJoin(iv, iv, Seq("key"),
