@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Corpus, EventFlow, Stats, Timeseries}
+import graft.functions.TimeFunctions.tsMillis
+import graft.operators.{AsOfJoin, Corpus, EventFlow, RangeJoin, Stats, Timeseries}
+import graft.operators.TextStats
 
 /** Scale validation for the r10 operators against the 200k-doc stress
   * corpus + the sf0.1 event stream (scripts/gen_stress.py). Prints
@@ -63,6 +65,36 @@ object StressR10 {
         keys = Seq("user_id"), tsCol = "ts",
         rightPayload = Seq("event_id"), windowMs = 30L * 60 * 1000)
         .count())
+    time("q117 per-source budget (200k docs)")({
+      val d = docs.select(col("doc_id"), col("source"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("n_tok"),
+        round(TextStats.qualityScore(col("text")) * 10000).cast("long")
+          .as("__qi"))
+        .localCheckpoint(false)
+      val budgets = d.groupBy(col("source"))
+        .agg((sum(col("n_tok")) / 2).cast("long").as("__budget"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy((lit(10000L) - col("__qi")) * lit(4294967296L) +
+          col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      d.withColumn("__cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .join(broadcast(budgets), "source")
+        .filter(col("__cum") + col("n_tok") <= col("__budget")).count()
+    })
+    time("q118 overlap join (views x purch)")({
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          tsMillis(col("ts")).as("ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          tsMillis(col("ts")).as("ms"))
+      RangeJoin.overlapJoin(p, v, Seq("user_id"),
+        "event_id", col("ms"), col("ms") + 7200000L,
+        "event_id", col("ms"), col("ms") + 3600000L,
+        binMs = 3600000L).count()
+    })
     spark.stop()
   }
 }
