@@ -99,7 +99,9 @@ object Bench {
       // cumulative distinct users (r10)
       "q112_first_touch", "q113_winsorize", "q114_sample_per_stratum",
       "q115_cumulative_users", "q116_session_window",
-      "q117_budget_per_source", "q118_interval_overlap"
+      "q117_budget_per_source", "q118_interval_overlap",
+      // skew-safe z-score (agg + broadcast-back — r11)
+      "q119_zscore_agg"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],
@@ -123,11 +125,13 @@ object Bench {
         }
       (1 to 2).foreach(_ => once()) // warm-up (errors re-surface in timed runs)
       // per-query budget: run `iters` timed passes, but stop early once
-      // cumulative timed seconds exceed 60 (always ≥ 1 pass) so one slow
-      // query can't stall the round; fast queries get the full median-of-N
+      // cumulative timed seconds exceed 60 so one slow query can't stall
+      // the round — with a FLOOR of 3 timed passes (r10 verdict: a
+      // 1-pass median is a single noisy sample on a shared box; q60's
+      // apparent 4.6x regression was partly unguardable because of it)
       val runsBuf = scala.collection.mutable.ListBuffer.empty[Either[String, Double]]
       var cum = 0.0
-      while (runsBuf.size < iters && (runsBuf.isEmpty || cum < 60.0)) {
+      while (runsBuf.size < iters && (runsBuf.size < 3 || cum < 60.0)) {
         val r = once()
         runsBuf += r
         cum += r.getOrElse(0.0)
@@ -150,33 +154,52 @@ object Bench {
     val qs = results.map { r =>
       jsonStr(r.name) + ":" + num(r.median)
     }.mkString("{", ",", "}")
-    val errs = results.filter(_.err.isDefined)
-      .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get))
+    // the driver harvests only a ~2000-char TAIL of stdout (measured
+    // from the r10 artifact), and the full 87-entry per-query map is
+    // ~3 KB — embedding it in the final line clipped the JSON head for
+    // three rounds running (BENCH_r8..r10 all `parsed: null`). So:
+    //   - full per-query medians: an EARLIER stdout line + detail file
+    //   - LAST line: ≤ ~1200 chars — total, error/query counts, a
+    //     capped errors map, and the top-8 slowest medians only
+    val slowest = results.filter(_.err.isEmpty)
+      .sortBy(-_.median).take(8)
+      .map(r => jsonStr(r.name) + ":" + num(r.median))
       .mkString("{", ",", "}")
-    // per-query min/max spread and timed-pass counts (the 60 s budget
-    // can quietly reduce a slow query to a median of 1-2 passes) go to
-    // a detail FILE, not stdout: the driver harvests a bounded tail of
-    // stdout, and two rounds of parsed:null showed the fat line and
-    // post-JSON diagnostics pushed the summary out of that window
+    val errResults = results.filter(_.err.isDefined)
+    val errs = errResults.take(4)
+      .map(r => jsonStr(r.name) + ":" + jsonStr(r.err.get.take(100)))
+      .mkString("{", ",", "}")
+    // per-query min/max spread and timed-pass counts go to a detail
+    // FILE with the medians; path is env-overridable and resolved
+    // explicitly so a cwd change doesn't silently drop the diagnostics
     val spread = results.filter(_.runs.nonEmpty).map { r =>
       jsonStr(r.name) + ":[" + num(r.runs.min) + "," + num(r.runs.max) +
         "," + r.runs.size + "]"
     }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_detail.json"),
-      s"""{"spread_min_max_passes":$spread,"iters":$iters}""")
-    catch { case _: Throwable => () }
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "target/bench_detail.json")).toAbsolutePath
+    try {
+      java.nio.file.Files.createDirectories(detailPath.getParent)
+      java.nio.file.Files.writeString(detailPath,
+        s"""{"queries":$qs,"spread_min_max_passes":$spread,"iters":$iters}""")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] detail write failed ($detailPath): $e")
+    }
     // failures are loud (stderr + the "errors" field, 0.0 contribution)
     // but the exit stays clean, and the summary JSON is the absolute
     // LAST line of output so the driver's tail always contains it
-    results.filter(_.err.isDefined).foreach { r =>
+    errResults.foreach { r =>
       System.err.println(s"[bench] ${r.name} FAILED: ${r.err.get}")
     }
     val total = results.map(_.median).sum
+    // full map for humans/logs — NOT the last line
+    println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
     // stop() before the summary so shutdown noise can't trail it — but
     // guarded: a shutdown hiccup must never suppress the one line the
     // driver parses
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
   }
 }

@@ -1505,7 +1505,14 @@ object SparkEntry {
     * with ONE dominant source degrades to one fat partition — q98's
     * bucketed two-level scan is the escape hatch at that shape). The
     * per-source budget table is group-count-sized and broadcasts
-    * back. Same integer quality key as q98 for cross-engine order. */
+    * back. Same integer quality key as q98 for cross-engine order.
+    *
+    * The packed order key `(10000 − qi) · 2^32 + doc_id` assumes
+    * doc_id < 2^32: beyond that it wraps in non-ANSI Spark while
+    * DuckDB raises on BIGINT overflow — a cross-engine divergence.
+    * The driver's generator ids are dense longs far below 2^32; a
+    * corpus with wider ids should order by the (quality, doc_id)
+    * TUPLE instead of the packed long. */
   private def q117(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(s, dir).documents.select(
@@ -1762,6 +1769,23 @@ object SparkEntry {
         round(col("v"), 4).as("v"), round(col("zscore"), 4).as("z"))
   }
 
+  /** q119: q109's fixture through the SKEW-SAFE formulation
+    * (Stats.zscoreOutliersAgg — per-key moments as a map-side-combined
+    * aggregate broadcast back; the data itself never shuffles, so a
+    * hot key can't funnel its group through one task the way q109's
+    * window does). Same oracle as q109: the two forms are
+    * row-identical by contract, and this registration makes DuckDB
+    * pin that, not just StatsSpec. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val spiked = Tables(s, dir).events
+      .select(col("event_id"), col("event_type"),
+        (col("value") *
+          when(col("event_id") % 97 === 0, 25).otherwise(1)).as("v"))
+    Stats.zscoreOutliersAgg(spiked, "event_type", col("v"), z = 3.0)
+      .select(col("event_id"), col("event_type"),
+        round(col("v"), 4).as("v"), round(col("zscore"), 4).as("z"))
+  }
+
   /** q110: weighted sample — 100 documents drawn without replacement
     * with probability proportional to length (Corpus.weightedSample,
     * Efraimidis–Spirakis keys from the doc id's md5, so the draw is
@@ -1949,7 +1973,8 @@ object SparkEntry {
     "q115_cumulative_users" -> (q115 _),
     "q116_session_window" -> (q116 _),
     "q117_budget_per_source" -> (q117 _),
-    "q118_interval_overlap" -> (q118 _)
+    "q118_interval_overlap" -> (q118 _),
+    "q119_zscore_agg" -> (q119 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3162,6 +3187,20 @@ object SparkEntry {
     // q109: avg/stddev_samp as plain windows; the filter uses the
     // UNROUNDED z on both sides (the fixture keeps |z| far from 3).
     "q109_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    value * CASE WHEN event_id % 97 = 0 THEN 25 ELSE 1 END AS v
+        |  FROM events),
+        |z AS (
+        |  SELECT *, (v - avg(v) OVER (PARTITION BY event_type)) /
+        |    stddev_samp(v) OVER (PARTITION BY event_type) AS zscore
+        |  FROM s)
+        |SELECT event_id, event_type, round(v, 4) AS v,
+        |  round(zscore, 4) AS z
+        |FROM z WHERE abs(zscore) > 3""".stripMargin,
+    // q119: IDENTICAL oracle to q109 — the agg and window forms are
+    // row-identical by contract; DuckDB checks both independently
+    "q119_zscore_agg" ->
       """WITH s AS (
         |  SELECT event_id, event_type,
         |    value * CASE WHEN event_id % 97 = 0 THEN 25 ELSE 1 END AS v

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup}
+
+/** Scale validation for the r11 fixes, against the sf0.1 tables the
+  * driver's bench uses. Prints SCALE lines; numbers go to SURVEY §6.
+  *
+  * The headline check: q60 (curate = gates + near-dup dedup) must cost
+  * roughly q53 (the same dedup, no gates) + one cheap gate pass. In r10
+  * the driver measured q60 at 10.13 s vs q53 at 1.78 s — the gate
+  * projection (native repetition kernel + quality score over the full
+  * text) was re-evaluated by every action inside dropNearDuplicates.
+  * The fix is a lazy localCheckpoint of the gated survivors
+  * (Corpus.curate); this main measures both sides of that claim.
+  */
+object StressR11 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+
+    def time(name: String)(f: => Long): Unit = {
+      // median of 3 — same discipline as Bench; a 1-shot number on a
+      // shared box cannot support a regression claim
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"SCALE $name%-34s $med%7.2f s  (${runs.head._2} rows)")
+    }
+
+    time("q53 dropNearDuplicates (sf0.1)")(
+      Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+        .count())
+    time("q60 curate = gates + dedup")(
+      Corpus.curate(docs, "doc_id", "text",
+        minQuality = 0.25, maxDupWordFrac = 0.65, maxDupBigramFrac = 0.08,
+        shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+        .count())
+    time("q60 curateObserved (same cut)")({
+      val (out, m) = Corpus.curateObserved(docs, "doc_id", "text",
+        minQuality = 0.25, maxDupWordFrac = 0.65, maxDupBigramFrac = 0.08,
+        shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+      val n = out.count()
+      require(m.snapshot("rows_out") == n, "observed rows_out drifted")
+      n
+    })
+
+    spark.stop()
+  }
+}

@@ -326,6 +326,15 @@ object Corpus {
         frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
           col("__c.n_bigrams")) <= maxDupBigramFrac)
       .drop("__c")
+      // dropNearDuplicates runs MULTIPLE actions over its input (the
+      // shingle/band pass, the verify fetch, each clustering round, the
+      // final anti-join). Without a cut here every one of them re-runs
+      // the full text scan + the native repetition-counts kernel + the
+      // quality gate — measured at 4.6x the q53 cost in the r10 driver
+      // bench. localCheckpoint materialises the gated survivors ONCE
+      // (lazy — first action pays it) so the dedup stages replay cheap
+      // checkpointed partitions instead of the gate pipeline.
+      .localCheckpoint(false)
     Dedup.dropNearDuplicates(gated, idCol, textCol, shingleN, numHashes,
       bands, threshold)
   }
@@ -372,7 +381,15 @@ object Corpus {
     val gatesObs = Observation()
     val outObs = Observation()
     val pass = (q: Column, dw: Column, db: Column) => q && dw && db
-    val gated = docs
+    // Flags are computed ONCE and cut with a lazy localCheckpoint (the
+    // q60 fix: dedup's several internal actions otherwise re-run the
+    // text-heavy gate expressions — measured 4.6x in the r10 driver
+    // bench). The observe() nodes must sit ABOVE the cut: a checkpoint
+    // severs lineage, and a CollectMetrics node below it would never
+    // reach the final frame's query execution, so the Observation
+    // would never be published. Replaying the observe over checkpointed
+    // flag rows is a cheap boolean scan.
+    val flagged = docs
       .withColumn("__c", cnts)
       .withColumn("__q", TextStats.qualityScore(col(textCol)) >= minQuality)
       .withColumn("__dw",
@@ -381,6 +398,9 @@ object Corpus {
       .withColumn("__db",
         frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
           col("__c.n_bigrams")) <= maxDupBigramFrac)
+      .drop("__c")
+      .localCheckpoint(false)
+    val gated = flagged
       .observe(gatesObs,
         count(lit(1)).as("rows_in"),
         sum(when(!col("__q"), 1L).otherwise(0L)).as("quality_fail"),
@@ -389,7 +409,7 @@ object Corpus {
         sum(when(pass(col("__q"), col("__dw"), col("__db")), 1L)
           .otherwise(0L)).as("rows_gated"))
       .filter(pass(col("__q"), col("__dw"), col("__db")))
-      .drop("__c", "__q", "__dw", "__db")
+      .drop("__q", "__dw", "__db")
     val deduped = Dedup.dropNearDuplicates(gated, idCol, textCol,
       shingleN, numHashes, bands, threshold)
     (deduped.observe(outObs, count(lit(1)).as("rows_out")),

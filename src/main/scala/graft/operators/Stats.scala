@@ -55,6 +55,32 @@ object Stats {
     df.withColumn("zscore", score).filter(abs(col("zscore")) > z)
   }
 
+  /** Skew-safe formulation of [[zscoreOutliers]]: per-key mean/stddev
+    * as a map-side-combined AGGREGATE (constant-size state per key per
+    * task regardless of group size), broadcast-joined back, filter as
+    * a pure projection. Same output rows and `zscore` column as the
+    * window form — StatsSpec pins the row identity.
+    *
+    * Why both exist: the window form's single exchange carries the
+    * DATA on the key, so one hot key funnels its whole group through
+    * one task (the scaladoc above admits it). Here the data never
+    * shuffles at all — only (key, partial moment) triples move, so a
+    * 99%-one-key distribution costs the same as a uniform one. This is
+    * the [[winsorize]] shape, and the variant to reach for at 100 TB
+    * when the key histogram is unknown. Null keys keep window parity
+    * via a null-safe join (they form a group, as the window form's
+    * null partition does).
+    */
+  def zscoreOutliersAgg(
+      df: DataFrame, keyCol: String, valCol: Column, z: Double): DataFrame = {
+    val stats = df.groupBy(col(keyCol).as("__k"))
+      .agg(avg(valCol).as("__avg"), stddev_samp(valCol).as("__sd"))
+    df.join(broadcast(stats), col(keyCol) <=> col("__k"))
+      .withColumn("zscore", (valCol - col("__avg")) / col("__sd"))
+      .drop("__k", "__avg", "__sd")
+      .filter(abs(col("zscore")) > z)
+  }
+
   /** Robust (median/MAD) per-group outliers — the heavy-tail-safe twin
     * of [[zscoreOutliers]]: a single extreme value drags a mean and
     * inflates a stddev (masking itself), but not a median. Flags rows

@@ -1,0 +1,337 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal xlsx (OOXML spreadsheet) source — the one reference input
+  * format the engine lacked: `national/_2155/__main__.py:119` reads its
+  * ratings drop with `pandas.read_excel(args.zip, dtype=str)`. This
+  * reader replicates exactly those semantics: every cell surfaces as a
+  * STRING (no type sniffing — `dtype=str`), first row is the header.
+  *
+  * Implementation is self-contained JDK (java.util.zip + StAX): the
+  * container pins the dependency set, and the subset of OOXML a
+  * ratings drop uses — one sheet, shared or inline strings, no
+  * formulas-as-values — doesn't need a library. Supported cell types:
+  * shared strings (`t="s"`), inline strings (`t="inlineStr"`), formula
+  * strings (`t="str"`), booleans, and raw numeric text. Not supported
+  * (documented, errors clearly): zip64 archives and date FORMATTING —
+  * dates surface as their raw serial-number text, which is what
+  * `dtype=str` pandas shows too.
+  *
+  * Scale posture: one xlsx file = one work unit. That is the right
+  * granularity — xlsx is a zipped-XML interchange format capped in
+  * practice at ~1M rows/sheet, not a big-data layout; a drop of N
+  * files parallelises N-wide via Spark's `binaryFile` source, each
+  * file parsed streaming (StAX, never a DOM) inside its task. The
+  * driver touches ONE file (the first, to fix the header schema); the
+  * payload scan stays on executors. Convert to parquet at ingest and
+  * never re-read the xlsx — this is an ingest ramp, not a table
+  * format.
+  */
+object Excel {
+
+  /** Read one xlsx file or a directory/glob of them into a all-string
+    * DataFrame. `header=true` (the pandas default the reference uses)
+    * takes the first row of EACH file as column names and requires all
+    * files to agree on it; `header=false` yields columns `c0..cN`
+    * sized by the widest first row. Short rows pad with null, long
+    * rows error (a misaligned drop should fail loudly, FAILFAST-style,
+    * not silently truncate). */
+  def read(
+      spark: SparkSession, path: String, sheet: Int = 0,
+      header: Boolean = true): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val first = bin.limit(1).collect()
+    require(first.nonEmpty, s"Excel.read: no files at $path")
+    val firstRows = parseSheet(first(0).getAs[Array[Byte]]("content"), sheet)
+    require(firstRows.nonEmpty, s"Excel.read: empty sheet in ${first(0).getString(0)}")
+    val headerRow = firstRows.head
+    val names =
+      if (header) headerRow.map(h => if (h == null) "" else h)
+      else headerRow.indices.map(i => s"c$i")
+    val n = names.size
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val expectHeader = if (header) Some(headerRow) else None
+    val rows = bin.rdd.flatMap { r =>
+      val fname = r.getString(0)
+      val parsed = parseSheet(r.getAs[Array[Byte]](1), sheet)
+      val (hdr, data) =
+        if (expectHeader.isDefined) (parsed.headOption, parsed.drop(1))
+        else (None, parsed)
+      expectHeader.foreach { eh =>
+        require(hdr.contains(eh),
+          s"Excel.read: $fname header ${hdr.getOrElse(Nil)} != $eh")
+      }
+      data.map { cells =>
+        require(cells.size <= n,
+          s"Excel.read: $fname row has ${cells.size} cells, schema has $n")
+        Row.fromSeq(cells.padTo(n, null))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Streaming-parse sheet #`sheet` of an xlsx byte payload into rows
+    * of string cells (sparse cells resolved by their A1-style refs;
+    * trailing missing cells are NOT padded — [[read]] pads to schema).
+    */
+  private[graft] def parseSheet(
+      bytes: Array[Byte], sheet: Int): Seq[Seq[String]] = {
+    // pass 1 over the zip directory: grab sharedStrings + the sheet
+    // part (entry order inside the archive is arbitrary)
+    var shared: IndexedSeq[String] = IndexedSeq.empty
+    var sheetXml: Array[Byte] = null
+    val wanted = s"xl/worksheets/sheet${sheet + 1}.xml"
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zin))
+          case `wanted` => sheetXml = readAll(zin)
+          case _ => ()
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheetXml != null, s"Excel: no worksheet part $wanted")
+    parseSheetXml(sheetXml, shared)
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  /** Hardened StAX factory: external entities and DTDs off (an xlsx
+    * from an outside source is untrusted input). */
+  private def xmlFactory(): XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
+  private def parseSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val r = xmlFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
+    // an <si> may hold one <t> or N rich-text runs (<r><t>..</t></r>) —
+    // concatenate every <t> under the current <si>
+    var inSi = false
+    var inT = false
+    val sb = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => inT = true
+            case _ => ()
+          }
+        case XMLStreamConstants.CHARACTERS if inT =>
+          sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = false; out += sb.toString
+            case "t" => inT = false
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    out.toIndexedSeq
+  }
+
+  /** "BC" -> 54: A1-style column letters to 0-based index. */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def parseSheetXml(
+      xml: Array[Byte], shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    val rows = mutable.ArrayBuffer.empty[Seq[String]]
+    val r = xmlFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
+    var cells: mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType: String = null
+    var inV = false
+    var inIs = false
+    var inT = false
+    val text = new StringBuilder
+    def put(v: String): Unit = {
+      val idx = if (cellCol >= 0) cellCol else cells.size
+      while (cells.size <= idx) cells += null
+      cells(idx) = v
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => cells = mutable.ArrayBuffer.empty[String]
+            case "c" if cells != null =>
+              cellCol = Option(r.getAttributeValue(null, "r"))
+                .map(colIndex).getOrElse(-1)
+              cellType = Option(r.getAttributeValue(null, "t")).orNull
+            case "v" => inV = true; text.clear()
+            case "is" => inIs = true
+            case "t" if inIs => inT = true; text.clear()
+            case _ => ()
+          }
+        case XMLStreamConstants.CHARACTERS if inV || inT =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "row" => rows += cells.toSeq; cells = null
+            case "v" =>
+              inV = false
+              val raw = text.toString
+              val v = cellType match {
+                case "s" => shared(raw.trim.toInt)
+                case "b" => if (raw.trim == "1") "True" else "False"
+                case _ => raw // "str", "n"/untyped, "e" — raw text, dtype=str
+              }
+              put(v)
+            case "t" if inIs => inT = false; put(text.toString)
+            case "is" => inIs = false
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    rows.toSeq
+  }
+
+  // ---------------------------------------------------------------- //
+  // Writer — a driver-side utility for producing the format (tests,  //
+  // and parity with the reference's small interchange drops). NOT a  //
+  // distributed sink: xlsx caps at ~1M rows/sheet by spec; anything  //
+  // bigger belongs in parquet.                                       //
+  // ---------------------------------------------------------------- //
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      val rem = (n - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
+  /** Serialise (header, rows) to xlsx bytes. `useSharedStrings` picks
+    * the encoding (both are read back identically; the shared-string
+    * path is what real Excel emits, inline is simpler — tests cover
+    * both). All cells are written as strings, mirroring the reader. */
+  def writeBytes(
+      header: Seq[String], rows: Seq[Seq[String]],
+      useSharedStrings: Boolean = false): Array[Byte] = {
+    val allRows = header +: rows
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def part(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    val hasShared = useSharedStrings
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+      (if (hasShared)
+        """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>"""
+      else "") +
+      """</Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+      (if (hasShared)
+        """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>"""
+      else "") +
+      """</Relationships>""")
+    if (hasShared) {
+      val pool = mutable.LinkedHashMap.empty[String, Int]
+      allRows.flatten.filter(_ != null)
+        .foreach(s => pool.getOrElseUpdate(s, pool.size))
+      part("xl/sharedStrings.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${pool.size}" uniqueCount="${pool.size}">""" +
+        pool.keys.map(s => s"<si><t>${xmlEscape(s)}</t></si>").mkString +
+        "</sst>")
+      val body = allRows.zipWithIndex.map { case (cells, ri) =>
+        s"""<row r="${ri + 1}">""" + cells.zipWithIndex.collect {
+          case (v, ci) if v != null =>
+            s"""<c r="${colRef(ci)}${ri + 1}" t="s"><v>${pool(v)}</v></c>"""
+        }.mkString + "</row>"
+      }.mkString
+      part("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"<sheetData>$body</sheetData></worksheet>")
+    } else {
+      val body = allRows.zipWithIndex.map { case (cells, ri) =>
+        s"""<row r="${ri + 1}">""" + cells.zipWithIndex.collect {
+          case (v, ci) if v != null =>
+            s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+        }.mkString + "</row>"
+      }.mkString
+      part("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"<sheetData>$body</sheetData></worksheet>")
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Collect a (small) DataFrame and write it as one xlsx file. All
+    * values are stringified; null stays null (empty cell). */
+  def write(df: DataFrame, path: String,
+      useSharedStrings: Boolean = false): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map {
+      case null => null
+      case v => v.toString
+    })
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      writeBytes(header, rows, useSharedStrings))
+  }
+}

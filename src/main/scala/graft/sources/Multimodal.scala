@@ -1,24 +1,37 @@
 package graft.sources
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, processed in partition-local batches.
   *
-  * The Spark-side design is the real deliverable here — schema,
-  * partition sizing, batch iteration, feature output shape. The codec
-  * itself is STUBBED (`decodeStub`): this container has no image/audio
-  * libraries, so the decode produces deterministic fake pixels from the
-  * byte content. Swapping in a real codec changes ONE function and no
-  * plan shape.
+  * The IMAGE path is real end to end: decode via `javax.imageio`
+  * (PNG/JPEG/BMP/GIF — the JDK's built-in codecs), luminance-histogram
+  * features from actual pixels, and a bounded-memory thumbnail resize
+  * that re-encodes PNG bytes. Corrupt/undecodable bytes NEVER fail a
+  * task: they surface as quarantine rows (`ok=false`, `err` set) so a
+  * 100 TB run loses one row, not one 128 MB partition, to one bad blob.
+  *
+  * AUDIO/VIDEO decode stays a byte-signature stand-in (`kind` prefixed
+  * features from a rolling byte hash): the JDK ships no audio/video
+  * codec and this container installs none. The contract — schema,
+  * partition sizing, batch iteration, quarantine shape — is identical
+  * to the image path, so swapping a real codec in changes only
+  * [[byteSignatureFeatures]]'s call site.
   *
   * Scale posture: media rows are large (MBs) — `mediaRepartition`
   * targets ~128 MB per partition by byte size, not row count, so
   * executors neither starve (1 huge row per task) nor OOM (thousands of
   * rows per task). Feature extraction is mapPartitions: one codec init
   * per partition, streaming through rows without materialising the
-  * partition.
+  * partition; the decode buffer for resize is bounded by the TARGET
+  * dims (plus the codec's one decoded frame), never by file count.
   */
 object Multimodal {
 
@@ -30,39 +43,112 @@ object Multimodal {
   case class MediaRow(
       media_id: Long, bytes: Array[Byte], meta: MediaMeta)
 
+  /** `ok=false` + `err` is the quarantine signal: the row flowed
+    * through (features zeroed), the task never failed. */
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
-      features: Array[Float])
+      features: Array[Float], ok: Boolean, err: String)
 
   /** Deterministic synthetic media table (stands in for a real binary
-    * source; byte payload is a seeded pattern so tests are stable). */
+    * source). Image rows carry REAL PNG bytes — a deterministic RGB
+    * gradient seeded from the id — so decode tests exercise the actual
+    * codec; audio/video payloads are opaque seeded byte patterns. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val len = 256 + (i % 7).toInt * 128
-      val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(kind, 64 + (i % 4).toInt * 32, 64, 0, 0L)
-        case "audio" => MediaMeta(kind, 0, 0, 16000, 1000L + i % 5000)
-        case _       => MediaMeta(kind, 128, 128, 0, 2000L + i % 9000)
+      kind match {
+        case "image" =>
+          val w = 64 + (i % 4).toInt * 32
+          val h = 64
+          MediaRow(i, syntheticPng(w, h, seed = i),
+            MediaMeta(kind, w, h, 0, 0L))
+        case "audio" =>
+          val len = 256 + (i % 7).toInt * 128
+          val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
+          MediaRow(i, bytes, MediaMeta(kind, 0, 0, 16000, 1000L + i % 5000))
+        case _ =>
+          val len = 256 + (i % 7).toInt * 128
+          val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
+          MediaRow(i, bytes, MediaMeta(kind, 128, 128, 0, 2000L + i % 9000))
       }
-      MediaRow(i, bytes, meta)
     }
   }
 
-  /** STUB decode — a real implementation would invoke an image/audio
-    * codec here. Deterministic fake: 8 float features from a rolling
-    * byte hash. The signature (bytes, meta) => features is the real
-    * contract. */
-  def decodeStub(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
-    val dim = 8
-    val out = new Array[Float](dim)
+  /** Deterministic w×h RGB gradient, PNG-encoded. */
+  private[graft] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 255 / math.max(1, w - 1)) + seed * 17) % 256
+        val g = ((y * 255 / math.max(1, h - 1)) + seed * 29) % 256
+        val b = ((x + y + seed * 43) % 256)
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode. Left(reason) on corrupt/unsupported bytes —
+    * exceptions are CAUGHT here so a bad blob can only ever produce a
+    * quarantine row, never a task failure. */
+  def decodeImage(bytes: Array[Byte]): Either[String, BufferedImage] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("undecodable: no registered codec matched")
+      else Right(img)
+    } catch {
+      case e: Throwable =>
+        Left(s"decode failed: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(120))
+    }
+
+  private val FeatureDim = 8
+
+  /** 8-bin luminance histogram over REAL pixels, L1-normalised — the
+    * cheap content signature that stands where a model embedding would
+    * go (same shape: fixed-dim float vector per row). */
+  private[graft] def luminanceHistogram(img: BufferedImage): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        out(lum * FeatureDim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var i = 0
+    while (i < FeatureDim) { out(i) /= n; i += 1 }
+    out
+  }
+
+  /** Byte-signature features for kinds with no JDK codec (audio/video):
+    * deterministic 8 floats from a rolling byte hash. */
+  private[graft] def byteSignatureFeatures(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
     var acc = 17L
     var i = 0
     while (i < bytes.length) {
       acc = (acc * 31 + (bytes(i) & 0xFF)) % 4294967291L
-      out(i % dim) += ((acc % 1000) / 1000.0f - 0.5f)
+      out(i % FeatureDim) += ((acc % 1000) / 1000.0f - 0.5f)
       i += 1
     }
     out
@@ -102,44 +188,72 @@ object Multimodal {
     }
   }
 
-  /** Batched feature extraction: mapPartitions so the (stub) codec is
-    * initialised once per partition, and rows flow through in
-    * `batchSize` groups — the record-batch shape a vectorised codec or
-    * model forward-pass wants (one call per batch, not per row). */
+  /** Batched feature extraction: mapPartitions so codec state is
+    * per-partition, and rows flow through in `batchSize` groups — the
+    * record-batch shape a vectorised codec or model forward-pass wants
+    * (one call per batch, not per row). Image rows decode for REAL;
+    * corrupt images become quarantine rows (`ok=false`, zero features),
+    * never task failures. */
   def extractFeatures(
       media: Dataset[MediaRow], batchSize: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // real impl: init codec/model once here
       rows.grouped(batchSize).flatMap { batch =>
-        // real impl: one vectorised decode call over the whole batch
         batch.map { r =>
-          MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
-            decodeStub(r.bytes, r.meta))
+          r.meta.kind match {
+            case "image" =>
+              decodeImage(r.bytes) match {
+                case Right(img) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    luminanceHistogram(img), ok = true, err = null)
+                case Left(reason) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    new Array[Float](FeatureDim), ok = false, err = reason)
+              }
+            case _ =>
+              MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                byteSignatureFeatures(r.bytes), ok = true, err = null)
+          }
         }
       }
     }
   }
 
-  /** Resize plumbing for image rows: meta is updated for real (aspect
-    * and target dims), the pixel transform itself is the STUB — a real
-    * codec swap changes only `resizeBytesStub`. */
-  def resizeBytesStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // deterministic fake: sample bytes proportionally to the new area
-    val n = math.max(16, math.min(bytes.length, w * h / 64))
-    Array.tabulate[Byte](n)(i => bytes((i.toLong * bytes.length / n).toInt))
-  }
+  /** The quarantine view: rows whose payload failed its codec. Pipe to
+    * a side sink; the main pipeline continues on `ok` rows. */
+  def quarantine(feats: Dataset[MediaFeatures]): Dataset[MediaFeatures] =
+    feats.filter(!_.ok)
 
+  /** Real bounded-memory thumbnail: decode, scale onto a targetW×targetH
+    * canvas with bilinear interpolation, re-encode PNG. Peak heap per
+    * row = one decoded frame + one target-sized buffer — independent of
+    * batch/partition size. Non-image rows pass through untouched;
+    * CORRUPT image rows also pass through untouched (bytes and meta
+    * unmodified) so the caller can route them via [[extractFeatures]]'s
+    * quarantine rather than losing them here. Meta carries the REAL
+    * output dimensions. */
   def resize(
       media: Dataset[MediaRow], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     media.map { r =>
       if (r.meta.kind != "image") r
-      else r.copy(
-        bytes = resizeBytesStub(r.bytes, targetW, targetH),
-        meta = r.meta.copy(width = targetW, height = targetH))
+      else decodeImage(r.bytes) match {
+        case Right(img) =>
+          val thumb = new BufferedImage(targetW, targetH,
+            BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          r.copy(bytes = encodePng(thumb),
+            meta = r.meta.copy(width = targetW, height = targetH))
+        case Left(_) => r
+      }
     }
   }
 

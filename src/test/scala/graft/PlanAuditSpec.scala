@@ -161,6 +161,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("zscoreOutliersAgg never shuffles the data: one stats exchange, broadcast back") {
+    // the skew-safe variant's whole contract: only (key, partial
+    // moment) triples move — the event rows themselves reach the
+    // filter without a shuffle, so a hot key can't funnel its group
+    // through one task the way the window form does
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val plan = graft.operators.Stats.zscoreOutliersAgg(
+      ev, "event_type", org.apache.spark.sql.functions.col("value"), 3.0)
+      .queryExecution.executedPlan
+    val nodes = allNodes(plan)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) === 1,
+      "expected exactly the stats aggregate's exchange")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "stats must broadcast back onto the unshuffled data")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "agg variant must not fall back to a window")
+  }
+
+  test("q60_curate computes its gates once, behind a checkpoint cut") {
+    // the r10 regression: without a localCheckpoint after the
+    // quality/repetition gates, every internal action of the dedup
+    // stage re-ran the text-heavy gate projection (driver-measured
+    // 10.13 s vs q53's 1.78 s for the same dedup without gates). With
+    // the cut, the final plan replays checkpointed survivors — a
+    // parquet scan in the returned plan means the cut regressed away
+    val nodes = allNodes(SparkEntry.queries("q60_curate")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      "q60_curate: file scan in final plan — gate pipeline not checkpointed")
+  }
+
   test("dim-join queries broadcast their dimensions") {
     // q69: the sketch's candidate set broadcasts into the exact-count
     // semi-join; q71: per-term doc frequencies broadcast back into the

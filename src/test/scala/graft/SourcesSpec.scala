@@ -5,7 +5,7 @@ import java.time.Instant
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Multimodal, Records, StageSink}
+import graft.sources.{Excel, Multimodal, Records, StageSink}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -224,6 +224,74 @@ class SourcesSpec extends SparkSpec {
     assert(latest.head.getInt(0) === 9)
   }
 
+  test("Excel round-trips a real table through xlsx, all cells as strings") {
+    // the reference's one xlsx input (national/_2155: pandas
+    // read_excel(dtype=str)) — header row + string-typed cells
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    Excel.write(nation, s"$dir/nation.xlsx")
+    val back = Excel.read(spark, s"$dir/nation.xlsx")
+    assert(back.columns.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    val expect = nation.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val got = back.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got === expect)
+  }
+
+  test("Excel reads shared-string cells, rich text, sparse rows, booleans") {
+    val bytes = Excel.writeBytes(
+      Seq("a", "b", "c"),
+      Seq(Seq("x", null, "1.5"), Seq("y <&> \"q\"", "dup", null),
+        Seq(null, "dup", "42")),
+      useSharedStrings = true)
+    val rows = Excel.parseSheet(bytes, 0)
+    assert(rows.head === Seq("a", "b", "c"))
+    assert(rows(1) === Seq("x", null, "1.5"))
+    assert(rows(2) === Seq("y <&> \"q\"", "dup")) // trailing null not padded
+    assert(rows(3) === Seq(null, "dup", "42"))
+    // the full reader pads short rows to the header width
+    val dir = Files.createTempDirectory("graft_xlsx_ss").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t.xlsx"), bytes)
+    val df = Excel.read(spark, s"$dir/t.xlsx")
+    assert(df.count() === 3)
+    assert(df.filter(col("c").isNull).count() === 1)
+  }
+
+  test("Excel parallelises a multi-file drop; header mismatch fails loudly") {
+    val dir = Files.createTempDirectory("graft_xlsx_many").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.xlsx"),
+      Excel.writeBytes(Seq("id", "name"), Seq(Seq("1", "ann"), Seq("2", "bo"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.xlsx"),
+      Excel.writeBytes(Seq("id", "name"), Seq(Seq("3", "cy")),
+        useSharedStrings = true))
+    val df = Excel.read(spark, dir)
+    assert(df.count() === 3)
+    assert(df.select("id").as[String].collect().sorted.toSeq ===
+      Seq("1", "2", "3"))
+    // a file whose header disagrees must fail the read, not mis-map
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.xlsx"),
+      Excel.writeBytes(Seq("id", "different"), Seq(Seq("9", "zz"))))
+    val e = intercept[org.apache.spark.SparkException] {
+      Excel.read(spark, dir).count()
+    }
+    assert(String.valueOf(e.getMessage).nonEmpty)
+  }
+
+  test("Excel header=false names columns positionally; colIndex decodes refs") {
+    assert(Excel.colIndex("A1") === 0)
+    assert(Excel.colIndex("Z9") === 25)
+    assert(Excel.colIndex("AA12") === 26)
+    assert(Excel.colIndex("BC3") === 54)
+    val dir = Files.createTempDirectory("graft_xlsx_nh").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.xlsx"),
+      Excel.writeBytes(Seq("1", "2"), Seq(Seq("3", "4"))))
+    val df = Excel.read(spark, s"$dir/t.xlsx", header = false)
+    assert(df.columns.toSeq === Seq("c0", "c1"))
+    assert(df.count() === 2)
+  }
+
   test("Multimodal feature extraction preserves ids and emits fixed-dim features") {
     implicit val s = spark
     val media = Multimodal.syntheticMedia(spark, 30)
@@ -236,6 +304,74 @@ class SourcesSpec extends SparkSpec {
       again.map(_.features.toSeq).toSeq)
     // kinds round-robin
     assert(feats.count(_.kind == "image") === 10)
+  }
+
+  test("Multimodal image decode is real: pixel features + dims, parquet round-trip") {
+    implicit val s = spark
+    import spark.implicits._
+    // parquet round-trip first: the binary column + typed meta struct
+    // must survive the storage path the real pipeline uses
+    val dir = java.nio.file.Files.createTempDirectory("media_png").toString
+    Multimodal.syntheticMedia(spark, 30).write.mode("overwrite").parquet(dir)
+    val media = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.length === 10)
+    assert(images.forall(_.ok))
+    // features are an L1-normalised luminance histogram over REAL
+    // pixels: non-negative, summing to ~1 — the stub's rolling-hash
+    // values were signed and unnormalised, so this pins the real path
+    images.foreach { f =>
+      assert(f.features.forall(_ >= 0f))
+      assert(math.abs(f.features.sum - 1f) < 1e-3)
+    }
+    // decoded dims match the declared meta
+    val byId = media.collect().map(r => r.media_id -> r).toMap
+    images.foreach { f =>
+      val r = byId(f.media_id)
+      val img = Multimodal.decodeImage(r.bytes).toOption.get
+      assert(img.getWidth === r.meta.width)
+      assert(img.getHeight === r.meta.height)
+    }
+  }
+
+  test("Multimodal corrupt image bytes quarantine, never fail the task") {
+    implicit val s = spark
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 12).map { r =>
+      // ids 0,3,6,9 are images; corrupt every second image payload
+      if (r.meta.kind == "image" && r.media_id % 6 == 0)
+        r.copy(bytes = Array[Byte](1, 2, 3, 4, 5))
+      else r
+    }
+    val feats = Multimodal.extractFeatures(media)
+    val all = feats.collect() // would throw here if a task failed
+    assert(all.length === 12)
+    val bad = Multimodal.quarantine(feats).collect()
+    assert(bad.map(_.media_id).sorted.toSeq === Seq(0L, 6L))
+    assert(bad.forall(f => !f.ok && f.err != null && f.features.forall(_ == 0f)))
+    // undamaged images still decode fine
+    assert(all.filter(f => f.kind == "image" && f.media_id % 6 != 0)
+      .forall(_.ok))
+  }
+
+  test("Multimodal resize emits real thumbnails that re-decode at target dims") {
+    implicit val s = spark
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 12).map { r =>
+      if (r.media_id == 9L) r.copy(bytes = Array[Byte](9, 9, 9)) // corrupt
+      else r
+    }
+    val resized = Multimodal.resize(media, 32, 32).collect()
+    resized.filter(r => r.meta.kind == "image" && r.media_id != 9L)
+      .foreach { r =>
+        assert(r.meta.width === 32 && r.meta.height === 32)
+        val img = Multimodal.decodeImage(r.bytes).toOption.get
+        assert(img.getWidth === 32 && img.getHeight === 32)
+      }
+    // corrupt image passes through untouched for quarantine routing
+    val corrupt = resized.find(_.media_id == 9L).get
+    assert(corrupt.bytes.toSeq === Seq[Byte](9, 9, 9))
   }
 
   test("Multimodal resize updates image meta, leaves audio/video untouched") {

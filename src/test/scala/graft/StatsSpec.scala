@@ -46,6 +46,29 @@ class StatsSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("k", "id", "v", "zscore"))
   }
 
+  test("zscoreOutliersAgg: row-identical to the window form, incl. null keys") {
+    // random-ish groups + a null key group + a constant group + a
+    // singleton — every edge the window form defines, the agg form
+    // must reproduce row for row
+    val rows = (1 to 200).map { i =>
+      val k = if (i % 17 == 0) null else s"g${i % 5}"
+      val v = if (i % 41 == 0) 500.0 + i else (i % 23).toDouble
+      (k, i.toLong, v)
+    } ++ Seq(("const", 900L, 7.0), ("const", 901L, 7.0), ("solo", 902L, 3.0))
+    val df = rows.toDF("k", "id", "v")
+    for (z <- Seq(1.5, 3.0)) {
+      val w = Stats.zscoreOutliers(df, "k", col("v"), z)
+        .select(col("k"), col("id"), round(col("zscore"), 9).as("z"))
+        .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = Stats.zscoreOutliersAgg(df, "k", col("v"), z)
+        .select(col("k"), col("id"), round(col("zscore"), 9).as("z"))
+        .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a === w, s"agg/window drift at z=$z")
+    }
+    assert(Stats.zscoreOutliersAgg(df, "k", col("v"), 100.0).columns
+      .toSeq === Seq("k", "id", "v", "zscore"))
+  }
+
   test("madOutliers: catches the spike a z-score masks") {
     // bulk 1..9 plus a 100 spike: the spike inflates the stddev to
     // ~30 so its own z is only ~2.8 (zscore at 3.0 misses it), while

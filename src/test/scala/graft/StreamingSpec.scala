@@ -390,4 +390,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((900L, Some(100L))), s"matched pair missing: $got")
     assert(got.contains((901L, None)), s"unmatched outer row missing: $got")
   }
+
+  test("LEFT OUTER interval join state stays bounded across many batches") {
+    // the 100 TB-stream claim behind withinWindowLeftOuter's scaladoc:
+    // state is bounded by (band + watermark delay), never by stream
+    // length. Drive 12 batches spaced 10 minutes of event time apart
+    // with a LAGGING 1-minute watermark; rows added grow linearly
+    // (12 × 40) while the state-store row count must plateau — each
+    // batch's watermark advance evicts the previous batch's band.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.functions.col
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val v = views.toDS().toDF("user_id", "vts", "view_id")
+      .withWatermark("vts", "1 minute")
+    val p = purchases.toDS().toDF("user_id", "pts", "purchase_id")
+      .withWatermark("pts", "1 minute")
+    val joined = StreamJoin.withinWindowLeftOuter(
+      p, v, "user_id", col("pts"), col("vts"), windowMs = 60 * 1000)
+    val query = joined.writeStream
+      .format("memory").queryName("ssjoin_state_out")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val perSide = 20
+      val stateSizes = (0 until 12).map { b =>
+        val base = t0 + b.toLong * 10 * 60 * 1000
+        views.addData((0 until perSide).map(i =>
+          ((i % 5).toLong, new Timestamp(base + i * 1000L),
+            b * 1000L + i)): _*)
+        purchases.addData((0 until perSide).map(i =>
+          ((i % 5).toLong, new Timestamp(base + i * 1000L + 500),
+            b * 2000L + i)): _*)
+        query.processAllAvailable()
+        Option(query.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      }
+      val totalAdded = 12L * 2 * perSide
+      // plateau: after warm-up, retained rows never exceed ~2 batches'
+      // worth of both sides — and are nowhere near the cumulative feed
+      val tail = stateSizes.drop(3)
+      assert(tail.max <= 4L * 2 * perSide,
+        s"state grew with stream length: $stateSizes")
+      assert(stateSizes.last < totalAdded / 2,
+        s"no eviction visible: $stateSizes")
+      // and the join still emitted real results along the way
+      assert(spark.table("ssjoin_state_out").count() > 0)
+    } finally query.stop()
+  }
 }
