@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Corpus, Dedup}
+import graft.sources.{Excel, Multimodal}
 
 /** Scale validation for the r11 fixes, against the sf0.1 tables the
   * driver's bench uses. Prints SCALE lines; numbers go to SURVEY §6.
@@ -60,6 +61,35 @@ object StressR11 {
       require(m.snapshot("rows_out") == n, "observed rows_out drifted")
       n
     })
+
+    // r11 un-stubbed image path at a real working-set size: 5k PNGs
+    // (~96x64) decode + feature-extract, then thumbnail + re-encode —
+    // the per-task codec throughput that sets executor sizing at scale
+    {
+      implicit val s: SparkSession = spark
+      val media = Multimodal.syntheticMedia(spark, 15000)
+        .localCheckpoint() // EAGER: generation + 5k PNG encodes are
+        // materialised here, before the first timed pass (a lazy
+        // checkpoint would bill them to run 1 of the median)
+      time("media decode+features (5k png)")(
+        Multimodal.extractFeatures(media).filter(_.ok).count())
+      time("media resize 64x64 (5k png)")(
+        Multimodal.resize(media, 64, 64).count())
+    }
+
+    // xlsx ingest ramp: 32 files x 2k rows parsed one-file-per-task
+    {
+      val dir = java.nio.file.Files.createTempDirectory("stress_xlsx")
+      val header = Seq("id", "name", "grade", "district")
+      (0 until 32).foreach { f =>
+        val rows = (0 until 2000).map(i =>
+          Seq(s"${f * 2000 + i}", s"name_$i", s"${i % 100}", s"D-${i % 50}"))
+        java.nio.file.Files.write(dir.resolve(f"part$f%02d.xlsx"),
+          Excel.writeBytes(header, rows, useSharedStrings = f % 2 == 0))
+      }
+      time("excel read 32 files x 2k rows")(
+        Excel.read(spark, dir.toString).count())
+    }
 
     spark.stop()
   }

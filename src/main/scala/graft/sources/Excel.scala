@@ -42,16 +42,23 @@ object Excel {
     * DataFrame. `header=true` (the pandas default the reference uses)
     * takes the first row of EACH file as column names and requires all
     * files to agree on it; `header=false` yields columns `c0..cN`
-    * sized by the widest first row. Short rows pad with null, long
-    * rows error (a misaligned drop should fail loudly, FAILFAST-style,
-    * not silently truncate). */
+    * sized by the first row of the lexicographically FIRST file (a
+    * deterministic anchor). Short rows pad with null, long rows error
+    * (a misaligned drop — including a first row narrower than later
+    * rows — should fail loudly, FAILFAST-style, never silently
+    * truncate or mis-map). */
   def read(
       spark: SparkSession, path: String, sheet: Int = 0,
       header: Boolean = true): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path)
       .select("path", "content")
-    val first = bin.limit(1).collect()
-    require(first.nonEmpty, s"Excel.read: no files at $path")
+    // schema anchor: the lexicographically FIRST path — binaryFile's
+    // own file order follows split packing (size-ordered), which would
+    // make the header=false schema width nondeterministic across runs
+    val firstPath = bin.select("path").orderBy("path").limit(1).collect()
+    require(firstPath.nonEmpty, s"Excel.read: no files at $path")
+    val first = bin.filter(org.apache.spark.sql.functions.col("path") ===
+      firstPath(0).getString(0)).collect()
     val firstRows = parseSheet(first(0).getAs[Array[Byte]]("content"), sheet)
     require(firstRows.nonEmpty, s"Excel.read: empty sheet in ${first(0).getString(0)}")
     val headerRow = firstRows.head
@@ -86,25 +93,81 @@ object Excel {
     */
   private[graft] def parseSheet(
       bytes: Array[Byte], sheet: Int): Seq[Seq[String]] = {
-    // pass 1 over the zip directory: grab sharedStrings + the sheet
-    // part (entry order inside the archive is arbitrary)
+    // pass 1 over the zip directory: grab sharedStrings, the workbook
+    // + its rels (sheet ORDER maps to part names through them — after
+    // deletions/reorders in Excel the first sheet can live in e.g.
+    // sheet3.xml), and every worksheet part (entry order is arbitrary)
     var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheetXml: Array[Byte] = null
-    val wanted = s"xl/worksheets/sheet${sheet + 1}.xml"
+    var workbookXml: Array[Byte] = null
+    var relsXml: Array[Byte] = null
+    val sheetParts = mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zin))
-          case `wanted` => sheetXml = readAll(zin)
+          case "xl/workbook.xml" => workbookXml = readAll(zin)
+          case "xl/_rels/workbook.xml.rels" => relsXml = readAll(zin)
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            sheetParts(n) = readAll(zin)
           case _ => ()
         }
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetXml != null, s"Excel: no worksheet part $wanted")
+    val wanted = resolveSheetPart(workbookXml, relsXml, sheet)
+      .getOrElse(s"xl/worksheets/sheet${sheet + 1}.xml")
+    val sheetXml = sheetParts.getOrElse(wanted,
+      throw new IllegalArgumentException(
+        s"Excel: no worksheet part $wanted (have ${sheetParts.keys.toSeq.sorted})"))
     parseSheetXml(sheetXml, shared)
+  }
+
+  /** Map sheet index → worksheet part name via workbook.xml's ordered
+    * <sheet r:id=…/> list and the workbook rels' Id→Target map; None
+    * when either part is absent/unparseable (caller falls back to the
+    * conventional sheetN+1 name). */
+  private def resolveSheetPart(
+      workbookXml: Array[Byte], relsXml: Array[Byte],
+      sheet: Int): Option[String] = {
+    if (workbookXml == null || relsXml == null) return None
+    try {
+      // ordered r:ids from <sheets><sheet … r:id="rIdX"/></sheets>
+      val rids = mutable.ArrayBuffer.empty[String]
+      val wr = xmlFactory().createXMLStreamReader(
+        new ByteArrayInputStream(workbookXml))
+      while (wr.hasNext) {
+        if (wr.next() == XMLStreamConstants.START_ELEMENT &&
+            wr.getLocalName == "sheet") {
+          var i = 0
+          while (i < wr.getAttributeCount) {
+            if (wr.getAttributeLocalName(i) == "id") rids += wr.getAttributeValue(i)
+            i += 1
+          }
+        }
+      }
+      wr.close()
+      if (sheet >= rids.size) return None
+      // rels: Id -> Target ("worksheets/sheet3.xml" or "/xl/…")
+      val targets = mutable.Map.empty[String, String]
+      val rr = xmlFactory().createXMLStreamReader(
+        new ByteArrayInputStream(relsXml))
+      while (rr.hasNext) {
+        if (rr.next() == XMLStreamConstants.START_ELEMENT &&
+            rr.getLocalName == "Relationship") {
+          val id = rr.getAttributeValue(null, "Id")
+          val tgt = rr.getAttributeValue(null, "Target")
+          if (id != null && tgt != null) targets(id) = tgt
+        }
+      }
+      rr.close()
+      targets.get(rids(sheet)).map { t =>
+        if (t.startsWith("/")) t.drop(1)
+        else if (t.startsWith("xl/")) t
+        else s"xl/$t"
+      }
+    } catch { case _: Throwable => None }
   }
 
   private def readAll(in: java.io.InputStream): Array[Byte] = {
@@ -128,16 +191,20 @@ object Excel {
     val out = mutable.ArrayBuffer.empty[String]
     val r = xmlFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
     // an <si> may hold one <t> or N rich-text runs (<r><t>..</t></r>) —
-    // concatenate every <t> under the current <si>
+    // concatenate every <t> under the current <si>, EXCEPT text inside
+    // phonetic runs (<rPh>, Japanese furigana annotations): pandas/
+    // openpyxl exclude those, and dtype=str parity means we must too
     var inSi = false
     var inT = false
+    var inRPh = false
     val sb = new StringBuilder
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "si" => inSi = true; sb.clear()
-            case "t" if inSi => inT = true
+            case "si" => inSi = true; inRPh = false; sb.clear()
+            case "rPh" => inRPh = true
+            case "t" if inSi && !inRPh => inT = true
             case _ => ()
           }
         case XMLStreamConstants.CHARACTERS if inT =>
@@ -145,6 +212,7 @@ object Excel {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "si" => inSi = false; out += sb.toString
+            case "rPh" => inRPh = false
             case "t" => inT = false
             case _ => ()
           }
@@ -176,7 +244,13 @@ object Excel {
     var inV = false
     var inIs = false
     var inT = false
+    var inRPh = false
     val text = new StringBuilder
+    // inline strings (<is>) may hold N rich-text runs — accumulate
+    // them all and emit ONE cell at </is> (emitting per-<t> dropped
+    // all but the last run, or shifted later columns for ref-less
+    // cells); phonetic <rPh> runs are excluded like in sharedStrings
+    val isBuf = new StringBuilder
     def put(v: String): Unit = {
       val idx = if (cellCol >= 0) cellCol else cells.size
       while (cells.size <= idx) cells += null
@@ -192,8 +266,9 @@ object Excel {
                 .map(colIndex).getOrElse(-1)
               cellType = Option(r.getAttributeValue(null, "t")).orNull
             case "v" => inV = true; text.clear()
-            case "is" => inIs = true
-            case "t" if inIs => inT = true; text.clear()
+            case "is" => inIs = true; inRPh = false; isBuf.clear()
+            case "rPh" => inRPh = true
+            case "t" if inIs && !inRPh => inT = true; text.clear()
             case _ => ()
           }
         case XMLStreamConstants.CHARACTERS if inV || inT =>
@@ -210,8 +285,9 @@ object Excel {
                 case _ => raw // "str", "n"/untyped, "e" — raw text, dtype=str
               }
               put(v)
-            case "t" if inIs => inT = false; put(text.toString)
-            case "is" => inIs = false
+            case "t" if inIs => inT = false; isBuf.append(text)
+            case "rPh" => inRPh = false
+            case "is" => inIs = false; put(isBuf.toString)
             case _ => ()
           }
         case _ => ()

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every decode/encode through
+  // a temp FILE in java.io.tmpdir — pure overhead for byte arrays
+  // already in memory, and disk churn on the hot executor path. Set
+  // once per JVM at first use of this object (executors initialise it
+  // when the first task touches the class).
+  ImageIO.setUseCache(false)
+
   case class MediaMeta(
       kind: String, // image | audio | video
       width: Int, height: Int,

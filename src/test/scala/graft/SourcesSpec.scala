@@ -279,6 +279,51 @@ class SourcesSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).nonEmpty)
   }
 
+  test("Excel handles Excel-authored quirks: rels-mapped sheet part, rich-text runs, rPh") {
+    // a hand-assembled workbook the way Excel itself saves one after
+    // sheet deletions: the only sheet lives in sheet3.xml (reachable
+    // via workbook.xml → rels, NOT by the conventional name), a
+    // shared string carries a phonetic <rPh> run (excluded by
+    // pandas/openpyxl — dtype=str parity requires excluding it), and
+    // inline strings split into multiple rich-text <r> runs (with and
+    // without an A1 ref) that must concatenate into ONE cell
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def part(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="Data" sheetId="4" r:id="rId9"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">""" +
+      """<si><t>city</t></si>""" +
+      """<si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>""")
+    part("xl/worksheets/sheet3.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>name</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="s"><v>1</v></c>""" +
+      """<c r="B2" t="inlineStr"><is><r><t>John </t></r><r><t>Smith</t></r></is></c></row>""" +
+      """<row r="3"><c r="A3" t="s"><v>1</v></c>""" +
+      """<c t="inlineStr"><is><r><t>Jane </t></r><r><t>Doe</t></r></is></c></row>""" +
+      """</sheetData></worksheet>""")
+    z.close()
+    val rows = Excel.parseSheet(bos.toByteArray, 0)
+    assert(rows(0) === Seq("city", "name"))
+    assert(rows(1) === Seq("東京", "John Smith")) // no furigana, runs joined
+    assert(rows(2) === Seq("東京", "Jane Doe"))   // ref-less cell appends once
+    val dir = Files.createTempDirectory("graft_xlsx_quirks").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/q.xlsx"),
+      bos.toByteArray)
+    val df = Excel.read(spark, s"$dir/q.xlsx")
+    assert(df.columns.toSeq === Seq("city", "name"))
+    assert(df.count() === 2)
+  }
+
   test("Excel header=false names columns positionally; colIndex decodes refs") {
     assert(Excel.colIndex("A1") === 0)
     assert(Excel.colIndex("Z9") === 25)
