@@ -101,7 +101,9 @@ object Bench {
       "q115_cumulative_users", "q116_session_window",
       "q117_budget_per_source", "q118_interval_overlap",
       // skew-safe z-score (agg + broadcast-back — r11)
-      "q119_zscore_agg"
+      "q119_zscore_agg",
+      // main-content extraction / boilerplate removal (r11)
+      "q120_main_content"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

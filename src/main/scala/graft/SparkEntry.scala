@@ -1552,6 +1552,35 @@ object SparkEntry {
         col("overlap_start_ms"), col("overlap_end_ms"))
   }
 
+  /** q120: main-content extraction / boilerplate removal
+    * (CssExtract.mainContent — the jusText/trafilatura step between
+    * raw crawl HTML and the quality gates). Pages are synthesised per
+    * document with the classic shapes: a nav bar of anchors (link
+    * density 19/21 ≈ 0.90 — dropped), the document body (length ≥ 48
+    * always — kept), an "ok" stub (dropped: short), a truncated
+    * teaser of the body (`doc_id % 60` chars, trimmed — kept iff the
+    * trimmed prefix reaches 40 chars), and a related-links paragraph
+    * (40 chars of text, 25 inside anchors — density 0.625, dropped).
+    * The oracle recomputes the expected text from the SOURCE columns,
+    * so the whole block/density pipeline is checked implementation-
+    * independently. Pure projection — no shuffle anywhere. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val teaser = col("text").substr(lit(1), pmod(col("doc_id"), lit(60)))
+    val page = concat(
+      lit("<div><p><a href=\"/h\">Home</a> <a href=\"/c\">Contact</a>" +
+        " <a href=\"/s\">Site map</a></p><p>"),
+      col("text"),
+      lit("</p><p>ok</p><p>"), teaser,
+      lit("</p><p>See <a href=\"/x\">more offers" +
+        "</a> and <a href=\"/y\">archived deals</a> here.</p></div>"))
+    val blocks = graft.operators.CssExtract.mainContentBlocks(
+      page, minChars = 40, maxLinkDensity = 0.33)
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      array_join(blocks, "\n").as("main_text"),
+      size(blocks).cast("long").as("n_kept"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -1974,7 +2003,8 @@ object SparkEntry {
     "q116_session_window" -> (q116 _),
     "q117_budget_per_source" -> (q117 _),
     "q118_interval_overlap" -> (q118 _),
-    "q119_zscore_agg" -> (q119 _)
+    "q119_zscore_agg" -> (q119 _),
+    "q120_main_content" -> (q120 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3212,6 +3242,22 @@ object SparkEntry {
         |SELECT event_id, event_type, round(v, 4) AS v,
         |  round(zscore, 4) AS z
         |FROM z WHERE abs(zscore) > 3""".stripMargin,
+    // q120: the oracle recomputes the kept blocks from the SOURCE
+    // columns (doc body always kept; teaser kept iff its TRIMMED
+    // doc_id%60-char prefix reaches 40 chars; nav/stub/related-links
+    // blocks are constants that always fail the gates) — the HTML
+    // parsing itself is checked implementation-independently
+    "q120_main_content" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    trim(substr(text, 1, CAST(doc_id % 60 AS INT))) AS teaser
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(teaser) >= 40
+        |    THEN text || chr(10) || teaser ELSE text END AS main_text,
+        |  CAST(CASE WHEN length(teaser) >= 40 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_kept
+        |FROM b""".stripMargin,
     // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
     // prefixed md5 slice where Spark uses conv(hex, 16, 10).
     "q110_weighted_sample" ->

@@ -166,6 +166,44 @@ object CssExtract {
     * Returns array<map<string,string>>; explode for one row per
     * record, `element_at` for typed pulls.
     */
+  /** Main-content extraction / boilerplate removal — the jusText/
+    * trafilatura recipe reduced to its deterministic core, the step a
+    * web-crawl training pipeline runs between raw HTML and the q38/q52
+    * quality gates. Candidate blocks are the page's `<p>` elements in
+    * document order; a block is CONTENT iff its stripped text has at
+    * least `minChars` characters AND its link density — characters of
+    * text inside `<a>` descendants over total text characters — is at
+    * most `maxLinkDensity`. Navigation bars, footers and related-link
+    * lists are nearly all anchors and fail the density gate; "ok"/"read
+    * more" stubs fail the length gate.
+    *
+    * Scale: a PURE PROJECTION. Blocks, per-block stripped text, link
+    * character counts and the density decision all ride higher-order
+    * array functions (`transform`/`filter`/`aggregate`) over the
+    * native html_* kernels inside one codegen'd stage — no explode, no
+    * shuffle, no join; at 100 TB this runs at scan speed beside the
+    * other per-document gates. Returns the kept block texts in
+    * document order; [[mainContent]] joins them with newlines. */
+  def mainContentBlocks(html: Column, minChars: Int = 40,
+      maxLinkDensity: Double = 0.33): Column = {
+    val entries = transform(elements(html, "p"), b => {
+      val linkChars = aggregate(
+        transform(elements(b, "a"), a => length(text(a))),
+        lit(0), (acc, x) => acc + x)
+      struct(text(b).as("t"), linkChars.as("lc"))
+    })
+    val kept = filter(entries, e =>
+      length(e.getField("t")) >= minChars &&
+        e.getField("lc").cast("double") <=
+          lit(maxLinkDensity) * length(e.getField("t")).cast("double"))
+    transform(kept, e => e.getField("t"))
+  }
+
+  /** [[mainContentBlocks]] joined into the page's main text. */
+  def mainContent(html: Column, minChars: Int = 40,
+      maxLinkDensity: Double = 0.33): Column =
+    array_join(mainContentBlocks(html, minChars, maxLinkDensity), "\n")
+
   def divTable(html: Column, containerId: String, headerCls: String,
       rowCls: String, cellTag: String, keyAttr: String): Column = {
     val container = element(html, "div", "id", containerId)

@@ -14,16 +14,20 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real end to end: decode via `javax.imageio`
   * (PNG/JPEG/BMP/GIF — the JDK's built-in codecs), luminance-histogram
   * features from actual pixels, and a bounded-memory thumbnail resize
-  * that re-encodes PNG bytes. Corrupt/undecodable bytes NEVER fail a
-  * task: they surface as quarantine rows (`ok=false`, `err` set) so a
-  * 100 TB run loses one row, not one 128 MB partition, to one bad blob.
+  * that re-encodes PNG bytes. The AUDIO path is real for WAV/PCM:
+  * decode via `javax.sound.sampled` (the JDK's built-in RIFF codec),
+  * time-sliced RMS-energy features from actual samples, true sample
+  * rate / duration recovered from the header. Corrupt/undecodable
+  * bytes NEVER fail a task on either path: they surface as quarantine
+  * rows (`ok=false`, `err` set) so a 100 TB run loses one row, not one
+  * 128 MB partition, to one bad blob.
   *
-  * AUDIO/VIDEO decode stays a byte-signature stand-in (`kind` prefixed
-  * features from a rolling byte hash): the JDK ships no audio/video
-  * codec and this container installs none. The contract — schema,
-  * partition sizing, batch iteration, quarantine shape — is identical
-  * to the image path, so swapping a real codec in changes only
-  * [[byteSignatureFeatures]]'s call site.
+  * VIDEO decode stays a byte-signature stand-in (features from a
+  * rolling byte hash): the JDK ships no video codec and this container
+  * installs none. The contract — schema, partition sizing, batch
+  * iteration, quarantine shape — is identical to the real paths, so
+  * swapping a codec in changes only [[byteSignatureFeatures]]'s call
+  * site.
   *
   * Scale posture: media rows are large (MBs) — `mediaRepartition`
   * targets ~128 MB per partition by byte size, not row count, so
@@ -71,9 +75,10 @@ object Multimodal {
           MediaRow(i, syntheticPng(w, h, seed = i),
             MediaMeta(kind, w, h, 0, 0L))
         case "audio" =>
-          val len = 256 + (i % 7).toInt * 128
-          val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
-          MediaRow(i, bytes, MediaMeta(kind, 0, 0, 16000, 1000L + i % 5000))
+          // real PCM16 WAV: a deterministic sine seeded by the id
+          val durMs = 50L + (i % 5) * 25
+          MediaRow(i, syntheticWav(16000, durMs, seed = i),
+            MediaMeta(kind, 0, 0, 16000, durMs))
         case _ =>
           val len = 256 + (i % 7).toInt * 128
           val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
@@ -104,6 +109,89 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic mono PCM16 WAV at `sampleRate`: a sine whose
+    * frequency and phase derive from the seed. Hand-rolled RIFF header
+    * (the 44-byte canonical layout) — the WRITE side needs no codec;
+    * decode goes through the real javax.sound path. */
+  private[graft] def syntheticWav(
+      sampleRate: Int, durationMs: Long, seed: Long): Array[Byte] = {
+    val n = (sampleRate * durationMs / 1000L).toInt
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val freq = 110.0 + (seed % 40) * 20.0
+    val phase = (seed % 17) * 0.37
+    var t = 0
+    while (t < n) {
+      val v = math.sin(2 * math.Pi * freq * t / sampleRate + phase)
+      buf.putShort((v * 12000).toShort)
+      t += 1
+    }
+    buf.array()
+  }
+
+  /** Real audio decode (WAV/PCM via the JDK codec). Returns the
+    * header's sample rate and the PCM16 samples; Left(reason) on
+    * corrupt/unsupported bytes — caught, never a task failure. */
+  def decodeAudio(bytes: Array[Byte]): Either[String, (Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+          Left(s"unsupported WAV layout: ${fmt.getSampleSizeInBits}-bit " +
+            s"x${fmt.getChannels}ch (need PCM16 mono)")
+        else {
+          val raw = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          Right((fmt.getSampleRate.toInt, out))
+        }
+      } finally in.close()
+    } catch {
+      case e: Throwable =>
+        Left(s"audio decode failed: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(120))
+    }
+
+  /** 8-slice RMS-energy profile over REAL samples, peak-normalised —
+    * the audio twin of [[luminanceHistogram]]. */
+  private[graft] def rmsProfile(samples: Array[Short]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    if (samples.isEmpty) return out
+    val slice = math.max(1, samples.length / FeatureDim)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i) / 32768.0
+      val b = math.min(FeatureDim - 1, i / slice)
+      out(b) += (s * s).toFloat
+      i += 1
+    }
+    var b = 0
+    while (b < FeatureDim) {
+      out(b) = math.sqrt(out(b) / slice).toFloat
+      b += 1
+    }
+    val peak = out.max
+    if (peak > 0) { var j = 0; while (j < FeatureDim) { out(j) /= peak; j += 1 } }
+    out
   }
 
   /** Real image decode. Left(reason) on corrupt/unsupported bytes —
@@ -218,7 +306,16 @@ object Multimodal {
                   MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                     new Array[Float](FeatureDim), ok = false, err = reason)
               }
-            case _ =>
+            case "audio" =>
+              decodeAudio(r.bytes) match {
+                case Right((_, samples)) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    rmsProfile(samples), ok = true, err = null)
+                case Left(reason) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    new Array[Float](FeatureDim), ok = false, err = reason)
+              }
+            case _ => // video: no JDK codec — byte-signature stand-in
               MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                 byteSignatureFeatures(r.bytes), ok = true, err = null)
           }

@@ -188,4 +188,42 @@ class CssExtractSpec extends SparkSpec {
       ("Doe, Jane", "D", "95%"),
       ("Roe, Rich & Co", "R", "12%")))
   }
+
+  test("mainContent keeps long low-link-density blocks, drops boilerplate") {
+    val body = "This is the actual article body with plenty of real text."
+    val page =
+      s"""<html><body>
+         |<p><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">More</a></p>
+         |<p>$body</p>
+         |<p>ok</p>
+         |<p>Another genuine paragraph with a single <a href="/r">reference</a> inside a lot of surrounding prose text.</p>
+         |<p>See <a href="/x">more offers</a> and <a href="/y">archived deals</a> here.</p>
+         |</body></html>""".stripMargin
+    val out = Seq(page).toDF("html")
+      .select(CssExtract.mainContent(col("html")).as("t"),
+        CssExtract.mainContentBlocks(col("html")).as("blocks"))
+      .as[(String, Seq[String])].head()
+    // nav (short AND density 13/15), "ok" (short) and the
+    // related-links block (density 25/40) drop; the body and the
+    // prose-with-one-link block (density 9/103) survive, in document
+    // order
+    assert(out._2.size === 2)
+    assert(out._2.head === body)
+    assert(out._2(1).startsWith("Another genuine paragraph"))
+    assert(out._1 === out._2.mkString("\n"))
+    // a page of pure boilerplate yields an empty main text
+    val empty = Seq("""<p><a href="/a">Only links here at all</a></p>""")
+      .toDF("html")
+      .select(CssExtract.mainContent(col("html")).as("t"))
+      .as[String].head()
+    assert(empty === "")
+    // density boundary is inclusive: exactly 33 link chars of 100
+    // (= 0.33) survives, 34 does not
+    def densityPage(link: Int) =
+      "<p>" + "x" * (100 - link) + "<a>" + "y" * link + "</a></p>"
+    val sizes = Seq(densityPage(33), densityPage(34)).toDF("html")
+      .select(size(CssExtract.mainContentBlocks(col("html"))).as("n"))
+      .as[Int].collect().toSeq
+    assert(sizes === Seq(1, 0))
+  }
 }

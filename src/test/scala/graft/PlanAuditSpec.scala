@@ -148,7 +148,8 @@ class PlanAuditSpec extends SparkSpec {
       // (q77_corpus_profile runs its aggregates eagerly and returns a
       // driver-local frame — no scan in the returned plan to audit;
       // its base projection is the pruning)
-      "q71_bm25" -> Set("doc_id", "text"))) {
+      "q71_bm25" -> Set("doc_id", "text"),
+      "q120_main_content" -> Set("doc_id", "text"))) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       val read = nodes.collect {
