@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
   * rows (`ok=false`, `err` set) so a 100 TB run loses one row, not one
   * 128 MB partition, to one bad blob.
   *
-  * VIDEO decode stays a byte-signature stand-in (features from a
-  * rolling byte hash): the JDK ships no video codec and this container
-  * installs none. The contract — schema, partition sizing, batch
-  * iteration, quarantine shape — is identical to the real paths, so
-  * swapping a codec in changes only [[byteSignatureFeatures]]'s call
-  * site.
+  * The VIDEO path is real for MJPEG-in-AVI: the RIFF/AVI container
+  * parses with plain byte scanning (chunk walk to the `movi` list),
+  * each frame is a standalone JPEG that `javax.imageio` decodes, frame
+  * timing comes from the `avih` header. That covers the one video
+  * format a JDK-only engine can honestly decode end to end; other
+  * codecs (H.264 etc.) fall back to a byte-signature stand-in via the
+  * quarantine-aware decode path — same contract (schema, partition
+  * sizing, batch iteration, quarantine shape), so swapping a real
+  * codec in changes only one call site.
   *
   * Scale posture: media rows are large (MBs) — `mediaRepartition`
   * targets ~128 MB per partition by byte size, not row count, so
@@ -80,15 +83,17 @@ object Multimodal {
           MediaRow(i, syntheticWav(16000, durMs, seed = i),
             MediaMeta(kind, 0, 0, 16000, durMs))
         case _ =>
-          val len = 256 + (i % 7).toInt * 128
-          val bytes = Array.tabulate[Byte](len)(j => ((i * 31 + j) % 251).toByte)
-          MediaRow(i, bytes, MediaMeta(kind, 128, 128, 0, 2000L + i % 9000))
+          // real MJPEG-in-AVI: 2-6 JPEG frames at 4 fps
+          val nFrames = 2 + (i % 5).toInt
+          val fps = 4
+          MediaRow(i, syntheticMjpegAvi(48, 32, nFrames, fps, seed = i),
+            MediaMeta(kind, 48, 32, 0, nFrames * 1000L / fps))
       }
     }
   }
 
-  /** Deterministic w×h RGB gradient, PNG-encoded. */
-  private[graft] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  /** Deterministic w×h RGB gradient. */
+  private def syntheticImage(w: Int, h: Int, seed: Long): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -102,12 +107,21 @@ object Multimodal {
       }
       y += 1
     }
-    encodePng(img)
+    img
   }
+
+  private[graft] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodePng(syntheticImage(w, h, seed))
 
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
 
@@ -193,6 +207,116 @@ object Multimodal {
     if (peak > 0) { var j = 0; while (j < FeatureDim) { out(j) /= peak; j += 1 } }
     out
   }
+
+  // ------------------------------------------------------------------
+  // MJPEG-in-AVI video: RIFF container walked with plain byte offsets
+  // (chunk = fourcc + LE size + payload, word-aligned), frames are
+  // standalone JPEGs that ImageIO decodes. The one video format a
+  // JDK-only engine can honestly read end to end.
+  // ------------------------------------------------------------------
+
+  /** avih header facts: frame period (µs), frame count, frame dims. */
+  case class AviMeta(usPerFrame: Int, totalFrames: Int,
+      width: Int, height: Int)
+
+  private def leInt(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def aviChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ leInt(data.length) ++ data ++ pad
+  }
+
+  private def aviList(listType: String, children: Array[Byte]): Array[Byte] =
+    aviChunk("LIST", listType.getBytes("US-ASCII") ++ children)
+
+  /** Deterministic MJPEG AVI: `nFrames` JPEG gradient frames at `fps`.
+    * Minimal-but-valid layout: RIFF(AVI ) { LIST(hdrl){avih,
+    * LIST(strl){strh,strf}}, LIST(movi){00dc…} }. */
+  private[graft] def syntheticMjpegAvi(
+      w: Int, h: Int, nFrames: Int, fps: Int, seed: Long): Array[Byte] = {
+    val frames = (0 until nFrames).map(f =>
+      encodeJpeg(syntheticImage(w, h, seed * 101 + f)))
+    val maxFrame = frames.map(_.length).max
+    val avih = aviChunk("avih",
+      leInt(1000000 / fps) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+        leInt(nFrames) ++ leInt(0) ++ leInt(1) ++ leInt(maxFrame) ++
+        leInt(w) ++ leInt(h) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0))
+    val strh = aviChunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        leInt(0) ++ leInt(0) ++ leInt(0) ++
+        leInt(1) ++ leInt(fps) ++ // scale, rate: rate/scale = fps
+        leInt(0) ++ leInt(nFrames) ++ leInt(maxFrame) ++ leInt(-1) ++
+        leInt(0) ++
+        Array[Byte](0, 0, 0, 0, w.toByte, (w >> 8).toByte,
+          h.toByte, (h >> 8).toByte)) // rcFrame l,t,r,b as LE shorts
+    val strf = aviChunk("strf",
+      leInt(40) ++ leInt(w) ++ leInt(h) ++
+        Array[Byte](1, 0, 24, 0) ++ // planes 1, bitcount 24
+        "MJPG".getBytes("US-ASCII") ++ leInt(w * h * 3) ++
+        leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0))
+    val hdrl = aviList("hdrl", avih ++ aviList("strl", strh ++ strf))
+    val movi = aviList("movi",
+      frames.map(aviChunk("00dc", _)).foldLeft(Array.empty[Byte])(_ ++ _))
+    aviChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  private def fourccAt(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private def leIntAt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Does the payload claim to be a RIFF AVI container at all? Other
+    * video containers (mp4 etc.) return false and take the
+    * byte-signature stand-in path instead of quarantining. */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && fourccAt(bytes, 0) == "RIFF" &&
+      fourccAt(bytes, 8) == "AVI "
+
+  /** Real AVI parse: header meta + the MJPEG frame payloads, in
+    * stream order. Left(reason) on a malformed container — caught,
+    * never a task failure. */
+  def decodeAviFrames(
+      bytes: Array[Byte]): Either[String, (AviMeta, Seq[Array[Byte]])] =
+    try {
+      if (!isAvi(bytes)) Left("not a RIFF/AVI container")
+      else {
+        var meta: AviMeta = null
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+          var pos = start
+          while (pos + 8 <= end) {
+            val id = fourccAt(bytes, pos)
+            val size = leIntAt(bytes, pos + 4)
+            val body = pos + 8
+            if (size < 0 || body + size > end)
+              throw new IllegalArgumentException(
+                s"chunk $id overruns container at offset $pos")
+            if (id == "LIST" && size >= 4) {
+              val listType = fourccAt(bytes, body)
+              walk(body + 4, body + size, inMovi || listType == "movi")
+            } else if (id == "avih" && size >= 40) {
+              meta = AviMeta(leIntAt(bytes, body), leIntAt(bytes, body + 16),
+                leIntAt(bytes, body + 32), leIntAt(bytes, body + 36))
+            } else if (inMovi && size > 0 &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+            }
+            pos = body + size + (size & 1)
+          }
+        }
+        walk(12, math.min(bytes.length, 8 + leIntAt(bytes, 4)), inMovi = false)
+        if (meta == null) Left("no avih header chunk")
+        else if (frames.isEmpty) Left("no frame chunks in movi list")
+        else Right((meta, frames.toSeq))
+      }
+    } catch {
+      case e: Throwable =>
+        Left(s"avi parse failed: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(120))
+    }
 
   /** Real image decode. Left(reason) on corrupt/unsupported bytes —
     * exceptions are CAUGHT here so a bad blob can only ever produce a
@@ -315,7 +439,37 @@ object Multimodal {
                   MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                     new Array[Float](FeatureDim), ok = false, err = reason)
               }
-            case _ => // video: no JDK codec — byte-signature stand-in
+            case "video" if isAvi(r.bytes) =>
+              // real MJPEG path: mean pixel histogram over ≤ 4 evenly
+              // sampled frames; a bad container OR a bad frame both
+              // quarantine
+              val feats = decodeAviFrames(r.bytes).flatMap {
+                case (_, frames) =>
+                  val step = math.max(1, frames.size / 4)
+                  val sampled = frames.indices.by(step).take(4)
+                  val hists = sampled.map(i => decodeImage(frames(i)))
+                  hists.collectFirst { case Left(e) => e } match {
+                    case Some(e) => Left(s"frame decode: $e")
+                    case None =>
+                      val imgs = hists.collect { case Right(img) =>
+                        luminanceHistogram(img) }
+                      val mean = new Array[Float](FeatureDim)
+                      imgs.foreach(hs => (0 until FeatureDim)
+                        .foreach(j => mean(j) += hs(j) / imgs.size))
+                      Right(mean)
+                  }
+              }
+              feats match {
+                case Right(v) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    v, ok = true, err = null)
+                case Left(reason) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    new Array[Float](FeatureDim), ok = false, err = reason)
+              }
+            case _ => // video in a non-AVI container: no JDK codec —
+              // byte-signature stand-in (NOT quarantine: the payload
+              // isn't corrupt, this engine just has no decoder for it)
               MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                 byteSignatureFeatures(r.bytes), ok = true, err = null)
           }
@@ -361,18 +515,24 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: emit every `stride`-th synthetic
-    * frame index with its byte offset — the plumbing (explode shape)
-    * for a real frame extractor. */
+  /** Frame sampling for video rows: every `stride`-th REAL frame from
+    * the AVI container, with its true timestamp (from the avih frame
+    * period) and encoded byte size — the explode shape a frame-level
+    * feature extractor consumes. Undecodable rows emit no frames;
+    * route them through [[extractFeatures]]'s quarantine instead. */
   def frameSample(
       media: Dataset[MediaRow], stride: Int)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.filter(_.meta.kind == "video")
       .flatMap { r =>
-        val nFrames = math.max(1, (r.meta.durationMs / 1000L).toInt)
-        (0 until nFrames by stride).map { f =>
-          (r.media_id, f, f.toLong * 1000L, r.bytes.length.toLong)
+        decodeAviFrames(r.bytes) match {
+          case Right((m, frames)) =>
+            (0 until frames.size by stride).map { f =>
+              (r.media_id, f, f.toLong * m.usPerFrame / 1000L,
+                frames(f).length.toLong)
+            }
+          case Left(_) => Seq.empty
         }
       }
       .toDF("media_id", "frame_idx", "offset_ms", "n_bytes")

@@ -129,9 +129,15 @@ class PlanAuditSpec extends SparkSpec {
                                // table (bounded) into the prefix sum
       "q116_session_window" -> 1, // native session agg: ONE user-key
                                // exchange, sessions merge in the sort
-      "q117_budget_per_source" -> 2) // per-source budget agg + the
+      "q117_budget_per_source" -> 2, // per-source budget agg + the
                                // source-partitioned cumsum window;
                                // budgets join back broadcast
+      "q119_zscore_agg" -> 1,  // per-key moments aggregate only; the
+                               // data reaches the filter unshuffled
+                               // (stats broadcast back)
+      "q120_main_content" -> 0) // pure projection: block split, text
+                               // strip, density gate all ride one
+                               // codegen'd stage — nothing moves
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

@@ -407,6 +407,44 @@ class SourcesSpec extends SparkSpec {
     assert(samples.length === rate * row.meta.durationMs / 1000)
   }
 
+  test("Multimodal video decode is real: MJPEG AVI frames, timing, quarantine") {
+    implicit val s = spark
+    import spark.implicits._
+    // direct container check first: id 2 is video with 2+(2%5)=4 frames
+    val clean = Multimodal.syntheticMedia(spark, 30).collect()
+      .find(_.media_id == 2L).get
+    val Right((meta, frames)) = Multimodal.decodeAviFrames(clean.bytes)
+    assert(meta.usPerFrame === 250000) // 4 fps
+    assert(meta.totalFrames === 4 && frames.size === 4)
+    assert(meta.width === 48 && meta.height === 32)
+    // each frame is a real JPEG at the declared dims
+    frames.foreach { f =>
+      val img = Multimodal.decodeImage(f).toOption.get
+      assert(img.getWidth === 48 && img.getHeight === 32)
+    }
+    // features: mean pixel histogram over sampled frames; a truncated
+    // container quarantines (id 14 is video: 14 % 3 == 2)
+    val media = Multimodal.syntheticMedia(spark, 30).map { r =>
+      if (r.media_id == 14L) r.copy(bytes = r.bytes.take(30)) else r
+    }
+    val vids = Multimodal.extractFeatures(media).collect()
+      .filter(_.kind == "video")
+    assert(vids.length === 10)
+    assert(vids.filter(!_.ok).map(_.media_id).toSeq === Seq(14L))
+    vids.filter(_.ok).foreach { f =>
+      assert(f.features.forall(v => v >= 0f && v <= 1f))
+      assert(math.abs(f.features.sum - 1f) < 1e-3) // mean of L1 hists
+    }
+    // frameSample walks the REAL frame list with true timestamps
+    val fs = Multimodal.frameSample(
+      Multimodal.syntheticMedia(spark, 9), stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byId = fs.groupBy(_._1)
+    assert(byId(2L).length === 4) // 2+(2%5)
+    assert(byId(8L).length === 5) // 2+(8%5)
+    assert(byId(2L).map(_._3).sorted.toSeq === Seq(0L, 250L, 500L, 750L))
+  }
+
   test("Multimodal corrupt image bytes quarantine, never fail the task") {
     implicit val s = spark
     import spark.implicits._
