@@ -1556,8 +1556,10 @@ object SparkEntry {
     * (CssExtract.mainContent — the jusText/trafilatura step between
     * raw crawl HTML and the quality gates). Pages are synthesised per
     * document with the classic shapes: a nav bar of anchors (link
-    * density 19/21 ≈ 0.90 — dropped), the document body (length ≥ 48
-    * always — kept), an "ok" stub (dropped: short), a truncated
+    * density 19/21 ≈ 0.90 — dropped), the document body (min length
+    * 44 in the current testdata, so it passes the 40-char gate — but
+    * the oracle applies the gate rather than assuming), an "ok" stub
+    * (dropped: short), a truncated
     * teaser of the body (`doc_id % 60` chars, trimmed — kept iff the
     * trimmed prefix reaches 40 chars), and a related-links paragraph
     * (40 chars of text, 25 inside anchors — density 0.625, dropped).
@@ -3243,21 +3245,30 @@ object SparkEntry {
         |  round(zscore, 4) AS z
         |FROM z WHERE abs(zscore) > 3""".stripMargin,
     // q120: the oracle recomputes the kept blocks from the SOURCE
-    // columns (doc body always kept; teaser kept iff its TRIMMED
-    // doc_id%60-char prefix reaches 40 chars; nav/stub/related-links
-    // blocks are constants that always fail the gates) — the HTML
-    // parsing itself is checked implementation-independently
+    // columns — the ≥40-char gate applied to BOTH the body and the
+    // trimmed doc_id%60-char teaser (no "body always passes"
+    // assumption: current testdata bottoms out at 44 chars, only 4
+    // above the gate, and a regenerated dataset could cross it);
+    // nav/stub/related-links blocks are constants that always fail
+    // the gates. concat_ws skips NULLs like array_join skips dropped
+    // blocks, so the HTML parsing is checked implementation-
+    // independently for 0, 1 and 2 surviving blocks
     "q120_main_content" ->
       """WITH b AS (
         |  SELECT doc_id, text,
         |    trim(substr(text, 1, CAST(doc_id % 60 AS INT))) AS teaser
-        |  FROM documents)
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 40 THEN text END AS b1,
+        |    CASE WHEN length(teaser) >= 40 THEN teaser END AS b2
+        |  FROM b)
         |SELECT doc_id,
-        |  CASE WHEN length(teaser) >= 40
-        |    THEN text || chr(10) || teaser ELSE text END AS main_text,
-        |  CAST(CASE WHEN length(teaser) >= 40 THEN 2 ELSE 1 END
+        |  concat_ws(chr(10), b1, b2) AS main_text,
+        |  CAST((CASE WHEN b1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN b2 IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_kept
-        |FROM b""".stripMargin,
+        |FROM k""".stripMargin,
     // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
     // prefixed md5 slice where Spark uses conv(hex, 16, 10).
     "q110_weighted_sample" ->

@@ -166,6 +166,21 @@ object CssExtract {
     * Returns array<map<string,string>>; explode for one row per
     * record, `element_at` for typed pulls.
     */
+  def divTable(html: Column, containerId: String, headerCls: String,
+      rowCls: String, cellTag: String, keyAttr: String): Column = {
+    val container = element(html, "div", "id", containerId)
+    val headers = transform(
+      elements(container, cellTag, "class", headerCls), text(_))
+    transform(elements(container, "div", "class", rowCls), row => {
+      val cells = elements(row, cellTag)
+      val values = concat(
+        array(attr(row, cellTag, "", "", keyAttr)),
+        transform(slice(cells, lit(2), greatest(size(cells) - 1, lit(0))),
+          c => text(c)))
+      map_from_arrays(headers, values)
+    })
+  }
+
   /** Main-content extraction / boilerplate removal — the jusText/
     * trafilatura recipe reduced to its deterministic core, the step a
     * web-crawl training pipeline runs between raw HTML and the q38/q52
@@ -203,19 +218,4 @@ object CssExtract {
   def mainContent(html: Column, minChars: Int = 40,
       maxLinkDensity: Double = 0.33): Column =
     array_join(mainContentBlocks(html, minChars, maxLinkDensity), "\n")
-
-  def divTable(html: Column, containerId: String, headerCls: String,
-      rowCls: String, cellTag: String, keyAttr: String): Column = {
-    val container = element(html, "div", "id", containerId)
-    val headers = transform(
-      elements(container, cellTag, "class", headerCls), text(_))
-    transform(elements(container, "div", "class", rowCls), row => {
-      val cells = elements(row, cellTag)
-      val values = concat(
-        array(attr(row, cellTag, "", "", keyAttr)),
-        transform(slice(cells, lit(2), greatest(size(cells) - 1, lit(0))),
-          c => text(c)))
-      map_from_arrays(headers, values)
-    })
-  }
 }

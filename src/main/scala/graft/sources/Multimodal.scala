@@ -156,26 +156,57 @@ object Multimodal {
     buf.array()
   }
 
-  /** Real audio decode (WAV/PCM via the JDK codec). Returns the
-    * header's sample rate and the PCM16 samples; Left(reason) on
-    * corrupt/unsupported bytes — caught, never a task failure. */
+  /** Does the payload claim to be a RIFF WAVE container? Other audio
+    * containers (MP3/OGG — no JDK codec) return false and take the
+    * byte-signature stand-in path instead of quarantining, mirroring
+    * [[isAvi]] for video. */
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE"
+
+  /** Real audio decode (WAV/PCM via the JDK codec; 8- or 16-bit,
+    * any channel count — channels average to mono). Returns the
+    * header's sample rate and mono PCM16 samples; Left(reason) on a
+    * malformed container or a non-PCM encoding — caught, never a
+    * task failure. */
   def decodeAudio(bytes: Array[Byte]): Either[String, (Int, Array[Short])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))
       try {
+        import javax.sound.sampled.AudioFormat.Encoding
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
-          Left(s"unsupported WAV layout: ${fmt.getSampleSizeInBits}-bit " +
-            s"x${fmt.getChannels}ch (need PCM16 mono)")
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val enc = fmt.getEncoding
+        if ((enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16) || ch < 1)
+          Left(s"unsupported WAV layout: $enc $bits-bit x${ch}ch " +
+            "(PCM 8/16-bit only)")
         else {
           val raw = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = raw.length / frameBytes
           val bb = java.nio.ByteBuffer.wrap(raw).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)
-          val out = new Array[Short](raw.length / 2)
-          var i = 0
-          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          val out = new Array[Short](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * bytesPerSample
+              acc += (if (bits == 16) bb.getShort(off).toInt
+                      else if (enc == Encoding.PCM_UNSIGNED)
+                        ((raw(off) & 0xFF) - 128) << 8
+                      else raw(off).toInt << 8)
+              c += 1
+            }
+            out(f) = (acc / ch).toShort
+            f += 1
+          }
           Right((fmt.getSampleRate.toInt, out))
         }
       } finally in.close()
@@ -186,21 +217,26 @@ object Multimodal {
     }
 
   /** 8-slice RMS-energy profile over REAL samples, peak-normalised —
-    * the audio twin of [[luminanceHistogram]]. */
+    * the audio twin of [[luminanceHistogram]]. Each bin divides by the
+    * sample count IT received (the last bin absorbs the remainder when
+    * the length isn't a multiple of 8 — a fixed divisor would inflate
+    * its RMS). */
   private[graft] def rmsProfile(samples: Array[Short]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     if (samples.isEmpty) return out
+    val counts = new Array[Int](FeatureDim)
     val slice = math.max(1, samples.length / FeatureDim)
     var i = 0
     while (i < samples.length) {
       val s = samples(i) / 32768.0
       val b = math.min(FeatureDim - 1, i / slice)
       out(b) += (s * s).toFloat
+      counts(b) += 1
       i += 1
     }
     var b = 0
     while (b < FeatureDim) {
-      out(b) = math.sqrt(out(b) / slice).toFloat
+      if (counts(b) > 0) out(b) = math.sqrt(out(b) / counts(b)).toFloat
       b += 1
     }
     val peak = out.max
@@ -275,16 +311,18 @@ object Multimodal {
     bytes.length >= 12 && fourccAt(bytes, 0) == "RIFF" &&
       fourccAt(bytes, 8) == "AVI "
 
-  /** Real AVI parse: header meta + the MJPEG frame payloads, in
-    * stream order. Left(reason) on a malformed container — caught,
-    * never a task failure. */
-  def decodeAviFrames(
-      bytes: Array[Byte]): Either[String, (AviMeta, Seq[Array[Byte]])] =
+  /** AVI parse without copying payloads: header meta + each frame's
+    * (offset, length) into the original byte array. Callers copy ONLY
+    * the frames they actually use — frameSample at stride 30 over a
+    * 1000-frame clip touches 34 frames, not 1000. Left(reason) on a
+    * malformed container — caught, never a task failure. */
+  def aviFrameRanges(
+      bytes: Array[Byte]): Either[String, (AviMeta, Seq[(Int, Int)])] =
     try {
       if (!isAvi(bytes)) Left("not a RIFF/AVI container")
       else {
         var meta: AviMeta = null
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
         def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
           var pos = start
           while (pos + 8 <= end) {
@@ -302,7 +340,7 @@ object Multimodal {
                 leIntAt(bytes, body + 32), leIntAt(bytes, body + 36))
             } else if (inMovi && size > 0 &&
                 (id.endsWith("dc") || id.endsWith("db"))) {
-              frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+              frames += ((body, size))
             }
             pos = body + size + (size & 1)
           }
@@ -316,6 +354,15 @@ object Multimodal {
       case e: Throwable =>
         Left(s"avi parse failed: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(120))
+    }
+
+  /** [[aviFrameRanges]] with every frame payload materialised — for
+    * callers that consume the whole clip. */
+  def decodeAviFrames(
+      bytes: Array[Byte]): Either[String, (AviMeta, Seq[Array[Byte]])] =
+    aviFrameRanges(bytes).map { case (meta, ranges) =>
+      (meta, ranges.map { case (off, len) =>
+        java.util.Arrays.copyOfRange(bytes, off, off + len) })
     }
 
   /** Real image decode. Left(reason) on corrupt/unsupported bytes —
@@ -430,7 +477,7 @@ object Multimodal {
                   MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                     new Array[Float](FeatureDim), ok = false, err = reason)
               }
-            case "audio" =>
+            case "audio" if isWav(r.bytes) =>
               decodeAudio(r.bytes) match {
                 case Right((_, samples)) =>
                   MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
@@ -439,15 +486,27 @@ object Multimodal {
                   MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                     new Array[Float](FeatureDim), ok = false, err = reason)
               }
+            case "audio" => // MP3/OGG etc.: no JDK codec — stand-in,
+              // NOT quarantine (the payload isn't corrupt)
+              MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                byteSignatureFeatures(r.bytes), ok = true, err = null)
             case "video" if isAvi(r.bytes) =>
               // real MJPEG path: mean pixel histogram over ≤ 4 evenly
-              // sampled frames; a bad container OR a bad frame both
-              // quarantine
-              val feats = decodeAviFrames(r.bytes).flatMap {
-                case (_, frames) =>
-                  val step = math.max(1, frames.size / 4)
-                  val sampled = frames.indices.by(step).take(4)
-                  val hists = sampled.map(i => decodeImage(frames(i)))
+              // spaced frames (first AND last included — a fixed
+              // stride would never reach a long clip's tail); only the
+              // sampled frames are copied out of the container. A bad
+              // container OR a bad frame both quarantine
+              val feats = aviFrameRanges(r.bytes).flatMap {
+                case (_, ranges) =>
+                  val n = ranges.size
+                  val sampled =
+                    if (n <= 4) ranges.indices
+                    else (0 to 3).map(i => i * (n - 1) / 3).distinct
+                  val hists = sampled.map { i =>
+                    val (off, len) = ranges(i)
+                    decodeImage(
+                      java.util.Arrays.copyOfRange(r.bytes, off, off + len))
+                  }
                   hists.collectFirst { case Left(e) => e } match {
                     case Some(e) => Left(s"frame decode: $e")
                     case None =>
@@ -518,23 +577,47 @@ object Multimodal {
   /** Frame sampling for video rows: every `stride`-th REAL frame from
     * the AVI container, with its true timestamp (from the avih frame
     * period) and encoded byte size — the explode shape a frame-level
-    * feature extractor consumes. Undecodable rows emit no frames;
-    * route them through [[extractFeatures]]'s quarantine instead. */
+    * feature extractor consumes. Zero-copy: frame (offset, length)
+    * pairs come from [[aviFrameRanges]], no payload is materialised.
+    *
+    * Rows this pass CANNOT emit frames for — non-AVI containers and
+    * malformed AVIs — produce NOTHING here; they are NOT silently
+    * fine. Run [[frameSampleDropped]] alongside and route its rows to
+    * a side sink: at 100 TB an empty result is indistinguishable from
+    * a zero-frame clip without that signal. */
   def frameSample(
       media: Dataset[MediaRow], stride: Int)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.filter(_.meta.kind == "video")
       .flatMap { r =>
-        decodeAviFrames(r.bytes) match {
-          case Right((m, frames)) =>
-            (0 until frames.size by stride).map { f =>
+        aviFrameRanges(r.bytes) match {
+          case Right((m, ranges)) =>
+            (0 until ranges.size by stride).map { f =>
               (r.media_id, f, f.toLong * m.usPerFrame / 1000L,
-                frames(f).length.toLong)
+                ranges(f)._2.toLong)
             }
           case Left(_) => Seq.empty
         }
       }
       .toDF("media_id", "frame_idx", "offset_ms", "n_bytes")
+  }
+
+  /** The video rows [[frameSample]] dropped, with the parse reason —
+    * the quarantine signal for the frame-explode path (non-AVI
+    * containers land here too: frame extraction, unlike
+    * [[extractFeatures]]'s stand-in features, has no fallback). */
+  def frameSampleDropped(
+      media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.filter(_.meta.kind == "video")
+      .flatMap { r =>
+        aviFrameRanges(r.bytes) match {
+          case Right(_) => None
+          case Left(reason) => Some((r.media_id, reason))
+        }
+      }
+      .toDF("media_id", "reason")
   }
 }

@@ -384,8 +384,15 @@ class SourcesSpec extends SparkSpec {
     implicit val s = spark
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, 30).map { r =>
-      // id 13 is audio (13 % 3 == 1); truncate its RIFF header
-      if (r.media_id == 13L) r.copy(bytes = r.bytes.take(10)) else r
+      // id 13 is audio (13 % 3 == 1): truncate it AFTER the RIFF/WAVE
+      // magic so it still claims to be a WAV — a malformed WAV
+      // quarantines. id 16 becomes a non-WAV payload (an MP3-like
+      // blob): no JDK codec for it, so it takes the byte-signature
+      // stand-in with ok=true, NOT quarantine
+      if (r.media_id == 13L) r.copy(bytes = r.bytes.take(30))
+      else if (r.media_id == 16L)
+        r.copy(bytes = Array.tabulate[Byte](300)(j => ((j * 7) % 251).toByte))
+      else r
     }
     val feats = Multimodal.extractFeatures(media).collect()
     val audio = feats.filter(_.kind == "audio")
@@ -393,11 +400,18 @@ class SourcesSpec extends SparkSpec {
     val bad = audio.filter(!_.ok)
     assert(bad.map(_.media_id).toSeq === Seq(13L))
     assert(bad.head.err != null)
+    assert(audio.find(_.media_id == 16L).get.ok) // stand-in, not corrupt
     // good rows: peak-normalised RMS profile over real samples
-    audio.filter(_.ok).foreach { f =>
+    audio.filter(f => f.ok && f.media_id != 16L).foreach { f =>
       assert(f.features.forall(v => v >= 0f && v <= 1f))
       assert(math.abs(f.features.max - 1f) < 1e-6)
     }
+    // rmsProfile bins divide by their OWN sample counts: a length
+    // that isn't a multiple of 8 must not inflate the last bin (a
+    // constant signal stays flat: every bin's RMS equal, all 1.0
+    // after peak normalisation)
+    val flat = Multimodal.rmsProfile(Array.fill[Short](15)(1000))
+    assert(flat.forall(v => math.abs(v - 1f) < 1e-6), flat.toSeq.toString)
     // the decoded header matches the declared meta: 16 kHz, and the
     // sample count reproduces the declared duration
     val row = Multimodal.syntheticMedia(spark, 30).collect()
@@ -405,6 +419,18 @@ class SourcesSpec extends SparkSpec {
     val Right((rate, samples)) = Multimodal.decodeAudio(row.bytes)
     assert(rate === row.meta.sampleRate)
     assert(samples.length === rate * row.meta.durationMs / 1000)
+    // stereo PCM16 averages channels to mono: L=+1000/R=-1000 → 0
+    val n = 64
+    val st = java.nio.ByteBuffer.allocate(44 + n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    st.put("RIFF".getBytes).putInt(36 + n * 4).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(8000).putInt(32000).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(n * 4)
+    (0 until n).foreach { _ => st.putShort(1000); st.putShort(-1000) }
+    val Right((srate, smono)) = Multimodal.decodeAudio(st.array())
+    assert(srate === 8000 && smono.length === n)
+    assert(smono.forall(_ == 0))
   }
 
   test("Multimodal video decode is real: MJPEG AVI frames, timing, quarantine") {
@@ -443,6 +469,20 @@ class SourcesSpec extends SparkSpec {
     assert(byId(2L).length === 4) // 2+(2%5)
     assert(byId(8L).length === 5) // 2+(8%5)
     assert(byId(2L).map(_._3).sorted.toSeq === Seq(0L, 250L, 500L, 750L))
+    // a non-AVI video row emits no frames but is NOT silently fine:
+    // frameSampleDropped carries it with the parse reason
+    val mixed = Multimodal.syntheticMedia(spark, 9).map { r =>
+      if (r.media_id == 5L)
+        r.copy(bytes = Array.tabulate[Byte](200)(j => (j % 97).toByte))
+      else r
+    }
+    val fs2 = Multimodal.frameSample(mixed, stride = 1)
+      .select("media_id").as[Long].collect().toSet
+    assert(!fs2.contains(5L) && fs2 === Set(2L, 8L))
+    val dropped = Multimodal.frameSampleDropped(mixed)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(dropped.map(_._1).toSeq === Seq(5L))
+    assert(dropped.head._2.contains("not a RIFF/AVI container"))
   }
 
   test("Multimodal corrupt image bytes quarantine, never fail the task") {
