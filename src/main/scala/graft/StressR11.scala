@@ -62,16 +62,17 @@ object StressR11 {
       n
     })
 
-    // r11 un-stubbed image path at a real working-set size: 5k PNGs
-    // (~96x64) decode + feature-extract, then thumbnail + re-encode —
-    // the per-task codec throughput that sets executor sizing at scale
+    // r11 un-stubbed media paths at a real working-set size: 5k PNGs
+    // + 5k WAVs + 5k MJPEG AVIs (≤4 JPEG frames each) decoded for
+    // real, then image thumbnail + re-encode — the per-task codec
+    // throughput that sets executor sizing at scale
     {
       implicit val s: SparkSession = spark
       val media = Multimodal.syntheticMedia(spark, 15000)
-        .localCheckpoint() // EAGER: generation + 5k PNG encodes are
+        .localCheckpoint() // EAGER: generation + media encodes are
         // materialised here, before the first timed pass (a lazy
         // checkpoint would bill them to run 1 of the median)
-      time("media decode+features (5k png)")(
+      time("media decode 5k png+wav+avi")(
         Multimodal.extractFeatures(media).filter(_.ok).count())
       time("media resize 64x64 (5k png)")(
         Multimodal.resize(media, 64, 64).count())
