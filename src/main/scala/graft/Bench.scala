@@ -103,7 +103,11 @@ object Bench {
       // skew-safe z-score (agg + broadcast-back — r11)
       "q119_zscore_agg",
       // main-content extraction / boilerplate removal (r11)
-      "q120_main_content"
+      "q120_main_content",
+      // event transition matrix, rolling anomaly, normalized dedup,
+      // exact set-similarity join, per-source quality rank (r11)
+      "q121_transition_matrix", "q122_rolling_zscore",
+      "q123_dedup_normalized", "q124_set_similarity", "q125_quality_rank"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1583,6 +1583,90 @@ object SparkEntry {
       size(blocks).cast("long").as("n_kept"))
   }
 
+  /** q121: first-order Markov transition matrix over per-user event
+    * sequences (EventFlow.transitions) — the "what do users do next"
+    * table behind funnel design and next-event features. The event
+    * stream shuffles ONCE (the lag window's user-key exchange);
+    * everything after is bounded by the event-type vocabulary squared
+    * (counts map-side combined, per-from totals broadcast back). */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    EventFlow.transitions(Tables(s, dir).events,
+      "user_id", "ts", "event_type", tieCol = "event_id")
+
+  /** q122: rolling z-score anomaly detection (Stats.rollingZscore) —
+    * flag events whose value deviates > 2 sample stddevs from the mean
+    * of that user's 10 PRECEDING events (frame exclusive: "does this
+    * event look wrong given recent history", the monitoring twin of
+    * q109's whole-distribution z). Value scaled to an integer
+    * (round(value·100)) so the flag cut is pure integer arithmetic —
+    * bit-exact cross-engine, no float epsilon at the threshold; the
+    * reported z-score derives from the same integer sums with an
+    * identical expression tree on both engines. ONE user-key window
+    * exchange (three frame sums share it). */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events.select(
+      col("event_id"), col("user_id"), tsMillis(col("ts")).as("__ms"),
+      round(col("value") * 100).cast("long").as("x100"))
+    Stats.rollingZscore(ev, "user_id", col("__ms"), col("event_id"),
+      col("x100"), lookback = 10, z = 2)
+      .select(col("user_id"), col("event_id"), col("x100"),
+        col("n_prior"), col("sum_prior"), col("zscore"))
+  }
+
+  /** q123: NEAR-EXACT (normalized) dedup — the Dolma/CCNet "fuzzy
+    * exact" recipe between q30's byte-hash dedup and q31's MinHash:
+    * lowercase + Unicode-aware punctuation/whitespace collapse
+    * (Dedup.normalizeForDedup), then the q30 md5 group-by. The
+    * fixture unions each document with a re-crawled copy (leading 20
+    * chars upper-cased, trailing " !!" appended) that a byte hash
+    * misses and the canonical form collapses. Normalization is a pure
+    * codegen'd projection; the whole query is ONE map-side-combined
+    * hash aggregate — same scale shape as q30. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val alt = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(substring(col("text"), 1, 20)),
+        expr("substring(text, 21)"), lit(" !!")).as("text"))
+    val normed = base.unionByName(alt).select(col("doc_id"),
+      Dedup.normalizeForDedup(col("text")).as("__norm"))
+    Dedup.exact(normed, "doc_id", "__norm")
+      .select(col("keep_id"), col("n_copies"))
+  }
+
+  /** q124: EXACT all-pairs set-similarity join (SetSimilarity
+    * .jaccardJoin) — every document pair whose distinct word-trigram
+    * sets overlap at Jaccard ≥ 2/5, found by PREFIX FILTERING with a
+    * rare-first global token order: recall is exactly 1.0 (the
+    * guarantee q31's MinHash-LSH trades away for its banding bound),
+    * candidates bounded by the prefix-filter principle — never
+    * all-pairs. Both the prefix length and the similarity cut are
+    * integer arithmetic, so the DuckDB brute-force oracle must match
+    * pair-for-pair: the oracle directly certifies the recall=1.0
+    * contract. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    SetSimilarity.jaccardJoin(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", Dedup.shingles(col("text"), 3), tauNum = 2, tauDen = 5)
+
+  /** q125: per-source quality percent-rank — score CALIBRATION for
+    * cross-source mixing: q38's rule quality is comparable only within
+    * a source's own distribution, so mixture builders (q68/q117) cut
+    * on the within-source rank, not the raw score. percent_rank over
+    * (source | quality int, doc_id) — tie-free composite order, ONE
+    * source-keyed window exchange; the rank is (rank−1)/(n−1), a
+    * single division of exact integers (round 6, cross-engine). */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir).documents.select(
+      col("doc_id"), col("source"),
+      round(TextStats.qualityScore(col("text")) * 10000).cast("long")
+        .as("__qi"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__qi"), col("doc_id"))
+    d.select(col("source"), col("doc_id"), col("__qi").as("quality_i"),
+      round(percent_rank().over(w), 6).as("pr"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2006,7 +2090,12 @@ object SparkEntry {
     "q117_budget_per_source" -> (q117 _),
     "q118_interval_overlap" -> (q118 _),
     "q119_zscore_agg" -> (q119 _),
-    "q120_main_content" -> (q120 _)
+    "q120_main_content" -> (q120 _),
+    "q121_transition_matrix" -> (q121 _),
+    "q122_rolling_zscore" -> (q122 _),
+    "q123_dedup_normalized" -> (q123 _),
+    "q124_set_similarity" -> (q124 _),
+    "q125_quality_rank" -> (q125 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3269,6 +3358,104 @@ object SparkEntry {
         |       (CASE WHEN b2 IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_kept
         |FROM k""".stripMargin,
+    // q121: the same lag + rollup; probabilities are single divisions
+    // of exact counts, so round(…, 6) matches cross-engine.
+    "q121_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
+    // q122: identical trailing frame + the SAME integer cross-multiplied
+    // flag cut ((m·x−s1)²·(m−1) > 4·m·(m·s2−s1²)) — no float at the
+    // threshold on either engine; the z column derives from the same
+    // integer sums with the same expression tree.
+    "q122_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, x,
+        |    sum(x)     OVER w AS s1,
+        |    sum(x * x) OVER w AS s2,
+        |    count(x)   OVER w AS m
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, x AS x100,
+        |  m AS n_prior, CAST(s1 AS BIGINT) AS sum_prior,
+        |  CASE WHEN m * s2 - s1 * s1 > 0 THEN
+        |    round((m * x - s1) / m /
+        |      sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE) / (m * (m - 1))), 4)
+        |  END AS zscore
+        |FROM s
+        |WHERE m >= 3 AND
+        |  (m * x - s1) * (m * x - s1) * (m - 1) >
+        |    4 * m * (m * s2 - s1 * s1)""".stripMargin,
+    // q123: same re-crawled-copy synthesis + the same Unicode-aware
+    // canonical form ('g' makes DuckDB's regexp_replace global like
+    // Spark's).
+    "q123_dedup_normalized" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |alt AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    upper(substr(text, 1, 20)) || substr(text, 21) || ' !!'
+        |      AS text
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM alt),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM u)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM n GROUP BY norm""".stripMargin,
+    // q124: BRUTE-FORCE all pairs in DuckDB — the oracle certifies the
+    // prefix filter's recall=1.0 contract pair-for-pair; the Jaccard
+    // cut is integer on both sides (inter·5 ≥ 2·uni), no float at the
+    // threshold.
+    "q124_set_similarity" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |      for i in generate_series(1, len(words)-2)]) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) AS inter,
+        |    CAST(len(a.tri) + len(b.tri)
+        |      - len(list_intersect(a.tri, b.tri)) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.tri) > 0 AND len(b.tri) > 0)
+        |SELECT a_id, b_id, inter, uni FROM p
+        |WHERE inter * 5 >= 2 * uni""".stripMargin,
+    // q125: same integer quality key as q98; percent_rank is
+    // (rank−1)/(n−1) in both engines, a single exact-integer division.
+    "q125_quality_rank" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to'], x))) AS DOUBLE) AS c_en,
+        |    CAST(len(words) AS DOUBLE) AS n_words
+        |  FROM w),
+        |q AS (SELECT doc_id, source,
+        |    CAST(round(round(least(n_words / 200.0, 1.0) * 0.6
+        |      + least(c_en / n_words * 5.0, 1.0) * 0.4, 4) * 10000)
+        |      AS BIGINT) AS quality_i
+        |  FROM c)
+        |SELECT source, doc_id, quality_i,
+        |  round(percent_rank() OVER (
+        |    PARTITION BY source ORDER BY quality_i, doc_id), 6) AS pr
+        |FROM q""".stripMargin,
     // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
     // prefixed md5 slice where Spark uses conv(hex, 16, 10).
     "q110_weighted_sample" ->

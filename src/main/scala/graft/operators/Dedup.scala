@@ -40,6 +40,18 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Canonical text form for NEAR-EXACT dedup (the Dolma/CCNet
+    * "fuzzy exact" recipe): lowercase, every run of non-alphanumeric
+    * characters (Unicode-aware — `\p{L}\p{N}`, so non-Latin scripts
+    * survive) collapsed to one space, ends trimmed. Two documents
+    * differing only in case, punctuation, or whitespace layout
+    * normalize identically; [[exact]] over this column removes the
+    * re-crawled/re-formatted copies a byte-hash dedup misses, at zero
+    * additional shuffle cost (the normalization is a pure codegen'd
+    * projection feeding the same md5 group-by). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+
   /** Exact dedup via md5 content hash. Returns one row per distinct
     * content with the kept (minimum) id and the duplicate count.
     */

@@ -153,4 +153,39 @@ object EventFlow {
       .groupBy(col(keyCol))
       .agg(max(col("__run")).as("max_concurrent"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every consecutive (previous event type → this
+    * event type) step in a user's timeline, the global count and the
+    * conditional probability P(to | from) — the "what do users do
+    * next" table behind funnel design and next-event prediction
+    * features.
+    *
+    * Ordering inside a user is (ts, tieCol) so ties are deterministic
+    * cross-engine. Plan shape: ONE hash exchange on the user for the
+    * lag window (only (user, ts, tie, type) move); the pair rollup is
+    * a map-side-combined aggregate bounded by |type vocabulary|², and
+    * the per-from totals aggregate + broadcast join-back operate on
+    * that already-tiny table — at 100 TB everything after the first
+    * exchange is vocabulary-sized: the per-from totals are a window
+    * over the REDUCED count table (bounded by construction — one row
+    * per (from, to) pair), consuming the pair pipeline exactly once.
+    * Probabilities are single divisions of exact counts, so
+    * cross-engine parity holds at round(…, 6).
+    */
+  def transitions(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy(col("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n") / sum(col("n")).over(wTot), 6).as("p"))
+  }
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT all-pairs set-similarity join via prefix filtering — the
+  * recall-guaranteed alternative to MinHash-LSH (q31) for near-dup
+  * detection: every pair with Jaccard ≥ τ is found, none missed, with
+  * candidate volume bounded by the prefix-filter principle instead of
+  * banding probability (Chaudhuri et al. 2006 SSJoin; Bayardo et al.
+  * 2007 "Scaling Up All Pairs"; Vernica et al. 2010 for the
+  * map-reduce formulation this plan mirrors).
+  *
+  * The idea: impose ONE global total order on tokens — rarest first
+  * (ascending document frequency, ties by token) — and sort every
+  * set by it. If Jaccard(A,B) ≥ τ then |A∩B| ≥ τ·max(|A|,|B|), and a
+  * pair sharing that much cannot avoid sharing a token inside both
+  * sorted sets' first |S| − ⌈τ·|S|⌉ + 1 tokens (miss A's whole
+  * prefix and at most ⌈τ·|A|⌉ − 1 shared tokens remain — too few).
+  * So an equi-join on PREFIX tokens only, plus the τ·|A| ≤ |B| ≤
+  * |A|/τ length filter, yields a complete candidate set; exact
+  * verification keeps the true pairs. Rare-first ordering makes
+  * prefixes hold the rarest tokens, so the join's per-token fan-out
+  * is small by construction — the frequent tokens that would explode
+  * a naive token join are exactly the ones prefixes exclude.
+  *
+  * τ is passed as an integer ratio (tauNum/tauDen) and both the
+  * prefix length and the final Jaccard cut are pure integer
+  * arithmetic — bit-exact across engines, no float at any threshold.
+  */
+object SetSimilarity {
+
+  /** All pairs (a_id < b_id) whose distinct-token Jaccard is ≥
+    * tauNum/tauDen. Output: (a_id, b_id, inter, uni) — integer
+    * intersection/union sizes (callers derive the float ratio).
+    *
+    * Plan shape: the token-set frame is checkpointed once (four
+    * consumers: frequency count, ordered rebuild, both verify
+    * fetches). Document frequencies are ONE map-side-combined count;
+    * the per-set rare-first reorder is an explode + frequency join +
+    * one id-keyed struct-sort regroup; candidates come from an
+    * equi-join on exploded PREFIX tokens (never all pairs, never a
+    * cartesian), deduped, then verified with array_intersect on the
+    * two fetched sorted sets. Token strings shuffle only against the
+    * (token, df) relation; the pair-verify exchanges move candidate
+    * ids + token arrays for candidate rows only. Skew guard: the
+    * rare-first prefix order bounds per-token join fan-out; a
+    * pathological corpus where every set is near-identical degrades
+    * to the true result size (output-bound, like any exact join).
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, tokensCol: Column,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"jaccardJoin: need 0 < tau <= 1, got $tauNum/$tauDen")
+    // distinct tokens + size; empty sets can match nothing with tau>0
+    val sets = df
+      .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .filter(col("__n") > 0)
+      .localCheckpoint(false) // 4 consumers; token arrays derive from
+                              // text — never recompute them per branch
+    val tok = sets.select(col("__id"), explode(col("__ts")).as("__t"))
+    val dfreq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // rare-first total order: sort each set by (df, token) — no global
+    // integer rank table needed, the (df, token) pair IS the order
+    val ordered = tok.join(dfreq, "__t")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t"))))
+        .as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__t")).as("__ord"))
+      .withColumn("__n", size(col("__ord")))
+    // prefix length p = n − ⌈τ·n⌉ + 1 (integer ceiling; n is an int,
+    // so the double division is exact well past any real set size)
+    val ceilTauN =
+      floor((col("__n") * tauNum + lit(tauDen - 1)) / lit(tauDen))
+    val pre = ordered
+      .withColumn("__p", (col("__n") - ceilTauN + 1).cast("int"))
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__ord"), lit(1), col("__p"))).as("__t"))
+    val a = pre.select(col("__id").as("a_id"), col("__n").as("__na"),
+      col("__t"))
+    val b = pre.select(col("__id").as("b_id"), col("__n").as("__nb"),
+      col("__t"))
+    val cand = a.join(b, "__t")
+      .filter(col("a_id") < col("b_id") &&
+        col("__nb") * tauDen >= col("__na") * tauNum &&
+        col("__na") * tauDen >= col("__nb") * tauNum)
+      .select(col("a_id"), col("b_id")).distinct()
+    // exact verify on the two full (distinct) token arrays
+    val fa = sets.select(col("__id").as("a_id"), col("__ts").as("__ta"))
+    val fb = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"))
+    cand.join(fa, "a_id").join(fb, "b_id")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("uni",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
+  /** Reference implementation for the spec: brute-force all pairs.
+    * Quadratic — test fixtures only. */
+  private[graft] def jaccardJoinBrute(df: DataFrame, idCol: String,
+      tokensCol: Column, tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val a = sets.select(col("__id").as("a_id"), col("__ts").as("__ta"))
+    val b = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("uni",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+}

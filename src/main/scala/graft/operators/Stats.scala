@@ -151,4 +151,61 @@ object Stats {
       .withColumn("winsorized",
         least(greatest(valCol, col("lo_bound")), col("hi_bound")))
   }
+
+  /** Rolling (trailing-window) z-score anomaly detection per key: a
+    * row is flagged when its value deviates more than `z` sample
+    * standard deviations from the mean of the `lookback` rows
+    * IMMEDIATELY BEFORE it (frame exclusive of the current row — the
+    * monitoring semantic: "does this event look wrong given this
+    * key's recent history", where [[zscoreOutliers]] asks it of the
+    * key's whole distribution at once).
+    *
+    * Exactness contract: `xCol` must be an integer-scaled LONG (e.g.
+    * `round(value * 100)` — the caller picks the scale). The flag
+    * decision is pure integer arithmetic — with s1 = Σx, s2 = Σx²
+    * and m rows in the frame,
+    *   |x − s1/m| > z·√((m·s2 − s1²)/(m·(m−1)))
+    * cross-multiplies to
+    *   (m·x − s1)² · (m−1) > z² · m · (m·s2 − s1²)
+    * — so the cut is bit-exact across engines (no float epsilon can
+    * flip a row at the threshold). Magnitude precondition (scaladoc'd,
+    * not checked): z²·lookback²·max(x)² must fit a signed 64-bit long
+    * — i.e. |x| ≲ 3·10⁹/(z·lookback). A zero-variance frame flags any
+    * deviation (std 0: the "infinite z" limit) and reports a null
+    * zscore; frames with fewer than `minPrior` rows never flag (no
+    * history, no evidence).
+    *
+    * Plan shape: ONE hash exchange on the key — the three frame sums
+    * share a single (key, order, tie) sorted window; the filter and
+    * the z-score projection are free. Only the caller's columns move.
+    * Hot-key caveat as [[zscoreOutliers]]: a single key serialises
+    * into one task's sort; time-bucket the key first if one key
+    * outweighs an executor.
+    */
+  def rollingZscore(
+      df: DataFrame, keyCol: String, orderCol: Column, tieCol: Column,
+      xCol: Column, lookback: Int, z: Int, minPrior: Int = 3): DataFrame = {
+    require(lookback >= 2 && minPrior >= 2 && z > 0,
+      "rollingZscore: need lookback >= 2, minPrior >= 2, z > 0")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol, tieCol)
+      .rowsBetween(-lookback, -1)
+    val withSums = df
+      .withColumn("__s1", sum(xCol).over(w))
+      .withColumn("__s2", sum(xCol * xCol).over(w))
+      .withColumn("__m", count(xCol).over(w))
+    val m = col("__m"); val s1 = col("__s1"); val s2 = col("__s2")
+    val dev = m * xCol - s1          // m·(x − mean), integer-exact
+    val varNum = m * s2 - s1 * s1    // m·(m−1)·variance, integer-exact
+    withSums
+      .filter(m >= minPrior &&
+        dev * dev * (m - 1) > lit(z.toLong * z) * m * varNum)
+      // zscore from the same integer sums — identical expression tree
+      // in the SQL oracle, so the doubles match bit for bit; null when
+      // the frame was constant (the integer cut already flagged it)
+      .withColumn("zscore",
+        when(varNum > 0,
+          round(dev / m / sqrt(varNum.cast("double") / (m * (m - 1))), 4)))
+      .withColumnsRenamed(Map("__m" -> "n_prior", "__s1" -> "sum_prior"))
+      .drop("__s2")
+  }
 }

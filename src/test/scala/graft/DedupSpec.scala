@@ -396,4 +396,24 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((2L, "a b", 0L, 0L)))
     assert(out(3L) === ((3L, "c", 0L, 0L)))
   }
+
+  test("normalizeForDedup: case/punct/whitespace collapse, Unicode letters kept") {
+    val got = Seq(
+      "  Hello,   WORLD!!  ",
+      "hello world",
+      "Église—Café 42",      // non-Latin letters survive, dash collapses
+      "a1-b2\t\nc3")
+      .toDF("t")
+      .select(Dedup.normalizeForDedup(col("t"))).as[String].collect()
+    assert(got.toSeq === Seq(
+      "hello world", "hello world", "église café 42", "a1 b2 c3"))
+    // the operator contract: the two layouts of one text dedup together
+    val docs = Seq((1L, "The Quick--Brown FOX!"), (2L, "the quick brown fox"),
+      (3L, "unrelated")).toDF("doc_id", "text")
+    val out = Dedup.exact(
+      docs.select(col("doc_id"),
+        Dedup.normalizeForDedup(col("text")).as("n")), "doc_id", "n")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
 }

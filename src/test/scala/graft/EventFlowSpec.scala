@@ -115,4 +115,24 @@ class EventFlowSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out === Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
   }
+
+  test("transitions: per-user consecutive pairs, tie-broken, P(to|from) sums to 1") {
+    // u1: A→B→A ; u2: A→A→B ; u3: both events at the SAME ts — the
+    // tie column (id) orders them deterministically as A→B ; u4: a
+    // single event, no transition
+    val ev2 = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 11L, "B"), (1L, 3L, 12L, "A"),
+      (2L, 1L, 20L, "A"), (2L, 2L, 21L, "A"), (2L, 3L, 22L, "B"),
+      (3L, 5L, 30L, "A"), (3L, 5L, 31L, "B"),
+      (4L, 9L, 40L, "C")).toDF("u", "t", "id", "typ")
+    val got = EventFlow.transitions(ev2, "u", "t", "typ", "id")
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((3L, 0.75)), ("A", "A") -> ((1L, 0.25)),
+      ("B", "A") -> ((1L, 1.0))))
+    // u4's lone event contributes nothing; C never appears
+    assert(!got.keySet.exists { case (f, t) => f == "C" || t == "C" })
+  }
 }

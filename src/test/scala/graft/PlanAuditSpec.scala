@@ -135,9 +135,18 @@ class PlanAuditSpec extends SparkSpec {
       "q119_zscore_agg" -> 1,  // per-key moments aggregate only; the
                                // data reaches the filter unshuffled
                                // (stats broadcast back)
-      "q120_main_content" -> 0) // pure projection: block split, text
+      "q120_main_content" -> 0, // pure projection: block split, text
                                // strip, density gate all ride one
                                // codegen'd stage — nothing moves
+      "q121_transition_matrix" -> 3, // the stream moves ONCE (lag
+                               // window's user exchange); the pair
+                               // rollup + per-from totals exchanges
+                               // carry vocabulary²-bounded rows only
+      "q122_rolling_zscore" -> 1, // three trailing-frame sums share
+                               // one (user, ts, id) sorted window
+      "q123_dedup_normalized" -> 1, // normalize is a pure projection
+                               // into q30's one md5 agg exchange
+      "q125_quality_rank" -> 1) // one source-keyed percent_rank window
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
@@ -155,7 +164,8 @@ class PlanAuditSpec extends SparkSpec {
       // driver-local frame — no scan in the returned plan to audit;
       // its base projection is the pruning)
       "q71_bm25" -> Set("doc_id", "text"),
-      "q120_main_content" -> Set("doc_id", "text"))) {
+      "q120_main_content" -> Set("doc_id", "text"),
+      "q123_dedup_normalized" -> Set("doc_id", "text"))) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       val read = nodes.collect {

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SetSimilarity
+
+/** Exact set-similarity join (q124): the whole contract is recall =
+  * 1.0 — prefix filtering must return BIT-IDENTICAL results to the
+  * brute-force all-pairs join, at every τ, on every fixture. */
+class SetSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bag(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long, Long)].collect().toSet
+
+  test("jaccardJoin ≡ brute force on a mixed fixture (planted dups + noise)") {
+    // 40 sets over a 30-token vocab: pairs of near-identical sets
+    // (high overlap), plus random noise sets; seeded → deterministic
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val rows = (0 until 20).flatMap { i =>
+      val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(8))
+      val mutated =
+        if (i % 3 == 0) base.drop(1) :+ s"x$i" // near-dup of base
+        else rnd.shuffle(vocab).take(5 + rnd.nextInt(9))
+      Seq((i * 2L, base), (i * 2L + 1L, mutated))
+    }
+    val df = rows.toDF("id", "toks")
+    for ((num, den) <- Seq((1, 2), (4, 10), (7, 10), (9, 10), (1, 1))) {
+      val fast = bag(SetSimilarity.jaccardJoin(df, "id", col("toks"), num, den))
+      val brute = bag(SetSimilarity.jaccardJoinBrute(df, "id", col("toks"), num, den))
+      assert(fast === brute, s"tau=$num/$den: prefix filter lost/invented pairs")
+    }
+  }
+
+  test("jaccardJoin: exact-τ boundary pairs are kept (integer cut, no epsilon)") {
+    // J({a,b,c,d}, {a,b,c,e}) = 3/5 — τ = 3/5 keeps it, τ = 7/10 drops it
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e"))).toDF("id", "toks")
+    assert(bag(SetSimilarity.jaccardJoin(df, "id", col("toks"), 3, 5)) ===
+      Set((1L, 2L, 3L, 5L)))
+    assert(SetSimilarity.jaccardJoin(df, "id", col("toks"), 7, 10).count() === 0)
+  }
+
+  test("jaccardJoin: identical sets, duplicate in-row tokens, empty sets") {
+    val df = Seq(
+      (1L, Seq("p", "q", "r")),
+      (2L, Seq("p", "q", "r", "q", "p")), // dups collapse → identical set
+      (3L, Seq.empty[String]),            // dropped: can't reach any τ > 0
+      (4L, Seq("z"))).toDF("id", "toks")
+    val got = bag(SetSimilarity.jaccardJoin(df, "id", col("toks"), 9, 10))
+    assert(got === Set((1L, 2L, 3L, 3L)))
+  }
+
+  test("jaccardJoin: one shared FREQUENT token is not enough; shared rare is found") {
+    // every set shares 'common' (df = 4 → sorts LAST, outside every
+    // prefix at τ=1/2): the frequent token alone must not generate the
+    // pair. Sets 1/2 share 3 of 4 tokens → J = 3/5 ≥ 1/2, found via
+    // their RARE shared tokens; sets 3/4 share only 'common' → J = 1/7,
+    // correctly absent
+    val df = Seq(
+      (1L, Seq("common", "r1", "r2", "r3")),
+      (2L, Seq("common", "r1", "r2", "r4")),
+      (3L, Seq("common", "s1", "s2", "s3")),
+      (4L, Seq("common", "u1", "u2", "u3"))).toDF("id", "toks")
+    val got = bag(SetSimilarity.jaccardJoin(df, "id", col("toks"), 1, 2))
+    assert(got === Set((1L, 2L, 3L, 5L)))
+  }
+}

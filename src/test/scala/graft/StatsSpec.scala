@@ -115,4 +115,49 @@ class StatsSpec extends SparkSpec {
       .select(col("winsorized")).as[Double].collect()
     assert(one.toSeq === Seq(7.0))
   }
+
+  test("rollingZscore: spike vs trailing history flags; short history never does") {
+    // key g, ordered by t; lookback 5, minPrior 3, z 2
+    val df = Seq(
+      ("g", 1L, 10L), ("g", 2L, 10L),
+      ("g", 3L, 50L),   // only 2 prior rows → below minPrior, no flag
+      ("g", 4L, 10L), ("g", 5L, 10L), ("g", 6L, 10L),
+      ("g", 7L, 10L),   // prior {10,10,50,10,10}: dev 8 ≪ 2σ, no flag
+      ("g", 8L, 100L),  // prior {50,10,10,10,10}: m=5 s1=90 s2=2900 →
+                        // dev=410, 410²·4 > 4·5·6400 → FLAG, z≈4.5839
+      ("i", 1L, 999L)   // isolated key: no history at all
+    ).toDF("k", "t", "x")
+    val out = Stats.rollingZscore(df, "k", col("t"), col("t"), col("x"),
+      lookback = 5, z = 2)
+      .select(col("t"), col("n_prior"), col("sum_prior"), col("zscore"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((8L, 5L, 90L, 4.5839)))
+  }
+
+  test("rollingZscore: constant history flags any deviation with a null z") {
+    val df = Seq(
+      ("h", 1L, 7L), ("h", 2L, 7L), ("h", 3L, 7L), ("h", 4L, 7L),
+      ("h", 5L, 8L),  // prior all-7 (σ=0): ANY deviation flags, z null
+      ("h", 6L, 7L)   // prior {7,7,7,8}+… has variance; dev tiny, no flag
+    ).toDF("k", "t", "x")
+    val out = Stats.rollingZscore(df, "k", col("t"), col("t"), col("x"),
+      lookback = 5, z = 2)
+      .select(col("t"), col("zscore")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(5L))
+    assert(out.head.isNullAt(1), "zero-variance frame must report null z")
+  }
+
+  test("rollingZscore: the current row is excluded from its own frame") {
+    // if the frame included the current row, the spike would drag its
+    // own mean toward itself and the all-constant-prior case above
+    // would have nonzero variance; pin it directly: 3 constant rows
+    // then a spike — the spike's frame stats are exactly the constants
+    val df = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 5L),
+      ("k", 4L, 50L)).toDF("k", "t", "x")
+    val out = Stats.rollingZscore(df, "k", col("t"), col("t"), col("x"),
+      lookback = 10, z = 2)
+      .select(col("t"), col("n_prior"), col("sum_prior"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((4L, 3L, 15L))) // NOT m=4 / s1=65
+  }
 }
