@@ -107,7 +107,9 @@ object Bench {
       // event transition matrix, rolling anomaly, normalized dedup,
       // exact set-similarity join, per-source quality rank (r11)
       "q121_transition_matrix", "q122_rolling_zscore",
-      "q123_dedup_normalized", "q124_set_similarity", "q125_quality_rank"
+      "q123_dedup_normalized", "q124_set_similarity", "q125_quality_rank",
+      // BPE pair counts + mergeable-sketch rollup (r11)
+      "q126_bpe_pairs", "q127_hll_rollup"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

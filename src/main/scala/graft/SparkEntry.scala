@@ -1667,6 +1667,51 @@ object SparkEntry {
       round(percent_rank().over(w), 6).as("pr"))
   }
 
+  /** q126: corpus-wide adjacent character-pair counts — ONE iteration
+    * of BPE vocabulary induction (the merge-candidate table a
+    * tokenizer trainer recomputes per merge): for every whitespace
+    * word, every adjacent 2-char window, counted globally; top 50 by
+    * (count desc, pair asc — deterministic tie-break). The explode
+    * grows rows to ~total-chars, but every row collapses immediately
+    * into the partial (map-side-combined) aggregate whose state is
+    * bounded by |charset|² — the only corpus-sized movement is the
+    * scan itself; the top-k is TakeOrderedAndProject (per-partition
+    * heaps, no global sort). This is the count-collect shape every
+    * BPE/WordPiece trainer iteration reduces to at corpus scale. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+
+  /** q127: mergeable-sketch rollup — daily HLL sketches of distinct
+    * users unioned into weekly approx-distinct counts (Spark's
+    * Datasketches HllSketchAgg, lgK=14 ≈ ±1.6% at 1σ). The pattern IS
+    * the point: the day-grain sketch table is the PERSISTED
+    * pre-aggregate (a few KB per day), and every coarser rollup
+    * (week/month/quarter, any ad-hoc date range) merges sketches
+    * WITHOUT rescanning the event corpus — the sketch-cube recipe for
+    * distinct-count dashboards at 100 TB, where exact daily
+    * COUNT(DISTINCT) re-shuffles all history per query. Two map-side-
+    * combined aggregates; sketch union is associative and loss-free
+    * (union of daily sketches ≡ one direct weekly sketch — ApproxSpec
+    * pins both that identity and the error vs exact). Rows-only:
+    * DuckDB's approx sketch is a different algorithm. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir).events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("__sk"))
+    daily
+      .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .as("approx_users"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2095,7 +2140,9 @@ object SparkEntry {
     "q122_rolling_zscore" -> (q122 _),
     "q123_dedup_normalized" -> (q123 _),
     "q124_set_similarity" -> (q124 _),
-    "q125_quality_rank" -> (q125 _)
+    "q125_quality_rank" -> (q125 _),
+    "q126_bpe_pairs" -> (q126 _),
+    "q127_hll_rollup" -> (q127 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3456,6 +3503,18 @@ object SparkEntry {
         |  round(percent_rank() OVER (
         |    PARTITION BY source ORDER BY quality_i, doc_id), 6) AS pr
         |FROM q""".stripMargin,
+    // q126: same word split, same per-word 2-char windows (DuckDB's
+    // w[i:i+1] slice is 1-based inclusive = 2 chars), same
+    // deterministic (n DESC, pair) top-50.
+    "q126_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT unnest([w[i:i+1]
+        |      for i in generate_series(1, length(w)-1)]) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
     // prefixed md5 slice where Spark uses conv(hex, 16, 10).
     "q110_weighted_sample" ->

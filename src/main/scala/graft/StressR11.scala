@@ -78,6 +78,24 @@ object StressR11 {
         Multimodal.resize(media, 64, 64).count())
     }
 
+    // exact set-similarity join (q124): the recall=1.0 prefix filter
+    // at the bench corpus size, then at 4x with near-identical
+    // replicas (each doc + 3 perturbed copies — the adversarial shape
+    // for a similarity join: every group is all-pairs TRUE matches,
+    // so output is the bound, ~6 pairs/group)
+    time("q124 set-sim join sf0.1 (5k docs)")(
+      graft.operators.SetSimilarity.jaccardJoin(docs, "doc_id",
+        Dedup.shingles(col("text"), 3), tauNum = 2, tauDen = 5).count())
+    locally {
+      val big = (0 until 4).map(i => docs.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" rep$i tail$i")).as("text")))
+        .reduce(_ unionByName _)
+      time("q124 set-sim join 20k docs (4x near-dup)")(
+        graft.operators.SetSimilarity.jaccardJoin(big, "doc_id",
+          Dedup.shingles(col("text"), 3), tauNum = 2, tauDen = 5).count())
+    }
+
     // xlsx ingest ramp: 32 files x 2k rows parsed one-file-per-task
     {
       val dir = java.nio.file.Files.createTempDirectory("stress_xlsx")

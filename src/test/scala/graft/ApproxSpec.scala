@@ -41,4 +41,35 @@ class ApproxSpec extends SparkSpec {
     // shuffle state per (group, partition)
     assert(plan.contains("partial_approx_count_distinct"), plan)
   }
+
+  test("hll rollup (q127): union of daily sketches ≡ direct weekly sketch; error bounded") {
+    // the q127 contract — a persisted day-grain sketch table rolls up
+    // to ANY coarser grain loss-free (sketch union is associative),
+    // so the weekly estimate via daily must equal the weekly estimate
+    // computed directly from the events, and both must sit within the
+    // lgK=14 error band of the exact distinct count
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .withColumn("week",
+        date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+    val viaDaily = ev.groupBy("day", "week")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val direct = ev.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("dest"))
+    val exact = ev.groupBy("week")
+      .agg(countDistinct(col("user_id")).as("n"))
+    val joined = viaDaily.join(direct, "week").join(exact, "week").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, dest, n) =
+        (r.getAs[Long]("est"), r.getAs[Long]("dest"), r.getAs[Long]("n"))
+      assert(est === dest,
+        s"week ${r.get(0)}: daily-union $est != direct $dest — merge lossy")
+      assert(math.abs(est - n) <= math.max(2, 0.05 * n),
+        s"week ${r.get(0)}: exact $n sketch $est")
+    }
+  }
 }

@@ -146,7 +146,13 @@ class PlanAuditSpec extends SparkSpec {
                                // one (user, ts, id) sorted window
       "q123_dedup_normalized" -> 1, // normalize is a pure projection
                                // into q30's one md5 agg exchange
-      "q125_quality_rank" -> 1) // one source-keyed percent_rank window
+      "q125_quality_rank" -> 1, // one source-keyed percent_rank window
+      "q126_bpe_pairs" -> 1,   // pair counts map-side combined (state
+                               // bounded by |charset|²); top-k is
+                               // TakeOrderedAndProject, no exchange
+      "q127_hll_rollup" -> 2)  // day sketch agg + week union agg —
+                               // both map-side combined, constant
+                               // sketch state per (group, partition)
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
