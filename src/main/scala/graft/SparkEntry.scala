@@ -1643,10 +1643,11 @@ object SparkEntry {
     * integer arithmetic, so the DuckDB brute-force oracle must match
     * pair-for-pair: the oracle directly certifies the recall=1.0
     * contract. */
-  private def q124(s: SparkSession, dir: String): DataFrame =
-    SetSimilarity.jaccardJoin(
-      Tables(s, dir).documents.select(col("doc_id"), col("text")),
-      "doc_id", Dedup.shingles(col("text"), 3), tauNum = 2, tauDen = 5)
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    SetSimilarity.jaccardJoin(docs, "doc_id",
+      Dedup.shinglesCol(docs, col("text"), 3), tauNum = 2, tauDen = 5)
+  }
 
   /** q125: per-source quality percent-rank — score CALIBRATION for
     * cross-source mixing: q38's rule quality is comparable only within

@@ -85,7 +85,7 @@ object StressR11 {
     // so output is the bound, ~6 pairs/group)
     time("q124 set-sim join sf0.1 (5k docs)")(
       graft.operators.SetSimilarity.jaccardJoin(docs, "doc_id",
-        Dedup.shingles(col("text"), 3), tauNum = 2, tauDen = 5).count())
+        Dedup.shinglesCol(docs, col("text"), 3), tauNum = 2, tauDen = 5).count())
     locally {
       val big = (0 until 4).map(i => docs.select(
           (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
@@ -93,7 +93,7 @@ object StressR11 {
         .reduce(_ unionByName _)
       time("q124 set-sim join 20k docs (4x near-dup)")(
         graft.operators.SetSimilarity.jaccardJoin(big, "doc_id",
-          Dedup.shingles(col("text"), 3), tauNum = 2, tauDen = 5).count())
+          Dedup.shinglesCol(big, col("text"), 3), tauNum = 2, tauDen = 5).count())
     }
 
     // xlsx ingest ramp: 32 files x 2k rows parsed one-file-per-task

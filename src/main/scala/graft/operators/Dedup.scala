@@ -156,8 +156,10 @@ object Dedup {
       minhashSignature(shingleArr, numHashes)
 
   /** Same adaptive choice for shingle construction (identical output
-    * sets either way). */
-  private def shinglesCol(docs: DataFrame, text: Column, n: Int): Column =
+    * sets either way): the native codegen kernel when GraftExtensions
+    * is installed, the composed-builtin fallback otherwise. Public —
+    * q124's set-similarity join shingles through the same kernel. */
+  def shinglesCol(docs: DataFrame, text: Column, n: Int): Column =
     if (docs.sparkSession.catalog.functionExists("word_shingles"))
       call_function("word_shingles", text, lit(n))
     else
