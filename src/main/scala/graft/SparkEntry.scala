@@ -1713,6 +1713,44 @@ object SparkEntry {
         .as("approx_users"))
   }
 
+  /** q128: Unicode SCRIPT detection — per-document character counts
+    * for Latin/Cyrillic/Greek/CJK blocks and the dominant script (the
+    * lang-id VALIDATOR a crawl pipeline runs beside q37: a "French"
+    * page that is 80% CJK betrays mislabeled or mixed content, and
+    * script shares route docs to script-specific tokenizers). Pure
+    * regex projection — the per-block counts strip the complement
+    * class and measure length, dominance is a deterministic
+    * preference chain on ties. The `\x{…}` code-point class syntax is
+    * the one RE2 (DuckDB) and java.util.regex share, so both engines
+    * run the LITERAL same patterns. The fixture appends a
+    * deterministically-sized Cyrillic/Greek/CJK tail to each doc
+    * (doc_id-keyed) so dominance actually varies. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val tail = expr(
+      """CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 1 THEN repeat('ж', CAST(doc_id % 20 AS INT) * 40)
+        |  WHEN 2 THEN repeat('λ', CAST(doc_id % 20 AS INT) * 40)
+        |  WHEN 3 THEN repeat('字', CAST(doc_id % 20 AS INT) * 40)
+        |  ELSE '' END""".stripMargin)
+    def nOf(t: Column, cls: String): Column =
+      length(regexp_replace(t, s"[^$cls]", ""))
+    val t = concat(col("text"), tail)
+    val counted = Tables(s, dir).documents.select(
+      col("doc_id"),
+      nOf(t, "A-Za-z").as("n_latin"),
+      nOf(t, "\\x{0400}-\\x{04FF}").as("n_cyr"),
+      nOf(t, "\\x{0370}-\\x{03FF}").as("n_greek"),
+      nOf(t, "\\x{4E00}-\\x{9FFF}").as("n_cjk"))
+    counted.withColumn("script",
+      when(col("n_latin") >= col("n_cyr") &&
+        col("n_latin") >= col("n_greek") &&
+        col("n_latin") >= col("n_cjk"), "latin")
+        .when(col("n_cyr") >= col("n_greek") &&
+          col("n_cyr") >= col("n_cjk"), "cyrillic")
+        .when(col("n_greek") >= col("n_cjk"), "greek")
+        .otherwise("cjk"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2143,7 +2181,8 @@ object SparkEntry {
     "q124_set_similarity" -> (q124 _),
     "q125_quality_rank" -> (q125 _),
     "q126_bpe_pairs" -> (q126 _),
-    "q127_hll_rollup" -> (q127 _)
+    "q127_hll_rollup" -> (q127 _),
+    "q128_script_detect" -> (q128 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3516,6 +3555,35 @@ object SparkEntry {
         |  FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // q128: the \x{…} class syntax is shared by RE2 and java.regex, so
+    // the patterns are literally identical; same fixture tail, same
+    // strip-complement-and-measure counts, same tie-preference chain.
+    "q128_script_detect" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN repeat('ж', CAST(doc_id % 20 AS INT) * 40)
+        |    WHEN 2 THEN repeat('λ', CAST(doc_id % 20 AS INT) * 40)
+        |    WHEN 3 THEN repeat('字', CAST(doc_id % 20 AS INT) * 40)
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_latin,
+        |    CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g'))
+        |      AS BIGINT) AS n_cyr,
+        |    CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g'))
+        |      AS BIGINT) AS n_greek,
+        |    CAST(length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+        |      AS BIGINT) AS n_cjk
+        |  FROM t)
+        |SELECT doc_id, n_latin, n_cyr, n_greek, n_cjk,
+        |  CASE WHEN n_latin >= n_cyr AND n_latin >= n_greek
+        |         AND n_latin >= n_cjk THEN 'latin'
+        |       WHEN n_cyr >= n_greek AND n_cyr >= n_cjk THEN 'cyrillic'
+        |       WHEN n_greek >= n_cjk THEN 'greek'
+        |       ELSE 'cjk' END AS script
+        |FROM c""".stripMargin,
     // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
     // prefixed md5 slice where Spark uses conv(hex, 16, 10).
     "q110_weighted_sample" ->

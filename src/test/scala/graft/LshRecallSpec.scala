@@ -112,4 +112,32 @@ class LshRecallSpec extends SparkSpec {
     assert(recalled.toDouble / n >= 0.85,
       s"end-to-end recall ${recalled.toDouble / n}")
   }
+
+  test("LSH recall certified against the EXACT join's ground truth on real data") {
+    // q124's prefix-filter join is exact (recall 1.0 by construction),
+    // so it supplies the ground-truth pair set the LSH recall formula
+    // could previously only predict: on the actual sf0.001 corpus,
+    // every pair the exact join finds at J ≥ 0.5 must be recalled by
+    // the q31/q53 pipeline (minhashNearDup verifies candidates with
+    // exact Jaccard, so precision is 1 — recall is the only question;
+    // at the registered banding b=16, r=3 a pair at exactly s = 0.5
+    // is missed with probability (1 − 0.125)^16 ≈ 0.118, but the
+    // pairs in this corpus sit above the floor where the miss rate
+    // collapses — so demand ≥ 0.9 overall plus strict subset-ness)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exact = graft.operators.SetSimilarity.jaccardJoin(docs, "doc_id",
+      Dedup.shinglesCol(docs, col("text"), 3), tauNum = 1, tauDen = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 48, bands = 16, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH reported pairs outside the exact ground truth: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall vs exact ground truth " +
+        s"(${exact.size} true pairs, ${(exact -- lsh).size} missed)")
+    }
+  }
 }

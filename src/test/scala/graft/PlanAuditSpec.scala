@@ -150,9 +150,10 @@ class PlanAuditSpec extends SparkSpec {
       "q126_bpe_pairs" -> 1,   // pair counts map-side combined (state
                                // bounded by |charset|²); top-k is
                                // TakeOrderedAndProject, no exchange
-      "q127_hll_rollup" -> 2)  // day sketch agg + week union agg —
+      "q127_hll_rollup" -> 2,  // day sketch agg + week union agg —
                                // both map-side combined, constant
                                // sketch state per (group, partition)
+      "q128_script_detect" -> 0) // pure regex projection — scan speed
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
@@ -171,7 +172,8 @@ class PlanAuditSpec extends SparkSpec {
       // its base projection is the pruning)
       "q71_bm25" -> Set("doc_id", "text"),
       "q120_main_content" -> Set("doc_id", "text"),
-      "q123_dedup_normalized" -> Set("doc_id", "text"))) {
+      "q123_dedup_normalized" -> Set("doc_id", "text"),
+      "q128_script_detect" -> Set("doc_id", "text"))) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       val read = nodes.collect {

@@ -440,4 +440,56 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("ssjoin_state_out").count() > 0)
     } finally query.stop()
   }
+
+  test("streaming rolling z-score flags match the batch form across multi-batch feeds") {
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.MetricEvent
+    import org.apache.spark.sql.functions.col
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // the StatsSpec fixtures, fed in event-time order across three
+    // micro-batches: state (the ring of priors) must carry between
+    // batches for the t=8 spike to see its full 5-event history
+    val rows = Seq(
+      (1L, 1, 1L, 10L), (1L, 2, 2L, 10L), (1L, 3, 3L, 50L),
+      (1L, 4, 4L, 10L), (1L, 5, 5L, 10L), (1L, 6, 6L, 10L),
+      (1L, 7, 7L, 10L), (1L, 8, 8L, 100L),
+      (2L, 1, 11L, 7L), (2L, 2, 12L, 7L), (2L, 3, 13L, 7L),
+      (2L, 4, 14L, 7L), (2L, 5, 15L, 8L), (2L, 6, 16L, 7L))
+    val input = MemoryStream[MetricEvent]
+    val out = StreamAnomaly.anomalyUpdates(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      lookback = 5, z = 2, minPrior = 3, idleMs = 3600 * 1000L)
+    rows.grouped(5).foreach { g =>
+      input.addData(g.map { case (k, min, id, x) =>
+        MetricEvent(k, ts(min), id, x) }: _*)
+    }
+    val query = out.writeStream
+      .format("memory").queryName("anomaly_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val got = spark.table("anomaly_out")
+      .select(col("key"), col("event_id"), col("x"), col("n_prior"),
+        col("sum_prior"), col("zscore"))
+      .as[(Long, Long, Long, Int, Long, Option[Double])].collect().toSet
+    // batch ground truth: the same rows through Stats.rollingZscore
+    val batch = graft.operators.Stats.rollingZscore(
+      rows.toDF("k", "min", "id", "x")
+        .select(col("k"), col("min").cast("long").as("t"), col("id"),
+          col("x")),
+      "k", col("t"), col("id"), col("x"), lookback = 5, z = 2)
+      .select(col("k"), col("id"), col("x"), col("n_prior"),
+        col("sum_prior"), col("zscore"))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2, r._3, r._4.toInt, r._5, r._6)).toSet
+    assert(got === batch,
+      s"streaming flags $got != batch flags $batch")
+    // and the expected content, concretely: the spike with real z, the
+    // constant-history deviation with a null z
+    assert(got === Set(
+      (1L, 8L, 100L, 5, 90L, Some(4.5839)),
+      (2L, 15L, 8L, 4, 28L, None)))
+  }
 }
