@@ -108,8 +108,10 @@ object Bench {
       // exact set-similarity join, per-source quality rank (r11)
       "q121_transition_matrix", "q122_rolling_zscore",
       "q123_dedup_normalized", "q124_set_similarity", "q125_quality_rank",
-      // BPE pair counts + sketch rollup + script detection (r11)
-      "q126_bpe_pairs", "q127_hll_rollup", "q128_script_detect"
+      // BPE pair counts + sketch rollup + script detection + exact
+      // global median via bracket+rank (r11)
+      "q126_bpe_pairs", "q127_hll_rollup", "q128_script_detect",
+      "q129_exact_median", "q130_set_sim_probe"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1751,6 +1751,50 @@ object SparkEntry {
         .otherwise("cjk"))
   }
 
+  /** q129: EXACT global median price WITHOUT a global sort
+    * (Stats.kthSmallest) — exact order statistics over a relation no
+    * task could sort: approx-percentile sketch brackets the k-th key
+    * within its proven ±εn rank band, one exact below-bracket count
+    * anchors the offset, and Corpus.globalRank ranks the ~2εn bracket
+    * rows only (two-level prefix scan, never a single-task window).
+    * The key is tie-free (price cents · 2³² + a unique line id) so
+    * "the median row" is well-defined cross-engine; the oracle is the
+    * definitionally-simple single-sort row_number selection at
+    * k = ⌈n/2⌉. The q16/q56 percentile twins answer per-GROUP
+    * quantiles (buffered exact / sketched); this is the corpus-wide
+    * exact one. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem.select(
+      round(col("l_extendedprice") * 100).cast("long").as("__cents"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("__lid"))
+    val keyed = li.select(
+      (col("__cents") * lit(4294967296L) + col("__lid")).as("__key"),
+      col("__cents"))
+    val n = keyed.count() // one driver scalar
+    Stats.kthSmallest(keyed, "__key", k = (n + 1) / 2)
+      .select(col("__cents").as("median_cents"))
+  }
+
+  /** q130: INCREMENTAL exact set-similarity — a new batch probed
+    * against the persisted q124 index (SetSimilarity.buildIndex /
+    * probeIndex): the corpus is never re-shingled, re-counted or
+    * re-sorted; the batch sorts its tokens by the index's FROZEN
+    * rare-first order (unseen tokens at df 0) so cross-side recall
+    * stays exactly 1.0 — certified by the same brute-force oracle
+    * shape as q124. Batch = perturbed copies of every 7th corpus doc
+    * (three appended words shift the trigram set but keep J ≥ τ). */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zz ww vv")).as("text"))
+    val index = SetSimilarity
+      .buildIndex(docs, "doc_id", Dedup.shinglesCol(docs, col("text"), 3))
+      .materialize()
+    SetSimilarity.probeIndex(index, batch, "doc_id",
+      Dedup.shinglesCol(batch, col("text"), 3), tauNum = 2, tauDen = 5)
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2182,7 +2226,9 @@ object SparkEntry {
     "q125_quality_rank" -> (q125 _),
     "q126_bpe_pairs" -> (q126 _),
     "q127_hll_rollup" -> (q127 _),
-    "q128_script_detect" -> (q128 _)
+    "q128_script_detect" -> (q128 _),
+    "q129_exact_median" -> (q129 _),
+    "q130_set_sim_probe" -> (q130 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3584,6 +3630,45 @@ object SparkEntry {
         |       WHEN n_greek >= n_cjk THEN 'greek'
         |       ELSE 'cjk' END AS script
         |FROM c""".stripMargin,
+    // q129: the definitional selection — ONE global sort + row_number
+    // (fine in DuckDB at sf0.01; the engine's bracket+rank plan exists
+    // precisely because this formulation cannot scale) at k = ⌈n/2⌉.
+    "q129_exact_median" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296
+        |      + (l_orderkey * 8 + l_linenumber) AS key
+        |  FROM lineitem),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY key) AS rn
+        |      FROM t)
+        |SELECT cents AS median_cents FROM r
+        |WHERE rn = (SELECT (count(*) + 1) // 2 FROM t)""".stripMargin,
+    // q130: cross-side brute force (corpus × synthesized batch) — the
+    // oracle certifies the INCREMENTAL probe's recall = 1.0 exactly
+    // like q124's certifies the batch join's.
+    "q130_set_sim_probe" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |      for i in generate_series(1, len(words)-2)]) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |bsh AS (
+        |  SELECT doc_id + 2000000 AS b_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |      for i in generate_series(1, len(words)-2)]) AS tri
+        |  FROM (SELECT doc_id, string_split(text || ' zz ww vv', ' ')
+        |          AS words
+        |        FROM documents WHERE doc_id % 7 = 0)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.b_id,
+        |    CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) AS inter,
+        |    CAST(len(a.tri) + len(b.tri)
+        |      - len(list_intersect(a.tri, b.tri)) AS BIGINT) AS uni
+        |  FROM sh a, bsh b
+        |  WHERE len(a.tri) > 0 AND len(b.tri) > 0)
+        |SELECT a_id, b_id, inter, uni FROM p
+        |WHERE inter * 5 >= 2 * uni""".stripMargin,
     // q110: the same E-S keys byte-for-byte — DuckDB casts the 0x-
     // prefixed md5 slice where Spark uses conv(hex, 16, 10).
     "q110_weighted_sample" ->

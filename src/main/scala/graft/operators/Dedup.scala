@@ -374,7 +374,7 @@ object Dedup {
     * ~1/64 of the corpus per candidate shard touched. */
   val IndexShards: Int = 64
 
-  private def shardOf(id: Column): Column =
+  private[operators] def shardOf(id: Column): Column =
     pmod(xxhash64(id), lit(IndexShards.toLong)).cast("int")
 
   /** Whether an index's entries ARE a file scan (a save()d index, or
@@ -385,7 +385,7 @@ object Dedup {
     * (materialize()d) one is a LogicalRDD; in both the filter would
     * buy nothing and its driver-collected shard list would cost an
     * extra synchronous job per probe. */
-  private def isFileBacked(entries: DataFrame): Boolean = {
+  private[operators] def isFileBacked(entries: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def scanOnly(p: LogicalPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true

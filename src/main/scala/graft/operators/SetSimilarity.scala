@@ -120,6 +120,147 @@ object SetSimilarity {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 
+  // ------------------------------------------------------------------
+  // Incremental index: probe new batches against a frozen corpus index
+  // ------------------------------------------------------------------
+
+  /** Persisted set-similarity index — the [[jaccardJoin]] machinery
+    * frozen so continuous ingest probes WITHOUT re-shingling,
+    * re-counting or re-sorting the corpus (the q64/q65/q70 incremental
+    * discipline applied to the exact join):
+    *
+    *  - `entries`: (id, shard, n, ord) — each set's hashed tokens in
+    *    the corpus's rare-first order, shard-partitioned on save so a
+    *    probe's verify fetch prunes to candidate shards;
+    *  - `dfreq`: (t, df) — the FROZEN document frequencies that define
+    *    the total token order.
+    *
+    * A probing batch sorts its own tokens by the SAME frozen order
+    * (unseen tokens take df = 0 — rarest — deterministically by
+    * token), so the prefix-filter completeness proof carries over
+    * unchanged and cross-side recall stays exactly 1.0 at the frozen
+    * order. Corpus growth drifts true dfs away from the frozen ones;
+    * drift never costs RECALL (any consistent total order is valid) —
+    * only prefix selectivity — so the index earns a rebuild on the
+    * usual cadence, like every inverted index.
+    */
+  final case class SetSimIndex(entries: DataFrame, dfreq: DataFrame) {
+    /** Persist under `dir` — entries shard-partitioned (empty-input
+      * guard as MinhashIndex.save: partitionBy on empty input writes
+      * nothing readable back). */
+    def save(dir: String, mode: String = "error"): Unit = {
+      val w = entries.write.mode(mode)
+      if (entries.isEmpty) w.parquet(s"$dir/entries")
+      else w.partitionBy("shard").parquet(s"$dir/entries")
+      dfreq.write.mode(mode).parquet(s"$dir/dfreq")
+    }
+
+    /** Pin both frames for repeated in-memory probes. */
+    def materialize(): SetSimIndex =
+      SetSimIndex(entries.localCheckpoint(false),
+        dfreq.localCheckpoint(false))
+  }
+
+  object SetSimIndex {
+    def load(spark: org.apache.spark.sql.SparkSession,
+        dir: String): SetSimIndex =
+      SetSimIndex(spark.read.parquet(s"$dir/entries"),
+        spark.read.parquet(s"$dir/dfreq"))
+  }
+
+  /** Build the index in one corpus pass (plus the vocabulary-sized
+    * frequency aggregate). */
+  def buildIndex(df: DataFrame, idCol: String,
+      tokensCol: Column): SetSimIndex = {
+    val sets = df
+      .select(col(idCol).as("id"),
+        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .localCheckpoint(false) // consumed by dfreq AND the reorder
+    val tok = sets.select(col("id"), explode(col("__ts")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val entries = tok.join(dfreq, "t")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("t"))))
+        .as("__st"))
+      .select(col("id"),
+        transform(col("__st"), s => s.getField("t")).as("ord"))
+      .withColumn("n", size(col("ord")))
+      .withColumn("shard", Dedup.shardOf(col("id")))
+    SetSimIndex(entries, dfreq)
+  }
+
+  /** All (corpus id, batch id) pairs with Jaccard ≥ tauNum/tauDen —
+    * the cross-side incremental probe (within-batch pairs are
+    * [[jaccardJoin]]'s job). Per-batch cost: the batch's own
+    * shingle/sort work, one join against the vocabulary-sized frozen
+    * df table, a prefix equi-join against the index's prefix view,
+    * and a verify fetch that prunes to the candidate ids' shards on a
+    * saved index (the q64 partition-pruning trick) — the corpus is
+    * never re-featurized. Same positional + length filters and the
+    * same integer verify as [[jaccardJoin]].
+    */
+  def probeIndex(index: SetSimIndex, batch: DataFrame, idCol: String,
+      tokensCol: Column, tauNum: Int, tauDen: Int,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"probeIndex: need 0 < tau <= 1, got $tauNum/$tauDen")
+    def maybeB(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val bsets = batch
+      .select(col(idCol).as("b_id"),
+        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__bts"))
+      .filter(size(col("__bts")) > 0)
+      .localCheckpoint(false) // reorder + verify both consume
+    // batch tokens in the FROZEN order; unseen tokens: df 0, by token
+    val bord = bsets.select(col("b_id"), explode(col("__bts")).as("t"))
+      .join(index.dfreq, Seq("t"), "left")
+      .select(col("b_id"), col("t"), coalesce(col("df"), lit(0L)).as("__df"))
+      .groupBy(col("b_id"))
+      .agg(array_sort(collect_list(struct(col("__df").as("df"), col("t"))))
+        .as("__st"))
+      .select(col("b_id"),
+        transform(col("__st"), s => s.getField("t")).as("__bord"))
+      .withColumn("__bn", size(col("__bord")))
+    def prefixLen(n: Column): Column =
+      (n - floor((n * tauNum + lit(tauDen - 1)) / lit(tauDen)) + 1)
+        .cast("int")
+    val bpre = bord
+      .select(col("b_id"), col("__bn"),
+        posexplode(slice(col("__bord"), lit(1), prefixLen(col("__bn")))))
+      .withColumnsRenamed(Map("pos" -> "__ib", "col" -> "t"))
+    val apre = index.entries
+      .select(col("id").as("a_id"), col("n").as("__na"),
+        posexplode(slice(col("ord"), lit(1), prefixLen(col("n")))))
+      .withColumnsRenamed(Map("pos" -> "__ia", "col" -> "t"))
+    val posBound =
+      (lit(1) + least(col("__na") - col("__ia") - 1,
+        col("__bn") - col("__ib") - 1)) * (tauNum + tauDen) >=
+        (col("__na") + col("__bn")) * tauNum
+    val cand = apre.join(maybeB(bpre), "t")
+      .filter(col("__bn") * tauDen >= col("__na") * tauNum &&
+        col("__na") * tauDen >= col("__bn") * tauNum && posBound)
+      .select(col("a_id"), col("b_id")).distinct()
+      .localCheckpoint(false) // shard collect + verify join both consume
+    val pruned =
+      if (!Dedup.isFileBacked(index.entries)) index.entries
+      else {
+        val shards = cand.select(Dedup.shardOf(col("a_id")).as("s"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.entries.filter(col("shard").isin(shards: _*))
+      }
+    val fa = pruned.select(col("id").as("a_id"), col("ord").as("__ta"),
+      col("n").as("__na"))
+    cand.join(fa, "a_id")
+      .join(maybeB(bsets.select(col("b_id"), col("__bts").as("__tb"))),
+        "b_id")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("uni",
+        (col("__na") + size(col("__tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
   /** Reference implementation for the spec: brute-force all pairs.
     * Quadratic — test fixtures only. */
   private[graft] def jaccardJoinBrute(df: DataFrame, idCol: String,
@@ -130,6 +271,26 @@ object SetSimilarity {
     val a = sets.select(col("__id").as("a_id"), col("__ts").as("__ta"))
     val b = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("uni",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
+  /** Spec reference for [[probeIndex]]: brute-force CROSS-side pairs
+    * (corpus × batch). Quadratic — test fixtures only. */
+  private[graft] def probeBrute(corpus: DataFrame, corpusId: String,
+      corpusToks: Column, batch: DataFrame, batchId: String,
+      batchToks: Column, tauNum: Int, tauDen: Int): DataFrame = {
+    val a = corpus.select(col(corpusId).as("a_id"),
+      array_distinct(corpusToks).as("__ta"))
+      .filter(size(col("__ta")) > 0)
+    val b = batch.select(col(batchId).as("b_id"),
+      array_distinct(batchToks).as("__tb"))
+      .filter(size(col("__tb")) > 0)
+    a.crossJoin(b)
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
         .cast("long"))
       .withColumn("uni",

@@ -208,4 +208,45 @@ object Stats {
       .withColumnsRenamed(Map("__m" -> "n_prior", "__s1" -> "sum_prior"))
       .drop("__s2")
   }
+
+  /** EXACT k-th smallest row by a tie-free long key, WITHOUT a global
+    * sort — exact order statistics (median, p99, any rank) over a
+    * corpus no single task could sort. Two narrow passes:
+    *
+    *  1. BRACKET: approx_percentile on the key at quantiles
+    *     (k ± εn)/n, where ε = 1/accuracy is the sketch's documented
+    *     rank-error bound — so the true k-th key provably lies inside
+    *     [lo, hi], and the bracket holds ≤ ~2εn rows (20k rows per
+    *     100M at the default accuracy — tune accuracy to taste).
+    *  2. SELECT: one exact count of rows strictly below the bracket,
+    *     then Corpus.globalRank over the BRACKET ROWS ONLY (the
+    *     two-level prefix scan — range-bucketed windows + broadcast
+    *     offsets, never a single-task window) and pick global rank k.
+    *
+    * The full relation is scanned twice (both passes full-pushdown
+    * column scans) but never sorted and never shuffled whole: only
+    * bracket rows enter an exchange. The key must be TIE-FREE (pack a
+    * unique id into the low bits, q96-style) so "the k-th row" is
+    * well-defined and cross-engine deterministic. Returns the single
+    * selected row (all input columns).
+    */
+  def kthSmallest(df: DataFrame, keyCol: String, k: Long,
+      accuracy: Int = 10000): DataFrame = {
+    require(k >= 1, s"kthSmallest: k must be >= 1, got $k")
+    val n = df.count()
+    require(k <= n, s"kthSmallest: k=$k beyond row count $n")
+    val eps = math.max(1L, n / accuracy)
+    val qLo = math.max(0.0, (k - eps).toDouble / n)
+    val qHi = math.min(1.0, (k + eps).toDouble / n)
+    val b = df.agg(
+      percentile_approx(col(keyCol), lit(qLo), lit(accuracy)).as("lo"),
+      percentile_approx(col(keyCol), lit(qHi), lit(accuracy)).as("hi"))
+      .head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val nLo = df.filter(col(keyCol) < lo).count()
+    val bracket = df.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    Corpus.globalRank(bracket, keyCol, "__r0")
+      .filter(col("__r0") === k - nLo - 1) // rank0 is 0-based
+      .drop("__r0")
+  }
 }

@@ -66,4 +66,48 @@ class SetSimilaritySpec extends SparkSpec {
     val got = bag(SetSimilarity.jaccardJoin(df, "id", col("toks"), 1, 2))
     assert(got === Set((1L, 2L, 3L, 5L)))
   }
+
+  test("probeIndex ≡ cross-side brute force, incl. batch tokens the corpus never saw") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, rnd.shuffle(vocab).take(6 + rnd.nextInt(8)))).toDF("id", "toks")
+    // batch: perturbed copies of corpus docs (near-dups with NEW,
+    // never-indexed tokens — they must sort at df=0 without breaking
+    // completeness) plus pure-noise docs
+    val batchRows = (0 until 30).map { i =>
+      val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(8))
+      if (i % 2 == 0) (1000L + i, base.drop(1) :+ s"new$i")
+      else (1000L + i, base)
+    }
+    val batch = batchRows.toDF("id", "toks")
+    val index = SetSimilarity
+      .buildIndex(corpus, "id", col("toks")).materialize()
+    for ((num, den) <- Seq((2, 5), (1, 2), (7, 10), (1, 1))) {
+      val fast = bag(SetSimilarity.probeIndex(index, batch, "id",
+        col("toks"), num, den))
+      val brute = bag(SetSimilarity.probeBrute(corpus, "id", col("toks"),
+        batch, "id", col("toks"), num, den))
+      assert(fast === brute, s"tau=$num/$den: probe lost/invented pairs")
+    }
+  }
+
+  test("SetSimIndex: save/load round-trips and the probe prunes to candidate shards") {
+    val dir = java.nio.file.Files.createTempDirectory("setsim_idx").toString
+    val corpus = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("p", "q", "r", "s")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("id", "toks")
+    SetSimilarity.buildIndex(corpus, "id", col("toks")).save(dir)
+    val loaded = SetSimilarity.SetSimIndex.load(spark, dir)
+    val batch = Seq((10L, Seq("a", "b", "c", "e"))).toDF("id", "toks")
+    val got = bag(SetSimilarity.probeIndex(loaded, batch, "id",
+      col("toks"), 3, 5))
+    assert(got === Set((1L, 10L, 3L, 5L))) // J = 3/5 vs corpus doc 1 only
+    // identical batch doc at tau = 1: exact-match lookup works too
+    val same = bag(SetSimilarity.probeIndex(loaded,
+      Seq((11L, Seq("p", "q", "r", "s"))).toDF("id", "toks"),
+      "id", col("toks"), 1, 1))
+    assert(same === Set((2L, 11L, 4L, 4L)))
+  }
 }

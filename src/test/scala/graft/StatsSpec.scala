@@ -160,4 +160,22 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq === Seq((4L, 3L, 15L))) // NOT m=4 / s1=65
   }
+
+  test("kthSmallest: exact selection ≡ full sort at every tested rank and accuracy") {
+    // shuffled distinct keys; the bracket+rank path must agree with
+    // plain sorted order at the ends, the median, and arbitrary ranks,
+    // including at a deliberately COARSE sketch accuracy (wider
+    // bracket, same exact answer — accuracy affects cost, never truth)
+    val rnd = new scala.util.Random(23)
+    val keys = rnd.shuffle((1 to 2000).map(i => i * 7919L)).toSeq
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("key", "payload")
+    val sortedKeys = keys.sorted
+    for (k <- Seq(1L, 2L, 1000L, 1999L, 2000L); acc <- Seq(100, 10000)) {
+      val got = Stats.kthSmallest(df, "key", k, accuracy = acc)
+        .select(col("key")).as[Long].collect()
+      assert(got.toSeq === Seq(sortedKeys(k.toInt - 1)),
+        s"k=$k acc=$acc: got ${got.toSeq}")
+    }
+  }
 }
