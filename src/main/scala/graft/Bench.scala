@@ -111,7 +111,11 @@ object Bench {
       // BPE pair counts + sketch rollup + script detection + exact
       // global median via bracket+rank (r11)
       "q126_bpe_pairs", "q127_hll_rollup", "q128_script_detect",
-      "q129_exact_median", "q130_set_sim_probe"
+      "q129_exact_median", "q130_set_sim_probe",
+      // equi-depth histogram, per-nation OLS trend, oriented triangle
+      // count, PMI collocations (late r11)
+      "q131_equidepth_hist", "q132_sales_trend", "q133_triangles",
+      "q134_pmi_bigrams"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

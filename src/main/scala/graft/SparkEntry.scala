@@ -1795,6 +1795,91 @@ object SparkEntry {
       Dedup.shinglesCol(batch, col("text"), 3), tauNum = 2, tauDen = 5)
   }
 
+  /** q131: equi-DEPTH histogram of line-item price — 10 quantile
+    * buckets of equal row count with exact integer cut points
+    * ((rank0·10) div n), the dense-region complement of q101's
+    * equi-width buckets. Rank comes from the two-level prefix scan
+    * (no global window); tie-free packed key as q96/q129. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem.select(
+      round(col("l_extendedprice") * 100).cast("long").as("__cents"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("__lid"))
+    val keyed = li.select(
+      (col("__cents") * lit(4294967296L) + col("__lid")).as("__key"),
+      col("__cents"))
+    Stats.equiDepthHistogram(keyed, "__key", col("__cents"), 10)
+      .select(col("bucket"), col("n_rows"), col("lo").as("lo_cents"),
+        col("hi").as("hi_cents"), col("sum_val").as("sum_cents"))
+  }
+
+  /** q132: per-nation revenue TREND — OLS slope/intercept of daily
+    * order revenue (cents) against the day index since 1995-01-01,
+    * via Stats.trendPerKey's all-long moment sums (cross-engine exact
+    * until the final division; doc'd long bounds hold through sf0.1:
+    * x ≤ ~2500, Σxy ≲ 1e14). One join exchange + two aggregates. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("__x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__y"))
+    Stats.trendPerKey(daily, "n_name", col("__x"), col("__y"))
+      .select(col("n_name"), col("n").as("n_days"),
+        round(col("slope"), 4).as("slope_cents_per_day"),
+        round(col("intercept"), 2).as("intercept_cents"))
+  }
+
+  /** q133: exact TRIANGLE COUNT per apex over the part co-purchase
+    * graph (parts sharing an order; pair fan-out bounded by C(7,2)
+    * per order). Degree orientation bounds the wedge join at
+    * O(E^1.5) — the hub-proof plan (Graph.triangles). All-integer,
+    * oracle replays the same orientation in SQL. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val o2 = op.select(col("o").as("__o2"), col("p").as("__p2"))
+    val edges = op.join(o2, col("o") === col("__o2") && col("p") < col("__p2"))
+      .select(col("p").as("pa"), col("__p2").as("pb"))
+    Graph.triangles(edges, "pa", "pb")
+  }
+
+  /** q134: PMI COLLOCATIONS — top-20 adjacent word pairs by pointwise
+    * mutual information (min count 100). Bigrams are generated
+    * IN-PLAN (transform over the token array — zero extra shuffle
+    * beyond the two count aggregates); unigram totals and the bigram
+    * denominator ride broadcast one-row aggregates, no driver
+    * collect. Ordering is on the ROUNDED pmi then the pair, so the
+    * cutoff is cross-engine deterministic. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(split(col("text"), " ").as("__ws"))
+    val uni = docs.select(explode(col("__ws")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("__c"))
+    val bg = docs.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ws) - 2), " +
+          "i -> struct(__ws[i] AS a, __ws[i + 1] AS b))")).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val ua = uni.select(col("t").as("a"), col("__c").as("__ca"))
+    val ub = uni.select(col("t").as("b"), col("__c").as("__cb"))
+    val m = uni.agg(sum(col("__c")).as("__m"))
+    val nb = bg.agg(sum(col("n")).as("__nb"))
+    bg.join(ua, "a").join(ub, "b")
+      .crossJoin(broadcast(m)).crossJoin(broadcast(nb))
+      .filter(col("n") >= 10)
+      .select(col("a"), col("b"), col("n"),
+        round(log(
+          (col("n").cast("double") * col("__m") * col("__m")) /
+            (col("__nb").cast("double") * col("__ca") * col("__cb"))),
+          4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2228,7 +2313,11 @@ object SparkEntry {
     "q127_hll_rollup" -> (q127 _),
     "q128_script_detect" -> (q128 _),
     "q129_exact_median" -> (q129 _),
-    "q130_set_sim_probe" -> (q130 _)
+    "q130_set_sim_probe" -> (q130 _),
+    "q131_equidepth_hist" -> (q131 _),
+    "q132_sales_trend" -> (q132 _),
+    "q133_triangles" -> (q133 _),
+    "q134_pmi_bigrams" -> (q134 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3777,6 +3866,87 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
         |SELECT user_id, min(ms) AS start_ms,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM c GROUP BY user_id, session_id""".stripMargin
+        |FROM c GROUP BY user_id, session_id""".stripMargin,
+    // q131: same packed tie-free key, same integer bucket cut.
+    "q131_equidepth_hist" ->
+      """WITH k AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         l_orderkey * 8 + l_linenumber AS lid FROM lineitem),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents * 4294967296 + lid) - 1
+        |          AS rk,
+        |        count(*) OVER () AS n FROM k)
+        |SELECT (rk * 10) // n AS bucket, count(*) AS n_rows,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1""".stripMargin,
+    // q132: identical long moment sums; division only at the end.
+    "q132_sales_trend" ->
+      """WITH d AS (
+        |  SELECT n_name,
+        |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS x,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT n_name, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT n_name, n AS n_days,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 4)
+        |    AS slope_cents_per_day,
+        |  round((CAST(sy AS DOUBLE) -
+        |     (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n,
+        |    2) AS intercept_cents
+        |FROM m""".stripMargin,
+    // q133: the same degree orientation replayed in SQL — tuple
+    // comparisons mirror the Spark struct comparisons; all integers.
+    "q133_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |raw AS (SELECT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM raw),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS vd
+        |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |w AS (SELECT o1.u AS apex, o1.v AS v1, o2.v AS v2
+        |  FROM o o1 JOIN o o2
+        |  ON o1.u = o2.u AND (o1.vd, o1.v) < (o2.vd, o2.v))
+        |SELECT w.apex AS node_id, count(*) AS tri_n
+        |FROM w JOIN o oc ON oc.u = w.v1 AND oc.v = w.v2
+        |GROUP BY 1""".stripMargin,
+    // q134: bigrams via 1-based list indexing over the same split;
+    // ordering on the ROUNDED pmi keeps the top-20 cutoff exact.
+    "q134_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |toks AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM uni),
+        |bgi AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+        |  WHERE len(ws) >= 2),
+        |bg AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM bgi),
+        |bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM bg
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(n) AS BIGINT) AS nb FROM bgc)
+        |SELECT a, b, n,
+        |  round(ln((CAST(n AS DOUBLE) * m.m * m.m) /
+        |           (CAST(nb.nb AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+        |FROM bgc, m, nb
+        |JOIN uni ua ON bgc.a = ua.t
+        |JOIN uni ub ON bgc.b = ub.t
+        |WHERE n >= 10
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin
   )
 }

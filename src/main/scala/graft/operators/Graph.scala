@@ -106,4 +106,56 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle counting by DEGREE ORIENTATION — the classic trick
+    * that makes the O(Σ deg²) wedge enumeration tractable on skewed
+    * graphs: every undirected edge points from its lower to its higher
+    * endpoint under the total order (degree, id), so a hub of degree D
+    * has out-degree ≤ its number of HIGHER-degree neighbours, and
+    * wedge generation is Σ outDeg² ≈ O(E^1.5) instead of hub-degree
+    * squared. Each triangle {x,y,z} is counted exactly once, at its
+    * lowest-ordered vertex (the apex).
+    *
+    * Input may carry duplicates, both directions, or self-loops — the
+    * edge set is canonicalised (a<b, distinct, loops dropped) first.
+    * Returns (node_id, tri_n): triangles per APEX (nodes that apex no
+    * triangle are absent; sum(tri_n) is the global count). All-integer
+    * arithmetic — exact cross-engine.
+    *
+    * Plan shape: canonical edges persist once; degrees are one
+    * map-side-combined count; orientation is two broadcast-sized hash
+    * joins against the degree table; the wedge join and the closing
+    * join are equi-joins on a node id (the inequality on the packed
+    * (deg,id) key rides the same exchange as a post-join filter).
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val da = deg.select(col("id").as("__ida"), col("d").as("__da"))
+    val db = deg.select(col("id").as("__idb"), col("d").as("__db"))
+    val aFirst = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    val oriented = e
+      .join(da, col("a") === col("__ida"))
+      .join(db, col("b") === col("__idb"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, struct(col("__db").as("kd"), col("b").as("kid")))
+          .otherwise(struct(col("__da").as("kd"), col("a").as("kid")))
+          .as("vk"))
+      .persist()
+    val o2 = oriented.select(col("u").as("__u2"), col("v").as("__v2"),
+      col("vk").as("__vk2"))
+    val close = oriented.select(col("u").as("__cu"), col("v").as("__cv"))
+    oriented
+      .join(o2, col("u") === col("__u2") && col("vk") < col("__vk2"))
+      .join(close, col("v") === col("__cu") && col("__v2") === col("__cv"))
+      .groupBy(col("u").as("node_id"))
+      .agg(count(lit(1)).as("tri_n"))
+  }
 }

@@ -230,6 +230,61 @@ object Stats {
     * well-defined and cross-engine deterministic. Returns the single
     * selected row (all input columns).
     */
+  /** Equi-DEPTH histogram (quantile buckets) of a value column: every
+    * bucket holds the same row count (±1), boundaries fall where the
+    * data is dense — the complement of q101's equi-width buckets.
+    * `keyCol` must be a tie-free long sort key (pack value + row id as
+    * q96/q129 do); bucket = (rank0 · buckets) div n in pure integer
+    * arithmetic, so the cut points are cross-engine exact (DuckDB
+    * replicates with row_number + the same integer division).
+    *
+    * Scale shape: the exact rank comes from [[Corpus.globalRank]]'s
+    * two-level prefix scan — range-bucket the key, per-bucket windows,
+    * bucket offsets from a collect of `buckets` tiny totals — never a
+    * single-task global window; the per-bucket stats are one
+    * map-side-combined aggregate over at most `buckets` groups.
+    */
+  def equiDepthHistogram(
+      df: DataFrame, keyCol: String, valCol: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "equiDepthHistogram: buckets >= 1")
+    val n = df.count() // one driver scalar, as q96/q129
+    Corpus.globalRank(df, keyCol, "__rank0")
+      .groupBy(expr(s"(__rank0 * $buckets) div $n").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(valCol).as("lo"),
+        max(valCol).as("hi"), sum(valCol).as("sum_val"))
+  }
+
+  /** Per-key ordinary-least-squares trend (slope + intercept) over
+    * INTEGER (x, y) points — time-series drift detection per group
+    * (revenue/day, tokens/snapshot). The five moment sums (n, Σx, Σy,
+    * Σxy, Σx²) stay in long arithmetic so both engines see identical
+    * integers; only the final two divisions are double, making the
+    * result deterministic cross-engine where regr_slope's
+    * streaming-covariance accumulation order would not be. One
+    * map-side-combined aggregate — constant state per key per task,
+    * skew-immune. Keys with a single distinct x (denominator 0) yield
+    * null slope/intercept.
+    *
+    * Caller owns the value ranges: Σ(x·y) and n·Σxy must fit a long
+    * (document the bound at the call site — q132 uses day-index x
+    * ≤ ~2500 and per-day cents y, safe through sf0.1).
+    */
+  def trendPerKey(
+      df: DataFrame, keyCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val m = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    val num = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+    val den = (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+    val slope = when(den =!= 0, num.cast("double") / den.cast("double"))
+    m.select(col(keyCol), col("n"), slope.as("slope"),
+      ((col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+        col("n")).as("intercept"))
+  }
+
   def kthSmallest(df: DataFrame, keyCol: String, k: Long,
       accuracy: Int = 10000): DataFrame = {
     require(k >= 1, s"kthSmallest: k must be >= 1, got $k")

@@ -57,4 +57,37 @@ object Timeseries {
       .filter(col("__tag") === 1)
       .select(k, col(dayCol), col(valCol))
   }
+
+  /** Truncated exponentially-weighted moving average per key: the
+    * classic EWMA recursion `y = α·x + (1−α)·y_prev`, restarted over
+    * only the last `window` points of each row (y seeds at the
+    * window's OLDEST point). Truncation is what makes the recursion
+    * distributable AND cross-engine exact: the unbounded form needs
+    * either per-key sequential state or pow-weight prefix sums whose
+    * (1−α)^−rank factors overflow on long series, while a bounded
+    * frame is one `collect_list` over a rows-window plus an in-plan
+    * left-to-right `aggregate` fold — the identical float operation
+    * sequence DuckDB's `list_reduce` replays, so results match
+    * bit-for-bit (pick α with an exact binary representation). The
+    * truncation error of the dropped tail is ≤ (1−α)^window · max|x|.
+    *
+    * One exchange on the key; the fold is codegen'd per row. Appends
+    * `ewma` (double, unrounded).
+    */
+  def ewmaTruncated(
+      points: DataFrame, keyCol: String, orderCol: String, valCol: String,
+      alpha: Double, window: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "ewmaTruncated: alpha in (0,1]")
+    require(window >= 1, "ewmaTruncated: window >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    points
+      .withColumn("__arr",
+        collect_list(col(valCol).cast("double")).over(w))
+      .withColumn("ewma", expr(
+        s"aggregate(slice(__arr, 2, size(__arr) - 1), __arr[0], " +
+          s"(acc, x) -> CAST($alpha AS DOUBLE) * x + " +
+          s"CAST(${1 - alpha} AS DOUBLE) * acc)"))
+      .drop("__arr")
+  }
 }

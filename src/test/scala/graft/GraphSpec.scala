@@ -77,4 +77,54 @@ class GraphSpec extends SparkSpec {
     val b = run(edges, undirected = true, iters = 9)
     assert(a === b)
   }
+
+  // --- triangles: pinned against brute-force triple enumeration with
+  // the SAME apex rule (lowest (degree, id) vertex owns the triangle).
+  private def bruteTriangles(
+      edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val canon = edges.collect {
+      case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+    }
+    val nodes = canon.flatMap(t => Seq(t._1, t._2)).toSeq.sorted
+    val deg = canon.toSeq.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def has(x: Long, y: Long) = canon(( math.min(x, y), math.max(x, y)))
+    val tris = for {
+      x <- nodes; y <- nodes if y > x; z <- nodes if z > y
+      if has(x, y) && has(x, z) && has(y, z)
+    } yield Seq(x, y, z).minBy(v => (deg(v), v))
+    tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangles(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangles: K4 has 4 triangles, all counted once") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    val got = runTriangles(k4)
+    assert(got.values.sum === 4L)
+    assert(got === bruteTriangles(k4.toSet))
+  }
+
+  test("triangles: random sparse graph matches brute force per apex") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+    val got = runTriangles(edges)
+    assert(got === bruteTriangles(edges.toSet))
+    assert(got.values.sum > 0, "fixture should contain triangles")
+  }
+
+  test("triangles: duplicates, reversed edges and self-loops collapse") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    val got = runTriangles(noisy)
+    assert(got.values.sum === 1L)
+  }
+
+  test("triangles: triangle-free bipartite graph yields no rows") {
+    val bip = for { a <- 1L to 4L; b <- 11L to 14L } yield (a, b)
+    assert(runTriangles(bip).isEmpty)
+  }
 }

@@ -32,9 +32,12 @@ class PlanAuditSpec extends SparkSpec {
   // nested-loop join (query set × corpus, non-equi condition); q97
   // crosses its tiny count relation with a broadcast ONE-ROW grand
   // total (the in-plan scalar pattern, like PageRank's dangling mass)
+  // q134 crosses the bigram counts with TWO broadcast one-row totals
+  // (corpus token mass + bigram mass) — the same in-plan scalar shape
   private val bnljByDesign = Set(
     "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned",
-    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q97_key_profile")
+    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q97_key_profile",
+    "q134_pmi_bigrams")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -138,6 +141,12 @@ class PlanAuditSpec extends SparkSpec {
       "q120_main_content" -> 0, // pure projection: block split, text
                                // strip, density gate all ride one
                                // codegen'd stage — nothing moves
+      "q131_equidepth_hist" -> 2, // prefix-scan bucket window + the
+                               // 10-group stats aggregate (rank
+                               // bounds/offsets collect outside the
+                               // returned plan, as q96)
+      "q132_sales_trend" -> 2, // daily agg + per-nation moment agg;
+                               // customer/nation join broadcasts
       "q121_transition_matrix" -> 3, // the stream moves ONCE (lag
                                // window's user exchange); the pair
                                // rollup + per-from totals exchanges

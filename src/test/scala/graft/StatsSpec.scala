@@ -178,4 +178,76 @@ class StatsSpec extends SparkSpec {
         s"k=$k acc=$acc: got ${got.toSeq}")
     }
   }
+
+  test("equiDepthHistogram: equal bucket sizes, contiguous bounds, exact sums") {
+    // 1000 tie-free keys with a deliberately SKEWED value distribution
+    // (equi-depth's reason to exist: equi-width would put 90% of rows
+    // into one bucket). value = key so ordering is transparent.
+    val rnd = new scala.util.Random(11)
+    val vals = rnd.shuffle(
+      ((1 to 900).map(_.toLong) ++ (1 to 100).map(_ * 10000L)).toSeq)
+    val df = vals.map(v => (v, v)).toDF("key", "v")
+    val got = Stats.equiDepthHistogram(df, "key", col("v"), 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val sorted = vals.sorted
+    val want = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / sorted.size }
+      .map { case (b, g) =>
+        val vs = g.map(_._1)
+        b -> ((vs.size.toLong, vs.min, vs.max, vs.sum))
+      }
+    assert(got === want)
+    // every bucket holds exactly n/buckets rows here (1000 % 10 == 0)
+    assert(got.values.forall(_._1 == 100L))
+    // bucket ranges are disjoint and ordered
+    val bounds = got.toSeq.sortBy(_._1).map(t => (t._2._2, t._2._3))
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+  }
+
+  test("equiDepthHistogram: uneven n distributes the remainder ±1") {
+    val df = (1L to 103L).map(v => (v, v)).toDF("key", "v")
+    val sizes = Stats.equiDepthHistogram(df, "key", col("v"), 10)
+      .select(col("n_rows")).as[Long].collect().sorted
+    assert(sizes.sum === 103L)
+    assert(sizes.forall(s => s == 10L || s == 11L))
+  }
+
+  test("trendPerKey: recovers exact integer lines; constant x yields nulls") {
+    val pts =
+      // key "a": y = 3x + 7 exactly
+      (0L to 50L).map(x => ("a", x, 3 * x + 7)) ++
+        // key "b": y = -2x + 100
+        (0L to 30L).map(x => ("b", x, -2 * x + 100)) ++
+        // key "c": single x value — slope undefined
+        Seq(("c", 5L, 1L), ("c", 5L, 3L))
+    val df = pts.toDF("k", "x", "y")
+    val got = Stats.trendPerKey(df, "k", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("a")._1 === 51L)
+    assert(math.abs(got("a")._2.get.asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(math.abs(got("a")._3.get.asInstanceOf[Double] - 7.0) < 1e-12)
+    assert(math.abs(got("b")._2.get.asInstanceOf[Double] + 2.0) < 1e-12)
+    assert(math.abs(got("b")._3.get.asInstanceOf[Double] - 100.0) < 1e-12)
+    assert(got("c")._2.isEmpty && got("c")._3.isEmpty)
+  }
+
+  test("trendPerKey: noisy line matches the closed-form OLS solution") {
+    // integer noise so the scala-side reference arithmetic is exact
+    val pts = (0L until 40L).map(x => ("k", x, 5 * x + (x % 7) - 3))
+    val df = pts.toDF("k", "x", "y")
+    val r = Stats.trendPerKey(df, "k", col("x"), col("y")).collect().head
+    val n = pts.size.toLong
+    val sx = pts.map(_._2).sum; val sy = pts.map(_._3).sum
+    val sxy = pts.map(p => p._2 * p._3).sum
+    val sxx = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val icept = (sy.toDouble - slope * sx.toDouble) / n
+    assert(math.abs(r.getDouble(2) - slope) < 1e-12)
+    assert(math.abs(r.getDouble(3) - icept) < 1e-12)
+  }
 }
