@@ -115,7 +115,11 @@ object Bench {
       // equi-depth histogram, per-nation OLS trend, oriented triangle
       // count, PMI collocations (late r11)
       "q131_equidepth_hist", "q132_sales_trend", "q133_triangles",
-      "q134_pmi_bigrams"
+      "q134_pmi_bigrams",
+      // anchor text, EWMA smoothing, padding waste, top postings
+      // (late r11)
+      "q135_anchor_text", "q136_ewma_spend", "q137_padding_waste",
+      "q138_top_postings"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1880,6 +1880,106 @@ object SparkEntry {
       .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
   }
 
+  /** q135: ANCHOR-TEXT aggregation — the other half of the q99 WAT
+    * shape: for every target host, the top-3 anchor texts pointing at
+    * it (what the web "calls" a page — a classic relevance/quality
+    * signal for crawl curation). href and anchor arrays come from two
+    * regexp_extract_all passes zipped positionally IN-PLAN (the
+    * DuckDB twin zips two unnests the same way); one (host, anchor)
+    * count exchange + the per-host top-k window over the reduced
+    * counts. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    def url(i: Int): Column = concat(
+      element_at(array(lit("http"), lit("https")), (k % 2).cast("int") + 1),
+      lit("://"),
+      when(k % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("h"), ((k * i) % 23).cast("string"), lit(".Example.org"),
+      when(k % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (k % 7).cast("string"))
+    def anchor(i: Int): Column = concat(lit("t"), ((k * i) % 13).cast("string"))
+    val html = concat(
+      lit("<p>see <a href=\""), url(1), lit("\">"), anchor(5), lit("</a> and "),
+      lit("<a class=\"x\" href=\""), url(2), lit("\">"), anchor(7), lit("</a>"),
+      lit("<a href=\""), url(3), lit("\">"), anchor(11), lit("</a></p>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("n").desc, col("anchor"))
+    Tables(s, dir).customer
+      .select(k.as("page_id"), html.as("__html"))
+      .withColumn("__us", regexp_extract_all(col("__html"),
+        lit("href=\"([^\"]*)\""), lit(1)))
+      .withColumn("__as", regexp_extract_all(col("__html"),
+        lit(">([^<>]*)</a>"), lit(1)))
+      .select(explode(arrays_zip(col("__us"), col("__as"))).as("__p"))
+      .select(graft.functions.UrlFunctions.urlHost(col("__p.__us"))
+        .as("host"), col("__p.__as").as("anchor"))
+      .groupBy(col("host"), col("anchor")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** q136: truncated EWMA of per-user daily spend (α=0.25 — exact in
+    * binary — over the last 7 daily points; Timeseries.ewmaTruncated).
+    * Daily cents are LONG sums (exact), and the fold replays the
+    * identical double op sequence in DuckDB's list_reduce, so the
+    * smoothed series is hash-exact. Row-position semantics (day gaps
+    * are not re-weighted; compose with gapFillForward when calendar
+    * decay matters). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir).events
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.ewmaTruncated(daily, "user_id", "day", "cents",
+        alpha = 0.25, window = 7)
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents"), round(col("ewma"), 4).as("ewma_cents"))
+  }
+
+  /** q137: sequence-PACKING WASTE profile — if every doc pads to its
+    * length bucket (64/128/256/512, cap 1024 with truncation), how
+    * many tokens are padding per bucket? The batching-efficiency
+    * diagnostic that motivates q74/q78's packing: high waste_pct in a
+    * bucket says "pack, don't pad". Pure projection + one tiny
+    * aggregate; integer arithmetic until the final percentage. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val t = size(split(col("text"), " "))
+    val eff = least(t, lit(1024))
+    val bucket = when(eff <= 64, 64).when(eff <= 128, 128)
+      .when(eff <= 256, 256).when(eff <= 512, 512).otherwise(1024)
+    Tables(s, dir).documents
+      .select(t.cast("long").as("__t"), eff.cast("long").as("__eff"),
+        bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__t") > 1024, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("__eff")).as("sum_tokens"),
+        sum(col("bucket") - col("__eff")).as("sum_padding"))
+      .withColumn("waste_pct", round(
+        col("sum_padding").cast("double") * 100 /
+          (col("sum_padding") + col("sum_tokens")), 2))
+  }
+
+  /** q138: inverted-index TOP POSTINGS — per term: document
+    * frequency and the 3 highest-tf postings (tf desc, doc_id
+    * tie-break). The posting build is ONE (term, doc) count exchange;
+    * df and the top-k rank ride a single per-term window over the
+    * already-reduced postings (bounded by df, never raw tokens).
+    * The open-vocabulary scale path swaps the window for the
+    * per-partition-heap top-k of Corpus.keyProfile. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val wr = w.orderBy(col("tf").desc, col("doc_id"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("term"), col("df"), col("rnk"), col("doc_id"), col("tf"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2317,7 +2417,11 @@ object SparkEntry {
     "q131_equidepth_hist" -> (q131 _),
     "q132_sales_trend" -> (q132 _),
     "q133_triangles" -> (q133 _),
-    "q134_pmi_bigrams" -> (q134 _)
+    "q134_pmi_bigrams" -> (q134 _),
+    "q135_anchor_text" -> (q135 _),
+    "q136_ewma_spend" -> (q136 _),
+    "q137_padding_waste" -> (q137 _),
+    "q138_top_postings" -> (q138 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -3947,6 +4051,94 @@ object SparkEntry {
         |JOIN uni ua ON bgc.a = ua.t
         |JOIN uni ub ON bgc.b = ub.t
         |WHERE n >= 10
-        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+    // q135: q99's page synthesis with VARIED anchors; two unnests in
+    // one SELECT zip positionally, mirroring Spark's arrays_zip.
+    "q135_anchor_text" ->
+      """WITH pages AS (SELECT c_custkey AS page_id, concat(
+        |    '<p>see <a href="',
+        |    ['http','https'][CAST(c_custkey % 2 AS INT) + 1], '://',
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |    'h', CAST((c_custkey * 1) % 23 AS VARCHAR), '.Example.org',
+        |    CASE WHEN c_custkey % 4 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', CAST(c_custkey % 7 AS VARCHAR),
+        |    '">t', CAST((c_custkey * 5) % 13 AS VARCHAR),
+        |    '</a> and <a class="x" href="',
+        |    ['http','https'][CAST(c_custkey % 2 AS INT) + 1], '://',
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |    'h', CAST((c_custkey * 2) % 23 AS VARCHAR), '.Example.org',
+        |    CASE WHEN c_custkey % 4 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', CAST(c_custkey % 7 AS VARCHAR),
+        |    '">t', CAST((c_custkey * 7) % 13 AS VARCHAR),
+        |    '</a><a href="',
+        |    ['http','https'][CAST(c_custkey % 2 AS INT) + 1], '://',
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |    'h', CAST((c_custkey * 3) % 23 AS VARCHAR), '.Example.org',
+        |    CASE WHEN c_custkey % 4 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', CAST(c_custkey % 7 AS VARCHAR),
+        |    '">t', CAST((c_custkey * 11) % 13 AS VARCHAR),
+        |    '</a></p>') AS html
+        |  FROM customer),
+        |links AS (SELECT
+        |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS u,
+        |    unnest(regexp_extract_all(html, '>([^<>]*)</a>', 1)) AS a
+        |  FROM pages),
+        |hosts AS (SELECT
+        |    regexp_replace(lower(regexp_extract(trim(u),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\.', '')
+        |      AS host,
+        |    a AS anchor FROM links),
+        |c AS (SELECT host, anchor, CAST(count(*) AS BIGINT) AS n
+        |  FROM hosts GROUP BY 1, 2),
+        |r AS (SELECT host, anchor, n, row_number() OVER (
+        |    PARTITION BY host ORDER BY n DESC, anchor) AS rnk FROM c)
+        |SELECT host, anchor, n, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    // q136: list() over the same 7-row frame + list_reduce replays
+    // the identical fold — bit-exact before the round.
+    "q136_ewma_spend" ->
+      """WITH d AS (SELECT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, day, cents,
+        |    list(CAST(cents AS DOUBLE)) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr FROM d)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cents,
+        |  round(list_reduce(arr, (acc, x) ->
+        |    CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc), 4)
+        |    AS ewma_cents
+        |FROM l""".stripMargin,
+    // q137: same bucket CASE; integers until the percentage.
+    "q137_padding_waste" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |e AS (SELECT t, least(t, 1024) AS eff,
+        |    CASE WHEN least(t, 1024) <= 64 THEN 64
+        |         WHEN least(t, 1024) <= 128 THEN 128
+        |         WHEN least(t, 1024) <= 256 THEN 256
+        |         WHEN least(t, 1024) <= 512 THEN 512
+        |         ELSE 1024 END AS bucket FROM d)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN t > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(eff) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(bucket - eff) AS BIGINT) AS sum_padding,
+        |  round(CAST(sum(bucket - eff) AS DOUBLE) * 100 /
+        |        (sum(bucket - eff) + sum(eff)), 2) AS waste_pct
+        |FROM e GROUP BY 1""".stripMargin,
+    // q138: posting build + per-term window over the reduced counts.
+    "q138_top_postings" ->
+      """WITH tf0 AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tf0 GROUP BY 1, 2),
+        |r AS (SELECT term, doc_id, tf,
+        |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+        |      AS rnk
+        |  FROM c)
+        |SELECT term, df, rnk, doc_id, tf FROM r WHERE rnk <= 3""".stripMargin
   )
 }

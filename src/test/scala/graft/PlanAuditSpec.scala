@@ -147,6 +147,16 @@ class PlanAuditSpec extends SparkSpec {
                                // returned plan, as q96)
       "q132_sales_trend" -> 2, // daily agg + per-nation moment agg;
                                // customer/nation join broadcasts
+      "q135_anchor_text" -> 2, // (host, anchor) count exchange + the
+                               // per-host top-k window over the
+                               // reduced counts
+      "q136_ewma_spend" -> 2,  // daily cents agg + the user-key
+                               // window carrying the 7-row fold
+      "q137_padding_waste" -> 1, // bucket projection rides the scan;
+                               // one tiny aggregate moves
+      "q138_top_postings" -> 2, // (term, doc) posting agg + ONE term
+                               // exchange shared by the df count and
+                               // rank windows
       "q121_transition_matrix" -> 3, // the stream moves ONCE (lag
                                // window's user exchange); the pair
                                // rollup + per-from totals exchanges

@@ -58,4 +58,40 @@ class TimeseriesSpec extends SparkSpec {
       pts(Seq(("a", "2024-01-15", 7.5))), "sensor", "day", "reading")
     assert(collect(out) === Seq(("a", "2024-01-15", 7.5)))
   }
+
+  // --- ewmaTruncated: pinned against the exact scalar recursion run
+  // over the same truncated window, in the same fold order.
+  private def scalarEwma(
+      xs: Seq[Double], alpha: Double, window: Int): Seq[Double] =
+    xs.indices.map { i =>
+      val frame = xs.slice(math.max(0, i - window + 1), i + 1)
+      frame.tail.foldLeft(frame.head)((acc, x) => alpha * x + (1 - alpha) * acc)
+    }
+
+  test("ewmaTruncated: matches the scalar recursion exactly per key") {
+    import spark.implicits._
+    val xsA = Seq(10.0, 20.0, 5.0, 40.0, 40.0, 1.0, 7.0, 100.0, 2.0, 3.0)
+    val xsB = Seq(4.0, 4.0, 4.0)
+    val rows = xsA.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) } ++
+      xsB.zipWithIndex.map { case (x, i) => ("b", i.toLong, x) }
+    val out = Timeseries.ewmaTruncated(
+        rows.toDF("k", "t", "x"), "k", "t", "x", alpha = 0.25, window = 4)
+      .select(col("k"), col("t"), col("ewma"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(out("a") === scalarEwma(xsA, 0.25, 4))
+    // a constant series is a fixed point regardless of truncation
+    assert(out("b") === Seq(4.0, 4.0, 4.0))
+  }
+
+  test("ewmaTruncated: window=1 degenerates to the raw series") {
+    import spark.implicits._
+    val rows = Seq(("k", 0L, 3.5), ("k", 1L, -1.0), ("k", 2L, 9.0))
+    val out = Timeseries.ewmaTruncated(
+        rows.toDF("k", "t", "x"), "k", "t", "x", alpha = 0.25, window = 1)
+      .select(col("t"), col("ewma")).as[(Long, Double)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(out === Seq(3.5, -1.0, 9.0))
+  }
 }
