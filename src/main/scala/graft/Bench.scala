@@ -119,7 +119,9 @@ object Bench {
       // anchor text, EWMA smoothing, padding waste, top postings
       // (late r11)
       "q135_anchor_text", "q136_ewma_spend", "q137_padding_waste",
-      "q138_top_postings"
+      "q138_top_postings",
+      // mergeable quantile-sketch rollup (late r11)
+      "q139_quantile_rollup"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

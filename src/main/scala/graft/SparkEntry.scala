@@ -1980,6 +1980,31 @@ object SparkEntry {
       .select(col("term"), col("df"), col("rnk"), col("doc_id"), col("tf"))
   }
 
+  /** q139: mergeable QUANTILE-SKETCH rollup (DdSketchAgg/DdUnionAgg/
+    * DdQuantile — q127's sketch-cube pattern applied to percentiles):
+    * daily DDSketches of order value (cents, α=1%) union into weekly
+    * p50/p95/p99 WITHOUT rescanning orders. approx_percentile answers
+    * one query per scan and can't persist; the day-grain sketch table
+    * is a few KB per day and every coarser/ad-hoc grain merges
+    * loss-free (union-of-daily ≡ direct-weekly to the byte —
+    * ApproxSpec). Rows-only: DuckDB has no DDSketch; the error bound
+    * and merge exactness are pinned in ApproxSpec instead. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir).orders
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(expr(
+        "dd_sketch_agg(CAST(round(o_totalprice * 100) AS BIGINT), 0.01D)")
+        .as("__sk"))
+    daily
+      .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(expr("dd_union_agg(__sk)").as("__wk"))
+      .select(col("week"),
+        round(expr("dd_quantile(__wk, 0.5D)"), 4).as("p50_cents"),
+        round(expr("dd_quantile(__wk, 0.95D)"), 4).as("p95_cents"),
+        round(expr("dd_quantile(__wk, 0.99D)"), 4).as("p99_cents"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2421,7 +2446,8 @@ object SparkEntry {
     "q135_anchor_text" -> (q135 _),
     "q136_ewma_spend" -> (q136 _),
     "q137_padding_waste" -> (q137 _),
-    "q138_top_postings" -> (q138 _)
+    "q138_top_postings" -> (q138 _),
+    "q139_quantile_rollup" -> (q139 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

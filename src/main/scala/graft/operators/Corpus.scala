@@ -524,9 +524,13 @@ object Corpus {
     prefixSum(df.withColumn("__one", lit(1L)), orderCol, "__one", outCol,
       buckets).drop("__one")
 
+  // relErr shapes only the BALANCE of the range buckets (offsets are
+  // recomputed from exact per-bucket totals, so results are exact at
+  // any sketch precision); 0.01 keeps the GK summary an order of
+  // magnitude cheaper than 0.001 for a worst-case ±1% task-size skew
   def prefixSum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String,
-      buckets: Int = 64, relErr: Double = 0.001): DataFrame = {
+      buckets: Int = 64, relErr: Double = 0.01): DataFrame = {
     val bounds = rangeBounds(df, orderCol, buckets, relErr)
     val withB = df.withColumn("__bkt",
       graft.functions.LayoutFunctions.quantileBucket(col(orderCol), bounds))

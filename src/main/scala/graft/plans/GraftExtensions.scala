@@ -123,6 +123,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("pq_adc",
       es => PqAdc(es.head, es(1)),
       "pq_adc(codes, lut) - approximate dot product via table lookups"))
+    ext.injectFunction(fn("bucket_search",
+      es => BucketSearch(es.head, es(1)),
+      "bucket_search(value, bounds) - upper-bound binary search bucket index over a sorted literal array<double>"))
+    ext.injectFunction(fn("dd_sketch_agg",
+      es => DdSketchAgg(es.head, es(1)),
+      "dd_sketch_agg(value, alpha) - serialized relative-error quantile sketch of a non-negative bigint column"))
+    ext.injectFunction(fn("dd_union_agg",
+      es => DdUnionAgg(es.head),
+      "dd_union_agg(sketch) - merge serialized dd sketches (loss-free rollup)"))
+    ext.injectFunction(fn("dd_quantile",
+      es => DdQuantile(es.head, es(1)),
+      "dd_quantile(sketch, q) - quantile estimate from a serialized dd sketch"))
     ext.injectFunction(fn("bloom_agg",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es.head, es(1), es(2)),

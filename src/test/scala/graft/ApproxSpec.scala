@@ -72,4 +72,73 @@ class ApproxSpec extends SparkSpec {
         s"week ${r.get(0)}: exact $n sketch $est")
     }
   }
+
+  // --- DDSketch quantile rollup (q139): relative-error bound vs the
+  // exact quantiles, BYTE-exact daily-union ≡ direct, edge semantics.
+
+  test("dd sketch (q139): every quantile within the alpha relative-error bound") {
+    import spark.implicits._
+    // heavy-tailed fixture: the distribution shape sketches exist for
+    val xs = (1 to 20000).map(i =>
+      math.round(math.exp((i % 997).toDouble / 90.0) * 100))
+    val df = xs.map(Tuple1(_)).toDF("v")
+    val alpha = 0.01
+    val qs = Seq(0.1, 0.5, 0.9, 0.95, 0.99)
+    val sk = df.agg(expr(s"dd_sketch_agg(v, ${alpha}D)").as("sk"))
+    val got = sk.select(
+      qs.map(q => expr(s"dd_quantile(sk, ${q}D)").as(s"q$q")): _*)
+      .head
+    val sorted = xs.sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val exact = sorted(
+        math.max(0, math.ceil(q * sorted.size).toInt - 1)).toDouble
+      val est = got.getDouble(i)
+      assert(math.abs(est - exact) / exact <= alpha + 1e-9,
+        s"q=$q exact=$exact est=$est")
+    }
+  }
+
+  test("dd sketch: union of daily sketches is BYTE-identical to the direct sketch") {
+    val orders = Tables(spark, "/root/testdata/sf0.001").orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("week",
+        date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+    val viaDaily = orders.groupBy("day", "week")
+      .agg(expr("dd_sketch_agg(cents, 0.02D)").as("sk"))
+      .groupBy("week").agg(expr("dd_union_agg(sk)").as("u"))
+    val direct = orders.groupBy("week")
+      .agg(expr("dd_sketch_agg(cents, 0.02D)").as("d"))
+    val joined = viaDaily.join(direct, "week").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (u, d) = (r.getAs[Array[Byte]]("u"), r.getAs[Array[Byte]]("d"))
+      assert(java.util.Arrays.equals(u, d),
+        s"week ${r.get(0)}: rollup sketch differs from direct — merge lossy")
+    }
+  }
+
+  test("dd sketch: zero bucket is exact; empty input yields null") {
+    import spark.implicits._
+    val df = (Seq.fill(70)(0L) ++ Seq.fill(30)(1000L)).map(Tuple1(_)).toDF("v")
+    val r = df.agg(
+      expr("dd_quantile(dd_sketch_agg(v, 0.01D), 0.5D)").as("p50"),
+      expr("dd_quantile(dd_sketch_agg(v, 0.01D), 0.9D)").as("p90")).head
+    assert(r.getDouble(0) === 0.0) // rank 50 falls in the exact zero bucket
+    assert(math.abs(r.getDouble(1) - 1000.0) / 1000.0 <= 0.01)
+    val empty = spark.range(0).selectExpr("id AS v")
+      .agg(expr("dd_sketch_agg(v, 0.01D)").as("sk"))
+      .selectExpr("dd_quantile(sk, 0.5D) AS p").head
+    assert(empty.isNullAt(0))
+  }
+
+  test("dd union rejects mixed-alpha sketches loudly") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("v").agg(expr("dd_sketch_agg(v, 0.01D)").as("sk"))
+    val b = Seq(3L, 4L).toDF("v").agg(expr("dd_sketch_agg(v, 0.02D)").as("sk"))
+    val ex = intercept[Exception] {
+      a.union(b).agg(expr("dd_union_agg(sk)")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -492,4 +492,85 @@ class StreamingSpec extends SparkSpec {
       (1L, 8L, 100L, 5, 90L, Some(4.5839)),
       (2L, 15L, 8L, 4, 28L, None)))
   }
+
+  // --- StreamTopK: bounded-state continuous heavy hitters.
+
+  test("mgFold: MG guarantee — heavy terms survive, estimates within the decrement bound") {
+    import graft.streaming.StreamTopK
+    import graft.streaming.StreamTopK.MgState
+    // 1000 tokens: "hot" 400×, "warm" 150×, 90 churn terms 5× each
+    val toks = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 90).flatMap(i => Seq.fill(5)(s"t$i"))
+    val rnd = new scala.util.Random(3)
+    val shuffled = rnd.shuffle(toks)
+    val c = 10
+    val out = StreamTopK.mgFold(
+      MgState(Map.empty, 0L), shuffled.iterator.map(t => (t, 1L)), c)
+    val n = shuffled.size.toLong
+    assert(out.counts.size <= c, "state exceeded capacity")
+    assert(out.dec <= n / (c + 1),
+      s"decrement ${out.dec} beyond the MG bound ${n / (c + 1)}")
+    // any term with true count > n/(c+1) must survive
+    for (t <- Seq("hot", "warm")) {
+      val truth = shuffled.count(_ == t).toLong
+      assert(truth > n / (c + 1), s"fixture: $t should be heavy")
+      val est = out.counts.getOrElse(t, fail(s"heavy term $t evicted"))
+      assert(est <= truth && est >= truth - out.dec,
+        s"$t: est $est outside [${truth - out.dec}, $truth]")
+    }
+  }
+
+  test("mgFold: exact when distinct terms fit the capacity; weighted updates absorb") {
+    import graft.streaming.StreamTopK
+    import graft.streaming.StreamTopK.MgState
+    val exact = StreamTopK.mgFold(MgState(Map.empty, 0L),
+      Iterator(("a", 5L), ("b", 3L), ("a", 2L)), capacity = 4)
+    assert(exact.counts === Map("a" -> 7L, "b" -> 3L) && exact.dec === 0L)
+    // full summary + a new heavy weighted arrival must displace the
+    // small counters, not vanish
+    val displaced = StreamTopK.mgFold(
+      MgState(Map("a" -> 100L, "b" -> 1L), 0L),
+      Iterator(("z", 50L)), capacity = 2)
+    assert(displaced.counts.contains("z"), "heavy arrival lost")
+    assert(displaced.counts("a") === 99L) // sank by b's counter only
+    assert(displaced.counts("z") === 49L && displaced.dec === 1L)
+  }
+
+  test("continuous heavy hitters: state stays bounded across batches, heavies persist") {
+    import graft.streaming.StreamTopK
+    import graft.streaming.StreamTopK.{ShardTop, Tok}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tok]
+    val out = StreamTopK.topKUpdates(input.toDS(), capacity = 4)
+    @volatile var last: Array[ShardTop] = Array.empty
+    val query = out.writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ShardTop], _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) last = rows
+      }
+      .start()
+    try {
+      def shardOf(t: String) = math.floorMod(t.hashCode, 2)
+      // "hot" recurs every batch; churn terms rotate — across 3 batches
+      // the vocabulary (13 terms) exceeds capacity 4 but state can't grow
+      for (b <- 1 to 3) {
+        val churn = (1 to 4).map(i => s"c${b}_$i")
+        input.addData(
+          Tok(shardOf("hot"), "hot", 10L) +:
+            churn.map(t => Tok(shardOf(t), t, 1L)))
+        query.processAllAvailable()
+      }
+      val byShard = last.groupBy(_.shard)
+      byShard.values.foreach(rows =>
+        assert(rows.length <= 4, s"shard summary exceeded capacity: ${rows.toSeq}"))
+      val hot = last.find(r => r.term == "hot")
+        .getOrElse(fail(s"hot term evicted: ${last.toSeq}"))
+      // truth 30; undercount bounded by the shard's decrement
+      assert(hot.est <= 30L && hot.est >= 30L - hot.maxErr,
+        s"hot: est ${hot.est} err ${hot.maxErr}")
+      assert(hot.est >= 20L, s"hot grossly undercounted: ${hot.est}")
+    } finally query.stop()
+  }
 }
