@@ -121,7 +121,10 @@ object Bench {
       "q135_anchor_text", "q136_ewma_spend", "q137_padding_waste",
       "q138_top_postings",
       // mergeable quantile-sketch rollup (late r11)
-      "q139_quantile_rollup"
+      "q139_quantile_rollup",
+      // label centroids, Q5-shape local-supplier join, vocab coverage
+      "q140_label_centroids", "q141_local_supplier_volume",
+      "q142_vocab_coverage"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

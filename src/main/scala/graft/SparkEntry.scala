@@ -2005,6 +2005,66 @@ object SparkEntry {
         round(expr("dd_quantile(__wk, 0.99D)"), 4).as("p99_cents"))
   }
 
+  /** q140: per-label embedding CENTROIDS — the class-prototype build
+    * behind nearest-centroid classification, semantic-dedup blocking
+    * (q76) and embedding drift monitoring: mean vector per label via
+    * the native vector_sum_f aggregate (one dim-length double[] per
+    * group per partition crosses the wire — the posexplode detour
+    * multiplies shuffle rows by the dimensionality). Output exploded
+    * to (label, dim, mean) rows for the oracle. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).embeddings
+      .groupBy(col("label"))
+      .agg(expr("vector_sum_f(embedding)").as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("__s")))
+      .select(col("label"), col("pos").cast("long").as("dim"), col("n"),
+        round(col("col") / col("n"), 4).as("mean_val"))
+  }
+
+  /** q141: TPC-H Q5 shape — revenue by nation through LOCAL suppliers
+    * (customer and supplier in the same nation): the 6-way join whose
+    * plan quality IS the test — dims broadcast, the c_nationkey =
+    * s_nationkey residual rides the lineitem-supplier join, one
+    * map-side-combined rollup at the end. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+  }
+
+  /** q142: VOCABULARY COVERAGE / OOV rate per document against the
+    * corpus's own top-20 vocabulary — the tokenizer-planning
+    * diagnostic (what fraction of tokens would an N-entry vocab
+    * leave unknown?). The vocab cut is deterministic ((count desc,
+    * term), TakeOrderedAndProject) and broadcasts back; per-doc
+    * counts ride one map-side-combined aggregate. All integers until
+    * the rate. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("t")).limit(20)
+      .select(col("t").as("__vt"))
+    toks.join(broadcast(vocab), col("t") === col("__vt"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__vt").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2447,7 +2507,10 @@ object SparkEntry {
     "q136_ewma_spend" -> (q136 _),
     "q137_padding_waste" -> (q137 _),
     "q138_top_postings" -> (q138 _),
-    "q139_quantile_rollup" -> (q139 _)
+    "q139_quantile_rollup" -> (q139 _),
+    "q140_label_centroids" -> (q140 _),
+    "q141_local_supplier_volume" -> (q141 _),
+    "q142_vocab_coverage" -> (q142 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4165,6 +4228,41 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
         |      AS rnk
         |  FROM c)
-        |SELECT term, df, rnk, doc_id, tf FROM r WHERE rnk <= 3""".stripMargin
+        |SELECT term, df, rnk, doc_id, tf FROM r WHERE rnk <= 3""".stripMargin,
+    // q140: two zipped unnests (values + 0-based dims) replicate the
+    // posexplode; float→double widening is exact on both sides.
+    "q140_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    unnest(range(len(embedding))) AS dim FROM embeddings)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(CAST(v AS DOUBLE)) / count(*), 4) AS mean_val
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q141_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    // q142: same deterministic (count desc, term) vocab cut.
+    "q142_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
+        |vc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  GROUP BY 1),
+        |vocab AS (SELECT t FROM vc ORDER BY c DESC, t LIMIT 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM toks LEFT JOIN vocab ON toks.t = vocab.t
+        |GROUP BY 1""".stripMargin
   )
 }

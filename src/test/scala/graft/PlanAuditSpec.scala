@@ -157,6 +157,13 @@ class PlanAuditSpec extends SparkSpec {
       "q138_top_postings" -> 2, // (term, doc) posting agg + ONE term
                                // exchange shared by the df count and
                                // rank windows
+      "q140_label_centroids" -> 1, // one vector_sum_f agg exchange;
+                               // the posexplode is a projection
+      "q141_local_supplier_volume" -> 1, // dims broadcast; one rollup
+                               // agg exchange
+      "q142_vocab_coverage" -> 2, // vocab count agg + per-doc agg;
+                               // the top-20 cut is TakeOrdered and
+                               // the vocab joins back broadcast
       "q121_transition_matrix" -> 3, // the stream moves ONCE (lag
                                // window's user exchange); the pair
                                // rollup + per-from totals exchanges
