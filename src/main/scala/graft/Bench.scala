@@ -124,7 +124,9 @@ object Bench {
       "q139_quantile_rollup",
       // label centroids, Q5-shape local-supplier join, vocab coverage
       "q140_label_centroids", "q141_local_supplier_volume",
-      "q142_vocab_coverage"
+      "q142_vocab_coverage",
+      // one-pass expectations gate + bounded top-k aggregate
+      "q143_expectations", "q144_topk_agg"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -2065,6 +2065,47 @@ object SparkEntry {
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
 
+  /** q143: data-quality EXPECTATIONS report (Expectations — the
+    * Deequ-style validation gate): six predicate rules in ONE
+    * aggregate pass over ONE lineitem scan, plus the key-uniqueness
+    * count and the lineitem→orders referential check (each its own
+    * single pass by nature), unioned into (rule, n_checked,
+    * n_violations). N rules must never mean N scans. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val t = Tables(s, dir)
+    val li = t.lineitem
+    val rules = Seq(
+      notNull("l_shipdate"),
+      inRange("l_quantity", 1.0, 30.0),
+      inRange("l_discount", 0.0, 0.05),
+      positive("l_extendedprice"),
+      matches("l_returnflag", "^[ARN]$"),
+      notNull("l_orderkey"))
+    check(li, rules)
+      .unionByName(uniqueCheck("unique(l_orderkey,l_linenumber)", li,
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(fkCheck("fk(l_orderkey->orders)", li, "l_orderkey",
+        t.orders, "o_orderkey"))
+  }
+
+  /** q144: per-group top-k as a BOUNDED AGGREGATE (topk_pairs — the
+    * skew-safe form of q12's window): top-3 orders per priority by
+    * (cents desc, key asc). The window form sorts every row of a hot
+    * group in one task; the aggregate keeps k pairs per group per
+    * task and map-side combines like max. Row-identical to the
+    * window form by construction (tie-free pair order). */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(
+        "topk_pairs(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey, 3)")
+        .as("__t"))
+      .select(col("o_orderpriority"), posexplode(col("__t")))
+      .select(col("o_orderpriority"), (col("pos") + 1).as("rnk"),
+        col("col.ord").as("cents"), col("col.payload").as("o_orderkey"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2510,7 +2551,9 @@ object SparkEntry {
     "q139_quantile_rollup" -> (q139 _),
     "q140_label_centroids" -> (q140 _),
     "q141_local_supplier_volume" -> (q141 _),
-    "q142_vocab_coverage" -> (q142 _)
+    "q142_vocab_coverage" -> (q142 _),
+    "q143_expectations" -> (q143 _),
+    "q144_topk_agg" -> (q144 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4263,6 +4306,58 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 4) AS oov_rate
         |FROM toks LEFT JOIN vocab ON toks.t = vocab.t
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q143: each rule recomputed as a definitional count; names match
+    // the Expectations helpers' generated strings exactly.
+    "q143_expectations" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT 'not_null(l_shipdate)' AS rule, n.n AS n_checked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_shipdate IS NULL) AS n_violations FROM n
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1.0,30.0)', n.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity < 1.0
+        |      OR l_quantity > 30.0) FROM n
+        |UNION ALL
+        |SELECT 'in_range(l_discount,0.0,0.05)', n.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_discount IS NULL OR l_discount < 0.0
+        |      OR l_discount > 0.05) FROM n
+        |UNION ALL
+        |SELECT 'positive(l_extendedprice)', n.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_extendedprice IS NULL OR l_extendedprice <= 0) FROM n
+        |UNION ALL
+        |SELECT 'matches(l_returnflag)', n.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag IS NULL
+        |      OR NOT regexp_matches(l_returnflag, '^[ARN]$')) FROM n
+        |UNION ALL
+        |SELECT 'not_null(l_orderkey)', n.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IS NULL) FROM n
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)', n.n,
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |     SELECT count(*) AS c FROM lineitem
+        |     GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |  FROM n
+        |UNION ALL
+        |SELECT 'fk(l_orderkey->orders)', n.n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  FROM n""".stripMargin,
+    // q144: the window form the aggregate replaces IS the oracle.
+    "q144_topk_agg" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |        o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, rnk, cents, o_orderkey
+        |FROM o WHERE rnk <= 3""".stripMargin
   )
 }

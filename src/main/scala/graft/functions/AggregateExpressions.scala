@@ -152,3 +152,125 @@ case class VectorSumF(
   override protected def withNewChildInternal(newChild: Expression): VectorSumF =
     copy(child = newChild)
 }
+
+/** `topk_pairs(ord, payload, k)` — per-group top-k of (ord, payload)
+  * long pairs by (ord DESC, payload ASC tie-break), as a bounded
+  * AGGREGATE instead of a window: the skew-safe form of q12's
+  * row_number() ≤ k. The window shuffles and SORTS every row of a
+  * group to rank its top handful — a hot key serialises through one
+  * task's sort at 100 TB — while this buffer holds k pairs per group
+  * per task, map-side combines like `max`, and never sorts raw rows
+  * (the same argument as [[SecondMax]], generalised to k).
+  *
+  * Returns array<struct<ord, payload>> best-first; deterministic for
+  * distinct (ord, payload) pairs (duplicate pairs keep multiset
+  * semantics). Insertion is O(k) against the current worst — built
+  * for report-sized k (top-10s/100s), not top-millions; bound k at
+  * the call site. Empty/all-null groups yield null.
+  */
+case class TopKPairs(
+    first: Expression, second: Expression, third: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+  import scala.collection.mutable.ArrayBuffer
+
+  override def prettyName: String = "topk_pairs"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("payload", org.apache.spark.sql.types.LongType,
+      nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != org.apache.spark.sql.types.LongType ||
+      second.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint, int)")
+    else if (!third.foldable || third.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a literal int")
+    else {
+      val kv = third.eval().asInstanceOf[java.lang.Integer]
+      if (kv == null || kv < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: k >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  private lazy val k: Int = third.eval().asInstanceOf[Int]
+
+  /** a better than b under (ord DESC, payload ASC). */
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Long, Long)], input: InternalRow): ArrayBuffer[(Long, Long)] = {
+    val o = first.eval(input)
+    val p = second.eval(input)
+    if (o != null && p != null)
+      insert(buf, (o.asInstanceOf[Long], p.asInstanceOf[Long]))
+    buf
+  }
+
+  private def insert(
+      buf: ArrayBuffer[(Long, Long)], x: (Long, Long)): Unit =
+    if (buf.size < k) buf += x
+    else {
+      // locate the current worst; replace if x beats it
+      var wi = 0
+      var i = 1
+      while (i < buf.size) {
+        if (better(buf(wi), buf(i))) wi = i
+        i += 1
+      }
+      if (better(x, buf(wi))) buf(wi) = x
+    }
+
+  override def merge(
+      a: ArrayBuffer[(Long, Long)],
+      b: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  private def sorted(buf: ArrayBuffer[(Long, Long)]): Seq[(Long, Long)] =
+    buf.sortWith(better).toSeq
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(sorted(buf).map { case (o, p) =>
+      InternalRow(o, p)
+    }.toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (o, p) => bb.putLong(o); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < n) { buf += ((bb.getLong, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): TopKPairs =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKPairs =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TopKPairs =
+    copy(first = f, second = s, third = t)
+}

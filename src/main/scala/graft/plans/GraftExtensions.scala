@@ -123,6 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("pq_adc",
       es => PqAdc(es.head, es(1)),
       "pq_adc(codes, lut) - approximate dot product via table lookups"))
+    ext.injectFunction(fn("topk_pairs",
+      es => TopKPairs(es.head, es(1), es(2)),
+      "topk_pairs(ord, payload, k) - per-group top-k (ord desc, payload asc) as a bounded aggregate"))
     ext.injectFunction(fn("bucket_search",
       es => BucketSearch(es.head, es(1)),
       "bucket_search(value, bounds) - upper-bound binary search bucket index over a sorted literal array<double>"))
