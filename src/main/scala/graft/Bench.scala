@@ -125,8 +125,9 @@ object Bench {
       // label centroids, Q5-shape local-supplier join, vocab coverage
       "q140_label_centroids", "q141_local_supplier_volume",
       "q142_vocab_coverage",
-      // one-pass expectations gate + bounded top-k aggregate
-      "q143_expectations", "q144_topk_agg"
+      // one-pass expectations gate + bounded top-k aggregate +
+      // denormalized nested export
+      "q143_expectations", "q144_topk_agg", "q145_nested_export"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -2106,6 +2106,28 @@ object SparkEntry {
         col("col.ord").as("cents"), col("col.payload").as("o_orderkey"))
   }
 
+  /** q145: DENORMALIZED nested export — the one-row-per-entity
+    * training-record shape (an order with its line items embedded)
+    * that feeds JSONL/document sinks: collect_list(struct) per order,
+    * canonically ordered IN the array (sort_array by the leading
+    * struct field — no per-group window sort), rendered to a
+    * deterministic digest string for the oracle. One
+    * map-side-combined agg exchange; group size bounded by lines per
+    * order (≤7). */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("long")).as("total_qty"),
+        sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+          round(col("l_quantity")).cast("long").as("q")))).as("__items"))
+      .select(col("o_orderkey"), col("n_items"), col("total_qty"),
+        array_join(expr(
+          "transform(__items, x -> concat(x.ln, ':', x.pk, ':', x.q))"),
+          "|").as("items"))
+  }
+
   /** q99: outlink-graph extraction — the web-graph edge build that
     * feeds q89's PageRank (CommonCrawl WAT-shape): pages carry three
     * anchors each; hrefs come out with one regexp_extract_all pass
@@ -2553,7 +2575,8 @@ object SparkEntry {
     "q141_local_supplier_volume" -> (q141 _),
     "q142_vocab_coverage" -> (q142 _),
     "q143_expectations" -> (q143 _),
-    "q144_topk_agg" -> (q144 _)
+    "q144_topk_agg" -> (q144 _),
+    "q145_nested_export" -> (q145 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4358,6 +4381,18 @@ object SparkEntry {
         |        o_orderkey) AS rnk
         |  FROM orders)
         |SELECT o_orderpriority, rnk, cents, o_orderkey
-        |FROM o WHERE rnk <= 3""".stripMargin
+        |FROM o WHERE rnk <= 3""".stripMargin,
+    // q145: ordered string_agg replays the sorted-array render.
+    "q145_nested_export" ->
+      """SELECT l_orderkey AS o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS total_qty,
+        |  string_agg(
+        |    l_linenumber || ':' || l_partkey || ':' ||
+        |      CAST(round(l_quantity) AS BIGINT),
+        |    '|' ORDER BY l_linenumber, l_partkey,
+        |      CAST(round(l_quantity) AS BIGINT)) AS items
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -110,6 +110,56 @@ object StressR11 {
         Excel.read(spark, dir.toString).count())
     }
 
+    // Late-r11 surface at scale.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    // Triangle count over the 1.2M-edge / 41M-wedge co-purchase graph:
+    // the checkpoint + packed-key + bloom-prefilter plan (the persist()
+    // form was 9.6 s warm but 64 s whenever the cache was cold/evicted)
+    time("q133 triangles (1.2M edges)")({
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val o2 = op.select(col("o").as("__o2"), col("p").as("__p2"))
+      val edges = op
+        .join(o2, col("o") === col("__o2") && col("p") < col("__p2"))
+        .select(col("p").as("pa"), col("__p2").as("pb"))
+      graft.operators.Graph.triangles(edges, "pa", "pb").count()
+    })
+
+    // topk_pairs vs the window form on a DELIBERATELY skewed key:
+    // 90% of rows in one group. The aggregate's per-task k-buffer
+    // absorbs the hot key map-side; the window sorts it in one task.
+    locally {
+      val skewed = li.select(
+        when(col("l_orderkey") % 10 < 9, lit("hot"))
+          .otherwise(concat(lit("g"), (col("l_orderkey") % 97)))
+          .as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("ord"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("pay"))
+      time("topk agg, 90%-one-key skew")(
+        skewed.groupBy(col("g"))
+          .agg(expr("topk_pairs(ord, pay, 10)").as("t"))
+          .select(explode(col("t"))).count())
+      time("topk WINDOW, same skew")({
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("ord").desc, col("pay"))
+        skewed.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 10).count()
+      })
+    }
+
+    // Expectations: six rules must cost ONE scan, not six.
+    locally {
+      import graft.operators.Expectations._
+      time("expectations 6 rules (1 scan)")(
+        check(li, Seq(notNull("l_shipdate"), inRange("l_quantity", 1, 30),
+          inRange("l_discount", 0, 0.05), positive("l_extendedprice"),
+          matches("l_returnflag", "^[ARN]$"), notNull("l_orderkey")))
+          .count())
+      time("expectations 1 rule (floor)")(
+        check(li, Seq(notNull("l_shipdate"))).count())
+    }
+
     spark.stop()
   }
 }

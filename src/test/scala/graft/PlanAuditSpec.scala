@@ -161,6 +161,9 @@ class PlanAuditSpec extends SparkSpec {
                                // the posexplode is a projection
       "q141_local_supplier_volume" -> 1, // dims broadcast; one rollup
                                // agg exchange
+      "q145_nested_export" -> 1, // one collect_list agg exchange;
+                               // in-array sort + render are
+                               // projections, groups ≤ 7 rows
       "q142_vocab_coverage" -> 2, // vocab count agg + per-doc agg;
                                // the top-20 cut is TakeOrdered and
                                // the vocab joins back broadcast
