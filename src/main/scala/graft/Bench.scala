@@ -127,7 +127,9 @@ object Bench {
       "q142_vocab_coverage",
       // one-pass expectations gate + bounded top-k aggregate +
       // denormalized nested export
-      "q143_expectations", "q144_topk_agg", "q145_nested_export"
+      "q143_expectations", "q144_topk_agg", "q145_nested_export",
+      // cross-source quantile normalization
+      "q146_quantile_normalize"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],
@@ -163,6 +165,15 @@ object Bench {
         cum += r.getOrElse(0.0)
       }
       val runs = runsBuf.toList
+      // Isolate queries from each other's cached state: with 114
+      // queries in one JVM, accumulated persist()/cache blocks from
+      // earlier queries evict later queries' caches mid-measurement —
+      // a run at 111 queries measured the persist-reliant set (q64
+      // 3.5→20.6 s, q43 1.7→15.9 s, q61 1.5→13 s, q89 4.1→13 s)
+      // paying full lineage re-runs once storage filled. Each query
+      // now starts with an empty cache; its own warm-ups re-populate
+      // what its passes share.
+      spark.catalog.clearCache()
       val times = runs.collect { case Right(t) => t }
       val errs = runs.collect { case Left(e) => e }
       if (errs.nonEmpty)

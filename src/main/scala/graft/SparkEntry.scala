@@ -1668,6 +1668,25 @@ object SparkEntry {
       round(percent_rank().over(w), 6).as("pr"))
   }
 
+  /** q146: cross-source QUANTILE NORMALIZATION of quality scores
+    * (Stats.quantileNormalize): each doc's within-source rank maps to
+    * the global quality value at the same relative rank — the
+    * distribution-matching transform that makes q125's within-source
+    * ranks comparable on ONE scale for cross-source cuts. All-integer
+    * rank arithmetic; the normalized value is an exact global order
+    * statistic, so the oracle replays it row-for-row. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select(
+      col("doc_id"), col("source"),
+      round(TextStats.qualityScore(col("text")) * 10000).cast("long")
+        .as("quality_i"))
+      .withColumn("__key",
+        col("quality_i") * lit(4294967296L) + col("doc_id"))
+    Stats.quantileNormalize(d, "source", "__key", "quality_i", "norm_q")
+      .select(col("doc_id"), col("source"), col("quality_i"),
+        col("norm_q"))
+  }
+
   /** q126: corpus-wide adjacent character-pair counts — ONE iteration
     * of BPE vocabulary induction (the merge-candidate table a
     * tokenizer trainer recomputes per merge): for every whitespace
@@ -2576,7 +2595,8 @@ object SparkEntry {
     "q142_vocab_coverage" -> (q142 _),
     "q143_expectations" -> (q143 _),
     "q144_topk_agg" -> (q144 _),
-    "q145_nested_export" -> (q145 _)
+    "q145_nested_export" -> (q145 _),
+    "q146_quantile_normalize" -> (q146 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4393,6 +4413,34 @@ object SparkEntry {
         |      CAST(round(l_quantity) AS BIGINT),
         |    '|' ORDER BY l_linenumber, l_partkey,
         |      CAST(round(l_quantity) AS BIGINT)) AS items
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // q146: q125's quality synthesis + the same integer rank mapping.
+    "q146_quantile_normalize" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to'], x))) AS DOUBLE) AS c_en,
+        |    CAST(len(words) AS DOUBLE) AS n_words
+        |  FROM w),
+        |q AS (SELECT doc_id, source,
+        |    CAST(round(round(least(n_words / 200.0, 1.0) * 0.6
+        |      + least(c_en / n_words * 5.0, 1.0) * 0.4, 4) * 10000)
+        |      AS BIGINT) AS quality_i
+        |  FROM c),
+        |k AS (SELECT *, quality_i * 4294967296 + doc_id AS key FROM q),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k),
+        |g AS (SELECT quality_i AS norm_q,
+        |    row_number() OVER (ORDER BY key) - 1 AS gidx FROM k),
+        |r AS (SELECT doc_id, source, quality_i,
+        |    row_number() OVER (PARTITION BY source ORDER BY key) - 1
+        |      AS r0,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM k)
+        |SELECT r.doc_id, r.source, r.quality_i, g.norm_q
+        |FROM r CROSS JOIN nn
+        |JOIN g ON g.gidx = CASE WHEN r.m = 1 THEN (nn.n - 1) // 2
+        |  ELSE (2 * r.r0 * (nn.n - 1) + (r.m - 1)) // (2 * (r.m - 1))
+        |  END""".stripMargin
   )
 }

@@ -285,6 +285,46 @@ object Stats {
         col("n")).as("intercept"))
   }
 
+  /** Quantile NORMALIZATION across groups — map each row to the
+    * GLOBAL value at its within-group relative rank, so scores from
+    * differently-calibrated groups (sources, annotators, shards)
+    * become comparable on one scale: the distribution-matching
+    * transform behind cross-source quality cuts (q125 ranks within a
+    * source; this maps those ranks onto the global distribution).
+    *
+    * All-integer rank arithmetic: within-group 0-based rank r over
+    * tie-free `keyCol`, group size m, global size n ⇒ target global
+    * index = round(r·(n−1)/(m−1)) computed as
+    * (2·r·(n−1)+(m−1)) div (2·(m−1)) — half-up in longs, exact
+    * cross-engine (singleton groups map to the global median index).
+    * The normalized value is the EXACT global order statistic at that
+    * index, not an interpolated quantile — distribution matching by
+    * construction.
+    *
+    * Plan: ONE group-key exchange carries both the rank and the size
+    * windows; global order statistics come from Corpus.globalRank's
+    * two-level prefix scan (never a single-task window); the mapping
+    * is an equi-join on the target index. Caller guarantees keyCol is
+    * a tie-free long (pack value·2³²+id as q96/q129 do) and
+    * r·(n−1) fits a long. */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, keyCol: String, valCol: String,
+      normCol: String): DataFrame = {
+    val n = df.count() // one driver scalar, as q96/q129
+    val global = Corpus.globalRank(
+        df.select(col(keyCol), col(valCol)), keyCol, "__gidx")
+      .select(col("__gidx"), col(valCol).as(normCol))
+    val wr = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
+    val ws = Window.partitionBy(col(groupCol))
+    df.withColumn("__r0", row_number().over(wr).cast("long") - 1)
+      .withColumn("__m", count(lit(1)).over(ws))
+      .withColumn("__tgt", when(col("__m") === 1, lit((n - 1) / 2))
+        .otherwise(expr(
+          s"(2 * __r0 * ${n - 1} + (__m - 1)) div (2 * (__m - 1))")))
+      .join(global, col("__tgt") === col("__gidx"))
+      .drop("__r0", "__m", "__tgt", "__gidx")
+  }
+
   def kthSmallest(df: DataFrame, keyCol: String, k: Long,
       accuracy: Int = 10000): DataFrame = {
     require(k >= 1, s"kthSmallest: k must be >= 1, got $k")

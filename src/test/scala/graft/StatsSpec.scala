@@ -236,6 +236,43 @@ class StatsSpec extends SparkSpec {
     assert(got("c")._2.isEmpty && got("c")._3.isEmpty)
   }
 
+  test("quantileNormalize: maps within-group ranks to exact global order stats") {
+    // group A holds the 10 smallest values, group B the 10 largest:
+    // after normalization A's top row must map near the global top —
+    // the cross-source calibration the raw scores can't support
+    val rows = (0L until 10L).map(v => ("A", v)) ++
+      (100L until 110L).map(v => ("B", v))
+    val df = rows.toDF("g", "v")
+      .withColumn("key", col("v") * 1000 + monotonically_increasing_id() % 1000)
+    val out = Stats.quantileNormalize(df, "g", "key", "v", "norm")
+      .select(col("g"), col("v"), col("norm"))
+      .as[(String, Long, Long)].collect()
+    val n = 20L
+    val globalSorted = rows.map(_._2).sorted
+    // reference mapping: r-th of m rows -> global index round(r(n-1)/(m-1))
+    val want = Seq("A", "B").flatMap { g =>
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      vs.zipWithIndex.map { case (v, r) =>
+        val idx = (2L * r * (n - 1) + (vs.size - 1)) / (2L * (vs.size - 1))
+        (g, v, globalSorted(idx.toInt))
+      }
+    }.toSet
+    assert(out.toSet === want)
+    // both groups span the SAME normalized range after calibration
+    val byG = out.groupBy(_._1)
+    assert(byG("A").map(_._3).min === byG("B").map(_._3).min)
+    assert(byG("A").map(_._3).max === byG("B").map(_._3).max)
+  }
+
+  test("quantileNormalize: singleton group maps to the global median") {
+    val rows = (0L until 9L).map(v => ("big", v)) :+ ("solo", 50L)
+    val df = rows.toDF("g", "v").withColumn("key", col("v"))
+    val out = Stats.quantileNormalize(df, "g", "key", "v", "norm")
+      .filter(col("g") === "solo").select(col("norm")).as[Long].head()
+    // n=10 -> median index (10-1)/2 = 4 -> 5th smallest value = 4
+    assert(out === 4L)
+  }
+
   test("trendPerKey: noisy line matches the closed-form OLS solution") {
     // integer noise so the scala-side reference arithmetic is exact
     val pts = (0L until 40L).map(x => ("k", x, 5 * x + (x % 7) - 3))
