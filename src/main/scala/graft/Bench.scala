@@ -128,8 +128,8 @@ object Bench {
       // one-pass expectations gate + bounded top-k aggregate +
       // denormalized nested export
       "q143_expectations", "q144_topk_agg", "q145_nested_export",
-      // cross-source quantile normalization
-      "q146_quantile_normalize"
+      // cross-source quantile normalization + one-pass column profile
+      "q146_quantile_normalize", "q147_column_profile"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

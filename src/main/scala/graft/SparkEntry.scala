@@ -1687,6 +1687,39 @@ object SparkEntry {
         col("norm_q"))
   }
 
+  /** q147: generic COLUMN PROFILE — per-column null count, exact
+    * distinct count and min/max (as strings) for a whole table in one
+    * logical pass: the schema-drift / data-contract snapshot beside
+    * q143's rule gate (q77/q97 profile specific domains; this
+    * profiles ANY relation). Spark plans the multi-distinct via one
+    * Expand + a two-phase aggregate — 2 exchanges total, never a
+    * per-column query. Doubles enter as integer cents so min/max
+    * strings render identically cross-engine; the wide one-row
+    * result melts to long form in a projection. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir).customer.select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("c_acctbal_cents"),
+      col("c_mktsegment"))
+    val cols = Seq("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal_cents", "c_mktsegment")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      // min/max in the COLUMN's own order, cast to string after —
+      // casting first would rank numerics lexicographically
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.map(c => struct(
+      lit(c).as("column_name"), col("__n").as("n_rows"),
+      col(s"__nulls_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s")))
+    wide.select(explode(array(pairs: _*)).as("__p")).select(
+      col("__p.column_name"), col("__p.n_rows"), col("__p.n_nulls"),
+      col("__p.n_distinct"), col("__p.min_s"), col("__p.max_s"))
+  }
+
   /** q126: corpus-wide adjacent character-pair counts — ONE iteration
     * of BPE vocabulary induction (the merge-candidate table a
     * tokenizer trainer recomputes per merge): for every whitespace
@@ -2596,7 +2629,8 @@ object SparkEntry {
     "q143_expectations" -> (q143 _),
     "q144_topk_agg" -> (q144 _),
     "q145_nested_export" -> (q145 _),
-    "q146_quantile_normalize" -> (q146 _)
+    "q146_quantile_normalize" -> (q146 _),
+    "q147_column_profile" -> (q147 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4441,6 +4475,44 @@ object SparkEntry {
         |FROM r CROSS JOIN nn
         |JOIN g ON g.gidx = CASE WHEN r.m = 1 THEN (nn.n - 1) // 2
         |  ELSE (2 * r.r0 * (nn.n - 1) + (r.m - 1)) // (2 * (r.m - 1))
-        |  END""".stripMargin
+        |  END""".stripMargin,
+    // q147: per-column definitional counts; same cents projection.
+    "q147_column_profile" ->
+      """WITH t AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents,
+        |    c_mktsegment FROM customer)
+        |SELECT 'c_custkey' AS column_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(c_custkey) AS VARCHAR) AS max_s FROM t
+        |UNION ALL
+        |SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT c_name) AS BIGINT),
+        |  min(c_name), max(c_name) FROM t
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT),
+        |  CAST(min(c_nationkey) AS VARCHAR),
+        |  CAST(max(c_nationkey) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'c_acctbal_cents', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c_acctbal_cents IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT c_acctbal_cents) AS BIGINT),
+        |  CAST(min(c_acctbal_cents) AS VARCHAR),
+        |  CAST(max(c_acctbal_cents) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |  min(c_mktsegment), max(c_mktsegment) FROM t""".stripMargin
   )
 }
