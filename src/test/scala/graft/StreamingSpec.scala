@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr, window}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamSessionize
@@ -126,6 +127,41 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("tumbling_out").collect()
     assert(rows.exists(r =>
       r.getString(1) == "click" && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
+  }
+
+  test("dd sketch aggregates run under streaming windowed aggregation") {
+    // the custom TypedImperativeAggregate must survive the streaming
+    // agg's partial/merge/state-store serialize cycle — the path a
+    // batch-only test never exercises. Windowed daily value sketches,
+    // append mode; quantiles read back within the sketch's bound.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "cents")
+    val agg = df.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(expr("dd_sketch_agg(cents, 0.01D)").as("sk"))
+      .select(col("window.start").as("w"),
+        expr("dd_quantile(sk, 0.5D)").as("p50"),
+        expr("dd_quantile(sk, 0.99D)").as("p99"))
+    // window 1: values 1..100 (two batches — forces a state merge);
+    // a later event closes it under the watermark
+    input.addData((1L to 50L).map(v => (ts(1), v * 100)))
+    input.addData((51L to 100L).map(v => (ts(2), v * 100)))
+    input.addData(Seq((ts(45), 1L)))
+    val query = agg.writeStream
+      .format("memory").queryName("dd_stream_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val rows = spark.table("dd_stream_out").collect()
+    val w1 = rows.find(_.getTimestamp(0) == ts(0))
+      .getOrElse(fail(s"first window missing: ${rows.toSeq}"))
+    // exact p50 = 5000 (50th of 100 values), p99 = 9900
+    assert(math.abs(w1.getDouble(1) - 5000.0) / 5000.0 <= 0.011,
+      s"p50 ${w1.getDouble(1)}")
+    assert(math.abs(w1.getDouble(2) - 9900.0) / 9900.0 <= 0.011,
+      s"p99 ${w1.getDouble(2)}")
   }
 
   test("slidingAgg lands each event in every overlapping hop window") {
