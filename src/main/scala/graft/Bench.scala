@@ -129,7 +129,9 @@ object Bench {
       // denormalized nested export
       "q143_expectations", "q144_topk_agg", "q145_nested_export",
       // cross-source quantile normalization + one-pass column profile
-      "q146_quantile_normalize", "q147_column_profile"
+      // + sampled triangle estimate
+      "q146_quantile_normalize", "q147_column_profile",
+      "q148_triangles_approx"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

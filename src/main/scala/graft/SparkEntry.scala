@@ -1899,6 +1899,30 @@ object SparkEntry {
     Graph.triangles(edges, "pa", "pb")
   }
 
+  /** q148: APPROXIMATE triangle count by deterministic edge sampling
+    * (the DOULION recipe, Tsourakakis'09): keep each canonical edge
+    * with probability 1/7 via an ARITHMETIC hash ((a·1000003+b) mod
+    * 7 = 0 — deterministic and cross-engine exact, so even the
+    * estimator is oracle-checkable), count triangles exactly on the
+    * sampled graph, scale by 7³. The trillion-edge escape hatch next
+    * to q133's exact count: sampling shrinks the wedge stage by p²
+    * (49×) and the estimator is unbiased with relative error
+    * O(1/√(p³·T)). One row out: sampled triangles + the estimate. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val o2 = op.select(col("o").as("__o2"), col("p").as("__p2"))
+    val edges = op.join(o2, col("o") === col("__o2") && col("p") < col("__p2"))
+      .select(col("p").as("pa"), col("__p2").as("pb"))
+      .filter((col("pa") * 1000003L + col("pb")) % 7 === 0)
+    Graph.triangles(edges, "pa", "pb")
+      .agg(sum(col("tri_n")).as("sampled_tri"),
+        count(lit(1)).as("n_apexes"))
+      .select(col("sampled_tri"), col("n_apexes"),
+        (col("sampled_tri") * lit(343L)).as("est_triangles"))
+  }
+
   /** q134: PMI COLLOCATIONS — top-20 adjacent word pairs by pointwise
     * mutual information (min count 100). Bigrams are generated
     * IN-PLAN (transform over the token array — zero extra shuffle
@@ -2630,7 +2654,8 @@ object SparkEntry {
     "q144_topk_agg" -> (q144 _),
     "q145_nested_export" -> (q145 _),
     "q146_quantile_normalize" -> (q146 _),
-    "q147_column_profile" -> (q147 _)
+    "q147_column_profile" -> (q147 _),
+    "q148_triangles_approx" -> (q148 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4239,6 +4264,33 @@ object SparkEntry {
         |SELECT w.apex AS node_id, count(*) AS tri_n
         |FROM w JOIN o oc ON oc.u = w.v1 AND oc.v = w.v2
         |GROUP BY 1""".stripMargin,
+    // q148: q133's orientation replay over the deterministically
+    // hash-sampled edge set; the estimator itself is cross-engine
+    // exact because the sample is.
+    "q148_triangles_approx" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |raw AS (SELECT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |e AS (SELECT DISTINCT a, b FROM raw
+        |  WHERE (a * 1000003 + b) % 7 = 0),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS vd
+        |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |w AS (SELECT o1.u AS apex, o1.v AS v1, o2.v AS v2
+        |  FROM o o1 JOIN o o2
+        |  ON o1.u = o2.u AND (o1.vd, o1.v) < (o2.vd, o2.v)),
+        |t AS (SELECT w.apex, CAST(count(*) AS BIGINT) AS tri
+        |  FROM w JOIN o oc ON oc.u = w.v1 AND oc.v = w.v2 GROUP BY 1)
+        |SELECT CAST(sum(tri) AS BIGINT) AS sampled_tri,
+        |  CAST(count(*) AS BIGINT) AS n_apexes,
+        |  CAST(sum(tri) * 343 AS BIGINT) AS est_triangles FROM t"""
+        .stripMargin,
     // q134: bigrams via 1-based list indexing over the same split;
     // ordering on the ROUNDED pmi keeps the top-20 cutoff exact.
     "q134_pmi_bigrams" ->
