@@ -1691,34 +1691,17 @@ object SparkEntry {
     * distinct count and min/max (as strings) for a whole table in one
     * logical pass: the schema-drift / data-contract snapshot beside
     * q143's rule gate (q77/q97 profile specific domains; this
-    * profiles ANY relation). Spark plans the multi-distinct via one
-    * Expand + a two-phase aggregate — 2 exchanges total, never a
+    * profiles ANY relation — [[Stats.columnProfile]] derives the
+    * column list from the schema). Spark plans the multi-distinct via
+    * one Expand + a two-phase aggregate — 2 exchanges total, never a
     * per-column query. Doubles enter as integer cents so min/max
     * strings render identically cross-engine; the wide one-row
     * result melts to long form in a projection. */
-  private def q147(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables(s, dir).customer.select(
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    Stats.columnProfile(Tables(s, dir).customer.select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
       round(col("c_acctbal") * 100).cast("long").as("c_acctbal_cents"),
-      col("c_mktsegment"))
-    val cols = Seq("c_custkey", "c_name", "c_nationkey",
-      "c_acctbal_cents", "c_mktsegment")
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
-      // min/max in the COLUMN's own order, cast to string after —
-      // casting first would rank numerics lexicographically
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
-    val wide = t.agg(aggs.head, aggs.tail: _*)
-    val pairs = cols.map(c => struct(
-      lit(c).as("column_name"), col("__n").as("n_rows"),
-      col(s"__nulls_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s")))
-    wide.select(explode(array(pairs: _*)).as("__p")).select(
-      col("__p.column_name"), col("__p.n_rows"), col("__p.n_nulls"),
-      col("__p.n_distinct"), col("__p.min_s"), col("__p.max_s"))
-  }
+      col("c_mktsegment")))
 
   /** q126: corpus-wide adjacent character-pair counts — ONE iteration
     * of BPE vocabulary induction (the merge-candidate table a

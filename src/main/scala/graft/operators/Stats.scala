@@ -344,4 +344,58 @@ object Stats {
       .filter(col("__r0") === k - nLo - 1) // rank0 is 0-based
       .drop("__r0")
   }
+
+  /** Schema-driven one-pass COLUMN PROFILE: per-column null count,
+    * exact distinct count and min/max (rendered as strings) for EVERY
+    * column of `df`, derived from the schema — no call-site column
+    * list. One logical pass: Spark plans the multi-distinct via one
+    * Expand + a two-phase aggregate (2 exchanges total regardless of
+    * column count, never a per-column query); the wide one-row result
+    * melts to long form in a projection. min/max are taken in each
+    * column's NATIVE order and cast to string after — casting first
+    * would rank numerics lexicographically. Arrays and structs are
+    * orderable/groupable in Spark and profile natively; map columns
+    * (no total order, not groupable) get null min/max and a distinct
+    * count over their string rendering.
+    *
+    * At 100 TB the Expand multiplies rows by the distinct-agg count
+    * before the partial aggregate absorbs them; for very wide tables
+    * profile a column subset per run (select before calling) rather
+    * than one pass over hundreds of columns.
+    */
+  def columnProfile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "columnProfile: input has no columns")
+    // a map anywhere in the type makes the column unorderable and
+    // ungroupable in Spark — detect it recursively
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val aggs = count(lit(1)).as("__n") +: fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx, nd) =
+        if (hasMap(f.dataType))
+          (lit(null).cast("string"), lit(null).cast("string"),
+            countDistinct(c.cast("string")))
+        else (min(c).cast("string"), max(c).cast("string"), countDistinct(c))
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
+        nd.as(s"__nd_${f.name}"),
+        mn.as(s"__min_${f.name}"), mx.as(s"__max_${f.name}"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = fields.toSeq.map(f => struct(
+      lit(f.name).as("column_name"), col("__n").as("n_rows"),
+      col(s"__nulls_${f.name}").as("n_nulls"),
+      col(s"__nd_${f.name}").as("n_distinct"),
+      col(s"__min_${f.name}").as("min_s"),
+      col(s"__max_${f.name}").as("max_s")))
+    wide.select(explode(array(pairs: _*)).as("__p")).select(
+      col("__p.column_name"), col("__p.n_rows"), col("__p.n_nulls"),
+      col("__p.n_distinct"), col("__p.min_s"), col("__p.max_s"))
+  }
 }

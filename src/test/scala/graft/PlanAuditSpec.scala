@@ -182,7 +182,10 @@ class PlanAuditSpec extends SparkSpec {
       "q127_hll_rollup" -> 2,  // day sketch agg + week union agg —
                                // both map-side combined, constant
                                // sketch state per (group, partition)
-      "q128_script_detect" -> 0) // pure regex projection — scan speed
+      "q128_script_detect" -> 0, // pure regex projection — scan speed
+      "q147_column_profile" -> 2) // ONE Expand + two-phase multi-
+                               // distinct agg: partial + final
+                               // exchanges, never a per-column query
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }

@@ -273,6 +273,28 @@ class StatsSpec extends SparkSpec {
     assert(out === 4L)
   }
 
+  test("columnProfile: schema-driven counts, native-order min/max, map fallback") {
+    val df = Seq(
+      (1L, Option("b"), Seq(1, 2), Map("k" -> 1)),
+      (10L, Option("a"), Seq(9), Map("k" -> 2)),
+      (2L, Option.empty[String], Seq(1, 2), Map("k" -> 1))
+    ).toDF("id", "s", "arr", "m")
+    val out = Stats.columnProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("id", "s", "arr", "m"))
+    assert(out.values.forall(_.getLong(1) === 3L)) // n_rows
+    // numeric min/max in NUMERIC order (10 > 2 numerically, not lexically)
+    assert(out("id").getLong(2) === 0L && out("id").getLong(3) === 3L)
+    assert(out("id").getString(4) === "1" && out("id").getString(5) === "10")
+    assert(out("s").getLong(2) === 1L && out("s").getLong(3) === 2L)
+    assert(out("s").getString(4) === "a" && out("s").getString(5) === "b")
+    // arrays are orderable/groupable: profiled natively
+    assert(out("arr").getLong(3) === 2L && out("arr").getString(4) != null)
+    // maps: null min/max, distinct over the string rendering
+    assert(out("m").getLong(3) === 2L && out("m").isNullAt(4)
+      && out("m").isNullAt(5))
+  }
+
   test("trendPerKey: noisy line matches the closed-form OLS solution") {
     // integer noise so the scala-side reference arithmetic is exact
     val pts = (0L until 40L).map(x => ("k", x, 5 * x + (x % 7) - 3))
