@@ -131,7 +131,9 @@ object Bench {
       // cross-source quantile normalization + one-pass column profile
       // + sampled triangle estimate
       "q146_quantile_normalize", "q147_column_profile",
-      "q148_triangles_approx"
+      "q148_triangles_approx",
+      // content-defined chunking (rolling-hash boundaries)
+      "q149_cdc_chunks"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

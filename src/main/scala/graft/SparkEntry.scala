@@ -1906,6 +1906,20 @@ object SparkEntry {
         (col("sampled_tri") * lit(343L)).as("est_triangles"))
   }
 
+  /** q149: CONTENT-DEFINED CHUNKING — every document split at
+    * rolling-hash boundaries (window 4, mod 64 → ~64-code-point
+    * chunks) via the native `cdc_cuts` kernel: boundaries follow the
+    * text, so an edit re-chunks only its neighbourhood and chunk
+    * md5s stay join-stable across crawls — the dedup-stable
+    * alternative to q80's fixed windows. Output is (doc, chunk_id,
+    * start, len, md5): offsets + hashes only, never chunk text. The
+    * oracle replays the identical base-31 polynomial as explicit
+    * ord()·31^j terms over a list_filter — hash-exact. */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    Corpus.cdcChunks(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", window = 4, modulus = 64)
+
   /** q134: PMI COLLOCATIONS — top-20 adjacent word pairs by pointwise
     * mutual information (min count 100). Bigrams are generated
     * IN-PLAN (transform over the token array — zero extra shuffle
@@ -2638,7 +2652,8 @@ object SparkEntry {
     "q145_nested_export" -> (q145 _),
     "q146_quantile_normalize" -> (q146 _),
     "q147_column_profile" -> (q147 _),
-    "q148_triangles_approx" -> (q148 _)
+    "q148_triangles_approx" -> (q148 _),
+    "q149_cdc_chunks" -> (q149 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4548,6 +4563,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT),
         |  CAST(count(DISTINCT c_mktsegment) AS BIGINT),
-        |  min(c_mktsegment), max(c_mktsegment) FROM t""".stripMargin
+        |  min(c_mktsegment), max(c_mktsegment) FROM t""".stripMargin,
+    // q149: the SAME base-31 polynomial over 4-code-point windows,
+    // written as explicit ord() terms (31^3=29791, 31^2=961); cut
+    // list = [0] ++ hits ++ [n], chunk k spans (cuts[k], cuts[k+1]].
+    "q149_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, text,
+        |    list_concat(list_concat([0],
+        |      list_filter(range(4, n), i ->
+        |        (ord(substring(text, i-3, 1)) * 29791
+        |       + ord(substring(text, i-2, 1)) * 961
+        |       + ord(substring(text, i-1, 1)) * 31
+        |       + ord(substring(text, i, 1))) % 64 = 0)),
+        |      [n]) AS cuts
+        |  FROM d),
+        |k AS (SELECT doc_id, text, cuts,
+        |    unnest(range(1, len(cuts))) AS kk FROM c)
+        |SELECT doc_id, CAST(kk - 1 AS INT) AS chunk_id,
+        |  CAST(cuts[kk] + 1 AS INT) AS chunk_start,
+        |  CAST(cuts[kk+1] - cuts[kk] AS INT) AS chunk_len,
+        |  md5(substring(text, CAST(cuts[kk] + 1 AS INT),
+        |    CAST(cuts[kk+1] - cuts[kk] AS INT))) AS chunk_md5
+        |FROM k""".stripMargin
   )
 }

@@ -710,6 +710,40 @@ object Corpus {
         col("__chunk").as(textCol))
   }
 
+  /** Content-defined chunking — chunk boundaries chosen by the TEXT
+    * (a rolling hash over `window` code points hitting 0 mod
+    * `modulus`, the Rabin-Karp/FastCDC recipe behind `cdc_cuts`),
+    * not by fixed offsets: an insertion or deletion re-chunks only
+    * its neighbourhood, so chunk hashes stay stable across document
+    * revisions — the dedup-stable complement to [[chunkOverlap]]'s
+    * fixed windows and the sub-document version of [[snapshotDiff]]'s
+    * whole-document compare. Average chunk ≈ `modulus` code points.
+    *
+    * Pure projection: the native `cdc_cuts` kernel is one O(n)
+    * codegen'd pass per doc, the chunk explode grows rows by
+    * n/modulus, and each chunk carries (start, len, md5) — 1-based
+    * code-point offsets, never the text itself, so the only
+    * corpus-sized movement is the scan. Empty docs yield no rows. */
+  def cdcChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, modulus: Int = 64): DataFrame = {
+    val cuts = call_function("cdc_cuts", col(textCol),
+      lit(window), lit(modulus))
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol), cuts.as("__cuts"))
+      .select(col(idCol), col(textCol), col("__cuts"),
+        posexplode(slice(col("__cuts"), lit(1), size(col("__cuts")) - 1))
+          .as(Seq("chunk_id", "__start0")))
+      .select(col(idCol), col("chunk_id"),
+        (col("__start0") + 1).as("chunk_start"),
+        (element_at(col("__cuts"), col("chunk_id") + 2) - col("__start0"))
+          .as("chunk_len"),
+        md5(col(textCol).substr(col("__start0") + 1,
+          element_at(col("__cuts"), col("chunk_id") + 2) - col("__start0")))
+          .as("chunk_md5"))
+  }
+
   /** Snapshot diff — what changed between two corpus versions (the
     * audit a recurring crawl/curation run publishes next to its
     * [[profile]]): each id classified `added` (only in the new

@@ -105,6 +105,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("w_ratio",
       es => WRatio(es.head, es(1)),
       "w_ratio(a, b) - combined WRatio-style score in [0,100]"))
+    ext.injectFunction(fn("cdc_cuts",
+      es => CdcCuts(es.head, litInt("cdc_cuts", 1, es(1)),
+        litInt("cdc_cuts", 2, es(2))),
+      "cdc_cuts(text, window, modulus) - content-defined chunk cut positions as array<int>"))
     ext.injectFunction(fn("repetition_counts",
       es => RepetitionCounts(es.head),
       "repetition_counts(text) - word/bigram repetition counters as a struct"))

@@ -320,6 +320,53 @@ class CorpusSpec extends SparkSpec {
     assert(rebuilt.mkString(" ") === "a b c d e f g h i j")
   }
 
+  test("cdcChunks: lossless cuts matching a naive reference, incl. non-BMP") {
+    // naive reference: recompute every window hash from scratch
+    def refCuts(s: String, w: Int, m: Int): Seq[Int] = {
+      val cps = s.codePoints().toArray.toSeq
+      val n = cps.length
+      val hits = (w to n - 1).filter { i =>
+        cps.slice(i - w, i).foldLeft(0L)((h, c) => h * 31 + c) % m == 0
+      }
+      0 +: hits :+ n
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, "short"),
+      (3L, "ab"), // shorter than the window: one chunk
+      (4L, "unicode 😀 beyond the basic plane 😀 " * 6))
+    val docs = texts.toDF("doc_id", "text")
+    val out = Corpus.cdcChunks(docs, "doc_id", "text",
+        window = 4, modulus = 16)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    for ((id, text) <- texts) {
+      val cuts = refCuts(text, 4, 16)
+      val got = out.filter(_._1 == id)
+      assert(got.map(_._2) === got.indices) // chunk_ids dense from 0
+      assert(got.map(_._3) === cuts.init.map(_ + 1)) // starts
+      assert(got.map(_._4) === cuts.sliding(2).map(p => p(1) - p(0)).toSeq)
+      // chunks tile the doc exactly: lengths sum to the code-point count
+      assert(got.map(_._4).sum === text.codePointCount(0, text.length))
+    }
+  }
+
+  test("cdcChunks: an insertion only re-chunks its neighbourhood") {
+    val base = "the quick brown fox jumps over the lazy dog and " * 20
+    val edited = base.substring(0, 480) + "INSERTED TEXT " + base.substring(480)
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = Corpus.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(4))
+    val a = out.filter(_._1 == 1L).map(_._2)
+    val b = out.filter(_._1 == 2L).map(_._2)
+    // fixed-size chunking would shift EVERY chunk after the edit; CDC
+    // boundaries resynchronize, so most chunk hashes survive verbatim
+    val shared = a.intersect(b).length
+    assert(shared >= a.length - 4,
+      s"expected all but ~2 chunks stable, got $shared of ${a.length}")
+    assert(a.length != b.length || a.toSeq != b.toSeq) // the edit IS visible
+  }
+
   test("snapshotDiff classifies added/removed/modified, drops unchanged") {
     val old = Seq(
       (1L, "same text"), (2L, "will change"), (3L, "will vanish")

@@ -183,9 +183,11 @@ class PlanAuditSpec extends SparkSpec {
                                // both map-side combined, constant
                                // sketch state per (group, partition)
       "q128_script_detect" -> 0, // pure regex projection — scan speed
-      "q147_column_profile" -> 2) // ONE Expand + two-phase multi-
+      "q147_column_profile" -> 2, // ONE Expand + two-phase multi-
                                // distinct agg: partial + final
                                // exchanges, never a per-column query
+      "q149_cdc_chunks" -> 0)  // pure projection: native cdc_cuts
+                               // kernel + chunk explode ride the scan
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
