@@ -132,8 +132,9 @@ object Bench {
       // + sampled triangle estimate
       "q146_quantile_normalize", "q147_column_profile",
       "q148_triangles_approx",
-      // content-defined chunking (rolling-hash boundaries)
-      "q149_cdc_chunks"
+      // content-defined chunking (rolling-hash boundaries) +
+      // label-propagation communities
+      "q149_cdc_chunks", "q150_communities"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

@@ -1906,6 +1906,27 @@ object SparkEntry {
         (col("sampled_tri") * lit(343L)).as("est_triangles"))
   }
 
+  /** q150: LABEL-PROPAGATION COMMUNITIES over the co-purchase part
+    * graph (q133's wedge edges, thinned 1/5 by q148's arithmetic
+    * hash so the graph fragments into real components — the full
+    * co-purchase graph is one dense blob) — synchronous
+    * deterministic LPA (adopt the modal neighbour label,
+    * smallest-label tie-break, 5 fixed rounds), the near-linear
+    * community detector beside q89's centrality and q133's cohesion
+    * count. Deterministic semantics make even the iterative result
+    * hash-exact: the oracle unrolls all 5 rounds as CTEs (q89's
+    * unrolled-PageRank precedent). */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val o2 = op.select(col("o").as("__o2"), col("p").as("__p2"))
+    val edges = op.join(o2, col("o") === col("__o2") && col("p") < col("__p2"))
+      .filter((col("p") * 1000003L + col("__p2")) % 5 === 0)
+      .select(col("p").as("src"), col("__p2").as("dst"))
+    Graph.labelPropagation(edges, "src", "dst", iterations = 5)
+  }
+
   /** q149: CONTENT-DEFINED CHUNKING — every document split at
     * rolling-hash boundaries (window 4, mod 64 → ~64-code-point
     * chunks) via the native `cdc_cuts` kernel: boundaries follow the
@@ -2653,7 +2674,8 @@ object SparkEntry {
     "q146_quantile_normalize" -> (q146 _),
     "q147_column_profile" -> (q147 _),
     "q148_triangles_approx" -> (q148 _),
-    "q149_cdc_chunks" -> (q149 _)
+    "q149_cdc_chunks" -> (q149 _),
+    "q150_communities" -> (q150 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4586,6 +4608,43 @@ object SparkEntry {
         |  CAST(cuts[kk+1] - cuts[kk] AS INT) AS chunk_len,
         |  md5(substring(text, CAST(cuts[kk] + 1 AS INT),
         |    CAST(cuts[kk+1] - cuts[kk] AS INT))) AS chunk_md5
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+    // q150: all 5 synchronous LPA rounds unrolled — modal neighbour
+    // label with smallest-label tie-break via row_number over the
+    // grouped counts (Spark's min(struct(-c, label)) equivalently).
+    "q150_communities" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o,
+        |    CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS s, y.p AS d
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |  WHERE (x.p * 1000003 + y.p) % 5 = 0),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+        |l1 AS (SELECT node, label FROM (
+        |  SELECT e.d AS node, p.label, row_number() OVER (
+        |    PARTITION BY e.d ORDER BY count(*) DESC, p.label) AS rn
+        |  FROM e JOIN l0 p ON p.node = e.s
+        |  GROUP BY e.d, p.label) WHERE rn = 1),
+        |l2 AS (SELECT node, label FROM (
+        |  SELECT e.d AS node, p.label, row_number() OVER (
+        |    PARTITION BY e.d ORDER BY count(*) DESC, p.label) AS rn
+        |  FROM e JOIN l1 p ON p.node = e.s
+        |  GROUP BY e.d, p.label) WHERE rn = 1),
+        |l3 AS (SELECT node, label FROM (
+        |  SELECT e.d AS node, p.label, row_number() OVER (
+        |    PARTITION BY e.d ORDER BY count(*) DESC, p.label) AS rn
+        |  FROM e JOIN l2 p ON p.node = e.s
+        |  GROUP BY e.d, p.label) WHERE rn = 1),
+        |l4 AS (SELECT node, label FROM (
+        |  SELECT e.d AS node, p.label, row_number() OVER (
+        |    PARTITION BY e.d ORDER BY count(*) DESC, p.label) AS rn
+        |  FROM e JOIN l3 p ON p.node = e.s
+        |  GROUP BY e.d, p.label) WHERE rn = 1),
+        |l5 AS (SELECT node, label FROM (
+        |  SELECT e.d AS node, p.label, row_number() OVER (
+        |    PARTITION BY e.d ORDER BY count(*) DESC, p.label) AS rn
+        |  FROM e JOIN l4 p ON p.node = e.s
+        |  GROUP BY e.d, p.label) WHERE rn = 1)
+        |SELECT node AS node_id, label AS community FROM l5""".stripMargin
   )
 }

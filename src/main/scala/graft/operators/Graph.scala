@@ -107,6 +107,56 @@ object Graph {
     ranks
   }
 
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan
+    * et al. 2007), made fully deterministic so the result is
+    * oracle-checkable: labels start as the node id; each round every
+    * node adopts the most frequent label among its neighbours, ties
+    * broken by the SMALLEST label; all nodes update simultaneously
+    * for a FIXED number of rounds (no convergence test — synchronous
+    * LPA can oscillate on bipartite structure, and a fixed round
+    * count makes the output a pure function of the graph).
+    *
+    * Scale shape (q89's discipline): the symmetrised edge set is
+    * partitioned on `src` (the join side) ONCE and persisted — every
+    * round's neighbour join reuses that exchange; the label table
+    * (16 bytes/row) is the only thing that moves per round. The modal
+    * label is the window-free min(struct(-count, label)) trick
+    * ([[Stats.modePerKey]]): two map-side-combined aggregates, the
+    * second over already-reduced (node, label) counts. Lineage is cut
+    * with a localCheckpoint every `checkpointEvery` rounds.
+    *
+    * Returns (node_id, community) over the edge-endpoint node set.
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelPropagation: iterations >= 1")
+    val dir = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val und = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist()
+    // symmetrised ⇒ the node set is exactly the distinct src side
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to iterations) {
+      val next = und.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("__c")).as("c"), col("label").as("v")))
+          .as("__m"))
+        .select(col("dst").as("node"), col("__m.v").as("label"))
+      labels = if (i % checkpointEvery == 0 && i < iterations)
+        next.localCheckpoint() else next
+    }
+    labels.select(col("node").as("node_id"), col("label").as("community"))
+  }
+
   /** Exact triangle counting by DEGREE ORIENTATION — the classic trick
     * that makes the O(Σ deg²) wedge enumeration tractable on skewed
     * graphs: every undirected edge points from its lower to its higher

@@ -127,4 +127,41 @@ class GraphSpec extends SparkSpec {
     val bip = for { a <- 1L to 4L; b <- 11L to 14L } yield (a, b)
     assert(runTriangles(bip).isEmpty)
   }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("a", "b"), "a", "b",
+        iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: bridged triangles split into two communities") {
+    // hand-traced synchronous LPA with min-label tie-break: after 5
+    // rounds the left triangle carries label 1, the right label 3
+    // (the bridge 3-10 is outvoted by each side's internal majority)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val got = runLpa(edges, 5)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: matches a naive synchronous reference") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
+      .filter(e => e._1 != e._2)
+    def naive(iters: Int): Map[Long, Long] = {
+      val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+      val nbrs = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var lab = nbrs.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = nbrs.map { case (n, ns) =>
+          val hist = ns.groupBy(lab).map { case (l, g) => (l, g.size) }
+          n -> hist.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    assert(runLpa(edges, 3) === naive(3))
+    assert(runLpa(edges, 5) === naive(5))
+  }
 }
