@@ -164,6 +164,44 @@ class StreamingSpec extends SparkSpec {
       s"p99 ${w1.getDouble(2)}")
   }
 
+  test("StreamSketchTable: day sketches merge loss-free; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSketchTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddtable").toString
+    def p50(day: String): Double = StreamSketchTable.read(spark, dir)
+      .filter(col("day") === day)
+      .select(expr("dd_quantile(sk, 0.5D)")).as[Double].head()
+    // batch 0 through the real streaming writer: day 1, values 1..100
+    val input = MemoryStream[(Timestamp, Long)]
+    input.addData((1L to 100L).map(v => (ts(1), v * 100)))
+    val query = StreamSketchTable
+      .writer(input.toDF().toDF("ts", "cents"), "ts", "cents",
+        alpha = 0.01, dir = dir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    assert(math.abs(p50("2024-01-01") - 5000.0) / 5000.0 <= 0.011)
+    // batch 1 via the public merge hook: a NEW day; day 1 untouched
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val b1 = (1L to 50L).map(v => (day2, v * 100)).toDF("ts", "cents")
+    StreamSketchTable.mergeBatch(b1, 1L, "ts", "cents", 0.01, dir)
+    assert(math.abs(p50("2024-01-02") - 2500.0) / 2500.0 <= 0.011)
+    assert(math.abs(p50("2024-01-01") - 5000.0) / 5000.0 <= 0.011)
+    val committed = StreamSketchTable.read(spark, dir)
+      .orderBy("day").as[(java.sql.Date, Array[Byte])].collect()
+    // at-least-once REPLAY of batch 1: recomputed from the same
+    // predecessor, so the table is byte-identical — no double count
+    StreamSketchTable.mergeBatch(b1, 1L, "ts", "cents", 0.01, dir)
+    val replayed = StreamSketchTable.read(spark, dir)
+      .orderBy("day").as[(java.sql.Date, Array[Byte])].collect()
+    assert(replayed.map(_._1.toString).toSeq ===
+      committed.map(_._1.toString).toSeq)
+    assert(replayed.map(_._2.toSeq).toSeq === committed.map(_._2.toSeq).toSeq)
+    // superseded versions pruned to 2, predecessor retained for retry
+    val vs = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(vs === Seq("v=0", "v=1"))
+  }
+
   test("slidingAgg lands each event in every overlapping hop window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
