@@ -133,8 +133,8 @@ object Bench {
       "q146_quantile_normalize", "q147_column_profile",
       "q148_triangles_approx",
       // content-defined chunking (rolling-hash boundaries) +
-      // label-propagation communities
-      "q149_cdc_chunks", "q150_communities"
+      // label-propagation communities + chunk-grain diff
+      "q149_cdc_chunks", "q150_communities", "q151_chunk_diff"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

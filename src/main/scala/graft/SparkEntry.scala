@@ -1927,6 +1927,24 @@ object SparkEntry {
     Graph.labelPropagation(edges, "src", "dst", iterations = 5)
   }
 
+  /** q151: CHUNK-GRAIN INCREMENTAL DIFF — q81's snapshot pair pushed
+    * below the document: per doc, how many content-defined chunks
+    * (q149's `cdc_cuts`) survive the re-crawl verbatim. The end-of-
+    * text " EDIT" on ids ∈ 7ℤ invalidates only the final chunk(s) —
+    * `n_kept` ≈ `n_old`, which is exactly the re-processing an
+    * incremental pipeline skips; added/removed docs show as all-new /
+    * all-gone. Multiset chunk identity (Σ min of per-hash counts). */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val old = d.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text")).as("text"))
+    val neu = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    Corpus.chunkDiff(old, neu, "doc_id", "text")
+  }
+
   /** q149: CONTENT-DEFINED CHUNKING — every document split at
     * rolling-hash boundaries (window 4, mod 64 → ~64-code-point
     * chunks) via the native `cdc_cuts` kernel: boundaries follow the
@@ -2675,7 +2693,8 @@ object SparkEntry {
     "q147_column_profile" -> (q147 _),
     "q148_triangles_approx" -> (q148 _),
     "q149_cdc_chunks" -> (q149 _),
-    "q150_communities" -> (q150 _)
+    "q150_communities" -> (q150 _),
+    "q151_chunk_diff" -> (q151 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4645,6 +4664,54 @@ object SparkEntry {
         |    PARTITION BY e.d ORDER BY count(*) DESC, p.label) AS rn
         |  FROM e JOIN l4 p ON p.node = e.s
         |  GROUP BY e.d, p.label) WHERE rn = 1)
-        |SELECT node AS node_id, label AS community FROM l5""".stripMargin
+        |SELECT node AS node_id, label AS community FROM l5""".stripMargin,
+    // q151: q149's CDC replay over BOTH q81 snapshot views, per-hash
+    // multiset counts full-joined, per-doc min-sum rollup.
+    "q151_chunk_diff" ->
+      """WITH oldv AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' EDIT' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |newv AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |od AS (SELECT doc_id, text, length(text) AS n FROM oldv
+        |  WHERE length(text) > 0),
+        |oc AS (SELECT doc_id, text, list_concat(list_concat([0],
+        |    list_filter(range(4, n), i ->
+        |      (ord(substring(text, i-3, 1)) * 29791
+        |     + ord(substring(text, i-2, 1)) * 961
+        |     + ord(substring(text, i-1, 1)) * 31
+        |     + ord(substring(text, i, 1))) % 64 = 0)), [n]) AS cuts
+        |  FROM od),
+        |ok AS (SELECT doc_id, text, cuts,
+        |    unnest(range(1, len(cuts))) AS kk FROM oc),
+        |oh AS (SELECT doc_id, md5(substring(text,
+        |    CAST(cuts[kk] + 1 AS INT),
+        |    CAST(cuts[kk+1] - cuts[kk] AS INT))) AS h FROM ok),
+        |ocnt AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS ocn
+        |  FROM oh GROUP BY 1, 2),
+        |wd AS (SELECT doc_id, text, length(text) AS n FROM newv
+        |  WHERE length(text) > 0),
+        |wc AS (SELECT doc_id, text, list_concat(list_concat([0],
+        |    list_filter(range(4, n), i ->
+        |      (ord(substring(text, i-3, 1)) * 29791
+        |     + ord(substring(text, i-2, 1)) * 961
+        |     + ord(substring(text, i-1, 1)) * 31
+        |     + ord(substring(text, i, 1))) % 64 = 0)), [n]) AS cuts
+        |  FROM wd),
+        |wk AS (SELECT doc_id, text, cuts,
+        |    unnest(range(1, len(cuts))) AS kk FROM wc),
+        |wh AS (SELECT doc_id, md5(substring(text,
+        |    CAST(cuts[kk] + 1 AS INT),
+        |    CAST(cuts[kk+1] - cuts[kk] AS INT))) AS h FROM wk),
+        |wcnt AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS wcn
+        |  FROM wh GROUP BY 1, 2),
+        |j AS (SELECT coalesce(o.doc_id, w.doc_id) AS doc_id,
+        |    coalesce(o.ocn, 0) AS co, coalesce(w.wcn, 0) AS cn
+        |  FROM ocnt o FULL JOIN wcnt w
+        |  ON o.doc_id = w.doc_id AND o.h = w.h)
+        |SELECT doc_id, CAST(sum(co) AS BIGINT) AS n_old,
+        |  CAST(sum(cn) AS BIGINT) AS n_new,
+        |  CAST(sum(least(co, cn)) AS BIGINT) AS n_kept
+        |FROM j GROUP BY 1""".stripMargin
   )
 }

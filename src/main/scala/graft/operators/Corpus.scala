@@ -744,6 +744,41 @@ object Corpus {
           .as("chunk_md5"))
   }
 
+  /** Chunk-grain incremental diff — [[snapshotDiff]] pushed below the
+    * document: for every doc in either snapshot, how many of its
+    * content-defined chunks ([[cdcChunks]]) survive verbatim. Because
+    * CDC boundaries follow the text, an edit invalidates only its
+    * neighbourhood's chunks — `n_kept` is the work an incremental
+    * pipeline SKIPS (chunks whose embeddings/dedup state carry over),
+    * and `n_new - n_kept` is the work it actually re-runs: at 100 TB
+    * a re-crawl re-processes the changed chunks, not every changed
+    * document. Chunk identity is the md5 with MULTISET semantics
+    * (kept = Σ min(count_old, count_new) per hash), so repeated
+    * boilerplate chunks can't be double-credited.
+    *
+    * Plan: per-snapshot (doc, md5) counts are map-side-combined aggs
+    * on the same key the full-outer join then uses — one exchange
+    * each, join co-partitioned, final per-doc rollup. Only 8-byte
+    * ids + 32-char hashes move, never text. */
+  def chunkDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      window: Int = 4, modulus: Int = 64): DataFrame = {
+    def hashCounts(d: DataFrame, cnt: String) =
+      cdcChunks(d, idCol, textCol, window, modulus)
+        .groupBy(col(idCol), col("chunk_md5"))
+        .agg(count(lit(1)).as(cnt))
+    val o = hashCounts(oldDocs, "__co")
+    val n = hashCounts(newDocs, "__cn")
+    o.join(n, Seq(idCol, "chunk_md5"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(
+        sum(coalesce(col("__co"), lit(0L))).as("n_old"),
+        sum(coalesce(col("__cn"), lit(0L))).as("n_new"),
+        sum(least(coalesce(col("__co"), lit(0L)),
+          coalesce(col("__cn"), lit(0L)))).as("n_kept"))
+  }
+
   /** Snapshot diff — what changed between two corpus versions (the
     * audit a recurring crawl/curation run publishes next to its
     * [[profile]]): each id classified `added` (only in the new

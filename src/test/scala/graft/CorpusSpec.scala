@@ -367,6 +367,32 @@ class CorpusSpec extends SparkSpec {
     assert(a.length != b.length || a.toSeq != b.toSeq) // the edit IS visible
   }
 
+  test("chunkDiff: edits cost only their neighbourhood; multiset kept counts") {
+    val base = "the quick brown fox jumps over the lazy dog and " * 20
+    val old = Seq(
+      (1L, base),                                   // unchanged
+      (2L, base.substring(0, 480) + "X" + base.substring(480)), // mid edit
+      (3L, base))                                   // removed in new
+    val neu = Seq(
+      (1L, base), (2L, base),
+      (4L, base))                                   // added
+    val out = Corpus.chunkDiff(old.toDF("doc_id", "text"),
+        neu.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    // unchanged: everything kept (repeated boilerplate chunks ARE
+    // counted per-occurrence — multiset, not set)
+    val (_, o1, n1, k1) = byId(1L)
+    assert(o1 === n1 && k1 === o1 && o1 > 4)
+    // mid-doc edit: most chunks survive, at least one doesn't
+    val (_, o2, n2, k2) = byId(2L)
+    assert(k2 < math.min(o2, n2) + 1 && k2 >= o2 - 4)
+    // removed / added docs
+    assert(byId(3L)._3 === 0L && byId(3L)._4 === 0L && byId(3L)._2 > 0)
+    assert(byId(4L)._2 === 0L && byId(4L)._4 === 0L && byId(4L)._3 > 0)
+  }
+
   test("snapshotDiff classifies added/removed/modified, drops unchanged") {
     val old = Seq(
       (1L, "same text"), (2L, "will change"), (3L, "will vanish")
