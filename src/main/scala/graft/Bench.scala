@@ -134,7 +134,8 @@ object Bench {
       "q148_triangles_approx",
       // content-defined chunking (rolling-hash boundaries) +
       // label-propagation communities + chunk-grain diff
-      "q149_cdc_chunks", "q150_communities", "q151_chunk_diff"
+      "q149_cdc_chunks", "q150_communities", "q151_chunk_diff",
+      "q152_chunk_dedup"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

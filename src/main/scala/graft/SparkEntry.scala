@@ -1927,6 +1927,24 @@ object SparkEntry {
     Graph.labelPropagation(edges, "src", "dst", iterations = 5)
   }
 
+  /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
+    * continuous text: every content-defined chunk (q149) appearing
+    * in ≥3 distinct docs is dropped and docs reassemble from the
+    * survivors in order (Dedup.dropBoilerplateChunks). Output is
+    * (doc_id, clean_len, clean_md5) — the reassembly is checked by
+    * hash, the text never leaves the engine. Spark matches chunks by
+    * xxhash64; the oracle by the chunk STRING itself (DuckDB has no
+    * xxhash64) — identical results absent a 64-bit collision, the
+    * same trade q72 documents. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Dedup.dropBoilerplateChunks(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", minDocs = 3)
+    cleaned.select(col("doc_id"),
+      length(col("text")).cast("int").as("clean_len"),
+      md5(col("text")).as("clean_md5"))
+  }
+
   /** q151: CHUNK-GRAIN INCREMENTAL DIFF — q81's snapshot pair pushed
     * below the document: per doc, how many content-defined chunks
     * (q149's `cdc_cuts`) survive the re-crawl verbatim. The end-of-
@@ -2694,7 +2712,8 @@ object SparkEntry {
     "q148_triangles_approx" -> (q148 _),
     "q149_cdc_chunks" -> (q149 _),
     "q150_communities" -> (q150 _),
-    "q151_chunk_diff" -> (q151 _)
+    "q151_chunk_diff" -> (q151 _),
+    "q152_chunk_dedup" -> (q152 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4712,6 +4731,33 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(co) AS BIGINT) AS n_old,
         |  CAST(sum(cn) AS BIGINT) AS n_new,
         |  CAST(sum(least(co, cn)) AS BIGINT) AS n_kept
-        |FROM j GROUP BY 1""".stripMargin
+        |FROM j GROUP BY 1""".stripMargin,
+    // q152: chunk pieces by STRING identity (no xxhash64 in DuckDB),
+    // boiler = pieces in >= 3 distinct docs, ordered reassembly via
+    // string_agg, absent/empty docs normalize to ''.
+    "q152_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, text, list_concat(list_concat([0],
+        |    list_filter(range(4, n), i ->
+        |      (ord(substring(text, i-3, 1)) * 29791
+        |     + ord(substring(text, i-2, 1)) * 961
+        |     + ord(substring(text, i-1, 1)) * 31
+        |     + ord(substring(text, i, 1))) % 64 = 0)), [n]) AS cuts
+        |  FROM d),
+        |k AS (SELECT doc_id, text, cuts,
+        |    unnest(range(1, len(cuts))) AS kk FROM c),
+        |p AS (SELECT doc_id, kk, substring(text,
+        |    CAST(cuts[kk] + 1 AS INT),
+        |    CAST(cuts[kk+1] - cuts[kk] AS INT)) AS piece FROM k),
+        |b AS (SELECT piece FROM (
+        |  SELECT piece, count(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
+        |  WHERE nd >= 3),
+        |cl AS (SELECT doc_id, string_agg(piece, '' ORDER BY kk) AS clean
+        |  FROM p ANTI JOIN b USING (piece) GROUP BY doc_id)
+        |SELECT dd.doc_id,
+        |  CAST(length(coalesce(cl.clean, '')) AS INT) AS clean_len,
+        |  md5(coalesce(cl.clean, '')) AS clean_md5
+        |FROM documents dd LEFT JOIN cl ON dd.doc_id = cl.doc_id""".stripMargin
   )
 }

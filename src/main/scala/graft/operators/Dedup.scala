@@ -565,6 +565,63 @@ object Dedup {
         others.map(col): _*)
   }
 
+  /** Chunk-level boilerplate removal — [[dropRepeatedLines]] for
+    * CONTINUOUS text: lines presuppose newlines, but navigation
+    * chrome/templated passages recur inside flowing prose too. Chunk
+    * boundaries come from the content itself (Corpus.cdcChunks'
+    * rolling hash via the native `cdc_cuts` kernel), so the same
+    * boilerplate passage chunks identically in every document
+    * regardless of what surrounds it — the property that makes
+    * cross-document matching work without any separator convention.
+    * Every chunk appearing in ≥ `minDocs` distinct docs is dropped
+    * and documents reassemble from their surviving chunks in order.
+    *
+    * Scale shape mirrors [[dropRepeatedLines]]: the repeat count
+    * groups on the chunk's xxhash64 (8-byte payload, map-side
+    * combined; column pruning keeps chunk text out of this
+    * exchange), the boilerplate set anti-joins the chunk stream, and
+    * reassembly groups by doc id — text crosses the wire twice,
+    * once chunked and once reassembled. All-boilerplate documents
+    * come back with empty text (gate downstream). */
+  def dropBoilerplateChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, window: Int = 4, modulus: Int = 64): DataFrame = {
+    require(minDocs >= 2, "dropBoilerplateChunks: minDocs >= 2")
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol)
+    val cuts = call_function("cdc_cuts", col("__t"),
+      lit(window), lit(modulus))
+    val chunks = Parallelism.ensure(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .filter(length(col("__t")) > 0)
+      .select(col("__id"), col("__t"), cuts.as("__cuts"))
+      .select(col("__id"), col("__t"), col("__cuts"),
+        posexplode(slice(col("__cuts"), lit(1), size(col("__cuts")) - 1))
+          .as(Seq("__pos", "__s0")))
+      .select(col("__id"), col("__pos"),
+        col("__t").substr(col("__s0") + 1,
+          element_at(col("__cuts"), col("__pos") + 2) - col("__s0"))
+          .as("__piece"))
+      .withColumn("__h", xxhash64(col("__piece")))
+    val boilerplate = chunks
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val cleaned = chunks
+      .join(boilerplate, Seq("__h"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__piece")))),
+          e => e.getField("__piece")),
+        "").as("__clean"))
+    docs.select(col(idCol).as("__id") +: others.map(col): _*)
+      .join(cleaned, Seq("__id"), "left")
+      .select(col("__id").as(idCol) +:
+        coalesce(col("__clean"), lit("")).as(textCol) +:
+        others.map(col): _*)
+  }
+
   /** Serialized Bloom filter over `xxhash64(content)` of every corpus
     * row — the constant-size stand-in for the corpus hash set. One
     * corpus pass, map-side combined, a single binary to the driver.

@@ -155,6 +155,53 @@ class DedupSpec extends SparkSpec {
     assert(loose(4L) === "COOKIE BANNER\nSHARED FOOTER") // under threshold: kept
   }
 
+  test("dropBoilerplateChunks strips shared passages from continuous text") {
+    // a ~300-char boilerplate passage embedded mid-text in 3 docs with
+    // DIFFERENT surroundings (no newlines anywhere — line dedup can't
+    // touch this); CDC boundaries resynchronize inside the passage so
+    // its interior chunks hash identically across docs
+    val boiler = "this exact legal disclaimer is appended to every " +
+      "page of the site and repeats verbatim across documents " * 5
+    val docs = Seq(
+      (1L, "alpha opening words " + boiler + " alpha closing words", "k1"),
+      (2L, "beta starts differently here " + boiler + " beta tail", "k2"),
+      (3L, "gamma prefix " + boiler + " gamma suffix text", "k3"),
+      (4L, "entirely unique document with no shared passages at all", "k4"))
+      .toDF("doc_id", "text", "extra")
+    // scala reference of the full pipeline: same cuts, string identity
+    def cuts(s: String, w: Int, m: Int): Seq[Int] = {
+      val cps = s.codePoints().toArray.toSeq
+      val hits = (w to cps.length - 1).filter { i =>
+        cps.slice(i - w, i).foldLeft(0L)((h, c) => h * 31 + c) % m == 0
+      }
+      0 +: hits :+ cps.length
+    }
+    val raw = Seq(
+      (1L, "alpha opening words " + boiler + " alpha closing words", "k1"),
+      (2L, "beta starts differently here " + boiler + " beta tail", "k2"),
+      (3L, "gamma prefix " + boiler + " gamma suffix text", "k3"),
+      (4L, "entirely unique document with no shared passages at all", "k4"))
+    val pieces = raw.map { case (id, t, _) =>
+      id -> cuts(t, 4, 16).sliding(2).map(p => t.substring(p(0), p(1))).toSeq
+    }
+    val counts = pieces.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+    val boilerSet = counts.filter(_._2 >= 3).keySet
+    val want = raw.map { case (id, _, extra) =>
+      (id, pieces.toMap.apply(id).filterNot(boilerSet).mkString, extra)
+    }.toSet
+    assert(boilerSet.nonEmpty, "fixture must produce shared chunks")
+    val out = Dedup.dropBoilerplateChunks(docs, "doc_id", "text",
+        minDocs = 3, window = 4, modulus = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("extra"))).toSet
+    assert(out === want)
+    // the shared passage is actually gone, the unique doc untouched
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(!byId(1L).contains(boiler) && byId(1L).startsWith("alpha"))
+    assert(byId(4L) === raw.find(_._1 == 4L).get._2)
+  }
+
   test("exactIncrementalBloom matches exactIncremental row for row") {
     val corpusHashes = Dedup.exact(docs, "doc_id", "text")
       .select("content_hash")
