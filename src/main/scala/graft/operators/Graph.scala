@@ -125,28 +125,53 @@ object Graph {
     * second over already-reduced (node, label) counts. Lineage is cut
     * with a localCheckpoint every `checkpointEvery` rounds.
     *
+    * With `weightCol` set the vote is WEIGHTED: each neighbour's
+    * label counts its undirected edge weight (parallel edges and
+    * both-direction duplicates sum; integer weights keep the vote
+    * deterministic where reordered double sums would not) —
+    * similarity-weighted communities over e.g. a near-dup graph.
+    *
     * Returns (node_id, community) over the edge-endpoint node set.
     */
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, checkpointEvery: Int = 4): DataFrame = {
+      iterations: Int = 5, checkpointEvery: Int = 4,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "labelPropagation: iterations >= 1")
-    val dir = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val und = dir
-      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src")).persist()
+    // weighted vote: each neighbour's label counts its edge weight
+    // (integer weights — summed longs keep the vote exactly
+    // deterministic where reordered double sums would not); parallel
+    // edges collapse by SUMMING weights, and each edge's weight
+    // applies in both directions.
+    val und0 = weightCol match {
+      case Some(w) =>
+        val dirW = edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"),
+            col(w).cast("long").as("__w"))
+          .filter(col("src") =!= col("dst"))
+        dirW.union(dirW.select(col("dst").as("src"),
+            col("src").as("dst"), col("__w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      case None =>
+        // unweighted: a neighbour votes ONCE however many times (and
+        // in however many directions) its edge appears in the input
+        val dir = edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .withColumn("__w", lit(1L))
+    }
+    val und = und0.repartition(col("src")).persist()
     // symmetrised ⇒ the node set is exactly the distinct src side
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iterations) {
       val next = und.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__w")).as("__c"))
         .groupBy(col("dst"))
         .agg(min(struct((-col("__c")).as("c"), col("label").as("v")))
           .as("__m"))

@@ -144,6 +144,29 @@ class GraphSpec extends SparkSpec {
       10L -> 3L, 11L -> 3L, 12L -> 3L))
   }
 
+  test("labelPropagation: edge weights outvote the min-label tie-break") {
+    // neighbours of 100 carry labels 5 and 7 after round 0; unweighted
+    // they tie (1 vote each) and the SMALLER label wins — a weight-2
+    // edge flips the vote. Parallel weighted edges must sum.
+    val unweighted = Seq((100L, 5L), (100L, 7L))
+      .toDF("a", "b")
+    val got0 = Graph.labelPropagation(unweighted, "a", "b", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got0(100L) === 5L)
+    val weighted = Seq((100L, 5L, 1L), (100L, 7L, 1L), (7L, 100L, 1L))
+      .toDF("a", "b", "w")
+    val got1 = Graph.labelPropagation(weighted, "a", "b", iterations = 1,
+        weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got1(100L) === 7L) // 5:1 vs 7:2 (two parallel rows summed)
+    // both-direction duplicates in UNWEIGHTED input still vote once
+    val dup = Seq((100L, 5L), (5L, 100L), (100L, 7L))
+      .toDF("a", "b")
+    val got2 = Graph.labelPropagation(dup, "a", "b", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(100L) === 5L)
+  }
+
   test("labelPropagation: matches a naive synchronous reference") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 120).map(_ =>
