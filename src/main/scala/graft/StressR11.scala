@@ -160,6 +160,43 @@ object StressR11 {
         check(li, Seq(notNull("l_shipdate"))).count())
     }
 
+    // Label propagation on the FULL (unthinned) 1.2M-edge co-purchase
+    // graph — 5 rounds of join + double-aggregate against the persisted
+    // src-partitioned edge list; q150's registered form runs the
+    // 1/5-thinned graph, this is the 5x-denser ceiling.
+    time("LPA 5 rounds (1.2M edges)")({
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val o2 = op.select(col("o").as("__o2"), col("p").as("__p2"))
+      val edges = op
+        .join(o2, col("o") === col("__o2") && col("p") < col("__p2"))
+        .select(col("p").as("src"), col("__p2").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 5)
+        .agg(sum(col("community"))).head.getLong(0)
+    })
+
+    // CDC chunking family at sf0.1: the kernel is a pure projection
+    // (scan-speed claim), the diff and boilerplate passes move hashes
+    // and text once each. Each case aggregates its REAL output column
+    // — a bare count() would let Catalyst prune the md5/reassembly
+    // work and time an empty scan.
+    time("q149 cdc chunks (sf0.1 docs)")(
+      Corpus.cdcChunks(docs, "doc_id", "text")
+        .agg(sum(length(col("chunk_md5")))).head.getLong(0))
+    time("q151 chunk diff (both snapshots)")({
+      val old = docs.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+            .otherwise(col("text")).as("text"))
+      val neu = docs.filter(col("doc_id") % 10 =!= 0)
+      Corpus.chunkDiff(old, neu, "doc_id", "text")
+        .agg(sum(col("n_kept"))).head.getLong(0)
+    })
+    time("q152 chunk boilerplate removal")(
+      Dedup.dropBoilerplateChunks(docs, "doc_id", "text", minDocs = 3)
+        .agg(sum(length(col("text")))).head.getLong(0))
+
     spark.stop()
   }
 }
