@@ -164,6 +164,41 @@ class StreamingSpec extends SparkSpec {
       s"p99 ${w1.getDouble(2)}")
   }
 
+  test("StreamChunkDiff matches the batch chunk diff per streamed doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamChunkDiff
+    val base = "the quick brown fox jumps over the lazy dog and " * 20
+    val old = Seq(
+      (1L, base),                                               // unchanged
+      (2L, base.substring(0, 480) + "X" + base.substring(480)), // edited
+      (3L, base)                                                // removed
+    ).toDF("doc_id", "text")
+    val neu = Seq((1L, base), (2L, base), (4L, base + " extra tail"))
+    val oldCounts = StreamChunkDiff
+      .snapshotCounts(old, "doc_id", "text").persist()
+    val input = MemoryStream[(Long, String)]
+    input.addData(neu)
+    val q = StreamChunkDiff.diffStream(
+        input.toDF().toDF("doc_id", "text"), oldCounts, "doc_id", "text")
+      .writeStream.format("memory").queryName("cdiff_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("cdiff_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the batch operator on the same snapshot pair, restricted to the
+    // docs the stream actually saw (a stream can't observe removals)
+    val want = graft.operators.Corpus.chunkDiff(old,
+        neu.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(r => Set(1L, 2L, 4L)(r._1)).toSet
+    assert(got === want)
+    // sanity on the semantics the numbers encode
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._4 === byId(1L)._2) // unchanged: all kept
+    assert(byId(4L)._2 === 0L)          // brand-new doc: nothing old
+    oldCounts.unpersist()
+  }
+
   test("StreamSketchTable: day sketches merge loss-free; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamSketchTable
