@@ -186,8 +186,11 @@ class PlanAuditSpec extends SparkSpec {
       "q147_column_profile" -> 2, // ONE Expand + two-phase multi-
                                // distinct agg: partial + final
                                // exchanges, never a per-column query
-      "q149_cdc_chunks" -> 0)  // pure projection: native cdc_cuts
+      "q149_cdc_chunks" -> 0,  // pure projection: native cdc_cuts
                                // kernel + chunk explode ride the scan
+      "q151_chunk_diff" -> 3)  // one (doc, md5) count exchange per
+                               // snapshot; the full-outer join reuses
+                               // both; one per-doc rollup exchange
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
