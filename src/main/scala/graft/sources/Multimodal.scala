@@ -526,15 +526,97 @@ object Multimodal {
                   MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                     new Array[Float](FeatureDim), ok = false, err = reason)
               }
-            case _ => // video in a non-AVI container: no JDK codec —
-              // byte-signature stand-in (NOT quarantine: the payload
-              // isn't corrupt, this engine just has no decoder for it)
+            case "document" if isPdf(r.bytes) =>
+              // archived-scrape PDFs (the reference's save_pdf output):
+              // structural profile as features — page count, object
+              // count, bytes/page — corrupt files quarantine
+              pdfMeta(r.bytes) match {
+                case Right(m) =>
+                  val f = new Array[Float](FeatureDim)
+                  f(0) = m.nPages.toFloat
+                  f(1) = m.nObjects.toFloat
+                  f(2) = r.bytes.length.toFloat / m.nPages
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    f, ok = true, err = null)
+                case Left(reason) =>
+                  MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
+                    new Array[Float](FeatureDim), ok = false, err = reason)
+              }
+            case _ => // video/document in a container with no JDK (or
+              // built-in) decoder — byte-signature stand-in (NOT
+              // quarantine: the payload isn't corrupt, this engine
+              // just has no decoder for it)
               MediaFeatures(r.media_id, r.meta.kind, r.bytes.length.toLong,
                 byteSignatureFeatures(r.bytes), ok = true, err = null)
           }
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // PDF: the reference ARCHIVES scraped pages as PDF (save_pdf,
+  // national/_1034/extract.py:114; pypdf.PdfWriter,
+  // states/_1236/extract.py:4) — those archives ingest here as binary
+  // columns, and this kernel is the typed-metadata projection over
+  // them: structural fields straight off the bytes, no external PDF
+  // library, scan-speed.
+  // ------------------------------------------------------------------
+
+  case class PdfMeta(version: String, nPages: Int, nObjects: Int)
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  private val PdfPageRe = """/Type\s*/Page(?!s)""".r
+  private val PdfObjRe = """(?m)^\d+\s+\d+\s+obj\b""".r
+
+  /** Structural metadata: header version, LEAF page-object count
+    * (`/Type /Page`, excluding the `/Pages` tree nodes), indirect
+    * object count. Truncated files (no `%%EOF`) and page-less files
+    * report Left — the quarantine signal, never a task failure.
+    * Bytes are viewed through ISO-8859-1 (byte-preserving), so binary
+    * stream content between the ASCII structure tokens is harmless. */
+  def pdfMeta(bytes: Array[Byte]): Either[String, PdfMeta] = {
+    if (!isPdf(bytes)) Left("not a PDF (missing %PDF- header)")
+    else {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val version = s.drop(5).takeWhile(c => !c.isWhitespace)
+      val nPages = PdfPageRe.findAllIn(s).size
+      val nObjects = PdfObjRe.findAllIn(s).size
+      if (!s.contains("%%EOF")) Left("truncated PDF (no %%EOF)")
+      else if (version.isEmpty) Left("malformed PDF version header")
+      else if (nPages == 0) Left("no page objects")
+      else Right(PdfMeta(version, nPages, nObjects))
+    }
+  }
+
+  /** Minimal but genuinely valid PDF: catalog + page tree + `n` empty
+    * pages, a correct xref table and trailer. Deterministic bytes. */
+  private[graft] def syntheticPdf(nPages: Int): Array[Byte] = {
+    require(nPages >= 1, "syntheticPdf: nPages >= 1")
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sb.append("%PDF-1.4\n")
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(body).append('\n')
+    }
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    obj("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj")
+    obj(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj")
+    (0 until nPages).foreach { i =>
+      obj(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        "/MediaBox [0 0 612 792] >> endobj")
+    }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.size + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer << /Size ${offsets.size + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   /** The quarantine view: rows whose payload failed its codec. Pipe to

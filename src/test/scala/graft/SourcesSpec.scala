@@ -351,6 +351,34 @@ class SourcesSpec extends SparkSpec {
     assert(feats.count(_.kind == "image") === 10)
   }
 
+  test("Multimodal PDF metadata: real parse, corrupt quarantine, feature wiring") {
+    implicit val s = spark
+    import spark.implicits._
+    // structural parse of a genuinely valid synthesized PDF
+    val pdf3 = Multimodal.syntheticPdf(3)
+    val meta = Multimodal.pdfMeta(pdf3)
+    assert(meta === Right(Multimodal.PdfMeta("1.4", 3, 5))) // catalog+tree+3 pages
+    assert(Multimodal.isPdf(pdf3))
+    // /Pages tree nodes must NOT count as pages (the (?!s) guard)
+    assert(Multimodal.pdfMeta(Multimodal.syntheticPdf(1))
+      .toOption.get.nPages === 1)
+    // corrupt inputs quarantine with a reason, never throw
+    assert(Multimodal.pdfMeta("not a pdf at all".getBytes).isLeft)
+    assert(Multimodal.pdfMeta(pdf3.dropRight(8)).isLeft) // %%EOF gone
+    // extractFeatures: document rows carry (nPages, nObjects,
+    // bytes/page) as features; a truncated payload flows to quarantine
+    val rows = Seq(
+      Multimodal.MediaRow(1L, pdf3,
+        Multimodal.MediaMeta("document", 0, 0, 0, 0L)),
+      Multimodal.MediaRow(2L, pdf3.dropRight(8),
+        Multimodal.MediaMeta("document", 0, 0, 0, 0L))).toDS()
+    val feats = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).ok && feats(1L).features(0) === 3.0f &&
+      feats(1L).features(1) === 5.0f)
+    assert(!feats(2L).ok && feats(2L).err.contains("truncated"))
+  }
+
   test("Multimodal image decode is real: pixel features + dims, parquet round-trip") {
     implicit val s = spark
     import spark.implicits._
