@@ -53,8 +53,11 @@ object StreamChunkDiff {
       lit(window), lit(modulus))
     stream
       .select(col(idCol), col(textCol), cuts.as("__cuts"))
+      // null text folds to zero chunks like empty text — without the
+      // guard, size(null __hs) is -1 under non-ANSI semantics
       .withColumn("__hs",
-        when(length(col(textCol)) === 0, array().cast("array<string>"))
+        when(length(col(textCol)).isNull || length(col(textCol)) === 0,
+          array().cast("array<string>"))
           .otherwise(expr(
             s"""transform(sequence(1, size(__cuts) - 1), k ->
                |  md5(cast(substring($textCol,
