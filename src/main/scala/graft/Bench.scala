@@ -135,7 +135,9 @@ object Bench {
       // content-defined chunking (rolling-hash boundaries) +
       // label-propagation communities + chunk-grain diff
       "q149_cdc_chunks", "q150_communities", "q151_chunk_diff",
-      "q152_chunk_dedup"
+      "q152_chunk_dedup",
+      // asymmetric containment join (subset-duplicate detection)
+      "q153_containment"
     ).filter(SparkEntry.queries.contains)
 
     final case class Result(name: String, median: Double, runs: Seq[Double],

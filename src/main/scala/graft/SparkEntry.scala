@@ -1927,6 +1927,19 @@ object SparkEntry {
     Graph.labelPropagation(edges, "src", "dst", iterations = 5)
   }
 
+  /** q153: EXACT CONTAINMENT JOIN (SetSimilarity.containmentJoin) —
+    * every ORDERED doc pair where ≥4/5 of A's distinct word trigrams
+    * appear in B: the subset-duplicate / quote-inclusion case q124's
+    * symmetric Jaccard misses (a short doc quoted inside a long one
+    * has low Jaccard but containment ≈ 1). A-side prefix filter +
+    * full-B token index, recall exactly 1.0 — the brute-force DuckDB
+    * oracle certifies it pair-for-pair. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    SetSimilarity.containmentJoin(docs, "doc_id",
+      Dedup.shinglesCol(docs, col("text"), 3), tauNum = 4, tauDen = 5)
+  }
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -2713,7 +2726,8 @@ object SparkEntry {
     "q149_cdc_chunks" -> (q149 _),
     "q150_communities" -> (q150 _),
     "q151_chunk_diff" -> (q151 _),
-    "q152_chunk_dedup" -> (q152 _)
+    "q152_chunk_dedup" -> (q152 _),
+    "q153_containment" -> (q153 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4758,6 +4772,25 @@ object SparkEntry {
         |SELECT dd.doc_id,
         |  CAST(length(coalesce(cl.clean, '')) AS INT) AS clean_len,
         |  md5(coalesce(cl.clean, '')) AS clean_md5
-        |FROM documents dd LEFT JOIN cl ON dd.doc_id = cl.doc_id""".stripMargin
+        |FROM documents dd LEFT JOIN cl ON dd.doc_id = cl.doc_id""".stripMargin,
+    // q153: q124's brute-force shape with the asymmetric containment
+    // predicate over ORDERED pairs — certifies recall = 1.0 for the
+    // prefix-filtered join.
+    "q153_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |      for i in generate_series(1, len(words)-2)]) AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) AS inter,
+        |    CAST(len(a.tri) AS BIGINT) AS n_a,
+        |    CAST(len(b.tri) AS BIGINT) AS n_b
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.tri) > 0 AND len(b.tri) > 0)
+        |SELECT a_id, b_id, inter, n_a, n_b FROM p
+        |WHERE inter * 5 >= 4 * n_a""".stripMargin
   )
 }

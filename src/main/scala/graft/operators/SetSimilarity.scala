@@ -120,6 +120,74 @@ object SetSimilarity {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 
+  /** EXACT all-pairs CONTAINMENT join: every ORDERED pair (a → b,
+    * a ≠ b) with |A∩B| ≥ τ·|A| — the asymmetric complement to
+    * [[jaccardJoin]]: a short document quoted verbatim inside a long
+    * one has low Jaccard (the union is dominated by B) but
+    * containment ≈ 1, which is exactly the subset-duplicate /
+    * quote-inclusion case a dedup pass built on symmetric similarity
+    * misses. Output: (a_id, b_id, inter, n_a, n_b).
+    *
+    * Prefix filtering adapts (SSJoin's containment variant): only the
+    * PROBE side (A) can be prefix-reduced — if |A∩B| ≥ τ|A| then A's
+    * rare-first prefix of |A| − ⌈τ|A|⌉ + 1 tokens must hit B, but B
+    * admits no symmetric bound (containment places no upper limit on
+    * |B|) — so A-prefix tokens join against ALL of B's tokens, with
+    * the |B| ≥ τ|A| length filter and the A-side positional bound
+    * (a first match at A-position i caps the achievable overlap at
+    * |A| − i). Rare-first ordering keeps the A-prefix fan-out small;
+    * the B side rides the same 8-byte hashed-token discipline.
+    * Thresholds are integer ratios — bit-exact cross-engine.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, tokensCol: Column,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"containmentJoin: need 0 < tau <= 1, got $tauNum/$tauDen")
+    val sets = df
+      .select(col(idCol).as("__id"),
+        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .filter(col("__n") > 0)
+      .localCheckpoint(false)
+    val tok = sets.select(col("__id"), explode(col("__ts")).as("__t"))
+    val dfreq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(dfreq, "__t")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t"))))
+        .as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__t")).as("__ord"))
+      .withColumn("__n", size(col("__ord")))
+    val ceilTauN =
+      floor((col("__n") * tauNum + lit(tauDen - 1)) / lit(tauDen))
+    val a = ordered
+      .withColumn("__p", (col("__n") - ceilTauN + 1).cast("int"))
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__ord"), lit(1), col("__p"))))
+      .withColumnsRenamed(Map("pos" -> "__ia", "col" -> "__t"))
+      .select(col("__id").as("a_id"), col("__n").as("__na"),
+        col("__ia"), col("__t"))
+    val b = tok.select(col("__id").as("b_id"), col("__t"))
+      .join(sets.select(col("__id").as("b_id"), col("__n").as("__nb")),
+        "b_id")
+    val cand = a.join(b, "__t")
+      .filter(col("a_id") =!= col("b_id") &&
+        col("__nb") * tauDen >= col("__na") * tauNum &&
+        // first shared token at A-position ia caps overlap at na - ia
+        (col("__na") - col("__ia")) * tauDen >= col("__na") * tauNum)
+      .select(col("a_id"), col("b_id")).distinct()
+    val fa = sets.select(col("__id").as("a_id"), col("__ts").as("__ta"),
+      col("__n").as("n_a"))
+    val fb = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"),
+      col("__n").as("n_b"))
+    cand.join(fa, "a_id").join(fb, "b_id")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("n_a"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
   // ------------------------------------------------------------------
   // Incremental index: probe new batches against a frozen corpus index
   // ------------------------------------------------------------------
@@ -277,6 +345,25 @@ object SetSimilarity {
         (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
       .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
+  /** Spec reference for [[containmentJoin]]: brute-force ordered
+    * pairs on the RAW token arrays. */
+  private[graft] def containmentBrute(df: DataFrame, idCol: String,
+      tokensCol: Column, tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val a = sets.select(col("__id").as("a_id"), col("__ts").as("__ta"))
+    val b = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"))
+    a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .filter(col("inter") * tauDen >=
+        lit(tauNum.toLong) * size(col("__ta")))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        size(col("__ta")).cast("long").as("n_a"),
+        size(col("__tb")).cast("long").as("n_b"))
   }
 
   /** Spec reference for [[probeIndex]]: brute-force CROSS-side pairs

@@ -67,6 +67,37 @@ class SetSimilaritySpec extends SparkSpec {
     assert(got === Set((1L, 2L, 3L, 5L)))
   }
 
+  private def cbag(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("containmentJoin ≡ brute force; finds subsets Jaccard misses") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"t$i")
+    // planted subsets: every third set is a small SUBSET of its base —
+    // containment 1.0 from subset → base, Jaccard well below 1/2
+    val rows = (0 until 20).flatMap { i =>
+      val base = rnd.shuffle(vocab).take(12 + rnd.nextInt(6))
+      val other =
+        if (i % 3 == 0) base.take(4)                // strict subset
+        else rnd.shuffle(vocab).take(5 + rnd.nextInt(9))
+      Seq((i * 2L, base), (i * 2L + 1L, other))
+    }
+    val df = rows.toDF("id", "toks")
+    for ((num, den) <- Seq((1, 2), (4, 5), (9, 10), (1, 1))) {
+      val fast = cbag(SetSimilarity.containmentJoin(df, "id", col("toks"), num, den))
+      val brute = cbag(SetSimilarity.containmentBrute(df, "id", col("toks"), num, den))
+      assert(fast === brute, s"tau=$num/$den: containment lost/invented pairs")
+    }
+    // the planted subset pairs ARE found at τ=1 (asymmetric, subset→base)
+    val full = cbag(SetSimilarity.containmentJoin(df, "id", col("toks"), 1, 1))
+    assert((0 until 20).filter(_ % 3 == 0).forall(i =>
+      full.exists(p => p._1 == i * 2L + 1 && p._2 == i * 2L)))
+    // ...and symmetric Jaccard at 1/2 misses a 4-of-≥12 subset pair
+    // (J = 4/|base| ≤ 1/3): the asymmetric case is containment-only
+    val jac = bag(SetSimilarity.jaccardJoin(df, "id", col("toks"), 1, 2))
+    assert(!jac.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
   test("probeIndex ≡ cross-side brute force, incl. batch tokens the corpus never saw") {
     val rnd = new scala.util.Random(31)
     val vocab = (0 until 40).map(i => s"t$i")
