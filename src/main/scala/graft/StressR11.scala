@@ -197,6 +197,14 @@ object StressR11 {
       Dedup.dropBoilerplateChunks(docs, "doc_id", "text", minDocs = 3)
         .agg(sum(length(col("text")))).head.getLong(0))
 
+    // Asymmetric containment join at sf0.1: the A-prefix × full-B
+    // token join — rare-first prefixes keep the fan-out bounded even
+    // though the B side indexes every token.
+    time("q153 containment join (sf0.1)")(
+      graft.operators.SetSimilarity.containmentJoin(docs, "doc_id",
+        Dedup.shinglesCol(docs, col("text"), 3), tauNum = 4, tauDen = 5)
+        .count())
+
     spark.stop()
   }
 }
