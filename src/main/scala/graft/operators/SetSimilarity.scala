@@ -347,6 +347,82 @@ object SetSimilarity {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 
+  /** Incremental CONTAINMENT probe: every batch doc B whose distinct
+    * tokens are ≥ τ contained in some frozen-corpus doc A
+    * (|B∩A| ≥ τ·|B|) — the ingest-time question "is this new doc
+    * already (mostly) inside the corpus?", which [[probeIndex]]'s
+    * symmetric Jaccard misses exactly when the corpus doc is much
+    * longer than the batch doc. Only the BATCH side prefix-reduces
+    * (τ bounds |B|, nothing bounds |A|), so batch prefixes join
+    * against the corpus's FULL token postings from the frozen
+    * `entries`; the |A| ≥ τ|B| length filter and the B-side
+    * positional cap prune candidates; verification is exact on the
+    * stored arrays with the same shard pruning as [[probeIndex]].
+    * Recall is exactly 1.0 under any token order, frozen or not.
+    *
+    * Cost shape: with `broadcastBatch` the corpus postings explode
+    * STREAMS through a broadcast hash join (no shuffle, no
+    * materialization) — one corpus-token pass per probe, the honest
+    * floor given `entries` is doc-sharded; a batch-token-keyed
+    * posting projection (save-time `ord` explode partitioned by
+    * token hash) would make probes sublinear and is the scale path
+    * if probe cadence ever outruns the scan.
+    * Output: (b_id, a_id, inter, n_b, n_a). */
+  def probeContainment(index: SetSimIndex, batch: DataFrame, idCol: String,
+      tokensCol: Column, tauNum: Int, tauDen: Int,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"probeContainment: need 0 < tau <= 1, got $tauNum/$tauDen")
+    def maybeB(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val bsets = batch
+      .select(col(idCol).as("b_id"),
+        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__bts"))
+      .filter(size(col("__bts")) > 0)
+      .localCheckpoint(false)
+    val bord = bsets.select(col("b_id"), explode(col("__bts")).as("t"))
+      .join(index.dfreq, Seq("t"), "left")
+      .select(col("b_id"), col("t"), coalesce(col("df"), lit(0L)).as("__df"))
+      .groupBy(col("b_id"))
+      .agg(array_sort(collect_list(struct(col("__df").as("df"), col("t"))))
+        .as("__st"))
+      .select(col("b_id"),
+        transform(col("__st"), s => s.getField("t")).as("__bord"))
+      .withColumn("__bn", size(col("__bord")))
+    val bpre = bord
+      .select(col("b_id"), col("__bn"),
+        posexplode(slice(col("__bord"), lit(1),
+          (col("__bn") - floor((col("__bn") * tauNum + lit(tauDen - 1))
+            / lit(tauDen)) + 1).cast("int"))))
+      .withColumnsRenamed(Map("pos" -> "__ib", "col" -> "t"))
+    // corpus side: FULL postings — containment admits no A-side prefix
+    val atok = index.entries
+      .select(col("id").as("a_id"), col("n").as("__na"),
+        explode(col("ord")).as("t"))
+    val cand = atok.join(maybeB(bpre), "t")
+      .filter(col("__na") * tauDen >= col("__bn") * tauNum &&
+        (col("__bn") - col("__ib")) * tauDen >= col("__bn") * tauNum)
+      .select(col("a_id"), col("b_id")).distinct()
+      .localCheckpoint(false)
+    val pruned =
+      if (!Dedup.isFileBacked(index.entries)) index.entries
+      else {
+        val shards = cand.select(Dedup.shardOf(col("a_id")).as("s"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.entries.filter(col("shard").isin(shards: _*))
+      }
+    val fa = pruned.select(col("id").as("a_id"), col("ord").as("__ta"),
+      col("n").as("__na"))
+    cand.join(fa, "a_id")
+      .join(maybeB(bsets.select(col("b_id"), col("__bts").as("__tb"))),
+        "b_id")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("n_b", size(col("__tb")).cast("long"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("n_b"))
+      .select(col("b_id"), col("a_id"), col("inter"), col("n_b"),
+        col("__na").cast("long").as("n_a"))
+  }
+
   /** Spec reference for [[containmentJoin]]: brute-force ordered
     * pairs on the RAW token arrays. */
   private[graft] def containmentBrute(df: DataFrame, idCol: String,
@@ -364,6 +440,27 @@ object SetSimilarity {
       .select(col("a_id"), col("b_id"), col("inter"),
         size(col("__ta")).cast("long").as("n_a"),
         size(col("__tb")).cast("long").as("n_b"))
+  }
+
+  /** Spec reference for [[probeContainment]]: brute-force cross-side
+    * containment of each batch doc in each corpus doc. */
+  private[graft] def probeContainmentBrute(corpus: DataFrame,
+      corpusId: String, corpusToks: Column, batch: DataFrame,
+      batchId: String, batchToks: Column,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val a = corpus.select(col(corpusId).as("a_id"),
+      array_distinct(corpusToks).as("__ta"))
+      .filter(size(col("__ta")) > 0)
+    val b = batch.select(col(batchId).as("b_id"),
+      array_distinct(batchToks).as("__tb"))
+      .filter(size(col("__tb")) > 0)
+    a.crossJoin(b)
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("n_b", size(col("__tb")).cast("long"))
+      .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("n_b"))
+      .select(col("b_id"), col("a_id"), col("inter"), col("n_b"),
+        size(col("__ta")).cast("long").as("n_a"))
   }
 
   /** Spec reference for [[probeIndex]]: brute-force CROSS-side pairs

@@ -123,6 +123,39 @@ class SetSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probeContainment ≡ brute force; batch docs contained in longer corpus docs") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val corpusRows = (0 until 30).map(i =>
+      (i.toLong, rnd.shuffle(vocab).take(10 + rnd.nextInt(8))))
+    val corpus = corpusRows.toDF("id", "toks")
+    // batch: strict SUBSETS of corpus docs (the quote-inclusion case,
+    // Jaccard-invisible), near-dups with unseen tokens, pure noise
+    val batchRows = (0 until 30).map { i =>
+      val base = corpusRows(i % 30)._2
+      i % 3 match {
+        case 0 => (1000L + i, base.take(4))              // strict subset
+        case 1 => (1000L + i, base.drop(1) :+ s"new$i")  // near-dup
+        case _ => (1000L + i, rnd.shuffle(vocab).take(6))
+      }
+    }
+    val batch = batchRows.toDF("id", "toks")
+    val index = SetSimilarity
+      .buildIndex(corpus, "id", col("toks")).materialize()
+    for ((num, den) <- Seq((1, 2), (4, 5), (1, 1))) {
+      val fast = cbag(SetSimilarity.probeContainment(index, batch, "id",
+        col("toks"), num, den))
+      val brute = cbag(SetSimilarity.probeContainmentBrute(corpus, "id",
+        col("toks"), batch, "id", col("toks"), num, den))
+      assert(fast === brute, s"tau=$num/$den: containment probe drifted")
+    }
+    // every planted strict subset is found at τ = 1 against its source
+    val full = cbag(SetSimilarity.probeContainment(index, batch, "id",
+      col("toks"), 1, 1))
+    assert((0 until 30 by 3).forall(i =>
+      full.exists(p => p._1 == 1000L + i && p._2 == (i % 30).toLong)))
+  }
+
   test("SetSimIndex: save/load round-trips and the probe prunes to candidate shards") {
     val dir = java.nio.file.Files.createTempDirectory("setsim_idx").toString
     val corpus = Seq(
