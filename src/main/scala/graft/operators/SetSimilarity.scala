@@ -212,28 +212,48 @@ object SetSimilarity {
     * only prefix selectivity — so the index earns a rebuild on the
     * usual cadence, like every inverted index.
     */
-  final case class SetSimIndex(entries: DataFrame, dfreq: DataFrame) {
+  final case class SetSimIndex(entries: DataFrame, dfreq: DataFrame,
+      postings: Option[DataFrame] = None) {
     /** Persist under `dir` — entries shard-partitioned (empty-input
       * guard as MinhashIndex.save: partitionBy on empty input writes
-      * nothing readable back). */
+      * nothing readable back). Also writes the TOKEN-KEYED posting
+      * projection (a_id, n, t) partitioned by `tshard` =
+      * pmod(t, 64): [[probeContainment]]'s corpus side prunes to the
+      * batch's prefix-token shards via partition pruning instead of
+      * scanning every posting — the sublinear probe path. */
     def save(dir: String, mode: String = "error"): Unit = {
       val w = entries.write.mode(mode)
       if (entries.isEmpty) w.parquet(s"$dir/entries")
       else w.partitionBy("shard").parquet(s"$dir/entries")
       dfreq.write.mode(mode).parquet(s"$dir/dfreq")
+      val posts = entries
+        .select(col("id").as("a_id"), col("n"), explode(col("ord")).as("t"))
+        .withColumn("tshard",
+          pmod(col("t"), lit(Dedup.IndexShards.toLong)).cast("int"))
+      val wp = posts.write.mode(mode)
+      if (entries.isEmpty) wp.parquet(s"$dir/postings")
+      else wp.partitionBy("tshard").parquet(s"$dir/postings")
     }
 
-    /** Pin both frames for repeated in-memory probes. */
+    /** Pin the join-side frames for repeated in-memory probes.
+      * Postings pass through untouched — checkpointing would strip
+      * the file backing that makes their shard filter prune I/O. */
     def materialize(): SetSimIndex =
       SetSimIndex(entries.localCheckpoint(false),
-        dfreq.localCheckpoint(false))
+        dfreq.localCheckpoint(false), postings)
   }
 
   object SetSimIndex {
     def load(spark: org.apache.spark.sql.SparkSession,
-        dir: String): SetSimIndex =
+        dir: String): SetSimIndex = {
+      // postings appeared after the first saved indexes — absent is
+      // legal (probes fall back to exploding entries)
+      val posts =
+        try Some(spark.read.parquet(s"$dir/postings"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
       SetSimIndex(spark.read.parquet(s"$dir/entries"),
-        spark.read.parquet(s"$dir/dfreq"))
+        spark.read.parquet(s"$dir/dfreq"), posts)
+    }
   }
 
   /** Build the index in one corpus pass (plus the vocabulary-sized
@@ -360,13 +380,13 @@ object SetSimilarity {
     * stored arrays with the same shard pruning as [[probeIndex]].
     * Recall is exactly 1.0 under any token order, frozen or not.
     *
-    * Cost shape: with `broadcastBatch` the corpus postings explode
-    * STREAMS through a broadcast hash join (no shuffle, no
-    * materialization) — one corpus-token pass per probe, the honest
-    * floor given `entries` is doc-sharded; a batch-token-keyed
-    * posting projection (save-time `ord` explode partitioned by
-    * token hash) would make probes sublinear and is the scale path
-    * if probe cadence ever outruns the scan.
+    * Cost shape: a save()d index carries a token-sharded POSTING
+    * projection (`postings`, partitioned by pmod(t, 64)) and the
+    * probe prunes it to the batch's prefix-token shards — partition
+    * pruning makes small-batch probes SUBLINEAR in the corpus. A
+    * built-in-memory index has no file backing to prune, so the
+    * corpus postings explode streams through the broadcast hash join
+    * instead (no shuffle, one corpus-token pass — the honest floor).
     * Output: (b_id, a_id, inter, n_b, n_a). */
   def probeContainment(index: SetSimIndex, batch: DataFrame, idCol: String,
       tokensCol: Column, tauNum: Int, tauDen: Int,
@@ -394,10 +414,24 @@ object SetSimilarity {
           (col("__bn") - floor((col("__bn") * tauNum + lit(tauDen - 1))
             / lit(tauDen)) + 1).cast("int"))))
       .withColumnsRenamed(Map("pos" -> "__ib", "col" -> "t"))
-    // corpus side: FULL postings — containment admits no A-side prefix
-    val atok = index.entries
-      .select(col("id").as("a_id"), col("n").as("__na"),
-        explode(col("ord")).as("t"))
+      .localCheckpoint(false) // shard collect + candidate join
+    // corpus side: FULL postings — containment admits no A-side
+    // prefix. A save()d index carries the token-sharded posting
+    // projection: prune it to the batch's prefix-token shards
+    // (partition pruning — the sublinear path); otherwise explode
+    // the entries and stream them through the broadcast join.
+    val atok = index.postings match {
+      case Some(p) if Dedup.isFileBacked(p) =>
+        val shards = bpre
+          .select(pmod(col("t"), lit(Dedup.IndexShards.toLong))
+            .cast("int").as("s"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        p.filter(col("tshard").isin(shards: _*))
+          .select(col("a_id"), col("n").as("__na"), col("t"))
+      case _ => index.entries
+        .select(col("id").as("a_id"), col("n").as("__na"),
+          explode(col("ord")).as("t"))
+    }
     val cand = atok.join(maybeB(bpre), "t")
       .filter(col("__na") * tauDen >= col("__bn") * tauNum &&
         (col("__bn") - col("__ib")) * tauDen >= col("__bn") * tauNum)

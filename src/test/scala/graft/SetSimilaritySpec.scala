@@ -154,6 +154,18 @@ class SetSimilaritySpec extends SparkSpec {
       col("toks"), 1, 1))
     assert((0 until 30 by 3).forall(i =>
       full.exists(p => p._1 == 1000L + i && p._2 == (i % 30).toLong)))
+    // a save()d index probes through the token-sharded POSTINGS with
+    // partition pruning — results must be identical to the in-memory
+    // (explode-the-entries) path
+    val dir = java.nio.file.Files.createTempDirectory("setsim_cidx").toString
+    index.save(dir, mode = "overwrite")
+    val loaded = SetSimilarity.SetSimIndex.load(spark, dir)
+    assert(loaded.postings.isDefined)
+    val viaPostings = cbag(SetSimilarity.probeContainment(loaded, batch,
+      "id", col("toks"), 4, 5))
+    val viaMemory = cbag(SetSimilarity.probeContainment(index, batch,
+      "id", col("toks"), 4, 5))
+    assert(viaPostings === viaMemory)
   }
 
   test("SetSimIndex: save/load round-trips and the probe prunes to candidate shards") {
