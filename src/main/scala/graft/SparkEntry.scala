@@ -1991,7 +1991,8 @@ object SparkEntry {
       "doc_id", "text", window = 4, modulus = 64)
 
   /** q134: PMI COLLOCATIONS — top-20 adjacent word pairs by pointwise
-    * mutual information (min count 100). Bigrams are generated
+    * mutual information (min bigram count 10, both here and in the
+    * oracle). Bigrams are generated
     * IN-PLAN (transform over the token array — zero extra shuffle
     * beyond the two count aggregates); unigram totals and the bigram
     * denominator ride broadcast one-row aggregates, no driver
@@ -4546,8 +4547,9 @@ object SparkEntry {
         |  FROM n
         |UNION ALL
         |SELECT 'fk(l_orderkey->orders)', n.n,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem li
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = li.l_orderkey))
         |  FROM n""".stripMargin,
     // q144: the window form the aggregate replaces IS the oracle.
     "q144_topk_agg" ->

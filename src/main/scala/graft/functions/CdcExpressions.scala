@@ -20,9 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * an insertion or deletion re-chunks just its neighbourhood — the
   * property that makes CDC chunks dedup-stable across document
   * revisions where fixed-size chunking (q80's shape) shifts every
-  * downstream chunk. Reference anchor: the reference pipelines diff
-  * re-crawled pages wholesale (compare.py's row-level hashing); CDC
-  * chunking is the sub-document version of the same idea.
+  * downstream chunk. Anchor: the engine's whole-document snapshot
+  * diff ([[graft.operators.Corpus.snapshotDiff]], q81) classifies
+  * re-crawled documents by content hash; CDC chunking is the
+  * sub-document grain of the same idea, consumed by q151's
+  * chunk-level diff ([[graft.operators.Corpus.chunkDiff]]).
   *
   * One O(n) pass, O(w) state, zero allocation beyond the output
   * buffer: the hash rolls (multiply-add the incoming code point,

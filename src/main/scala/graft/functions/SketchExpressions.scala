@@ -47,10 +47,21 @@ object DdSketchImpl {
   def bucketOf(x: Long, g: Double): Int =
     math.ceil(math.log(x.toDouble) / math.log(g)).toInt
 
+  /** Same bucket as [[bucketOf]] with ln(γ) precomputed by the caller
+    * (identical float op order — division by the SAME ln(γ) double —
+    * so hoisting cannot shift a boundary). */
+  def bucketOfLn(x: Long, lnG: Double): Int =
+    math.ceil(math.log(x.toDouble) / lnG).toInt
+
   def add(buf: Buf, x: Long, g: Double): Unit =
+    addLn(buf, x, math.log(g))
+
+  /** Per-row hot path: γ is fixed for an aggregate's lifetime, so the
+    * division-and-log of gamma(alpha) is hoisted to the caller. */
+  def addLn(buf: Buf, x: Long, lnG: Double): Unit =
     if (x == 0) buf.zero += 1
     else {
-      val i = bucketOf(x, g).toLong
+      val i = bucketOfLn(x, lnG).toLong
       buf.counts.update(i, buf.counts.getOrElse(i, 0L) + 1L)
     }
 
@@ -134,6 +145,9 @@ case class DdSketchAgg(
     case other => throw new IllegalArgumentException(
       s"$prettyName: alpha must be a foldable double, got $other")
   }
+  // γ is fixed for the aggregate's lifetime — hoist the per-row
+  // division (gamma) and log (bucketOf's ln γ) out of update()
+  private lazy val lnG: Double = math.log(gamma(alpha))
 
   override def checkInputDataTypes(): TypeCheckResult = {
     if (left.dataType != LongType || right.dataType != DoubleType)
@@ -157,7 +171,7 @@ case class DdSketchAgg(
     if (v != null) {
       val x = v.asInstanceOf[Long]
       require(x >= 0, s"$prettyName: negative input $x")
-      add(buf, x, gamma(alpha))
+      addLn(buf, x, lnG)
     }
     buf
   }

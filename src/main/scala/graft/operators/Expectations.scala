@@ -59,7 +59,11 @@ object Expectations {
   /** Referential-integrity rule: child keys with no parent. One
     * left-anti join (broadcast when the parent is dim-sized; hash at
     * scale — Spark picks), counted. Null child keys are orphans
-    * (they reference nothing). */
+    * (they reference nothing) — the NOT EXISTS / anti-join
+    * convention, NOT SQL `NOT IN` (whose three-valued logic treats a
+    * null child as a non-violation and any null parent key as
+    * matching everything). An oracle for this rule must be written
+    * as NOT EXISTS to agree on nullable keys. */
   def fkCheck(
       name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
@@ -73,16 +77,16 @@ object Expectations {
       lit(orphans).as("n_violations"))
   }
 
-  /** Uniqueness rule: rows whose key occurs more than once (every row
-    * of a duplicated key counts, matching the SQL oracle's
-    * `count(*) - count(distinct)` … no: n_violations = rows in
-    * over-represented keys minus the one legitimate row each). One
-    * map-side-combined count + a tiny arithmetic aggregate. */
+  /** Uniqueness rule: n_violations = rows in over-represented keys
+    * minus the one legitimate row each (sum over keys of `count - 1`
+    * where count > 1). One map-side-combined count + a tiny
+    * arithmetic aggregate; an empty relation reports (0, 0). */
   def uniqueCheck(name: String, df: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
     kc.agg(
-      sum(col("__c")).as("__n"),
-      sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)).as("__v"))
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)),
+        lit(0L)).as("__v"))
       .select(lit(name).as("rule"),
         col("__n").cast("long").as("n_checked"),
         col("__v").cast("long").as("n_violations"))

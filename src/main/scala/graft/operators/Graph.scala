@@ -58,14 +58,21 @@ object Graph {
     // DISJOINT column names and joins use string-resolved conditions
     // (a dataset-column reference like e("dst") trips
     // DetectAmbiguousSelfJoin here).
-    val e = und.persist()
+    // localCheckpoint, not persist (the q133 lesson): adj and nodes
+    // are consumed by EVERY iteration's join, and under storage
+    // pressure a persist silently degrades to re-deriving the whole
+    // adjacency (distinct + degree join) once per iteration.
+    // localCheckpoint pins the blocks and cuts lineage; it also
+    // CAPTURES adj's hash partitioning on `src`, so each iteration's
+    // join still reuses the one exchange done here.
+    val e = und.localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
       .withColumnRenamed("src", "__degid")
     val adj = e.join(deg, col("src") === col("__degid"))
       .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
-      .repartition(col("src")).persist()
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count() // one tiny driver scalar, outside the loop
     val base = (1.0 - damping) / n
 
@@ -164,7 +171,12 @@ object Graph {
           .distinct()
           .withColumn("__w", lit(1L))
     }
-    val und = und0.repartition(col("src")).persist()
+    // localCheckpoint (q133 discipline, same reason as pageRank's
+    // adj): every round re-joins this frame, and eviction under a
+    // persist would re-run the symmetrise+distinct per round. The
+    // captured src-hash partitioning keeps the per-round join
+    // exchange-free on the edge side.
+    val und = und0.repartition(col("src")).localCheckpoint()
     // symmetrised ⇒ the node set is exactly the distinct src side
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))

@@ -246,11 +246,17 @@ object SetSimilarity {
   object SetSimIndex {
     def load(spark: org.apache.spark.sql.SparkSession,
         dir: String): SetSimIndex = {
-      // postings appeared after the first saved indexes — absent is
-      // legal (probes fall back to exploding entries)
+      // postings appeared after the first saved indexes — ABSENT is
+      // legal (probes fall back to exploding entries). But only true
+      // absence may degrade: an existence check, not a blanket
+      // exception catch, so a permission error or a corrupt folder
+      // fails loudly instead of silently costing every future probe
+      // the sublinear path.
+      val pPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val posts =
-        try Some(spark.read.parquet(s"$dir/postings"))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+        if (fs.exists(pPath)) Some(spark.read.parquet(pPath.toString))
+        else None
       SetSimIndex(spark.read.parquet(s"$dir/entries"),
         spark.read.parquet(s"$dir/dfreq"), posts)
     }

@@ -63,7 +63,23 @@ object StreamSketchTable {
     val bsk = batch.filter(col(tsCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(expr(s"dd_sketch_agg($valCol, ${alpha}D)").as("sk"))
-    val prev = versions(spark, dir).takeWhile(_._1 < batchId).lastOption
+    val existing = versions(spark, dir)
+    // Replay of the CURRENT batch id is legal (foreachBatch re-runs
+    // the last uncommitted batch after a restart; the overwrite below
+    // is what makes that idempotent). A version NEWER than batchId
+    // means the streaming checkpoint was reset while the table dir
+    // was kept: merging would fork history into low-numbered versions
+    // while read() keeps serving the stale high-water version. Fail
+    // loudly — the table dir must be cleared together with the
+    // checkpoint.
+    existing.lastOption.filter(_._1 > batchId).foreach { case (v, _) =>
+      throw new IllegalStateException(
+        s"StreamSketchTable: table at $dir already has version v=$v > " +
+          s"incoming batchId=$batchId — the streaming checkpoint was " +
+          "reset while the table dir was kept. Clear the table dir " +
+          "together with the checkpoint (they version in lockstep).")
+    }
+    val prev = existing.takeWhile(_._1 < batchId).lastOption
     val merged = prev match {
       case Some((_, p)) =>
         spark.read.parquet(p.toString).union(bsk)

@@ -186,4 +186,36 @@ class SetSimilaritySpec extends SparkSpec {
       "id", col("toks"), 1, 1))
     assert(same === Set((2L, 11L, 4L, 4L)))
   }
+
+  test("SetSimIndex.load: missing postings degrade, corrupt postings fail loudly") {
+    val corpus = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("p", "q", "r", "s"))).toDF("id", "toks")
+    // pre-postings layout (entries + dfreq only): load must fall back
+    // to the explode-the-entries path, not throw
+    val bare = java.nio.file.Files.createTempDirectory("setsim_bare").toString
+    val idx = SetSimilarity.buildIndex(corpus, "id", col("toks"))
+    idx.entries.write.parquet(s"$bare/entries")
+    idx.dfreq.write.parquet(s"$bare/dfreq")
+    val legacy = SetSimilarity.SetSimIndex.load(spark, bare)
+    assert(legacy.postings.isEmpty)
+    val batch = Seq((10L, Seq("a", "b", "c", "e"))).toDF("id", "toks")
+    assert(bag(SetSimilarity.probeIndex(legacy, batch, "id",
+      col("toks"), 3, 5)) === Set((1L, 10L, 3L, 5L)))
+    // an EXISTING but unreadable postings folder must NOT silently
+    // degrade every probe to the full path: the error surfaces when
+    // the broken postings are read (load itself resolves lazily)
+    val broken = java.nio.file.Files.createTempDirectory("setsim_bad").toString
+    idx.entries.write.parquet(s"$broken/entries")
+    idx.dfreq.write.parquet(s"$broken/dfreq")
+    val pdir = java.nio.file.Paths.get(broken, "postings")
+    java.nio.file.Files.createDirectories(pdir)
+    java.nio.file.Files.writeString(
+      pdir.resolve("part-00000.parquet"), "this is not parquet")
+    val loud = intercept[Exception] {
+      SetSimilarity.SetSimIndex.load(spark, broken)
+        .postings.get.collect()
+    }
+    assert(loud != null)
+  }
 }

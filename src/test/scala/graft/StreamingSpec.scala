@@ -235,6 +235,14 @@ class StreamingSpec extends SparkSpec {
     // superseded versions pruned to 2, predecessor retained for retry
     val vs = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
     assert(vs === Seq("v=0", "v=1"))
+    // checkpoint-reset detection: a batch id BELOW the table's high
+    // water (checkpoint cleared, table dir kept) must fail loudly
+    // instead of forking history into low-numbered versions while
+    // read() keeps serving the stale high version
+    val reset = intercept[IllegalStateException] {
+      StreamSketchTable.mergeBatch(b1, 0L, "ts", "cents", 0.01, dir)
+    }
+    assert(reset.getMessage.contains("checkpoint"))
   }
 
   test("slidingAgg lands each event in every overlapping hop window") {
