@@ -15,8 +15,84 @@ import org.apache.spark.sql.SparkSession
   * - errors are NEVER swallowed: a throwing query reports `"err"` with
   *   the exception class+message and contributes 0 to the total rather
   *   than a bogus near-zero time that would 'improve' the result.
+  *
+  * Self-attribution (r12): the r11 driver record contained an 82 s
+  * cluster (q43/q49/q46/q53) that no code change explained and the
+  * artifacts could neither blame on the environment nor clear — the
+  * same epistemic hole as the old `parsed: null` era, one level up.
+  * The bench now measures its own conditions so a future record can
+  * attribute anomalies by itself:
+  * - HEAP PRE-WARM with a built-in page-fault-rate PROBE: before the
+  *   timed section an allocate-and-touch loop faults ~half of -Xmx
+  *   into the process (budgeted at 60 s — this VM's proactive-reclaim
+  *   daemon can degrade first-touch to ~25 MB/s, see build.sbt). The
+  *   achieved MB/s is recorded in BOTH the detail file and the
+  *   summary line: a healthy box zeroes GBs per second, so
+  *   `prewarm_mbps` in the tens IS the environment-degradation
+  *   signal, captured in the artifact itself.
+  * - PER-PASS GC TIME and ALLOCATED BYTES (GarbageCollectorMXBean /
+  *   com.sun.management.ThreadMXBean deltas) beside every timed wall
+  *   second in the detail file: a pass that took 10× with flat
+  *   allocation and flat GC is the host stalling us, not the query.
+  * - A CANARY (the first headline query re-timed every ~20 queries,
+  *   cache-cleared like everything else) whose series localises any
+  *   degradation window on the run's own timeline; per-query start
+  *   offsets (`t0` seconds since bench start) anchor every median to
+  *   that timeline.
   */
 object Bench {
+
+  private val gcBeans = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+  }
+  private def gcMillis(): Long =
+    gcBeans.map(b => math.max(0L, b.getCollectionTime)).sum
+
+  // Sum of per-thread allocated bytes over LIVE threads. Threads that
+  // die between samples drop their tally (a delta can come out
+  // slightly low or negative — clamped); this is attribution, not
+  // accounting, and executor threads in local mode are long-lived.
+  private val threadMx =
+    try {
+      val t = java.lang.management.ManagementFactory.getThreadMXBean
+        .asInstanceOf[com.sun.management.ThreadMXBean]
+      if (t.isThreadAllocatedMemorySupported) {
+        if (!t.isThreadAllocatedMemoryEnabled)
+          t.setThreadAllocatedMemoryEnabled(true)
+        Some(t)
+      } else None
+    } catch { case _: Throwable => None }
+  private def allocatedBytes(): Long = threadMx match {
+    case Some(t) =>
+      try t.getThreadAllocatedBytes(t.getAllThreadIds)
+        .filter(_ > 0L).sum
+      catch { case _: Throwable => -1L }
+    case None => -1L
+  }
+
+  /** Fault `targetMb` of heap in (64 MB chunks, one write per 4 KiB
+    * page) under a hard time budget; returns (mbTouched, seconds).
+    * The chunks are dropped afterwards — the point is the PAGES, which
+    * stay committed to the process for the GC to reuse, not the data. */
+  private def prewarmHeap(targetMb: Long, budgetSec: Double): (Long, Double) = {
+    val chunkMb = 64
+    val perChunk = chunkMb * 1024 * 1024 / 8 // longs
+    val keep = new java.util.ArrayList[Array[Long]]()
+    val t0 = System.nanoTime()
+    var mb = 0L
+    try {
+      while (mb < targetMb && (System.nanoTime() - t0) / 1e9 < budgetSec) {
+        val a = new Array[Long](perChunk)
+        var i = 0
+        while (i < perChunk) { a(i) = i; i += 512 } // one touch per page
+        keep.add(a)
+        mb += chunkMb
+      }
+    } catch { case _: OutOfMemoryError => keep.clear() }
+    keep.clear()
+    (mb, (System.nanoTime() - t0) / 1e9)
+  }
 
   private def jsonStr(s: String): String =
     // truncate BEFORE escaping: a cut after escaping can land mid
@@ -139,38 +215,70 @@ object Bench {
       // asymmetric containment join (subset-duplicate detection)
       "q153_containment"
     ).filter(SparkEntry.queries.contains)
+      // dev-only subset filter for local iteration; the driver sets
+      // neither env var, so its protocol is unchanged
+      .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .forall(_.split(",").contains(n)))
 
-    final case class Result(name: String, median: Double, runs: Seq[Double],
-        err: Option[String])
+    // Heap pre-warm + page-fault-rate probe (see object scaladoc):
+    // default target is half of -Xmx, overridable / disableable via
+    // env; hard 60 s budget so a degraded box can't stall the round —
+    // a budget hit with a low MB/s is exactly the signal we record.
+    val pwTarget = sys.env.get("SPARK_GRAFT_PREWARM_MB").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 2 / (1024L * 1024L))
+    val (pwMb, pwSec) =
+      if (pwTarget <= 0) (0L, 0.0) else prewarmHeap(pwTarget, 60.0)
+    val pwMbps = if (pwSec > 0.001) pwMb / pwSec else 0.0
 
-    val results = headline.map { name =>
+    final case class Pass(sec: Double, gcMs: Long, allocMb: Long)
+    final case class Result(name: String, median: Double, t0: Double,
+        runs: Seq[Pass], err: Option[String])
+
+    val benchStart = System.nanoTime()
+    def sinceStart(): Double = (System.nanoTime() - benchStart) / 1e9
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Pass] =
+      try {
+        val gc0 = gcMillis(); val al0 = allocatedBytes()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc = gcMillis() - gc0
+        val al = if (al0 < 0) -1L
+          else math.max(0L, allocatedBytes() - al0) / (1024L * 1024L)
+        Right(Pass(sec, gc, al))
+      } catch {
+        case e: Throwable =>
+          // first line only, hard-capped: an AnalysisException message
+          // embeds the FULL logical plan, and two of those flooded the
+          // driver's tail window in r9 (no parseable summary line)
+          val firstLine = String.valueOf(e.getMessage)
+            .linesIterator.toSeq.headOption.getOrElse("").take(200)
+          Left(s"${e.getClass.getSimpleName}: $firstLine")
+      }
+
+    // Canary: the first headline query re-timed (one pass, same
+    // clear-cache conditions) every `canaryEvery` queries — its series
+    // puts any degradation window on the run's own timeline.
+    val canaryName = headline.headOption.getOrElse("")
+    val canaryEvery = 20
+    val canary = scala.collection.mutable.ListBuffer.empty[(Double, Pass)]
+
+    val results = headline.zipWithIndex.map { case (name, qi) =>
       val fn = SparkEntry.queries(name)
-      def once(): Either[String, Double] =
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            // first line only, hard-capped: an AnalysisException message
-            // embeds the FULL logical plan, and two of those flooded the
-            // driver's tail window in r9 (no parseable summary line)
-            val firstLine = String.valueOf(e.getMessage)
-              .linesIterator.toSeq.headOption.getOrElse("").take(200)
-            Left(s"${e.getClass.getSimpleName}: $firstLine")
-        }
-      (1 to 2).foreach(_ => once()) // warm-up (errors re-surface in timed runs)
+      val off = sinceStart()
+      (1 to 2).foreach(_ => timed(fn)) // warm-up (errors re-surface in timed runs)
       // per-query budget: run `iters` timed passes, but stop early once
       // cumulative timed seconds exceed 60 so one slow query can't stall
       // the round — with a FLOOR of 3 timed passes (r10 verdict: a
       // 1-pass median is a single noisy sample on a shared box; q60's
       // apparent 4.6x regression was partly unguardable because of it)
-      val runsBuf = scala.collection.mutable.ListBuffer.empty[Either[String, Double]]
+      val runsBuf = scala.collection.mutable.ListBuffer.empty[Either[String, Pass]]
       var cum = 0.0
       while (runsBuf.size < iters && (runsBuf.size < 3 || cum < 60.0)) {
-        val r = once()
+        val r = timed(fn)
         runsBuf += r
-        cum += r.getOrElse(0.0)
+        cum += r.map(_.sec).getOrElse(0.0)
       }
       val runs = runsBuf.toList
       // Isolate queries from each other's cached state: with 114
@@ -182,13 +290,19 @@ object Bench {
       // now starts with an empty cache; its own warm-ups re-populate
       // what its passes share.
       spark.catalog.clearCache()
-      val times = runs.collect { case Right(t) => t }
+      if ((qi + 1) % canaryEvery == 0 && name != canaryName)
+        SparkEntry.queries.get(canaryName).foreach { cfn =>
+          val coff = sinceStart()
+          timed(cfn).foreach(p => canary += ((coff, p)))
+          spark.catalog.clearCache()
+        }
+      val times = runs.collect { case Right(p) => p }
       val errs = runs.collect { case Left(e) => e }
       if (errs.nonEmpty)
-        Result(name, 0.0, times, Some(errs.head))
+        Result(name, 0.0, off, times, Some(errs.head))
       else {
-        val sorted = times.sorted
-        Result(name, sorted(sorted.size / 2), times, None)
+        val sorted = times.map(_.sec).sorted
+        Result(name, sorted(sorted.size / 2), off, times, None)
       }
     }
 
@@ -218,16 +332,37 @@ object Bench {
     // FILE with the medians; path is env-overridable and resolved
     // explicitly so a cwd change doesn't silently drop the diagnostics
     val spread = results.filter(_.runs.nonEmpty).map { r =>
-      jsonStr(r.name) + ":[" + num(r.runs.min) + "," + num(r.runs.max) +
-        "," + r.runs.size + "]"
+      jsonStr(r.name) + ":[" + num(r.runs.map(_.sec).min) + "," +
+        num(r.runs.map(_.sec).max) + "," + r.runs.size + "]"
     }.mkString("{", ",", "}")
+    // full attribution record: every timed pass as [wall_sec, gc_ms,
+    // alloc_mb] (alloc -1 when the JVM can't report it), the query's
+    // start offset on the run timeline, the canary series, and the
+    // pre-warm probe — enough to separate "the query regressed" from
+    // "the box degraded" without rerunning anything
+    val passes = results.filter(_.runs.nonEmpty).map { r =>
+      jsonStr(r.name) + ":[" + r.runs.map(p =>
+        s"[${num(p.sec)},${p.gcMs},${p.allocMb}]").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val offs = results.map(r => jsonStr(r.name) + ":" + num(r.t0))
+      .mkString("{", ",", "}")
+    val canaryDetail = canary.map { case (off, p) =>
+      s"[${num(off)},${num(p.sec)},${p.gcMs},${p.allocMb}]"
+    }.mkString("[", ",", "]")
+    val prewarmJson =
+      s"""{"target_mb":$pwTarget,"touched_mb":$pwMb,"sec":${num(pwSec)},""" +
+        s""""mbps":${num(pwMbps)}}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "target/bench_detail.json")).toAbsolutePath
     try {
       java.nio.file.Files.createDirectories(detailPath.getParent)
       java.nio.file.Files.writeString(detailPath,
-        s"""{"queries":$qs,"spread_min_max_passes":$spread,"iters":$iters}""")
+        s"""{"queries":$qs,"spread_min_max_passes":$spread,""" +
+          s""""passes_sec_gcms_allocmb":$passes,"t0_sec":$offs,""" +
+          s""""canary":{"name":${jsonStr(canaryName)},"every":$canaryEvery,""" +
+          s""""samples_t0_sec_gcms_allocmb":$canaryDetail},""" +
+          s""""prewarm":$prewarmJson,"iters":$iters}""")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] detail write failed ($detailPath): $e")
@@ -245,6 +380,11 @@ object Bench {
     // guarded: a shutdown hiccup must never suppress the one line the
     // driver parses
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    // compact environment attribution in the PARSED line itself:
+    // prewarm_mbps (healthy = thousands; tens = the refault daemon)
+    // and the canary medians series (flat = healthy run; a bump
+    // localises a degradation window without opening the detail file)
+    val canaryLine = canary.map(c => num(c._2.sec)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"canary":$canaryLine,"sf":"$sfDir"}""")
   }
 }
