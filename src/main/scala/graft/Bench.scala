@@ -213,7 +213,9 @@ object Bench {
       "q149_cdc_chunks", "q150_communities", "q151_chunk_diff",
       "q152_chunk_dedup",
       // asymmetric containment join (subset-duplicate detection)
-      "q153_containment"
+      "q153_containment",
+      // BPE tokenizer: frozen-merge encode + train-and-emit (r12)
+      "q154_bpe_encode", "q155_bpe_train"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

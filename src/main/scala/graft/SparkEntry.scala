@@ -1940,6 +1940,45 @@ object SparkEntry {
       Dedup.shinglesCol(docs, col("text"), 3), tauNum = 4, tauDen = 5)
   }
 
+  /** FROZEN merge list for q154: the output of `Bpe.train` over the
+    * sf0.01 documents corpus (24 merges, maxWords default), kept as a
+    * literal so the DuckDB oracle can replay the identical rank table
+    * — a runtime-trained list can't appear in a static SQL string.
+    * BpeSpec re-derives it from the corpus and pins the equality, so
+    * drift between the constant and the trainer is caught in CI. */
+  private[graft] val BpeMerges: Seq[String] = Seq(
+    "e|r", "i|n", "o|w", "o|r", "s|t", "m|er", "a|t", "l|u", "a|r",
+    "p|ar", "j|o", "jo|in", "a|s", "as|h", "h|ash", "r|ow", "at|c",
+    "atc|h", "b|atch", "a|n", "c|an", "s|can", "c|o", "c|u")
+
+  /** q154: BPE ENCODE (Bpe.tokenHistogram + the codegen'd
+    * `bpe_encode` kernel) — exact-tokenizer token histogram: every
+    * corpus word (lowercased [a-z]+ runs, 2..12 chars) is greedily
+    * tokenized against the frozen merge list and the top-30 tokens by
+    * count are reported with a deterministic (cnt desc, token)
+    * cutoff. Encoding is a pure projection (merge table broadcast by
+    * closure, per-thread whole-word memo); the only exchange is the
+    * token-count aggregate. The oracle unrolls the greedy
+    * one-pair-per-step loop as 11 CTE steps (words cap at 12 chars →
+    * ≤ 11 merges), each picking min (rank, position) via a packed
+    * rank·100+pos list_min — hash-exact. */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenHistogram(
+      Tables(s, dir).documents.select(col("text")), "text",
+      BpeMerges, k = 30)
+
+  /** q155: BPE TRAIN (Bpe.mergeTable) — the trained merge table
+    * itself, (rank, left, right), from one distributed word-count
+    * aggregate + a bounded vocabulary collect + the deterministic
+    * driver loop. Rows-only vs the oracle (40 training iterations
+    * cannot be replayed in static SQL); BpeSpec pins the trainer
+    * against hand-computed corpora, its determinism, and the frozen
+    * q154 list. */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergeTable(
+      Tables(s, dir).documents.select(col("text")), "text",
+      numMerges = 40)
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -2728,7 +2767,9 @@ object SparkEntry {
     "q150_communities" -> (q150 _),
     "q151_chunk_diff" -> (q151 _),
     "q152_chunk_dedup" -> (q152 _),
-    "q153_containment" -> (q153 _)
+    "q153_containment" -> (q153 _),
+    "q154_bpe_encode" -> (q154 _),
+    "q155_bpe_train" -> (q155 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4793,6 +4834,44 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |  WHERE len(a.tri) > 0 AND len(b.tri) > 0)
         |SELECT a_id, b_id, inter, n_a, n_b FROM p
-        |WHERE inter * 5 >= 4 * n_a""".stripMargin
+        |WHERE inter * 5 >= 4 * n_a""".stripMargin,
+    // q154: the greedy encode loop unrolled — each step merges the
+    // adjacent pair with min (rank, position), packed as rank*100+pos
+    // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =
+    // done. 11 steps cover the 12-char word cap.
+    "q154_bpe_encode" -> bpeUnrolledOracle(BpeMerges, steps = 11, k = 30)
   )
+
+  /** Builds q154's oracle: the kernel's one-pair-per-step greedy loop
+    * as `steps` unrolled CTE stages over DuckDB lists. */
+  private def bpeUnrolledOracle(merges: Seq[String], steps: Int,
+      k: Int): String = {
+    val ms = merges.map(p => s"'$p'").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH m AS (SELECT $ms AS ms),
+         |t0 AS (
+         |  SELECT regexp_extract_all(w, '.') AS l
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents)
+         |  WHERE length(w) BETWEEN 2 AND 12),
+         |""".stripMargin)
+    for (i <- 1 to steps) {
+      sb.append(
+        s"""s$i AS (SELECT l, list_min(list_transform(
+           |  list_filter(range(1, len(l)),
+           |    x -> list_position(ms, l[x] || '|' || l[x+1]) > 0),
+           |  x -> list_position(ms, l[x] || '|' || l[x+1]) * 100 + x)) AS bp
+           |  FROM t${i - 1}, m),
+           |t$i AS (SELECT CASE WHEN bp IS NULL THEN l ELSE
+           |  l[1:(bp % 100) - 1] || [l[bp % 100] || l[(bp % 100) + 1]]
+           |    || l[(bp % 100) + 2:len(l)] END AS l FROM s$i),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""enc AS (SELECT unnest(l) AS token FROM t$steps)
+         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
+         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT $k""".stripMargin)
+    sb.toString
+  }
 }

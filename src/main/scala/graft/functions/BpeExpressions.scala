@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernel behind `bpe_encode`: apply a TRAINED byte-pair-encoding
+  * merge list to a word (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — the encode half
+  * of the tokenizer story whose train half is
+  * [[graft.operators.Bpe.train]] (q126 counts the pair statistics
+  * BPE training is built from; this turns a trained merge table into
+  * exact tokenizations, so token budgets (q74/q98/q117) can run on
+  * real tokenizer counts instead of q39's whitespace approximation).
+  *
+  * Semantics (deterministic, and replayable in ANSI SQL — which is
+  * what keeps q154 hash-exact against the DuckDB oracle): the word
+  * starts as its CODE POINT sequence; each step merges exactly ONE
+  * adjacent pair — the one with the lowest merge rank, leftmost on
+  * ties — and the loop stops when no adjacent pair is in the table.
+  * One pair per step (rather than all occurrences of the best pair)
+  * is chosen because each step is then a single bounded SQL
+  * expression: a ≤ n-char word unrolls to ≤ n−1 CTE steps.
+  *
+  * Cost shape: the merge table is tiny and rides into generated code
+  * as a reference object (broadcast-by-closure — never a join), and
+  * a per-THREAD LRU memo caches whole-word encodings: corpus word
+  * frequencies are Zipfian, so the loop runs roughly once per
+  * distinct word per task, not once per token. No shuffle is
+  * introduced at any point — encoding is a pure projection.
+  */
+final class BpeCodec(val pairs: Array[String]) extends Serializable {
+
+  /** pair ("left|right") → rank; first occurrence wins. */
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      if (!m.containsKey(pairs(i))) m.put(pairs(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  private val CacheMax = 4096
+
+  // Per-thread LRU: expression instances are shared across executor
+  // threads in local mode, and a shared map would need locking on the
+  // hottest path in the query. GenericArrayData values are immutable,
+  // so handing the same instance to many rows is safe (consumers copy
+  // into unsafe rows).
+  @transient private lazy val cache
+      : ThreadLocal[java.util.LinkedHashMap[String, ArrayData]] =
+    ThreadLocal.withInitial { () =>
+      new java.util.LinkedHashMap[String, ArrayData](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ArrayData]): Boolean =
+          size() > CacheMax
+      }
+    }
+
+  def encode(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val c = cache.get()
+    val hit = c.get(s)
+    if (hit != null) return hit
+    val r = encodeUncached(s)
+    c.put(s, r)
+    r
+  }
+
+  private def encodeUncached(s: String): ArrayData = {
+    val toks = new java.util.ArrayList[String](math.max(4, s.length))
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      toks.add(s.substring(i, i + n))
+      i += n
+    }
+    var done = toks.size < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var j = 0
+      val last = toks.size - 1
+      while (j < last) {
+        val r = ranks.get(toks.get(j) + "|" + toks.get(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestI = j
+        }
+        j += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        toks.set(bestI, toks.get(bestI) + toks.get(bestI + 1))
+        toks.remove(bestI + 1)
+        done = toks.size < 2
+      }
+    }
+    val out = new Array[Any](toks.size)
+    var k = 0
+    while (k < toks.size) {
+      out(k) = UTF8String.fromString(toks.get(k)); k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `bpe_encode(word, merges)` — tokenize one word against a LITERAL
+  * merge list (array<string> of "left|right" entries in rank order).
+  * Null word → null; the merge list must be foldable (it is state,
+  * not data — a column there would mean re-building the rank table
+  * per row). */
+case class BpeEncode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "bpe_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: word must be string, got ${left.dataType.simpleString}")
+    else if (!right.foldable || (right.dataType match {
+      case ArrayType(StringType, _) => false
+      case _ => true
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: merges must be a literal array<string>")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val codec: BpeCodec = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    val arr = new Array[String](ad.numElements())
+    var i = 0
+    while (i < arr.length) {
+      arr(i) = ad.getUTF8String(i).toString; i += 1
+    }
+    new BpeCodec(arr)
+  }
+
+  override protected def nullSafeEval(w: Any, m: Any): Any =
+    codec.encode(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec,
+      classOf[BpeCodec].getName)
+    defineCodeGen(ctx, ev, (c, _) => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BpeEncode = copy(left = l, right = r)
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer TRAINING and corpus-wide ENCODING — the missing half
+  * of the tokenizer story q126 starts (q126 computes one iteration's
+  * pair counts; this trains a full merge list and applies it), so
+  * downstream token budgeting (q74/q98/q117) and padding analysis
+  * (q137) can run on exact tokenizer counts.
+  *
+  * Scale shape:
+  * - TRAIN follows the classic Sennrich recipe: BPE trains on the
+  *   WORD-FREQUENCY DICTIONARY, not the corpus — one distributed
+  *   word-count aggregate reduces 100 TB of text to a
+  *   vocabulary-sized table, the top `maxWords` of which (a bounded,
+  *   documented collect — the same discipline as Ann's centroid and
+  *   Classifier's partial collects) train the merges on the driver
+  *   in O(numMerges · dictChars) with no further cluster work.
+  * - ENCODE is a pure projection: the merge list rides into codegen
+  *   as a reference object ([[graft.functions.BpeCodec]] — broadcast
+  *   by closure, never a join), each task memoizes whole-word
+  *   encodings per thread, and no shuffle is introduced.
+  *
+  * Determinism (what makes the merge list reproducible and q154's
+  * oracle replayable): pair counts weight by word frequency; the best
+  * pair each iteration is max count with ties broken by the
+  * lexicographically SMALLEST (left, right); merging rewrites all
+  * non-overlapping occurrences left to right.
+  */
+object Bpe {
+
+  /** One lowercased [a-z]+ word per row (column `word`), length in
+    * [minLen, maxLen]. The regex is deliberately the portable subset
+    * both Spark and DuckDB regex engines agree on. */
+  def words(df: DataFrame, textCol: String,
+      minLen: Int = 2, maxLen: Int = 12): DataFrame =
+    df.select(explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .filter(length(col("word")).between(minLen, maxLen))
+
+  /** Train `numMerges` merges ("left|right", rank order) from the
+    * corpus — one word-count aggregate, a bounded top-`maxWords`
+    * collect, then the driver loop ([[trainFromCounts]]). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 30000, minLen: Int = 2, maxLen: Int = 12)
+      : Seq[String] = {
+    val wc = words(df, textCol, minLen, maxLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(maxWords) // bounded driver collect: vocabulary, not corpus
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(wc, numMerges)
+  }
+
+  /** The driver-side training loop over a word-frequency dict —
+    * public so specs can pin it against hand-computed corpora. */
+  def trainFromCounts(wc: Seq[(String, Long)], numMerges: Int)
+      : Seq[String] = {
+    require(numMerges >= 1, "trainFromCounts: numMerges >= 1")
+    // tokenization state per dict word; counts never change
+    val toks = wc.map { case (w, _) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b
+    }.toArray
+    val counts = wc.map(_._2).toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < toks.length) {
+        val t = toks(wi)
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + counts(wi))
+          i += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // max count; ties by lexicographically smallest (left, right)
+        val (best, _) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += s"${best._1}|${best._2}"
+        var wj = 0
+        while (wj < toks.length) {
+          val t = toks(wj)
+          if (t.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < t.length) {
+              if (i < t.length - 1 && t(i) == best._1 && t(i + 1) == best._2) {
+                out += t(i) + t(i + 1); i += 2
+              } else { out += t(i); i += 1 }
+            }
+            toks(wj) = out
+          }
+          wj += 1
+        }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Token column for a word column under a literal merge list (the
+    * codegen'd kernel — requires GraftExtensions). */
+  def encodeCol(word: Column, merges: Seq[String]): Column =
+    call_function("bpe_encode", word, typedlit(merges))
+
+  /** q154 shape: exact-tokenizer token histogram — top `k` BPE tokens
+    * by count over the corpus's words, deterministic cutoff
+    * (cnt desc, token). One scan, one aggregate exchange, and a
+    * TakeOrdered — the encode itself adds no shuffle. */
+  def tokenHistogram(docs: DataFrame, textCol: String,
+      merges: Seq[String], k: Int): DataFrame =
+    words(docs, textCol)
+      .select(explode(encodeCol(col("word"), merges)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** q155 shape: the trained merge table itself as rows
+    * (rank, left, right) — the artifact a tokenizer ships. */
+  def mergeTable(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 30000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, numMerges, maxWords).zipWithIndex.map {
+      case (p, i) =>
+        val Array(a, b) = p.split("\\|", 2)
+        (i, a, b)
+    }.toDF("rank", "left", "right")
+  }
+}

@@ -133,6 +133,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bucket_search",
       es => BucketSearch(es.head, es(1)),
       "bucket_search(value, bounds) - upper-bound binary search bucket index over a sorted literal array<double>"))
+    ext.injectFunction(fn("bpe_encode",
+      es => BpeEncode(es.head, es(1)),
+      "bpe_encode(word, merges) - BPE-tokenize a word against a literal array<string> of 'left|right' merges in rank order"))
     ext.injectFunction(fn("dd_sketch_agg",
       es => DdSketchAgg(es.head, es(1)),
       "dd_sketch_agg(value, alpha) - serialized relative-error quantile sketch of a non-negative bigint column"))

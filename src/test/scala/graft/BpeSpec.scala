@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE train + encode: the trainer against hand-computed corpora and
+  * the frozen q154 merge list; the codegen'd kernel against a naive
+  * reference implementation of the same greedy semantics. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  /** Independent reference for the kernel's documented semantics:
+    * one merge per step — lowest rank, leftmost on ties. */
+  private def naiveEncode(word: String, merges: Seq[String]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var toks = word.map(_.toString).toVector
+    var done = toks.size < 2
+    while (!done) {
+      val cands = toks.indices.dropRight(1)
+        .flatMap(i => rank.get(s"${toks(i)}|${toks(i + 1)}").map(r => (r, i)))
+      if (cands.isEmpty) done = true
+      else {
+        val (_, i) = cands.min
+        toks = toks.patch(i, Seq(toks(i) + toks(i + 1)), 2)
+        done = toks.size < 2
+      }
+    }
+    toks
+  }
+
+  private def encodeViaKernel(words: Seq[String],
+      merges: Seq[String]): Map[String, Seq[String]] =
+    words.toDF("w")
+      .select(col("w"), Bpe.encodeCol(col("w"), merges).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+
+  test("trainFromCounts: frequency-weighted pairs, lexicographic tie-break") {
+    // aaab x3, aab x2: a|a = 2*3 + 1*2 = 8 beats a|b = 5; after the
+    // merge, ('a','b') = 5 vs ('aa','a') = 3 vs ('aa','b') = 2
+    assert(Bpe.trainFromCounts(Seq(("aaab", 3L), ("aab", 2L)), 2) ===
+      Seq("a|a", "a|b"))
+    // tie on count: ('a','b') = 2 vs ('b','c') = 2 -> smallest pair
+    assert(Bpe.trainFromCounts(Seq(("ab", 2L), ("bc", 2L)), 1) ===
+      Seq("a|b"))
+    // training exhausts when every word is one token: stops early
+    assert(Bpe.trainFromCounts(Seq(("ab", 1L)), 10) === Seq("a|b"))
+  }
+
+  test("train: deterministic, and the frozen q154 list matches the corpus") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("text"))
+    val m1 = Bpe.train(docs, "text", numMerges = 24)
+    val m2 = Bpe.train(docs, "text", numMerges = 24)
+    assert(m1 === m2)
+    // the literal in SparkEntry is the trainer's own output — drift
+    // between the constant and the algorithm fails here, not in a
+    // silent oracle mismatch
+    assert(m1 === SparkEntry.BpeMerges)
+  }
+
+  test("bpe_encode kernel: known vectors and the empty merge table") {
+    val got = encodeViaKernel(
+      Seq("batch", "customer", "the", "filter", "join", "a"),
+      SparkEntry.BpeMerges)
+    assert(got("batch") === Seq("batch"))
+    assert(got("customer") === Seq("cu", "st", "o", "mer"))
+    assert(got("the") === Seq("t", "h", "e"))
+    assert(got("filter") === Seq("f", "i", "l", "t", "er"))
+    assert(got("join") === Seq("join"))
+    assert(got("a") === Seq("a"))
+    // no merges -> code points
+    assert(encodeViaKernel(Seq("abc"), Seq("x|y"))("abc") ===
+      Seq("a", "b", "c"))
+  }
+
+  test("bpe_encode kernel: equals the naive reference on every corpus word") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val words = Bpe.words(docs, "text").distinct()
+      .as[String].collect().toSeq.sorted
+    assert(words.nonEmpty)
+    val got = encodeViaKernel(words, SparkEntry.BpeMerges)
+    words.foreach { w =>
+      assert(got(w) === naiveEncode(w, SparkEntry.BpeMerges), s"word $w")
+    }
+    // repeated encode exercises the per-thread memo: same results
+    val again = encodeViaKernel(words ++ words, SparkEntry.BpeMerges)
+    assert(again === got)
+  }
+
+  test("tokenHistogram: deterministic top-k, counts conserve token totals") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("text"))
+    val hist = Bpe.tokenHistogram(docs, "text", SparkEntry.BpeMerges, k = 30)
+      .as[(String, Long)].collect().toSeq
+    assert(hist.size === 30)
+    // ordered by (cnt desc, token)
+    assert(hist === hist.sortBy { case (t, c) => (-c, t) })
+    // whole-word merges surface: trained tokens dominate chars
+    assert(hist.map(_._1).contains("join"))
+  }
+
+  test("mergeTable: rank-ordered rows with split pair halves") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("text"))
+    val mt = Bpe.mergeTable(docs, "text", numMerges = 10)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(mt.size === 10)
+    assert(mt.map(_._1) === (0 until 10))
+    assert(mt.map { case (_, a, b) => s"$a|$b" } ===
+      SparkEntry.BpeMerges.take(10))
+  }
+}

@@ -188,9 +188,13 @@ class PlanAuditSpec extends SparkSpec {
                                // exchanges, never a per-column query
       "q149_cdc_chunks" -> 0,  // pure projection: native cdc_cuts
                                // kernel + chunk explode ride the scan
-      "q151_chunk_diff" -> 3)  // one (doc, md5) count exchange per
+      "q151_chunk_diff" -> 3,  // one (doc, md5) count exchange per
                                // snapshot; the full-outer join reuses
                                // both; one per-doc rollup exchange
+      "q154_bpe_encode" -> 1)  // encode is a pure projection (merge
+                               // table broadcast by closure); only
+                               // the token-count agg moves, and the
+                               // top-30 cut is TakeOrderedAndProject
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
