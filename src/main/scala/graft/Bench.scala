@@ -215,7 +215,9 @@ object Bench {
       // asymmetric containment join (subset-duplicate detection)
       "q153_containment",
       // BPE tokenizer: frozen-merge encode + train-and-emit (r12)
-      "q154_bpe_encode", "q155_bpe_train"
+      "q154_bpe_encode", "q155_bpe_train",
+      // bigram Stupid-Backoff LM quality (r12)
+      "q156_lm_bigram"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

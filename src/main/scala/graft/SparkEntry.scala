@@ -1979,6 +1979,21 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("text")), "text",
       numMerges = 40)
 
+  /** q156: ORDER-2 LM QUALITY (Corpus.lmQualityScoreBigram) — q73's
+    * CCNet-style score upgraded to a bigram model with Stupid
+    * Backoff (α=0.4, add-one unigram fallback), the standard order-n
+    * perplexity-filter shape. Same reference slice as q73 (docs
+    * 0-99); both model tables broadcast, transitions generated
+    * in-plan. Oracle recomputes both count tables and replays the
+    * backoff arithmetic with the identical op order (single ln of a
+    * product/quotient per branch); the round(,4) mean absorbs
+    * cross-engine sum-order ULPs exactly as q73 does. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.lmQualityScoreBigram(d, "doc_id", "text",
+      reference = d.filter(col("doc_id") < 100), refTextCol = "text")
+  }
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -2769,7 +2784,8 @@ object SparkEntry {
     "q152_chunk_dedup" -> (q152 _),
     "q153_containment" -> (q153 _),
     "q154_bpe_encode" -> (q154 _),
-    "q155_bpe_train" -> (q155 _)
+    "q155_bpe_train" -> (q155 _),
+    "q156_lm_bigram" -> (q156 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4835,6 +4851,35 @@ object SparkEntry {
         |  WHERE len(a.tri) > 0 AND len(b.tri) > 0)
         |SELECT a_id, b_id, inter, n_a, n_b FROM p
         |WHERE inter * 5 >= 4 * n_a""".stripMargin,
+    // q156: both model tables recomputed definitionally; the CASE
+    // replays the backoff arithmetic with identical op order per
+    // branch (one ln of a quotient / one ln of 0.4·(c+1)/(T+V));
+    // round(avg, 4) absorbs sum-order ULPs as in q73.
+    "q156_lm_bigram" ->
+      """WITH refd AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+        |  (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+        |bgi AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM refd
+        |  WHERE len(ws) >= 2),
+        |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2,
+        |  CAST(count(*) AS BIGINT) AS c2 FROM bgi GROUP BY 1, 2),
+        |g AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+        |  CAST(count(*) AS DOUBLE) AS v FROM u),
+        |di AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM
+        |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |tr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM di)
+        |SELECT doc_id, round(avg(CASE WHEN b.c2 IS NOT NULL
+        |    THEN ln(CAST(b.c2 AS DOUBLE) / u.c1)
+        |    ELSE ln(CAST(0.4 AS DOUBLE) *
+        |      (coalesce(u2.c1, 0) + CAST(1.0 AS DOUBLE)) / (g.t + g.v))
+        |    END), 4) AS lm2_score
+        |FROM tr
+        |LEFT JOIN b USING (w1, w2)
+        |LEFT JOIN u USING (w1)
+        |LEFT JOIN u u2 ON u2.w1 = tr.w2, g
+        |GROUP BY 1""".stripMargin,
     // q154: the greedy encode loop unrolled — each step merges the
     // adjacent pair with min (rank, position), packed as rank*100+pos
     // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =

@@ -66,6 +66,69 @@ object Corpus {
       .agg(round(avg(col("__lp")), 4).as("lm_score"))
   }
 
+  /** Order-2 LM quality — [[lmQualityScore]] upgraded to a BIGRAM
+    * model with STUPID BACKOFF (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): each transition w1→w2 scores
+    *   ln(c2(w1,w2) / c1(w1))                     when the bigram is
+    *                                              in the reference,
+    *   ln(α · (c1(w2)+1) / (T+V))                 otherwise (backoff
+    *                                              to the add-one
+    *                                              unigram, α = 0.4),
+    * and a doc's score is the mean over its transitions — the
+    * standard order-n perplexity filter shape, where q73's unigram
+    * score is blind to word order.
+    *
+    * Scale shape is q73's exactly, one order up: the reference
+    * reduces to TWO bounded model tables (unigram and bigram counts —
+    * vocabulary-sized, built once) that BROADCAST into the scoring
+    * joins; T and V are driver scalars; the corpus contributes one
+    * exploded transition pass (in-plan `transform` over the token
+    * array — no extra shuffle) into a map-side-combined avg. Stupid
+    * Backoff's unnormalised score is chosen over Katz/Kneser-Ney
+    * deliberately: it needs no discount statistics, so the model
+    * stays two count tables that rollup-merge — the property that
+    * matters at 100 TB. */
+  def lmQualityScoreBigram(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      backoff: Double = 0.4): DataFrame = {
+    val pairs = "transform(sequence(0, size(__ws) - 2), " +
+      "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+    val refW = Parallelism.ensure(
+      reference.select(split(col(refTextCol), " ").as("__ws")))
+    // The model tables are vocabulary-sized and consumed three ways
+    // (two scoring joins + the T/V scalar) — localCheckpoint pins
+    // them so the reference corpus is scanned once per table, not
+    // once per consumer (and the scoring plan below carries no
+    // reference lineage at all: its only exchange is the per-doc avg)
+    val uni = refW.select(explode(col("__ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+      .localCheckpoint()
+    val bi = refW.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(pairs)).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+      .localCheckpoint()
+    val g = uni.agg(sum(col("__c1")).as("t"), count(lit(1)).as("v")).head()
+    val tv = (g.getLong(0) + g.getLong(1)).toDouble
+    val uni2 = uni.select(col("w1").as("w2"), col("__c1").as("__cw2"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(expr(pairs)).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .join(broadcast(uni2), Seq("w2"), "left")
+      .withColumn("__lp",
+        when(col("__c2").isNotNull,
+          log(col("__c2").cast("double") / col("__c1")))
+          .otherwise(log(lit(backoff) *
+            (coalesce(col("__cw2"), lit(0L)) + lit(1.0)) / lit(tv))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("__lp")), 4).as("lm2_score"))
+  }
+
   /** Sketch-first heavy hitters: the 100 TB path for [[ngramFreq]]'s
     * top-k. The exact plan's shuffle carries one row per distinct
     * n-gram per partition — fine while the vocabulary is bounded,

@@ -78,6 +78,35 @@ class CorpusSpec extends SparkSpec {
       math.round(math.log(5.0 / 19.0) * 10000).toDouble / 10000) < 1e-9)
   }
 
+  test("lmQualityScoreBigram: word order matters, backoff prices the unseen") {
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .toDF("text")
+    // T = 12 tokens, V = 7 distinct words
+    val docs = Seq(
+      (1L, "the cat sat"),   // both transitions are reference bigrams
+      (2L, "sat cat the"),   // same words REVERSED: no bigram matches
+      (3L, "zx qw vb"))      // unseen everything
+      .toDF("doc_id", "text")
+    val scores = Corpus
+      .lmQualityScoreBigram(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the unigram model (q73) CANNOT separate docs 1 and 2; the
+    // bigram model must — that is the point of the upgrade
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) > scores(3L))
+    def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    // doc 1: ln(c2(the,cat)/c1(the)) = ln(1/4); ln(c2(cat,sat)/c1(cat))
+    // = ln(1/1) = 0 -> mean = ln(1/4)/2
+    assert(math.abs(scores(1L) - r4(math.log(1.0 / 4.0) / 2.0)) < 1e-9)
+    // doc 3: every transition backs off to an unseen unigram:
+    // ln(0.4 * 1 / 19) each
+    assert(math.abs(scores(3L) - r4(math.log(0.4 * 1.0 / 19.0))) < 1e-9)
+    // doc 2's backoffs price the NEXT word's unigram count: cat=1,
+    // the=4 -> mean of ln(0.4*2/19) and ln(0.4*5/19)
+    assert(math.abs(scores(2L) - r4((math.log(0.4 * 2.0 / 19.0) +
+      math.log(0.4 * 5.0 / 19.0)) / 2.0)) < 1e-9)
+  }
+
   test("bm25Search ranks by term frequency, rarity, and length norm") {
     val docs = Seq(
       (1L, "spark spark spark engine"),       // tf=3, short

@@ -191,10 +191,15 @@ class PlanAuditSpec extends SparkSpec {
       "q151_chunk_diff" -> 3,  // one (doc, md5) count exchange per
                                // snapshot; the full-outer join reuses
                                // both; one per-doc rollup exchange
-      "q154_bpe_encode" -> 1)  // encode is a pure projection (merge
+      "q154_bpe_encode" -> 1,  // encode is a pure projection (merge
                                // table broadcast by closure); only
                                // the token-count agg moves, and the
                                // top-30 cut is TakeOrderedAndProject
+      "q156_lm_bigram" -> 1)   // model tables are checkpointed and
+                               // broadcast (no reference lineage in
+                               // the scoring plan); the corpus
+                               // transitions never shuffle before
+                               // their one per-doc avg exchange
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
