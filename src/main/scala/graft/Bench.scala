@@ -216,8 +216,8 @@ object Bench {
       "q153_containment",
       // BPE tokenizer: frozen-merge encode + train-and-emit (r12)
       "q154_bpe_encode", "q155_bpe_train",
-      // bigram Stupid-Backoff LM quality (r12)
-      "q156_lm_bigram"
+      // bigram Stupid-Backoff LM quality + exact tokenizer counts (r12)
+      "q156_lm_bigram", "q157_bpe_token_count"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -1979,6 +1979,16 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("text")), "text",
       numMerges = 40)
 
+  /** q157: EXACT TOKENIZER COUNTS (Bpe.tokenCounts) — per-doc
+    * (n_words, n_tokens) under the frozen merge list: the real value
+    * q39's whitespace-BPE-ish approximation stands in for, and the
+    * input a token-budget cut (q98/q117) or packing layout (q74)
+    * would consume at a real training run. Same oracle machinery as
+    * q154 (the unrolled greedy loop), finishing in a per-doc
+    * count/sum instead of the token histogram. */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCounts(Tables(s, dir).documents, "doc_id", "text", BpeMerges)
+
   /** q156: ORDER-2 LM QUALITY (Corpus.lmQualityScoreBigram) — q73's
     * CCNet-style score upgraded to a bigram model with Stupid
     * Backoff (α=0.4, add-one unigram fallback), the standard order-n
@@ -2785,7 +2795,8 @@ object SparkEntry {
     "q153_containment" -> (q153 _),
     "q154_bpe_encode" -> (q154 _),
     "q155_bpe_train" -> (q155 _),
-    "q156_lm_bigram" -> (q156 _)
+    "q156_lm_bigram" -> (q156 _),
+    "q157_bpe_token_count" -> (q157 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4884,39 +4895,46 @@ object SparkEntry {
     // adjacent pair with min (rank, position), packed as rank*100+pos
     // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =
     // done. 11 steps cover the 12-char word cap.
-    "q154_bpe_encode" -> bpeUnrolledOracle(BpeMerges, steps = 11, k = 30)
+    "q154_bpe_encode" -> (bpeUnrolledSteps(BpeMerges, steps = 11) +
+      """enc AS (SELECT unnest(l) AS token FROM t11)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
+    // q157: same unrolled machinery, finished as per-doc counts
+    "q157_bpe_token_count" -> (bpeUnrolledSteps(BpeMerges, steps = 11) +
+      """fin AS (SELECT doc_id, l FROM t11)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(l)) AS BIGINT) AS n_tokens
+        |FROM fin GROUP BY 1""".stripMargin)
   )
 
-  /** Builds q154's oracle: the kernel's one-pair-per-step greedy loop
-    * as `steps` unrolled CTE stages over DuckDB lists. */
-  private def bpeUnrolledOracle(merges: Seq[String], steps: Int,
-      k: Int): String = {
+  /** Shared oracle machinery for q154/q157: the kernel's
+    * one-pair-per-step greedy loop as `steps` unrolled CTE stages
+    * over DuckDB lists, carrying (doc_id, token list) into a final
+    * stage the caller appends. */
+  private def bpeUnrolledSteps(merges: Seq[String], steps: Int): String = {
     val ms = merges.map(p => s"'$p'").mkString("[", ", ", "]")
     val sb = new StringBuilder
     sb.append(
       s"""WITH m AS (SELECT $ms AS ms),
          |t0 AS (
-         |  SELECT regexp_extract_all(w, '.') AS l
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  SELECT doc_id, regexp_extract_all(w, '.') AS l
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
          |        FROM documents)
          |  WHERE length(w) BETWEEN 2 AND 12),
          |""".stripMargin)
     for (i <- 1 to steps) {
       sb.append(
-        s"""s$i AS (SELECT l, list_min(list_transform(
+        s"""s$i AS (SELECT doc_id, l, list_min(list_transform(
            |  list_filter(range(1, len(l)),
            |    x -> list_position(ms, l[x] || '|' || l[x+1]) > 0),
            |  x -> list_position(ms, l[x] || '|' || l[x+1]) * 100 + x)) AS bp
            |  FROM t${i - 1}, m),
-           |t$i AS (SELECT CASE WHEN bp IS NULL THEN l ELSE
+           |t$i AS (SELECT doc_id, CASE WHEN bp IS NULL THEN l ELSE
            |  l[1:(bp % 100) - 1] || [l[bp % 100] || l[(bp % 100) + 1]]
            |    || l[(bp % 100) + 2:len(l)] END AS l FROM s$i),
            |""".stripMargin)
     }
-    sb.append(
-      s"""enc AS (SELECT unnest(l) AS token FROM t$steps)
-         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
-         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT $k""".stripMargin)
     sb.toString
   }
 }

@@ -132,6 +132,26 @@ object Bpe {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** q157 shape: per-document EXACT tokenizer counts — (doc_id,
+    * n_words, n_tokens) where n_tokens is the BPE token count under
+    * `merges` — the number q39's whitespace approximation stands in
+    * for, feeding token budgets (q98/q117) and packing (q74) with
+    * the real value. Same cost shape as [[tokenHistogram]]: encode
+    * is a pure projection, one per-doc agg exchange. Documents with
+    * no qualifying word are absent (explode semantics — matching an
+    * oracle's inner unnest). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], minLen: Int = 2, maxLen: Int = 12): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .filter(length(col("word")).between(minLen, maxLen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(encodeCol(col("word"), merges)).cast("long"))
+          .as("n_tokens"))
+
   /** q155 shape: the trained merge table itself as rows
     * (rank, left, right) — the artifact a tokenizer ships. */
   def mergeTable(docs: DataFrame, textCol: String, numMerges: Int,

@@ -101,6 +101,28 @@ class BpeSpec extends SparkSpec {
     assert(hist.map(_._1).contains("join"))
   }
 
+  test("tokenCounts: exact per-doc tokenizer counts, conserved vs histogram") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tc = Bpe.tokenCounts(docs, "doc_id", "text", SparkEntry.BpeMerges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tc.nonEmpty)
+    // merging only ever shrinks: words <= tokens <= chars of words
+    assert(tc.forall { case (_, w, t) => t >= w })
+    // the corpus-wide token total equals the (unlimited) histogram total
+    val histTotal = Bpe.words(docs, "text")
+      .select(explode(Bpe.encodeCol(col("word"), SparkEntry.BpeMerges)))
+      .count()
+    assert(tc.map(_._3).sum === histTotal)
+    // one doc cross-checked against the naive reference
+    val (id0, w0, t0) = tc.minBy(_._1)
+    val words0 = Bpe.words(docs.filter(col("doc_id") === id0), "text")
+      .as[String].collect().toSeq
+    assert(words0.size.toLong === w0)
+    assert(words0.map(w =>
+      naiveEncode(w, SparkEntry.BpeMerges).size.toLong).sum === t0)
+  }
+
   test("mergeTable: rank-ordered rows with split pair halves") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("text"))

@@ -195,11 +195,13 @@ class PlanAuditSpec extends SparkSpec {
                                // table broadcast by closure); only
                                // the token-count agg moves, and the
                                // top-30 cut is TakeOrderedAndProject
-      "q156_lm_bigram" -> 1)   // model tables are checkpointed and
+      "q156_lm_bigram" -> 1,   // model tables are checkpointed and
                                // broadcast (no reference lineage in
                                // the scoring plan); the corpus
                                // transitions never shuffle before
                                // their one per-doc avg exchange
+      "q157_bpe_token_count" -> 1) // encode rides the scan; one
+                               // per-doc count/sum agg exchange
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
@@ -271,10 +273,14 @@ class PlanAuditSpec extends SparkSpec {
   test("dim-join queries broadcast their dimensions") {
     // q69: the sketch's candidate set broadcasts into the exact-count
     // semi-join; q71: per-term doc frequencies broadcast back into the
-    // hit frame — in both, the big side must never shuffle for the join
+    // hit frame; q49: the distinct probe n-grams broadcast into the
+    // corpus-gram join (r11 verdict asked this pinned); q156: both LM
+    // model tables broadcast into the scoring joins — in all, the big
+    // side must never shuffle for the join
     for (name <- Seq("q05_election_candidates", "q07_reference_lists",
       "q11_ship_priority", "q14_rollup", "q44_roster_query",
-      "q69_heavy_hitters", "q71_bm25")) {
+      "q49_contamination", "q69_heavy_hitters", "q71_bm25",
+      "q156_lm_bigram")) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
