@@ -217,7 +217,9 @@ object Bench {
       // BPE tokenizer: frozen-merge encode + train-and-emit (r12)
       "q154_bpe_encode", "q155_bpe_train",
       // bigram Stupid-Backoff LM quality + exact tokenizer counts (r12)
-      "q156_lm_bigram", "q157_bpe_token_count"
+      "q156_lm_bigram", "q157_bpe_token_count",
+      // trigram Stupid-Backoff chain + WordPiece encode/train (late r12)
+      "q158_lm_trigram", "q159_wordpiece_encode", "q160_wordpiece_train"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -1951,6 +1951,51 @@ object SparkEntry {
     "p|ar", "j|o", "jo|in", "a|s", "as|h", "h|ash", "r|ow", "at|c",
     "atc|h", "b|atch", "a|n", "c|an", "s|can", "c|o", "c|u")
 
+  /** FROZEN WordPiece vocabulary for q159: the output of
+    * `WordPiece.train` over the sf0.01 documents corpus (24 merges,
+    * maxWords default — base symbols then merged pieces), kept as a
+    * literal so the DuckDB oracle can replay the identical greedy
+    * longest-match against a static vocabulary. WordPieceSpec
+    * re-derives it from the corpus and pins the equality, so drift
+    * between the constant and the trainer is caught in CI. */
+  private[graft] val WpVocab: Seq[String] = Seq(
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k",
+    "##l", "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u",
+    "##w", "##y", "a", "b", "c", "d", "f", "g", "h", "j", "k", "l",
+    "m", "o", "p", "q", "r", "s", "t", "v", "w", "ag", "agg", "qu",
+    "li", "wi", "lin", "win", "wind", "fi", "##ig", "big", "##in",
+    "th", "##sh", "##ch", "fil", "##bl", "##us", "cus", "##up",
+    "##lu", "sp", "##lum", "##lumn")
+
+  /** q159: WORDPIECE ENCODE (WordPiece.tokenHistogram + the
+    * codegen'd `wordpiece_encode` kernel) — the second tokenizer
+    * family beside BPE: every corpus word is greedily
+    * longest-match tokenized against the frozen vocabulary (`##`
+    * continuation pieces, whole-word [UNK] on failure) and the
+    * top-30 tokens by count are reported with a deterministic
+    * (cnt desc, token) cutoff. Encoding is a pure projection; the
+    * only exchange is the token-count aggregate. The oracle unrolls
+    * the left-to-right consume loop as 12 CTE steps (words cap at 12
+    * chars → ≤ 12 pieces), each taking the LONGEST vocab prefix via
+    * list_max over matching lengths — hash-exact. */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    WordPiece.tokenHistogram(
+      Tables(s, dir).documents.select(col("text")), "text",
+      WpVocab, k = 30)
+
+  /** q160: WORDPIECE TRAIN (WordPiece.vocabTable) — the trained
+    * vocabulary itself, (id, piece), from one distributed word-count
+    * aggregate + a bounded vocabulary collect + the deterministic
+    * likelihood-scored driver loop (score = c(ab)/(c(a)·c(b)) — the
+    * published WordPiece/BPE trainer difference). Rows-only vs the
+    * oracle (24 likelihood iterations cannot be replayed in static
+    * SQL); WordPieceSpec pins the trainer against hand-computed
+    * corpora, its determinism, and the frozen q159 vocabulary. */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    WordPiece.vocabTable(
+      Tables(s, dir).documents.select(col("text")), "text",
+      numMerges = 24)
+
   /** q154: BPE ENCODE (Bpe.tokenHistogram + the codegen'd
     * `bpe_encode` kernel) — exact-tokenizer token histogram: every
     * corpus word (lowercased [a-z]+ runs, 2..12 chars) is greedily
@@ -2001,6 +2046,20 @@ object SparkEntry {
   private def q156(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
     Corpus.lmQualityScoreBigram(d, "doc_id", "text",
+      reference = d.filter(col("doc_id") < 100), refTextCol = "text")
+  }
+
+  /** q158: ORDER-3 LM QUALITY (Corpus.lmQualityScoreTrigram) — the
+    * full Stupid Backoff chain: trigram hit → α·bigram → α²·add-one
+    * unigram, mean over a doc's transitions. Same reference slice as
+    * q73/q156 (docs 0-99); all three model tables broadcast, triples
+    * generated in-plan. Oracle recomputes the three count tables and
+    * replays the three-branch CASE with identical op order per
+    * branch (one ln of a product/quotient); round(,4) absorbs
+    * sum-order ULPs as q73/q156 do. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.lmQualityScoreTrigram(d, "doc_id", "text",
       reference = d.filter(col("doc_id") < 100), refTextCol = "text")
   }
 
@@ -2796,7 +2855,10 @@ object SparkEntry {
     "q154_bpe_encode" -> (q154 _),
     "q155_bpe_train" -> (q155 _),
     "q156_lm_bigram" -> (q156 _),
-    "q157_bpe_token_count" -> (q157 _)
+    "q157_bpe_token_count" -> (q157 _),
+    "q158_lm_trigram" -> (q158 _),
+    "q159_wordpiece_encode" -> (q159 _),
+    "q160_wordpiece_train" -> (q160 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -4891,6 +4953,46 @@ object SparkEntry {
         |LEFT JOIN u USING (w1)
         |LEFT JOIN u u2 ON u2.w1 = tr.w2, g
         |GROUP BY 1""".stripMargin,
+    // q158: the trigram chain — three model tables recomputed
+    // definitionally; the CASE replays the three-branch backoff with
+    // identical op order per branch (ln of one product/quotient;
+    // α·α written as an explicit double product so both engines fold
+    // the same IEEE value); round(avg, 4) as in q73/q156.
+    "q158_lm_trigram" ->
+      """WITH refd AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+        |  (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+        |bgi AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM refd
+        |  WHERE len(ws) >= 2),
+        |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2,
+        |  CAST(count(*) AS BIGINT) AS c2 FROM bgi GROUP BY 1, 2),
+        |tgi AS (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM refd
+        |  WHERE len(ws) >= 3),
+        |t3 AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3,
+        |  CAST(count(*) AS BIGINT) AS c3 FROM tgi GROUP BY 1, 2, 3),
+        |g AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+        |  CAST(count(*) AS DOUBLE) AS v FROM u),
+        |di AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM
+        |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |tr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+        |  ws[i + 2] AS w3 FROM di)
+        |SELECT doc_id, round(avg(CASE
+        |    WHEN t3.c3 IS NOT NULL
+        |    THEN ln(CAST(t3.c3 AS DOUBLE) / b.c2)
+        |    WHEN b23.c2 IS NOT NULL
+        |    THEN ln(CAST(0.4 AS DOUBLE) * CAST(b23.c2 AS DOUBLE) / u2.c1)
+        |    ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+        |      (coalesce(u3.c1, 0) + CAST(1.0 AS DOUBLE)) / (g.t + g.v))
+        |    END), 4) AS lm3_score
+        |FROM tr
+        |LEFT JOIN t3 USING (w1, w2, w3)
+        |LEFT JOIN b USING (w1, w2)
+        |LEFT JOIN b b23 ON b23.w1 = tr.w2 AND b23.w2 = tr.w3
+        |LEFT JOIN u u2 ON u2.w1 = tr.w2
+        |LEFT JOIN u u3 ON u3.w1 = tr.w3, g
+        |GROUP BY 1""".stripMargin,
     // q154: the greedy encode loop unrolled — each step merges the
     // adjacent pair with min (rank, position), packed as rank*100+pos
     // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =
@@ -4904,8 +5006,54 @@ object SparkEntry {
       """fin AS (SELECT doc_id, l FROM t11)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(len(l)) AS BIGINT) AS n_tokens
-        |FROM fin GROUP BY 1""".stripMargin)
+        |FROM fin GROUP BY 1""".stripMargin),
+    // q159: the greedy longest-match consume loop unrolled — each
+    // step takes the LONGEST vocab prefix at position s (list_max
+    // over matching lengths), '##'-prefixing after the first piece;
+    // no match -> whole word ['[UNK]'] and s jumps past the end. 12
+    // steps cover the 12-char word cap (>= 1 char consumed/step).
+    "q159_wordpiece_encode" -> (wordpieceUnrolledSteps(WpVocab, steps = 12) +
+      """enc AS (SELECT unnest(l) AS token FROM t12)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin)
   )
+
+  /** Shared oracle machinery for q159: the WordPiece greedy
+    * longest-match loop as `steps` unrolled CTE stages over DuckDB
+    * lists, carrying (doc_id, word, next position s, piece list l)
+    * into a final stage the caller appends. */
+  private def wordpieceUnrolledSteps(vocab: Seq[String], steps: Int): String = {
+    val vs = vocab.map(p => s"'$p'").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (SELECT $vs AS vb),
+         |t0 AS (
+         |  SELECT doc_id, w, 1 AS s, []::VARCHAR[] AS l
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents)
+         |  WHERE length(w) BETWEEN 2 AND 12),
+         |""".stripMargin)
+    for (i <- 1 to steps) {
+      sb.append(
+        s"""s$i AS (SELECT doc_id, w, s, l, CASE WHEN s > length(w)
+           |  THEN NULL ELSE list_max(list_filter(
+           |    range(1, length(w) - s + 2),
+           |    L -> list_position(vb, (CASE WHEN s > 1 THEN '##' ELSE ''
+           |      END) || substr(w, s, L)) > 0)) END AS bl
+           |  FROM t${i - 1}, v),
+           |t$i AS (SELECT doc_id, w,
+           |  CASE WHEN s > length(w) THEN s
+           |       WHEN bl IS NULL THEN length(w) + 1
+           |       ELSE s + bl END AS s,
+           |  CASE WHEN s > length(w) THEN l
+           |       WHEN bl IS NULL THEN ['[UNK]']
+           |       ELSE l || [(CASE WHEN s > 1 THEN '##' ELSE '' END)
+           |         || substr(w, s, bl)] END AS l FROM s$i),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Shared oracle machinery for q154/q157: the kernel's
     * one-pair-per-step greedy loop as `steps` unrolled CTE stages

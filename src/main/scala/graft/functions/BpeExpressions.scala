@@ -110,6 +110,131 @@ final class BpeCodec(val pairs: Array[String]) extends Serializable {
   }
 }
 
+/** Kernel behind `wordpiece_encode`: greedy longest-match-first
+  * subword tokenization against a trained vocabulary (Wu et al. 2016,
+  * "Google's Neural Machine Translation System" — the BERT tokenizer
+  * family), the second tokenizer beside BPE. Continuation pieces
+  * carry the `##` prefix; a word with no tokenization becomes the
+  * single `[UNK]` token (whole-word UNK, BERT semantics).
+  *
+  * Semantics (deterministic and SQL-replayable, which keeps the
+  * histogram query hash-exact): from position i, take the LONGEST
+  * substring whose vocab form (`##`-prefixed when i > 0) is in the
+  * vocabulary, emit it, and continue after it; if no prefix matches,
+  * the whole word is `[UNK]`. Unlike BPE's iterative merge loop this
+  * is a single left-to-right pass — O(len²) probes per word worst
+  * case, all against one hash set.
+  *
+  * Cost shape identical to [[BpeCodec]]: vocabulary rides into
+  * generated code as a reference object, per-thread LRU memoizes
+  * whole-word encodings, no shuffle — encoding is a pure projection.
+  */
+final class WordPieceCodec(val vocab: Array[String]) extends Serializable {
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { s.add(vocab(i)); i += 1 }
+    s
+  }
+
+  private val CacheMax = 4096
+  private val Unk = UTF8String.fromString("[UNK]")
+
+  @transient private lazy val cache
+      : ThreadLocal[java.util.LinkedHashMap[String, ArrayData]] =
+    ThreadLocal.withInitial { () =>
+      new java.util.LinkedHashMap[String, ArrayData](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ArrayData]): Boolean =
+          size() > CacheMax
+      }
+    }
+
+  def encode(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val c = cache.get()
+    val hit = c.get(s)
+    if (hit != null) return hit
+    val r = encodeUncached(s)
+    c.put(s, r)
+    r
+  }
+
+  private def encodeUncached(s: String): ArrayData = {
+    val toks = new java.util.ArrayList[String](4)
+    var i = 0
+    var unk = s.isEmpty
+    while (i < s.length && !unk) {
+      var j = s.length
+      var found: String = null
+      while (j > i && found == null) {
+        val sub =
+          if (i > 0) "##" + s.substring(i, j) else s.substring(i, j)
+        if (set.contains(sub)) found = sub else j -= 1
+      }
+      if (found == null) unk = true
+      else { toks.add(found); i = j }
+    }
+    if (unk) new GenericArrayData(Array[Any](Unk))
+    else {
+      val out = new Array[Any](toks.size)
+      var k = 0
+      while (k < toks.size) {
+        out(k) = UTF8String.fromString(toks.get(k)); k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `wordpiece_encode(word, vocab)` — tokenize one word against a
+  * LITERAL vocabulary (array<string>; continuation pieces spelled
+  * with their `##` prefix). Null word → null; the vocab must be
+  * foldable for the same reason as [[BpeEncode]]'s merge list. */
+case class WordPieceEncode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "wordpiece_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: word must be string, got ${left.dataType.simpleString}")
+    else if (!right.foldable || (right.dataType match {
+      case ArrayType(StringType, _) => false
+      case _ => true
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vocab must be a literal array<string>")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val codec: WordPieceCodec = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    val arr = new Array[String](ad.numElements())
+    var i = 0
+    while (i < arr.length) {
+      arr(i) = ad.getUTF8String(i).toString; i += 1
+    }
+    new WordPieceCodec(arr)
+  }
+
+  override protected def nullSafeEval(w: Any, m: Any): Any =
+    codec.encode(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpCodec", codec,
+      classOf[WordPieceCodec].getName)
+    defineCodeGen(ctx, ev, (c, _) => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WordPieceEncode =
+    copy(left = l, right = r)
+}
+
 /** `bpe_encode(word, merges)` — tokenize one word against a LITERAL
   * merge list (array<string> of "left|right" entries in rank order).
   * Null word → null; the merge list must be foldable (it is state,

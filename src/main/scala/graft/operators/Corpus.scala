@@ -129,6 +129,83 @@ object Corpus {
       .agg(round(avg(col("__lp")), 4).as("lm2_score"))
   }
 
+  /** Order-3 LM quality — the full Stupid Backoff chain (Brants et
+    * al. 2007) one order above [[lmQualityScoreBigram]]: each
+    * transition (w1,w2)→w3 scores
+    *   ln(c3(w1,w2,w3) / c2(w1,w2))                 trigram hit,
+    *   ln(α · c2(w2,w3) / c1(w2))                   bigram backoff,
+    *   ln(α·α · (c1(w3)+1) / (T+V))                 unigram backoff
+    *                                                (add-one),
+    * α = 0.4 per the paper, and a doc's score is the mean over its
+    * transitions. Order 3 is where a perplexity filter starts to see
+    * phrase structure (bigrams catch word order, trigrams catch
+    * collocation breaks — "the of the" scores as gibberish).
+    *
+    * Scale shape: identical to the bigram — the reference reduces to
+    * THREE bounded model tables built in one lineage (uni → T/V
+    * scalars; bi and tri vocabulary-bounded) that BROADCAST into the
+    * scoring joins; the corpus contributes one exploded triple pass
+    * (in-plan `transform`, no extra shuffle) into a map-side-combined
+    * avg. The chain extends to any n by adding one broadcast table
+    * per order — Stupid Backoff needs no discount statistics, so
+    * every table is a rollup-mergeable count. */
+  def lmQualityScoreTrigram(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      backoff: Double = 0.4): DataFrame = {
+    val pairs = "transform(sequence(0, size(__ws) - 2), " +
+      "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+    val triples = "transform(sequence(0, size(__ws) - 3), " +
+      "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2, __ws[i + 2] AS w3))"
+    val refW = Parallelism.ensure(
+      reference.select(split(col(refTextCol), " ").as("__ws")))
+    // model tables consumed by broadcast scoring joins + the T/V
+    // scalar — localCheckpoint pins each so the reference corpus is
+    // scanned once per table (the q156 discipline)
+    val uni = refW.select(explode(col("__ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+      .localCheckpoint()
+    val bi = refW.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(pairs)).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+      .localCheckpoint()
+    val tri = refW.filter(size(col("__ws")) >= 3)
+      .select(explode(expr(triples)).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"),
+        col("__p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c3"))
+      .localCheckpoint()
+    val g = uni.agg(sum(col("__c1")).as("t"), count(lit(1)).as("v")).head()
+    val tv = (g.getLong(0) + g.getLong(1)).toDouble
+    val bi23 = bi.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("__c2").as("__c2b"))
+    val uni2 = uni.select(col("w1").as("w2"), col("__c1").as("__c1w2"))
+    val uni3 = uni.select(col("w1").as("w3"), col("__c1").as("__c1w3"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), explode(expr(triples)).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"),
+        col("__p.w2").as("w2"), col("__p.w3").as("w3"))
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(bi23), Seq("w2", "w3"), "left")
+      .join(broadcast(uni2), Seq("w2"), "left")
+      .join(broadcast(uni3), Seq("w3"), "left")
+      .withColumn("__lp",
+        when(col("__c3").isNotNull,
+          log(col("__c3").cast("double") / col("__c2")))
+          .when(col("__c2b").isNotNull,
+            log(lit(backoff) * col("__c2b").cast("double") /
+              col("__c1w2")))
+          .otherwise(log(lit(backoff) * lit(backoff) *
+            (coalesce(col("__c1w3"), lit(0L)) + lit(1.0)) / lit(tv))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("__lp")), 4).as("lm3_score"))
+  }
+
   /** Sketch-first heavy hitters: the 100 TB path for [[ngramFreq]]'s
     * top-k. The exact plan's shuffle carries one row per distinct
     * n-gram per partition — fine while the vocabulary is bounded,

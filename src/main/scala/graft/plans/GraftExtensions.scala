@@ -136,6 +136,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bpe_encode",
       es => BpeEncode(es.head, es(1)),
       "bpe_encode(word, merges) - BPE-tokenize a word against a literal array<string> of 'left|right' merges in rank order"))
+    ext.injectFunction(fn("wordpiece_encode",
+      es => WordPieceEncode(es.head, es(1)),
+      "wordpiece_encode(word, vocab) - greedy longest-match WordPiece tokenization against a literal array<string> vocabulary ('##' continuation pieces)"))
     ext.injectFunction(fn("dd_sketch_agg",
       es => DdSketchAgg(es.head, es(1)),
       "dd_sketch_agg(value, alpha) - serialized relative-error quantile sketch of a non-negative bigint column"))

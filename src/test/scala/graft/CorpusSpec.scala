@@ -107,6 +107,41 @@ class CorpusSpec extends SparkSpec {
       math.log(0.4 * 5.0 / 19.0)) / 2.0)) < 1e-9)
   }
 
+  test("lmQualityScoreTrigram: the full backoff chain prices each order") {
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .toDF("text")
+    // T = 12 tokens, V = 7 distinct words
+    val docs = Seq(
+      (1L, "the cat sat on"),  // both triples are reference trigrams
+      (2L, "mat the dog"),   // no trigram; (the,dog) is a ref bigram
+      (3L, "on sat cat the"),  // reversed: no tri, no bi -> unigram chain
+      (4L, "zx qw vb nm"))     // unseen everything
+      .toDF("doc_id", "text")
+    val scores = Corpus
+      .lmQualityScoreTrigram(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    // doc 1: c3(the,cat,sat)=1 / c2(the,cat)=1 -> ln 1 = 0;
+    //        c3(cat,sat,on)=1 / c2(cat,sat)=1 -> 0. mean = 0
+    assert(scores(1L) == 0.0)
+    // doc 4: every transition falls to the add-one unigram floor:
+    // ln(0.4 * 0.4 * 1 / 19)
+    assert(math.abs(scores(4L) - r4(math.log(0.4 * 0.4 / 19.0))) < 1e-9)
+    // doc 2's single transition (mat,the,dog) misses every trigram
+    // but (the,dog) is a reference bigram: ln(0.4 * c2(the,dog=1) /
+    // c1(the=4)) = ln(0.1) — the middle branch of the chain
+    assert(math.abs(scores(2L) - r4(math.log(0.4 * 1.0 / 4.0))) < 1e-9)
+    // ordering: full trigram fluency > bigram backoff > scrambled >
+    // gibberish
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) > scores(3L))
+    assert(scores(3L) > scores(4L))
+    // doc 3's transitions all miss tri and bi but land on seen
+    // unigrams: ln(0.16*(c1(w3)+1)/19) for w3 in {cat, the}
+    assert(math.abs(scores(3L) - r4((math.log(0.16 * 2.0 / 19.0) +
+      math.log(0.16 * 5.0 / 19.0)) / 2.0)) < 1e-9)
+  }
+
   test("bm25Search ranks by term frequency, rarity, and length norm") {
     val docs = Seq(
       (1L, "spark spark spark engine"),       // tf=3, short

@@ -200,8 +200,15 @@ class PlanAuditSpec extends SparkSpec {
                                // the scoring plan); the corpus
                                // transitions never shuffle before
                                // their one per-doc avg exchange
-      "q157_bpe_token_count" -> 1) // encode rides the scan; one
+      "q157_bpe_token_count" -> 1, // encode rides the scan; one
                                // per-doc count/sum agg exchange
+      "q158_lm_trigram" -> 1,  // three model tables checkpointed +
+                               // broadcast; the corpus triples never
+                               // shuffle before their per-doc avg
+      "q159_wordpiece_encode" -> 1) // greedy encode is a pure
+                               // projection (vocab broadcast by
+                               // closure); only the token-count agg
+                               // moves, top-30 is TakeOrdered
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
@@ -280,7 +287,7 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("q05_election_candidates", "q07_reference_lists",
       "q11_ship_priority", "q14_rollup", "q44_roster_query",
       "q49_contamination", "q69_heavy_hitters", "q71_bm25",
-      "q156_lm_bigram")) {
+      "q156_lm_bigram", "q158_lm_trigram")) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
