@@ -219,7 +219,9 @@ object Bench {
       // bigram Stupid-Backoff LM quality + exact tokenizer counts (r12)
       "q156_lm_bigram", "q157_bpe_token_count",
       // trigram Stupid-Backoff chain + WordPiece encode/train (late r12)
-      "q158_lm_trigram", "q159_wordpiece_encode", "q160_wordpiece_train"
+      "q158_lm_trigram", "q159_wordpiece_encode", "q160_wordpiece_train",
+      // unigram-LM (SentencePiece-family) Viterbi encode/EM train
+      "q161_unigram_encode", "q162_unigram_train"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -1996,6 +1996,71 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("text")), "text",
       numMerges = 24)
 
+  /** FROZEN unigram-LM piece model for q161: the output of
+    * `UnigramLm.train` over the sf0.01 documents corpus (vocab 60,
+    * seed 500, 2 EM rounds each side of the prune) as parallel
+    * (piece, natural-log prob) literals. Logps are shortest
+    * round-trip doubles, so the DuckDB oracle's decimal parse lands
+    * on the identical IEEE values and the Viterbi DP additions agree
+    * bit-for-bit. UnigramLmSpec re-derives the model from the corpus
+    * and pins equality, so trainer/constant drift is caught in CI. */
+  private[graft] val UgPieces: Seq[String] = Seq(
+    "a", "agg", "b", "batch", "big", "c", "column", "cu", "cust",
+    "custo", "custom", "d", "data", "e", "er", "f", "fast", "filter",
+    "g", "group", "h", "hash", "i", "j", "join", "k", "key", "l",
+    "line", "m", "mer", "merge", "n", "o", "omer", "order", "p",
+    "part", "q", "query", "r", "row", "s", "scan", "slow", "small",
+    "sort", "spark", "stomer", "stream", "t", "table", "the", "u", "v",
+    "value", "vector", "w", "window", "y")
+  private[graft] val UgLogps: Seq[Double] = Seq(
+    -33.23943007549872, -3.4100738879499226, -33.23943007549872,
+    -3.3708958633198383, -3.438213054621869, -33.23943007549872,
+    -3.3741027073294174, -16.17074096184864, -16.15919261983006,
+    -10.704888815095716, -3.3747635563937544, -6.955482607536778,
+    -3.402334766956967, -33.23943007549872, -3.3747635547227386,
+    -33.23943007549872, -3.4636479517696905, -3.3751739447109164,
+    -33.23943007549872, -3.4359325519231434, -33.23943007549872,
+    -3.360280052372182, -33.23943007549872, -33.23943007549872,
+    -3.3424878509477147, -33.23943007549872, -3.41563873258333,
+    -33.23943007549872, -3.4001345460473646, -23.58458529508683,
+    -10.70489136433408, -3.3913817549377696, -33.23943007549872,
+    -33.23943007549872, -16.159192632176815, -3.397939155483929,
+    -6.955482607536778, -3.4359325519231434, -33.23943007549872,
+    -3.4439371687057574, -33.23943007549872, -3.3645128629248027,
+    -33.23943007549872, -3.3719636690806682, -3.3913817549377696,
+    -3.3805474127720596, -3.4427897216492807, -3.433657238086008,
+    -16.170740961848423, -3.42460740256609, -33.23943007549872,
+    -3.402334766956967, -3.480177253720901, -6.955482607536778,
+    -33.23943007549872, -3.4145232834994643, -3.397939155483929,
+    -33.23943007549872, -3.4268621949531792, -33.23943007549872)
+
+  /** q161: UNIGRAM-LM ENCODE (UnigramLm.tokenHistogram + the
+    * codegen'd `unigram_encode` Viterbi kernel) — the third
+    * tokenizer family: every corpus word segmented to the
+    * max-likelihood piece sequence under the frozen unigram model
+    * (ties to the earliest split point), top-30 tokens by count with
+    * a (cnt desc, token) deterministic cutoff. Encoding is a pure
+    * projection; the only exchange is the token-count aggregate. The
+    * oracle unrolls the DP as 12 CTE steps, each extending dp/token
+    * state one position — the (score, -i) struct list_max replays
+    * max-score-then-earliest-parent exactly. */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.tokenHistogram(
+      Tables(s, dir).documents.select(col("text")), "text",
+      UgPieces, UgLogps, k = 30)
+
+  /** q162: UNIGRAM-LM TRAIN (UnigramLm.modelTable) — the trained
+    * (piece, logp) model itself: substring seeding, forward-backward
+    * EM over each dict word's segmentation lattice, expected-count
+    * pruning with guaranteed character coverage, re-fit. Rows-only
+    * vs the oracle (EM cannot be replayed in static SQL);
+    * UnigramLmSpec pins lattice expectations on hand-computed
+    * corpora, determinism, coverage, and the frozen q161 model. */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.modelTable(
+      Tables(s, dir).documents.select(col("text")), "text",
+      vocabSize = 60)
+
   /** q154: BPE ENCODE (Bpe.tokenHistogram + the codegen'd
     * `bpe_encode` kernel) — exact-tokenizer token histogram: every
     * corpus word (lowercased [a-z]+ runs, 2..12 chars) is greedily
@@ -2858,7 +2923,9 @@ object SparkEntry {
     "q157_bpe_token_count" -> (q157 _),
     "q158_lm_trigram" -> (q158 _),
     "q159_wordpiece_encode" -> (q159 _),
-    "q160_wordpiece_train" -> (q160 _)
+    "q160_wordpiece_train" -> (q160 _),
+    "q161_unigram_encode" -> (q161 _),
+    "q162_unigram_train" -> (q162 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5015,8 +5082,64 @@ object SparkEntry {
     "q159_wordpiece_encode" -> (wordpieceUnrolledSteps(WpVocab, steps = 12) +
       """enc AS (SELECT unnest(l) AS token FROM t12)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
+    // q161: the Viterbi DP unrolled — step j extends dp scores (sc)
+    // and best token lists (tk) to position j; the (score, -i)
+    // struct list_max picks max score then EARLIEST parent, exactly
+    // the kernel's strict-> tie-break. Logp literals are shortest
+    // round-trip doubles -> identical IEEE dp sums in both engines.
+    "q161_unigram_encode" -> (unigramUnrolledSteps(UgPieces, UgLogps,
+      steps = 12, maxPieceLen = 6) +
+      """enc AS (SELECT unnest(CASE WHEN tk[length(w) + 1] IS NULL
+        |  THEN ['[UNK]'] ELSE tk[length(w) + 1] END) AS token FROM t12)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin)
   )
+
+  /** Shared oracle machinery for q161: the unigram Viterbi DP as
+    * `steps` unrolled CTE stages over DuckDB lists — sc carries
+    * dp[0..j] (NULL = unreachable), tk the best token list per
+    * position. Candidate splits scan back at most `maxPieceLen`
+    * positions (no frozen piece is longer). */
+  private def unigramUnrolledSteps(pieces: Seq[String],
+      logps: Seq[Double], steps: Int, maxPieceLen: Int): String = {
+    val ps = pieces.map(p => s"'$p'").mkString("[", ", ", "]")
+    val ls = logps.map(d => java.lang.Double.toString(d))
+      .mkString("[", ", ", "]") + "::DOUBLE[]"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH m AS (SELECT $ps AS ps, $ls AS lls),
+         |t0 AS (
+         |  SELECT doc_id, w, [0.0]::DOUBLE[] AS sc,
+         |    [[]::VARCHAR[]] AS tk
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents)
+         |  WHERE length(w) BETWEEN 2 AND 12),
+         |""".stripMargin)
+    for (j <- 1 to steps) {
+      sb.append(
+        s"""a$j AS (SELECT doc_id, w, sc, tk, CASE WHEN $j > length(w)
+           |  THEN NULL ELSE list_max(list_transform(list_filter(
+           |    range(greatest(0, $j - $maxPieceLen), $j),
+           |    i -> sc[i + 1] IS NOT NULL AND
+           |      lls[list_position(ps, substr(w, i + 1, $j - i))]
+           |        IS NOT NULL),
+           |    i -> {'s': sc[i + 1] +
+           |      lls[list_position(ps, substr(w, i + 1, $j - i))],
+           |      'ni': -i})) END AS bp
+           |  FROM t${j - 1}, m),
+           |t$j AS (SELECT doc_id, w,
+           |  CASE WHEN $j > length(w) THEN sc ELSE sc || [bp.s] END AS sc,
+           |  CASE WHEN $j > length(w) THEN tk
+           |       WHEN bp IS NULL THEN tk || [NULL::VARCHAR[]]
+           |       ELSE tk || [tk[-bp.ni + 1]
+           |         || [substr(w, -bp.ni + 1, $j + bp.ni)]] END AS tk
+           |  FROM a$j),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Shared oracle machinery for q159: the WordPiece greedy
     * longest-match loop as `steps` unrolled CTE stages over DuckDB

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -233,6 +233,159 @@ case class WordPieceEncode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): WordPieceEncode =
     copy(left = l, right = r)
+}
+
+/** Kernel behind `unigram_encode`: Viterbi segmentation against a
+  * unigram language model over pieces (Kudo 2018, "Subword
+  * Regularization" — the SentencePiece unigram tokenizer), the third
+  * tokenizer family beside BPE and WordPiece. The segmentation
+  * maximizes Σ logp(piece); ties break to the SMALLEST split point
+  * (earliest parent), which together with left-to-right DP order
+  * makes the result deterministic and SQL-replayable — dp[j] =
+  * max_i(dp[i] + logp(w[i..j])) evaluates the same IEEE additions in
+  * both engines, so even exact-tie comparisons agree bit-for-bit.
+  * A word whose lattice has no path (a character outside the piece
+  * inventory) becomes the single `[UNK]` token.
+  *
+  * Cost shape identical to [[BpeCodec]]: the (piece → logp) model
+  * rides into generated code as a reference object, per-thread LRU
+  * memoizes whole-word encodings, no shuffle — encoding is a pure
+  * projection. The DP is O(len²) map probes per uncached word.
+  */
+final class UnigramCodec(val pieces: Array[String],
+    val logps: Array[Double]) extends Serializable {
+  require(pieces.length == logps.length,
+    "unigram_encode: pieces and logps must align")
+
+  @transient private lazy val model: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      if (!m.containsKey(pieces(i)))
+        m.put(pieces(i), java.lang.Double.valueOf(logps(i)))
+      i += 1
+    }
+    m
+  }
+
+  private val CacheMax = 4096
+  private val Unk = UTF8String.fromString("[UNK]")
+
+  @transient private lazy val cache
+      : ThreadLocal[java.util.LinkedHashMap[String, ArrayData]] =
+    ThreadLocal.withInitial { () =>
+      new java.util.LinkedHashMap[String, ArrayData](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ArrayData]): Boolean =
+          size() > CacheMax
+      }
+    }
+
+  def encode(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val c = cache.get()
+    val hit = c.get(s)
+    if (hit != null) return hit
+    val r = encodeUncached(s)
+    c.put(s, r)
+    r
+  }
+
+  private def encodeUncached(s: String): ArrayData = {
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array[Any](Unk))
+    val dp = new Array[Double](n + 1)
+    val parent = new Array[Int](n + 1)
+    val reached = new Array[Boolean](n + 1)
+    reached(0) = true
+    var j = 1
+    while (j <= n) {
+      var best = Double.NegativeInfinity
+      var bi = -1
+      var i = 0
+      while (i < j) {
+        if (reached(i)) {
+          val lp = model.get(s.substring(i, j))
+          if (lp != null) {
+            val cand = dp(i) + lp.doubleValue()
+            // strict > keeps the EARLIEST parent on exact ties —
+            // the list_min tie-break the SQL oracle replays
+            if (cand > best) { best = cand; bi = i }
+          }
+        }
+        i += 1
+      }
+      if (bi >= 0) { dp(j) = best; parent(j) = bi; reached(j) = true }
+      j += 1
+    }
+    if (!reached(n)) return new GenericArrayData(Array[Any](Unk))
+    var cnt = 0
+    var p = n
+    while (p > 0) { cnt += 1; p = parent(p) }
+    val out = new Array[Any](cnt)
+    p = n
+    var k = cnt - 1
+    while (p > 0) {
+      out(k) = UTF8String.fromString(s.substring(parent(p), p))
+      p = parent(p); k -= 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `unigram_encode(word, pieces, logps)` — Viterbi-tokenize one word
+  * against LITERAL parallel arrays (piece inventory + natural-log
+  * probabilities). Null word → null; the model must be foldable for
+  * the same reason as [[BpeEncode]]'s merge list. */
+case class UnigramEncode(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def prettyName: String = "unigram_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: word must be string, got ${first.dataType.simpleString}")
+    else if (!second.foldable || (second.dataType match {
+      case ArrayType(StringType, _) => false
+      case _ => true
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: pieces must be a literal array<string>")
+    else if (!third.foldable || (third.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
+      case _ => true
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: logps must be a literal array<double>")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val codec: UnigramCodec = {
+    val pa = second.eval().asInstanceOf[ArrayData]
+    val ps = new Array[String](pa.numElements())
+    var i = 0
+    while (i < ps.length) { ps(i) = pa.getUTF8String(i).toString; i += 1 }
+    val la = third.eval().asInstanceOf[ArrayData]
+    val ls = new Array[Double](la.numElements())
+    i = 0
+    while (i < ls.length) { ls(i) = la.getDouble(i); i += 1 }
+    new UnigramCodec(ps, ls)
+  }
+
+  override protected def nullSafeEval(w: Any, p: Any, l: Any): Any =
+    codec.encode(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugCodec", codec,
+      classOf[UnigramCodec].getName)
+    defineCodeGen(ctx, ev, (c, _, _) => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): UnigramEncode =
+    copy(first = f, second = s, third = t)
 }
 
 /** `bpe_encode(word, merges)` — tokenize one word against a LITERAL

@@ -139,6 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("wordpiece_encode",
       es => WordPieceEncode(es.head, es(1)),
       "wordpiece_encode(word, vocab) - greedy longest-match WordPiece tokenization against a literal array<string> vocabulary ('##' continuation pieces)"))
+    ext.injectFunction(fn("unigram_encode",
+      es => UnigramEncode(es.head, es(1), es(2)),
+      "unigram_encode(word, pieces, logps) - Viterbi segmentation against a literal unigram piece model (SentencePiece unigram family)"))
     ext.injectFunction(fn("dd_sketch_agg",
       es => DdSketchAgg(es.head, es(1)),
       "dd_sketch_agg(value, alpha) - serialized relative-error quantile sketch of a non-negative bigint column"))

@@ -205,10 +205,13 @@ class PlanAuditSpec extends SparkSpec {
       "q158_lm_trigram" -> 1,  // three model tables checkpointed +
                                // broadcast; the corpus triples never
                                // shuffle before their per-doc avg
-      "q159_wordpiece_encode" -> 1) // greedy encode is a pure
+      "q159_wordpiece_encode" -> 1, // greedy encode is a pure
                                // projection (vocab broadcast by
                                // closure); only the token-count agg
                                // moves, top-30 is TakeOrdered
+      "q161_unigram_encode" -> 1) // Viterbi encode is a pure
+                               // projection (piece model broadcast
+                               // by closure); one token-count agg
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
