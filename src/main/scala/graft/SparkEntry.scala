@@ -492,6 +492,30 @@ object SparkEntry {
       refine = 4)
   }
 
+  /** q165: RESIDUAL IVF-PQ search — q66 upgraded to the FAISS IVF-PQ
+    * recipe proper: codebooks train on and codes quantize the
+    * RESIDUAL (vec − assigned centroid), whose within-cell spread is
+    * far tighter than the raw vectors', so the same 16 bytes carry
+    * less quantization error; ADC scores ⟨q,c⟩ (exact, one dot per
+    * probe pair) + ⟨q,r⟩ (table lookups). The subtraction runs
+    * through the native codegen'd `vec_sub_f` kernel — never the
+    * interpreted zip_with HOF. rows-only (quantization is
+    * engine-specific); AnnSpec pins residual-ADC beating plain-ADC
+    * recall on the real embeddings and rerank ≡ brute force at full
+    * probe. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPqResidual(e, centroids, "vec_id", "embedding",
+      m = 16, ksub = 128, iters = 5, maxTrain = 4096)
+    Ann.ivfPqResidualTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      centroids = centroids, codebooks = books,
+      idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3,
+      refine = 4)
+  }
+
   /** q46: CSS/div HTML extraction round-trip — pages synthesised in the
     * reference's billtrack50 scorecard shape (nested container div +
     * labeled strong/span score pulls), then extracted back with the
@@ -2128,6 +2152,51 @@ object SparkEntry {
       reference = d.filter(col("doc_id") < 100), refTextCol = "text")
   }
 
+  /** q163: DSIR IMPORTANCE WEIGHTS (Corpus.dsirWeights) — the
+    * importance-resampling data-selection scorer (Xie et al. 2023):
+    * log w(D) = Σ_f c_D(f)·(ln p_target(f) − ln p_raw(f)) over word
+    * uni+bigram features with add-one smoothing; target = docs 0-99
+    * (the q73/q156/q158 reference slice), raw = the whole corpus.
+    * Both feature models broadcast; one per-doc sum exchange. The
+    * registered query runs the exact string-feature form; the
+    * hashed-bucket form (the paper's fixed-width recipe, the 100 TB
+    * path) is spec-pinned in CorpusSpec. Oracle recomputes both
+    * models definitionally and replays the per-feature arithmetic
+    * with identical op order; round(,4) absorbs sum-order ULPs. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.dsirWeights(d, "doc_id", "text",
+      target = d.filter(col("doc_id") < 100), targetTextCol = "text")
+  }
+
+  /** q164: TOKENIZER COMPARISON PROFILE — all three trained
+    * tokenizer families (BPE q154, WordPiece q159, unigram-LM q161)
+    * applied to the corpus in ONE scan, reporting per-tokenizer
+    * word/token totals and FERTILITY (tokens per word) — the number
+    * a tokenizer bake-off reads first (lower fertility = cheaper
+    * training tokens for the same text). All three encodes are pure
+    * codegen'd projections over the same exploded word stream, so
+    * the whole comparison costs one aggregate exchange; the 1-row
+    * totals then stack to (tokenizer, n_words, n_tokens, fertility)
+    * rows. Oracle composes the three unrolled replay chains
+    * (prefixed CTE names) in one WITH and unions their totals —
+    * hash-exact. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val w = Bpe.words(Tables(s, dir).documents.select(col("text")), "text")
+      .select(
+        size(Bpe.encodeCol(col("word"), BpeMerges)).cast("long").as("b"),
+        size(WordPiece.encodeCol(col("word"), WpVocab)).cast("long")
+          .as("wp"),
+        size(UnigramLm.encodeCol(col("word"), UgPieces, UgLogps))
+          .cast("long").as("u"))
+    w.agg(count(lit(1)).as("n_words"), sum(col("b")).as("bt"),
+        sum(col("wp")).as("wt"), sum(col("u")).as("ut"))
+      .select(expr("stack(3, 'bpe', bt, 'unigram', ut, " +
+        "'wordpiece', wt) AS (tokenizer, n_tokens)"), col("n_words"))
+      .select(col("tokenizer"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words"), 4).as("fertility"))
+  }
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -2925,7 +2994,10 @@ object SparkEntry {
     "q159_wordpiece_encode" -> (q159 _),
     "q160_wordpiece_train" -> (q160 _),
     "q161_unigram_encode" -> (q161 _),
-    "q162_unigram_train" -> (q162 _)
+    "q162_unigram_train" -> (q162 _),
+    "q163_dsir_weights" -> (q163 _),
+    "q164_tokenizer_compare" -> (q164 _),
+    "q165_ann_ivfpq_residual" -> (q165 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5060,16 +5132,51 @@ object SparkEntry {
         |LEFT JOIN u u2 ON u2.w1 = tr.w2
         |LEFT JOIN u u3 ON u3.w1 = tr.w3, g
         |GROUP BY 1""".stripMargin,
+    // q163: both feature models recomputed definitionally (uni+bi
+    // features; target slice doc_id < 100), the per-feature term
+    // replayed with identical op order (two lns of a quotient,
+    // integer counts + CAST 1.0 AS DOUBLE); round(sum, 4) absorbs
+    // sum-order ULPs.
+    "q163_dsir_weights" ->
+      """WITH ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |tf AS (SELECT f FROM (
+        |    SELECT unnest(ws) AS f FROM ws0 WHERE doc_id < 100
+        |    UNION ALL
+        |    SELECT ws[i] || ' ' || ws[i + 1] AS f FROM
+        |      (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws0
+        |       WHERE doc_id < 100 AND len(ws) >= 2))),
+        |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf
+        |  GROUP BY 1),
+        |rf AS (SELECT doc_id, f FROM (
+        |    SELECT doc_id, unnest(ws) AS f FROM ws0
+        |    UNION ALL
+        |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f FROM
+        |      (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |       FROM ws0 WHERE len(ws) >= 2))),
+        |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf
+        |  GROUP BY 1),
+        |g AS (SELECT
+        |  (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tg,
+        |  (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS rg,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM
+        |    (SELECT f FROM tc UNION SELECT f FROM rc)) AS v)
+        |SELECT doc_id, round(sum(
+        |    ln((coalesce(tc.ct, 0) + CAST(1.0 AS DOUBLE)) / (g.tg + g.v))
+        |  - ln((coalesce(rc.cr, 0) + CAST(1.0 AS DOUBLE)) / (g.rg + g.v))
+        |  ), 4) AS dsir_score
+        |FROM rf LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), g
+        |GROUP BY 1""".stripMargin,
     // q154: the greedy encode loop unrolled — each step merges the
     // adjacent pair with min (rank, position), packed as rank*100+pos
     // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =
     // done. 11 steps cover the 12-char word cap.
-    "q154_bpe_encode" -> (bpeUnrolledSteps(BpeMerges, steps = 11) +
+    "q154_bpe_encode" -> ("WITH " + bpeUnrolledSteps(BpeMerges, steps = 11) +
       """enc AS (SELECT unnest(l) AS token FROM t11)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
     // q157: same unrolled machinery, finished as per-doc counts
-    "q157_bpe_token_count" -> (bpeUnrolledSteps(BpeMerges, steps = 11) +
+    "q157_bpe_token_count" -> ("WITH " + bpeUnrolledSteps(BpeMerges, steps = 11) +
       """fin AS (SELECT doc_id, l FROM t11)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(len(l)) AS BIGINT) AS n_tokens
@@ -5079,7 +5186,7 @@ object SparkEntry {
     // over matching lengths), '##'-prefixing after the first piece;
     // no match -> whole word ['[UNK]'] and s jumps past the end. 12
     // steps cover the 12-char word cap (>= 1 char consumed/step).
-    "q159_wordpiece_encode" -> (wordpieceUnrolledSteps(WpVocab, steps = 12) +
+    "q159_wordpiece_encode" -> ("WITH " + wordpieceUnrolledSteps(WpVocab, steps = 12) +
       """enc AS (SELECT unnest(l) AS token FROM t12)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
@@ -5088,12 +5195,35 @@ object SparkEntry {
     // struct list_max picks max score then EARLIEST parent, exactly
     // the kernel's strict-> tie-break. Logp literals are shortest
     // round-trip doubles -> identical IEEE dp sums in both engines.
-    "q161_unigram_encode" -> (unigramUnrolledSteps(UgPieces, UgLogps,
+    "q161_unigram_encode" -> ("WITH " + unigramUnrolledSteps(UgPieces, UgLogps,
       steps = 12, maxPieceLen = 6) +
       """enc AS (SELECT unnest(CASE WHEN tk[length(w) + 1] IS NULL
         |  THEN ['[UNK]'] ELSE tk[length(w) + 1] END) AS token FROM t12)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
-        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin)
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
+    // q164: the three replay chains composed in one WITH via
+    // prefixed CTE names; per-family totals union to the same
+    // (tokenizer, n_words, n_tokens, fertility) rows — one BIGINT
+    // division each, identical on both engines.
+    "q164_tokenizer_compare" -> ("WITH " +
+      bpeUnrolledSteps(BpeMerges, steps = 11, prefix = "b_") +
+      wordpieceUnrolledSteps(WpVocab, steps = 12, prefix = "w_") +
+      unigramUnrolledSteps(UgPieces, UgLogps, steps = 12,
+        maxPieceLen = 6, prefix = "u_") +
+      """bt AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM b_t11),
+        |wt AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM w_t12),
+        |ut AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(CASE WHEN tk[length(w) + 1] IS NULL
+        |    THEN ['[UNK]'] ELSE tk[length(w) + 1] END)) AS BIGINT)
+        |    AS n_tokens FROM u_t12)
+        |SELECT 'bpe' AS tokenizer, n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) AS fertility FROM bt
+        |UNION ALL SELECT 'wordpiece', n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) FROM wt
+        |UNION ALL SELECT 'unigram', n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) FROM ut""".stripMargin)
   )
 
   /** Shared oracle machinery for q161: the unigram Viterbi DP as
@@ -5102,14 +5232,16 @@ object SparkEntry {
     * position. Candidate splits scan back at most `maxPieceLen`
     * positions (no frozen piece is longer). */
   private def unigramUnrolledSteps(pieces: Seq[String],
-      logps: Seq[Double], steps: Int, maxPieceLen: Int): String = {
+      logps: Seq[Double], steps: Int, maxPieceLen: Int,
+      prefix: String = ""): String = {
+    val P = prefix
     val ps = pieces.map(p => s"'$p'").mkString("[", ", ", "]")
     val ls = logps.map(d => java.lang.Double.toString(d))
       .mkString("[", ", ", "]") + "::DOUBLE[]"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH m AS (SELECT $ps AS ps, $ls AS lls),
-         |t0 AS (
+      s"""${P}m AS (SELECT $ps AS ps, $ls AS lls),
+         |${P}t0 AS (
          |  SELECT doc_id, w, [0.0]::DOUBLE[] AS sc,
          |    [[]::VARCHAR[]] AS tk
          |  FROM (SELECT doc_id,
@@ -5119,7 +5251,7 @@ object SparkEntry {
          |""".stripMargin)
     for (j <- 1 to steps) {
       sb.append(
-        s"""a$j AS (SELECT doc_id, w, sc, tk, CASE WHEN $j > length(w)
+        s"""${P}a$j AS (SELECT doc_id, w, sc, tk, CASE WHEN $j > length(w)
            |  THEN NULL ELSE list_max(list_transform(list_filter(
            |    range(greatest(0, $j - $maxPieceLen), $j),
            |    i -> sc[i + 1] IS NOT NULL AND
@@ -5128,14 +5260,14 @@ object SparkEntry {
            |    i -> {'s': sc[i + 1] +
            |      lls[list_position(ps, substr(w, i + 1, $j - i))],
            |      'ni': -i})) END AS bp
-           |  FROM t${j - 1}, m),
-           |t$j AS (SELECT doc_id, w,
+           |  FROM ${P}t${j - 1}, ${P}m),
+           |${P}t$j AS (SELECT doc_id, w,
            |  CASE WHEN $j > length(w) THEN sc ELSE sc || [bp.s] END AS sc,
            |  CASE WHEN $j > length(w) THEN tk
            |       WHEN bp IS NULL THEN tk || [NULL::VARCHAR[]]
            |       ELSE tk || [tk[-bp.ni + 1]
            |         || [substr(w, -bp.ni + 1, $j + bp.ni)]] END AS tk
-           |  FROM a$j),
+           |  FROM ${P}a$j),
            |""".stripMargin)
     }
     sb.toString
@@ -5145,12 +5277,14 @@ object SparkEntry {
     * longest-match loop as `steps` unrolled CTE stages over DuckDB
     * lists, carrying (doc_id, word, next position s, piece list l)
     * into a final stage the caller appends. */
-  private def wordpieceUnrolledSteps(vocab: Seq[String], steps: Int): String = {
+  private def wordpieceUnrolledSteps(vocab: Seq[String], steps: Int,
+      prefix: String = ""): String = {
+    val P = prefix
     val vs = vocab.map(p => s"'$p'").mkString("[", ", ", "]")
     val sb = new StringBuilder
     sb.append(
-      s"""WITH v AS (SELECT $vs AS vb),
-         |t0 AS (
+      s"""${P}v AS (SELECT $vs AS vb),
+         |${P}t0 AS (
          |  SELECT doc_id, w, 1 AS s, []::VARCHAR[] AS l
          |  FROM (SELECT doc_id,
          |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -5159,20 +5293,20 @@ object SparkEntry {
          |""".stripMargin)
     for (i <- 1 to steps) {
       sb.append(
-        s"""s$i AS (SELECT doc_id, w, s, l, CASE WHEN s > length(w)
+        s"""${P}s$i AS (SELECT doc_id, w, s, l, CASE WHEN s > length(w)
            |  THEN NULL ELSE list_max(list_filter(
            |    range(1, length(w) - s + 2),
            |    L -> list_position(vb, (CASE WHEN s > 1 THEN '##' ELSE ''
            |      END) || substr(w, s, L)) > 0)) END AS bl
-           |  FROM t${i - 1}, v),
-           |t$i AS (SELECT doc_id, w,
+           |  FROM ${P}t${i - 1}, ${P}v),
+           |${P}t$i AS (SELECT doc_id, w,
            |  CASE WHEN s > length(w) THEN s
            |       WHEN bl IS NULL THEN length(w) + 1
            |       ELSE s + bl END AS s,
            |  CASE WHEN s > length(w) THEN l
            |       WHEN bl IS NULL THEN ['[UNK]']
            |       ELSE l || [(CASE WHEN s > 1 THEN '##' ELSE '' END)
-           |         || substr(w, s, bl)] END AS l FROM s$i),
+           |         || substr(w, s, bl)] END AS l FROM ${P}s$i),
            |""".stripMargin)
     }
     sb.toString
@@ -5182,12 +5316,14 @@ object SparkEntry {
     * one-pair-per-step greedy loop as `steps` unrolled CTE stages
     * over DuckDB lists, carrying (doc_id, token list) into a final
     * stage the caller appends. */
-  private def bpeUnrolledSteps(merges: Seq[String], steps: Int): String = {
+  private def bpeUnrolledSteps(merges: Seq[String], steps: Int,
+      prefix: String = ""): String = {
+    val P = prefix
     val ms = merges.map(p => s"'$p'").mkString("[", ", ", "]")
     val sb = new StringBuilder
     sb.append(
-      s"""WITH m AS (SELECT $ms AS ms),
-         |t0 AS (
+      s"""${P}m AS (SELECT $ms AS ms),
+         |${P}t0 AS (
          |  SELECT doc_id, regexp_extract_all(w, '.') AS l
          |  FROM (SELECT doc_id,
          |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -5196,14 +5332,14 @@ object SparkEntry {
          |""".stripMargin)
     for (i <- 1 to steps) {
       sb.append(
-        s"""s$i AS (SELECT doc_id, l, list_min(list_transform(
+        s"""${P}s$i AS (SELECT doc_id, l, list_min(list_transform(
            |  list_filter(range(1, len(l)),
            |    x -> list_position(ms, l[x] || '|' || l[x+1]) > 0),
            |  x -> list_position(ms, l[x] || '|' || l[x+1]) * 100 + x)) AS bp
-           |  FROM t${i - 1}, m),
-           |t$i AS (SELECT doc_id, CASE WHEN bp IS NULL THEN l ELSE
+           |  FROM ${P}t${i - 1}, ${P}m),
+           |${P}t$i AS (SELECT doc_id, CASE WHEN bp IS NULL THEN l ELSE
            |  l[1:(bp % 100) - 1] || [l[bp % 100] || l[(bp % 100) + 1]]
-           |    || l[(bp % 100) + 2:len(l)] END AS l FROM s$i),
+           |    || l[(bp % 100) + 2:len(l)] END AS l FROM ${P}s$i),
            |""".stripMargin)
     }
     sb.toString

@@ -12,6 +12,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * DuckDB oracle's list_sum of casts), so the adaptive switch can never
   * change results. */
 object VectorImpl {
+  /** Element-wise a − b over two equal-length float arrays — the
+    * residual step of IVF-PQ residual encoding (kept native/codegen'd
+    * because Spark's higher-order zip_with is interpreted, and the
+    * residual sits on the per-row encode hot path). */
+  def subF(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_sub_f: length mismatch ($n vs ${b.numElements()})")
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = a.getFloat(i) - b.getFloat(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0
@@ -246,6 +263,31 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "dot_f"
+}
+
+/** `vec_sub_f(a, b)` — element-wise float difference (see
+  * [[VectorImpl.subF]]). */
+case class VecSubF(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprCheck.floatArray(prettyName, left.dataType, right.dataType)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorImpl.subF(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl.subF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_sub_f"
 }
 
 /** `norm_f(a)` — ‖a‖₂ in double. */

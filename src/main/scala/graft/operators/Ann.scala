@@ -286,6 +286,47 @@ object Ann {
       .limit(maxTrain)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+    trainPqOnSample(sample, m, ksub, iters)
+  }
+
+  /** PQ codebooks trained on RESIDUALS (vec − assigned centroid) —
+    * the FAISS IVF-PQ recipe proper: within one IVF cell the
+    * residual distribution is far tighter than the raw vectors', so
+    * the same m bytes quantize it with much less error (better
+    * recall at identical index size). Sampling, determinism and the
+    * per-subspace Lloyd's loop are [[trainPq]]'s exactly; the only
+    * difference is the subtraction of each sampled row's nearest
+    * centroid before training. Pair with [[buildPqIndexResidual]] /
+    * [[searchPqIndexResidual]]. */
+  def trainPqResidual(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int, ksub: Int = 256, iters: Int = 10,
+      maxTrain: Int = 16384, seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && ksub > 0 && ksub <= 256 && iters >= 0,
+      "trainPqResidual: m > 0, 0 < ksub <= 256, iters >= 0")
+    require(maxTrain >= ksub && maxTrain <= MaxPqTrainRows,
+      s"trainPqResidual: maxTrain must be in [$ksub, $MaxPqTrainRows]")
+    requirePqKernels(corpus)
+    val cents = centroids
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cent"))
+    val sample = assignBuckets(
+        corpus.filter(col(vecCol).isNotNull)
+          .orderBy(xxhash64(col(idCol), lit(seed)))
+          .limit(maxTrain),
+        centroids, idCol, vecCol)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(call_function("vec_sub_f", col(vecCol), col("__cent")))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    trainPqOnSample(sample, m, ksub, iters)
+  }
+
+  /** Shared per-subspace Lloyd's core for [[trainPq]] /
+    * [[trainPqResidual]] — deterministic init (first ksub
+    * subvectors), empty clusters keep their previous centroid. */
+  private def trainPqOnSample(sample: Array[Array[Float]],
+      m: Int, ksub: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
     require(sample.nonEmpty, "trainPq: empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
@@ -436,6 +477,103 @@ object Ann {
           round(col("__cos"), 4).as("cosine"))
     }
   }
+
+  /** Encode the corpus into the RESIDUAL IVF-PQ index: same schema
+    * as [[buildPqIndex]] ((id, centroid_id, codes, vec_norm)), but
+    * `codes` quantizes vec − centroid via the native `vec_sub_f`
+    * kernel (the subtraction stays codegen'd — Spark's zip_with HOF
+    * is interpreted and this is the per-row encode hot path). The
+    * centroid table joins in broadcast; encode remains a pure
+    * projection with no extra shuffle. */
+  def buildPqIndexResidual(
+      corpus: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    requirePqKernels(corpus)
+    val cents = centroids
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cent"))
+    assignBuckets(Parallelism.ensure(corpus.select(col(idCol), col(vecCol))),
+        centroids, idCol, vecCol)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        call_function("pq_encode",
+          call_function("vec_sub_f", col(vecCol), col("__cent")),
+          typedlit(codebooks)).as("codes"),
+        norm(col(vecCol)).as("vec_norm"))
+  }
+
+  /** Search a residual PQ index: ADC scores approximate
+    * ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, r⟩ — the ⟨q, c⟩ term is exact (one dot per
+    * (query, probed centroid), computed on the broadcast probe
+    * table), and only the residual term goes through the m table
+    * lookups. Same probe/prune/refine discipline as
+    * [[searchPqIndex]]; at full probe with wide refine the result is
+    * byte-identical to [[bruteForceTopK]]. */
+  def searchPqIndexResidual(
+      pqIndex: DataFrame, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      refine: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions._
+    requirePqKernels(pqIndex)
+    val index = pqIndex.withColumnRenamed(idCol, "neighbor_id")
+    val cents = centroids
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cent"))
+    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("__qc", dot(col("__qv"), col("__cent")))
+      .withColumn("__lut",
+        call_function("pq_lut", col("__qv"), typedlit(codebooks)))
+      .drop("__cent")
+    val scored = index
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(
+          col("__qc") + call_function("pq_adc", col("codes"), col("__lut")),
+          col("__qn"), col("vec_norm")).as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    if (refine <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("__adc"), 4).as("cosine"))
+    } else {
+      import graft.functions.VectorFunctions.norm
+      val candidates = scored
+        .withColumn("__arank", row_number().over(w))
+        .filter(col("__arank") <= k.toLong * refine)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(probes.select(col("query_id"), col("__qv"),
+          col("__qn")).distinct()), Seq("query_id"))
+      val exact = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+          norm(col(vecCol)).as("__cn"))
+        .join(broadcast(candidates), Seq("neighbor_id"))
+        .withColumn("__cos", cosinePrenormed(
+          dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("__cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("__cos"), 4).as("cosine"))
+    }
+  }
+
+  /** Residual IVF-PQ end to end: encode + search (the q165 shape). */
+  def ivfPqResidualTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      refine: Int = 0, excludeSelf: Boolean = true): DataFrame =
+    searchPqIndexResidual(
+      buildPqIndexResidual(corpus, centroids, codebooks, idCol, vecCol),
+      corpus, queries, centroids, codebooks, idCol, vecCol, k, nprobe,
+      refine, excludeSelf)
 
   /** Top-`nprobe` centroids per query (broadcast-size output). */
   private def assignProbes(

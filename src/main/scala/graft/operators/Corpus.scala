@@ -206,6 +206,82 @@ object Corpus {
       .agg(round(avg(col("__lp")), 4).as("lm3_score"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its n-gram features are under
+    * a TARGET distribution (the domain you want more of) than under
+    * the RAW distribution (the corpus you are selecting from) —
+    *
+    *   log w(D) = Σ_f c_D(f) · ( ln p_target(f) − ln p_raw(f) )
+    *
+    * over word unigram + bigram features f with add-one smoothing
+    * (p(f) = (c(f)+1)/(T+V), V = the joint feature vocabulary). High
+    * scores mark documents that look like the target domain;
+    * importance RESAMPLING is then a weighted draw downstream
+    * (q110's weighted sampler consumes exactly this column).
+    *
+    * Scale shape: both feature models are bounded count tables built
+    * by one explode→hash-agg each, localCheckpointed and BROADCAST
+    * into the scoring join; T/V are driver scalars; the corpus
+    * contributes one exploded feature pass (uni + bi generated
+    * in-plan from one split) into a map-side-combined per-doc sum —
+    * exactly the q73/q156/q158 discipline. `hashBuckets` switches
+    * features from raw strings to xxhash64 buckets — the paper's
+    * actual recipe, which caps both model tables at a FIXED width
+    * regardless of corpus vocabulary (the 100 TB path; bucket
+    * collisions are the paper's documented trade). The default
+    * string form is exact and oracle-replayable. */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      hashBuckets: Option[Int] = None): DataFrame = {
+    // unigrams ++ bigrams, guarded: sequence(0, -1) DESCENDS in Spark,
+    // so a single-word doc must fall back to an empty bigram list
+    val feats = "concat(__ws, CASE WHEN size(__ws) >= 2 THEN " +
+      "transform(sequence(0, size(__ws) - 2), " +
+      "i -> concat(__ws[i], ' ', __ws[i + 1])) " +
+      "ELSE cast(array() AS array<string>) END)"
+    def features(df: DataFrame, tc: String): DataFrame = {
+      val fs = Parallelism.ensure(
+        df.select(split(col(tc), " ").as("__ws")))
+        .select(explode(expr(feats)).as("f"))
+      hashBuckets match {
+        case Some(b) => fs.select(pmod(xxhash64(col("f")), lit(b)).as("f"))
+        case None => fs
+      }
+    }
+    val tCounts = features(target, targetTextCol)
+      .groupBy(col("f")).agg(count(lit(1)).as("__ct"))
+      .localCheckpoint()
+    val rCounts = features(docs, textCol)
+      .groupBy(col("f")).agg(count(lit(1)).as("__cr"))
+      .localCheckpoint()
+    val tg = tCounts.agg(sum(col("__ct"))).head().getLong(0)
+    val rg = rCounts.agg(sum(col("__cr"))).head().getLong(0)
+    val v = hashBuckets match {
+      case Some(b) => b.toLong
+      case None => tCounts.select(col("f"))
+        .union(rCounts.select(col("f"))).distinct().count()
+    }
+    val tvT = (tg + v).toDouble
+    val tvR = (rg + v).toDouble
+    val docFeats = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc_id"), explode(expr(feats)).as("f"))
+    val scored = (hashBuckets match {
+      case Some(b) => docFeats
+        .select(col("doc_id"), pmod(xxhash64(col("f")), lit(b)).as("f"))
+      case None => docFeats
+    })
+      .join(broadcast(tCounts), Seq("f"), "left")
+      .join(broadcast(rCounts), Seq("f"), "left")
+      .withColumn("__lr",
+        log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) / lit(tvT)) -
+          log((coalesce(col("__cr"), lit(0L)) + lit(1.0)) / lit(tvR)))
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("__lr")), 4).as("dsir_score"))
+  }
+
   /** Sketch-first heavy hitters: the 100 TB path for [[ngramFreq]]'s
     * top-k. The exact plan's shuffle carries one row per distinct
     * n-gram per partition — fine while the vocabulary is bounded,

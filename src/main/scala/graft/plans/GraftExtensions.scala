@@ -81,6 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_f",
       es => DotF(es.head, es(1)),
       "dot_f(a, b) - double dot product of two array<float>"))
+    ext.injectFunction(fn("vec_sub_f",
+      es => VecSubF(es.head, es(1)),
+      "vec_sub_f(a, b) - element-wise difference of two array<float>"))
     ext.injectFunction(fn("norm_f",
       es => NormF(es.head),
       "norm_f(a) - L2 norm of an array<float> in double"))

@@ -231,6 +231,55 @@ class AnnSpec extends SparkSpec {
     assert(rr >= ar, s"rerank recall $rr below ADC recall $ar")
   }
 
+  test("residual IVF-PQ: tighter quantization than plain PQ, exact at full refine") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queries = e.filter($"vec_id" < 20)
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding", k = 10,
+      iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = asSet(Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    val full = centroids.count().toInt
+    // same budget both ways: m=16, ksub=128
+    val plain = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+      iters = 5, maxTrain = 1000)
+    val resid = Ann.trainPqResidual(e, centroids, "vec_id", "embedding",
+      m = 16, ksub = 128, iters = 5, maxTrain = 1000)
+    val plainAdc = asSet(Ann.ivfPqTopK(e, queries, centroids, plain,
+      "vec_id", "embedding", k = 5, nprobe = full))
+    val residAdc = asSet(Ann.ivfPqResidualTopK(e, queries, centroids, resid,
+      "vec_id", "embedding", k = 5, nprobe = full))
+    val pr = (bf & plainAdc).size.toDouble / bf.size
+    val rr = (bf & residAdc).size.toDouble / bf.size
+    info(s"pure-ADC recall@5 at full probe: plain=$pr residual=$rr")
+    // the FAISS claim at the same byte budget: residual >= plain
+    assert(rr >= pr, s"residual recall $rr below plain $pr")
+    assert(rr >= 0.5, s"residual ADC recall $rr too low")
+    // exact rerank at full probe recovers brute force, same as q66
+    val reranked = Ann.ivfPqResidualTopK(e, queries, centroids, resid,
+      "vec_id", "embedding", k = 5, nprobe = full, refine = 10)
+    assert(asSet(reranked) === bf)
+    // residual codes differ from plain codes for the same rows (the
+    // subtraction actually happened)
+    val pc = Ann.buildPqIndex(e, centroids, plain, "vec_id", "embedding")
+      .select("codes").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val rc = Ann.buildPqIndexResidual(e, centroids, resid, "vec_id",
+      "embedding").select("codes").collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    assert(pc.toSet != rc.toSet)
+  }
+
+  test("vec_sub_f subtracts element-wise and rejects ragged pairs") {
+    import org.apache.spark.sql.functions.typedlit
+    val out = vecs.select(call_function("vec_sub_f",
+      col("embedding"), col("embedding"))).collect()
+    assert(out.forall(_.getSeq[Float](0).forall(_ == 0.0f)))
+    intercept[Exception] {
+      vecs.select(call_function("vec_sub_f", col("embedding"),
+        typedlit(Seq(1.0f)))).collect()
+    }
+  }
+
   test("PQ validates dimensions and codebook shape") {
     intercept[IllegalArgumentException] {
       Ann.trainPq(vecs, "vec_id", "embedding", m = 2) // dim 3 % 2 != 0

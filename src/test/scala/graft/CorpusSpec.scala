@@ -142,6 +142,48 @@ class CorpusSpec extends SparkSpec {
       math.log(0.16 * 5.0 / 19.0)) / 2.0)) < 1e-9)
   }
 
+  test("dsirWeights: target-domain docs outscore off-domain docs") {
+    val target = Seq("the cat sat on the mat", "a cat and a cat")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),      // pure target domain
+      (2L, "the dog ran in the park"),     // shares only 'the'
+      (3L, "zx qw vb nm kj hg"))           // out of both vocabularies
+      .toDF("doc_id", "text")
+    val s = Corpus.dsirWeights(docs, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L))
+    // doc 3's features are unseen in BOTH models: each term is
+    // ln(1/(Tt+V)) - ln(1/(Tr+V)) — nonzero only via the corpus-size
+    // difference, and far below the in-domain score
+    assert(s(1L) > s(3L))
+    // single-word doc must not blow up the bigram generator
+    val one = Corpus.dsirWeights(
+      Seq((9L, "cat")).toDF("doc_id", "text"), "doc_id", "text",
+      target, "text").collect()
+    assert(one.length == 1)
+  }
+
+  test("dsirWeights hashed-bucket variant preserves the ranking") {
+    val target = Seq("the cat sat on the mat").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    // 2^20 buckets ≈ collision-free at this vocab: ranking must match
+    // the exact string form; the model tables are B-bounded — the
+    // 100 TB path
+    val h = Corpus.dsirWeights(docs, "doc_id", "text", target, "text",
+      hashBuckets = Some(1 << 20))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(1L) > h(2L))
+    // deterministic across invocations
+    val h2 = Corpus.dsirWeights(docs, "doc_id", "text", target, "text",
+      hashBuckets = Some(1 << 20))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h == h2)
+  }
+
   test("bm25Search ranks by term frequency, rarity, and length norm") {
     val docs = Seq(
       (1L, "spark spark spark engine"),       // tf=3, short

@@ -36,8 +36,8 @@ class PlanAuditSpec extends SparkSpec {
   // (corpus token mass + bigram mass) — the same in-plan scalar shape
   private val bnljByDesign = Set(
     "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned",
-    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q97_key_profile",
-    "q134_pmi_bigrams")
+    "q61_ann_ivf_trained", "q66_ann_ivfpq", "q165_ann_ivfpq_residual",
+    "q97_key_profile", "q134_pmi_bigrams")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -209,9 +209,15 @@ class PlanAuditSpec extends SparkSpec {
                                // projection (vocab broadcast by
                                // closure); only the token-count agg
                                // moves, top-30 is TakeOrdered
-      "q161_unigram_encode" -> 1) // Viterbi encode is a pure
+      "q161_unigram_encode" -> 1, // Viterbi encode is a pure
                                // projection (piece model broadcast
                                // by closure); one token-count agg
+      "q163_dsir_weights" -> 1, // both feature models checkpointed +
+                               // broadcast; corpus features never
+                               // shuffle before their per-doc sum
+      "q164_tokenizer_compare" -> 1) // three codegen'd encodes ride
+                               // ONE word scan; a single 1-row agg
+                               // exchange, stack is a projection
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
@@ -290,7 +296,7 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("q05_election_candidates", "q07_reference_lists",
       "q11_ship_priority", "q14_rollup", "q44_roster_query",
       "q49_contamination", "q69_heavy_hitters", "q71_bm25",
-      "q156_lm_bigram", "q158_lm_trigram")) {
+      "q156_lm_bigram", "q158_lm_trigram", "q163_dsir_weights")) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),

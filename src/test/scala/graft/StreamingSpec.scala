@@ -129,6 +129,39 @@ class StreamingSpec extends SparkSpec {
       r.getString(1) == "click" && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
   }
 
+  test("streaming token totals equal the batch tokenizer counts") {
+    // the streaming meter must agree with q157's batch accounting on
+    // the same text — same word population, same frozen merges; state
+    // is one row per open window (watermark-bounded)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = graft.streaming.StreamTokenCount.tokenTotals(
+      df, "ts", "text", SparkEntry.BpeMerges, "10 minutes", "0 seconds")
+    input.addData(
+      (ts(1), "the customer joins a batch"),
+      (ts(2), "hash join scan"))
+    input.addData((ts(45), "window closes now")) // advances watermark
+    val query = out.writeStream
+      .format("memory").queryName("tokcount_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val rows = spark.table("tokcount_out")
+      .select("n_words", "n_tokens").as[(Long, Long)].collect()
+    // batch reference over the same first-window text
+    val batch = graft.operators.Bpe.tokenCounts(
+      Seq((1L, "the customer joins a batch"), (2L, "hash join scan"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", SparkEntry.BpeMerges)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_tokens"))
+      .as[(Long, Long)].collect().head
+    assert(rows.contains(batch),
+      s"streaming $rows vs batch $batch")
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
