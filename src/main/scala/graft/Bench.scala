@@ -266,7 +266,9 @@ object Bench {
       // three-family tokenizer bake-off in one scan
       "q164_tokenizer_compare",
       // FAISS-recipe residual IVF-PQ (vec_sub_f native kernel)
-      "q165_ann_ivfpq_residual"
+      "q165_ann_ivfpq_residual",
+      // Gumbel-top-k DSIR resample (log-space weighted draw)
+      "q166_dsir_resample"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -2197,6 +2197,22 @@ object SparkEntry {
         round(col("n_tokens") / col("n_words"), 4).as("fertility"))
   }
 
+  /** q166: DSIR IMPORTANCE RESAMPLE (Corpus.dsirWeights →
+    * Corpus.gumbelTopK) — the second half of the DSIR paper: the
+    * q163 log-weights drive a Gumbel-top-k draw (sampling ∝
+    * exp(logw), executed entirely in log space — exp() of a
+    * hundreds-of-terms ln-ratio sum would over/underflow, the Gumbel
+    * key never leaves logs). Reproducible via the md5-seeded uniform;
+    * one TakeOrdered over a pure projection on top of q163's plan.
+    * Oracle replays the q163 model arithmetic then the identical
+    * key = score − ln(−ln u) ranking. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val scores = Corpus.dsirWeights(d, "doc_id", "text",
+      target = d.filter(col("doc_id") < 100), targetTextCol = "text")
+    Corpus.gumbelTopK(scores, "doc_id", "dsir_score", k = 50)
+  }
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -2997,7 +3013,8 @@ object SparkEntry {
     "q162_unigram_train" -> (q162 _),
     "q163_dsir_weights" -> (q163 _),
     "q164_tokenizer_compare" -> (q164 _),
-    "q165_ann_ivfpq_residual" -> (q165 _)
+    "q165_ann_ivfpq_residual" -> (q165 _),
+    "q166_dsir_resample" -> (q166 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5137,36 +5154,31 @@ object SparkEntry {
     // replayed with identical op order (two lns of a quotient,
     // integer counts + CAST 1.0 AS DOUBLE); round(sum, 4) absorbs
     // sum-order ULPs.
-    "q163_dsir_weights" ->
-      """WITH ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents),
-        |tf AS (SELECT f FROM (
-        |    SELECT unnest(ws) AS f FROM ws0 WHERE doc_id < 100
-        |    UNION ALL
-        |    SELECT ws[i] || ' ' || ws[i + 1] AS f FROM
-        |      (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws0
-        |       WHERE doc_id < 100 AND len(ws) >= 2))),
-        |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf
-        |  GROUP BY 1),
-        |rf AS (SELECT doc_id, f FROM (
-        |    SELECT doc_id, unnest(ws) AS f FROM ws0
-        |    UNION ALL
-        |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f FROM
-        |      (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-        |       FROM ws0 WHERE len(ws) >= 2))),
-        |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf
-        |  GROUP BY 1),
-        |g AS (SELECT
-        |  (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tg,
-        |  (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS rg,
-        |  (SELECT CAST(count(*) AS DOUBLE) FROM
-        |    (SELECT f FROM tc UNION SELECT f FROM rc)) AS v)
-        |SELECT doc_id, round(sum(
+    "q163_dsir_weights" -> ("WITH " + dsirModelSteps +
+      """SELECT doc_id, round(sum(
         |    ln((coalesce(tc.ct, 0) + CAST(1.0 AS DOUBLE)) / (g.tg + g.v))
         |  - ln((coalesce(rc.cr, 0) + CAST(1.0 AS DOUBLE)) / (g.rg + g.v))
         |  ), 4) AS dsir_score
         |FROM rf LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), g
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
+    // q166: the q163 score arithmetic, then the identical Gumbel key
+    // score − ln(−ln u) with u from the md5-seeded uniform (the q110
+    // esKey construction); top-50 by (key desc, doc_id).
+    "q166_dsir_resample" -> ("WITH " + dsirModelSteps +
+      """sc AS (SELECT doc_id, round(sum(
+        |    ln((coalesce(tc.ct, 0) + CAST(1.0 AS DOUBLE)) / (g.tg + g.v))
+        |  - ln((coalesce(rc.cr, 0) + CAST(1.0 AS DOUBLE)) / (g.rg + g.v))
+        |  ), 4) AS dsir_score
+        |FROM rf LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), g
+        |GROUP BY 1),
+        |es AS (SELECT doc_id, dsir_score, dsir_score
+        |  - ln(-ln((CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |    / 4294967296.0)) AS key FROM sc)
+        |SELECT doc_id, dsir_score,
+        |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+        |    AS sample_rank
+        |FROM es ORDER BY key DESC, doc_id LIMIT 50""".stripMargin),
     // q154: the greedy encode loop unrolled — each step merges the
     // adjacent pair with min (rank, position), packed as rank*100+pos
     // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =
@@ -5225,6 +5237,36 @@ object SparkEntry {
         |UNION ALL SELECT 'unigram', n_words, n_tokens,
         |  round(n_tokens / n_words, 4) FROM ut""".stripMargin)
   )
+
+  /** Shared oracle machinery for q163/q166: the DSIR feature models
+    * (uni+bigram counts for the doc_id<100 target slice and the full
+    * corpus, plus the T/V scalars) as CTEs `tc`, `rf`, `rc`, `g` —
+    * callers append the scoring/resampling stages. */
+  private val dsirModelSteps: String =
+    """ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |tf AS (SELECT f FROM (
+      |    SELECT unnest(ws) AS f FROM ws0 WHERE doc_id < 100
+      |    UNION ALL
+      |    SELECT ws[i] || ' ' || ws[i + 1] AS f FROM
+      |      (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws0
+      |       WHERE doc_id < 100 AND len(ws) >= 2))),
+      |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf
+      |  GROUP BY 1),
+      |rf AS (SELECT doc_id, f FROM (
+      |    SELECT doc_id, unnest(ws) AS f FROM ws0
+      |    UNION ALL
+      |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f FROM
+      |      (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |       FROM ws0 WHERE len(ws) >= 2))),
+      |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf
+      |  GROUP BY 1),
+      |g AS (SELECT
+      |  (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tg,
+      |  (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS rg,
+      |  (SELECT CAST(count(*) AS DOUBLE) FROM
+      |    (SELECT f FROM tc UNION SELECT f FROM rc)) AS v),
+      |""".stripMargin
 
   /** Shared oracle machinery for q161: the unigram Viterbi DP as
     * `steps` unrolled CTE stages over DuckDB lists — sc carries

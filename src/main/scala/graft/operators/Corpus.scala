@@ -1229,6 +1229,36 @@ object Corpus {
       .drop("__key")
   }
 
+  /** Gumbel-top-k sampling in LOG space (the Gumbel-max trick;
+    * Kool et al. 2019 "Stochastic Beams and Where to Find Them"):
+    * draw k items without replacement with probability ∝
+    * exp(logw / temperature) by ranking key = logw/T + Gumbel(u),
+    * Gumbel(u) = −ln(−ln u) — the numerically safe form of
+    * [[weightedSample]] when the weights ARRIVE as log-weights
+    * (q163's DSIR scores sum hundreds of ln-ratios: exp() of them
+    * overflows/underflows a double, while the Gumbel key never
+    * leaves log space). u comes from the id's seed-salted md5 (the
+    * esKey construction), so the draw is reproducible and
+    * cross-engine replayable. One TakeOrdered over a pure
+    * projection — no shuffle beyond the top-k. */
+  def gumbelTopK(
+      df: DataFrame, idCol: String, logWeightCol: String, k: Int,
+      temperature: Double = 1.0, seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(temperature > 0, "gumbelTopK: temperature > 0")
+    val u = (conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    df.select(col(idCol), col(logWeightCol),
+        (col(logWeightCol).cast("double") / lit(temperature) -
+          log(-log(u))).as("__key"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("__key").desc, col(idCol))))
+      .drop("__key")
+  }
+
   /** The Efraimidis–Spirakis key u^(1/w) with u drawn from the id's
     * (seed-salted) md5 — shared by [[weightedSample]] and
     * [[weightedSamplePerStratum]] so the two draws agree. */

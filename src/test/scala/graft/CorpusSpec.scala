@@ -184,6 +184,31 @@ class CorpusSpec extends SparkSpec {
     assert(h == h2)
   }
 
+  test("gumbelTopK: log-space weighted draw, deterministic and dominance-respecting") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1000.0 else 0.0))
+      .toDF("id", "lw")
+    val a = Corpus.gumbelTopK(df, "id", "lw", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // a +1000 log-weight dominates any Gumbel noise: always rank 1
+    assert(a.head == (7L, 1))
+    assert(a.length == 10 && a.map(_._2).toSeq == (1 to 10))
+    // reproducible
+    val b = Corpus.gumbelTopK(df, "id", "lw", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(a.toSeq == b.toSeq)
+    // a different seed reshuffles the noise-dominated tail
+    val c = Corpus.gumbelTopK(df, "id", "lw", k = 10, seed = "s1")
+      .collect().map(_.getLong(0))
+    assert(c.head == 7L)
+    assert(c.toSeq != a.map(_._1).toSeq)
+    // scores that would overflow exp() stay rankable in log space
+    val big = Seq((1L, 5000.0), (2L, 4999.0), (3L, -5000.0))
+      .toDF("id", "lw")
+    val top = Corpus.gumbelTopK(big, "id", "lw", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
   test("bm25Search ranks by term frequency, rarity, and length norm") {
     val docs = Seq(
       (1L, "spark spark spark engine"),       // tf=3, short

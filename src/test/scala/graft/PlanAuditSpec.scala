@@ -71,7 +71,10 @@ class PlanAuditSpec extends SparkSpec {
   // cumulativeUsers prefix-sums a one-row-per-DAY table
   private val globalWindowByDesign = Set(
     "q61_ann_ivf_trained", "q66_ann_ivfpq", "q110_weighted_sample",
-    "q115_cumulative_users")
+    "q115_cumulative_users",
+    // q165/q166: the same bounded shapes — centroid-seed numbering
+    // over a LIMIT-k sample / rank over the 50 rows TakeOrdered kept
+    "q165_ann_ivfpq_residual", "q166_dsir_resample")
 
   test("no registered query windows over a single partition") {
     // an empty partitionSpec funnels the whole input through ONE task —
@@ -215,9 +218,12 @@ class PlanAuditSpec extends SparkSpec {
       "q163_dsir_weights" -> 1, // both feature models checkpointed +
                                // broadcast; corpus features never
                                // shuffle before their per-doc sum
-      "q164_tokenizer_compare" -> 1) // three codegen'd encodes ride
+      "q164_tokenizer_compare" -> 1, // three codegen'd encodes ride
                                // ONE word scan; a single 1-row agg
                                // exchange, stack is a projection
+      "q166_dsir_resample" -> 1) // q163's per-doc sum exchange; the
+                               // k-row rank window rides the
+                               // TakeOrdered single partition
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
