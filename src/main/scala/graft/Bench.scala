@@ -268,7 +268,9 @@ object Bench {
       // FAISS-recipe residual IVF-PQ (vec_sub_f native kernel)
       "q165_ann_ivfpq_residual",
       // Gumbel-top-k DSIR resample (log-space weighted draw)
-      "q166_dsir_resample"
+      "q166_dsir_resample",
+      // PCA whitening projection (frozen eigenbasis, scan-speed)
+      "q167_pca_whiten"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

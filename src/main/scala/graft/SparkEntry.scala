@@ -516,6 +516,96 @@ object SparkEntry {
       refine = 4)
   }
 
+  /** FROZEN PCA whitening model for q167: the output of `Pca.train`
+    * over the sf0.01 embeddings (k=4, maxTrain default — here the
+    * whole 4k corpus, so whitened variance is exactly 1). Components
+    * are floats (they feed the codegen'd `dot_f`); the oracle
+    * literal renders each as the shortest round-trip DOUBLE of its
+    * float value, so both engines multiply identical IEEE operands.
+    * PcaSpec re-derives the model and pins equality. */
+  private[graft] val PcaComps: Seq[Seq[Float]] = Seq(
+    Seq(
+      -0.20963933f, -0.120572716f, 0.03654786f, 0.011819567f, 0.075670086f,
+      0.013214629f, 0.09058412f, 0.2866188f, 0.04954696f, 0.41405654f,
+      0.06530498f, 0.18207885f, 0.06513224f, -0.036532056f, 0.17114897f,
+      -0.18534978f, 0.088989876f, -0.15702656f, -0.030136686f, 0.03217897f,
+      0.061213203f, -0.11068832f, -0.08347513f, -0.055437468f,
+      0.019550012f, 0.19912542f, -0.037517253f, 0.1495077f, -0.17287964f,
+      -0.006123114f, -0.058715727f, 0.062037718f, 0.29653853f, 0.10616458f,
+      -0.032041937f, 0.10414385f, 0.04453876f, 0.061464053f, 0.013006698f,
+      0.021771206f, -0.11667899f, 0.0055245864f, -0.24083692f, 0.09570759f,
+      -0.028307708f, -0.22512744f, 0.0087318355f, -0.07903751f,
+      -0.083680846f, -0.11845091f, 0.1204595f, 0.07248325f, -0.017186482f,
+      0.08160438f, -0.015031355f, -0.06676477f, -0.055650637f,
+      -0.05137606f, 0.060196016f, -0.091139145f, 0.12198699f, 0.050649833f,
+      -0.21821147f, -0.102013886f),
+    Seq(
+      -0.0038371272f, -0.054430246f, -0.012567934f, -0.088133655f,
+      0.17485769f, 0.025214367f, 0.07494656f, -0.0699807f, 0.07744817f,
+      0.030696057f, 0.105758145f, -0.017882872f, 0.012975656f, 0.13369682f,
+      0.014559198f, 0.04139192f, 0.148411f, 0.36030984f, -0.05418865f,
+      -0.050764777f, 0.03254317f, 0.035391126f, 0.06533467f, -0.3091228f,
+      -0.25768214f, -0.23906587f, -0.020637633f, -2.2331339E-4f,
+      -0.0862857f, -0.17453292f, -0.024067927f, -0.21754494f, 0.029463936f,
+      0.061538678f, 0.033753328f, 0.07921968f, 0.0594671f, 0.0364984f,
+      0.18210699f, 0.046673886f, 8.626508E-6f, 0.046986755f, -0.06276704f,
+      -0.1791898f, 0.17268649f, -0.18883522f, -0.04694587f, 0.14577948f,
+      0.11292398f, -0.11328063f, -0.15743104f, -0.08197501f, 0.012979947f,
+      -0.016092354f, 0.23803516f, 0.023384318f, -0.30282027f, 0.01638284f,
+      0.13543364f, -0.12158607f, -0.0836705f, 0.08483883f, -4.4318486E-4f,
+      -0.07861587f),
+    Seq(
+      -0.14804403f, -0.0851244f, -0.06394748f, -4.5759702E-4f,
+      -0.20437467f, -0.043741737f, 0.1177553f, -0.28449786f, 0.0444024f,
+      0.023717338f, -0.05117953f, 0.035702035f, -0.060179565f,
+      -0.034550607f, 0.009449519f, -0.23454575f, 0.17137353f, -0.08492759f,
+      0.11604707f, 0.077328406f, 0.013131627f, 0.17530756f, -0.100648016f,
+      0.053374704f, 0.09255731f, 0.10008395f, 0.09063736f, -0.1341421f,
+      0.010277697f, -0.10540483f, -0.12285967f, 0.09091211f, 0.048252165f,
+      -0.1806613f, -0.02976989f, -0.102162585f, 0.1390785f, -0.21255244f,
+      -0.06345652f, -0.103929f, 0.18947963f, 0.1901101f, -0.12585557f,
+      -0.20893277f, 0.16586569f, 0.052836277f, 0.042797573f, 0.018020015f,
+      -0.068320096f, -0.051275514f, -0.12949845f, -0.1064545f, 0.22780031f,
+      -0.15329477f, -0.1791521f, -0.0019200152f, -0.0053810957f,
+      0.1097246f, 0.18279524f, -0.052685086f, -0.06955779f, 0.2884306f,
+      -0.09008108f, -0.0755305f),
+    Seq(
+      0.068086594f, 0.06269221f, 0.008780757f, 0.17252699f, -0.25796106f,
+      0.107129246f, -0.02320921f, 0.17754309f, -0.11522019f, 0.13620196f,
+      0.0076408843f, 0.20195048f, -0.060775444f, -0.14021936f,
+      -0.093113676f, 0.049308065f, 0.09682486f, 0.07142427f, -0.009319478f,
+      -0.20316848f, -0.22547296f, 0.15765898f, -0.011856441f, 0.07323162f,
+      0.027470749f, -0.119083084f, 0.116454296f, -0.0038352518f,
+      0.12892449f, -0.10452313f, 0.15211657f, 0.2005754f, -0.08141318f,
+      -0.01767747f, -0.11650295f, 0.31619012f, -0.11671862f, -0.14843442f,
+      -0.010252064f, -0.048288867f, -0.014507538f, -1.7919675E-4f,
+      -0.08565322f, -0.01743476f, -0.075733796f, -0.041520827f,
+      -0.013620432f, 0.36940446f, -0.1085109f, -0.1534461f, 0.06647234f,
+      -0.01977801f, 0.009329624f, 0.005401022f, -0.02191754f, 0.101472914f,
+      -0.17091025f, 0.09292951f, -0.17072043f, -0.07391768f, -0.19206044f,
+      -0.09621919f, -0.08404634f, 0.026296886f))
+  private[graft] val PcaOffsets: Seq[Double] = Seq(
+    0.008821422650489585, 0.003510309064865935, -0.010977236753095537,
+    0.004293854518634018)
+  private[graft] val PcaScales: Seq[Double] = Seq(
+    6.022781165684694, 6.061030389078294, 6.123215258279334,
+    6.245062559632553)
+
+  /** q167: PCA WHITENING (Pca.whiten + the codegen'd `dot_f`
+    * kernel) — center, rotate to the eigenbasis, unit-variance each
+    * axis: the standard embedding preprocessing before retrieval /
+    * quantization (Jégou & Chum 2012). Train is model-on-driver
+    * (bounded deterministic sample, cyclic Jacobi eigensolver,
+    * sign/order conventions making the model bit-reproducible);
+    * apply is a PURE PROJECTION — one dot_f per coordinate against
+    * the frozen component, the centering folded into a precomputed
+    * μ·v scalar so x − μ never materializes. Oracle replays each
+    * coordinate as ((Σ emb[i]·m[i]) − c) · s with the identical
+    * double operands; round(,4) absorbs sum-order ULPs. */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    Pca.whiten(Tables(s, dir).embeddings, "vec_id", "embedding",
+      Pca.Model(PcaComps, PcaOffsets, PcaScales, Nil))
+
   /** q46: CSS/div HTML extraction round-trip — pages synthesised in the
     * reference's billtrack50 scorecard shape (nested container div +
     * labeled strong/span score pulls), then extracted back with the
@@ -3014,7 +3104,8 @@ object SparkEntry {
     "q163_dsir_weights" -> (q163 _),
     "q164_tokenizer_compare" -> (q164 _),
     "q165_ann_ivfpq_residual" -> (q165 _),
-    "q166_dsir_resample" -> (q166 _)
+    "q166_dsir_resample" -> (q166 _),
+    "q167_pca_whiten" -> (q167 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5179,6 +5270,10 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
         |    AS sample_rank
         |FROM es ORDER BY key DESC, doc_id LIMIT 50""".stripMargin),
+    // q167: each whitened coordinate replayed as
+    // ((Σ emb[i]·m[i]) − c)·s over identical double operands (the
+    // oracle string is generated from the frozen model itself).
+    "q167_pca_whiten" -> pcaOracleSql,
     // q154: the greedy encode loop unrolled — each step merges the
     // adjacent pair with min (rank, position), packed as rank*100+pos
     // (pos ≤ 11 < 100); list_min of an empty candidate list is NULL =
@@ -5237,6 +5332,33 @@ object SparkEntry {
         |UNION ALL SELECT 'unigram', n_words, n_tokens,
         |  round(n_tokens / n_words, 4) FROM ut""".stripMargin)
   )
+
+  /** q167 oracle, BUILT from the same frozen constants the query
+    * uses (each float component rendered as the shortest round-trip
+    * DOUBLE of its float value — the exact operand `dot_f` widens
+    * to), so literal drift between query and oracle is impossible. */
+  private def pcaOracleSql: String = {
+    def dlist(xs: Seq[Double]): String =
+      xs.map(java.lang.Double.toString).mkString("[", ", ", "]") +
+        "::DOUBLE[]"
+    val dim = PcaComps.head.size
+    val ms = PcaComps.zipWithIndex.map { case (c, j) =>
+      s"${dlist(c.map(_.toDouble))} AS m${j + 1}"
+    }.mkString(",\n  ")
+    val ws = PcaComps.indices.map { j =>
+      val c = java.lang.Double.toString(PcaOffsets(j))
+      val sc = java.lang.Double.toString(PcaScales(j))
+      s"""round((list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> embedding[i] * m${j + 1}[i]))
+         |  - CAST('$c' AS DOUBLE)) * CAST('$sc' AS DOUBLE), 4)
+         |  AS w${j + 1}""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH m AS (SELECT
+       |  $ms)
+       |SELECT vec_id,
+       |  $ws
+       |FROM embeddings, m WHERE embedding IS NOT NULL""".stripMargin
+  }
 
   /** Shared oracle machinery for q163/q166: the DSIR feature models
     * (uni+bigram counts for the doc_id<100 target slice and the full

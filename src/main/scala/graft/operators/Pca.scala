@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA training + whitening projection for embedding columns — the
+  * standard retrieval-quality preprocessing (center, rotate to the
+  * eigenbasis, scale each axis to unit variance; e.g. Jégou &
+  * Chum 2012, "Negative evidences and co-occurrences in image
+  * retrieval: the benefit of PCA and whitening").
+  *
+  * Scale discipline is the [[Ann.trainPq]] one — model on the
+  * driver, application in the plan:
+  * - TRAIN collects a deterministic hash-ordered bounded sample
+  *   (embeddings are dense and low-dimensional; a 16k × 768 sample
+  *   estimates a covariance as well as the corpus does), computes
+  *   mean + covariance on the driver, and diagonalizes with cyclic
+  *   Jacobi sweeps (symmetric 64-768 dim matrices converge in a few
+  *   sweeps). Eigenpairs sort by descending eigenvalue with ties by
+  *   first-differing component; each eigenvector's sign is fixed so
+  *   its largest-|magnitude| entry is positive — the model is
+  *   bit-reproducible.
+  * - APPLY is a pure projection: each whitened coordinate is
+  *   ((x·v_k) − μ·v_k) / sqrt(λ_k + ε), i.e. one codegen'd `dot_f`
+  *   against a frozen component literal, one subtract, one multiply
+  *   — no shuffle, no UDF, and the centering never materializes
+  *   x − μ (the scalar μ·v_k is precomputed).
+  */
+object Pca {
+
+  /** Trained model: per-component (vector, μ·v offset, 1/√(λ+ε)
+    * whitening scale), components in descending-eigenvalue order. */
+  final case class Model(
+      components: Seq[Seq[Float]], offsets: Seq[Double],
+      scales: Seq[Double], eigenvalues: Seq[Double])
+
+  private val MaxTrainRows = 65536
+
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxTrain: Int = 16384, seed: Long = 42L,
+      eps: Double = 1e-9): Model = {
+    require(k >= 1, "Pca.train: k >= 1")
+    require(maxTrain <= MaxTrainRows,
+      s"Pca.train: maxTrain > $MaxTrainRows")
+    val sample = df.filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(maxTrain)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "Pca.train: empty input")
+    val d = sample.head.length
+    require(sample.forall(_.length == d), "Pca.train: ragged vectors")
+    require(k <= d, s"Pca.train: k $k > dim $d")
+    val n = sample.length
+    // mean
+    val mu = new Array[Double](d)
+    sample.foreach { v =>
+      var i = 0
+      while (i < d) { mu(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < d) { mu(i) /= n; i += 1 }
+    // covariance (upper triangle, then mirror)
+    val c = Array.ofDim[Double](d, d)
+    sample.foreach { v =>
+      var a = 0
+      while (a < d) {
+        val da = v(a) - mu(a)
+        var b = a
+        while (b < d) { c(a)(b) += da * (v(b) - mu(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < d) {
+      var b = a
+      while (b < d) {
+        c(a)(b) /= math.max(1, n - 1)
+        c(b)(a) = c(a)(b)
+        b += 1
+      }
+      a += 1
+    }
+    val (evals, evecs) = jacobi(c)
+    // order: descending eigenvalue, ties by vector content; sign:
+    // largest-|entry| positive (first such index on magnitude ties)
+    val pairs = evals.indices.map { j =>
+      val v = evecs.map(_(j))
+      var bi = 0
+      var bm = 0.0
+      var t = 0
+      while (t < v.length) {
+        if (math.abs(v(t)) > bm) { bm = math.abs(v(t)); bi = t }
+        t += 1
+      }
+      val signed = if (v(bi) < 0) v.map(x => -x) else v
+      (evals(j), signed.toSeq)
+    }.sortBy { case (ev, v) => (-ev, v.mkString(",")) }.take(k)
+    val comps = pairs.map(_._2.map(_.toFloat))
+    val offs = comps.map { comp =>
+      var s = 0.0
+      var t = 0
+      while (t < d) { s += mu(t) * comp(t).toDouble; t += 1 }
+      s
+    }
+    val scales = pairs.map { case (ev, _) =>
+      1.0 / math.sqrt(math.max(ev, 0.0) + eps)
+    }
+    Model(comps, offs, scales, pairs.map(_._1))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix with vectors in COLUMNS).
+    * Deterministic sweep order; converges when the off-diagonal
+    * Frobenius mass drops below 1e-12 of the total (≤ 64 sweeps). */
+  private def jacobi(mIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = mIn.length
+    val m = mIn.map(_.clone)
+    val v = Array.tabulate(d, d)((a, b) => if (a == b) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(m)
+    val tol = 1e-12 * (frob(m) + 1e-300)
+    while (off > tol && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(m(p)(q)) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val cth = 1.0 / math.sqrt(t * t + 1.0)
+            val sth = t * cth
+            var r = 0
+            while (r < d) {
+              val mrp = m(r)(p); val mrq = m(r)(q)
+              m(r)(p) = cth * mrp - sth * mrq
+              m(r)(q) = sth * mrp + cth * mrq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val mpr = m(p)(r); val mqr = m(q)(r)
+              m(p)(r) = cth * mpr - sth * mqr
+              m(q)(r) = sth * mpr + cth * mqr
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = cth * vrp - sth * vrq
+              v(r)(q) = sth * vrp + cth * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(m)
+      sweep += 1
+    }
+    (Array.tabulate(d)(j => m(j)(j)), v)
+  }
+
+  private def offDiag(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var a = 0
+    while (a < m.length) {
+      var b = 0
+      while (b < m.length) {
+        if (a != b) s += m(a)(b) * m(a)(b)
+        b += 1
+      }
+      a += 1
+    }
+    s
+  }
+
+  private def frob(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var a = 0
+    while (a < m.length) {
+      var b = 0
+      while (b < m.length) { s += m(a)(b) * m(a)(b); b += 1 }
+      a += 1
+    }
+    s
+  }
+
+  /** One whitened coordinate: ((x·v_k) − offset_k) · scale_k. */
+  def whitenCol(vec: Column, component: Seq[Float], offset: Double,
+      scale: Double): Column =
+    (call_function("dot_f", vec, typedlit(component)) - lit(offset)) *
+      lit(scale)
+
+  /** (id, w1..wk) whitened coordinates under a trained model —
+    * pure projection, every coordinate a codegen'd dot_f. */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+      model: Model, round4: Boolean = true): DataFrame = {
+    val cols = model.components.indices.map { j =>
+      val w = whitenCol(col(vecCol), model.components(j),
+        model.offsets(j), model.scales(j))
+      (if (round4) round(w, 4) else w).as(s"w${j + 1}")
+    }
+    df.filter(col(vecCol).isNotNull)
+      .select((col(idCol) +: cols): _*)
+  }
+}

@@ -221,9 +221,12 @@ class PlanAuditSpec extends SparkSpec {
       "q164_tokenizer_compare" -> 1, // three codegen'd encodes ride
                                // ONE word scan; a single 1-row agg
                                // exchange, stack is a projection
-      "q166_dsir_resample" -> 1) // q163's per-doc sum exchange; the
+      "q166_dsir_resample" -> 1, // q163's per-doc sum exchange; the
                                // k-row rank window rides the
                                // TakeOrdered single partition
+      "q167_pca_whiten" -> 0)  // pure projection: one dot_f per
+                               // coordinate against frozen literals,
+                               // centering folded into a scalar
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
