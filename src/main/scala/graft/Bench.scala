@@ -270,7 +270,9 @@ object Bench {
       // Gumbel-top-k DSIR resample (log-space weighted draw)
       "q166_dsir_resample",
       // PCA whitening projection (frozen eigenbasis, scan-speed)
-      "q167_pca_whiten"
+      "q167_pca_whiten",
+      // Aho-Corasick blocklist screen + compression-ratio quality
+      "q168_blocklist", "q169_compress_ratio"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged
@@ -374,9 +376,19 @@ object Bench {
     }
 
     // ---- regression gate vs the committed baseline (object scaladoc)
-    val baselinePath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-        "bench_baseline.json")).toAbsolutePath
+    // resolution order: explicit env path; the per-sf file
+    // bench_baseline_<sfname>.json (so sf0.01 dev runs gate against
+    // their own record); the primary bench_baseline.json
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath)
+      .orElse {
+        val perSf = java.nio.file.Paths.get(
+          s"bench_baseline_$sfName.json").toAbsolutePath
+        if (java.nio.file.Files.exists(perSf)) Some(perSf) else None
+      }
+      .getOrElse(java.nio.file.Paths.get("bench_baseline.json")
+        .toAbsolutePath)
     val baseline =
       if (java.nio.file.Files.exists(baselinePath)) readBaseline(baselinePath)
       else None
@@ -412,7 +424,14 @@ object Bench {
     }.mkString("{", ",", "}")
 
     // refresh the committed baseline from THIS run when asked (do it
-    // on a healthy record: prewarm probe in the GB/s, flat canary)
+    // on a healthy record: prewarm probe in the GB/s, flat canary).
+    // Non-sf0.1 runs write their per-sf file so a dev refresh can
+    // never clobber the primary record.
+    val writePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath)
+      .getOrElse(java.nio.file.Paths.get(
+        if (sfName == "sf0.1") "bench_baseline.json"
+        else s"bench_baseline_$sfName.json").toAbsolutePath)
     if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
       val bq = results.filter(_.err.isEmpty)
         .map(r => jsonStr(r.name) + ":" + num(r.median))
@@ -420,7 +439,7 @@ object Bench {
       val ba = results.filter(_.err.isEmpty)
         .map(r => jsonStr(r.name) + ":" + num(allocMedian(r)))
         .mkString("{", ",", "}")
-      try java.nio.file.Files.writeString(baselinePath,
+      try java.nio.file.Files.writeString(writePath,
         s"""{"sf":${jsonStr(sfDir)},"queries":$bq,"alloc_mb":$ba,""" +
           s""""prewarm_mbps":${num(pwMbps)},"iters":$iters}""")
       catch {

@@ -2303,6 +2303,50 @@ object SparkEntry {
     Corpus.gumbelTopK(scores, "doc_id", "dsir_score", k = 50)
   }
 
+  /** Frozen q168 blocklist: corpus-vocabulary words + multi-word
+    * phrases, exercising both single-token and cross-space matches
+    * (an Aho–Corasick automaton is substring search — phrases need
+    * no tokenizer). */
+  private[graft] val Blocklist: Seq[String] =
+    Seq("slow", "big data", "hash join", "customer")
+
+  /** q168: BLOCKLIST SCREEN (TextStats.blocklistHits/Matches + the
+    * Aho–Corasick kernel) — the C4-style badlist step: every doc
+    * checked against a phrase list in ONE automaton pass, O(len +
+    * matches) per doc REGARDLESS of pattern count (the naive
+    * contains-any is O(len·patterns) and becomes the scan bottleneck
+    * exactly when a real blocklist gets to thousands of phrases).
+    * Output: flagged docs with total match-pair count (overlaps
+    * count) and the distinct patterns hit, pattern-list order. Pure
+    * projection + filter; no exchange at all. Oracle recomputes
+    * per-pattern overlapping-position counts definitionally. */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextStats.blocklistHits(lower(col("text")), Blocklist)
+          .as("n_hits"),
+        array_join(TextStats.blocklistMatches(lower(col("text")),
+          Blocklist), ",").as("matched"))
+      .filter(col("n_hits") > 0)
+
+  /** q169: COMPRESSION-RATIO QUALITY (TextStats.compressionRatio +
+    * the `deflate_len` kernel) — the language-agnostic redundancy
+    * scalar beside q52's exact repetition counters: ratio ≈ 1 marks
+    * high-entropy garbage, very high marks boilerplate repetition;
+    * curation recipes cut both tails. Per-thread zlib state, pure
+    * projection at scan speed. rows-only by design (DEFLATE output
+    * length is zlib-build-specific — no static SQL replay);
+    * TextStatsSpec pins determinism, the repetition-monotonicity
+    * property, and kernel ≡ direct-Deflater equality. */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        call_function("deflate_len", col("text"), lit(6))
+          .as("deflate_bytes"),
+        round(TextStats.compressionRatio(col("text")), 4)
+          .as("compression_ratio"))
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -3105,7 +3149,9 @@ object SparkEntry {
     "q164_tokenizer_compare" -> (q164 _),
     "q165_ann_ivfpq_residual" -> (q165 _),
     "q166_dsir_resample" -> (q166 _),
-    "q167_pca_whiten" -> (q167 _)
+    "q167_pca_whiten" -> (q167 _),
+    "q168_blocklist" -> (q168 _),
+    "q169_compress_ratio" -> (q169 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5256,7 +5302,7 @@ object SparkEntry {
     // score − ln(−ln u) with u from the md5-seeded uniform (the q110
     // esKey construction); top-50 by (key desc, doc_id).
     "q166_dsir_resample" -> ("WITH " + dsirModelSteps +
-      """sc AS (SELECT doc_id, round(sum(
+      """, sc AS (SELECT doc_id, round(sum(
         |    ln((coalesce(tc.ct, 0) + CAST(1.0 AS DOUBLE)) / (g.tg + g.v))
         |  - ln((coalesce(rc.cr, 0) + CAST(1.0 AS DOUBLE)) / (g.rg + g.v))
         |  ), 4) AS dsir_score
@@ -5270,6 +5316,25 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
         |    AS sample_rank
         |FROM es ORDER BY key DESC, doc_id LIMIT 50""".stripMargin),
+    // q168: per-pattern OVERLAPPING position counts recomputed
+    // definitionally (substr equality at every start position),
+    // summed for n_hits; matched = the >0-count patterns joined in
+    // pattern-list order — exactly the kernel's contract.
+    "q168_blocklist" ->
+      """WITH m AS (SELECT
+        |  ['slow', 'big data', 'hash join', 'customer'] AS ps),
+        |d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(ps, p -> coalesce(list_sum(list_transform(
+        |    range(1, length(t) - length(p) + 2),
+        |    i -> CASE WHEN substr(t, i, length(p)) = p
+        |      THEN 1 ELSE 0 END)), 0)) AS cs
+        |  FROM d, m)
+        |SELECT doc_id, CAST(list_sum(cs) AS INT) AS n_hits,
+        |  array_to_string(list_transform(
+        |    list_filter(range(1, len(ps) + 1), k -> cs[k] > 0),
+        |    k -> ps[k]), ',') AS matched
+        |FROM h, m WHERE list_sum(cs) > 0""".stripMargin,
     // q167: each whitened coordinate replayed as
     // ((Σ emb[i]·m[i]) − c)·s over identical double operands (the
     // oracle string is generated from the frozen model itself).
@@ -5387,7 +5452,7 @@ object SparkEntry {
       |  (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tg,
       |  (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS rg,
       |  (SELECT CAST(count(*) AS DOUBLE) FROM
-      |    (SELECT f FROM tc UNION SELECT f FROM rc)) AS v),
+      |    (SELECT f FROM tc UNION SELECT f FROM rc)) AS v)
       |""".stripMargin
 
   /** Shared oracle machinery for q161: the unigram Viterbi DP as

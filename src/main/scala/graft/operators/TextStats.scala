@@ -21,6 +21,26 @@ object TextStats {
 
   def words(text: Column): Column = split(text, " ")
 
+  /** Total blocklist match-pair count via the Aho–Corasick kernel
+    * (one automaton pass regardless of pattern count — the C4-style
+    * badlist screen at scan speed; requires GraftExtensions).
+    * Overlapping/nested matches count; see functions/AcExpressions. */
+  def blocklistHits(text: Column, patterns: Seq[String]): Column =
+    call_function("ac_count", text, typedlit(patterns))
+
+  /** Distinct matched blocklist patterns, pattern-list order. */
+  def blocklistMatches(text: Column, patterns: Seq[String]): Column =
+    call_function("ac_matches", text, typedlit(patterns))
+
+  /** DEFLATE compression ratio (raw bytes / compressed bytes) — the
+    * language-agnostic redundancy signal: ≈1 marks high-entropy
+    * garbage, very high marks boilerplate repetition; both tails get
+    * filtered. Requires GraftExtensions; engine-specific output →
+    * register consumers rows-only. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    octet_length(text).cast("double") /
+      call_function("deflate_len", text, lit(level)).cast("double")
+
   /** Occurrences of any word from `stops` (native kernel when
     * GraftExtensions is installed — identical counts either way). */
   def stopwordHits(text: Column, stops: Seq[String]): Column =

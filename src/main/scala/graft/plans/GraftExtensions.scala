@@ -142,6 +142,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("wordpiece_encode",
       es => WordPieceEncode(es.head, es(1)),
       "wordpiece_encode(word, vocab) - greedy longest-match WordPiece tokenization against a literal array<string> vocabulary ('##' continuation pieces)"))
+    ext.injectFunction(fn("ac_count",
+      es => AcCount(es.head, es(1)),
+      "ac_count(text, patterns) - Aho-Corasick total match-pair count against a literal pattern list (overlaps count)"))
+    ext.injectFunction(fn("ac_matches",
+      es => AcMatches(es.head, es(1)),
+      "ac_matches(text, patterns) - distinct matched patterns in pattern-list order"))
+    ext.injectFunction(fn("deflate_len",
+      es => DeflateLen(es.head, es(1)),
+      "deflate_len(text, level) - DEFLATE-compressed byte length (compression-ratio quality signal)"))
     ext.injectFunction(fn("unigram_encode",
       es => UnigramEncode(es.head, es(1), es(2)),
       "unigram_encode(word, pieces, logps) - Viterbi segmentation against a literal unigram piece model (SentencePiece unigram family)"))

@@ -224,9 +224,12 @@ class PlanAuditSpec extends SparkSpec {
       "q166_dsir_resample" -> 1, // q163's per-doc sum exchange; the
                                // k-row rank window rides the
                                // TakeOrdered single partition
-      "q167_pca_whiten" -> 0)  // pure projection: one dot_f per
+      "q167_pca_whiten" -> 0,  // pure projection: one dot_f per
                                // coordinate against frozen literals,
                                // centering folded into a scalar
+      "q168_blocklist" -> 0,   // Aho-Corasick pass + filter: pure
+                               // projection, automaton by closure
+      "q169_compress_ratio" -> 0) // per-thread zlib, scan speed
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
