@@ -272,7 +272,9 @@ object Bench {
       // PCA whitening projection (frozen eigenbasis, scan-speed)
       "q167_pca_whiten",
       // Aho-Corasick blocklist screen + compression-ratio quality
-      "q168_blocklist", "q169_compress_ratio"
+      "q168_blocklist", "q169_compress_ratio",
+      // wide quality-signals export: 12 signals in one scan
+      "q170_quality_signals"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -2347,6 +2347,45 @@ object SparkEntry {
         round(TextStats.compressionRatio(col("text")), 4)
           .as("compression_ratio"))
 
+  /** q170: QUALITY-SIGNALS EXPORT — the wide per-document signal
+    * table a FineWeb/Dolma-style curation run ships beside the text:
+    * size counts (chars/words/ws/BPE-ish tokens), language id +
+    * stopword hits, the composite quality score, the three
+    * repetition fractions (native `repetition_counts` kernel), and
+    * the Aho–Corasick blocklist hit count — TWELVE signals in ONE
+    * scan, every one a codegen'd projection sharing the same text
+    * read (running the constituent queries separately would scan the
+    * corpus six times; at 100 TB the scan IS the cost). No exchange
+    * at all — budget 0. Oracle composes the constituent q37/q38/q39/
+    * q52/q168 definitional SQL over one shared CTE chain. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+        .otherwise(lit(0.0))
+    d.select(col("doc_id"), col("text"),
+        call_function("repetition_counts", col("text")).as("__c"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(TextStats.words(col("text"))).cast("long").as("n_words"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("n_ws"),
+        TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        TextStats.langId(col("text")).as("pred_lang"),
+        TextStats.stopwordHits(col("text"),
+          TextStats.StopwordProfiles.head._2).cast("long")
+          .as("stop_hits_en"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        frac(col("__c.n_words") - col("__c.n_distinct_words"),
+          col("__c.n_words")).as("dup_word_frac"),
+        frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
+          col("__c.n_bigrams")).as("dup_bigram_frac"),
+        frac(col("__c.top_bigram"), col("__c.n_bigrams"))
+          .as("top_bigram_frac"),
+        TextStats.blocklistHits(lower(col("text")), Blocklist)
+          .cast("long").as("blocklist_hits"))
+  }
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -3151,7 +3190,8 @@ object SparkEntry {
     "q166_dsir_resample" -> (q166 _),
     "q167_pca_whiten" -> (q167 _),
     "q168_blocklist" -> (q168 _),
-    "q169_compress_ratio" -> (q169 _)
+    "q169_compress_ratio" -> (q169 _),
+    "q170_quality_signals" -> (q170 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5335,6 +5375,69 @@ object SparkEntry {
         |    list_filter(range(1, len(ps) + 1), k -> cs[k] > 0),
         |    k -> ps[k]), ',') AS matched
         |FROM h, m WHERE list_sum(cs) > 0""".stripMargin,
+    // q170: the constituent q37/q38/q39/q52/q168 definitional SQL
+    // composed over one shared CTE chain; identical per-signal
+    // arithmetic and rounding as the standalone oracles.
+    "q170_quality_signals" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words,
+        |  [words[i] || ' ' || words[i+1]
+        |    for i in generate_series(1, len(words)-1)] AS bg FROM w),
+        |tops AS (SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(words, x ->
+        |    list_contains(['the','a','of','and','to'], x))) AS c_en,
+        |  len(list_filter(words, x ->
+        |    list_contains(['der','die','das','und'], x))) AS c_de,
+        |  len(list_filter(words, x ->
+        |    list_contains(['el','la','los','y'], x))) AS c_es,
+        |  len(list_filter(words, x ->
+        |    list_contains(['le','les','et','du'], x))) AS c_fr,
+        |  len(list_filter(words, x ->
+        |    list_contains(['的','是','在'], x))) AS c_zh
+        | FROM w),
+        |m AS (SELECT
+        |  ['slow', 'big data', 'hash join', 'customer'] AS ps),
+        |h AS (SELECT doc_id, list_sum(list_transform(ps, p ->
+        |    coalesce(list_sum(list_transform(
+        |      range(1, length(lower(text)) - length(p) + 2),
+        |      i -> CASE WHEN substr(lower(text), i, length(p)) = p
+        |        THEN 1 ELSE 0 END)), 0))) AS bl
+        |  FROM w, m)
+        |SELECT w.doc_id,
+        |  CAST(length(w.text) AS BIGINT) AS n_chars,
+        |  CAST(len(w.words) AS BIGINT) AS n_words,
+        |  CAST(len(string_split_regex(w.text, '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(w.text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+        |         AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh
+        |         THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+        |  CAST(c_en AS BIGINT) AS stop_hits_en,
+        |  round(least(CAST(len(w.words) AS DOUBLE) / 200.0, 1.0) * 0.6
+        |    + least(CAST(c_en AS DOUBLE) / len(w.words) * 5.0, 1.0)
+        |      * 0.4, 4) AS quality,
+        |  CASE WHEN len(w.words) > 0 THEN
+        |    round(CAST(len(w.words) - len(list_distinct(w.words))
+        |      AS DOUBLE) / len(w.words), 4) ELSE 0.0 END
+        |    AS dup_word_frac,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+        |      / len(bg), 4) ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    round(CAST(coalesce(tops.topc, 0) AS DOUBLE) / len(bg), 4)
+        |    ELSE 0.0 END AS top_bigram_frac,
+        |  CAST(h.bl AS BIGINT) AS blocklist_hits
+        |FROM w JOIN b USING (doc_id) JOIN c USING (doc_id)
+        |  JOIN h USING (doc_id) LEFT JOIN tops USING (doc_id)""".stripMargin,
     // q167: each whitened coordinate replayed as
     // ((Σ emb[i]·m[i]) − c)·s over identical double operands (the
     // oracle string is generated from the frozen model itself).

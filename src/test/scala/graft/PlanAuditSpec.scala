@@ -229,7 +229,9 @@ class PlanAuditSpec extends SparkSpec {
                                // centering folded into a scalar
       "q168_blocklist" -> 0,   // Aho-Corasick pass + filter: pure
                                // projection, automaton by closure
-      "q169_compress_ratio" -> 0) // per-thread zlib, scan speed
+      "q169_compress_ratio" -> 0, // per-thread zlib, scan speed
+      "q170_quality_signals" -> 0) // twelve signals, one shared
+                               // text scan, zero exchanges
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
