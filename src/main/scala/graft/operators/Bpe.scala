@@ -152,6 +152,26 @@ object Bpe {
         sum(size(encodeCol(col("word"), merges)).cast("long"))
           .as("n_tokens"))
 
+  /** Persist a trained merge list as parquet (rank, left, right) —
+    * the artifact a tokenizer run ships; [[loadMerges]] restores the
+    * rank-ordered list for [[encodeCol]]. A model is a few KB: the
+    * parquet round trip exists for lineage/permanence, not scale. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[String], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case (p, i) =>
+      val Array(a, b) = p.split("\\|", 2)
+      (i, a, b)
+    }.toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Restore a [[saveMerges]] artifact in rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    spark.read.parquet(dir).orderBy(col("rank")).collect()
+      .map(r => s"${r.getString(1)}|${r.getString(2)}").toSeq
+
   /** q155 shape: the trained merge table itself as rows
     * (rank, left, right) — the artifact a tokenizer ships. */
   def mergeTable(docs: DataFrame, textCol: String, numMerges: Int,

@@ -173,6 +173,46 @@ object Dedup {
     else
       jaccard(a, b)
 
+  /** Analytic LSH banding plan: the (bands, rowsPerBand) split of
+    * `numHashes` whose S-curve threshold (1/b)^(1/r) — the Jaccard
+    * similarity at which a pair's candidate probability crosses 50%
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4) —
+    * sits closest to the requested `threshold`. Returns the chosen
+    * split, its actual crossing point, and P(candidate | s) =
+    * 1 − (1 − s^r)^b at the threshold and at ±0.1 around it, so a
+    * caller can read the false-negative/false-positive trade before
+    * committing a corpus pass. Driver-side arithmetic only — the
+    * planner exists because every minhash parameter choice in a
+    * pipeline is otherwise folklore; DedupSpec pins hand-computed
+    * curves, and that q31's default 16×3 split is the planner's pick
+    * for a recall-leaning 0.4 target (its crossing point is 0.397 —
+    * deliberately BELOW the 0.5 verify threshold, so near-threshold
+    * pairs still surface as candidates for the exact verify). */
+  final case class LshPlan(
+      bands: Int, rowsPerBand: Int, threshold50: Double,
+      pAtThreshold: Double, pBelow: Double, pAbove: Double)
+
+  def lshPlan(threshold: Double, numHashes: Int): LshPlan = {
+    require(threshold > 0 && threshold < 1,
+      "lshPlan: threshold in (0,1)")
+    require(numHashes >= 2, "lshPlan: numHashes >= 2")
+    def pCand(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val splits = (1 to numHashes)
+      .filter(b => numHashes % b == 0 && numHashes / b >= 1)
+      .map(b => (b, numHashes / b))
+      .filter(_._2 >= 1)
+    val (b, r) = splits.minBy { case (b, r) =>
+      val t50 = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(t50 - threshold), b) // ties: fewer bands = fewer keys
+    }
+    val t50 = math.pow(1.0 / b, 1.0 / r)
+    LshPlan(b, r, t50,
+      pCand(threshold, b, r),
+      pCand(math.max(threshold - 0.1, 0.0), b, r),
+      pCand(math.min(threshold + 0.1, 1.0), b, r))
+  }
+
   /** (band, bucket) structs for a signature array — the ONE banding
     * hash, shared by the self-join path and the incremental index so
     * bucket keys computed in different runs (or persisted to parquet)

@@ -192,6 +192,31 @@ object Pca {
     s
   }
 
+  /** Persist a trained model as parquet — one row per component
+    * (k, component array<float>, offset, scale, eigenvalue), full
+    * double precision; [[load]] restores component order. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.components.indices.map { j =>
+      (j, model.components(j), model.offsets(j), model.scales(j),
+        if (j < model.eigenvalues.size) model.eigenvalues(j) else 0.0)
+    }.toDF("k", "component", "offset", "scale", "eigenvalue")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Restore a [[save]] artifact. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model = {
+    val rows = spark.read.parquet(dir)
+      .orderBy(col("k")).collect()
+    Model(
+      rows.toSeq.map(_.getSeq[Float](1).toSeq),
+      rows.toSeq.map(_.getDouble(2)),
+      rows.toSeq.map(_.getDouble(3)),
+      rows.toSeq.map(_.getDouble(4)))
+  }
+
   /** One whitened coordinate: ((x·v_k) − offset_k) · scale_k. */
   def whitenCol(vec: Column, component: Seq[Float], offset: Double,
       scale: Double): Column =

@@ -193,6 +193,23 @@ object UnigramLm {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Persist a trained (piece, logp) model as parquet at FULL double
+    * precision (the q161 replay depends on exact logp bits);
+    * [[loadModel]] restores it in piece order — the order
+    * [[trainFromCounts]] emits. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      model: Seq[(String, Double)], dir: String): Unit = {
+    import spark.implicits._
+    model.toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Restore a [[saveModel]] artifact in piece order. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] =
+    spark.read.parquet(dir).orderBy(col("piece")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
   /** The trained model as rows (piece, logp) — the artifact a
     * unigram tokenizer ships. logp is rounded to 6 places for
     * display; the frozen literal keeps full precision. */

@@ -147,6 +147,23 @@ object WordPiece {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Persist a trained vocabulary as parquet (id, piece);
+    * [[loadVocab]] restores it in id order (base symbols then merge
+    * order — the order [[trainFromCounts]] emits). */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String], dir: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("id", "piece")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Restore a [[saveVocab]] artifact in id order. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    spark.read.parquet(dir).orderBy(col("id")).collect()
+      .map(_.getString(1)).toSeq
+
   /** The trained vocabulary as rows (id, piece) — the artifact a
     * WordPiece tokenizer ships. */
   def vocabTable(docs: DataFrame, textCol: String, numMerges: Int,

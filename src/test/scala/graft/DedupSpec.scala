@@ -444,6 +444,26 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, "c", 0L, 0L)))
   }
 
+  test("lshPlan picks the split whose S-curve crossing matches the target") {
+    // 48 hashes, target 0.5: divisor splits include 12x4 (t50=0.537)
+    // and 16x3 (t50=0.397) -> 12x4 is closer
+    val p5 = Dedup.lshPlan(0.5, 48)
+    assert((p5.bands, p5.rowsPerBand) == (12, 4))
+    assert(math.abs(p5.threshold50 - 0.537284965911771) < 1e-12)
+    assert(math.abs(p5.pAtThreshold - 0.5390484106017048) < 1e-12)
+    assert(math.abs(p5.pBelow - 0.2674330803047421) < 1e-12)
+    assert(math.abs(p5.pAbove - 0.8109282742449611) < 1e-12)
+    // recall-leaning 0.4 target recovers q31's default 16x3 split
+    val p4 = Dedup.lshPlan(0.4, 48)
+    assert((p4.bands, p4.rowsPerBand) == (16, 3))
+    assert(math.abs(p4.threshold50 - 0.3968502629920499) < 1e-12)
+    // the S-curve is monotone: P below < P at < P above
+    assert(p5.pBelow < p5.pAtThreshold && p5.pAtThreshold < p5.pAbove)
+    // degenerate splits behave: 2 hashes
+    val tiny = Dedup.lshPlan(0.5, 2)
+    assert(tiny.bands * tiny.rowsPerBand == 2)
+  }
+
   test("normalizeForDedup: case/punct/whitespace collapse, Unicode letters kept") {
     val got = Seq(
       "  Hello,   WORLD!!  ",

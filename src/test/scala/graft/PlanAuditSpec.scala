@@ -251,7 +251,11 @@ class PlanAuditSpec extends SparkSpec {
       "q71_bm25" -> Set("doc_id", "text"),
       "q120_main_content" -> Set("doc_id", "text"),
       "q123_dedup_normalized" -> Set("doc_id", "text"),
-      "q128_script_detect" -> Set("doc_id", "text"))) {
+      "q128_script_detect" -> Set("doc_id", "text"),
+      // late-r12 curation screens: signals must ride a 2-column scan
+      "q168_blocklist" -> Set("doc_id", "text"),
+      "q169_compress_ratio" -> Set("doc_id", "text"),
+      "q170_quality_signals" -> Set("doc_id", "text"))) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       val read = nodes.collect {
