@@ -430,6 +430,94 @@ object Multimodal {
     * knows it, else the sum of input-file lengths from the filesystem
     * (zero jobs; compressed size, the right unit for IO-balanced
     * partitioning), else the optimizer's logical size estimate. */
+  /** 64-bit DIFFERENCE HASH of a decoded image — the standard
+    * perceptual near-dup fingerprint (dHash; Krawetz's variant of
+    * the average-hash family): box-average the luminance onto a 9×8
+    * grid, then bit (y,x) = grid(y,x) < grid(y,x+1). Robust to
+    * re-encoding, mild scaling and brightness shifts (gradients
+    * survive what absolute levels don't) — which is exactly what a
+    * crawl's duplicate images look like (same picture, different
+    * JPEG quality/size). Pure integer/double math over the pixel
+    * grid: deterministic across JVMs. */
+  def dHash64(img: BufferedImage): Long = {
+    val gw = 9
+    val gh = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = Array.ofDim[Double](gh, gw)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        g(cy)(cx) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) < g(y)(x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hashes with the quarantine discipline of
+    * [[extractFeatures]]: corrupt bytes yield ok=false + err, never
+    * a task failure. One typed map — a pure projection. */
+  def imageHashes(media: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Right(img) => (id, dHash64(img), true, "")
+          case Left(err) => (id, 0L, false, err.take(200))
+        }
+      }
+      .toDF(idCol, "dhash", "ok", "err")
+  }
+
+  /** Image NEAR-DUPLICATE pairs: dHash fingerprints bucketed by the
+    * SAME banded-Hamming machinery SimHash text dedup uses
+    * (Dedup.simhashBandPairs — maxHamming+1 bands of 64-bit
+    * segments; the pigeonhole guarantees every pair within
+    * `maxHamming` bits shares a band, so recall over the hash is
+    * exact), then verified by exact bit_count. Quarantined decodes
+    * are excluded. The shuffle carries (id, 8-byte hash) — image
+    * BYTES never move; at crawl scale this is the only shape that
+    * survives. Returns (a_id, b_id, hamming). */
+  def imageNearDup(media: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashBandPairs(
+      imageHashes(media, idCol, bytesCol)
+        .filter(col("ok"))
+        .select(col(idCol).as("__id"), col("dhash").as("__sim")),
+      maxHamming)
+
   def mediaRepartition(
       df: DataFrame, bytesCol: String, targetBytes: Long,
       totalBytesHint: Option[Long] = None): DataFrame = {

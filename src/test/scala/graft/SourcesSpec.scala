@@ -573,6 +573,56 @@ class SourcesSpec extends SparkSpec {
     assert(byId.values.forall(_ >= 1))
   }
 
+  test("image near-dup: dHash survives JPEG re-encode, separates distinct images") {
+    // deterministic 8x8-block "random" gray patterns — distinct per
+    // seed (unlike the synthetic gradients, whose monotone ramps all
+    // share one dHash); JPEG re-encodes preserve block averages, so a
+    // re-encoded copy is the planted near-dup
+    def pattern(seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val bx = x / 8; val by = y / 8
+        val v = (((seed * 1469598103934665603L + bx * 1099511628211L +
+          by * 735263657946371L) >>> 33) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def jpg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(pattern(1))), (2L, jpg(pattern(1))),   // planted pair
+      (3L, png(pattern(2))), (4L, jpg(pattern(2))),   // second pair
+      (5L, png(pattern(3))),                          // singleton
+      (6L, "corrupt bytes".getBytes.clone))           // quarantine
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.imageNearDup(rows, "media_id", "bytes",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair 1-2 missing: $pairs")
+    assert(pairs.contains((3L, 4L)), s"planted pair 3-4 missing: $pairs")
+    // distinct patterns don't pair; the corrupt row never appears
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(6L) })
+    // quarantine row surfaces ok=false with a reason
+    val q = Multimodal.imageHashes(rows, "media_id", "bytes")
+      .filter(!col("ok")).select("media_id").as[Long].collect()
+    assert(q.toSeq == Seq(6L))
+    // hashes are deterministic
+    val h1 = Multimodal.imageHashes(rows, "media_id", "bytes")
+      .orderBy("media_id").collect().map(_.getLong(1)).toSeq
+    val h2 = Multimodal.imageHashes(rows, "media_id", "bytes")
+      .orderBy("media_id").collect().map(_.getLong(1)).toSeq
+    assert(h1 == h2)
+  }
+
   test("mediaRepartition sizes partitions by payload bytes — no data pass") {
     implicit val s = spark
     // explicit hint path: exact sizing, zero inspection
