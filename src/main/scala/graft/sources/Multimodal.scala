@@ -518,6 +518,67 @@ object Multimodal {
         .select(col(idCol).as("__id"), col("dhash").as("__sim")),
       maxHamming)
 
+  /** 64-bit AUDIO FINGERPRINT — the dHash idea applied to two
+    * gain-invariant envelope profiles: 32 bits compare adjacent RMS
+    * windows (33-window energy envelope — a global volume change
+    * scales every window, so the comparisons are invariant) and 32
+    * bits compare adjacent ZERO-CROSSING-RATE windows (pitch/texture
+    * profile, inherently gain-invariant). Same duplicate-crawl
+    * rationale as [[dHash64]]: the same clip re-encoded or
+    * re-normalized should collide within a few bits, different audio
+    * should not. Deterministic integer math. */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    val W = 33
+    if (samples.length < W) return 0L
+    val energy = new Array[Double](W)
+    val zcr = new Array[Double](W)
+    val slice = math.max(1, samples.length / W)
+    var i = 0
+    while (i < samples.length) {
+      val b = math.min(W - 1, i / slice)
+      val s = samples(i).toDouble
+      energy(b) += s * s
+      if (i > 0 && (samples(i - 1) < 0) != (samples(i) < 0)) zcr(b) += 1
+      i += 1
+    }
+    var bits = 0L
+    var w = 0
+    while (w < 32) {
+      if (energy(w) < energy(w + 1)) bits |= 1L << w
+      if (zcr(w) < zcr(w + 1)) bits |= 1L << (32 + w)
+      w += 1
+    }
+    bits
+  }
+
+  /** Per-clip audio fingerprints with the quarantine discipline. */
+  def audioHashes(media: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        decodeAudio(bytes) match {
+          case Right((_, samples)) =>
+            (id, audioFingerprint64(samples), true, "")
+          case Left(err) => (id, 0L, false, err.take(200))
+        }
+      }
+      .toDF(idCol, "dhash", "ok", "err")
+  }
+
+  /** Audio NEAR-DUPLICATE pairs — [[imageNearDup]]'s shape over
+    * [[audioFingerprint64]]: banded-Hamming candidates + exact
+    * bit_count verify, (id, 8-byte hash) shuffle only. */
+  def audioNearDup(media: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashBandPairs(
+      audioHashes(media, idCol, bytesCol)
+        .filter(col("ok"))
+        .select(col(idCol).as("__id"), col("dhash").as("__sim")),
+      maxHamming)
+
   def mediaRepartition(
       df: DataFrame, bytesCol: String, targetBytes: Long,
       totalBytesHint: Option[Long] = None): DataFrame = {

@@ -623,6 +623,41 @@ class SourcesSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("audio near-dup: fingerprint is gain-invariant, separates different clips") {
+    // direct fingerprint properties on synthetic PCM
+    def sine(freqCycles: Double, n: Int, amp: Double): Array[Short] =
+      Array.tabulate(n)(i => (math.sin(2 * math.Pi * freqCycles * i / n)
+        * amp * (0.5 + 0.5 * i.toDouble / n) // rising envelope
+        * 30000).toShort)
+    val a = Multimodal.audioFingerprint64(sine(40, 8000, 0.9))
+    val gained = Multimodal.audioFingerprint64(sine(40, 8000, 0.45))
+    // a pure gain change flips (almost) no bits
+    assert(java.lang.Long.bitCount(a ^ gained) <= 3,
+      s"gain flipped ${java.lang.Long.bitCount(a ^ gained)} bits")
+    // a different pitch profile lands far away
+    val other = Multimodal.audioFingerprint64(
+      Array.tabulate(8000)(i => (math.sin(2 * math.Pi * (7 + 90.0 * i / 8000)
+        * i / 8000) * 25000 * (1.0 - 0.5 * i / 8000)).toShort))
+    assert(java.lang.Long.bitCount(a ^ other) > 8,
+      s"different clip too close: ${java.lang.Long.bitCount(a ^ other)}")
+    // DataFrame path: identical clips pair, different seeds don't,
+    // corrupt bytes quarantine
+    def wavBytes(seed: Long): Array[Byte] =
+      Multimodal.syntheticWav(16000, 100, seed)
+    val rows = Seq(
+      (1L, wavBytes(1)), (2L, wavBytes(1)),
+      (3L, wavBytes(9)), (4L, "not a wav".getBytes.clone))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.audioNearDup(rows, "media_id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical clips missing: $pairs")
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(3L) })
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(4L) })
+    val q = Multimodal.audioHashes(rows, "media_id", "bytes")
+      .filter(!col("ok")).select("media_id").as[Long].collect()
+    assert(q.toSeq == Seq(4L))
+  }
+
   test("mediaRepartition sizes partitions by payload bytes — no data pass") {
     implicit val s = spark
     // explicit hint path: exact sizing, zero inspection
