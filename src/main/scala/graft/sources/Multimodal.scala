@@ -579,6 +579,65 @@ object Multimodal {
         .select(col(idCol).as("__id"), col("dhash").as("__sim")),
       maxHamming)
 
+  /** 64-bit VIDEO FINGERPRINT: [[dHash64]] of the clip's sampled
+    * frames MAJORITY-VOTED per bit — frame-accurate enough to pair
+    * re-encodes, and the vote makes one corrupt/duplicated frame
+    * harmless (a first-frame-only hash would break on a clip whose
+    * container re-mux shifted frame one). `stride` caps decode cost:
+    * at most 8 frames decode regardless of clip length. Quarantines
+    * propagate as Left. */
+  def videoFingerprint64(bytes: Array[Byte],
+      maxFrames: Int = 8): Either[String, Long] =
+    decodeAviFrames(bytes).flatMap { case (_, frames) =>
+      if (frames.isEmpty) Left("no frames")
+      else {
+        val stride = math.max(1, frames.size / maxFrames)
+        val sampled = frames.indices.by(stride).take(maxFrames)
+          .map(frames(_))
+        val hashes = sampled.map(decodeImage(_).map(dHash64))
+        val ok = hashes.collect { case Right(h) => h }
+        if (ok.isEmpty)
+          Left(hashes.collectFirst { case Left(e) => e }
+            .getOrElse("no decodable frames"))
+        else {
+          var bits = 0L
+          var b = 0
+          while (b < 64) {
+            val ones = ok.count(h => (h >>> b & 1L) == 1L)
+            if (2 * ones > ok.size) bits |= 1L << b
+            b += 1
+          }
+          Right(bits)
+        }
+      }
+    }
+
+  /** Per-clip video fingerprints with the quarantine discipline. */
+  def videoHashes(media: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        videoFingerprint64(bytes) match {
+          case Right(h) => (id, h, true, "")
+          case Left(err) => (id, 0L, false, err.take(200))
+        }
+      }
+      .toDF(idCol, "dhash", "ok", "err")
+  }
+
+  /** Video NEAR-DUPLICATE pairs — the image/audio shape over
+    * [[videoFingerprint64]]. */
+  def videoNearDup(media: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashBandPairs(
+      videoHashes(media, idCol, bytesCol)
+        .filter(col("ok"))
+        .select(col(idCol).as("__id"), col("dhash").as("__sim")),
+      maxHamming)
+
   def mediaRepartition(
       df: DataFrame, bytesCol: String, targetBytes: Long,
       totalBytesHint: Option[Long] = None): DataFrame = {

@@ -658,6 +658,28 @@ class SourcesSpec extends SparkSpec {
     assert(q.toSeq == Seq(4L))
   }
 
+  test("video near-dup: frame-vote fingerprint pairs identical clips") {
+    def avi(seed: Long, frames: Int): Array[Byte] =
+      Multimodal.syntheticMjpegAvi(48, 32, frames, 4, seed)
+    val rows = Seq(
+      (1L, avi(5, 4)), (2L, avi(5, 4)),   // identical clip
+      (3L, avi(11, 4)),                   // different content
+      (4L, "bogus".getBytes.clone))       // quarantine
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.videoNearDup(rows, "media_id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical clips missing: $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+    val q = Multimodal.videoHashes(rows, "media_id", "bytes")
+      .filter(!col("ok")).select("media_id").as[Long].collect()
+    assert(q.toSeq == Seq(4L))
+    // fingerprint is a per-bit majority over sampled frames:
+    // deterministic across invocations
+    val h1 = Multimodal.videoFingerprint64(avi(5, 4))
+    val h2 = Multimodal.videoFingerprint64(avi(5, 4))
+    assert(h1 == h2 && h1.isRight)
+  }
+
   test("mediaRepartition sizes partitions by payload bytes — no data pass") {
     implicit val s = spark
     // explicit hint path: exact sizing, zero inspection
