@@ -282,6 +282,41 @@ object Corpus {
       .agg(round(sum(col("__lr")), 4).as("dsir_score"))
   }
 
+  /** Compile the hashed-bucket DSIR model into a B-sized log-ratio
+    * array for the `dsir_score` kernel: lr[k] = ln p_target(k) −
+    * ln p_raw(k) with the same add-one smoothing as
+    * [[dsirWeights]](hashBuckets = Some(b)) — for EVERY bucket,
+    * including the never-seen floor, so scoring needs no join. The
+    * two bucketed count tables collect to the driver (B-bounded by
+    * construction — the whole point of hashing); the returned array
+    * is the model an operational scorer ships: score any batch scan
+    * or STREAM with `call_function("dsir_score", text, lit(lr))` as
+    * a stateless projection (see graft.streaming.StreamDsir). */
+  def dsirModelArray(
+      docs: DataFrame, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int): Array[Double] = {
+    require(buckets >= 1, "dsirModelArray: buckets >= 1")
+    val feats = "concat(__ws, CASE WHEN size(__ws) >= 2 THEN " +
+      "transform(sequence(0, size(__ws) - 2), " +
+      "i -> concat(__ws[i], ' ', __ws[i + 1])) " +
+      "ELSE cast(array() AS array<string>) END)"
+    def counts(df: DataFrame, tc: String): Map[Int, Long] =
+      Parallelism.ensure(df.select(split(col(tc), " ").as("__ws")))
+        .select(explode(expr(feats)).as("f"))
+        .select(pmod(xxhash64(col("f")), lit(buckets)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val tc = counts(target, targetTextCol)
+    val rc = counts(docs, textCol)
+    val tvT = (tc.values.sum + buckets).toDouble
+    val tvR = (rc.values.sum + buckets).toDouble
+    Array.tabulate(buckets) { k =>
+      math.log((tc.getOrElse(k, 0L) + 1.0) / tvT) -
+        math.log((rc.getOrElse(k, 0L) + 1.0) / tvR)
+    }
+  }
+
   /** Sketch-first heavy hitters: the 100 TB path for [[ngramFreq]]'s
     * top-k. The exact plan's shuffle carries one row per distinct
     * n-gram per partition — fine while the vocabulary is bounded,

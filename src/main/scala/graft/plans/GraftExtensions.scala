@@ -151,6 +151,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("deflate_len",
       es => DeflateLen(es.head, es(1)),
       "deflate_len(text, level) - DEFLATE-compressed byte length (compression-ratio quality signal)"))
+    ext.injectFunction(fn("dsir_score",
+      es => DsirScore(es.head, es(1)),
+      "dsir_score(text, lr) - stateless DSIR importance score against a literal bucketed log-ratio model"))
     ext.injectFunction(fn("unigram_encode",
       es => UnigramEncode(es.head, es(1), es(2)),
       "unigram_encode(word, pieces, logps) - Viterbi segmentation against a literal unigram piece model (SentencePiece unigram family)"))

@@ -209,6 +209,36 @@ class CorpusSpec extends SparkSpec {
     assert(top == Seq(1L, 2L))
   }
 
+  test("dsir_score kernel equals the batch hashed dsirWeights join") {
+    // the model-as-literal scorer must reproduce the hashed batch
+    // path exactly (same xxhash64 buckets, same smoothing): the only
+    // permitted difference is per-doc summation ORDER (text order vs
+    // aggregation order), which round(,4)-level tolerance absorbs
+    val target = Seq("the cat sat on the mat", "a cat and a cat")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ran in the park"),
+      (3L, "zx qw vb nm kj hg"),
+      (4L, "cat"))
+      .toDF("doc_id", "text")
+    val b = 1 << 12
+    val batch = Corpus.dsirWeights(docs, "doc_id", "text",
+        target, "text", hashBuckets = Some(b))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lr = Corpus.dsirModelArray(docs, "text", target, "text", b)
+    assert(lr.length == b)
+    val kernel = docs.select(col("doc_id"),
+        call_function("dsir_score", col("text"), typedlit(lr.toSeq)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    for ((id, s) <- batch) // batch output is round(,4); kernel is raw
+      assert(math.abs(r4(kernel(id)) - s) < 1e-9,
+        s"doc $id: kernel ${kernel(id)} vs batch $s")
+    // in-domain still outranks off-domain through the kernel
+    assert(kernel(1L) > kernel(2L) && kernel(2L) > kernel(3L))
+  }
+
   test("bm25Search ranks by term frequency, rarity, and length norm") {
     val docs = Seq(
       (1L, "spark spark spark engine"),       // tf=3, short

@@ -162,6 +162,47 @@ class StreamingSpec extends SparkSpec {
       s"streaming $rows vs batch $batch")
   }
 
+  test("streaming DSIR scoring is stateless and equals the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq("the cat sat on the mat").toDF("text")
+    val corpus = Seq("the cat sat on the mat", "unrelated words here")
+      .toDF("text")
+    val lr = graft.operators.Corpus.dsirModelArray(
+      corpus, "text", target, "text", buckets = 1 << 10)
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    input.addData(
+      (ts(1), "the cat sat on the mat"),
+      (ts(2), "unrelated words here"))
+    input.addData((ts(45), "closes the window"))
+    // per-doc scores: pure projection, append mode without watermark
+    val q1 = graft.streaming.StreamDsir.scored(df, "text", lr)
+      .writeStream.format("memory").queryName("dsir_scored")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    val got = spark.table("dsir_scored")
+      .select("text", "dsir_score").as[(String, Double)]
+      .collect().toMap
+    val batch = corpus.select(col("text"),
+        org.apache.spark.sql.functions.call_function("dsir_score",
+          col("text"),
+          org.apache.spark.sql.functions.typedlit(lr.toSeq)))
+      .as[(String, Double)].collect().toMap
+    for ((t, s) <- batch)
+      assert(got(t) == s, s"stream vs batch drift on '$t'")
+    assert(got("the cat sat on the mat") > got("unrelated words here"))
+    // the windowed intake meter finalizes under append mode
+    val q2 = graft.streaming.StreamDsir.intakeMeter(df, "ts", "text",
+        lr, "10 minutes", "0 seconds",
+        admitThreshold = got("unrelated words here") + 0.1)
+      .writeStream.format("memory").queryName("dsir_meter")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val meter = spark.table("dsir_meter")
+      .select("n_docs", "n_admitted").as[(Long, Long)].collect()
+    assert(meter.contains((2L, 1L)), s"meter rows: ${meter.toSeq}")
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
