@@ -1155,20 +1155,25 @@ object SparkEntry {
         .otherwise(lower(col("firstname"))).as("firstname"),
       col("middlename"), col("lastname"), col("suffix"),
       col("office"), col("district"), col("party"), col("state_id"))
+      // the ONE rule that lowercases (middlename's partial_token_ratio,
+      // match.py:55-57) gets its lowered operand projected once per
+      // side instead of per pair
+      .withColumn("__mid_lc", lower(col("middlename")))
     val roster = base.select(
       col("id").as("r_id"), col("firstname"), col("middlename"),
       col("lastname"), col("nickname"), col("suffix"),
       col("office"), col("district"), col("party"),
       col("state_id").as("r_state_id"))
+      .withColumn("__mid_lc", lower(col("middlename")))
     val wr = (a: Column, b: Column) => call_function("w_ratio", a, b)
     val ptr = (a: Column, b: Column) =>
-      call_function("partial_token_ratio", lower(a), lower(b))
+      call_function("partial_token_ratio", a, b)
     FuzzyMatch.link(
       scraped, roster, "s_id", "r_id", "state_id", "r_state_id",
       rules = Seq(
         FuzzyMatch.Rule("firstname", Seq("firstname", "middlename", "nickname"),
           wr, threshold = 85),
-        FuzzyMatch.Rule("middlename", Seq("middlename"), ptr, threshold = 90),
+        FuzzyMatch.Rule("__mid_lc", Seq("__mid_lc"), ptr, threshold = 90),
         FuzzyMatch.Rule("lastname", Seq("lastname"), wr, threshold = 88),
         FuzzyMatch.Rule("suffix", Seq("suffix"), wr, threshold = 98),
         FuzzyMatch.Rule("office", Seq("office"), wr, threshold = 100),
@@ -1206,7 +1211,7 @@ object SparkEntry {
         (k % 3).cast("int") + 1).as("party"),
       // _1034 groups on the state NAME string, not an id (match.py:58)
       concat(lit("State"), (k % 50).cast("string")).as("state_name"))
-    val scraped = base.select(
+    val scraped0 = base.select(
       col("id").as("s_id"),
       // UPPERCASE noise: the _1034 default scorer lowercases both sides,
       // so these still hit 100 — a config that didn't lowercase wouldn't
@@ -1214,13 +1219,24 @@ object SparkEntry {
         .otherwise(upper(col("firstname"))).as("firstname"),
       col("middlename"), col("lastname"), col("suffix"),
       col("office"), col("district"), col("party"), col("state_name"))
-    val roster = base.select(
+    val roster0 = base.select(
       col("id").as("r_id"), col("firstname"), col("middlename"),
       col("lastname"), col("nickname"), col("suffix"),
       col("office"), col("district"), col("party"),
       col("state_name").as("r_state_name"))
+    // the config lowercases BOTH sides of every comparison — projected
+    // ONCE per side here (|rows| lowercase allocations) instead of
+    // wrapped around each of the 9 per-pair scorer calls (|pairs|×18);
+    // identical scores, and byte-equal lowered operands now hit
+    // FuzzyMatch.link's equal-fast path without entering the kernel
+    val scoredCols = Seq("firstname", "middlename", "lastname",
+      "suffix", "office", "district", "party")
+    val scraped = scraped0.select(col("s_id") +: col("state_name") +:
+      scoredCols.map(c => lower(col(c)).as(c)): _*)
+    val roster = roster0.select(col("r_id") +: col("r_state_name") +:
+      (scoredCols :+ "nickname").map(c => lower(col(c)).as(c)): _*)
     val wr = (a: Column, b: Column) =>
-      call_function("w_ratio", lower(a), lower(b))
+      call_function("w_ratio", a, b)
     FuzzyMatch.link(
       scraped, roster, "s_id", "r_id", "state_name", "r_state_name",
       rules = Seq(
@@ -2553,21 +2569,26 @@ object SparkEntry {
   /** q138: inverted-index TOP POSTINGS — per term: document
     * frequency and the 3 highest-tf postings (tf desc, doc_id
     * tie-break). The posting build is ONE (term, doc) count exchange;
-    * df and the top-k rank ride a single per-term window over the
-    * already-reduced postings (bounded by df, never raw tokens).
-    * The open-vocabulary scale path swaps the window for the
-    * per-partition-heap top-k of Corpus.keyProfile. */
+    * df and the top-3 ride a single BOUNDED AGGREGATE per term
+    * (topk_pairs — k pairs of buffer per term per task, map-side
+    * combined like max), so a stop-word term whose posting list is
+    * the whole corpus never funnels through one task's window sort:
+    * its rows pre-reduce to 3 pairs per map partition before the
+    * exchange. Row-identical to the window form (topk_pairs orders
+    * by (ord DESC, payload ASC) = (tf desc, doc_id); doc_id is
+    * unique within a term, so the order is tie-free); the window
+    * form survives as the DuckDB oracle, and PlanAuditSpec pins that
+    * no Window node remains in this plan. */
   private def q138(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term"))
-    val wr = w.orderBy(col("tf").desc, col("doc_id"))
     Tables(s, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(w))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 3)
-      .select(col("term"), col("df"), col("rnk"), col("doc_id"), col("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr("topk_pairs(tf, doc_id, 3)").as("__t"))
+      .select(col("term"), col("df"), posexplode(col("__t")))
+      .select(col("term"), col("df"), (col("pos") + 1).as("rnk"),
+        col("col.payload").as("doc_id"), col("col.ord").as("tf"))
   }
 
   /** q139: mergeable QUANTILE-SKETCH rollup (DdSketchAgg/DdUnionAgg/

@@ -310,15 +310,25 @@ object Ann {
     requirePqKernels(corpus)
     val cents = centroids
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cent"))
+    // The hash-ordered limit picks WHICH rows train, but row order is
+    // not contractual through the assignment/join that follows — so the
+    // sort key (and the id as a collision tie-break) ride along and the
+    // driver re-sorts the collected sample. trainPqOnSample's init is
+    // order-sensitive (first ksub subvectors); without this re-sort the
+    // codebooks could drift between runs/plans.
     val sample = assignBuckets(
         corpus.filter(col(vecCol).isNotNull)
           .orderBy(xxhash64(col(idCol), lit(seed)))
           .limit(maxTrain),
         centroids, idCol, vecCol)
       .join(broadcast(cents), Seq("centroid_id"))
-      .select(call_function("vec_sub_f", col(vecCol), col("__cent")))
+      .select(xxhash64(col(idCol), lit(seed)).as("__ord"),
+        col(idCol).cast("string").as("__tie"),
+        call_function("vec_sub_f", col(vecCol), col("__cent")).as("__res"))
       .collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+      .map(_._3)
     trainPqOnSample(sample, m, ksub, iters)
   }
 

@@ -60,6 +60,14 @@ object Bpe {
   def trainFromCounts(wc: Seq[(String, Long)], numMerges: Int)
       : Seq[String] = {
     require(numMerges >= 1, "trainFromCounts: numMerges >= 1")
+    // '|' is the merge-pair separator everywhere downstream (the
+    // encode kernel keys its rank map on "left|right", saveMerges
+    // splits on it) — a '|' in the alphabet would make those keys
+    // ambiguous, so reject it loudly here instead of corrupting
+    // silently. [[words]] only emits [a-z]+, so corpus-driven trains
+    // never hit this; it guards direct dict callers.
+    require(wc.forall(!_._1.contains("|")),
+      "trainFromCounts: words must not contain '|' (merge separator)")
     // tokenization state per dict word; counts never change
     val toks = wc.map { case (w, _) =>
       val b = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -160,6 +168,12 @@ object Bpe {
       merges: Seq[String], dir: String): Unit = {
     import spark.implicits._
     merges.zipWithIndex.map { case (p, i) =>
+      // a symbol containing '|' cannot round-trip (the split below is
+      // first-'|', and the encode kernel's "left|right" rank keys would
+      // be ambiguous too); trainFromCounts rejects such alphabets —
+      // this guards externally-built merge lists
+      require(p.count(_ == '|') == 1,
+        s"saveMerges: ambiguous merge '$p' (symbol contains '|')")
       val Array(a, b) = p.split("\\|", 2)
       (i, a, b)
     }.toDF("rank", "left", "right")

@@ -47,164 +47,150 @@ object Corpus {
     * filtering — self-scoring shifts the scale as the corpus drifts. */
   def lmQualityScore(
       docs: DataFrame, idCol: String, textCol: String,
-      reference: DataFrame, refTextCol: String): DataFrame = {
-    val refCounts = Parallelism.ensure(
-      reference.select(col(refTextCol).as("__t")))
-      .select(explode(split(col("__t"), " ")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
-    val g = refCounts.agg(sum(col("__c")).as("t"), count(lit(1)).as("v")).head()
-    val total = g.getLong(0)
-    val vocab = g.getLong(1)
-    val denom = math.log((total + vocab).toDouble)
-    docs
-      .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("word"))
-      .join(broadcast(refCounts), Seq("word"), "left")
-      .withColumn("__lp",
-        log(coalesce(col("__c"), lit(0L)) + 1.0) - denom)
+      reference: DataFrame, refTextCol: String): DataFrame =
+    lmQualityScoreN(docs, idCol, textCol, reference, refTextCol,
+      n = 1, outCol = "lm_score")
+
+  /** Order-`n` LM quality — ONE parameterized Stupid Backoff chain
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") covering any order: a document's score is the mean
+    * over its word `n`-gram transitions of
+    *
+    *   ln(c_n(w_1..w_n) / c_{n-1}(w_1..w_{n-1}))        n-gram hit,
+    *   ln(α^{n-j} · c_j(suffix_j) / c_{j-1}(suffix_{j-1}'))
+    *                                     backoff to order j = n-1..2,
+    *   ln(α^{n-1} · (c_1(w_n)+1) / (T+V))     add-one unigram floor,
+    *
+    * α = 0.4 per the paper; suffix_j = the transition's last j words.
+    * n = 1 is the CCNet-recipe unigram score (add-one log-prob of
+    * every word, no backoff); n = 2/3 are the classic word-order /
+    * collocation perplexity filters; n = 4+ just adds tables.
+    *
+    * Scale shape at EVERY order: the reference reduces to `n` bounded
+    * count tables (vocabulary-sized, built once in one lineage each,
+    * localCheckpointed) that BROADCAST into the scoring joins; T and V
+    * are driver scalars; the corpus contributes one exploded
+    * transition pass (in-plan `transform`, no extra shuffle) into a
+    * map-side-combined avg. Stupid Backoff needs no discount
+    * statistics — every model table is a rollup-mergeable count,
+    * which is the property that matters at 100 TB.
+    */
+  def lmQualityScoreN(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      n: Int, backoff: Double = 0.4, outCol: String = null): DataFrame = {
+    require(n >= 1 && n <= 8, s"lmQualityScoreN: n must be in [1,8], got $n")
+    val out = Option(outCol).getOrElse(s"lm${n}_score")
+    if (n == 1) {
+      // unigram form: add-one log-prob as a difference of logs (the
+      // historical q73 arithmetic — kept bit-stable for its oracle)
+      val refCounts = Parallelism.ensure(
+        reference.select(col(refTextCol).as("__t")))
+        .select(explode(split(col("__t"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      val g = refCounts.agg(sum(col("__c")).as("t"), count(lit(1)).as("v")).head()
+      val denom = math.log((g.getLong(0) + g.getLong(1)).toDouble)
+      return docs
+        .select(col(idCol).as("doc_id"),
+          explode(split(col(textCol), " ")).as("word"))
+        .join(broadcast(refCounts), Seq("word"), "left")
+        .withColumn("__lp",
+          log(coalesce(col("__c"), lit(0L)) + 1.0) - denom)
+        .groupBy(col("doc_id"))
+        .agg(round(avg(col("__lp")), 4).as(out))
+    }
+    // transition generator for order j: struct(w1..wj) over each
+    // j-window of the token array — in-plan, no extra shuffle
+    def transExpr(j: Int): String = {
+      val fields = (1 to j).map(k => s"__ws[i + ${k - 1}] AS w$k")
+        .mkString(", ")
+      s"transform(sequence(0, size(__ws) - $j), i -> struct($fields))"
+    }
+    val refW = Parallelism.ensure(
+      reference.select(split(col(refTextCol), " ").as("__ws")))
+    // model tables j = 1..n: vocabulary-sized counts, each consumed by
+    // broadcast scoring joins (+ the T/V scalar for j=1) —
+    // localCheckpoint pins each so the reference scans once per table
+    val tables: Map[Int, DataFrame] = (1 to n).map { j =>
+      val t =
+        if (j == 1)
+          refW.select(explode(col("__ws")).as("w1"))
+            .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+            .localCheckpoint()
+        else
+          refW.filter(size(col("__ws")) >= j)
+            .select(explode(expr(transExpr(j))).as("__p"))
+            .select((1 to j).map(k => col(s"__p.w$k").as(s"w$k")): _*)
+            .groupBy((1 to j).map(k => col(s"w$k")): _*)
+            .agg(count(lit(1)).as(s"__c$j"))
+            .localCheckpoint()
+      j -> t
+    }.toMap
+    val g = tables(1)
+      .agg(sum(col("__c1")).as("t"), count(lit(1)).as("v")).head()
+    val tv = (g.getLong(0) + g.getLong(1)).toDouble
+    // scoring relation: one exploded n-gram transition pass
+    var scored = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"), explode(expr(transExpr(n))).as("__p"))
+      .select(col("doc_id") +:
+        (1 to n).map(k => col(s"__p.w$k").as(s"w$k")): _*)
+    // level-j numerator: c_j keyed on the transition's LAST j words;
+    // level-j denominator (j >= 2): c_{j-1} keyed on those words
+    // minus the last. Each is one broadcast left join.
+    def keyed(tbl: DataFrame, j: Int, startAt: Int, cnt: String,
+        as: String): (DataFrame, Seq[String]) = {
+      val keys = (0 until j).map(k => s"w${startAt + k}")
+      (tbl.select((1 to j).map(k =>
+        col(s"w$k").as(keys(k - 1))) :+ col(cnt).as(as): _*), keys)
+    }
+    for (j <- n to 1 by -1) {
+      val (num, numKeys) =
+        keyed(tables(j), j, n - j + 1, s"__c$j", s"__num$j")
+      scored = scored.join(broadcast(num), numKeys, "left")
+      if (j >= 2) {
+        val (den, denKeys) =
+          keyed(tables(j - 1), j - 1, n - j + 1, s"__c${j - 1}", s"__den$j")
+        scored = scored.join(broadcast(den), denKeys, "left")
+      }
+    }
+    def alphaChain(k: Int): Column =
+      Seq.fill(k)(lit(backoff)).reduceLeft(_ * _)
+    var lp = when(col(s"__num$n").isNotNull,
+      log(col(s"__num$n").cast("double") / col(s"__den$n")))
+    for (j <- n - 1 to 2 by -1)
+      lp = lp.when(col(s"__num$j").isNotNull,
+        log(alphaChain(n - j) * col(s"__num$j").cast("double") /
+          col(s"__den$j")))
+    val lpFull = lp.otherwise(log(alphaChain(n - 1) *
+      (coalesce(col("__num1"), lit(0L)) + 1.0) / lit(tv)))
+    scored
+      .withColumn("__lp", lpFull)
       .groupBy(col("doc_id"))
-      .agg(round(avg(col("__lp")), 4).as("lm_score"))
+      .agg(round(avg(col("__lp")), 4).as(out))
   }
 
-  /** Order-2 LM quality — [[lmQualityScore]] upgraded to a BIGRAM
-    * model with STUPID BACKOFF (Brants et al. 2007, "Large Language
-    * Models in Machine Translation"): each transition w1→w2 scores
-    *   ln(c2(w1,w2) / c1(w1))                     when the bigram is
-    *                                              in the reference,
-    *   ln(α · (c1(w2)+1) / (T+V))                 otherwise (backoff
-    *                                              to the add-one
-    *                                              unigram, α = 0.4),
-    * and a doc's score is the mean over its transitions — the
-    * standard order-n perplexity filter shape, where q73's unigram
-    * score is blind to word order.
-    *
-    * Scale shape is q73's exactly, one order up: the reference
-    * reduces to TWO bounded model tables (unigram and bigram counts —
-    * vocabulary-sized, built once) that BROADCAST into the scoring
-    * joins; T and V are driver scalars; the corpus contributes one
-    * exploded transition pass (in-plan `transform` over the token
-    * array — no extra shuffle) into a map-side-combined avg. Stupid
-    * Backoff's unnormalised score is chosen over Katz/Kneser-Ney
-    * deliberately: it needs no discount statistics, so the model
-    * stays two count tables that rollup-merge — the property that
-    * matters at 100 TB. */
+  /** Order-2 LM quality — the Stupid Backoff chain at n = 2
+    * ([[lmQualityScoreN]]): ln(c2/c1) on a bigram hit, add-one
+    * unigram backoff (α = 0.4) otherwise, mean per doc. */
   def lmQualityScoreBigram(
       docs: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
-      backoff: Double = 0.4): DataFrame = {
-    val pairs = "transform(sequence(0, size(__ws) - 2), " +
-      "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
-    val refW = Parallelism.ensure(
-      reference.select(split(col(refTextCol), " ").as("__ws")))
-    // The model tables are vocabulary-sized and consumed three ways
-    // (two scoring joins + the T/V scalar) — localCheckpoint pins
-    // them so the reference corpus is scanned once per table, not
-    // once per consumer (and the scoring plan below carries no
-    // reference lineage at all: its only exchange is the per-doc avg)
-    val uni = refW.select(explode(col("__ws")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-      .localCheckpoint()
-    val bi = refW.filter(size(col("__ws")) >= 2)
-      .select(explode(expr(pairs)).as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
-      .localCheckpoint()
-    val g = uni.agg(sum(col("__c1")).as("t"), count(lit(1)).as("v")).head()
-    val tv = (g.getLong(0) + g.getLong(1)).toDouble
-    val uni2 = uni.select(col("w1").as("w2"), col("__c1").as("__cw2"))
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
-      .filter(size(col("__ws")) >= 2)
-      .select(col("doc_id"), explode(expr(pairs)).as("__p"))
-      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-      .join(broadcast(bi), Seq("w1", "w2"), "left")
-      .join(broadcast(uni), Seq("w1"), "left")
-      .join(broadcast(uni2), Seq("w2"), "left")
-      .withColumn("__lp",
-        when(col("__c2").isNotNull,
-          log(col("__c2").cast("double") / col("__c1")))
-          .otherwise(log(lit(backoff) *
-            (coalesce(col("__cw2"), lit(0L)) + lit(1.0)) / lit(tv))))
-      .groupBy(col("doc_id"))
-      .agg(round(avg(col("__lp")), 4).as("lm2_score"))
-  }
+      backoff: Double = 0.4): DataFrame =
+    lmQualityScoreN(docs, idCol, textCol, reference, refTextCol,
+      n = 2, backoff = backoff, outCol = "lm2_score")
 
-  /** Order-3 LM quality — the full Stupid Backoff chain (Brants et
-    * al. 2007) one order above [[lmQualityScoreBigram]]: each
-    * transition (w1,w2)→w3 scores
-    *   ln(c3(w1,w2,w3) / c2(w1,w2))                 trigram hit,
-    *   ln(α · c2(w2,w3) / c1(w2))                   bigram backoff,
-    *   ln(α·α · (c1(w3)+1) / (T+V))                 unigram backoff
-    *                                                (add-one),
-    * α = 0.4 per the paper, and a doc's score is the mean over its
-    * transitions. Order 3 is where a perplexity filter starts to see
-    * phrase structure (bigrams catch word order, trigrams catch
-    * collocation breaks — "the of the" scores as gibberish).
-    *
-    * Scale shape: identical to the bigram — the reference reduces to
-    * THREE bounded model tables built in one lineage (uni → T/V
-    * scalars; bi and tri vocabulary-bounded) that BROADCAST into the
-    * scoring joins; the corpus contributes one exploded triple pass
-    * (in-plan `transform`, no extra shuffle) into a map-side-combined
-    * avg. The chain extends to any n by adding one broadcast table
-    * per order — Stupid Backoff needs no discount statistics, so
-    * every table is a rollup-mergeable count. */
+  /** Order-3 LM quality — the Stupid Backoff chain at n = 3
+    * ([[lmQualityScoreN]]): trigram hit → α·bigram → α²·add-one
+    * unigram, mean per doc. Order 3 is where a perplexity filter
+    * starts to see phrase structure. */
   def lmQualityScoreTrigram(
       docs: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
-      backoff: Double = 0.4): DataFrame = {
-    val pairs = "transform(sequence(0, size(__ws) - 2), " +
-      "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
-    val triples = "transform(sequence(0, size(__ws) - 3), " +
-      "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2, __ws[i + 2] AS w3))"
-    val refW = Parallelism.ensure(
-      reference.select(split(col(refTextCol), " ").as("__ws")))
-    // model tables consumed by broadcast scoring joins + the T/V
-    // scalar — localCheckpoint pins each so the reference corpus is
-    // scanned once per table (the q156 discipline)
-    val uni = refW.select(explode(col("__ws")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-      .localCheckpoint()
-    val bi = refW.filter(size(col("__ws")) >= 2)
-      .select(explode(expr(pairs)).as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
-      .localCheckpoint()
-    val tri = refW.filter(size(col("__ws")) >= 3)
-      .select(explode(expr(triples)).as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"),
-        col("__p.w3").as("w3"))
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("__c3"))
-      .localCheckpoint()
-    val g = uni.agg(sum(col("__c1")).as("t"), count(lit(1)).as("v")).head()
-    val tv = (g.getLong(0) + g.getLong(1)).toDouble
-    val bi23 = bi.select(col("w1").as("w2"), col("w2").as("w3"),
-      col("__c2").as("__c2b"))
-    val uni2 = uni.select(col("w1").as("w2"), col("__c1").as("__c1w2"))
-    val uni3 = uni.select(col("w1").as("w3"), col("__c1").as("__c1w3"))
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
-      .filter(size(col("__ws")) >= 3)
-      .select(col("doc_id"), explode(expr(triples)).as("__p"))
-      .select(col("doc_id"), col("__p.w1").as("w1"),
-        col("__p.w2").as("w2"), col("__p.w3").as("w3"))
-      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
-      .join(broadcast(bi), Seq("w1", "w2"), "left")
-      .join(broadcast(bi23), Seq("w2", "w3"), "left")
-      .join(broadcast(uni2), Seq("w2"), "left")
-      .join(broadcast(uni3), Seq("w3"), "left")
-      .withColumn("__lp",
-        when(col("__c3").isNotNull,
-          log(col("__c3").cast("double") / col("__c2")))
-          .when(col("__c2b").isNotNull,
-            log(lit(backoff) * col("__c2b").cast("double") /
-              col("__c1w2")))
-          .otherwise(log(lit(backoff) * lit(backoff) *
-            (coalesce(col("__c1w3"), lit(0L)) + lit(1.0)) / lit(tv))))
-      .groupBy(col("doc_id"))
-      .agg(round(avg(col("__lp")), 4).as("lm3_score"))
-  }
+      backoff: Double = 0.4): DataFrame =
+    lmQualityScoreN(docs, idCol, textCol, reference, refTextCol,
+      n = 3, backoff = backoff, outCol = "lm3_score")
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw

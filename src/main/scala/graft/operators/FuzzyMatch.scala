@@ -141,7 +141,8 @@ object FuzzyMatch {
       requiredOverall: Double,
       dupMargin: Double = 3.0,
       broadcastRight: Boolean = true,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      equalFast: Boolean = true): DataFrame = {
     // alias both sides so self-joins (left and right derived from the
     // same source) resolve unambiguously.
     // saltBuckets > 1 splits skewed/low-cardinality blocks exactly like
@@ -170,8 +171,21 @@ object FuzzyMatch {
     def rc(c: String) = col(s"__r.$c")
     val joined = l.join(r,
       lc(blockLeft) === rc(blockRight) && lc("__salt") === rc("__salt2"))
+    // equalFast: byte-equal NON-EMPTY operands score 100 without
+    // entering the scorer kernel — every rapidfuzz-family scorer is
+    // reflexive there (w_ratio(x,x) = partial_token_ratio(x,x) =
+    // ratio(x,x) = 100 for x != ""), and in blocked linkage MOST pairs
+    // share their categorical columns (party/office/district/suffix),
+    // so the cascade's tokenise+levenshtein passes are skipped for the
+    // bulk of evaluations. Empty-equal falls THROUGH to the scorer:
+    // w_ratio("","") is 0 by design (no evidence), not 100. Set
+    // equalFast = false for a scorer without the reflexive contract.
+    def score1(rule: Rule, a: Column, b: Column): Column =
+      if (!equalFast) rule.scorer(a, b)
+      else when(a === b && length(a) > 0, lit(100.0))
+        .otherwise(rule.scorer(a, b))
     val scores = rules.map { rule =>
-      val per = rule.rightCols.map(c => rule.scorer(lc(rule.leftCol), rc(c)))
+      val per = rule.rightCols.map(c => score1(rule, lc(rule.leftCol), rc(c)))
       val best = if (per.size == 1) per.head else greatest(per: _*)
       when(best >= rule.threshold, best).otherwise(lit(0.0))
     }

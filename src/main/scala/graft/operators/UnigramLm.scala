@@ -166,9 +166,14 @@ object UnigramLm {
     var lastExp: collection.Map[String, Double] = subCount
     while (it < emIters) { lastExp = emRound(); refit(lastExp); it += 1 }
     // ---- prune to vocabSize: singles always survive, multi-char
-    // ranked by expected count (likelihood contribution surrogate)
+    // ranked by expected count (likelihood contribution surrogate).
+    // Candidates are restricted to pieces the model actually holds:
+    // with emIters = 0, lastExp is still subCount (EVERY substring,
+    // including pieces the seed never admitted), and an un-modeled
+    // survivor would have no logp to emit below.
     pieces = (singles ++
-      topMulti(lastExp, vocabSize - singles.size)).toArray
+      topMulti(lastExp.filter(kv => logp.contains(kv._1)),
+        vocabSize - singles.size)).toArray
     logp = logp.view.filterKeys(pieces.toSet).toMap
     it = 0
     while (it < emIters) { refit(emRound()); it += 1 }

@@ -64,6 +64,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q138_top_postings ranks by bounded aggregate, never a window") {
+    // the top-3 postings per term ride topk_pairs (k pairs of buffer
+    // per term per task, map-side combined); a Window node would mean
+    // a stop-word term's full posting list funnels through one task's
+    // sort again — the r12 verdict's #1 scale nit
+    val nodes = allNodes(SparkEntry.queries("q138_top_postings")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "q138: Window node in top-postings plan")
+  }
+
   // global (unpartitioned) windows allowed ONLY where the window input
   // is bounded by construction: trainCentroids' init ranks a LIMIT-k
   // sample (model-sized, never the corpus) to number the seed centroids;
