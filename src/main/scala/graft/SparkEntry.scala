@@ -860,11 +860,16 @@ object SparkEntry {
 
   /** q49: benchmark-contamination screen — docs sharing ≥ 1 trigram
     * with the probe set (here: the first five documents), with the
-    * shared-distinct-trigram count. Probe side broadcast; the corpus
-    * shuffles only (doc_id, ngram) hits. */
+    * shared-distinct-trigram count. Runs the FIXED-STATE bloom path
+    * (Corpus.contaminationBloom): the probe sketch ships as a plan
+    * literal, the corpus grams pre-filter at scan speed, and the
+    * exact verify join keeps the result row-identical to the
+    * broadcast form (no false negatives; positives verified) — so the
+    * oracle is unchanged. CorpusSpec pins bloom ≡ exact and the
+    * sketch's fixed size. */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    Corpus.contamination(
+    Corpus.contaminationBloom(
       t.documents, "doc_id", "text",
       probes = t.documents.filter(col("doc_id") < 5), probeTextCol = "text",
       n = 3)

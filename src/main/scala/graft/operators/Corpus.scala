@@ -451,6 +451,47 @@ object Corpus {
       .agg(countDistinct(col("ngram")).as("n_hits"))
   }
 
+  /** [[contamination]] at FIXED executor state — the q67 discipline
+    * applied to the probe side: instead of broadcasting the probe
+    * set's distinct n-gram STRINGS into every executor (fine at
+    * benchmark-suite size, grows with the suite), a Bloom sketch of
+    * their xxhash64s ships as a plan literal (~10 bits per gram at
+    * 1% fpp — size set by (count, fpp) alone, independent of gram
+    * length) and pre-filters the corpus grams at scan speed; the
+    * surviving sliver then verifies against the probe grams with an
+    * exact equi-join, so false positives drop out and the result is
+    * ROW-IDENTICAL to [[contamination]] (a Bloom filter has no false
+    * negatives — CorpusSpec pins the equivalence). The verify join no
+    * longer needs a broadcast contract: its left side is candidate
+    * hits, not the corpus. Requires GraftExtensions (bloom_agg). */
+  def contaminationBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"contaminationBloom: fpp in (0,1), got $fpp")
+    val docGrams = Parallelism.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), explode(Dedup.shingles(col("__t"), n)).as("ngram"))
+    // consumed three ways (count for sizing, sketch build, verify
+    // join) — localCheckpoint pins it so the probe corpus scans once
+    val probeGrams = probes
+      .select(explode(Dedup.shingles(col(probeTextCol), n)).as("ngram"))
+      .distinct()
+      .localCheckpoint()
+    val nProbe = math.max(1L, probeGrams.count())
+    val bits = graft.functions.BloomFunctions.optimalNumBits(nProbe, fpp)
+    val sketch = probeGrams
+      .agg(graft.functions.BloomFunctions.bloomAgg(
+        xxhash64(col("ngram")), nProbe, bits).as("__b"))
+      .head().getAs[Array[Byte]](0)
+    docGrams
+      .filter(graft.functions.BloomFunctions.bloomMightContain(
+        sketch, xxhash64(col("ngram"))))
+      .join(probeGrams, "ngram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ngram")).as("n_hits"))
+  }
+
   /** Word n-grams WITH multiplicity (unlike Dedup.shingles, which
     * dedups) — repetition measurement needs every occurrence. */
   private def gramsAll(text: Column, n: Int): Column = {

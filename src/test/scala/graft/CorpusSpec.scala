@@ -34,6 +34,46 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("contaminationBloom is row-identical to the broadcast form") {
+    // 200 docs, probe set = docs 0-4's text: the bloom routes, the
+    // exact join verifies — no false negatives by construction, and
+    // false positives must drop out in the verify
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          lit("tok"), (col("id") % 7).cast("string"),
+          lit("tok"), (col("id") % 11).cast("string"),
+          lit("tok"), (col("id") % 13).cast("string"),
+          lit("tail"), col("id").cast("string")).as("text"))
+    val probes = docs.filter(col("doc_id") < 5)
+    val exact = Corpus.contamination(
+      docs, "doc_id", "text", probes, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Corpus.contaminationBloom(
+      docs, "doc_id", "text", probes, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
+  test("contamination bloom sketch size is set by (count, fpp) alone") {
+    // executor state is the sketch literal: its size follows
+    // optimalNumOfBits(n, fpp), NOT the probe text volume — the same
+    // gram count with ~40x longer gram strings builds a sketch of
+    // IDENTICAL byte size (broadcasting the strings would grow 40x)
+    import graft.functions.BloomFunctions
+    def sketchBytes(grams: org.apache.spark.sql.DataFrame): Int = {
+      val n = grams.count()
+      grams.agg(BloomFunctions.bloomAgg(xxhash64(col("g")), n,
+        BloomFunctions.optimalNumBits(n, 0.01)).as("b"))
+        .head().getAs[Array[Byte]](0).length
+    }
+    val short = spark.range(500)
+      .select(concat(lit("g"), col("id").cast("string")).as("g"))
+    val long = spark.range(500)
+      .select(concat(lit("g" * 160), col("id").cast("string")).as("g"))
+    assert(sketchBytes(short) == sketchBytes(long))
+  }
+
   test("splitAssign is deterministic, exhaustive, and near the weights") {
     val docs = spark.range(10000).toDF("doc_id")
     val a = Corpus.splitAssign(docs, "doc_id")
