@@ -2407,6 +2407,37 @@ object SparkEntry {
           .cast("long").as("blocklist_hits"))
   }
 
+  /** q171: INCREMENTAL MEDIA NEAR-DEDUP against a persisted
+    * perceptual-hash index (Multimodal.MediaHashIndex — the
+    * MinhashIndex/SimhashIndex discipline for image/audio/video):
+    * a 300-asset corpus indexes once (8-byte fingerprints, kind-
+    * partitioned); the incoming batch carries 60 planted byte-copies
+    * of corpus assets (ids +1000) plus 60 fresh assets (ids +2000,
+    * disjoint seeds) — copies drop against the index, fresh assets
+    * dedup within the batch and emerge with their delta index, the
+    * continuous-ingest story for media columns. rows-only
+    * (perceptual fingerprints are engine-specific); SourcesSpec pins
+    * drop/keep/quarantine/delta and the save/load/probe round trip. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Multimodal
+    val all = Multimodal.syntheticMedia(s, 360).toDF()
+      .select(col("media_id"), col("bytes"), col("meta.kind").as("kind"))
+    val corpus = all.filter(col("media_id") < 300)
+    val copies = corpus.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000).as("media_id"), col("bytes"),
+        col("kind"))
+    val fresh = all.filter(col("media_id") >= 300)
+      .select((col("media_id") + 2000).as("media_id"), col("bytes"),
+        col("kind"))
+    val batch = copies.unionByName(fresh)
+    val index = Multimodal
+      .buildMediaHashIndex(corpus, "media_id", "bytes", "kind")
+      .materialize()
+    val (survivors, _) = Multimodal.incrementalMediaDedup(
+      batch, index, "media_id", "bytes", "kind")
+    survivors.select(col("media_id"), col("kind"))
+  }
+
   /** q152: CHUNK-GRAIN BOILERPLATE REMOVAL — q72's line dedup for
     * continuous text: every content-defined chunk (q149) appearing
     * in ≥3 distinct docs is dropped and docs reassemble from the
@@ -3217,7 +3248,8 @@ object SparkEntry {
     "q167_pca_whiten" -> (q167 _),
     "q168_blocklist" -> (q168 _),
     "q169_compress_ratio" -> (q169 _),
-    "q170_quality_signals" -> (q170 _)
+    "q170_quality_signals" -> (q170 _),
+    "q171_media_dedup_incr" -> (q171 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

@@ -1236,7 +1236,7 @@ object Dedup {
   /** array<struct<band,bucket>> for a sim column at a given radius —
     * shared by whole-corpus banding and the incremental probe (both
     * sides MUST band identically or buckets never match). */
-  private def simhashBandStructs(sim: Column, maxHamming: Int): Column =
+  private[graft] def simhashBandStructs(sim: Column, maxHamming: Int): Column =
     array(simhashBands(maxHamming).zipWithIndex.map {
       case ((shift, width), i) =>
         val mask = if (width == 64) -1L else (1L << width) - 1L

@@ -638,6 +638,189 @@ object Multimodal {
         .select(col(idCol).as("__id"), col("dhash").as("__sim")),
       maxHamming)
 
+  // ------------------------------------------------------------------
+  // Incremental perceptual-hash index: continuous media ingest
+  // ------------------------------------------------------------------
+
+  /** Per-row 64-bit perceptual fingerprint routed by KIND — one typed
+    * map covering the three media fingerprints (image [[dHash64]],
+    * audio [[audioFingerprint64]], video [[videoFingerprint64]]) with
+    * the quarantine discipline of [[extractFeatures]]: corrupt or
+    * unknown-kind rows yield ok=false + err, never a task failure.
+    * Output (id, kind, dhash, ok, err). */
+  def mediaHashes(media: DataFrame, idCol: String, bytesCol: String,
+      kindCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(kindCol), col(bytesCol))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, bytes) =>
+        val h: Either[String, Long] = kind match {
+          case "image" => decodeImage(bytes).map(dHash64)
+          case "audio" =>
+            decodeAudio(bytes).map { case (_, s) => audioFingerprint64(s) }
+          case "video" => videoFingerprint64(bytes)
+          case other => Left(s"unknown media kind '$other'")
+        }
+        h match {
+          case Right(v) => (id, kind, v, true, "")
+          case Left(err) => (id, kind, 0L, false, err.take(200))
+        }
+      }
+      .toDF(idCol, "kind", "dhash", "ok", "err")
+  }
+
+  /** Persisted perceptual-hash state of an already-deduped media
+    * corpus: ONE table of (id, kind, dhash) — 8 bytes of fingerprint
+    * per asset, the [[graft.operators.Dedup.SimhashIndex]] discipline
+    * applied to media. The CORPUS BYTES are hashed once when they
+    * enter and never re-read: every later batch dedups against this
+    * table, so daily cost is O(batch decode) + a band equi-join
+    * against 8-byte hashes — never O(corpus decode). Bands are pure
+    * bit math recomputed at probe time, so one index serves any
+    * maxHamming. [[save]] PARTITIONS by kind: an image-only batch
+    * prunes the audio/video partitions at scan time. */
+  final case class MediaHashIndex(entries: DataFrame) {
+    /** Persist to `<dir>/entries` parquet. An EMPTY index writes
+      * unpartitioned (partitionBy on empty emits no recoverable
+      * files — same note as MinhashIndex.save). */
+    def save(dir: String, mode: String = "error"): Unit = {
+      val w = entries.write.mode(mode)
+      if (entries.isEmpty) w.parquet(s"$dir/entries")
+      else w.partitionBy("kind").parquet(s"$dir/entries")
+    }
+
+    def materialize(): MediaHashIndex =
+      MediaHashIndex(entries.localCheckpoint(false))
+
+    /** Index for the grown corpus: existing entries plus a delta
+      * (typically [[incrementalMediaDedup]]'s survivor index). */
+    def union(delta: MediaHashIndex): MediaHashIndex =
+      MediaHashIndex(entries.unionByName(delta.entries))
+  }
+
+  object MediaHashIndex {
+    def load(spark: SparkSession, dir: String): MediaHashIndex =
+      MediaHashIndex(spark.read.parquet(s"$dir/entries")
+        .select("id", "kind", "dhash"))
+  }
+
+  /** Build the perceptual-hash index for a (deduped) media corpus —
+    * quarantined rows (undecodable bytes) are excluded: they carry no
+    * fingerprint to probe against. */
+  def buildMediaHashIndex(media: DataFrame, idCol: String,
+      bytesCol: String, kindCol: String): MediaHashIndex =
+    MediaHashIndex(mediaHashes(media, idCol, bytesCol, kindCol)
+      .filter(col("ok"))
+      .select(col(idCol).as("id"), col("kind"), col("dhash")))
+
+  /** Banded-Hamming candidate pairs WITHIN one hash frame
+    * (id, kind, dhash), kind-segregated: an image dHash and an audio
+    * envelope hash that happen to sit 3 bits apart are NOT a pair. */
+  private def bandedPairsByKind(h: DataFrame, maxHamming: Int): DataFrame = {
+    import graft.operators.Dedup
+    val banded = h.select(col("id"), col("kind"), col("dhash"),
+      explode(Dedup.simhashBandStructs(col("dhash"), maxHamming)).as("__bk"))
+      .select(col("id"), col("kind"), col("dhash"),
+        col("__bk.band"), col("__bk.bucket"))
+      .repartition(col("band"), col("bucket"))
+    val l = banded.select(col("id").as("a_id"), col("kind"),
+      col("dhash").as("__ha"), col("band"), col("bucket"))
+    val r = banded.select(col("id").as("b_id"), col("kind").as("__k2"),
+      col("dhash").as("__hb"), col("band").as("__band2"),
+      col("bucket").as("__bucket2"))
+    l.join(r, col("band") === col("__band2") &&
+        col("bucket") === col("__bucket2") && col("kind") === col("__k2") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("kind"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Probe a batch HASH frame (b_id, kind, dhash) against the index:
+    * (corpus a_id, batch b_id, kind, hamming ≤ maxHamming). The batch
+    * is banded and broadcast; the index contributes its 8-byte hashes
+    * to the band equi-join — corpus media bytes never move. On a
+    * saved index the kind filter prunes whole partitions first. */
+  private def probeMediaHashes(batchHashes: DataFrame,
+      index: MediaHashIndex, maxHamming: Int,
+      broadcastBatch: Boolean): DataFrame = {
+    import graft.operators.Dedup
+    val kinds = batchHashes.select(col("kind")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val b0 = batchHashes.select(col("b_id"), col("kind"),
+      col("dhash").as("__hb"),
+      explode(Dedup.simhashBandStructs(col("dhash"), maxHamming)).as("__bk"))
+      .select(col("b_id"), col("kind"), col("__hb"),
+        col("__bk.band"), col("__bk.bucket"))
+    val b = if (broadcastBatch) broadcast(b0) else b0
+    index.entries
+      .filter(col("kind").isin(kinds: _*))
+      .select(col("id").as("a_id"), col("kind"), col("dhash").as("__ha"),
+        explode(Dedup.simhashBandStructs(col("dhash"), maxHamming)).as("__bk"))
+      .select(col("a_id"), col("kind"), col("__ha"),
+        col("__bk.band"), col("__bk.bucket"))
+      .join(b, Seq("kind", "band", "bucket"))
+      .select(col("a_id"), col("b_id"), col("kind"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup pairs between a new media batch and the indexed corpus:
+    * (a_id, b_id, kind, hamming). Batch bytes decode ONCE; the index
+    * side is 8-byte hashes. */
+  def incrementalMediaNearDup(batch: DataFrame, index: MediaHashIndex,
+      idCol: String, bytesCol: String, kindCol: String,
+      maxHamming: Int = 3, broadcastBatch: Boolean = true): DataFrame = {
+    val feat = mediaHashes(batch, idCol, bytesCol, kindCol)
+      .filter(col("ok"))
+      .select(col(idCol).as("b_id"), col("kind"), col("dhash"))
+      .localCheckpoint(false)
+    probeMediaHashes(feat, index, maxHamming, broadcastBatch)
+  }
+
+  /** Incremental media near-dedup — [[graft.operators.Dedup
+    * .incrementalDedup]]'s contract for perceptual hashes: a batch
+    * asset within `maxHamming` of ANY indexed corpus asset (same
+    * kind) is dropped; among the rest, within-batch near-dup clusters
+    * keep their minimum id; QUARANTINED rows (undecodable bytes) pass
+    * through as survivors — they carry no evidence of duplication —
+    * but never enter the index. Returns (survivors, delta-index);
+    * union the delta into the corpus index for the next batch.
+    * Batch media decode exactly once (the hash frame is pinned and
+    * reused by the probe, the within-batch pass and the delta). */
+  def incrementalMediaDedup(batch: DataFrame, index: MediaHashIndex,
+      idCol: String, bytesCol: String, kindCol: String,
+      maxHamming: Int = 3, broadcastBatch: Boolean = true)
+      : (DataFrame, MediaHashIndex) = {
+    import graft.operators.Dedup
+    val feat = mediaHashes(batch, idCol, bytesCol, kindCol)
+      .localCheckpoint(false)
+    val okFeat = feat.filter(col("ok"))
+      .select(col(idCol).as("b_id"), col("kind"), col("dhash"))
+    val vsCorpus = probeMediaHashes(okFeat, index, maxHamming,
+      broadcastBatch)
+      .select(col("b_id").as(idCol)).distinct()
+      .localCheckpoint(false)
+    val kept = okFeat.select(col("b_id").as("id"), col("kind"),
+        col("dhash"))
+      .join(vsCorpus.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val losers = Dedup.connectedComponents(
+      bandedPairsByKind(kept, maxHamming), "a_id", "b_id")
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+      .localCheckpoint(false)
+    val survivors = batch
+      .join(vsCorpus, Seq(idCol), "left_anti")
+      .join(losers, Seq(idCol), "left_anti")
+    val delta = MediaHashIndex(kept
+      .join(losers.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("kind"), col("dhash")))
+    (survivors, delta)
+  }
+
   def mediaRepartition(
       df: DataFrame, bytesCol: String, targetBytes: Long,
       totalBytesHint: Option[Long] = None): DataFrame = {

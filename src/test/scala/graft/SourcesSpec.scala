@@ -680,6 +680,109 @@ class SourcesSpec extends SparkSpec {
     assert(h1 == h2 && h1.isRight)
   }
 
+  test("incremental media index: drop vs corpus, keep fresh, quarantine flows, delta excludes losers") {
+    def pattern(seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val bx = x / 8; val by = y / 8
+        val v = (((seed * 1469598103934665603L + bx * 1099511628211L +
+          by * 735263657946371L) >>> 33) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    def wav(seed: Long): Array[Byte] =
+      Multimodal.syntheticWav(16000, 100, seed)
+    def avi(seed: Long): Array[Byte] =
+      Multimodal.syntheticMjpegAvi(48, 32, 4, 4, seed)
+
+    val corpus = Seq(
+      (1L, enc(pattern(1), "png"), "image"),
+      (2L, enc(pattern(2), "png"), "image"),
+      (3L, wav(1), "audio"),
+      (4L, avi(5), "video")).toDF("media_id", "bytes", "kind")
+    val batch = Seq(
+      (11L, enc(pattern(1), "jpg"), "image"), // re-encode of corpus 1 -> drop
+      (12L, enc(pattern(7), "png"), "image"), // within-batch pair, min id
+      (13L, enc(pattern(7), "jpg"), "image"), //   -> loser, dropped
+      (14L, wav(1), "audio"),                 // byte-dup of corpus 3 -> drop
+      (15L, wav(9), "audio"),                 // fresh audio -> keep
+      (16L, avi(5), "video"),                 // dup of corpus 4 -> drop
+      (17L, "corrupt".getBytes.clone, "image"), // quarantine -> survives
+      (18L, enc(pattern(8), "png"), "image")  // fresh image -> keep
+    ).toDF("media_id", "bytes", "kind")
+
+    val index = Multimodal
+      .buildMediaHashIndex(corpus, "media_id", "bytes", "kind")
+      .materialize()
+    // probe alone: every planted dup is a hit, fresh/corrupt are not
+    val hits = Multimodal.incrementalMediaNearDup(
+      batch, index, "media_id", "bytes", "kind")
+      .select("b_id").as[Long].collect().toSet
+    assert(hits == Set(11L, 14L, 16L), s"hits=$hits")
+
+    val (survivors, delta) = Multimodal.incrementalMediaDedup(
+      batch, index, "media_id", "bytes", "kind")
+    val kept = survivors.select("media_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 15L, 17L, 18L), s"survivors=$kept")
+    // quarantined 17 survives but carries no fingerprint -> not indexed
+    val deltaIds = delta.entries.select("id").as[Long].collect().toSet
+    assert(deltaIds == Set(12L, 15L, 18L), s"delta=$deltaIds")
+
+    // save / load / probe round trip, with the grown (union) index:
+    // re-probing the batch against corpus+delta hits every ok asset
+    val dir = java.nio.file.Files.createTempDirectory("media_idx").toString
+    index.union(delta).save(dir)
+    val loaded = Multimodal.MediaHashIndex.load(spark, dir)
+    val rehits = Multimodal.incrementalMediaNearDup(
+      batch, loaded, "media_id", "bytes", "kind")
+      .select("b_id").as[Long].collect().toSet
+    assert(rehits == Set(11L, 12L, 13L, 14L, 15L, 16L, 18L),
+      s"rehits=$rehits")
+  }
+
+  test("media near-dup pairs are kind-segregated even at hash distance 0") {
+    // a FLAT image dHashes to 0L (no gradient crosses any cell) and a
+    // sub-33-sample WAV fingerprints to 0L — identical hashes, but an
+    // image must never pair with an audio clip
+    val flat = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val tinyWav = Multimodal.syntheticWav(16000, 1, seed = 3)
+    val rows = Seq(
+      (1L, flat, "image"), (2L, tinyWav, "audio")
+    ).toDF("media_id", "bytes", "kind")
+    val hashes = Multimodal.mediaHashes(rows, "media_id", "bytes", "kind")
+      .select("media_id", "dhash", "ok").as[(Long, Long, Boolean)]
+      .collect().map { case (id, h, ok) => id -> ((h, ok)) }.toMap
+    assert(hashes(1L) == ((0L, true)) && hashes(2L) == ((0L, true)),
+      s"fixture hashes drifted: $hashes")
+    // index the image; the equal-hash audio must not hit it
+    val idx = Multimodal.buildMediaHashIndex(
+      rows.filter(col("media_id") === 1L), "media_id", "bytes", "kind")
+      .materialize()
+    val cross = Multimodal.incrementalMediaNearDup(
+      rows.filter(col("media_id") === 2L), idx,
+      "media_id", "bytes", "kind")
+    assert(cross.isEmpty, "audio paired with an image at hamming 0")
+    // and within one batch both survive dedup
+    val (surv, _) = Multimodal.incrementalMediaDedup(
+      rows, Multimodal.MediaHashIndex(
+        spark.emptyDataset[(Long, String, Long)]
+          .toDF("id", "kind", "dhash")),
+      "media_id", "bytes", "kind")
+    assert(surv.count() == 2)
+  }
+
   test("mediaRepartition sizes partitions by payload bytes — no data pass") {
     implicit val s = spark
     // explicit hint path: exact sizing, zero inspection
