@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   *   achieved MB/s is recorded in BOTH the detail file and the
   *   summary line: a healthy box zeroes GBs per second, so
   *   `prewarm_mbps` in the tens IS the environment-degradation
-  *   signal, captured in the artifact itself.
+  *   signal, captured in the artifact itself. A degraded probe
+  *   (< ~500 MB/s) AUTO-RETRIES — sleep 30 s, re-probe, up to 3
+  *   times — so the timed section starts inside a healthy window
+  *   when one arrives; every attempt lands in the artifact.
   * - PER-PASS GC TIME and ALLOCATED BYTES (GarbageCollectorMXBean /
   *   com.sun.management.ThreadMXBean deltas) beside every timed wall
   *   second in the detail file: a pass that took 10× with flat
@@ -274,7 +277,11 @@ object Bench {
       // Aho-Corasick blocklist screen + compression-ratio quality
       "q168_blocklist", "q169_compress_ratio",
       // wide quality-signals export: 12 signals in one scan
-      "q170_quality_signals"
+      "q170_quality_signals",
+      // incremental media near-dedup vs a perceptual-hash index (r13)
+      "q171_media_dedup_incr",
+      // order-4 Stupid Backoff via the generalized chain (r13)
+      "q172_lm_4gram"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged
@@ -285,10 +292,34 @@ object Bench {
     // default target is half of -Xmx, overridable / disableable via
     // env; hard 60 s budget so a degraded box can't stall the round —
     // a budget hit with a low MB/s is exactly the signal we record.
+    //
+    // AUTO-RETRY (r13): a probe under ~500 MB/s means the proactive-
+    // reclaim daemon is active RIGHT NOW — starting the timed section
+    // in that window produced the r12 driver record whose 5 worst
+    // queries were all env-flagged. So on a degraded probe the bench
+    // SLEEPS and re-probes (up to 3 retries, ~30 s apart) hoping to
+    // start inside a healthy window; every attempt is recorded in the
+    // artifact so a record that STILL ran degraded says so itself.
     val pwTarget = sys.env.get("SPARK_GRAFT_PREWARM_MB").map(_.toLong)
       .getOrElse(Runtime.getRuntime.maxMemory() / 2 / (1024L * 1024L))
-    val (pwMb, pwSec) =
-      if (pwTarget <= 0) (0L, 0.0) else prewarmHeap(pwTarget, 60.0)
+    val pwHealthy = sys.env.get("SPARK_GRAFT_PREWARM_HEALTHY_MBPS")
+      .map(_.toDouble).getOrElse(500.0)
+    val pwRetries = sys.env.get("SPARK_GRAFT_PREWARM_RETRIES")
+      .map(_.toInt).getOrElse(3)
+    val pwAttempts = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+    if (pwTarget > 0) {
+      pwAttempts += prewarmHeap(pwTarget, 60.0)
+      def mbps(a: (Long, Double)): Double =
+        if (a._2 > 0.001) a._1 / a._2 else 0.0
+      while (pwAttempts.size <= pwRetries && mbps(pwAttempts.last) < pwHealthy) {
+        System.err.println(f"[bench] prewarm probe ${mbps(pwAttempts.last)}%.0f" +
+          f" MB/s < $pwHealthy%.0f - sleeping 30 s before re-probe " +
+          s"(attempt ${pwAttempts.size}/${pwRetries + 1})")
+        Thread.sleep(30000L)
+        pwAttempts += prewarmHeap(pwTarget, 60.0)
+      }
+    }
+    val (pwMb, pwSec) = pwAttempts.lastOption.getOrElse((0L, 0.0))
     val pwMbps = if (pwSec > 0.001) pwMb / pwSec else 0.0
 
     final case class Pass(sec: Double, gcMs: Long, allocMb: Long)
@@ -488,9 +519,13 @@ object Bench {
     val canaryDetail = canary.map { case (off, p) =>
       s"[${num(off)},${num(p.sec)},${p.gcMs},${p.allocMb}]"
     }.mkString("[", ",", "]")
+    val pwAttemptsJson = pwAttempts.map { case (mb, sec) =>
+      s"[$mb,${num(sec)},${num(if (sec > 0.001) mb / sec else 0.0)}]"
+    }.mkString("[", ",", "]")
     val prewarmJson =
       s"""{"target_mb":$pwTarget,"touched_mb":$pwMb,"sec":${num(pwSec)},""" +
-        s""""mbps":${num(pwMbps)}}"""
+        s""""mbps":${num(pwMbps)},"healthy_mbps":${num(pwHealthy)},""" +
+        s""""attempts_mb_sec_mbps":$pwAttemptsJson}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "target/bench_detail.json")).toAbsolutePath
@@ -530,6 +565,6 @@ object Bench {
     val regLine = regressions.take(3).map { case (n, ratio, _, v) =>
       jsonStr(n) + s""":[${num(ratio)},${jsonStr(v)}]"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"prewarm_attempts":${pwAttempts.size},"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"sf":"$sfDir"}""")
   }
 }

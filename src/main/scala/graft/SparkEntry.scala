@@ -2263,6 +2263,23 @@ object SparkEntry {
       reference = d.filter(col("doc_id") < 100), refTextCol = "text")
   }
 
+  /** q172: ORDER-4 LM QUALITY — the generalized Stupid Backoff chain
+    * (Corpus.lmQualityScoreN, which q73/q156/q158 now delegate to) at
+    * an order the hand-rolled forms never covered: 4-gram hit →
+    * α·trigram → α²·bigram → α³·add-one unigram, mean per doc, same
+    * reference slice (docs 0-99). Four broadcast model tables, one
+    * exploded transition pass, one per-doc avg exchange. Oracle
+    * recomputes all four count tables definitionally and replays the
+    * four-branch CASE with identical op order per branch (α powers as
+    * explicit left-assoc double products so both engines fold the
+    * same IEEE value); round(,4) absorbs sum-order ULPs. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.lmQualityScoreN(d, "doc_id", "text",
+      reference = d.filter(col("doc_id") < 100), refTextCol = "text",
+      n = 4)
+  }
+
   /** q163: DSIR IMPORTANCE WEIGHTS (Corpus.dsirWeights) — the
     * importance-resampling data-selection scorer (Xie et al. 2023):
     * log w(D) = Σ_f c_D(f)·(ln p_target(f) − ln p_raw(f)) over word
@@ -3249,7 +3266,8 @@ object SparkEntry {
     "q168_blocklist" -> (q168 _),
     "q169_compress_ratio" -> (q169 _),
     "q170_quality_signals" -> (q170 _),
-    "q171_media_dedup_incr" -> (q171 _)
+    "q171_media_dedup_incr" -> (q171 _),
+    "q172_lm_4gram" -> (q172 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5383,6 +5401,57 @@ object SparkEntry {
         |LEFT JOIN b b23 ON b23.w1 = tr.w2 AND b23.w2 = tr.w3
         |LEFT JOIN u u2 ON u2.w1 = tr.w2
         |LEFT JOIN u u3 ON u3.w1 = tr.w3, g
+        |GROUP BY 1""".stripMargin,
+    // q172: the order-4 chain — four model tables recomputed
+    // definitionally; the CASE replays the four-branch backoff with
+    // identical op order per branch (α powers as explicit left-assoc
+    // double products); round(avg, 4) as in q73/q156/q158.
+    "q172_lm_4gram" ->
+      """WITH refd AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+        |  (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+        |bgi AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM refd
+        |  WHERE len(ws) >= 2),
+        |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2,
+        |  CAST(count(*) AS BIGINT) AS c2 FROM bgi GROUP BY 1, 2),
+        |tgi AS (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM refd
+        |  WHERE len(ws) >= 3),
+        |t3 AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3,
+        |  CAST(count(*) AS BIGINT) AS c3 FROM tgi GROUP BY 1, 2, 3),
+        |qgi AS (SELECT ws, unnest(range(1, len(ws) - 2)) AS i FROM refd
+        |  WHERE len(ws) >= 4),
+        |q4 AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3,
+        |  ws[i + 3] AS w4, CAST(count(*) AS BIGINT) AS c4 FROM qgi
+        |  GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+        |  CAST(count(*) AS DOUBLE) AS v FROM u),
+        |di AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i FROM
+        |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 4),
+        |tr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+        |  ws[i + 2] AS w3, ws[i + 3] AS w4 FROM di)
+        |SELECT doc_id, round(avg(CASE
+        |    WHEN q4.c4 IS NOT NULL
+        |    THEN ln(CAST(q4.c4 AS DOUBLE) / t3.c3)
+        |    WHEN t3b.c3 IS NOT NULL
+        |    THEN ln(CAST(0.4 AS DOUBLE) * CAST(t3b.c3 AS DOUBLE) / b23.c2)
+        |    WHEN b34.c2 IS NOT NULL
+        |    THEN ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+        |      CAST(b34.c2 AS DOUBLE) / u3.c1)
+        |    ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+        |      CAST(0.4 AS DOUBLE) *
+        |      (coalesce(u4.c1, 0) + CAST(1.0 AS DOUBLE)) / (g.t + g.v))
+        |    END), 4) AS lm4_score
+        |FROM tr
+        |LEFT JOIN q4 USING (w1, w2, w3, w4)
+        |LEFT JOIN t3 USING (w1, w2, w3)
+        |LEFT JOIN t3 t3b ON t3b.w1 = tr.w2 AND t3b.w2 = tr.w3
+        |  AND t3b.w3 = tr.w4
+        |LEFT JOIN b b23 ON b23.w1 = tr.w2 AND b23.w2 = tr.w3
+        |LEFT JOIN b b34 ON b34.w1 = tr.w3 AND b34.w2 = tr.w4
+        |LEFT JOIN u u3 ON u3.w1 = tr.w3
+        |LEFT JOIN u u4 ON u4.w1 = tr.w4, g
         |GROUP BY 1""".stripMargin,
     // q163: both feature models recomputed definitionally (uni+bi
     // features; target slice doc_id < 100), the per-feature term

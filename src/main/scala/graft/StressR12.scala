@@ -180,6 +180,43 @@ object StressR12 {
 
     println("SCALE exponents (log10(t10/t1); 1.0 = linear): " +
       out.map(m => f"${m.name}=${m.exponent}%.2f").mkString(", "))
+
+    // ---- sf1 regression gate (r12 verdict ask #8) --------------------
+    // The sf0.1 bench gate can't catch a SUPER-LINEAR regression — it
+    // appears at 10x, not 1x. Diff this run's 10x medians against the
+    // committed bench_baseline_sf1.json with Bench's thresholds
+    // (> 2x AND +0.5 s absolute); refresh the baseline on a healthy
+    // window with SPARK_GRAFT_BENCH_WRITE_BASELINE=1.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val basePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SF1_BASELINE", "bench_baseline_sf1.json"))
+      .toAbsolutePath
+    if (java.nio.file.Files.exists(basePath))
+      Bench.readBaseline(basePath).foreach { case (_, baseMed, _) =>
+        val regs = out.flatMap { m =>
+          baseMed.get(m.name).collect {
+            case bm if m.t10 / math.max(bm, 0.05) > 2.0 &&
+              m.t10 - bm > 0.5 =>
+              (m.name, m.t10 / math.max(bm, 0.05), bm)
+          }
+        }
+        regs.foreach { case (n, ratio, bm) =>
+          println(f"SCALE GATE $n: ${ratio}%.1fx sf1 baseline ($bm%.2f s)")
+        }
+        if (regs.isEmpty) println("SCALE GATE clean: all 10x medians " +
+          s"within 2x of $basePath")
+      }
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
+      val qs = out.map(m => "\"" + m.name + "\":" + num(m.t10))
+        .mkString("{", ",", "}")
+      val ex = out.map(m => "\"" + m.name + "\":" + num(m.exponent))
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(basePath,
+        s"""{"sf":"$sfDir","queries":$qs,"exponents":$ex,""" +
+          s""""protocol":"StressR12 10x medians (median of 2)"}""")
+      println(s"SCALE baseline written: $basePath")
+    }
     spark.stop()
   }
 }
