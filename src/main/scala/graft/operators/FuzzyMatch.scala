@@ -142,7 +142,7 @@ object FuzzyMatch {
       dupMargin: Double = 3.0,
       broadcastRight: Boolean = true,
       saltBuckets: Int = 1,
-      equalFast: Boolean = true): DataFrame = {
+      equalFast: Boolean = false): DataFrame = {
     // alias both sides so self-joins (left and right derived from the
     // same source) resolve unambiguously.
     // saltBuckets > 1 splits skewed/low-cardinality blocks exactly like
@@ -172,14 +172,16 @@ object FuzzyMatch {
     val joined = l.join(r,
       lc(blockLeft) === rc(blockRight) && lc("__salt") === rc("__salt2"))
     // equalFast: byte-equal NON-EMPTY operands score 100 without
-    // entering the scorer kernel — every rapidfuzz-family scorer is
-    // reflexive there (w_ratio(x,x) = partial_token_ratio(x,x) =
-    // ratio(x,x) = 100 for x != ""), and in blocked linkage MOST pairs
-    // share their categorical columns (party/office/district/suffix),
-    // so the cascade's tokenise+levenshtein passes are skipped for the
-    // bulk of evaluations. Empty-equal falls THROUGH to the scorer:
-    // w_ratio("","") is 0 by design (no evidence), not 100. Set
-    // equalFast = false for a scorer without the reflexive contract.
+    // entering the scorer kernel (every rapidfuzz-family scorer is
+    // reflexive there; empty-equal still falls through — w_ratio("","")
+    // is 0 by design). MEASURED SLOWER and left OFF by default: on the
+    // q43 fixture at sf0.1, interleaved same-JVM A/B (StressR13) put
+    // the CaseWhen-wrapped plan at 4.23 s vs 1.71 s plain — wrapping
+    // all 9 scorer calls in conditionals bloats the generated code
+    // past what whole-stage codegen/subexpression elimination handle,
+    // while the scorers' thread-local memo (FuzzyImpl.Memo) already
+    // returns repeated pairs at two hashCodes. Kept as an opt-in for
+    // non-memoized scorer UDFs where the kernel genuinely dominates.
     def score1(rule: Rule, a: Column, b: Column): Column =
       if (!equalFast) rule.scorer(a, b)
       else when(a === b && length(a) > 0, lit(100.0))

@@ -40,7 +40,7 @@ object StreamDedup {
     * table), minus `exclude`. Underscore-prefixed folders are skipped —
     * that namespace is reserved for in-flight [[compact]] temp dirs, so
     * a crashed compaction never gets probed as a (partial) root. */
-  private def indexRoots(
+  private[streaming] def indexRoots(
       indexDir: String, exclude: String = ""): Seq[java.io.File] =
     Option(new java.io.File(indexDir).listFiles())
       .getOrElse(Array.empty).toIndexedSeq
@@ -92,7 +92,7 @@ object StreamDedup {
     Some(target)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)
     f.delete()

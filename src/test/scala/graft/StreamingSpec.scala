@@ -415,6 +415,62 @@ class StreamingSpec extends SparkSpec {
     assert(names2 === Seq("VoterVoice-Matched_b0000000000"), names2.toString)
   }
 
+  test("streaming incremental MEDIA near-dedup: probe, quarantine, delta, compact") {
+    import java.nio.file.Files
+    import graft.sources.Multimodal
+    import graft.streaming.StreamMediaDedup
+
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_smedia").toString
+    val indexDir = Files.createTempDirectory("graft_smedia_idx").toString
+    def wav(seed: Long): Array[Byte] =
+      Multimodal.syntheticWav(16000, 100, seed)
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val stream = input.toDF().toDF("media_id", "bytes", "kind")
+    val query = StreamMediaDedup.incrementalWriter(
+      stream, "media_id", "bytes", "kind", base,
+      "TRANSFORMED_FILES", "Media-Deduped", indexDir).start()
+    try {
+      // batch 0: a within-batch byte-dup pair + a distinct clip
+      input.addData(
+        (1L, wav(1), "audio"), (2L, wav(1), "audio"),
+        (3L, wav(9), "audio"))
+      query.processAllAvailable()
+      // batch 1: a dup of batch 0's survivor + a quarantine row
+      input.addData(
+        (10L, wav(1), "audio"),
+        (11L, "not audio at all".getBytes.clone, "audio"))
+      query.processAllAvailable()
+      // batch 2: a dup of batch 0's OTHER survivor
+      input.addData((20L, wav(9), "audio"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def survivorsOf(b: Int): Seq[Long] =
+      spark.read.parquet(
+        f"$base/TRANSFORMED_FILES/Media-Deduped_b$b%010d")
+        .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivorsOf(0) === Seq(1L, 3L))
+    assert(survivorsOf(1) === Seq(11L)) // 10 dups corpus 1; 11 quarantined -> survives
+    assert(survivorsOf(2) === Seq())    // 20 dups corpus 3 across batches
+    // quarantined 11 never entered the index; compact folds the rest
+    val deltas = new java.io.File(indexDir).listFiles().map(_.getName).sorted
+    assert(deltas.toSeq === Seq("delta_b0000000000", "delta_b0000000001",
+      "delta_b0000000002"))
+    val indexed = deltas.toIndexedSeq
+      .map(d => spark.read.parquet(s"$indexDir/$d/entries")
+        .select("id", "kind", "dhash"))
+      .reduce(_ unionByName _)
+    assert(indexed.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L))
+    assert(StreamMediaDedup.compact(spark, indexDir) === Some("seed_0"))
+    val loaded = Multimodal.MediaHashIndex.load(spark, s"$indexDir/seed_0")
+    assert(loaded.entries.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L))
+    assert(StreamMediaDedup.compact(spark, indexDir) === None)
+  }
+
   test("streaming incremental near-dedup: each batch dedups against all prior") {
     import java.nio.file.Files
     import graft.streaming.StreamDedup
