@@ -48,6 +48,19 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainFromCounts(Seq(("ab", 1L)), 10) === Seq("a|b"))
   }
 
+  test("the merge separator '|' is rejected loudly, never corrupted silently") {
+    // '|' in the alphabet would make the kernel's "left|right" rank
+    // keys and the save/load round trip ambiguous (r12 advice)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainFromCounts(Seq(("a|b", 3L)), 2)
+    }
+    assert(ex.getMessage.contains("|"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Bpe.saveMerges(spark, Seq("a|b|c"), "/tmp/never_written")
+    }
+    assert(ex2.getMessage.contains("ambiguous"))
+  }
+
   test("train: deterministic, and the frozen q154 list matches the corpus") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("text"))

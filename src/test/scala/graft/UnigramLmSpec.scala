@@ -61,6 +61,22 @@ class UnigramLmSpec extends SparkSpec {
     assert(byPiece("hash") > byPiece("h") + math.log(10))
   }
 
+  test("trainFromCounts with emIters = 0 prunes only modeled pieces") {
+    // the r12 advice bug: with no EM rounds the prune ranked ALL
+    // substrings (subCount), admitting pieces the seed never modeled,
+    // and the final logp lookup threw. Now candidates intersect the
+    // model: a seed-starved config must still return a valid model.
+    val wc = Seq(("hash", 10L), ("scan", 8L), ("joint", 6L), ("cat", 4L))
+    val m = UnigramLm.trainFromCounts(wc, vocabSize = 40,
+      seedSize = 12, emIters = 0)
+    assert(m.nonEmpty)
+    // every emitted piece carries a finite log-probability
+    assert(m.forall { case (_, lp) => !lp.isNaN && !lp.isInfinity })
+    // character coverage still holds
+    for (ch <- "hascnjoit".distinct.map(_.toString))
+      assert(m.map(_._1).contains(ch), s"missing single '$ch'")
+  }
+
   test("trainFromCounts is deterministic") {
     val wc = Seq(("join", 30L), ("joint", 20L), ("int", 10L))
     val a = UnigramLm.trainFromCounts(wc, vocabSize = 15)
