@@ -182,6 +182,41 @@ class CorpusSpec extends SparkSpec {
       math.log(0.16 * 5.0 / 19.0)) / 2.0)) < 1e-9)
   }
 
+  test("lmQualityScoreN at order 4 prices all four branches") {
+    // reference: T = 12 tokens, V = 7 distinct words (the trigram
+    // fixture) — each doc is ONE 4-gram transition landing on exactly
+    // one chain level
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on"),  // 4-gram hit: c4/c3 = 1/1 -> ln 1 = 0
+      (2L, "mat cat sat on"),  // no 4-gram; (cat,sat,on) is a ref
+                               // trigram: ln(0.4 * c3=1 / c2(cat,sat)=1)
+      (3L, "mat rug the dog"), // no 4/3-gram; (the,dog) ref bigram:
+                               // ln(0.4*0.4 * c2=1 / c1(the)=4)
+      (4L, "zx qw vb nm"))     // unigram floor: ln(0.4^3 * 1 / 19)
+      .toDF("doc_id", "text")
+    val scores = Corpus.lmQualityScoreN(
+      docs, "doc_id", "text", ref, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    assert(scores(1L) == 0.0)
+    assert(math.abs(scores(2L) - r4(math.log(0.4 * 1.0 / 1.0))) < 1e-9)
+    assert(math.abs(scores(3L) - r4(math.log(0.4 * 0.4 * 1.0 / 4.0))) < 1e-9)
+    assert(math.abs(scores(4L) -
+      r4(math.log(0.4 * 0.4 * 0.4 * 1.0 / 19.0))) < 1e-9)
+    // monotone: each extra backoff level prices lower
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L) &&
+      scores(3L) > scores(4L))
+    // and the delegations reproduce the hand-rolled orders exactly
+    val bi = Corpus.lmQualityScoreBigram(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val biN = Corpus.lmQualityScoreN(
+      docs, "doc_id", "text", ref, "text", n = 2, outCol = "lm2_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi == biN)
+  }
+
   test("dsirWeights: target-domain docs outscore off-domain docs") {
     val target = Seq("the cat sat on the mat", "a cat and a cat")
       .toDF("text")
