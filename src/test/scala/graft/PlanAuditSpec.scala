@@ -169,8 +169,9 @@ class PlanAuditSpec extends SparkSpec {
       "q137_padding_waste" -> 1, // bucket projection rides the scan;
                                // one tiny aggregate moves
       "q138_top_postings" -> 2, // (term, doc) posting agg + ONE term
-                               // exchange shared by the df count and
-                               // rank windows
+                               // agg exchange carrying df + the
+                               // bounded topk_pairs buffer (r13: the
+                               // rank windows are gone)
       "q140_label_centroids" -> 1, // one vector_sum_f agg exchange;
                                // the posexplode is a projection
       "q141_local_supplier_volume" -> 1, // dims broadcast; one rollup
@@ -219,6 +220,10 @@ class PlanAuditSpec extends SparkSpec {
       "q158_lm_trigram" -> 1,  // three model tables checkpointed +
                                // broadcast; the corpus triples never
                                // shuffle before their per-doc avg
+      "q172_lm_4gram" -> 1,    // the generalized chain at order 4:
+                               // SEVEN broadcast model joins, still
+                               // exactly one per-doc avg exchange —
+                               // the order-independence claim, pinned
       "q159_wordpiece_encode" -> 1, // greedy encode is a pure
                                // projection (vocab broadcast by
                                // closure); only the token-count agg
