@@ -86,6 +86,99 @@ object StressR13 {
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     println(f"AB q43 equalFast=true  passes ${fast.map(x => f"$x%.2f").mkString(",")}  median ${med(fast.toSeq)}%.2f s")
     println(f"AB q43 equalFast=false passes ${slow.map(x => f"$x%.2f").mkString(",")}  median ${med(slow.toSeq)}%.2f s")
+
+    // ---- 10x scale points for the r13 operators (StressR12 protocol:
+    // disjoint replicas, fixed shuffle.partitions, medians, force via
+    // xxhash64-of-every-column) ------------------------------------
+    import graft.operators.Corpus
+    import graft.sources.Multimodal
+    val copies = spark.range(10).select(col("id").as("__copy"))
+    val Off = 100000000L
+    val docs1 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val docs10 = docs1.crossJoin(copies)
+      .select((col("doc_id") + col("__copy") * Off).as("doc_id"),
+        col("text"))
+      .repartition(32).localCheckpoint()
+    Seq(docs1, docs10).foreach(_.count())
+
+    def force(df: DataFrame): Long =
+      df.agg(sum(xxhash64(struct(col("*")))).as("h"),
+        count(lit(1)).as("n")).head().getLong(1)
+    def measure(name: String)(f: DataFrame => DataFrame): Unit = {
+      def run(in: DataFrame, timed: Int): (Double, Long) = {
+        force(f(in))
+        val s = (1 to timed).map { _ =>
+          val t0 = System.nanoTime()
+          val n = force(f(in))
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (s.map(_._1).sorted.apply((timed - 1) / 2), s.head._2)
+      }
+      val (t1, n1) = run(docs1, 3)
+      val (t10, n10) = run(docs10, 2)
+      println(f"SCALE $name%-24s 1x $t1%7.2f s ($n1%9d rows)" +
+        f"  10x $t10%8.2f s ($n10%10d rows)" +
+        f"  exponent ${math.log10(t10 / t1)}%5.2f")
+    }
+
+    // order-4 chain: the model side is the FIXED doc_id < 100 slice at
+    // both scales (the claim under test: broadcast models do not grow
+    // with the corpus — only the transition pass scales)
+    measure("q172_lm4_chain")(d =>
+      Corpus.lmQualityScoreN(d, "doc_id", "text",
+        reference = d.filter(col("doc_id") < 100), refTextCol = "text",
+        n = 4))
+    // fixed-state contamination: probe slice fixed, corpus 10x — the
+    // sketch is identical at both scales, the scan-speed pre-filter
+    // is the only thing that grows
+    measure("q49_bloom_contam")(d =>
+      Corpus.contaminationBloom(d, "doc_id", "text",
+        probes = d.filter(col("doc_id") < 5), probeTextCol = "text",
+        n = 3))
+    // bounded top-k postings: the aggregate whose buffer is 3 pairs
+    // per term per task regardless of posting-list length
+    measure("q138_topk_postings")(d =>
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          expr("topk_pairs(tf, doc_id, 3)").as("__t"))
+        .select(col("term"), col("df"), posexplode(col("__t"))))
+
+    // media-index probe vs CORPUS SIZE: fixed 500-asset batch probed
+    // against a 5k- vs 50k-entry hash index (hash frames built
+    // directly — decode cost excluded on purpose; the claim is the
+    // PROBE is O(batch + candidates), corpus-size-independent)
+    def hashIndex(n: Long): Multimodal.MediaHashIndex =
+      Multimodal.MediaHashIndex(spark.range(n)
+        .select(col("id"),
+          element_at(typedlit(Seq("image", "audio", "video")),
+            (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+          xxhash64(col("id")).as("dhash"))
+        .localCheckpoint())
+    val batchHashes = spark.range(500)
+      .select((col("id") + 900000000L).as("b_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+        // half the batch collides with an indexed hash, half is fresh
+        when(col("id") % 2 === 0, xxhash64(col("id") * 2))
+          .otherwise(xxhash64(col("id") + 777000000L)).as("dhash"))
+      .localCheckpoint()
+    for ((label, n) <- Seq(("5k", 5000L), ("50k", 50000L))) {
+      val idx = hashIndex(n)
+      idx.entries.count()
+      def probe(): Long = force(
+        Multimodal.probeMediaHashes(batchHashes, idx,
+          maxHamming = 3, broadcastBatch = true))
+      probe()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); probe()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALE media_probe_$label%-12s median ${ts.sorted.apply(1)}%6.2f s" +
+        f" (index $n%6d entries, batch 500)")
+    }
     spark.stop()
   }
 }

@@ -743,7 +743,7 @@ object Multimodal {
     * is banded and broadcast; the index contributes its 8-byte hashes
     * to the band equi-join — corpus media bytes never move. On a
     * saved index the kind filter prunes whole partitions first. */
-  private def probeMediaHashes(batchHashes: DataFrame,
+  private[graft] def probeMediaHashes(batchHashes: DataFrame,
       index: MediaHashIndex, maxHamming: Int,
       broadcastBatch: Boolean): DataFrame = {
     import graft.operators.Dedup
