@@ -1622,7 +1622,7 @@ object SparkEntry {
         .as("__qi"))
       .localCheckpoint(false)
     val budget =
-      d.agg(sum(col("n_tok"))).head.getLong(0) / 2 // one driver scalar
+      d.agg(sum(col("n_tok"))).head().getLong(0) / 2 // one driver scalar
     val keyed = d.select(col("doc_id"), col("n_tok"),
       ((lit(10000L) - col("__qi")) * lit(4294967296L) + col("doc_id"))
         .as("__k"))
@@ -2893,7 +2893,7 @@ object SparkEntry {
   private def q101(s: SparkSession, dir: String): DataFrame = {
     val buckets = 20
     val li = Tables(s, dir).lineitem.select(col("l_extendedprice").as("x"))
-    val r = li.agg(min(col("x")), max(col("x"))).head
+    val r = li.agg(min(col("x")), max(col("x"))).head()
     val (mn, mx) = (r.getDouble(0), r.getDouble(1))
     val w = (mx - mn) / buckets
     li.select(least(floor((col("x") - mn) / w), lit(buckets - 1))

@@ -48,7 +48,7 @@ object StressOrder {
         round(TextStats.qualityScore(col("text")) * 10000).cast("long")
           .as("__qi"))
         .localCheckpoint(false)
-      val budget = d.agg(sum(col("n_tok"))).head.getLong(0) / 2
+      val budget = d.agg(sum(col("n_tok"))).head().getLong(0) / 2
       val k2 = d.select(col("doc_id"), col("n_tok"),
         ((lit(10000L) - col("__qi")) * lit(4294967296L) + col("doc_id"))
           .as("__k"))

@@ -173,7 +173,7 @@ object StressR11 {
         .select(col("p").as("src"), col("__p2").as("dst"))
       graft.operators.Graph.labelPropagation(edges, "src", "dst",
         iterations = 5)
-        .agg(sum(col("community"))).head.getLong(0)
+        .agg(sum(col("community"))).head().getLong(0)
     })
 
     // CDC chunking family at sf0.1: the kernel is a pure projection
@@ -183,7 +183,7 @@ object StressR11 {
     // work and time an empty scan.
     time("q149 cdc chunks (sf0.1 docs)")(
       Corpus.cdcChunks(docs, "doc_id", "text")
-        .agg(sum(length(col("chunk_md5")))).head.getLong(0))
+        .agg(sum(length(col("chunk_md5")))).head().getLong(0))
     time("q151 chunk diff (both snapshots)")({
       val old = docs.filter(col("doc_id") % 9 =!= 0)
         .select(col("doc_id"),
@@ -191,11 +191,11 @@ object StressR11 {
             .otherwise(col("text")).as("text"))
       val neu = docs.filter(col("doc_id") % 10 =!= 0)
       Corpus.chunkDiff(old, neu, "doc_id", "text")
-        .agg(sum(col("n_kept"))).head.getLong(0)
+        .agg(sum(col("n_kept"))).head().getLong(0)
     })
     time("q152 chunk boilerplate removal")(
       Dedup.dropBoilerplateChunks(docs, "doc_id", "text", minDocs = 3)
-        .agg(sum(length(col("text")))).head.getLong(0))
+        .agg(sum(length(col("text")))).head().getLong(0))
 
     // Asymmetric containment join at sf0.1: the A-prefix × full-B
     // token join — rare-first prefixes keep the fan-out bounded even

@@ -683,7 +683,7 @@ object Dedup {
     raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     corpus
       .select(bloomAgg(xxhash64(col(contentCol)), expectedItems, bits).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** [[exactIncremental]] with a Bloom pre-filter: batch rows whose
