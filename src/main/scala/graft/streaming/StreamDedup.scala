@@ -65,25 +65,34 @@ object StreamDedup {
     * fold. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[String] = {
+      indexDir: String): Option[String] =
+    compactRoots(spark, indexDir,
+      (union, path) => Dedup.MinhashIndex(union).save(path, mode = "overwrite"))
+
+  /** The shared compact core ([[compact]]'s scaladoc): fold every
+    * root's entries (deduped on id — a crashed earlier compact leaves
+    * the same entries in two roots, and folding them through would
+    * bake the duplicates into every future seed) into one fresh
+    * `seed_<epoch>` root via `save`, write + rename BEFORE deleting
+    * the originals, and pick a NEW epoch name each time (the old seed
+    * is among the roots being folded). Used by this object and
+    * [[StreamMediaDedup]], which differ only in the index saver. */
+  private[streaming] def compactRoots(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      save: (org.apache.spark.sql.DataFrame, String) => Unit): Option[String] = {
     val roots = indexRoots(indexDir)
     if (roots.length <= 1) return None
-    // collision-free epoch naming: seed_0, seed_1, ... — re-compacting
-    // a dir that already holds a compacted seed must pick a NEW name
-    // (the old seed is among the roots being folded and deleted)
     val seedEpochs = roots.map(_.getName)
       .filter(_.startsWith("seed_"))
       .flatMap(n => n.stripPrefix("seed_").toLongOption)
     val target = s"seed_${seedEpochs.maxOption.getOrElse(-1L) + 1L}"
-    // dedup on id: a crashed earlier compact leaves the same entries
-    // in two roots; folding them through without this would bake the
-    // duplicates into every future seed
     val union = roots
       .map(d => spark.read.parquet(s"${d.getPath}/entries"))
       .reduce(_ unionByName _)
       .dropDuplicates("id")
     val tmp = new java.io.File(indexDir, s"_compact_$target")
-    Dedup.MinhashIndex(union).save(tmp.getPath, mode = "overwrite")
+    save(union, tmp.getPath)
     val dest = new java.io.File(indexDir, target)
     require(tmp.renameTo(dest),
       s"compact: rename ${tmp.getPath} -> ${dest.getPath} failed")

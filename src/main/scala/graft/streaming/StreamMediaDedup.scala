@@ -35,27 +35,10 @@ object StreamMediaDedup {
     * stream is stopped. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[String] = {
-    val roots = StreamDedup.indexRoots(indexDir)
-    if (roots.length <= 1) return None
-    val seedEpochs = roots.map(_.getName)
-      .filter(_.startsWith("seed_"))
-      .flatMap(n => n.stripPrefix("seed_").toLongOption)
-    val target = s"seed_${seedEpochs.maxOption.getOrElse(-1L) + 1L}"
-    val union = roots
-      .map(d => spark.read.parquet(s"${d.getPath}/entries")
-        .select("id", "kind", "dhash"))
-      .reduce(_ unionByName _)
-      .dropDuplicates("id")
-    val tmp = new java.io.File(indexDir, s"_compact_$target")
-    Multimodal.MediaHashIndex(union).save(tmp.getPath, mode = "overwrite")
-    val dest = new java.io.File(indexDir, target)
-    require(tmp.renameTo(dest),
-      s"compact: rename ${tmp.getPath} -> ${dest.getPath} failed")
-    roots.filter(_.getName != target)
-      .foreach(d => StreamDedup.deleteRecursively(d))
-    Some(target)
-  }
+      indexDir: String): Option[String] =
+    StreamDedup.compactRoots(spark, indexDir,
+      (union, path) => Multimodal.MediaHashIndex(
+        union.select("id", "kind", "dhash")).save(path, mode = "overwrite"))
 
   /** foreachBatch writer: near-dedup each micro-batch of media rows
     * against the accumulated perceptual-hash index, export survivors
