@@ -146,6 +146,31 @@ object StressR13 {
           expr("topk_pairs(tf, doc_id, 3)").as("__t"))
         .select(col("term"), col("df"), posexplode(col("__t"))))
 
+    // semantic-dedup salt A/B (interleaved, same session): k=16
+    // clusters on 32 threads caps the unsalted pair join at 16 busy
+    // tasks and serialises the heaviest cluster's quadratic work;
+    // salting spreads it. Result sets are identical by construction.
+    {
+      import graft.operators.Dedup
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      vecs.count()
+      def sem(salt: Int): DataFrame =
+        Dedup.semanticDedup(vecs, "vec_id", "embedding",
+          k = 16, threshold = 0.35, iters = 2, saltBuckets = salt)
+          .select(col("vec_id"))
+      time(sem(1)); time(sem(4))
+      val s1 = scala.collection.mutable.ListBuffer.empty[Double]
+      val s4 = scala.collection.mutable.ListBuffer.empty[Double]
+      for (_ <- 1 to n) { s1 += time(sem(1)); s4 += time(sem(4)) }
+      println(f"AB q76 salt=1 passes ${s1.map(x => f"$x%.2f").mkString(",")}  median ${med(s1.toSeq)}%.2f s")
+      println(f"AB q76 salt=4 passes ${s4.map(x => f"$x%.2f").mkString(",")}  median ${med(s4.toSeq)}%.2f s")
+      val r1 = sem(1).orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+      val r4 = sem(4).orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+      require(r1 == r4, "salted semantic dedup diverged from unsalted")
+      println(s"AB q76 salted == unsalted on ${r1.size} survivors")
+    }
+
     // media-index probe vs CORPUS SIZE: fixed 500-asset batch probed
     // against a 5k- vs 50k-entry hash index (hash frames built
     // directly — decode cost excluded on purpose; the claim is the

@@ -785,13 +785,13 @@ object Dedup {
   def semanticDedup(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       threshold: Double = 0.95, iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, saltBuckets: Int = 1): DataFrame = {
     require(k > 0, "semanticDedup: k > 0")
     semanticDedupWith(vecs,
       Ann.trainCentroids(
         vecs.select(col(idCol), col(vecCol)), idCol, vecCol, k, iters,
         seed),
-      idCol, vecCol, threshold)
+      idCol, vecCol, threshold, saltBuckets)
   }
 
   /** [[semanticDedup]] against PRETRAINED centroids ((centroid_id,
@@ -801,10 +801,12 @@ object Dedup {
     * assignment + within-cluster pairing. */
   def semanticDedupWith(
       vecs: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, threshold: Double = 0.95): DataFrame = {
+      vecCol: String, threshold: Double = 0.95,
+      saltBuckets: Int = 1): DataFrame = {
     import graft.functions.VectorFunctions._
     require(threshold > 0 && threshold <= 1,
       "semanticDedup: threshold in (0, 1]")
+    require(saltBuckets >= 1, "semanticDedup: saltBuckets >= 1")
     val assigned = Ann.assignBuckets(
       Parallelism.ensure(vecs.select(col(idCol), col(vecCol))),
       centroids.select(col("centroid_id").as(idCol), col(vecCol)),
@@ -813,12 +815,34 @@ object Dedup {
         norm(col(vecCol)).as("__n"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .localCheckpoint(false)
-    val a = assigned.select(col("centroid_id"), col("__id").as("a_id"),
+    // saltBuckets > 1 splits the per-cluster quadratic work the way
+    // FuzzyMatch.link splits hot blocks: the left side takes ONE
+    // deterministic salt per row, the right side replicates across
+    // every salt, so the pair set (and the result) is identical but a
+    // cluster's scoring spreads over saltBuckets times more tasks —
+    // the escape hatch for a skewed clustering where one cluster holds
+    // most of the corpus and its pairs serialise through one task.
+    // MEASURED at the registered q76 config (k=16, 100k 64-dim
+    // vectors, 32 threads): salt=4 is only ~6% faster (7.65 -> 7.18 s
+    // interleaved A/B, StressR13, results verified identical) — at
+    // this scale training + components dominate, not the pair join —
+    // so the default stays 1; reach for it when the cluster-size
+    // histogram (Corpus.keyProfile on centroid_id) shows real skew.
+    val a0 = assigned.select(col("centroid_id"), col("__id").as("a_id"),
       col("__v").as("__va"), col("__n").as("__na"))
-    val b = assigned.select(col("centroid_id").as("__c2"),
+    val a =
+      if (saltBuckets <= 1) a0.withColumn("__salt", lit(0))
+      else a0.withColumn("__salt",
+        pmod(xxhash64(col("a_id")), lit(saltBuckets)).cast("int"))
+    val b0 = assigned.select(col("centroid_id").as("__c2"),
       col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val b =
+      if (saltBuckets <= 1) b0.withColumn("__salt2", lit(0))
+      else b0.withColumn("__salt2",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
     val edges = a
-      .join(b, col("centroid_id") === col("__c2") && col("a_id") < col("b_id"))
+      .join(b, col("centroid_id") === col("__c2") &&
+        col("__salt") === col("__salt2") && col("a_id") < col("b_id"))
       .filter(cosinePrenormed(dot(col("__va"), col("__vb")),
         col("__na"), col("__nb")) >= threshold)
       .select("a_id", "b_id")
