@@ -31,9 +31,21 @@ class ClusterSpec extends SparkSpec {
     }.toMap
   }
 
-  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH resolution paths — the adaptive default (driver
+    * union-find at this size) and the forced distributed
+    * large-star/small-star loop (driverMaxEdges = 0) — and asserts
+    * they agree, so every fixture in this suite pins path equality. */
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val driver = Dedup.connectedComponents(df, "a", "b")
       .as[(Long, Long)].collect().toMap
+    val distributed = Dedup.connectedComponentsWithRounds(
+      df, "a", "b", maxIter = 50, driverMaxEdges = 0L)._1
+      .as[(Long, Long)].collect().toMap
+    assert(driver == distributed,
+      "driver union-find diverged from the distributed loop")
+    driver
+  }
 
   test("path graph: worst case for naive propagation, O(log^2 n) here") {
     // 0-1-2-...-63 single chain: component min is 0 for every node
