@@ -415,6 +415,61 @@ class StreamingSpec extends SparkSpec {
     assert(names2 === Seq("VoterVoice-Matched_b0000000000"), names2.toString)
   }
 
+  test("streaming incremental EMBEDDING near-dedup: probe, within-batch, delta, compact") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    import graft.streaming.StreamEmbedDedup
+
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_sembed").toString
+    val indexDir = Files.createTempDirectory("graft_sembed_idx").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val query = StreamEmbedDedup.incrementalWriter(
+      stream, "vec_id", "embedding", dim = 4, base,
+      "TRANSFORMED_FILES", "Vecs-Deduped", indexDir,
+      numPlanes = 4, threshold = 0.9).start()
+    try {
+      // batch 0: an exact-duplicate pair + an orthogonal singleton
+      input.addData(
+        (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0)),
+        (3L, v(0, 1, 0, 0)))
+      query.processAllAvailable()
+      // batch 1: a dup of batch 0's survivor 1 + fresh content
+      input.addData(
+        (10L, v(1, 0, 0, 0)),
+        (11L, v(0, 0, 1, 0)))
+      query.processAllAvailable()
+      // batch 2: a dup of batch 1's survivor
+      input.addData((20L, v(0, 0, 1, 0)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def survivorsOf(b: Int): Seq[Long] =
+      spark.read.parquet(
+        f"$base/TRANSFORMED_FILES/Vecs-Deduped_b$b%010d")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivorsOf(0) === Seq(1L, 3L))
+    assert(survivorsOf(1) === Seq(11L))
+    assert(survivorsOf(2) === Seq())
+    // three delta roots, loadable as one index holding the survivors
+    val deltas = new java.io.File(indexDir).listFiles().map(_.getName).sorted
+    assert(deltas.toSeq === Seq("delta_b0000000000", "delta_b0000000001",
+      "delta_b0000000002"))
+    val indexed = deltas.toIndexedSeq
+      .map(d => spark.read.parquet(s"$indexDir/$d/entries"))
+      .reduce(_ unionByName _)
+    assert(indexed.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 11L))
+    assert(StreamEmbedDedup.compact(spark, indexDir) === Some("seed_0"))
+    val loaded = Dedup.EmbeddingIndex.load(spark, s"$indexDir/seed_0")
+    assert(loaded.entries.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 11L))
+    assert(StreamEmbedDedup.compact(spark, indexDir) === None)
+  }
+
   test("streaming incremental MEDIA near-dedup: probe, quarantine, delta, compact") {
     import java.nio.file.Files
     import graft.sources.Multimodal
