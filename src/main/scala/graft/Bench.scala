@@ -281,7 +281,9 @@ object Bench {
       // incremental media near-dedup vs a perceptual-hash index (r13)
       "q171_media_dedup_incr",
       // order-4 Stupid Backoff via the generalized chain (r13)
-      "q172_lm_4gram"
+      "q172_lm_4gram",
+      // order-3 DSIR features via the generalized generator (r13)
+      "q173_dsir_trigram"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

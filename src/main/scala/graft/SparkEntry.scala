@@ -2297,6 +2297,23 @@ object SparkEntry {
       target = d.filter(col("doc_id") < 100), targetTextCol = "text")
   }
 
+  /** q173: DSIR WEIGHTS AT ORDER 3 — the importance-resampling scorer
+    * (q163) with uni+bi+TRIGRAM features via the generalized
+    * dsirFeatureExpr: trigram features see phrase-level domain signal
+    * the paper's uni+bi recipe is blind to (the q158-vs-q156 argument
+    * applied to data selection). Same scale shape at any order — two
+    * broadcast count tables + one exploded feature pass into a
+    * per-doc sum; at open vocabulary pair with hashBuckets, which
+    * caps the model width regardless of order. Oracle recomputes both
+    * three-level feature models definitionally and replays the
+    * per-feature arithmetic with identical op order. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.dsirWeights(d, "doc_id", "text",
+      target = d.filter(col("doc_id") < 100), targetTextCol = "text",
+      maxNgram = 3)
+  }
+
   /** q164: TOKENIZER COMPARISON PROFILE — all three trained
     * tokenizer families (BPE q154, WordPiece q159, unigram-LM q161)
     * applied to the corpus in ONE scan, reporting per-tokenizer
@@ -3267,7 +3284,8 @@ object SparkEntry {
     "q169_compress_ratio" -> (q169 _),
     "q170_quality_signals" -> (q170 _),
     "q171_media_dedup_incr" -> (q171 _),
-    "q172_lm_4gram" -> (q172 _)
+    "q172_lm_4gram" -> (q172 _),
+    "q173_dsir_trigram" -> (q173 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5465,6 +5483,16 @@ object SparkEntry {
         |  ), 4) AS dsir_score
         |FROM rf LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), g
         |GROUP BY 1""".stripMargin),
+    // q173: q163's replay at feature order 3 — the model CTEs are
+    // GENERATED at the same order as the Spark operator's parameter
+    // (dsirModelStepsN), so the two sides can't drift.
+    "q173_dsir_trigram" -> ("WITH " + dsirModelStepsN(3) +
+      """SELECT doc_id, round(sum(
+        |    ln((coalesce(tc.ct, 0) + CAST(1.0 AS DOUBLE)) / (g.tg + g.v))
+        |  - ln((coalesce(rc.cr, 0) + CAST(1.0 AS DOUBLE)) / (g.rg + g.v))
+        |  ), 4) AS dsir_score
+        |FROM rf LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), g
+        |GROUP BY 1""".stripMargin),
     // q166: the q163 score arithmetic, then the identical Gumbel key
     // score − ln(−ln u) with u from the md5-seeded uniform (the q110
     // esKey construction); top-50 by (key desc, doc_id).
@@ -5659,23 +5687,40 @@ object SparkEntry {
     * (uni+bigram counts for the doc_id<100 target slice and the full
     * corpus, plus the T/V scalars) as CTEs `tc`, `rf`, `rc`, `g` —
     * callers append the scoring/resampling stages. */
-  private val dsirModelSteps: String =
-    """ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+  private val dsirModelSteps: String = dsirModelStepsN(2)
+
+  /** The DSIR oracle's model CTEs at feature order `n`: target/raw
+    * feature streams are unigrams UNION ALL bigrams UNION ALL … up to
+    * n-grams (each level length-guarded), counted into tc/rc with the
+    * tg/rg/v scalars — generated so the Spark operator's order
+    * parameter and the SQL replay can't drift. */
+  private def dsirModelStepsN(n: Int): String = {
+    def grams(j: Int, withDoc: Boolean): String = {
+      val sel = (0 until j).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
+      val doc = if (withDoc) "doc_id, " else ""
+      val whereTail =
+        if (withDoc) s"WHERE len(ws) >= $j"
+        else s"WHERE doc_id < 100 AND len(ws) >= $j"
+      if (j == 1) {
+        if (withDoc) "SELECT doc_id, unnest(ws) AS f FROM ws0"
+        else "SELECT unnest(ws) AS f FROM ws0 WHERE doc_id < 100"
+      } else
+        s"SELECT $doc$sel AS f FROM\n" +
+          s"      (SELECT ${doc}ws, unnest(range(1, len(ws) - ${j - 2})) AS i FROM ws0\n" +
+          s"       $whereTail)"
+    }
+    val tUnion = (1 to n).map(grams(_, withDoc = false))
+      .mkString("\n    UNION ALL\n    ")
+    val rUnion = (1 to n).map(grams(_, withDoc = true))
+      .mkString("\n    UNION ALL\n    ")
+    s"""ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
       |  FROM documents),
       |tf AS (SELECT f FROM (
-      |    SELECT unnest(ws) AS f FROM ws0 WHERE doc_id < 100
-      |    UNION ALL
-      |    SELECT ws[i] || ' ' || ws[i + 1] AS f FROM
-      |      (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws0
-      |       WHERE doc_id < 100 AND len(ws) >= 2))),
+      |    $tUnion)),
       |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf
       |  GROUP BY 1),
       |rf AS (SELECT doc_id, f FROM (
-      |    SELECT doc_id, unnest(ws) AS f FROM ws0
-      |    UNION ALL
-      |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f FROM
-      |      (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-      |       FROM ws0 WHERE len(ws) >= 2))),
+      |    $rUnion)),
       |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf
       |  GROUP BY 1),
       |g AS (SELECT
@@ -5684,6 +5729,7 @@ object SparkEntry {
       |  (SELECT CAST(count(*) AS DOUBLE) FROM
       |    (SELECT f FROM tc UNION SELECT f FROM rc)) AS v)
       |""".stripMargin
+  }
 
   /** Shared oracle machinery for q161: the unigram Viterbi DP as
     * `steps` unrolled CTE stages over DuckDB lists — sc carries

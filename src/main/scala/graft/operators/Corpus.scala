@@ -217,16 +217,34 @@ object Corpus {
     * regardless of corpus vocabulary (the 100 TB path; bucket
     * collisions are the paper's documented trade). The default
     * string form is exact and oracle-replayable. */
+  /** Word n-gram feature generator for the DSIR family: unigrams ++
+    * bigrams ++ … ++ `maxNgram`-grams in one in-plan expression, each
+    * level guarded (sequence(0, -1) DESCENDS in Spark, so a too-short
+    * doc must fall back to an empty list for that level). maxNgram = 2
+    * is the paper's uni+bi recipe; higher orders add phrase-level
+    * domain signal at the cost of a sparser (bigger) feature
+    * vocabulary — at scale pair them with `hashBuckets`, which caps
+    * the model width regardless of order. */
+  private def dsirFeatureExpr(maxNgram: Int): String = {
+    require(maxNgram >= 1 && maxNgram <= 6,
+      s"dsir: maxNgram in [1,6], got $maxNgram")
+    val levels = (2 to maxNgram).map { j =>
+      val parts = (0 until j).map(k => s"__ws[i + $k]")
+        .mkString(", ' ', ")
+      s"CASE WHEN size(__ws) >= $j THEN " +
+        s"transform(sequence(0, size(__ws) - $j), i -> concat($parts)) " +
+        "ELSE cast(array() AS array<string>) END"
+    }
+    if (levels.isEmpty) "__ws"
+    else s"concat(__ws, ${levels.mkString(", ")})"
+  }
+
   def dsirWeights(
       docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      hashBuckets: Option[Int] = None): DataFrame = {
-    // unigrams ++ bigrams, guarded: sequence(0, -1) DESCENDS in Spark,
-    // so a single-word doc must fall back to an empty bigram list
-    val feats = "concat(__ws, CASE WHEN size(__ws) >= 2 THEN " +
-      "transform(sequence(0, size(__ws) - 2), " +
-      "i -> concat(__ws[i], ' ', __ws[i + 1])) " +
-      "ELSE cast(array() AS array<string>) END)"
+      hashBuckets: Option[Int] = None,
+      maxNgram: Int = 2): DataFrame = {
+    val feats = dsirFeatureExpr(maxNgram)
     def features(df: DataFrame, tc: String): DataFrame = {
       val fs = Parallelism.ensure(
         df.select(split(col(tc), " ").as("__ws")))
