@@ -306,18 +306,27 @@ object Bench {
       .getOrElse(Runtime.getRuntime.maxMemory() / 2 / (1024L * 1024L))
     val pwHealthy = sys.env.get("SPARK_GRAFT_PREWARM_HEALTHY_MBPS")
       .map(_.toDouble).getOrElse(500.0)
+    // r14: retry ceiling raised 3 → 9 (10 probes, ~8 min of backoff
+    // worst-case) — both r13 driver records exhausted the 4-attempt
+    // budget inside one long degraded window and ran anyway; a healthy
+    // window is worth minutes of driver sleep because the degraded
+    // alternative costs a whole round of env-suspect flags.
     val pwRetries = sys.env.get("SPARK_GRAFT_PREWARM_RETRIES")
-      .map(_.toInt).getOrElse(3)
+      .map(_.toInt).getOrElse(9)
     val pwAttempts = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
     if (pwTarget > 0) {
       pwAttempts += prewarmHeap(pwTarget, 60.0)
       def mbps(a: (Long, Double)): Double =
         if (a._2 > 0.001) a._1 / a._2 else 0.0
       while (pwAttempts.size <= pwRetries && mbps(pwAttempts.last) < pwHealthy) {
-        System.err.println(f"[bench] prewarm probe ${mbps(pwAttempts.last)}%.0f" +
-          f" MB/s < $pwHealthy%.0f - sleeping 30 s before re-probe " +
-          s"(attempt ${pwAttempts.size}/${pwRetries + 1})")
-        Thread.sleep(30000L)
+        // backoff grows 30 s → 90 s: early re-probes catch a short
+        // reclaim burst cheaply, later ones wait out a long window
+        val sleepMs = math.min(90000L, 30000L + 7500L * (pwAttempts.size - 1))
+        System.err.println(f"[bench] prewarm probe ${pwAttempts.size}" +
+          f" of ${pwRetries + 1} failed: ${mbps(pwAttempts.last)}%.0f" +
+          f" MB/s < $pwHealthy%.0f - sleeping ${sleepMs / 1000} s" +
+          " before re-probe")
+        Thread.sleep(sleepMs)
         pwAttempts += prewarmHeap(pwTarget, 60.0)
       }
     }

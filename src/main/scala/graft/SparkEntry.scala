@@ -1232,8 +1232,10 @@ object SparkEntry {
     // the config lowercases BOTH sides of every comparison — projected
     // ONCE per side here (|rows| lowercase allocations) instead of
     // wrapped around each of the 9 per-pair scorer calls (|pairs|×18);
-    // identical scores, and byte-equal lowered operands now hit
-    // FuzzyMatch.link's equal-fast path without entering the kernel
+    // identical scores. The pre-lowering alone is the win here:
+    // FuzzyMatch.link's equal-fast scorer short-circuit exists but is
+    // OPT-IN and off (its CaseWhen wrapping measured 2.5x SLOWER than
+    // the plain kernel — the scorer memo already absorbs repeats)
     val scoredCols = Seq("firstname", "middlename", "lastname",
       "suffix", "office", "district", "party")
     val scraped = scraped0.select(col("s_id") +: col("state_name") +:

@@ -214,7 +214,8 @@ object StressR12 {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(basePath,
         s"""{"sf":"$sfDir","queries":$qs,"exponents":$ex,""" +
-          s""""protocol":"StressR12 10x medians (median of 2)"}""")
+          s""""protocol":"StressR12 10x points (lower of 2 passes - """ +
+          s"""the tighter healthy estimate; gate compares like-with-like)"}""")
       println(s"SCALE baseline written: $basePath")
     }
     spark.stop()

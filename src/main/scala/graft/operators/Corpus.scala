@@ -496,7 +496,14 @@ object Corpus {
       .select(explode(Dedup.shingles(col(probeTextCol), n)).as("ngram"))
       .distinct()
       .localCheckpoint()
-    val nProbe = math.max(1L, probeGrams.count())
+    val nProbe = probeGrams.count()
+    // Empty probe set ⇒ nothing can be contaminated: short-circuit
+    // instead of building a sketch over zero rows (bloomAgg over an
+    // empty frame yields a null sketch, which would otherwise embed
+    // as a null bloomMightContain literal — CorpusSpec pins this path)
+    if (nProbe == 0L)
+      return docGrams.select(col("doc_id"),
+        lit(0L).as("n_hits")).limit(0)
     val bits = graft.functions.BloomFunctions.optimalNumBits(nProbe, fpp)
     val sketch = probeGrams
       .agg(graft.functions.BloomFunctions.bloomAgg(

@@ -1224,8 +1224,15 @@ object Dedup {
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (integralIds && edgeCount > 0L && edgeCount <= driverMaxEdges)
+    // rounds = 0 is the DRIVER-PATH SENTINEL: the union-find resolves
+    // in one pass, so no distributed round ran — callers reading the
+    // rounds telemetry (convergence alerting) should treat 0 as "took
+    // the driver path", not "converged instantly".
+    if (integralIds && edgeCount > 0L && edgeCount <= driverMaxEdges) {
+      log.info(s"connectedComponents: $edgeCount edges <= " +
+        s"$driverMaxEdges — resolved by driver union-find (rounds=0)")
       return (driverComponents(edges), 0)
+    }
     var iter = 0
     var converged = edgeCount == 0L
     while (!converged && iter < maxIter) {

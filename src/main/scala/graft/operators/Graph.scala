@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Edge-count bound under which the iterative ops resolve on the
+    * DRIVER instead of the distributed loop — the same bounded-collect
+    * discipline as [[Dedup.DriverCcMaxEdges]] (its precedent: the q76
+    * CC stage went 5.11 → 0.39 s on an 874-edge graph with identical
+    * output). Why it exists: each distributed iteration is a fixed
+    * scheduling cost of 2-5 shuffles, so a SMALL graph (≤500k edges ≈
+    * 8 MB collected) pays seconds of round overhead for milliseconds
+    * of arithmetic. Above the bound the shared-nothing loop runs
+    * untouched — the 100 TB path is unchanged. PageRank's driver path
+    * reproduces the identical formula (same 1/outDeg weights, same
+    * dangling redistribution); per-node contribution sums run in
+    * sorted edge order, so results agree with the distributed loop's
+    * arbitrary-order sums to ULPs (absorbed by q89's round(…,7)
+    * oracle; GraphSpec pins both paths). LPA's vote is integer
+    * arithmetic — the driver path is bit-for-bit identical. */
+  val DriverGraphMaxEdges: Long = 500000L
+
   /** Standard damped PageRank over an edge list.
     *
     * Semantics: ranks start uniform at 1/N over the node set (sources ∪
@@ -40,7 +59,8 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
-      undirected: Boolean = false, checkpointEvery: Int = 8): DataFrame = {
+      undirected: Boolean = false, checkpointEvery: Int = 8,
+      driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
     require(iterations >= 1, "pageRank: iterations >= 1")
     require(damping > 0 && damping < 1, "pageRank: damping in (0,1)")
     val dir = edges
@@ -69,6 +89,15 @@ object Graph {
     // 5.2 s, flat GC/alloc — the checkpoint I/O, not compute); the
     // persist alternative's eviction mode measured 22-64 s on q133.
     val e = und.localCheckpoint()
+    // Checkpointed ⇒ this count is a metadata-cheap scan; it doubles
+    // as the driver-path gate (the Dedup.connectedComponents lesson:
+    // the count the loop needs anyway decides the path for free).
+    val edgeCount = e.count()
+    if (edgeCount > 0L && edgeCount <= driverMaxEdges) {
+      log.info(s"pageRank: $edgeCount edges <= $driverMaxEdges — " +
+        "resolving on the driver (distributed loop skipped)")
+      return driverPageRank(e, iterations, damping, undirected)
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
       .withColumnRenamed("src", "__degid")
     val adj = e.join(deg, col("src") === col("__degid"))
@@ -117,6 +146,66 @@ object Graph {
     ranks
   }
 
+  /** Driver PageRank over a bounded, already-canonicalised (and, when
+    * undirected, already-symmetrised) edge frame — the identical
+    * formula as the distributed loop: per-edge weight 1/outDeg,
+    * dangling mass redistributed uniformly (provably zero on
+    * symmetrised input), ranks seeded at 1/N. Contribution sums run
+    * in sorted (src, dst) edge order — a FIXED order where the
+    * distributed aggregate's is arbitrary, so the two paths agree to
+    * double-sum ULPs (callers round; q89 rounds at 7 decimals). */
+  private def driverPageRank(
+      e: DataFrame, iterations: Int, damping: Double,
+      undirected: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    val raw = e.collect().map(r =>
+      (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    // deterministic edge order — the accumulation order of the sums
+    val pairs = raw.sortBy(identity)
+    val ids = {
+      val s = scala.collection.mutable.SortedSet.empty[Long]
+      pairs.foreach { case (u, v) => s += u; s += v }
+      s.toArray
+    }
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val src = new Array[Int](pairs.length)
+    val dst = new Array[Int](pairs.length)
+    val outDeg = new Array[Int](n)
+    var k = 0
+    while (k < pairs.length) {
+      src(k) = idx(pairs(k)._1); dst(k) = idx(pairs(k)._2)
+      outDeg(src(k)) += 1; k += 1
+    }
+    val w = src.map(s => 1.0 / outDeg(s))
+    val base = (1.0 - damping) / n
+    var ranks = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      val contrib = new Array[Double](n)
+      var j = 0
+      while (j < pairs.length) {
+        contrib(dst(j)) += ranks(src(j)) * w(j); j += 1
+      }
+      val next = new Array[Double](n)
+      if (undirected) {
+        // symmetrised ⇒ no dangling mass, every node receives
+        var i = 0
+        while (i < n) { next(i) = base + damping * contrib(i); i += 1 }
+      } else {
+        var dmass = 0.0
+        var i = 0
+        while (i < n) { if (outDeg(i) == 0) dmass += ranks(i); i += 1 }
+        i = 0
+        while (i < n) {
+          next(i) = base + damping * (contrib(i) + dmass / n); i += 1
+        }
+      }
+      ranks = next
+    }
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), ranks(i))).toDF("id", "rank")
+  }
+
   /** Community detection by synchronous LABEL PROPAGATION (Raghavan
     * et al. 2007), made fully deterministic so the result is
     * oracle-checkable: labels start as the node id; each round every
@@ -146,7 +235,8 @@ object Graph {
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, checkpointEvery: Int = 4,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
     require(iterations >= 1, "labelPropagation: iterations >= 1")
     // weighted vote: each neighbour's label counts its edge weight
     // (integer weights — summed longs keep the vote exactly
@@ -180,6 +270,15 @@ object Graph {
     // captured src-hash partitioning keeps the per-round join
     // exchange-free on the edge side.
     val und = und0.repartition(col("src")).localCheckpoint()
+    // Checkpointed ⇒ metadata-cheap count, doubling as the
+    // driver-path gate. The vote is integer arithmetic, so the
+    // driver fold is bit-for-bit the distributed result.
+    val edgeCount = und.count()
+    if (edgeCount > 0L && edgeCount <= driverMaxEdges) {
+      log.info(s"labelPropagation: $edgeCount edges <= $driverMaxEdges" +
+        " — resolving on the driver (distributed loop skipped)")
+      return driverLabelPropagation(und, iterations)
+    }
     // symmetrised ⇒ the node set is exactly the distinct src side
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -195,6 +294,62 @@ object Graph {
         next.localCheckpoint() else next
     }
     labels.select(col("node").as("node_id"), col("label").as("community"))
+  }
+
+  /** Driver synchronous LPA over a bounded, already-symmetrised
+    * weighted edge frame (src, dst, __w) — the identical vote as the
+    * distributed loop: each round every node adopts the label with the
+    * max summed weight among its neighbours, ties to the SMALLEST
+    * label; all nodes update simultaneously for the fixed round count.
+    * Long-integer vote sums make this bit-for-bit the distributed
+    * result (GraphSpec pins both paths on every fixture). */
+  private def driverLabelPropagation(
+      und: DataFrame, iterations: Int): DataFrame = {
+    val spark = und.sparkSession
+    val triples = und.collect().map(r =>
+      (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue()))
+    val ids = {
+      val s = scala.collection.mutable.SortedSet.empty[Long]
+      triples.foreach { case (u, v, _) => s += u; s += v }
+      s.toArray
+    }
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val src = new Array[Int](triples.length)
+    val dst = new Array[Int](triples.length)
+    val w = new Array[Long](triples.length)
+    var k = 0
+    while (k < triples.length) {
+      src(k) = idx(triples(k)._1); dst(k) = idx(triples(k)._2)
+      w(k) = triples(k)._3; k += 1
+    }
+    var labels: Array[Long] = ids.clone()
+    for (_ <- 1 to iterations) {
+      // votes(dst): label -> summed weight; winner = max weight,
+      // ties to the smallest label — min by (-weight, label),
+      // exactly the distributed min(struct(-c, label)) aggregate
+      val votes = Array.fill(n)(
+        scala.collection.mutable.HashMap.empty[Long, Long])
+      var j = 0
+      while (j < triples.length) {
+        val m = votes(dst(j))
+        val lab = labels(src(j))
+        m.update(lab, m.getOrElse(lab, 0L) + w(j))
+        j += 1
+      }
+      val next = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        // symmetrised ⇒ every node has ≥1 neighbour, votes nonempty
+        next(i) = votes(i).minBy { case (lab, c) => (-c, lab) }._1
+        i += 1
+      }
+      labels = next
+    }
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), labels(i)))
+      .toDF("node_id", "community")
   }
 
   /** Exact triangle counting by DEGREE ORIENTATION — the classic trick

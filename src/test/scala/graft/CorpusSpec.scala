@@ -55,6 +55,21 @@ class CorpusSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("contaminationBloom with an empty probe set returns empty") {
+    // zero probe grams ⇒ short-circuit (no null sketch embedded as a
+    // bloomMightContain literal); schema identical to the normal path
+    val docs = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val empty = Seq.empty[String].toDF("text")
+    val out = Corpus.contaminationBloom(
+      docs, "doc_id", "text", empty, "text", n = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "n_hits"))
+    assert(out.count() == 0L)
+    // probes present but all shorter than n grams ⇒ also zero grams
+    val tiny = Seq("two words").toDF("text")
+    assert(Corpus.contaminationBloom(
+      docs, "doc_id", "text", tiny, "text", n = 3).count() == 0L)
+  }
+
   test("contamination bloom sketch size is set by (count, fpp) alone") {
     // executor state is the sketch literal: its size follows
     // optimalNumOfBits(n, fpp), NOT the probe text volume — the same

@@ -167,6 +167,58 @@ class GraphSpec extends SparkSpec {
     assert(got2(100L) === 5L)
   }
 
+  // --- driver fast path vs distributed loop (the Dedup union-find
+  // precedent): every fixture runs BOTH paths — the default (driver,
+  // all these graphs sit under DriverGraphMaxEdges) and
+  // driverMaxEdges = 0 (forces the distributed loop) — and must agree.
+  test("pageRank: driver fast path equals the distributed loop") {
+    val rnd = new scala.util.Random(23)
+    val random = (1 to 200).map(_ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))
+      .filter(e => e._1 != e._2).toSet
+    val fixtures = Seq(
+      ((2L to 6L).map(1L -> _).toSet, true),   // star
+      (Set((1L, 2L), (2L, 3L)), false),        // dangling chain
+      (random, true), (random, false))
+    for ((edges, und) <- fixtures) {
+      val df = edges.toSeq.toDF("s", "d")
+      val fast = Graph.pageRank(df, "s", "d", iterations = 9,
+        undirected = und).as[(Long, Double)].collect().toMap
+      val dist = Graph.pageRank(df, "s", "d", iterations = 9,
+        undirected = und, driverMaxEdges = 0L)
+        .as[(Long, Double)].collect().toMap
+      assert(fast.keySet === dist.keySet, s"undirected=$und")
+      fast.foreach { case (k, v) =>
+        assert(math.abs(v - dist(k)) < 1e-12,
+          s"node $k undirected=$und: driver $v vs distributed ${dist(k)}")
+      }
+    }
+  }
+
+  test("labelPropagation: driver fast path is bit-for-bit distributed") {
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(35).toLong + 1, rnd.nextInt(35).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("a", "b")
+    for (iters <- Seq(1, 5)) {
+      val fast = Graph.labelPropagation(df, "a", "b", iterations = iters)
+        .as[(Long, Long)].collect().toMap
+      val dist = Graph.labelPropagation(df, "a", "b", iterations = iters,
+        driverMaxEdges = 0L).as[(Long, Long)].collect().toMap
+      assert(fast === dist, s"iters=$iters")
+    }
+    // weighted votes take the same fork
+    val wdf = edges.map { case (a, b) => (a, b, (a + b) % 3 + 1) }
+      .toDF("a", "b", "w")
+    val fastW = Graph.labelPropagation(wdf, "a", "b", iterations = 3,
+      weightCol = Some("w")).as[(Long, Long)].collect().toMap
+    val distW = Graph.labelPropagation(wdf, "a", "b", iterations = 3,
+      weightCol = Some("w"), driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fastW === distW)
+  }
+
   test("labelPropagation: matches a naive synchronous reference") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 120).map(_ =>
