@@ -283,7 +283,11 @@ object Bench {
       // order-4 Stupid Backoff via the generalized chain (r13)
       "q172_lm_4gram",
       // order-3 DSIR features via the generalized generator (r13)
-      "q173_dsir_trigram"
+      "q173_dsir_trigram",
+      // model-based lang-id: train + holdout apply w/ fallback (r14)
+      "q174_langid_model",
+      // q170's signals + the model lang columns, one scan (r14)
+      "q175_quality_signals_model"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged
@@ -540,19 +544,32 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "target/bench_detail.json")).toAbsolutePath
-    try {
-      java.nio.file.Files.createDirectories(detailPath.getParent)
-      java.nio.file.Files.writeString(detailPath,
-        s"""{"queries":$qs,"spread_min_max_passes":$spread,""" +
-          s""""passes_sec_gcms_allocmb":$passes,"t0_sec":$offs,""" +
-          s""""canary":{"name":${jsonStr(canaryName)},"every":$canaryEvery,""" +
-          s""""samples_t0_sec_gcms_allocmb":$canaryDetail},""" +
-          s""""prewarm":$prewarmJson,"iters":$iters,""" +
-          s""""gate_baseline":${jsonStr(if (gated.nonEmpty) baselinePath.toString else "")},""" +
-          s""""regressions_ratio_base_verdict":$regJson}""")
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] detail write failed ($detailPath): $e")
+    val detailJson =
+      s"""{"sf":${jsonStr(sfDir)},"queries":$qs,""" +
+        s""""spread_min_max_passes":$spread,""" +
+        s""""passes_sec_gcms_allocmb":$passes,"t0_sec":$offs,""" +
+        s""""canary":{"name":${jsonStr(canaryName)},"every":$canaryEvery,""" +
+        s""""samples_t0_sec_gcms_allocmb":$canaryDetail},""" +
+        s""""prewarm":$prewarmJson,"iters":$iters,""" +
+        s""""gate_baseline":${jsonStr(if (gated.nonEmpty) baselinePath.toString else "")},""" +
+        s""""regressions_ratio_base_verdict":$regJson}"""
+    // The parsed summary line clips to the driver's ~2000-char tail, so
+    // the per-query medians of past rounds were lost unless someone
+    // copied target/bench_detail.json in time. Write the SAME detail to
+    // a committed repo-root path too (target/ is gitignored) — every
+    // round's full medians then land in history with the round commit,
+    // and regression diffs keep the head queries the tail clips.
+    val detailTargets = Seq(detailPath,
+      java.nio.file.Paths.get("bench_detail_latest.json").toAbsolutePath)
+    detailTargets.distinct.foreach { p =>
+      try {
+        Option(p.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, detailJson)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] detail write failed ($p): $e")
+      }
     }
     // failures are loud (stderr + the "errors" field, 0.0 contribution)
     // but the exit stays clean, and the summary JSON is the absolute

@@ -1076,11 +1076,17 @@ object SparkEntry {
       TextStats.fingerprint(col("text")).as("fingerprint"))
 
   /** q41: embedding near-dup via random-hyperplane LSH buckets + exact
-    * cosine verify. rows-only (bucket recall is probabilistic by
-    * design; q34 is the oracle-exact variant). */
+    * cosine verify, MULTI-PROBE (Lv et al. 2007): each vector also
+    * probes the numPlanes Hamming-1 buckets, so one table recovers
+    * pairs that disagree on a single plane sign — recall p⁴ →
+    * p⁴ + 4p³(1−p) at the same index size, where the classic fix
+    * (more tables) multiplies memory and scans. rows-only (bucket
+    * recall is probabilistic by design; q34 is the oracle-exact
+    * variant; LshRecallSpec pins multi-probe ≥ single-table recall
+    * against exact ground truth). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables(s, dir).embeddings, "vec_id", "embedding",
-      dim = 64, numPlanes = 4, threshold = 0.2)
+      dim = 64, numPlanes = 4, threshold = 0.2, probeFlips = 1)
 
   /** q76: semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): k-means blocks the embedding space (k=16,
@@ -2316,6 +2322,69 @@ object SparkEntry {
       maxNgram = 3)
   }
 
+  private val LangClasses = Seq("en", "de", "ru", "el", "zh")
+
+  /** Language-variant fixture shared by q174/q175: doc_id % 5 picks a
+    * language; non-en classes append a deterministically-sized tail of
+    * that language's stopwords/script (q128's tail recipe) so labels
+    * are learnable while the base text stays shared. */
+  private def langFixture(d: DataFrame): DataFrame = {
+    val k = (col("doc_id") % 5).cast("int")
+    val reps = (col("doc_id") % 15 + 5).cast("int")
+    d.select(col("doc_id"),
+      concat(col("text"),
+        when(k === 1, repeat(lit(" der die das und ist nicht"), reps))
+          .when(k === 2, repeat(lit(" и в не на что он это же"), reps))
+          .when(k === 3, repeat(lit(" και το να του με την"), reps))
+          .when(k === 4, repeat(lit(" 的 是 在 了 不 我"), reps))
+          .otherwise(lit(""))).as("text"),
+      element_at(typedlit(LangClasses), k + 1).as("label"))
+  }
+
+  /** q174: MODEL-BASED LANGUAGE ID (LangId / Classifier
+    * .trainMulticlass) — the CCNet/fastText-class trained lang-id a
+    * curation pipeline runs where q37's stopword profile is the
+    * FALLBACK: hashed char-trigram + stopword + script-share softmax
+    * classifier, trained on a bounded labeled slice (doc_id % 7 = 1 —
+    * the production shape: labels are a sample, apply is the corpus),
+    * applied to the held-out doc_id % 7 = 0 slice with the
+    * low-confidence fallback composition. rows-only (iterative float
+    * training + xxhash featurization); LangIdSpec pins loss descent,
+    * holdout separation, determinism, and the fallback routing. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val d = langFixture(Tables(s, dir).documents)
+    val model = LangId.train(d.filter(col("doc_id") % 7 === 1),
+      "text", "label", LangClasses, dims = 1024, iters = 6)
+    d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("label"),
+        LangId.predictWithFallback(col("text"), model).as("__p"))
+      .select(col("doc_id"), col("label"),
+        col("__p.lang").as("pred_lang"),
+        round(col("__p.conf"), 3).as("conf"),
+        col("__p.src").as("src"))
+  }
+
+  /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
+    * signals with the q174 trained model's language prediction and
+    * confidence appended as columns 13-14, still ONE shared text scan
+    * (the model is plan-embedded weights; its prediction is a pure
+    * projection like every other signal). The signal export a real
+    * FineWeb/Dolma-style run ships: heuristics + the model score side
+    * by side. rows-only (model columns); q170 remains the hash-exact
+    * heuristic-only twin. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val d = langFixture(Tables(s, dir).documents)
+    val model = LangId.train(d.filter(col("doc_id") % 7 === 1),
+      "text", "label", LangClasses, dims = 1024, iters = 6)
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        call_function("repetition_counts", col("text")).as("__c"),
+        LangId.predict(col("text"), model).as("__m"))
+      .select(col("doc_id") +: qualitySignalCols :+
+        col("__m.lang").as("model_lang") :+
+        round(col("__m.conf"), 3).as("model_conf"): _*)
+  }
+
   /** q164: TOKENIZER COMPARISON PROFILE — all three trained
     * tokenizer families (BPE q154, WordPiece q159, unigram-LM q161)
     * applied to the corpus in ONE scan, reporting per-tokenizer
@@ -2415,33 +2484,38 @@ object SparkEntry {
     * corpus six times; at 100 TB the scan IS the cost). No exchange
     * at all — budget 0. Oracle composes the constituent q37/q38/q39/
     * q52/q168 definitional SQL over one shared CTE chain. */
-  private def q170(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir).documents
+  /** q170's twelve signal columns over a (doc_id, text, __c) frame —
+    * shared with q175, which appends the model-based lang columns to
+    * the same single scan. */
+  private def qualitySignalCols: Seq[Column] = {
     def frac(num: Column, den: Column): Column =
       when(den > 0, round(num.cast("double") / den.cast("double"), 4))
         .otherwise(lit(0.0))
-    d.select(col("doc_id"), col("text"),
-        call_function("repetition_counts", col("text")).as("__c"))
-      .select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(TextStats.words(col("text"))).cast("long").as("n_words"),
-        TextStats.wsTokenCount(col("text")).cast("long").as("n_ws"),
-        TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-        TextStats.langId(col("text")).as("pred_lang"),
-        TextStats.stopwordHits(col("text"),
-          TextStats.StopwordProfiles.head._2).cast("long")
-          .as("stop_hits_en"),
-        TextStats.qualityScore(col("text")).as("quality"),
-        frac(col("__c.n_words") - col("__c.n_distinct_words"),
-          col("__c.n_words")).as("dup_word_frac"),
-        frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
-          col("__c.n_bigrams")).as("dup_bigram_frac"),
-        frac(col("__c.top_bigram"), col("__c.n_bigrams"))
-          .as("top_bigram_frac"),
-        TextStats.blocklistHits(lower(col("text")), Blocklist)
-          .cast("long").as("blocklist_hits"))
+    Seq(
+      length(col("text")).cast("long").as("n_chars"),
+      size(TextStats.words(col("text"))).cast("long").as("n_words"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("n_ws"),
+      TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+      TextStats.langId(col("text")).as("pred_lang"),
+      TextStats.stopwordHits(col("text"),
+        TextStats.StopwordProfiles.head._2).cast("long")
+        .as("stop_hits_en"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      frac(col("__c.n_words") - col("__c.n_distinct_words"),
+        col("__c.n_words")).as("dup_word_frac"),
+      frac(col("__c.n_bigrams") - col("__c.n_distinct_bigrams"),
+        col("__c.n_bigrams")).as("dup_bigram_frac"),
+      frac(col("__c.top_bigram"), col("__c.n_bigrams"))
+        .as("top_bigram_frac"),
+      TextStats.blocklistHits(lower(col("text")), Blocklist)
+        .cast("long").as("blocklist_hits"))
   }
+
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        call_function("repetition_counts", col("text")).as("__c"))
+      .select(col("doc_id") +: qualitySignalCols: _*)
 
   /** q171: INCREMENTAL MEDIA NEAR-DEDUP against a persisted
     * perceptual-hash index (Multimodal.MediaHashIndex — the
@@ -3287,7 +3361,9 @@ object SparkEntry {
     "q170_quality_signals" -> (q170 _),
     "q171_media_dedup_incr" -> (q171 _),
     "q172_lm_4gram" -> (q172 _),
-    "q173_dsir_trigram" -> (q173 _)
+    "q173_dsir_trigram" -> (q173 _),
+    "q174_langid_model" -> (q174 _),
+    "q175_quality_signals_model" -> (q175 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

@@ -63,6 +63,164 @@ object Classifier {
     scoreOfIds(featureIds(text, model.dims, model.seed),
       model.weights, model.bias)
 
+  // ------------------------------------------------------------------
+  // Multiclass (softmax) variant — same discipline, K weight rows
+  // ------------------------------------------------------------------
+
+  /** Trained K-class softmax model over a caller-supplied hashed-id
+    * featurization: `weights(k)(dims)` + `bias(k)` per class, classes
+    * in a FIXED caller order (prediction ties break to the first).
+    * Training state is O(K·dims) on the driver; each iteration's
+    * shuffle carries ≤ (dims+1) × partitions rows of K partial sums —
+    * the binary [[Model]] contract, K-wide. */
+  case class MultiModel(classes: Seq[String],
+      weights: Array[Array[Double]], bias: Array[Double], dims: Int,
+      lossHistory: Seq[Double]) {
+    require(classes.nonEmpty && weights.length == classes.length &&
+      bias.length == classes.length, "MultiModel: shape mismatch")
+  }
+
+  /** Mean-pooled raw score b + (1/|T|) Σ w[id] for one class. */
+  private def rawOfIds(ids: Column, weights: Array[Double],
+      bias: Double): Column = {
+    val w = typedlit(weights.toSeq)
+    aggregate(ids, lit(0.0), (acc, i) => acc + element_at(w, i + 1)) /
+      greatest(size(ids), lit(1)).cast("double") + lit(bias)
+  }
+
+  /** Let-binding for Column expressions: evaluates `value` ONCE per
+    * row and hands the downstream expression a lambda VARIABLE
+    * reference instead of the expression tree. Without it, an
+    * expensive subexpression (the featurization, the softmax array)
+    * referenced k times in one projection is INLINED k times by the
+    * optimizer's project collapse — measured as a K² blow-up of the
+    * whole char-trigram featurization in predictOfIds. */
+  private[operators] def bind1(value: Column,
+      f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
+  /** All K mean-pooled raw scores as ONE array column — the native
+    * `pool_scores` kernel (one pass over the id array, weights as a
+    * codegen reference object) when GraftExtensions is installed; the
+    * K bound aggregate-HOF folds otherwise (interpreted — the
+    * portable definition the kernel is pinned against). */
+  private def rawArrayOfIds(ids: Column, model: MultiModel): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("pool_scores")))
+      call_function("pool_scores", ids,
+        typedlit(model.weights.flatten.toSeq),
+        typedlit(model.bias.toSeq))
+    else
+      bind1(ids, idsB =>
+        array(model.classes.indices.map(k =>
+          rawOfIds(idsB, model.weights(k), model.bias(k))): _*))
+
+  /** Softmax class probabilities for a precomputed id array, as an
+    * array column in class order (max-subtracted for stability).
+    * Bound so `ids` and the raw-score array each evaluate once. */
+  def softmaxOfIds(ids: Column, model: MultiModel): Column =
+    bind1(rawArrayOfIds(ids, model), raws =>
+      bind1(transform(raws, r => exp(r - array_max(raws))),
+        exps =>
+          transform(exps, e =>
+            e / aggregate(exps, lit(0.0), _ + _))))
+
+  /** Predicted class + confidence as struct(lang, conf) — argmax over
+    * the softmax, ties to the FIRST class in model order (the
+    * deterministic mirror of q37's first-wins cascade). */
+  def predictOfIds(ids: Column, model: MultiModel): Column =
+    bind1(softmaxOfIds(ids, model), probs => {
+      val mx = array_max(probs)
+      val lang = model.classes.indices.reverse.foldLeft(
+        lit(model.classes.last): Column) { (acc, k) =>
+        when(element_at(probs, k + 1) === mx, lit(model.classes(k)))
+          .otherwise(acc)
+      }
+      struct(lang.as("lang"), round(mx, 4).as("conf"))
+    })
+
+  /** Full-batch softmax gradient ascent over a caller-supplied id
+    * array column (featurization is the caller's — see
+    * [[LangId.featureIds]] for the lang-id composition). Per
+    * iteration: ONE corpus pass computes the K class probabilities;
+    * the per-doc residuals r_k = 1{y=k} − p_k explode with the id
+    * array (sentinel id = dims carries the bias residual, binary
+    * [[train]]'s trick) into a map-side-combined hash-agg of K sums
+    * per id — shuffle rows ≤ (dims+1) × partitions at any corpus
+    * size. Loss (mean −log p_y) rides the same pass's scored frame. */
+  def trainMulticlass(docs: DataFrame, idsCol: Column, labelCol: Column,
+      classes: Seq[String], dims: Int = 1024, iters: Int = 8,
+      lr: Double = 12.0): MultiModel = {
+    require(dims > 0 && iters >= 1, "dims and iters must be positive")
+    require(classes.distinct.length == classes.length && classes.nonEmpty,
+      "classes must be distinct and nonempty")
+    val k = classes.length
+    // Featurize ONCE: the id arrays are checkpointed so the iters
+    // gradient passes re-read materialized ints instead of re-running
+    // the (char-n-gram) featurization per action — measured 12x
+    // featurization → 1x on the lang-id composition. The
+    // materialization is |corpus| × |ids| ints; at cluster scale
+    // train on a bounded labeled sample (the lang-id query trains on
+    // a 1/7 slice), so the checkpoint is sample-sized, not
+    // corpus-sized.
+    val feats = docs.select(idsCol.as("__f"), labelCol.as("__y"))
+      .localCheckpoint()
+    val n = feats.count().toDouble
+    require(n > 0, "trainMulticlass: empty input")
+
+    val w = Array.fill(k)(new Array[Double](dims))
+    val b = new Array[Double](k)
+    val losses = Seq.newBuilder[Double]
+    val eps = 1e-12
+    for (_ <- 1 to iters) {
+      // ONE bound softmax evaluation per row; loss probability and
+      // the K residuals come out of the same struct so no projection
+      // downstream can re-inline the featurization
+      val cur = MultiModel(classes, w, b, dims, Seq.empty)
+      val packed = bind1(softmaxOfIds(col("__f"), cur), p => {
+        val py = classes.indices.tail.foldLeft(
+          element_at(p, 1): Column) { (acc, i) =>
+          when(col("__y") === classes(i), element_at(p, i + 1))
+            .otherwise(acc)
+        }
+        struct(py.as("py") +: (0 until k).map(i =>
+          ((col("__y") === classes(i)).cast("double") -
+            element_at(p, i + 1)).as(s"r$i")): _*)
+      })
+      // loss rides the SAME job as the gradient via Dataset.observe
+      // (the curateObserved discipline) — one corpus pass per
+      // iteration, not two
+      val lossObs = org.apache.spark.sql.Observation()
+      val scored = feats.select(col("__f"), col("__y"),
+        packed.as("__s"))
+        .observe(lossObs, avg(-log(col("__s.py") + eps)).as("loss"))
+      // residuals r_i = 1{y=classes(i)} − p_i; one explode + one
+      // bounded hash-agg yields the whole K-class gradient
+      val g = scored
+        .select(
+          explode(concat(array(lit(dims)), col("__f"))).as("__id"),
+          greatest(size(col("__f")), lit(1)).cast("double").as("__l"),
+          col("__s"))
+        .select(col("__id") +: (0 until k).map(i =>
+          when(col("__id") === dims, col(s"__s.r$i"))
+            .otherwise(col(s"__s.r$i") / col("__l")).as(s"__g$i")): _*)
+        .groupBy(col("__id"))
+        .agg(sum(s"__g0").as("__s0"),
+          (1 until k).map(i => sum(s"__g$i").as(s"__s$i")): _*)
+        .collect()
+      losses += lossObs.get("loss").toString.toDouble
+      g.foreach { row =>
+        val id = row.getInt(0)
+        (0 until k).foreach { i =>
+          val s = row.getDouble(i + 1)
+          if (id == dims) b(i) += lr * s / n
+          else w(i)(id) += lr * s / n
+        }
+      }
+    }
+    MultiModel(classes, w, b, dims, losses.result())
+  }
+
   /** Full-batch gradient-ascent training of the mean-pooled logistic
     * model. `labelCol` is 0/1 (castable to double). Each iteration:
     * one pass computing per-doc residual r = y − p, exploded to

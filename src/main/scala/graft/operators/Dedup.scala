@@ -723,22 +723,63 @@ object Dedup {
     * bucket long — similar vectors agree on most hyperplane signs), then
     * exact cosine verifies. `numPlanes` trades recall (fewer planes =
     * bigger buckets) against candidate volume. Scale: one narrow
-    * projection + one equi-join; the corpus never cross-joins. */
+    * projection + one equi-join; the corpus never cross-joins.
+    *
+    * MULTI-PROBE (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    * `probeFlips` > 0 additionally probes every bucket within that
+    * Hamming distance of a vector's own bucket — for sign LSH the
+    * near-miss buckets are exactly the bit-flips, so flipping ≤ f of
+    * the `numPlanes` bits recovers pairs that disagree on up to f
+    * plane signs. One table then buys the recall of many: a pair at
+    * per-plane agreement p = 1−θ/π is recalled at P(Hamming ≤ f)
+    * instead of p^planes (f = 1 at 4 planes: p⁴ + 4p³(1−p) — e.g.
+    * 0.86 → 0.99 at θ = 25°), where the classic alternative pays L
+    * independent tables (L× memory and L full scans). Cost: ONLY the
+    * probe side of the join replicates (1 + planes [+ C(planes,2)]
+    * rows of 8-byte keys + the vector); the indexed side and the
+    * verify stay unchanged, and each true pair still arrives at the
+    * verify exactly once (probe buckets are distinct, so a given
+    * (a, b) meets on exactly one probe) — no dedup pass needed.
+    * `probeFlips = 0` is the original single-bucket behavior. */
   def embeddingNearDup(
       vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      numPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
+      numPlanes: Int = 8, threshold: Double = 0.8,
+      probeFlips: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
+    require(probeFlips >= 0 && probeFlips <= 2,
+      "embeddingNearDup: probeFlips in 0..2 (3+ flips probes most of " +
+        "the hypercube — lower numPlanes instead)")
     val bucketed = Parallelism.ensure(
       vecs.select(col(idCol).as("__id"), col(vecCol).as("__v")))
       .select(col("__id"), col("__v"),
         hyperplaneBucket(col("__v"), dim, numPlanes).as("__bkt"),
         norm(col("__v")).as("__n"))
+    // probe bucket set: own bucket + all ≤ probeFlips bit-flips
+    // (distinct by construction — each is a distinct XOR mask)
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      col("__bkt") +:
+        ((if (probeFlips >= 1)
+          (0 until numPlanes).map(p =>
+            col("__bkt").bitwiseXOR(lit(1L << p)))
+        else Seq.empty) ++
+          (if (probeFlips >= 2)
+            for { p <- 0 until numPlanes; q <- (p + 1) until numPlanes }
+              yield col("__bkt").bitwiseXOR(lit((1L << p) | (1L << q)))
+          else Seq.empty))
     val keyed = bucketed.repartition(col("__bkt"))
-    val a = keyed.select(col("__id").as("a_id"), col("__v").as("__va"),
-      col("__bkt"), col("__n").as("__na"))
+    val a =
+      if (probeFlips == 0)
+        keyed.select(col("__id").as("a_id"), col("__v").as("__va"),
+          col("__bkt").as("__pb"), col("__n").as("__na"))
+      else
+        bucketed
+          .select(col("__id").as("a_id"), col("__v").as("__va"),
+            explode(array(probeCols: _*)).as("__pb"),
+            col("__n").as("__na"))
+          .repartition(col("__pb"))
     val b = keyed.select(col("__id").as("b_id"), col("__v").as("__vb"),
       col("__bkt").as("__bkt2"), col("__n").as("__nb"))
-    a.join(b, col("__bkt") === col("__bkt2") && col("a_id") < col("b_id"))
+    a.join(b, col("__pb") === col("__bkt2") && col("a_id") < col("b_id"))
       .withColumn("cosine", round(
         cosinePrenormed(dot(col("__va"), col("__vb")), col("__na"), col("__nb")), 4))
       .filter(col("cosine") >= threshold)

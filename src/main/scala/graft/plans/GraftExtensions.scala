@@ -73,6 +73,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("stopword_hits",
       es => StopwordHits(es.head, es(1)),
       "stopword_hits(text, 'w1,w2,...') - occurrences of any listed word"))
+    ext.injectFunction(fn("lang_features",
+      es => LangFeatures(es.head, es(1), es(2),
+        graft.operators.LangId.MaxChars,
+        graft.operators.TextStats.StopwordProfiles
+          .flatMap(_._2).distinct.toArray),
+      "lang_features(text, dims, seed) - hashed lang-id feature ids " +
+        "(char trigrams + stopword tokens + script markers)"))
+    ext.injectFunction(fn("pool_scores",
+      es => PoolScores(es.head, es(1), es(2)),
+      "pool_scores(ids, weights_flat, biases) - K mean-pooled linear " +
+        "class scores in one pass over the id array"))
     ext.injectFunction(fn("hyperplane_bucket",
       es => HyperplaneBucket(es.head,
         litInt("hyperplane_bucket", 1, es(1)),

@@ -113,6 +113,86 @@ class LshRecallSpec extends SparkSpec {
       s"end-to-end recall ${recalled.toDouble / n}")
   }
 
+  test("multi-probe LSH: recall beats the single-table rate at equal index size") {
+    // planted pairs at a FIXED angle θ = 35° (per-plane agreement
+    // p = 1 − θ/π ≈ 0.806): single-table recall ≈ p⁴ ≈ 0.42; one-flip
+    // multi-probe = P(Hamming ≤ 1) = p⁴ + 4p³(1−p) ≈ 0.83 — same
+    // index, near-double recall, the Lv et al. 2007 claim
+    val dim = 16
+    val planes = 4
+    val theta = math.toRadians(35)
+    val p = 1.0 - theta / math.Pi
+    val pSingle = math.pow(p, planes)
+    val pMulti = pSingle + planes * math.pow(p, planes - 1) * (1 - p)
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    def unit(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x / nm)
+    }
+    val rows = (0 until n).flatMap { i =>
+      val v = unit(Array.fill(dim)(rnd.nextGaussian()))
+      val w0 = Array.fill(dim)(rnd.nextGaussian())
+      val d = v.zip(w0).map { case (a, b) => a * b }.sum
+      val w = unit(w0.zip(v).map { case (b, a) => b - d * a })
+      val u = v.zip(w).map { case (a, b) =>
+        math.cos(theta) * a + math.sin(theta) * b }
+      Seq((i.toLong, v.map(_.toFloat)), ((i + n).toLong, u.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def recallAt(flips: Int): Double = {
+      val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+        dim = dim, numPlanes = planes, threshold = 0.5,
+        probeFlips = flips)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      (0 until n).count(i =>
+        pairs.contains((i.toLong, (i + n).toLong))).toDouble / n
+    }
+    val r0 = recallAt(0); val r1 = recallAt(1); val r2 = recallAt(2)
+    // multi-probe recall ≥ the single-table FORMULA rate (the verdict
+    // bar) and ≥ the measured single-table recall; monotone in flips
+    assert(r1 >= pSingle, s"1-flip recall $r1 below single-table $pSingle")
+    assert(r1 >= r0 && r2 >= r1, s"recall not monotone: $r0 / $r1 / $r2")
+    // and it tracks its own formula (3σ margin at n=400 ≈ 0.056)
+    assert(r1 >= pMulti - 0.07, s"1-flip recall $r1 vs predicted $pMulti")
+  }
+
+  test("multi-probe LSH certified against exact cosine truth on the real embeddings") {
+    // all-pairs exact cosine at the q41 threshold is the ground truth
+    // (500 vectors — the brute force is the test's own oracle);
+    // verify keeps precision at 1, so candidates ⊆ exact, and
+    // multi-probe recall must dominate single-table recall
+    import graft.functions.VectorFunctions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("__n"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("__va"),
+      col("__n").as("__na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("__vb"),
+      col("__n").as("__nb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("c", cosinePrenormed(dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")))
+      .filter(round(col("c"), 4) >= 0.2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain near pairs")
+    def lsh(flips: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDup(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        dim = 64, numPlanes = 4, threshold = 0.2, probeFlips = flips)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val single = lsh(0); val multi = lsh(1)
+    assert(multi.subsetOf(exact),
+      s"multi-probe reported non-pairs: ${(multi -- exact).take(5)}")
+    assert(single.subsetOf(multi),
+      "own-bucket candidates must survive multi-probe")
+    val rs = single.size.toDouble / exact.size
+    val rm = multi.size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-table $rs")
+    assert(rm > rs, s"multi-probe found nothing new on the real corpus " +
+      s"($rs) — fixture or probe expansion broken")
+  }
+
   test("LSH recall certified against the EXACT join's ground truth on real data") {
     // q124's prefix-filter join is exact (recall 1.0 by construction),
     // so it supplies the ground-truth pair set the LSH recall formula
