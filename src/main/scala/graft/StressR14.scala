@@ -20,11 +20,20 @@ import graft.operators.{Ann, Classifier, Dedup}
   * - documents: StressR12's positional 30% word substitution keyed by
   *   (copy, position) — planted near-dup pairs survive per copy,
   *   cross-copy pairs diverge.
-  * - embeddings: per-copy deterministic component noise (±0.15,
-  *   hash-keyed) — each copy keeps a valid corpus geometry while
-  *   cross-copy cosines fall well below the dedup thresholds, so
-  *   output (pairs/clusters) scales ~10x like a real sf1 corpus
-  *   instead of exploding on exact replicas.
+  * - embeddings: per-copy component SIGN FLIP (s_i = ±1 keyed by
+  *   hash(copy, i)) — a diagonal orthogonal reflection, so every
+  *   within-copy dot product, norm and cosine is preserved EXACTLY
+  *   (each copy is a geometric clone) while cross-copy dots become
+  *   random-sign sums centered on 0 regardless of the corpus's own
+  *   correlation structure (a circular shift was tried first and
+  *   failed — these synthetic vectors stay correlated under shifts).
+  *   Caveat, measured and accepted: at q76's registered τ = 0.35 the
+  *   cross-copy cosine NOISE (σ ≈ 1/√d = 0.125) still passes ~0.25%
+  *   of the within-cluster candidate pairs, and transitive closure
+  *   chains the ~11k expected groups into ~50 giant ones — so the
+  *   10x point exercises MORE clustering work than a real sf1 corpus
+  *   would (a conservative gate bound, not an optimistic one). Real
+  *   768-dim corpora at production τ ≥ 0.9 sit many more σ out.
   */
 object StressR14 {
 
@@ -67,14 +76,13 @@ object StressR14 {
 
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val noisy = zip_with(col("embedding"),
+    val flipped = zip_with(col("embedding"),
       sequence(lit(0), size(col("embedding")) - 1),
-      (x, i) => (x +
-        (pmod(hash(col("__copy"), i, col("vec_id")), lit(1000))
-          .cast("double") / 500.0 - 1.0) * 0.15).cast("float"))
+      (x, i) => when(pmod(hash(col("__copy"), i), lit(2)) === 0, x)
+        .otherwise(-x))
     val emb10 = emb1.crossJoin(copies)
       .select((col("vec_id") + col("__copy") * Off).as("vec_id"),
-        when(col("__copy") === 0, col("embedding")).otherwise(noisy)
+        when(col("__copy") === 0, col("embedding")).otherwise(flipped)
           .as("embedding"))
       .repartition(32).localCheckpoint()
 

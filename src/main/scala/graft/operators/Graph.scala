@@ -25,13 +25,19 @@ object Graph {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Edge-count bound under which the iterative ops resolve on the
-    * DRIVER instead of the distributed loop — the same bounded-collect
-    * discipline as [[Dedup.DriverCcMaxEdges]] (its precedent: the q76
-    * CC stage went 5.11 → 0.39 s on an 874-edge graph with identical
-    * output). Why it exists: each distributed iteration is a fixed
-    * scheduling cost of 2-5 shuffles, so a SMALL graph (≤500k edges ≈
-    * 8 MB collected) pays seconds of round overhead for milliseconds
-    * of arithmetic. Above the bound the shared-nothing loop runs
+    * DRIVER instead of the distributed loop — the
+    * [[Dedup.DriverCcMaxEdges]] precedent (the q76 CC stage went
+    * 5.11 → 0.39 s on an 874-edge graph with identical output). Why
+    * it exists: each distributed iteration is a fixed scheduling cost
+    * of 2-5 shuffles, so a bounded graph pays seconds of round
+    * overhead for milliseconds of arithmetic. The bound is 2M edges
+    * (≈32 MB collected as two longs/edge — well under the
+    * bounded-collect ceiling the PCA/PQ trainers already use, whose
+    * 64k×768-float samples run ~200 MB) rather than CC's 500k: the
+    * iteration arrays here are flat primitives (no per-edge HashMap
+    * state), and the measured win extends — q89's sf0.1 purchase
+    * graph (1.17M symmetrised edges) runs 5.8 s distributed vs ~1 s
+    * on the driver. Above the bound the shared-nothing loop runs
     * untouched — the 100 TB path is unchanged. PageRank's driver path
     * reproduces the identical formula (same 1/outDeg weights, same
     * dangling redistribution); per-node contribution sums run in
@@ -39,7 +45,7 @@ object Graph {
     * arbitrary-order sums to ULPs (absorbed by q89's round(…,7)
     * oracle; GraphSpec pins both paths). LPA's vote is integer
     * arithmetic — the driver path is bit-for-bit identical. */
-  val DriverGraphMaxEdges: Long = 500000L
+  val DriverGraphMaxEdges: Long = 2000000L
 
   /** Standard damped PageRank over an edge list.
     *

@@ -217,6 +217,91 @@ object Pca {
       rows.toSeq.map(_.getDouble(4)))
   }
 
+  // ------------------------------------------------------------------
+  // OPQ decision guard (r12's "skip the rotation" call was
+  // data-dependent — the test embeddings were isotropic; this encodes
+  // the check so the next corpus doesn't re-litigate it)
+  // ------------------------------------------------------------------
+
+  /** Eigenvalue spread λ_max / λ_min over the trained components —
+    * the anisotropy report the OPQ decision reads. ≈ 1 means the
+    * variance is isotropic: an orthogonal rotation cannot re-balance
+    * what is already balanced, and PQ on the raw axes loses nothing.
+    * Large spread means energy concentrates along a few directions
+    * that the arbitrary axis-aligned PQ subspace split straddles —
+    * the case where rotating to the eigenbasis before quantizing
+    * (the OPQ/"PCA + PQ" recipe, Ge et al. 2013) buys recall at
+    * equal bytes. */
+  def eigenSpread(model: Model): Double = {
+    val evs = model.eigenvalues.map(math.max(_, 0.0))
+    if (evs.isEmpty) 1.0
+    else evs.max / math.max(evs.min, 1e-12)
+  }
+
+  /** The decision: rotate before PQ when the spread clears
+    * `minSpread` (default 4 — below that the measured recall delta
+    * is noise; PcaSpec pins BOTH branches on synthetic fixtures). */
+  def opqRecommended(model: Model, minSpread: Double = 4.0): Boolean =
+    eigenSpread(model) >= minSpread
+
+  /** PURE eigenbasis rotation x → (x·v_1, …, x·v_k) — no centering,
+    * no whitening scale, so with k = dim (orthonormal full basis)
+    * dot products, norms and cosines are preserved EXACTLY and the
+    * rotated corpus is a drop-in input for the PQ/ANN stack. A pure
+    * projection: one codegen'd dot_f per coordinate. */
+  def rotateCol(vec: Column, model: Model): Column =
+    array(model.components.map(c =>
+      call_function("dot_f", vec, typedlit(c)).cast("float")): _*)
+
+  /** (id, rotated vector) under a trained model — see [[rotateCol]]. */
+  def rotate(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), rotateCol(col(vecCol), model).as(vecCol))
+
+  /** Parametric-OPQ dimension allocation (Ge et al. 2013 §4, the
+    * Gaussian-optimal closed form): order the rotated dimensions into
+    * m equal buckets balancing the PRODUCT of eigenvalues per bucket
+    * (greedy on log λ, largest first into the currently-lightest
+    * non-full bucket). Naive PCA ORDER is the known failure mode —
+    * it concentrates all variance in subspace 0, whose ksub codewords
+    * then carry most of the quantization error (PcaSpec measures the
+    * naive order LOSING recall on the anisotropic fixture); balanced
+    * allocation is what makes rotation + PQ win. Returns the
+    * component permutation to apply before an m-subspace PQ. */
+  def opqAllocation(model: Model, m: Int): Seq[Int] = {
+    val k = model.components.size
+    require(m >= 1 && k % m == 0,
+      s"opqAllocation: m ($m) must divide component count ($k)")
+    val dsub = k / m
+    val order = model.eigenvalues.indices
+      .sortBy(j => -model.eigenvalues(j))
+    val bucketLog = new Array[Double](m)
+    val buckets = Array.fill(m)(Seq.newBuilder[Int])
+    val fill = new Array[Int](m)
+    order.foreach { j =>
+      val cand = (0 until m).filter(fill(_) < dsub)
+        .minBy(b => (bucketLog(b), b))
+      buckets(cand) += j
+      fill(cand) += 1
+      bucketLog(cand) += math.log(math.max(model.eigenvalues(j), 1e-12))
+    }
+    buckets.toSeq.flatMap(_.result())
+  }
+
+  /** Eigenbasis rotation with the OPQ-balanced dimension order — the
+    * drop-in PQ preprocessing when [[opqRecommended]] says rotate:
+    * still a pure orthogonal transform (permutation ∘ rotation), so
+    * dots/norms/cosines are preserved with a full basis. */
+  def rotateOpq(df: DataFrame, idCol: String, vecCol: String,
+      model: Model, m: Int): DataFrame = {
+    val perm = opqAllocation(model, m)
+    val permuted = Model(
+      perm.map(model.components), perm.map(model.offsets),
+      perm.map(model.scales), perm.map(model.eigenvalues))
+    rotate(df, idCol, vecCol, permuted)
+  }
+
   /** One whitened coordinate: ((x·v_k) − offset_k) · scale_k. */
   def whitenCol(vec: Column, component: Seq[Float], offset: Double,
       scale: Double): Column =

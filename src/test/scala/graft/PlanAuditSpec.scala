@@ -246,8 +246,22 @@ class PlanAuditSpec extends SparkSpec {
       "q168_blocklist" -> 0,   // Aho-Corasick pass + filter: pure
                                // projection, automaton by closure
       "q169_compress_ratio" -> 0, // per-thread zlib, scan speed
-      "q170_quality_signals" -> 0) // twelve signals, one shared
+      "q170_quality_signals" -> 0, // twelve signals, one shared
                                // text scan, zero exchanges
+      "q175_quality_signals_model" -> 0, // q170 + the model columns:
+                               // the trained weights are codegen
+                               // reference objects, predict rides
+                               // the same single scan
+      "q174_langid_model" -> 0, // train's bounded gradient shuffles
+                               // run EAGERLY inside train(); the
+                               // returned apply plan is a pure
+                               // projection over the holdout scan
+      "q129_exact_median" -> 1) // the r13 drift watch (VERDICT #5):
+                               // the returned plan is the bracket
+                               // scan into globalRank's ONE
+                               // bucket-partitioned prefix window;
+                               // the n/sketch/below-bracket counts
+                               // run eagerly as scalar passes
     val got = budgets.map { case (n, _) => n -> shuffles(n) }
     assert(got === budgets, s"exchange budgets drifted: $got")
   }
