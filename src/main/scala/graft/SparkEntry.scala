@@ -1303,9 +1303,15 @@ object SparkEntry {
 
   /** q65: incremental EMBEDDING near-dedup — the batch (vec_id % 4
     * == 0) probes a sign-bucket index over the corpus (vec_id % 4 !=
-    * 0); survivors dedup within the batch. Same parameters as q41 so
-    * the two share recall characteristics. rows-only (hyperplane LSH
-    * recall is not SQL-expressible); DedupSpec pins drop/keep/delta. */
+    * 0) with ONE-FLIP MULTI-PROBE (r14, q41's recipe on the
+    * incremental path: the batch side explodes its Hamming-1 probe
+    * buckets; the index and its shard layout are untouched);
+    * survivors dedup within the batch. Threshold at the q34/q76
+    * near-dup bar (0.35) — at the old 0.2 the multi-probe recall gain
+    * legitimately dropped EVERY batch vector on this label-clustered
+    * corpus (nothing survives a near-universal match rate). rows-only
+    * (hyperplane LSH recall is not SQL-expressible); DedupSpec pins
+    * drop/keep/delta, LshRecallSpec the multi-probe recall bounds. */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(s, dir).embeddings
     val index = Dedup.buildEmbeddingIndex(
@@ -1313,7 +1319,7 @@ object SparkEntry {
       dim = 64, numPlanes = 4).materialize()
     val (survivors, _) = Dedup.incrementalEmbeddingDedup(
       vecs.filter(col("vec_id") % 4 === 0), index, "vec_id", "embedding",
-      dim = 64, numPlanes = 4, threshold = 0.2)
+      dim = 64, numPlanes = 4, threshold = 0.35, probeFlips = 1)
     survivors.select(col("vec_id"))
   }
 

@@ -139,19 +139,25 @@ object Classifier {
       struct(lang.as("lang"), round(mx, 4).as("conf"))
     })
 
-  /** Full-batch softmax gradient ascent over a caller-supplied id
-    * array column (featurization is the caller's — see
-    * [[LangId.featureIds]] for the lang-id composition). Per
-    * iteration: ONE corpus pass computes the K class probabilities;
-    * the per-doc residuals r_k = 1{y=k} − p_k explode with the id
-    * array (sentinel id = dims carries the bias residual, binary
-    * [[train]]'s trick) into a map-side-combined hash-agg of K sums
-    * per id — shuffle rows ≤ (dims+1) × partitions at any corpus
-    * size. Loss (mean −log p_y) rides the same pass's scored frame. */
+  /** Softmax gradient ascent over a caller-supplied id array column
+    * (featurization is the caller's — see [[LangId.featureIds]] for
+    * the lang-id composition). Per iteration: ONE corpus pass
+    * computes the K class probabilities; the per-doc residuals
+    * r_k = 1{y=k} − p_k explode with the id array (sentinel id =
+    * dims carries the bias residual, binary [[train]]'s trick) into
+    * a map-side-combined hash-agg of K sums per id — shuffle rows ≤
+    * (dims+1) × partitions at any corpus size. Loss (mean −log p_y)
+    * and batch count ride the same job via Dataset.observe.
+    * `batchFraction` < 1 takes [[train]]'s deterministic
+    * hash-rotated mini-batch per iteration (the 100 TB scan-count
+    * switch; slices key off the materialized id array so batching
+    * never re-featurizes). */
   def trainMulticlass(docs: DataFrame, idsCol: Column, labelCol: Column,
       classes: Seq[String], dims: Int = 1024, iters: Int = 8,
-      lr: Double = 12.0): MultiModel = {
+      lr: Double = 12.0, batchFraction: Double = 1.0): MultiModel = {
     require(dims > 0 && iters >= 1, "dims and iters must be positive")
+    require(batchFraction > 0 && batchFraction <= 1.0,
+      s"trainMulticlass: batchFraction in (0,1], got $batchFraction")
     require(classes.distinct.length == classes.length && classes.nonEmpty,
       "classes must be distinct and nonempty")
     val k = classes.length
@@ -165,14 +171,23 @@ object Classifier {
     // corpus-sized.
     val feats = docs.select(idsCol.as("__f"), labelCol.as("__y"))
       .localCheckpoint()
+      // the mini-batch slice key reads the MATERIALIZED id array, so
+      // batching never re-runs the featurization
+      .withColumn("__sl", pmod(xxhash64(col("__f")), lit(1000000L)))
     val n = feats.count().toDouble
     require(n > 0, "trainMulticlass: empty input")
+    val cut = math.round(batchFraction * 1000000L)
 
     val w = Array.fill(k)(new Array[Double](dims))
     val b = new Array[Double](k)
     val losses = Seq.newBuilder[Double]
     val eps = 1e-12
-    for (_ <- 1 to iters) {
+    var prevLoss = math.log(k.toDouble) // uniform-softmax prior
+    for (it <- 1 to iters) {
+      val batch =
+        if (batchFraction >= 1.0) feats
+        else feats.filter(
+          pmod(col("__sl") + lit(it * 37779L), lit(1000000L)) < cut)
       // ONE bound softmax evaluation per row; loss probability and
       // the K residuals come out of the same struct so no projection
       // downstream can re-inline the featurization
@@ -191,9 +206,10 @@ object Classifier {
       // (the curateObserved discipline) — one corpus pass per
       // iteration, not two
       val lossObs = org.apache.spark.sql.Observation()
-      val scored = feats.select(col("__f"), col("__y"),
+      val scored = batch.select(col("__f"), col("__y"),
         packed.as("__s"))
-        .observe(lossObs, avg(-log(col("__s.py") + eps)).as("loss"))
+        .observe(lossObs, avg(-log(col("__s.py") + eps)).as("loss"),
+          count(lit(1)).as("nb"))
       // residuals r_i = 1{y=classes(i)} − p_i; one explode + one
       // bounded hash-agg yields the whole K-class gradient
       val g = scored
@@ -208,11 +224,21 @@ object Classifier {
         .agg(sum(s"__g0").as("__s0"),
           (1 until k).map(i => sum(s"__g$i").as(s"__s$i")): _*)
         .collect()
-      losses += lossObs.get("loss").toString.toDouble
-      g.foreach { row =>
+      val m = lossObs.get
+      val nb = m("nb").toString.toDouble
+      val iterLoss =
+        if (nb > 0) m("loss").toString.toDouble else prevLoss
+      losses += iterLoss
+      prevLoss = iterLoss
+      if (nb > 0) g.foreach { row =>
         val id = row.getInt(0)
         (0 until k).foreach { i =>
           val s = row.getDouble(i + 1)
+          // normalize by the FULL n, not nb: the mini-batch gradient
+          // then estimates the full-batch step at scale nb/n — the
+          // linear lr-scaling rule (lr ∝ batch size) built in, which
+          // is what keeps the same lr stable at any batchFraction
+          // (dividing by nb measured as divergence at lr 12)
           if (id == dims) b(i) += lr * s / n
           else w(i)(id) += lr * s / n
         }
@@ -221,34 +247,66 @@ object Classifier {
     MultiModel(classes, w, b, dims, losses.result())
   }
 
-  /** Full-batch gradient-ascent training of the mean-pooled logistic
-    * model. `labelCol` is 0/1 (castable to double). Each iteration:
-    * one pass computing per-doc residual r = y − p, exploded to
-    * (feature, r/|T|) pairs plus one sentinel (dims, r) row per doc
-    * for the bias, hash-aggregated map-side — the shuffle moves at
-    * most (dims+1) × partitions rows regardless of corpus size; the
-    * (dims+1)-row result is the driver-side gradient. A second tiny
-    * aggregate logs the iteration's mean log-loss. */
+  /** Gradient-ascent training of the mean-pooled logistic model.
+    * `labelCol` is 0/1 (castable to double). Each iteration: one pass
+    * computing per-doc residual r = y − p, exploded to (feature,
+    * r/|T|) pairs plus one sentinel (dims, r) row per doc for the
+    * bias, hash-aggregated map-side — the shuffle moves at most
+    * (dims+1) × partitions rows regardless of corpus size; the
+    * (dims+1)-row result is the driver-side gradient. The mean
+    * log-loss and the batch count ride the SAME job via
+    * Dataset.observe (r14 — it used to be a second full pass), and
+    * features are computed ONCE into a checkpointed frame instead of
+    * once per action.
+    *
+    * `batchFraction` < 1 trains each iteration on a DETERMINISTIC
+    * hash-rotated slice of the corpus (mini-batch SGD, the 100 TB
+    * switch: full-batch pays iters × full scans — bounded shuffle but
+    * unbounded scan count; a 0.1 fraction cuts the scan bill 10×
+    * while the rotation visits the whole corpus across iterations).
+    * Slices are a pure function of (text, seed, iteration) — no
+    * rand(), reproducible across runs and layouts. The gradient
+    * normalizes by the FULL corpus count: the mini-batch step is
+    * then an unbiased estimate of the full-batch step scaled by the
+    * fraction — the linear lr-scaling rule (lr ∝ batch size) built
+    * in, which keeps the same lr stable at any fraction (normalizing
+    * by the batch count measured as divergence at lr 12). The
+    * reported lossHistory is the BATCH loss — trend it, don't expect
+    * strict monotonicity. batchFraction = 1 is exactly the original
+    * full-batch behavior. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       dims: Int = 1024, iters: Int = 10, lr: Double = 12.0,
-      seed: Long = 0L): Model = {
+      seed: Long = 0L, batchFraction: Double = 1.0): Model = {
     require(dims > 0 && iters >= 1, "dims and iters must be positive")
+    require(batchFraction > 0 && batchFraction <= 1.0,
+      s"train: batchFraction in (0,1], got $batchFraction")
     val feats = docs.select(
       featureIds(col(textCol), dims, seed).as("__f"),
-      col(labelCol).cast("double").as("__y"))
+      col(labelCol).cast("double").as("__y"),
+      pmod(xxhash64(col(textCol), lit(seed ^ 0x517cc1b7L)),
+        lit(1000000L)).as("__s"))
+      .localCheckpoint()
     val n = feats.count().toDouble
     require(n > 0, "train: empty input")
+    val cut = math.round(batchFraction * 1000000L)
 
     var w = new Array[Double](dims)
     var b = 0.0
     val losses = Seq.newBuilder[Double]
-    for (_ <- 1 to iters) {
-      val scored = feats.withColumn("__p", scoreOfIds(col("__f"), w, b))
+    var prevLoss = math.log(2.0) // uniform-model loss, the iter-0 prior
+    for (it <- 1 to iters) {
+      val batch =
+        if (batchFraction >= 1.0) feats
+        else feats.filter(
+          pmod(col("__s") + lit(it * 37779L), lit(1000000L)) < cut)
       val eps = 1e-12
-      losses += scored.agg(avg(
-        -(col("__y") * log(col("__p") + eps) +
-          (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p") + eps)))
-      ).head().getDouble(0)
+      val obs = org.apache.spark.sql.Observation()
+      val scored = batch.withColumn("__p", scoreOfIds(col("__f"), w, b))
+        .observe(obs,
+          avg(-(col("__y") * log(col("__p") + eps) +
+            (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p") + eps)))
+            .as("loss"),
+          count(lit(1)).as("nb"))
       // residual r = y - p; feature j's gradient is Σ r/|T| over docs
       // containing j (counted with multiplicity via the explode), the
       // bias gradient Σ r — carried by a sentinel id = dims so one
@@ -262,14 +320,26 @@ object Classifier {
             .otherwise(col("__r") / col("__l")).as("__g"))
         .groupBy(col("__id")).agg(sum(col("__g")).as("__s"))
         .collect()
-      val next = w.clone()
-      g.foreach { row =>
-        val id = row.getInt(0)
-        val s = row.getDouble(1)
-        if (id == dims) b += lr * s / n
-        else next(id) += lr * s / n
+      val m = obs.get
+      val nb = m("nb").toString.toDouble
+      // an empty rotated slice (tiny corpus × small fraction) is a
+      // no-op iteration: keep the loss series well-defined
+      val iterLoss =
+        if (nb > 0) m("loss").toString.toDouble else prevLoss
+      losses += iterLoss
+      prevLoss = iterLoss
+      if (nb > 0) {
+        val next = w.clone()
+        g.foreach { row =>
+          val id = row.getInt(0)
+          val s = row.getDouble(1)
+          // full-n normalization = the linear lr-scaling rule (see
+          // trainMulticlass) — same lr is stable at any fraction
+          if (id == dims) b += lr * s / n
+          else next(id) += lr * s / n
+        }
+        w = next
       }
-      w = next
     }
     Model(w, b, dims, seed, losses.result())
   }

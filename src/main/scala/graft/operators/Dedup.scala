@@ -792,9 +792,10 @@ object Dedup {
     * cluster. */
   def dropEmbeddingNearDuplicates(
       vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      numPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
+      numPlanes: Int = 8, threshold: Double = 0.8,
+      probeFlips: Int = 0): DataFrame = {
     val pairs = embeddingNearDup(vecs, idCol, vecCol, dim, numPlanes,
-      threshold)
+      threshold, probeFlips)
     val losers = connectedComponents(pairs, "a_id", "b_id")
       .filter(col("component") =!= col("id"))
       .select(col("id").as(idCol))
@@ -964,17 +965,42 @@ object Dedup {
     * corpus: (corpus a_id, batch b_id, cosine ≥ threshold). Batch side
     * bucketed once and broadcast (`broadcastBatch = false` for shuffle
     * joins); the corpus index never moves beyond the bucket equi-join.
-    */
+    *
+    * `probeFlips` > 0 is [[embeddingNearDup]]'s MULTI-PROBE on the
+    * incremental path: the BATCH (the small side — exactly where
+    * replication is cheap) also probes every index bucket within that
+    * Hamming distance, recovering corpus near-dups that disagree on
+    * up to `probeFlips` plane signs without touching the index or its
+    * shard layout. Shard pruning widens to the probe set's shards;
+    * each (corpus, batch) pair still meets on exactly one probe
+    * bucket, so no dedup pass is needed. */
   def incrementalEmbeddingNearDup(
       batch: DataFrame, index: EmbeddingIndex, idCol: String,
       vecCol: String, dim: Int, numPlanes: Int = 8,
-      threshold: Double = 0.8, broadcastBatch: Boolean = true): DataFrame = {
+      threshold: Double = 0.8, broadcastBatch: Boolean = true,
+      probeFlips: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
-    val b0 = batch
+    require(probeFlips >= 0 && probeFlips <= 2,
+      "incrementalEmbeddingNearDup: probeFlips in 0..2")
+    val b1 = batch
       .select(col(idCol).as("b_id"), col(vecCol).as("__vb"),
         hyperplaneBucket(col(vecCol), dim, numPlanes).as("bucket"),
         norm(col(vecCol)).as("__nb"))
-      .localCheckpoint(false)
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      col("bucket") +:
+        ((if (probeFlips >= 1)
+          (0 until numPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p)))
+        else Seq.empty) ++
+          (if (probeFlips >= 2)
+            for { p <- 0 until numPlanes; q <- (p + 1) until numPlanes }
+              yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q)))
+          else Seq.empty))
+    val b0 =
+      (if (probeFlips == 0) b1
+       else b1.select(col("b_id"), col("__vb"), col("__nb"),
+         explode(array(probeCols: _*)).as("bucket")))
+        .localCheckpoint(false)
     val b = if (broadcastBatch) broadcast(b0) else b0
     // on a SAVED index, the batch's sign-buckets determine the shards
     // it can possibly match — a tiny driver-collected set that prunes
@@ -1003,13 +1029,14 @@ object Dedup {
   def incrementalEmbeddingDedup(
       batch: DataFrame, index: EmbeddingIndex, idCol: String,
       vecCol: String, dim: Int, numPlanes: Int = 8,
-      threshold: Double = 0.8, broadcastBatch: Boolean = true): (DataFrame, EmbeddingIndex) = {
+      threshold: Double = 0.8, broadcastBatch: Boolean = true,
+      probeFlips: Int = 0): (DataFrame, EmbeddingIndex) = {
     val hits = incrementalEmbeddingNearDup(batch, index, idCol, vecCol,
-      dim, numPlanes, threshold, broadcastBatch)
+      dim, numPlanes, threshold, broadcastBatch, probeFlips)
       .select(col("b_id").as(idCol))
     val survivors = dropEmbeddingNearDuplicates(
       batch.join(hits, Seq(idCol), "left_anti"), idCol, vecCol, dim,
-      numPlanes, threshold)
+      numPlanes, threshold, probeFlips)
     (survivors,
       buildEmbeddingIndex(survivors, idCol, vecCol, dim, numPlanes))
   }

@@ -46,6 +46,54 @@ class ClassifierSpec extends SparkSpec {
       s"holdout not separated: goodMin=$goodMin badMax=$badMax")
   }
 
+  test("mini-batch training converges, is deterministic, and rotates slices") {
+    val docs = fixture
+    // distinct texts per row so the hash-rotated slices actually vary
+    val varied = docs.select(col("id"),
+      concat(col("text"), lit(" tag"), col("id").cast("string"))
+        .as("text"), col("label"))
+    def model(frac: Double) = Classifier.train(
+      varied.filter(col("id") % 5 =!= 0), "text", "label",
+      dims = 256, iters = 16, lr = 12.0, batchFraction = frac)
+    val m = model(0.5)
+    // converges: loss trends down even though each iteration sees a
+    // different half of the corpus
+    assert(m.lossHistory.length == 16)
+    assert(m.lossHistory.last < m.lossHistory.head * 0.6,
+      s"mini-batch loss did not descend: ${m.lossHistory}")
+    // deterministic: the slices are hash-rotated, not rand()
+    assert(model(0.5).lossHistory == m.lossHistory)
+    // and the holdout still separates under the mini-batch model
+    val scored = varied.filter(col("id") % 5 === 0)
+      .select(col("label"), Classifier.score(col("text"), m).as("p"))
+      .as[(Int, Double)].collect()
+    val goodMin = scored.collect { case (1, p) => p }.min
+    val badMax = scored.collect { case (0, p) => p }.max
+    assert(goodMin > 0.5 && badMax < 0.5,
+      s"mini-batch holdout not separated: $goodMin / $badMax")
+    // full-batch path unchanged: fraction 1.0 equals the default
+    val full = model(1.0)
+    val dflt = Classifier.train(varied.filter(col("id") % 5 =!= 0),
+      "text", "label", dims = 256, iters = 16, lr = 12.0)
+    assert(full.lossHistory == dflt.lossHistory)
+    assert(full.weights.toSeq == dflt.weights.toSeq &&
+      full.bias == dflt.bias)
+  }
+
+  test("multiclass mini-batch converges and stays deterministic") {
+    val classes = Seq("good", "bad")
+    val docs = fixture.select(col("id"),
+      concat(col("text"), lit(" t"), col("id").cast("string")).as("text"),
+      when(col("label") === 1, "good").otherwise("bad").as("label"))
+    def m(frac: Double) = Classifier.trainMulticlass(docs,
+      Classifier.featureIds(col("text"), 256, 0L), col("label"),
+      classes, dims = 256, iters = 12, lr = 12.0, batchFraction = frac)
+    val half = m(0.5)
+    assert(half.lossHistory.last < half.lossHistory.head * 0.75,
+      s"loss: ${half.lossHistory}")
+    assert(m(0.5).lossHistory == half.lossHistory)
+  }
+
   test("score is a pure projection: deterministic given a model, no shuffle") {
     val docs = fixture
     val model = Classifier.Model(

@@ -193,6 +193,50 @@ class LshRecallSpec extends SparkSpec {
       s"($rs) — fixture or probe expansion broken")
   }
 
+  test("incremental embedding probe: multi-probe widens recall on the saved index") {
+    // corpus/batch split of the real embeddings; exact cross-side
+    // cosine truth; multi-probe hits must contain single-probe hits,
+    // stay inside the truth, and find MORE on the real corpus
+    import graft.functions.VectorFunctions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val batch = e.filter(col("vec_id") % 4 === 0)
+    val a = corpus.select(col("vec_id").as("a_id"),
+      col("embedding").as("__va"), norm(col("embedding")).as("__na"))
+    val b = batch.select(col("vec_id").as("b_id"),
+      col("embedding").as("__vb"), norm(col("embedding")).as("__nb"))
+    val exact = a.join(b)
+      .filter(round(cosinePrenormed(dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")), 4) >= 0.2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val index = Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      dim = 64, numPlanes = 4).materialize()
+    def probe(flips: Int): Set[(Long, Long)] =
+      Dedup.incrementalEmbeddingNearDup(batch, index, "vec_id",
+        "embedding", dim = 64, numPlanes = 4, threshold = 0.2,
+        probeFlips = flips)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val single = probe(0); val multi = probe(1)
+    assert(multi.subsetOf(exact))
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size,
+      s"multi-probe found nothing new (${single.size} hits)")
+    // and the saved/loaded index probes identically (shard pruning
+    // must widen to the probe set's shards, not the raw buckets')
+    val dir = java.nio.file.Files
+      .createTempDirectory("embidx").toString
+    index.save(dir, mode = "overwrite")
+    val loaded = Dedup.EmbeddingIndex.load(spark, dir)
+    val multiLoaded =
+      Dedup.incrementalEmbeddingNearDup(batch, loaded, "vec_id",
+        "embedding", dim = 64, numPlanes = 4, threshold = 0.2,
+        probeFlips = 1)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(multiLoaded == multi,
+      "file-backed shard pruning dropped probe-bucket shards")
+  }
+
   test("LSH recall certified against the EXACT join's ground truth on real data") {
     // q124's prefix-filter join is exact (recall 1.0 by construction),
     // so it supplies the ground-truth pair set the LSH recall formula
