@@ -152,6 +152,35 @@ object StressR14 {
             round(Classifier.score(col("text"), model), 3).as("score"))
       }, docs1, docs10)
 
+    // q174: multiclass lang-id train (1/7 slice, bounded (dims+1)xK
+    // gradient shuffle per iteration) + holdout apply (native-kernel
+    // projection) — the registered fixture, labels from doc_id % 5
+    measure("q174_langid_model")(
+      d => {
+        val classes = Seq("en", "de", "ru", "el", "zh")
+        val kcls = (col("doc_id") % 5).cast("int")
+        val reps = (col("doc_id") % 15 + 5).cast("int")
+        val fx = d.select(col("doc_id"),
+          concat(col("text"),
+            when(kcls === 1, repeat(lit(" der die das und ist nicht"), reps))
+              .when(kcls === 2, repeat(lit(" и в не на что он это же"), reps))
+              .when(kcls === 3, repeat(lit(" και το να του με την"), reps))
+              .when(kcls === 4, repeat(lit(" 的 是 在 了 不 我"), reps))
+              .otherwise(lit(""))).as("text"),
+          element_at(typedlit(classes), kcls + 1).as("label"))
+        val model = graft.operators.LangId.train(
+          fx.filter(col("doc_id") % 7 === 1), "text", "label", classes,
+          dims = 1024, iters = 6)
+        fx.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("label"),
+            graft.operators.LangId.predictWithFallback(col("text"), model)
+              .as("__p"))
+          .select(col("doc_id"), col("label"),
+            col("__p.lang").as("pred_lang"),
+            round(col("__p.conf"), 3).as("conf"),
+            col("__p.src").as("src"))
+      }, docs1, docs10)
+
     // q66/q165: IVF-PQ train (bounded sample) + encode (linear) +
     // fixed 10-query ADC search — corpus 10x, queries fixed
     measure("q66_ann_ivfpq")(

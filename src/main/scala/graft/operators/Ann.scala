@@ -513,6 +513,30 @@ object Ann {
         norm(col(vecCol)).as("vec_norm"))
   }
 
+  /** Append a new batch to a prebuilt PQ index under the FROZEN
+    * centroids + codebooks — the continuous-ingest shape (FAISS's
+    * `add()` semantics): the existing corpus is never re-encoded and
+    * the models never retrain per batch, so the per-batch cost is
+    * one encode projection over the batch alone. Encoding is
+    * deterministic given the models, so append ≡ rebuilding the
+    * whole index with the same models (AnnSpec pins code-for-code
+    * equality and search identity). Staleness is the caller's
+    * contract: appended vectors quantize against the ORIGINAL
+    * training distribution — monitor drift and retrain + rebuild
+    * when the corpus moves (the same trade every IVF deployment
+    * makes). `residual = true` encodes vec − centroid for a
+    * [[buildPqIndexResidual]] index. */
+  def appendPqIndex(
+      pqIndex: DataFrame, batch: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]], idCol: String, vecCol: String,
+      residual: Boolean = false): DataFrame = {
+    val delta =
+      if (residual)
+        buildPqIndexResidual(batch, centroids, codebooks, idCol, vecCol)
+      else buildPqIndex(batch, centroids, codebooks, idCol, vecCol)
+    pqIndex.unionByName(delta)
+  }
+
   /** Search a residual PQ index: ADC scores approximate
     * ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, r⟩ — the ⟨q, c⟩ term is exact (one dot per
     * (query, probed centroid), computed on the broadcast probe

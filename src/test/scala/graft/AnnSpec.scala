@@ -381,4 +381,48 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b === b2)
   }
+
+  test("appendPqIndex equals a full rebuild under frozen models, both variants") {
+    // continuous ingest: corpus indexes once, the batch appends under
+    // the frozen centroids/codebooks — code-for-code identical to
+    // rebuilding everything with the same models, and search agrees
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val batch = e.filter(col("vec_id") % 4 === 0)
+    val cents = Ann.trainCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    for (residual <- Seq(false, true)) {
+      val books =
+        if (residual) Ann.trainPqResidual(corpus, cents, "vec_id",
+          "embedding", m = 8, ksub = 16, iters = 3, maxTrain = 1024)
+        else Ann.trainPq(corpus, "vec_id", "embedding", m = 8,
+          ksub = 16, iters = 3, maxTrain = 1024)
+      def build(df: org.apache.spark.sql.DataFrame) =
+        if (residual)
+          Ann.buildPqIndexResidual(df, cents, books, "vec_id", "embedding")
+        else Ann.buildPqIndex(df, cents, books, "vec_id", "embedding")
+      val appended = Ann.appendPqIndex(build(corpus), batch, cents,
+        books, "vec_id", "embedding", residual = residual)
+      val rebuilt = build(e)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("centroid_id"),
+          col("codes").cast("string"), round(col("vec_norm"), 6))
+          .as[(Long, Long, String, Double)].collect().toSet
+      assert(rows(appended) == rows(rebuilt),
+        s"residual=$residual: appended index differs from rebuild")
+      // and search over the appended index = search over the rebuild
+      val queries = e.filter(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        (if (residual)
+          Ann.searchPqIndexResidual(df, e, queries, cents, books,
+            "vec_id", "embedding", k = 5, nprobe = 3, refine = 2)
+        else
+          Ann.searchPqIndex(df, e, queries, cents, books,
+            "vec_id", "embedding", k = 5, nprobe = 3, refine = 2))
+          .select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      assert(top(appended) == top(rebuilt), s"residual=$residual search")
+    }
+  }
 }

@@ -285,7 +285,11 @@ class PlanAuditSpec extends SparkSpec {
       // late-r12 curation screens: signals must ride a 2-column scan
       "q168_blocklist" -> Set("doc_id", "text"),
       "q169_compress_ratio" -> Set("doc_id", "text"),
-      "q170_quality_signals" -> Set("doc_id", "text"))) {
+      "q170_quality_signals" -> Set("doc_id", "text"),
+      // r14 lang-id: train runs eagerly; the returned apply plans
+      // must still ride 2-column scans (model weights are literals)
+      "q174_langid_model" -> Set("doc_id", "text"),
+      "q175_quality_signals_model" -> Set("doc_id", "text"))) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       val read = nodes.collect {
