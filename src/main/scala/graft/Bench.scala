@@ -287,7 +287,9 @@ object Bench {
       // model-based lang-id: train + holdout apply w/ fallback (r14)
       "q174_langid_model",
       // q170's signals + the model lang columns, one scan (r14)
-      "q175_quality_signals_model"
+      "q175_quality_signals_model",
+      // OPQ-guarded IVF-PQ on an anisotropic view (r14)
+      "q176_ann_opq"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -2370,6 +2370,44 @@ object SparkEntry {
         col("__p.src").as("src"))
   }
 
+  /** q176: OPQ-GUARDED IVF-PQ SEARCH — the full composition the OPQ
+    * guard exists for, at query level: an ANISOTROPIC view of the
+    * embeddings (dim i deterministically scaled by 0.87^i — the
+    * corpus shape real projection-head embeddings often have, unlike
+    * this synthetic table's isotropic raw vectors), Pca.train reports
+    * the eigenvalue spread, `opqRecommended` FIRES, the corpus and
+    * queries rotate through `rotateOpq` (eigenbasis + Ge et al. 2013
+    * balanced dimension allocation — a pure orthogonal transform, so
+    * cosine/L2 are preserved and the IVF-PQ stack is unchanged
+    * downstream), and q66's IVF-PQ search runs on the rotated space.
+    * Were the corpus isotropic the guard would skip and this IS q66 —
+    * both branches are pinned in PcaSpec; the recall-at-equal-bytes
+    * win of the rotation is measured there too. rows-only
+    * (quantization is engine-specific). */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val scaled = e0.select(col("vec_id"),
+      zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => (x * pow(lit(0.87), i)).cast("float")).as("embedding"))
+      .localCheckpoint(false)
+    val pca = Pca.train(scaled, "vec_id", "embedding", k = 64)
+    val e =
+      if (Pca.opqRecommended(pca))
+        Pca.rotateOpq(scaled, "vec_id", "embedding", pca, m = 16)
+          .localCheckpoint(false)
+      else scaled
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+      iters = 5, maxTrain = 4096)
+    Ann.ivfPqTopK(
+      corpus = e, queries = e.filter(col("vec_id") < 10),
+      centroids = centroids, codebooks = books,
+      idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3,
+      refine = 4)
+  }
+
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
     * signals with the q174 trained model's language prediction and
     * confidence appended as columns 13-14, still ONE shared text scan
@@ -3369,7 +3407,8 @@ object SparkEntry {
     "q172_lm_4gram" -> (q172 _),
     "q173_dsir_trigram" -> (q173 _),
     "q174_langid_model" -> (q174 _),
-    "q175_quality_signals_model" -> (q175 _)
+    "q175_quality_signals_model" -> (q175 _),
+    "q176_ann_opq" -> (q176 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

@@ -164,6 +164,25 @@ class PcaSpec extends SparkSpec {
       s"balanced allocation $rotated not above naive PCA order $naive")
   }
 
+  test("q176's anisotropic view fires the guard on the real embeddings") {
+    // the registered query scales dim i by 0.87^i; that view's
+    // eigen spread must clear the bar so the rotation branch is the
+    // one the query actually exercises (were the raw corpus used,
+    // the guard would skip — also checked)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val scaled = e.select(col("vec_id"),
+      zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => (x * pow(lit(0.87), i)).cast("float")).as("embedding"))
+    val m = Pca.train(scaled, "vec_id", "embedding", k = 64)
+    assert(Pca.opqRecommended(m),
+      s"scaled view spread ${Pca.eigenSpread(m)} under the bar")
+    val raw = Pca.train(e, "vec_id", "embedding", k = 64)
+    assert(!Pca.opqRecommended(raw),
+      s"raw isotropic corpus spread ${Pca.eigenSpread(raw)} fired")
+  }
+
   test("frozen q167 model equals the sf0.01 trainer output") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val m = Pca.train(e, "vec_id", "embedding", k = 4)

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljByDesign = Set(
     "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned",
     "q61_ann_ivf_trained", "q66_ann_ivfpq", "q165_ann_ivfpq_residual",
+    "q176_ann_opq", // q66's search shape on the rotated space
     "q97_key_profile", "q134_pmi_bigrams")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {

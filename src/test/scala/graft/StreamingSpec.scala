@@ -875,4 +875,64 @@ class StreamingSpec extends SparkSpec {
       assert(hot.est >= 20L, s"hot grossly undercounted: ${hot.est}")
     } finally query.stop()
   }
+
+  test("streaming lang-id predictions match batch; language mix finalizes") {
+    // q174's continuous twin: same model, same expressions — stream
+    // rows must predict byte-identically to the batch path, and the
+    // windowed language mix must count the fallback share
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Classifier, LangId}
+    val classes = Seq("en", "de", "ru")
+    val train = Seq(
+      (0L, "the cat and the dog of the house", "en"),
+      (1L, "a tree of light and a river", "en"),
+      (2L, "der hund und die katze das haus", "de"),
+      (3L, "das licht und der baum die see", "de"),
+      (4L, "\u0438 \u043a\u043e\u0442 \u0432 \u0434\u043e\u043c\u0435 \u043d\u0435 \u0440\u0435\u043a\u0430", "ru"),
+      (5L, "\u043d\u0430 \u0434\u0435\u0440\u0435\u0432\u0435 \u0441\u0432\u0435\u0442 \u0438 \u043a\u043e\u0442", "ru")
+    ).flatMap { case (id, t, l) =>
+      (0 until 6).map(j => (id * 10 + j, t + " x" + j, l)) }
+      .toDF("id", "text", "label")
+    val model = LangId.train(train, "text", "label", classes,
+      dims = 256, iters = 10)
+
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val texts = Seq("the cat and the dog", "der hund und die katze",
+      "\u0438 \u043a\u043e\u0442 \u0432 \u0434\u043e\u043c\u0435", "zz qq ww")
+    input.addData(texts.take(2).map(t => (ts(1), t)))
+    input.addData(texts.drop(2).map(t => (ts(2), t)))
+    input.addData(Seq((ts(45), "the end")))
+    val q1 = graft.streaming.StreamLangId.predicted(df, "text", model)
+      .writeStream.format("memory").queryName("langid_pred")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    val got = spark.table("langid_pred")
+      .select("text", "lang", "conf", "src")
+      .as[(String, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batch = (texts :+ "the end").toDF("text")
+      .select(col("text"),
+        LangId.predictWithFallback(col("text"), model).as("p"))
+      .select(col("text"), col("p.lang"), col("p.conf"), col("p.src"))
+      .as[(String, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == batch, s"stream vs batch drift: $got vs $batch")
+
+    val q2 = graft.streaming.StreamLangId.languageMix(df, "ts", "text",
+        model, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("langid_mix")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val mix = spark.table("langid_mix")
+      .select("lang", "n_docs").as[(String, Long)].collect()
+    // the two closed 10-minute windows hold the four probe texts;
+    // per-language counts must match the batch predictions
+    val want = texts.map(t => batch(t)._1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotMix = mix.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    want.foreach { case (l, n) =>
+      assert(gotMix.getOrElse(l, 0L) == n, s"lang $l: $gotMix vs $want") }
+  }
 }
