@@ -43,8 +43,19 @@ object Graph {
     * dangling redistribution); per-node contribution sums run in
     * sorted edge order, so results agree with the distributed loop's
     * arbitrary-order sums to ULPs (absorbed by q89's round(…,7)
-    * oracle; GraphSpec pins both paths). LPA's vote is integer
-    * arithmetic — the driver path is bit-for-bit identical. */
+    * oracle; GraphSpec pins both paths). LPA's vote and the triangle
+    * count are integer arithmetic — those driver paths are
+    * bit-for-bit identical.
+    *
+    * Driver-heap honesty (the 32 MB figure of earlier rounds was the
+    * POST-conversion footprint only): the collect comes back as an
+    * Array of boxed edge tuples before the primitive-array
+    * conversion, so the TRANSIENT peak at the 2M bound is
+    * ~100–200 MB (≈50–90 B per collected edge tuple/row) on top of
+    * the ~32 MB steady state — fine on the default 1 GiB driver,
+    * and the collects below go through typed tuple encoders (not
+    * Array[Row]) to keep that constant at the low end. Size
+    * `driverMaxEdges` down on drivers with less headroom. */
   val DriverGraphMaxEdges: Long = 2000000L
 
   /** Standard damped PageRank over an edge list.
@@ -164,8 +175,11 @@ object Graph {
       e: DataFrame, iterations: Int, damping: Double,
       undirected: Boolean): DataFrame = {
     val spark = e.sparkSession
-    val raw = e.collect().map(r =>
-      (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    import spark.implicits._
+    // typed tuple encoder, not Array[Row]: the transient collect
+    // footprint is the driver-path bound's real cost (object doc)
+    val raw = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
     // deterministic edge order — the accumulation order of the sums
     val pairs = raw.sortBy(identity)
     val ids = {
@@ -208,7 +222,6 @@ object Graph {
       }
       ranks = next
     }
-    import spark.implicits._
     ids.indices.map(i => (ids(i), ranks(i))).toDF("id", "rank")
   }
 
@@ -312,9 +325,11 @@ object Graph {
   private def driverLabelPropagation(
       und: DataFrame, iterations: Int): DataFrame = {
     val spark = und.sparkSession
-    val triples = und.collect().map(r =>
-      (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
-        r.getAs[Number](2).longValue()))
+    import spark.implicits._
+    val triples = und
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("__w").cast("long"))
+      .as[(Long, Long, Long)].collect()
     val ids = {
       val s = scala.collection.mutable.SortedSet.empty[Long]
       triples.foreach { case (u, v, _) => s += u; s += v }
@@ -353,7 +368,6 @@ object Graph {
       }
       labels = next
     }
-    import spark.implicits._
     ids.indices.map(i => (ids(i), labels(i)))
       .toDF("node_id", "community")
   }
@@ -379,7 +393,8 @@ object Graph {
     * join are equi-joins on a node id (the inequality on the packed
     * (deg,id) key rides the same exchange as a post-join filter).
     */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+      driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
     val P = 1L << 31 // id/deg packing radix: (deg, id) → deg·2³¹ + id
     // localCheckpoint, not persist: e feeds the degree count AND the
     // orientation join, oriented feeds THREE consumers — under cache
@@ -390,6 +405,16 @@ object Graph {
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    // Checkpointed ⇒ metadata-cheap count, doubling as the
+    // driver-path gate (pageRank/LPA's discipline). The count is
+    // all-integer on both paths, so the driver fold is bit-for-bit
+    // the distributed result (GraphSpec pins both paths).
+    val eCount = e.count()
+    if (eCount > 0L && eCount <= driverMaxEdges) {
+      log.info(s"triangles: $eCount edges <= $driverMaxEdges — " +
+        "resolving on the driver (distributed wedge join skipped)")
+      return driverTriangles(e)
+    }
     require(e.agg(coalesce(max(col("b")), lit(0L))).head.getLong(0) < P,
       "triangles: node ids must fit 31 bits — densify ids first " +
         "(the packed (deg,id) orientation key and the bloom-filtered " +
@@ -440,5 +465,134 @@ object Graph {
       .join(closeKeys, col("__wk") === col("__ck"))
       .groupBy(col("u").as("node_id"))
       .agg(count(lit(1)).as("tri_n"))
+  }
+
+  /** Open-addressing primitive long set (linear probing, murmur
+    * finalizer) — the driver triangle path's oriented-edge membership
+    * structure. Keys must be ≥ 0 (−1 is the empty sentinel); built
+    * single-threaded, then read-only from the parallel wedge loop. */
+  private final class LongSet(expected: Int) {
+    private val cap: Int = {
+      var c = 16
+      while (c < expected * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = Array.fill[Long](cap)(-1L)
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    def add(k: Long): Unit = {
+      var i = slot(k)
+      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k
+    }
+    def contains(k: Long): Boolean = {
+      var i = slot(k)
+      while (true) {
+        val v = keys(i)
+        if (v == k) return true
+        if (v == -1L) return false
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
+
+  /** Driver triangle count over a bounded, already-canonicalised
+    * (a < b, distinct, loop-free) edge frame — the identical
+    * algorithm as the distributed plan: orient every edge from its
+    * lower to its higher endpoint under the total order (degree, id),
+    * enumerate wedges at each apex's out-neighbours in that order,
+    * close against the oriented edge set. All-integer, so the result
+    * is bit-for-bit the distributed one (GraphSpec pins both paths).
+    * The wedge loop parallelises over apexes (disjoint counters per
+    * apex) on the JDK common pool — Σ outDeg² stays O(E^1.5) here
+    * exactly as it does distributed, ~41M probes for q133's sf0.1
+    * graph. Unlike the distributed path this one never packs
+    * (deg, id) into a long (ranks replace packing), so it accepts
+    * full-range node ids. */
+  private def driverTriangles(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val raw = e.select(col("a"), col("b")).as[(Long, Long)].collect()
+    val ids = {
+      val s = scala.collection.mutable.SortedSet.empty[Long]
+      raw.foreach { case (u, v) => s += u; s += v }
+      s.toArray
+    }
+    val n = ids.length
+    def idxOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+    val m = raw.length
+    val ea = new Array[Int](m)
+    val eb = new Array[Int](m)
+    val deg = new Array[Int](n)
+    var k = 0
+    while (k < m) {
+      ea(k) = idxOf(raw(k)._1); eb(k) = idxOf(raw(k)._2)
+      deg(ea(k)) += 1; deg(eb(k)) += 1; k += 1
+    }
+    // rank = position under the (degree, id) total order; idx order
+    // IS id order (ids sorted), so packing (deg << 31 | idx) and
+    // sorting yields exactly the distributed deg·2³¹+id orientation
+    val rank = {
+      val r = new Array[Int](n)
+      val keys = new Array[Long](n)
+      var i = 0
+      while (i < n) { keys(i) = (deg(i).toLong << 31) | i; i += 1 }
+      java.util.Arrays.sort(keys)
+      i = 0
+      while (i < n) { r((keys(i) & 0x7fffffffL).toInt) = i; i += 1 }
+      r
+    }
+    // CSR out-adjacency under the orientation, each segment sorted by
+    // neighbour RANK (packed rank<<32|idx, unpacked after the sort)
+    val outDeg = new Array[Int](n)
+    k = 0
+    while (k < m) {
+      if (rank(ea(k)) < rank(eb(k))) outDeg(ea(k)) += 1
+      else outDeg(eb(k)) += 1
+      k += 1
+    }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val adj = new Array[Long](m)
+    val fill = new Array[Int](n)
+    val oriented = new LongSet(m)
+    k = 0
+    while (k < m) {
+      val (u, v) =
+        if (rank(ea(k)) < rank(eb(k))) (ea(k), eb(k)) else (eb(k), ea(k))
+      adj(off(u) + fill(u)) = (rank(v).toLong << 32) | v.toLong
+      fill(u) += 1
+      oriented.add(u.toLong * n + v)
+      k += 1
+    }
+    i = 0
+    while (i < n) {
+      java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1
+    }
+    // wedge loop: apexes are disjoint, so parallel per-u writes to
+    // tri are contention-free
+    val tri = new Array[Long](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
+      val s = off(u); val t = off(u + 1)
+      var a = s
+      while (a < t) {
+        val v = (adj(a) & 0xffffffffL)
+        var b = a + 1
+        while (b < t) {
+          val w = (adj(b) & 0xffffffffL).toInt
+          if (oriented.contains(v * n + w)) tri(u) += 1
+          b += 1
+        }
+        a += 1
+      }
+    }
+    ids.indices.collect { case u if tri(u) > 0 => (ids(u), tri(u)) }
+      .toDF("node_id", "tri_n")
   }
 }

@@ -96,8 +96,10 @@ class GraphSpec extends SparkSpec {
     tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
   }
 
-  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.triangles(edges.toDF("s", "d"), "s", "d")
+  private def runTriangles(edges: Seq[(Long, Long)],
+      driverMaxEdges: Long = Graph.DriverGraphMaxEdges): Map[Long, Long] =
+    Graph.triangles(edges.toDF("s", "d"), "s", "d",
+        driverMaxEdges = driverMaxEdges)
       .as[(Long, Long)].collect().toMap
 
   test("triangles: K4 has 4 triangles, all counted once") {
@@ -126,6 +128,30 @@ class GraphSpec extends SparkSpec {
   test("triangles: triangle-free bipartite graph yields no rows") {
     val bip = for { a <- 1L to 4L; b <- 11L to 14L } yield (a, b)
     assert(runTriangles(bip).isEmpty)
+  }
+
+  test("triangles: driver and distributed paths are bit-identical") {
+    // all-integer arithmetic on both paths ⇒ exact equality, on a
+    // fixture dense enough to exercise hub orientation + rank ties
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 900).map(_ =>
+      (rnd.nextInt(45).toLong + 1, rnd.nextInt(45).toLong + 1))
+    val driver = runTriangles(edges) // default bound ⇒ driver path
+    val dist = runTriangles(edges, driverMaxEdges = 0L)
+    assert(driver === dist)
+    assert(driver === bruteTriangles(edges.toSet))
+    assert(driver.values.sum > 0, "fixture should contain triangles")
+  }
+
+  test("triangles: driver path accepts node ids beyond 31 bits") {
+    // the distributed plan requires ids < 2³¹ (packed keys); the
+    // driver path ranks instead of packing, so wide ids still count
+    val base = 1L << 40
+    val edges = Seq((base + 1, base + 2), (base + 2, base + 3),
+      (base + 3, base + 1), (base + 3, base + 4))
+    val got = runTriangles(edges)
+    assert(got.values.sum === 1L)
+    assert(got === bruteTriangles(edges.toSet))
   }
 
   private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
