@@ -2354,13 +2354,22 @@ object SparkEntry {
     * classifier, trained on a bounded labeled slice (doc_id % 7 = 1 —
     * the production shape: labels are a sample, apply is the corpus),
     * applied to the held-out doc_id % 7 = 0 slice with the
-    * low-confidence fallback composition. rows-only (iterative float
-    * training + xxhash featurization); LangIdSpec pins loss descent,
-    * holdout separation, determinism, and the fallback routing. */
+    * low-confidence fallback composition. The scoring model goes
+    * through a SAVE + LOAD round trip (Classifier.saveMulti — the
+    * production shape: a trained model is a persisted artifact, not
+    * a per-session retrain; ModelStoreSpec pins the round trip
+    * bit-for-bit, so this query's output is identical to scoring
+    * with the in-memory model). rows-only (iterative float training
+    * + xxhash featurization); LangIdSpec pins loss descent, holdout
+    * separation, determinism, and the fallback routing. */
   private def q174(s: SparkSession, dir: String): DataFrame = {
     val d = langFixture(Tables(s, dir).documents)
-    val model = LangId.train(d.filter(col("doc_id") % 7 === 1),
+    val trained = LangId.train(d.filter(col("doc_id") % 7 === 1),
       "text", "label", LangClasses, dims = 1024, iters = 6)
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft_q174").toString + "/model"
+    Classifier.saveMulti(s, trained, mdir)
+    val model = Classifier.loadMulti(s, mdir)
     d.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("label"),
         LangId.predictWithFallback(col("text"), model).as("__p"))
@@ -2406,6 +2415,48 @@ object SparkEntry {
       centroids = centroids, codebooks = books,
       idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3,
       refine = 4)
+  }
+
+  /** q177: PERSISTED OPQ INDEX SEARCH — q176's exact composition with
+    * the index going to DISK and back between build and search
+    * (Ann.saveOpqIndex / loadOpqIndex / searchOpqIndex): the encoded
+    * corpus, IVF centroids, PQ codebooks AND the OPQ rotation model
+    * persist together (FAISS ships OPQ matrices inside the index for
+    * the same reason), so a later session searches with RAW query
+    * vectors and never retrains or re-encodes anything. Search input
+    * here is the UNROTATED corpus — the loader's stored rotation is
+    * what maps both sides into index space, which is the property
+    * being exercised. rows-only (quantization is engine-specific);
+    * AnnSpec pins save→load→search ≡ in-memory search bit-for-bit on
+    * plain, residual and rotated indexes. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val scaled = e0.select(col("vec_id"),
+      zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => (x * pow(lit(0.87), i)).cast("float")).as("embedding"))
+      .localCheckpoint(false)
+    val pca = Pca.train(scaled, "vec_id", "embedding", k = 64)
+    val rotation =
+      if (Pca.opqRecommended(pca)) Some(Pca.opqModel(pca, 16)) else None
+    val e = rotation match {
+      case Some(r) => Pca.rotate(scaled, "vec_id", "embedding", r)
+        .localCheckpoint(false)
+      case None => scaled
+    }
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+      iters = 5, maxTrain = 4096)
+    val index = Ann.buildPqIndex(e, centroids, books, "vec_id", "embedding")
+    val idir = java.nio.file.Files
+      .createTempDirectory("graft_q177").toString + "/opq_index"
+    Ann.saveOpqIndex(idir, index, centroids, books, "vec_id", "embedding",
+      rotation = rotation)
+    val loaded = Ann.loadOpqIndex(s, idir)
+    Ann.searchOpqIndex(loaded, corpus = scaled,
+      queries = scaled.filter(col("vec_id") < 10),
+      k = 5, nprobe = 3, refine = 4)
   }
 
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
@@ -3408,7 +3459,8 @@ object SparkEntry {
     "q173_dsir_trigram" -> (q173 _),
     "q174_langid_model" -> (q174 _),
     "q175_quality_signals_model" -> (q175 _),
-    "q176_ann_opq" -> (q176 _)
+    "q176_ann_opq" -> (q176 _),
+    "q177_ann_opq_saved" -> (q177 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

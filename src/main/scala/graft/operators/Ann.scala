@@ -609,6 +609,104 @@ object Ann {
       corpus, queries, centroids, codebooks, idCol, vecCol, k, nprobe,
       refine, excludeSelf)
 
+  // ------------------------------------------------------------------
+  // Persisted index artifacts — FAISS's write_index/read_index shape:
+  // the index directory carries EVERYTHING a later session needs to
+  // search (codes, centroids, codebooks, the optional OPQ rotation),
+  // so the corpus encode never re-runs and the models never retrain.
+  // ------------------------------------------------------------------
+
+  /** A loaded index directory: the encoded corpus plus every model
+    * artifact search needs. `rotation` present means corpus AND
+    * queries must rotate through it before probe/ADC — [[
+    * searchOpqIndex]] does both, so callers hand it RAW vectors. */
+  case class PersistedPqIndex(
+      pqIndex: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]], rotation: Option[Pca.Model],
+      residual: Boolean, idCol: String, vecCol: String)
+
+  /** Persist a built PQ index with its full model closure: the
+    * encoded corpus (`dir/index`), the IVF centroids
+    * (`dir/centroids`), the PQ codebooks at full float precision
+    * (`dir/codebooks`), the optional OPQ rotation as a [[Pca.Model]]
+    * artifact (`dir/rotation` — pass the PERMUTED model, i.e.
+    * [[Pca.opqModel]]'s output, which is what [[Pca.rotateOpq]]
+    * rotated the corpus by), and a one-row `dir/meta`. Searching a
+    * load of this directory is bit-identical to searching the
+    * in-memory build (AnnSpec pins plain, residual and rotated
+    * paths) — FAISS ships OPQ matrices inside the index for the same
+    * reason: an index whose rotation lives only in session memory
+    * cannot outlive the session. */
+  def saveOpqIndex(dir: String, pqIndex: DataFrame,
+      centroids: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String, vecCol: String,
+      rotation: Option[Pca.Model] = None,
+      residual: Boolean = false): Unit = {
+    val spark = pqIndex.sparkSession
+    import spark.implicits._
+    // the encoded corpus is the only corpus-sized piece — it keeps
+    // its partitioning; everything else coalesces to one file
+    pqIndex
+      .select(col(idCol), col("centroid_id"), col("codes"),
+        col("vec_norm"))
+      .write.mode("overwrite").parquet(s"$dir/index")
+    centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cv, c) => (s, c, cv) }
+    }.toDF("sub", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    rotation.foreach(Pca.save(spark, _, s"$dir/rotation"))
+    Seq((residual, rotation.isDefined, idCol, vecCol))
+      .toDF("residual", "rotated", "id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Restore a [[saveOpqIndex]] directory. The encoded corpus comes
+    * back as a lazy parquet scan (never collected); centroids,
+    * codebooks and rotation are the bounded model artifacts. */
+  def loadOpqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PersistedPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("residual", "rotated", "id_col", "vec_col").head
+    val (residual, rotated) = (meta.getBoolean(0), meta.getBoolean(1))
+    val (idCol, vecCol) = (meta.getString(2), meta.getString(3))
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .select("sub", "code", "vec").orderBy(col("sub"), col("code"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.toSeq.map(_.getSeq[Float](2).toSeq))
+    PersistedPqIndex(
+      spark.read.parquet(s"$dir/index"),
+      spark.read.parquet(s"$dir/centroids")
+        .select(col("id").as(idCol), col("vec").as(vecCol)),
+      books,
+      if (rotated) Some(Pca.load(spark, s"$dir/rotation")) else None,
+      residual, idCol, vecCol)
+  }
+
+  /** Search a loaded index against RAW corpus/query vectors: when the
+    * index was built over a rotated space, both sides rotate through
+    * the stored model first (queries always; the corpus only for the
+    * exact-rerank fetch, and only candidate rows survive to it), then
+    * the plain or residual probe/ADC/rerank runs unchanged. */
+  def searchOpqIndex(idx: PersistedPqIndex, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, refine: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    def rot(df: DataFrame): DataFrame = idx.rotation match {
+      case Some(r) => Pca.rotate(df, idx.idCol, idx.vecCol, r)
+      case None => df.select(col(idx.idCol), col(idx.vecCol))
+    }
+    if (idx.residual)
+      searchPqIndexResidual(idx.pqIndex, rot(corpus), rot(queries),
+        idx.centroids, idx.codebooks, idx.idCol, idx.vecCol, k, nprobe,
+        refine, excludeSelf)
+    else
+      searchPqIndex(idx.pqIndex, rot(corpus), rot(queries),
+        idx.centroids, idx.codebooks, idx.idCol, idx.vecCol, k, nprobe,
+        refine, excludeSelf)
+  }
+
   /** Top-`nprobe` centroids per query (broadcast-size output). */
   private def assignProbes(
       queries: DataFrame, centroids: DataFrame,

@@ -40,6 +40,67 @@ object Classifier {
   case class Model(weights: Array[Double], bias: Double, dims: Int,
       seed: Long, lossHistory: Seq[Double])
 
+  /** Persist a trained binary [[Model]] as parquet — ONE row holding
+    * the full weight vector at exact double precision (scores are a
+    * pure function of the weight bits; any rounding here would drift
+    * every downstream threshold decision). The artifact is what
+    * makes the trained quality filter a production object: train
+    * once on the labeled sample, ship the directory, score any later
+    * corpus without retraining (the q84 gap closed). */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      model: Model, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias, model.dims, model.seed,
+        model.lossHistory))
+      .toDF("weights", "bias", "dims", "seed", "loss_history")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Restore a [[save]] artifact bit-for-bit. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model = {
+    val r = spark.read.parquet(dir)
+      .select("weights", "bias", "dims", "seed", "loss_history").head
+    Model(r.getSeq[Double](0).toArray, r.getDouble(1), r.getInt(2),
+      r.getLong(3), r.getSeq[Double](4).toList)
+  }
+
+  /** Persist a trained [[MultiModel]] as parquet — one row per class
+    * in CLASS ORDER (prediction ties break to the first class, so the
+    * order is part of the model), each carrying its full-precision
+    * weight row; dims and the loss history repeat per row (verified
+    * consistent on load). The lang-id counterpart of [[save]]: q174's
+    * trained model persists instead of retraining per session. */
+  def saveMulti(spark: org.apache.spark.sql.SparkSession,
+      model: MultiModel, dir: String): Unit = {
+    import spark.implicits._
+    model.classes.indices.map { k =>
+      (k, model.classes(k), model.weights(k).toSeq, model.bias(k),
+        model.dims, model.lossHistory)
+    }.toDF("class_idx", "class_name", "weights", "bias", "dims",
+        "loss_history")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Restore a [[saveMulti]] artifact bit-for-bit, in class order. */
+  def loadMulti(spark: org.apache.spark.sql.SparkSession,
+      dir: String): MultiModel = {
+    val rows = spark.read.parquet(dir)
+      .select("class_idx", "class_name", "weights", "bias", "dims",
+        "loss_history")
+      .orderBy(col("class_idx")).collect()
+    require(rows.nonEmpty, s"loadMulti: empty model at $dir")
+    val dims = rows.head.getInt(4)
+    require(rows.forall(_.getInt(4) == dims),
+      s"loadMulti: inconsistent dims in $dir")
+    MultiModel(
+      rows.toSeq.map(_.getString(1)),
+      rows.map(_.getSeq[Double](2).toArray),
+      rows.map(_.getDouble(3)),
+      dims,
+      rows.head.getSeq[Double](5).toList)
+  }
+
   /** Token → feature id in [0, dims): xxhash64 of the lowercased
     * whitespace token, mod dims. Empty tokens dropped. */
   private[graft] def featureIds(text: Column, dims: Int, seed: Long): Column =

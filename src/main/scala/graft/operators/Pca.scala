@@ -294,18 +294,26 @@ object Pca {
     buckets.toSeq.flatMap(_.result())
   }
 
+  /** The OPQ-permuted model — eigenbasis components reordered by the
+    * Ge et al. balanced allocation for an m-subspace PQ. This is the
+    * SELF-CONTAINED rotation artifact a persisted OPQ index stores
+    * ([[save]]-able like any model): [[rotate]] under this model ≡
+    * [[rotateOpq]] under the original, so a loader never needs to
+    * re-derive the allocation. */
+  def opqModel(model: Model, m: Int): Model = {
+    val perm = opqAllocation(model, m)
+    Model(
+      perm.map(model.components), perm.map(model.offsets),
+      perm.map(model.scales), perm.map(model.eigenvalues))
+  }
+
   /** Eigenbasis rotation with the OPQ-balanced dimension order — the
     * drop-in PQ preprocessing when [[opqRecommended]] says rotate:
     * still a pure orthogonal transform (permutation ∘ rotation), so
     * dots/norms/cosines are preserved with a full basis. */
   def rotateOpq(df: DataFrame, idCol: String, vecCol: String,
-      model: Model, m: Int): DataFrame = {
-    val perm = opqAllocation(model, m)
-    val permuted = Model(
-      perm.map(model.components), perm.map(model.offsets),
-      perm.map(model.scales), perm.map(model.eigenvalues))
-    rotate(df, idCol, vecCol, permuted)
-  }
+      model: Model, m: Int): DataFrame =
+    rotate(df, idCol, vecCol, opqModel(model, m))
 
   /** One whitened coordinate: ((x·v_k) − offset_k) · scale_k. */
   def whitenCol(vec: Column, component: Seq[Float], offset: Double,

@@ -425,4 +425,68 @@ class AnnSpec extends SparkSpec {
       assert(top(appended) == top(rebuilt), s"residual=$residual search")
     }
   }
+
+  test("persisted index directory: save→load→search ≡ in-memory, all variants") {
+    import graft.operators.Pca
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    // plain + residual: raw space, rotation absent
+    for (residual <- Seq(false, true)) {
+      val cents = Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+      val books =
+        if (residual) Ann.trainPqResidual(e, cents, "vec_id",
+          "embedding", m = 8, ksub = 16, iters = 3, maxTrain = 1024)
+        else Ann.trainPq(e, "vec_id", "embedding", m = 8,
+          ksub = 16, iters = 3, maxTrain = 1024)
+      val index =
+        if (residual)
+          Ann.buildPqIndexResidual(e, cents, books, "vec_id", "embedding")
+        else Ann.buildPqIndex(e, cents, books, "vec_id", "embedding")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pqidx_$residual").toString + "/idx"
+      Ann.saveOpqIndex(dir, index, cents, books, "vec_id", "embedding",
+        residual = residual)
+      val loaded = Ann.loadOpqIndex(spark, dir)
+      assert(loaded.residual == residual && loaded.rotation.isEmpty)
+      assert(loaded.codebooks == books) // exact float round trip
+      val mem =
+        if (residual) Ann.searchPqIndexResidual(index, e, queries,
+          cents, books, "vec_id", "embedding", k = 5, nprobe = 3,
+          refine = 2)
+        else Ann.searchPqIndex(index, e, queries, cents, books,
+          "vec_id", "embedding", k = 5, nprobe = 3, refine = 2)
+      val disk = Ann.searchOpqIndex(loaded, e, queries, k = 5,
+        nprobe = 3, refine = 2)
+      assert(dump(disk) == dump(mem), s"residual=$residual")
+    }
+    // rotated: index built over the OPQ space, searched with RAW
+    // vectors — the stored rotation must bring both sides into index
+    // space and reproduce the in-memory rotated search exactly
+    val pca = Pca.train(e, "vec_id", "embedding", k = 8)
+    val rotation = Pca.opqModel(pca, m = 4)
+    val rot = Pca.rotate(e, "vec_id", "embedding", rotation)
+      .localCheckpoint(false)
+    val cents = Ann.trainCentroids(rot, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(rot, "vec_id", "embedding", m = 4,
+      ksub = 16, iters = 3, maxTrain = 1024)
+    val index = Ann.buildPqIndex(rot, cents, books, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_rot").toString + "/idx"
+    Ann.saveOpqIndex(dir, index, cents, books, "vec_id", "embedding",
+      rotation = Some(rotation))
+    val loaded = Ann.loadOpqIndex(spark, dir)
+    assert(loaded.rotation.isDefined)
+    val mem = Ann.searchPqIndex(index, rot,
+      rot.filter(col("vec_id") < 5), cents, books, "vec_id",
+      "embedding", k = 5, nprobe = 3, refine = 2)
+    val disk = Ann.searchOpqIndex(loaded, e, queries, k = 5,
+      nprobe = 3, refine = 2)
+    assert(dump(disk) == dump(mem), "rotated path")
+  }
 }

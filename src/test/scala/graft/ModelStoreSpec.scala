@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.operators.{Bpe, Pca, UnigramLm, WordPiece}
+import graft.operators.{Bpe, Classifier, LangId, Pca, UnigramLm, WordPiece}
 
 /** Parquet persistence round trips for the trained model artifacts —
   * a tokenizer/PCA model trained once must restore bit-identically,
@@ -35,6 +35,49 @@ class ModelStoreSpec extends SparkSpec {
     UnigramLm.saveModel(spark, model, dir)
     val back = UnigramLm.loadModel(spark, dir)
     assert(back == model) // exact doubles, not approximate
+  }
+
+  test("binary classifier model round-trips; scores bit-identical") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (s"doc $i ${if (i % 2 == 0) "clean prose text" else "zz spam zz"}",
+        i % 2)).toDF("text", "label")
+    val m = Classifier.train(docs, "text", "label", dims = 64, iters = 3)
+    val dir = tmp("clf")
+    Classifier.save(spark, m, dir)
+    val back = Classifier.load(spark, dir)
+    // Array fields ⇒ compare contents, not case-class identity
+    assert(back.weights.toSeq == m.weights.toSeq) // exact doubles
+    assert(back.bias == m.bias && back.dims == m.dims &&
+      back.seed == m.seed && back.lossHistory == m.lossHistory)
+    // and the restored model scores bit-for-bit
+    val a = docs.select(Classifier.score(org.apache.spark.sql.functions
+      .col("text"), m)).collect().toSeq
+    val b = docs.select(Classifier.score(org.apache.spark.sql.functions
+      .col("text"), back)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("multiclass lang-id model round-trips; predictions bit-identical") {
+    import spark.implicits._
+    val docs = (1 to 60).flatMap { i =>
+      Seq((s"the and of text sample $i", "en"),
+        (s"der die das und beispiel $i", "de"))
+    }.toDF("text", "label")
+    val m = LangId.train(docs, "text", "label", Seq("en", "de"),
+      dims = 128, iters = 3)
+    val dir = tmp("langid")
+    Classifier.saveMulti(spark, m, dir)
+    val back = Classifier.loadMulti(spark, dir)
+    assert(back.classes == m.classes) // order IS part of the model
+    assert(back.weights.toSeq.map(_.toSeq) ==
+      m.weights.toSeq.map(_.toSeq)) // exact doubles
+    assert(back.bias.toSeq == m.bias.toSeq && back.dims == m.dims &&
+      back.lossHistory == m.lossHistory)
+    val c = org.apache.spark.sql.functions.col("text")
+    val a = docs.select(LangId.predict(c, m)).collect().toSeq
+    val b = docs.select(LangId.predict(c, back)).collect().toSeq
+    assert(a == b)
   }
 
   test("PCA model round-trips bit-identically") {
