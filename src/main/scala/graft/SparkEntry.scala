@@ -654,6 +654,65 @@ object SparkEntry {
       TextStats.redactPii(text).as("clean"))
   }
 
+  /** q178: VOTE-INDEX NORMALIZATION (ref billtrack50_app/
+    * extract.py:58-80 `get_vote_index`) — the last reference
+    * computation without a 1:1 row: possible_score = Σ|Score| over
+    * the page's bill table (BLANK score cells contribute 0, the
+    * reference's `if r.get("Score")` branch), then each scorecard
+    * total normalizes as (total + possible) / (2·possible) · 100 —
+    * the affine map of [-possible, +possible] onto [0, 100]. Pages
+    * are synthesised per customer in the reference's `.bill-table
+    * .pure-table` + scorecard shape (q46's discipline) and the
+    * extraction is the real path: html kernels for the containers,
+    * HtmlTable's header-keyed dict rows for the Score column (the
+    * reference zips headers per row — the column is found by NAME,
+    * not position). Oracle replays the synthesis arithmetic with
+    * identical op order; round(,4) on both sides. Pure projection —
+    * zero exchanges at any page count. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    def sc(i: Int): Column = (((k + i) % 21) - 10).cast("string")
+    val page = concat(
+      lit("<html><body><div class=\"bill-table\">" +
+        "<table class=\"pure-table\">" +
+        "<thead><tr><th>Bill</th><th>Score</th></tr></thead><tbody>" +
+        "<tr><td>B1</td><td>"), sc(1),
+      lit("</td></tr><tr><td>B2</td><td>"), sc(2),
+      lit("</td></tr><tr><td>B3</td><td></td></tr>" +
+        "<tr><td>B4</td><td>"), sc(4),
+      lit("</td></tr></tbody></table></div>" +
+        "<div class=\"bt50-scorecard-container\">" +
+        "<p class=\"legislator-detail-score\"><strong>2023</strong>" +
+        "<span>"),
+      ((k % 101) - 50).cast("string"),
+      lit("</span></p><p class=\"legislator-detail-score\">" +
+        "<strong>Lifetime</strong><span>"),
+      ((k * 7 % 101) - 50).cast("string"),
+      lit("</span></p></div></body></html>"))
+    val vi = (total: Column, possible: Column) =>
+      round((total + possible) / (lit(2.0) * possible) * 100, 4)
+    Tables(s, dir).customer
+      .select(k.as("id"), page.as("__html"))
+      .withColumn("__tbl", HtmlTable.extractTable(
+        CssExtract.element(col("__html"), "table", "class", "pure-table")))
+      .withColumn("__possible", aggregate(
+        slice(col("__tbl"), lit(2), size(col("__tbl")) - 1), lit(0.0),
+        (acc, r) => {
+          val v = element_at(
+            map_from_arrays(element_at(col("__tbl"), 1), r), "Score")
+          acc + when(v.isNull || v === "", lit(0.0))
+            .otherwise(abs(v.cast("double")))
+        }))
+      .withColumn("__sc",
+        CssExtract.bt50Scorecard(col("__html")).getField("scores"))
+      .select(col("id"),
+        round(col("__possible"), 4).as("possible_score"),
+        vi(element_at(col("__sc"), "2023").cast("double"),
+          col("__possible")).as("vote_index_2023"),
+        vi(element_at(col("__sc"), "Lifetime").cast("double"),
+          col("__possible")).as("vote_index_lifetime"))
+  }
+
   /** q48: corpus n-gram frequency table (top bigrams by doc frequency —
     * shingles are per-doc distinct). Explode → hash-agg with map-side
     * combine; vocabulary-bounded output at any corpus size. */
@@ -2238,6 +2297,61 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("text")), "text",
       numMerges = 40)
 
+  /** Case/punctuation-rich twin of the documents text shared by
+    * q179/q180: the raw corpus is lowercase [a-z ] only, so a
+    * deterministic doc_id-keyed tail of mixed case, digits and
+    * punctuation is appended — the input classes the char-level
+    * [a-z]+ pipeline (q154) DROPS and byte-level BPE exists to keep.
+    * All printable ASCII (byte symbols = identity chars), which is
+    * what lets the DuckDB oracle replay the encode; the multi-byte
+    * UTF-8 half of the byte story is BpeSpec-pinned on unicode
+    * fixtures instead. */
+  private[graft] def bbpeFixture(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        element_at(typedlit(BbpeTails),
+          (col("doc_id") % 5 + 1).cast("int"))).as("text"))
+
+  private val BbpeTails = Seq(
+    "Dr. Smith-Jones said NO!", "O'Neil (R-2024) voted 57%.",
+    "x=42; y*3+1?", "#Done: 100% [OK].", "The U.S. Senate & Co.")
+
+  /** FROZEN byte-level merge list for q179: the output of
+    * `Bpe.trainBytes` over the sf0.01 bbpeFixture corpus (24 merges,
+    * maxWords default), kept as a literal so the DuckDB oracle can
+    * replay the identical rank table. BpeSpec re-derives it from the
+    * corpus and pins the equality, so drift between the constant and
+    * the trainer is caught in CI. */
+  private[graft] val BbpeMerges: Seq[String] = Seq(
+    "e|r", "i|n", "o|w", "o|r", "s|t", "a|t", "m|er", "l|u", "a|r",
+    "p|ar", "i|l", "j|o", "jo|in", "a|s", "as|h", "h|ash", "r|ow",
+    "h|e", "at|c", "atc|h", "b|atch", "a|n", "c|an", "s|can")
+
+  /** q179: BYTE-LEVEL BPE ENCODE (Bpe.tokenHistogramBytes + the
+    * `byte_symbols` ∘ `bpe_encode` kernels) — the GPT-2-style
+    * tokenizer real pretraining ships: the alphabet is the 256 UTF-8
+    * byte values (ByteAlphabet's bijection), so case, digits and
+    * punctuation all encode with NO possible UNK — input q154's
+    * [a-z]+ char-level pipeline silently drops. Words are
+    * case-preserving whitespace tokens of the punctuation-rich
+    * fixture. Oracle replays the same unrolled lowest-rank merge
+    * loop over the fixture's words — on printable ASCII the byte
+    * symbols ARE the chars, so the replay is exact (hash-exact);
+    * BpeSpec pins the multi-byte unicode path. */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenHistogramBytes(bbpeFixture(Tables(s, dir).documents),
+      "text", BbpeMerges, k = 30)
+
+  /** q180: BYTE-LEVEL BPE TRAIN (Bpe.mergeTableBytes) — the trained
+    * byte merge table (rank, left, right) from the same word-dict +
+    * driver-loop recipe as q155, over byte-symbol words. Rows-only
+    * (iterative training is not static-SQL-replayable); BpeSpec pins
+    * the trainer against the frozen q179 list and the byte-alphabet
+    * bijection. */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergeTableBytes(bbpeFixture(Tables(s, dir).documents)
+      .select(col("text")), "text", numMerges = 24)
+
   /** q157: EXACT TOKENIZER COUNTS (Bpe.tokenCounts) — per-doc
     * (n_words, n_tokens) under the frozen merge list: the real value
     * q39's whitespace-BPE-ish approximation stands in for, and the
@@ -3460,7 +3574,10 @@ object SparkEntry {
     "q174_langid_model" -> (q174 _),
     "q175_quality_signals_model" -> (q175 _),
     "q176_ann_opq" -> (q176 _),
-    "q177_ann_opq_saved" -> (q177 _)
+    "q177_ann_opq_saved" -> (q177 _),
+    "q178_vote_index" -> (q178 _),
+    "q179_bbpe_encode" -> (q179 _),
+    "q180_bbpe_train" -> (q180 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5780,6 +5897,21 @@ object SparkEntry {
       """enc AS (SELECT unnest(l) AS token FROM t11)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
+    // q179: the byte-level twin — same unrolled lowest-rank merge
+    // machinery over the punctuation-rich fixture's case-preserving
+    // \S+ words; printable-ASCII byte symbols ARE the chars, so the
+    // char-split replay is exact (the multi-byte unicode path is
+    // BpeSpec-pinned instead).
+    "q179_bbpe_encode" -> ("WITH " + bpeUnrolledSteps(BbpeMerges,
+      steps = 11,
+      wordsSql = "SELECT doc_id, unnest(regexp_extract_all(" +
+        "text || ' ' || (" +
+        BbpeTails.map(t => "'" + t.replace("'", "''") + "'")
+          .mkString("[", ", ", "]") +
+        ")[CAST(doc_id % 5 + 1 AS INT)], '\\S+')) AS w FROM documents") +
+      """enc AS (SELECT unnest(l) AS token FROM t11)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
     // q157: same unrolled machinery, finished as per-doc counts
     "q157_bpe_token_count" -> ("WITH " + bpeUnrolledSteps(BpeMerges, steps = 11) +
       """fin AS (SELECT doc_id, l FROM t11)
@@ -5828,7 +5960,28 @@ object SparkEntry {
         |UNION ALL SELECT 'wordpiece', n_words, n_tokens,
         |  round(n_tokens / n_words, 4) FROM wt
         |UNION ALL SELECT 'unigram', n_words, n_tokens,
-        |  round(n_tokens / n_words, 4) FROM ut""".stripMargin)
+        |  round(n_tokens / n_words, 4) FROM ut""".stripMargin),
+    // q178: the synthesis arithmetic replayed from c_custkey with
+    // identical op order — possible = |s1|+|s2|+|s4| (s3 blank →
+    // contributes 0), vote_index = ((t + p) / (2·p)) · 100; all
+    // operands exact small-integer doubles, so only the final
+    // quotient/product carry float bits and both engines fold them
+    // identically.
+    "q178_vote_index" ->
+      """WITH b AS (SELECT c_custkey AS id,
+        |  abs(CAST(((c_custkey + 1) % 21) - 10 AS DOUBLE))
+        |    + abs(CAST(((c_custkey + 2) % 21) - 10 AS DOUBLE))
+        |    + abs(CAST(((c_custkey + 4) % 21) - 10 AS DOUBLE))
+        |    AS possible,
+        |  CAST((c_custkey % 101) - 50 AS DOUBLE) AS t2023,
+        |  CAST((c_custkey * 7 % 101) - 50 AS DOUBLE) AS tlife
+        |  FROM customer)
+        |SELECT id, round(possible, 4) AS possible_score,
+        |  round((t2023 + possible) / (2.0 * possible) * 100, 4)
+        |    AS vote_index_2023,
+        |  round((tlife + possible) / (2.0 * possible) * 100, 4)
+        |    AS vote_index_lifetime
+        |FROM b""".stripMargin
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query
@@ -5997,7 +6150,9 @@ object SparkEntry {
     * over DuckDB lists, carrying (doc_id, token list) into a final
     * stage the caller appends. */
   private def bpeUnrolledSteps(merges: Seq[String], steps: Int,
-      prefix: String = ""): String = {
+      prefix: String = "",
+      wordsSql: String = "SELECT doc_id, unnest(regexp_extract_all(" +
+        "lower(text), '[a-z]+')) AS w FROM documents"): String = {
     val P = prefix
     val ms = merges.map(p => s"'$p'").mkString("[", ", ", "]")
     val sb = new StringBuilder
@@ -6005,9 +6160,7 @@ object SparkEntry {
       s"""${P}m AS (SELECT $ms AS ms),
          |${P}t0 AS (
          |  SELECT doc_id, regexp_extract_all(w, '.') AS l
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |        FROM documents)
+         |  FROM ($wordsSql)
          |  WHERE length(w) BETWEEN 2 AND 12),
          |""".stripMargin)
     for (i <- 1 to steps) {

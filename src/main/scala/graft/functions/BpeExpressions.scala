@@ -388,6 +388,103 @@ case class UnigramEncode(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** GPT-2-style byte↔unicode alphabet (Radford et al. 2019 `bytes_to_
+  * unicode`): a BIJECTION from the 256 byte values onto 256 printable
+  * BMP chars, so BYTE-level BPE can reuse the whole string-token merge
+  * machinery — a word becomes its UTF-8 bytes, each byte becomes one
+  * alphabet char, and merges/encodes run over those chars exactly as
+  * the char-level tokenizer does. Because every byte has a symbol,
+  * NO input is ever out-of-alphabet (the no-UNK property byte-level
+  * tokenizers exist for).
+  *
+  * One deliberate deviation from the GPT-2 table: byte 0x7C ('|') maps
+  * into the 256+ offset range instead of to itself — '|' is this
+  * engine's merge-pair separator ("left|right" rank keys, saveMerges
+  * round trip), and a symbol alphabet containing it would make those
+  * keys ambiguous (the same reason trainFromCounts rejects it). The
+  * mapping stays a bijection, so nothing else changes. */
+object ByteAlphabet {
+  val byteToChar: Array[Char] = {
+    // printable bytes keep their own char — EXCEPT '|' (0x7C), see doc
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255))
+      .filterNot(_ == '|'.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+  val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** UTF-8 bytes of `s`, one alphabet char per byte. */
+  def toSymbols(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = byteToChar(bytes(i) & 0xff); i += 1 }
+    new String(out)
+  }
+
+  /** Inverse of [[toSymbols]] — for displaying byte-level tokens. */
+  def fromSymbols(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      bytes(i) = charToByte.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"fromSymbols: '${s.charAt(i)}' is not an alphabet symbol")
+      ).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** Reference object behind `byte_symbols` — stateless, but shipped as
+  * a codegen reference so generated code calls a plain method. */
+final class ByteSymbolsCodec extends Serializable {
+  def encode(w: UTF8String): UTF8String =
+    UTF8String.fromString(ByteAlphabet.toSymbols(w.toString))
+}
+
+/** `byte_symbols(text)` — map a string to its UTF-8 byte-symbol form
+  * under [[ByteAlphabet]] (one BMP char per byte). The pre-step that
+  * turns the char-level `bpe_encode` kernel into a BYTE-level
+  * tokenizer; printable ASCII (minus '|') maps to itself, so on plain
+  * ASCII corpora the mapping is the identity — which is what keeps
+  * the byte-BPE query SQL-replayable. Null → null; a pure projection
+  * (codegen'd, no shuffle). */
+case class ByteSymbols(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "byte_symbols"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: text must be string, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val codec = new ByteSymbolsCodec
+
+  override protected def nullSafeEval(w: Any): Any =
+    codec.encode(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteSymCodec", codec,
+      classOf[ByteSymbolsCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): ByteSymbols = copy(child = c)
+}
+
 /** `bpe_encode(word, merges)` — tokenize one word against a LITERAL
   * merge list (array<string> of "left|right" entries in rank order).
   * Null word → null; the merge list must be foldable (it is state,

@@ -160,6 +160,77 @@ object Bpe {
         sum(size(encodeCol(col("word"), merges)).cast("long"))
           .as("n_tokens"))
 
+  // ------------------------------------------------------------------
+  // BYTE-level (GPT-2 style) variant — the no-UNK tokenizer real
+  // pretraining ships: the alphabet is the 256 UTF-8 byte values
+  // (via graft.functions.ByteAlphabet's byte↔char bijection), so
+  // EVERY input is encodable — case, punctuation, digits, emoji,
+  // supplementary CJK — where [[words]]' char-level pipeline only
+  // sees [a-z]+. Same scale shape as the char-level half: train on
+  // the bounded word-frequency dict, encode as a pure projection.
+  // ------------------------------------------------------------------
+
+  /** One byte-symbol word per row: whitespace-separated raw tokens
+    * (case preserved — byte-level tokenizers are case-sensitive),
+    * mapped through `byte_symbols`, length bounds applied to the
+    * BYTE count (= symbol count). Requires GraftExtensions. */
+  def wordsBytes(df: DataFrame, textCol: String,
+      minLen: Int = 2, maxLen: Int = 12): DataFrame =
+    df.select(explode(
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__w"))
+      .select(call_function("byte_symbols", col("__w")).as("word"))
+      .filter(length(col("word")).between(minLen, maxLen))
+
+  /** Train a BYTE-level merge list: the word-frequency dict over
+    * byte-symbol words, then the identical driver loop — byte symbols
+    * are single BMP chars, so [[trainFromCounts]]' code-point split
+    * IS the per-byte split, and the '|' separator can never collide
+    * (byte 0x7C maps OUT of the identity range by construction —
+    * [[graft.functions.ByteAlphabet]]). Merges/encodes downstream are
+    * the same "left|right" machinery as the char-level family. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 30000, minLen: Int = 2, maxLen: Int = 12)
+      : Seq[String] = {
+    val wc = wordsBytes(df, textCol, minLen, maxLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(maxWords) // bounded driver collect: vocabulary, not corpus
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(wc, numMerges)
+  }
+
+  /** Byte-level token column for a RAW word column: `byte_symbols`
+    * then the stock `bpe_encode` kernel — tokens come out as
+    * byte-symbol strings (map through
+    * [[graft.functions.ByteAlphabet.fromSymbols]] for display). */
+  def encodeBytesCol(word: Column, merges: Seq[String]): Column =
+    call_function("bpe_encode",
+      call_function("byte_symbols", word), typedlit(merges))
+
+  /** q179 shape: byte-level token histogram — [[tokenHistogram]] over
+    * the byte-symbol word stream. One scan, one aggregate exchange. */
+  def tokenHistogramBytes(docs: DataFrame, textCol: String,
+      merges: Seq[String], k: Int): DataFrame =
+    wordsBytes(docs, textCol)
+      .select(explode(encodeCol(col("word"), merges)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** q180 shape: the trained byte-level merge table as rows
+    * (rank, left, right) — [[mergeTable]]'s byte twin. */
+  def mergeTableBytes(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 30000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBytes(docs, textCol, numMerges, maxWords).zipWithIndex.map {
+      case (p, i) =>
+        val Array(a, b) = p.split("\\|", 2)
+        (i, a, b)
+    }.toDF("rank", "left", "right")
+  }
+
   /** Persist a trained merge list as parquet (rank, left, right) —
     * the artifact a tokenizer run ships; [[loadMerges]] restores the
     * rank-ordered list for [[encodeCol]]. A model is a few KB: the

@@ -150,6 +150,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bpe_encode",
       es => BpeEncode(es.head, es(1)),
       "bpe_encode(word, merges) - BPE-tokenize a word against a literal array<string> of 'left|right' merges in rank order"))
+    ext.injectFunction(fn("byte_symbols",
+      es => ByteSymbols(es.head),
+      "byte_symbols(text) - UTF-8 byte-symbol form (one BMP char per byte, GPT-2 bytes_to_unicode style) for byte-level BPE"))
     ext.injectFunction(fn("wordpiece_encode",
       es => WordPieceEncode(es.head, es(1)),
       "wordpiece_encode(word, vocab) - greedy longest-match WordPiece tokenization against a literal array<string> vocabulary ('##' continuation pieces)"))

@@ -146,4 +146,74 @@ class BpeSpec extends SparkSpec {
     assert(mt.map { case (_, a, b) => s"$a|$b" } ===
       SparkEntry.BpeMerges.take(10))
   }
+
+  // --- byte-level (GPT-2 style) family ---
+
+  test("ByteAlphabet: a 256-bijection, '|' excluded, unicode round-trips") {
+    import graft.functions.ByteAlphabet
+    assert(ByteAlphabet.byteToChar.distinct.length === 256)
+    assert(ByteAlphabet.charToByte.size === 256)
+    // '|' is the merge separator — it must NOT be an alphabet symbol
+    assert(!ByteAlphabet.byteToChar.contains('|'))
+    assert(ByteAlphabet.toSymbols("|").forall(_ != '|'))
+    // printable ASCII (minus '|') maps to itself — the oracle's
+    // identity assumption
+    for (c <- (33 to 126).map(_.toChar) if c != '|')
+      assert(ByteAlphabet.toSymbols(c.toString) === c.toString, s"char $c")
+    // full unicode round trip: one symbol PER UTF-8 BYTE
+    for (s <- Seq("café", "naïve", "日本語テキスト", "emoji 🎉 ok",
+        "Ω≈ç√", "a|b|c", "")) {
+      val sym = ByteAlphabet.toSymbols(s)
+      assert(sym.length ===
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+      assert(ByteAlphabet.fromSymbols(sym) === s)
+    }
+  }
+
+  test("byte_symbols kernel equals the driver mapping on mixed text") {
+    import graft.functions.ByteAlphabet
+    val rows = Seq("Dr. Smith-Jones said NO!", "café 日本 🎉", "x=42;",
+      "plain lowercase words").toDF("t")
+    val got = rows.select(call_function("byte_symbols", col("t")))
+      .as[String].collect().toSeq
+    val want = Seq("Dr. Smith-Jones said NO!", "café 日本 🎉", "x=42;",
+      "plain lowercase words").map(ByteAlphabet.toSymbols)
+    assert(got === want)
+  }
+
+  test("trainBytes: deterministic, frozen q179 list matches the fixture") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val fix = SparkEntry.bbpeFixture(docs).select(col("text"))
+    val m1 = Bpe.trainBytes(fix, "text", numMerges = 24)
+    assert(m1 === Bpe.trainBytes(fix, "text", numMerges = 24))
+    assert(m1 === SparkEntry.BbpeMerges)
+  }
+
+  test("byte-level encode: no input class is dropped, no UNK possible") {
+    import graft.functions.ByteAlphabet
+    // q154's char-level pipeline only sees [a-z]+; the byte pipeline
+    // must tokenize case/digits/punct/unicode words — every token a
+    // sequence over the 256-symbol base alphabet, never an UNK marker
+    val docs = Seq("Mixed-CASE tokens, 42% punct! café 東京 🎉 ok")
+      .toDF("text")
+    val words = Bpe.wordsBytes(docs, "text", minLen = 1, maxLen = 50)
+      .as[String].collect().toSeq
+    assert(words.size === 8) // every whitespace token survives
+    val toks = docs.sparkSession.range(1).select(
+      explode(typedlit(words)).as("word"))
+      .select(Bpe.encodeCol(col("word"), SparkEntry.BbpeMerges))
+      .as[Seq[String]].collect().toSeq
+    // reassembling the tokens reproduces each word exactly (lossless,
+    // the no-UNK property) — including the multi-byte unicode ones
+    assert(toks.map(ts => ByteAlphabet.fromSymbols(ts.mkString)) ===
+      words.map(ByteAlphabet.fromSymbols))
+    // and a multi-byte char splits into one symbol per byte when no
+    // merge covers it: é is 2 bytes, 東 is 3
+    val eAcc = Bpe.encodeBytesCol(lit("é"), SparkEntry.BbpeMerges)
+    assert(docs.sparkSession.range(1).select(eAcc)
+      .as[Seq[String]].head.size === 2)
+    val cjk = Bpe.encodeBytesCol(lit("東"), SparkEntry.BbpeMerges)
+    assert(docs.sparkSession.range(1).select(cjk)
+      .as[Seq[String]].head.size === 3)
+  }
 }
