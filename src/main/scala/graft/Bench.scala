@@ -136,6 +136,30 @@ object Bench {
         None
     }
 
+  /** Per-query MIN merge of an existing same-sf baseline with a new
+    * run's medians: new queries join, queries absent from the run
+    * keep their record, and the alloc entry follows whichever side
+    * supplied the kept median (the ratio the gate attributes against
+    * must describe the run that set the time). Pure — spec-pinned. */
+  private[graft] def foldBaseline(
+      bMed: Map[String, Double], bAlloc: Map[String, Double],
+      runMed: Map[String, Double], runAlloc: Map[String, Double])
+      : (Map[String, Double], Map[String, Double]) = {
+    val keys = bMed.keySet ++ runMed.keySet
+    val m = keys.map { k =>
+      k -> ((bMed.get(k), runMed.get(k)) match {
+        case (Some(b), Some(r)) => math.min(b, r)
+        case (b, r) => b.orElse(r).get
+      })
+    }.toMap
+    val a = keys.map { k =>
+      val fromRun = runMed.get(k).exists(r => bMed.get(k).forall(r <= _))
+      k -> (if (fromRun) runAlloc.getOrElse(k, -1.0)
+            else bAlloc.getOrElse(k, -1.0))
+    }.toMap
+    (m, a)
+  }
+
   private def jsonStr(s: String): String =
     // truncate BEFORE escaping: a cut after escaping can land mid
     // escape-pair (lone trailing backslash) and emit invalid JSON
@@ -425,6 +449,23 @@ object Bench {
       if (as.isEmpty) -1.0 else as(as.size / 2)
     }
 
+    // ---- repo-root anchor for committed artifacts (r14 ADVICE):
+    // baseline + detail files are repo artifacts — resolving them
+    // against the process CWD writes stray files when the bench is
+    // launched from anywhere else. SPARK_GRAFT_REPO_ROOT wins; else
+    // the nearest ancestor carrying build.sbt; else CWD (unchanged
+    // behavior for in-repo launches).
+    val repoRoot: java.nio.file.Path =
+      sys.env.get("SPARK_GRAFT_REPO_ROOT")
+        .map(java.nio.file.Paths.get(_).toAbsolutePath)
+        .orElse {
+          Iterator.iterate(
+              java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+            .takeWhile(_ != null).take(6)
+            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        }
+        .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+
     // ---- regression gate vs the committed baseline (object scaladoc)
     // resolution order: explicit env path; the per-sf file
     // bench_baseline_<sfname>.json (so sf0.01 dev runs gate against
@@ -433,12 +474,10 @@ object Bench {
     val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(java.nio.file.Paths.get(_).toAbsolutePath)
       .orElse {
-        val perSf = java.nio.file.Paths.get(
-          s"bench_baseline_$sfName.json").toAbsolutePath
+        val perSf = repoRoot.resolve(s"bench_baseline_$sfName.json")
         if (java.nio.file.Files.exists(perSf)) Some(perSf) else None
       }
-      .getOrElse(java.nio.file.Paths.get("bench_baseline.json")
-        .toAbsolutePath)
+      .getOrElse(repoRoot.resolve("bench_baseline.json"))
     val baseline =
       if (java.nio.file.Files.exists(baselinePath)) readBaseline(baselinePath)
       else None
@@ -473,28 +512,72 @@ object Bench {
       jsonStr(n) + s""":[${num(ratio)},${num(bm)},${jsonStr(v)}]"""
     }.mkString("{", ",", "}")
 
-    // refresh the committed baseline from THIS run when asked (do it
-    // on a healthy record: prewarm probe in the GB/s, flat canary).
+    // refresh the committed baseline from THIS run when asked.
+    // SPARK_GRAFT_BENCH_WRITE_BASELINE=1 overwrites with this run's
+    // medians; =fold takes the per-query MIN of this run and the
+    // existing same-sf baseline (new queries join, absent ones keep
+    // their record — the cross-round ratcheting that used to be a
+    // manual merge). FOLD GUARD (r14 verdict): a record may only
+    // write/fold when its window was HEALTHY — prewarm hit
+    // healthy_mbps by attempt 2 AND the canary series is flat —
+    // because a just-barely-passing degraded window can still land a
+    // few lucky minima and ratchet the baseline to numbers a healthy
+    // median run can't reproduce. SPARK_GRAFT_BENCH_BASELINE_FORCE=1
+    // overrides (for boxes whose steady-state I/O is simply slower).
     // Non-sf0.1 runs write their per-sf file so a dev refresh can
     // never clobber the primary record.
     val writePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(java.nio.file.Paths.get(_).toAbsolutePath)
-      .getOrElse(java.nio.file.Paths.get(
+      .getOrElse(repoRoot.resolve(
         if (sfName == "sf0.1") "bench_baseline.json"
-        else s"bench_baseline_$sfName.json").toAbsolutePath)
-    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
-      val bq = results.filter(_.err.isEmpty)
-        .map(r => jsonStr(r.name) + ":" + num(r.median))
-        .mkString("{", ",", "}")
-      val ba = results.filter(_.err.isEmpty)
-        .map(r => jsonStr(r.name) + ":" + num(allocMedian(r)))
-        .mkString("{", ",", "}")
-      try java.nio.file.Files.writeString(writePath,
-        s"""{"sf":${jsonStr(sfDir)},"queries":$bq,"alloc_mb":$ba,""" +
-          s""""prewarm_mbps":${num(pwMbps)},"iters":$iters}""")
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] baseline write failed: $e")
+        else s"bench_baseline_$sfName.json"))
+    val writeMode = sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE")
+      .filter(m => m == "1" || m == "fold")
+    if (writeMode.nonEmpty) {
+      val canarySecs = canary.map(_._2.sec)
+      val canaryFlat = canarySecs.size < 2 ||
+        canarySecs.max <= canarySecs.min * 2.0
+      val healthyWindow = pwTarget <= 0 ||
+        (pwAttempts.size <= 2 && pwMbps >= pwHealthy && canaryFlat)
+      val force =
+        sys.env.get("SPARK_GRAFT_BENCH_BASELINE_FORCE").contains("1")
+      if (!healthyWindow && !force) {
+        System.err.println(f"[bench] baseline ${writeMode.get} SKIPPED" +
+          f" (fold guard): prewarm ${pwAttempts.size} attempt(s) at" +
+          f" $pwMbps%.0f MB/s (healthy $pwHealthy%.0f by attempt 2)," +
+          f" canary flat=$canaryFlat - set" +
+          " SPARK_GRAFT_BENCH_BASELINE_FORCE=1 to override")
+      } else {
+        val runMed = results.filter(_.err.isEmpty)
+          .map(r => r.name -> r.median).toMap
+        val runAlloc = results.filter(_.err.isEmpty)
+          .map(r => r.name -> allocMedian(r)).toMap
+        val (med, alloc) =
+          if (writeMode.contains("fold") &&
+              java.nio.file.Files.exists(writePath))
+            readBaseline(writePath) match {
+              case Some((bsf, bMed, bAlloc)) if bsf == sfDir =>
+                foldBaseline(bMed, bAlloc, runMed, runAlloc)
+              case Some((bsf, _, _)) =>
+                System.err.println(s"[bench] fold: baseline sf $bsf" +
+                  s" != $sfDir - overwriting instead")
+                (runMed, runAlloc)
+              case None => (runMed, runAlloc)
+            }
+          else (runMed, runAlloc)
+        val bq = med.toSeq.sortBy(_._1)
+          .map { case (k, v) => jsonStr(k) + ":" + num(v) }
+          .mkString("{", ",", "}")
+        val ba = alloc.toSeq.sortBy(_._1)
+          .map { case (k, v) => jsonStr(k) + ":" + num(v) }
+          .mkString("{", ",", "}")
+        try java.nio.file.Files.writeString(writePath,
+          s"""{"sf":${jsonStr(sfDir)},"queries":$bq,"alloc_mb":$ba,""" +
+            s""""prewarm_mbps":${num(pwMbps)},"iters":$iters}""")
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] baseline write failed: $e")
+        }
       }
     }
     val qs = results.map { r =>
@@ -562,7 +645,7 @@ object Bench {
     // round's full medians then land in history with the round commit,
     // and regression diffs keep the head queries the tail clips.
     val detailTargets = Seq(detailPath,
-      java.nio.file.Paths.get("bench_detail_latest.json").toAbsolutePath)
+      repoRoot.resolve("bench_detail_latest.json"))
     detailTargets.distinct.foreach { p =>
       try {
         Option(p.getParent)

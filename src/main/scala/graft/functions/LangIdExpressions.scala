@@ -45,16 +45,38 @@ final class LangFeaturesCodec(val dims: Int, val seed: Long,
   }
 
   def features(text: UTF8String): ArrayData = {
-    val full = text.toString.toLowerCase(java.util.Locale.ROOT)
-    val t = if (full.length <= maxChars) full else full.substring(0, maxChars)
-    val n = t.length
-    val out = new java.util.ArrayList[Any](n + 16)
-    // char trigrams with multiplicity (positions 0 .. n-3)
-    var i = 0
-    while (i + 3 <= n) {
-      out.add(Integer.valueOf(bucket("cg:" + t.substring(i, i + 3))))
-      i += 1
+    // Spark-semantics lowercase (UTF8String.toLowerCase — what the
+    // portable lower() evaluates) and a CODE-POINT cap/window, not
+    // UTF-16 units: the portable path's substring/length/transform
+    // all count code points, so on non-BMP text (emoji, supplementary
+    // CJK) a char-unit loop would window and trigram differently —
+    // native ≡ portable must hold beyond the BMP (r14 ADVICE).
+    val full = text.toLowerCase.toString
+    val cpTotal = full.codePointCount(0, full.length)
+    val t =
+      if (cpTotal <= maxChars) full
+      else full.substring(0, full.offsetByCodePoints(0, maxChars))
+    // code-point start offsets: starts(j) = UTF-16 offset of point j
+    val cpN = math.min(cpTotal, maxChars)
+    val starts = new Array[Int](cpN + 1)
+    var u = 0
+    var cp = 0
+    while (u < t.length) {
+      starts(cp) = u
+      u += Character.charCount(t.codePointAt(u))
+      cp += 1
     }
+    starts(cpN) = t.length
+    val n = t.length
+    val out = new java.util.ArrayList[Any](cpN + 16)
+    // char trigrams with multiplicity over CODE POINTS (0 .. cpN-3)
+    var g = 0
+    while (g + 3 <= cpN) {
+      out.add(Integer.valueOf(
+        bucket("cg:" + t.substring(starts(g), starts(g + 3)))))
+      g += 1
+    }
+    var i = 0
     // stopword occurrences: single-space split, multiplicity kept
     val words = t.split(" ", -1)
     i = 0

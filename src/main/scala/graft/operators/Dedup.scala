@@ -1001,7 +1001,24 @@ object Dedup {
        else b1.select(col("b_id"), col("__vb"), col("__nb"),
          explode(array(probeCols: _*)).as("bucket")))
         .localCheckpoint(false)
-    val b = if (broadcastBatch) broadcast(b0) else b0
+    // multi-probe REPLICATES the batch 1 + planes [+ C(planes,2)]
+    // times before the broadcast — ~37x at the default 8 planes but
+    // ~2000x at 62 planes with probeFlips=2, which can push an
+    // innocent-looking batch past the broadcast threshold (r14
+    // ADVICE). Above the replication bound the probe join falls back
+    // to a shuffle join: same result, the exchange instead of an
+    // oversized broadcast.
+    val replication = probeCols.size
+    val MaxBroadcastReplication = 128
+    val doBroadcast = broadcastBatch &&
+      (replication <= MaxBroadcastReplication || {
+        log.warn(s"incrementalEmbeddingNearDup: probe replication " +
+          s"$replication > $MaxBroadcastReplication " +
+          s"(numPlanes=$numPlanes, probeFlips=$probeFlips) - " +
+          "falling back to a shuffle join for the probe side")
+        false
+      })
+    val b = if (doBroadcast) broadcast(b0) else b0
     // on a SAVED index, the batch's sign-buckets determine the shards
     // it can possibly match — a tiny driver-collected set that prunes
     // the (vector-sized) corpus scan to the batch's partitions; an

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gate-baseline fold is what every round's perf verdict reads —
+  * a merge bug here silently corrupts the record all future
+  * regressions are judged against, so the pure merge is pinned. */
+class BenchFoldSpec extends AnyFunSuite {
+
+  test("foldBaseline: per-query min, joins/keeps, alloc follows the winner") {
+    val bMed = Map("q1" -> 1.0, "q2" -> 2.0, "q_gone" -> 5.0)
+    val bAlloc = Map("q1" -> 100.0, "q2" -> 200.0, "q_gone" -> 500.0)
+    val runMed = Map("q1" -> 0.8, "q2" -> 2.5, "q_new" -> 3.0)
+    val runAlloc = Map("q1" -> 90.0, "q2" -> 260.0, "q_new" -> 300.0)
+    val (m, a) = Bench.foldBaseline(bMed, bAlloc, runMed, runAlloc)
+    // q1: run faster -> run median AND run alloc win
+    assert(m("q1") === 0.8 && a("q1") === 90.0)
+    // q2: baseline faster -> baseline median AND baseline alloc kept
+    assert(m("q2") === 2.0 && a("q2") === 200.0)
+    // a query absent from this run keeps its record untouched
+    assert(m("q_gone") === 5.0 && a("q_gone") === 500.0)
+    // a new query joins with its run numbers
+    assert(m("q_new") === 3.0 && a("q_new") === 300.0)
+    assert(m.keySet === Set("q1", "q2", "q_gone", "q_new"))
+  }
+
+  test("foldBaseline: exact tie keeps the RUN's alloc (fresher attribution)") {
+    val (m, a) = Bench.foldBaseline(
+      Map("q" -> 1.5), Map("q" -> 111.0),
+      Map("q" -> 1.5), Map("q" -> 222.0))
+    assert(m("q") === 1.5 && a("q") === 222.0)
+  }
+
+  test("foldBaseline: missing alloc entries degrade to -1, not a crash") {
+    val (m, a) = Bench.foldBaseline(
+      Map("q" -> 2.0), Map.empty, Map("q" -> 1.0), Map.empty)
+    assert(m("q") === 1.0 && a("q") === -1.0)
+  }
+}

@@ -44,10 +44,17 @@ class LangIdSpec extends SparkSpec {
   test("native lang_features kernel matches the portable definition") {
     assert(spark.catalog.functionExists("lang_features"),
       "extensions must register the kernel in the spec session")
-    // mixed scripts, short texts, empty text, stopwords, >600 chars
+    // mixed scripts, short texts, empty text, stopwords, >600 chars,
+    // and NON-BMP text (emoji, supplementary CJK: every code point is
+    // two UTF-16 units — the r14 ADVICE divergence class: cap, window
+    // and trigram positions must count code points on both paths) +
+    // uppercase Σ/İ (lowercase must be Spark's own, not Locale.ROOT)
     val docs = (corpus(5, seed = 3).map(_._2) ++ Seq(
       "", "ab", "the и 的 και der", "x" * 1200,
-      "der die das " + ("ж" * 50) + " και το")).zipWithIndex
+      "der die das " + ("ж" * 50) + " και το",
+      "🎉🌍🚀 emoji 🎉 der die das 𠀀𠀁𠀂 text",
+      "🎉" * 700, // the code-point cap lands inside the emoji run
+      "ΣΙΓΜΑ İstanbul MIXED Case Ǆungla")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val both = docs.select(col("id"),
         LangId.featureIds(col("text"), 512).as("n"),

@@ -235,6 +235,16 @@ class LshRecallSpec extends SparkSpec {
         .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(multiLoaded == multi,
       "file-backed shard pruning dropped probe-bucket shards")
+    // the replication guard (1 + planes + C(planes,2) probe rows can
+    // blow the broadcast threshold at high plane counts): the shuffle
+    // fallback must return the identical pair set
+    val shuffled =
+      Dedup.incrementalEmbeddingNearDup(batch, index, "vec_id",
+        "embedding", dim = 64, numPlanes = 4, threshold = 0.2,
+        probeFlips = 1, broadcastBatch = false)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(shuffled == multi,
+      "shuffle-join fallback diverged from the broadcast path")
   }
 
   test("LSH recall certified against the EXACT join's ground truth on real data") {
