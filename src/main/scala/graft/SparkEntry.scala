@@ -713,6 +713,31 @@ object SparkEntry {
           col("__possible")).as("vote_index_lifetime"))
   }
 
+  /** q181: PDF TEXT EXTRACTION ROUND TRIP (Multimodal.syntheticTextPdf
+    * → Multimodal.pdfText) — the content-text pull pdfMeta stops short
+    * of, exercised end to end: each document's text is embedded in a
+    * genuinely valid one-page PDF (even doc_ids through a REAL
+    * /FlateDecode-compressed content stream, odd ones uncompressed)
+    * and extracted back through the bounded quarantine-disciplined
+    * parser. The oracle is simply the source text — extraction must
+    * recover it EXACTLY, so the whole generator+inflater+string-
+    * unescape chain is hash-checked, not rows-only. A pure typed
+    * projection, no shuffle; corrupt/truncated/no-text behavior is
+    * SourcesSpec-pinned. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val pdf = graft.sources.Multimodal.syntheticTextPdf(
+          Seq(t), compress = id % 2 == 0)
+        (id, graft.sources.Multimodal.pdfText(pdf) match {
+          case Right(txt) => txt
+          case Left(reason) => s"<quarantined: $reason>"
+        })
+      }.toDF("doc_id", "pdf_text")
+  }
+
   /** q48: corpus n-gram frequency table (top bigrams by doc frequency —
     * shingles are per-doc distinct). Explode → hash-agg with map-side
     * combine; vocabulary-bounded output at any corpus size. */
@@ -3577,7 +3602,8 @@ object SparkEntry {
     "q177_ann_opq_saved" -> (q177 _),
     "q178_vote_index" -> (q178 _),
     "q179_bbpe_encode" -> (q179 _),
-    "q180_bbpe_train" -> (q180 _)
+    "q180_bbpe_train" -> (q180 _),
+    "q181_pdf_text" -> (q181 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -5981,7 +6007,12 @@ object SparkEntry {
         |    AS vote_index_2023,
         |  round((tlife + possible) / (2.0 * possible) * 100, 4)
         |    AS vote_index_lifetime
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // q181: the PDF round trip must recover the source text exactly —
+    // the oracle IS the source column, which makes the generator,
+    // Flate inflater and string unescape all hash-checked.
+    "q181_pdf_text" ->
+      "SELECT doc_id, text AS pdf_text FROM documents"
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

@@ -1010,6 +1010,226 @@ object Multimodal {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  // ------------------------------------------------------------------
+  // PDF text extraction: the content-text pull pdfMeta stops short of
+  // — an LLM-data pipeline ingesting archived PDFs needs the TEXT, not
+  // just the structural profile. Bounded and quarantine-disciplined:
+  // per-stream and total output caps, corrupt Flate data quarantines
+  // the row (never the task), unsupported filters are skipped (their
+  // absence is visible in the empty/short text, not a crash).
+  // ------------------------------------------------------------------
+
+  /** Per-stream inflate cap and total text cap — the bounds that keep
+    * a decompression bomb from OOMing an executor on one row. */
+  val PdfMaxStreamBytes: Int = 4 << 20
+  val PdfMaxTextChars: Int = 200000
+
+  private val PdfTjRe = """(?s)\(((?:\\.|[^\\()])*)\)\s*Tj""".r
+  private val PdfTjArrRe = """(?s)\[((?:\((?:\\.|[^\\()])*\)|[^\]])*)\]\s*TJ""".r
+  private val PdfStrRe = """(?s)\(((?:\\.|[^\\()])*)\)""".r
+
+  /** PDF literal-string unescape: \( \) \\ \n \r \t \b \f and
+    * 1-3 digit octal codes; an escaped EOL is a line continuation. */
+  private[graft] def pdfUnescape(raw: String): String = {
+    val out = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c != '\\' || i + 1 >= raw.length) { out.append(c); i += 1 }
+      else {
+        raw.charAt(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '\n' => i += 2 // line continuation
+          case '\r' =>
+            i += (if (i + 2 < raw.length && raw.charAt(i + 2) == '\n') 3
+                  else 2)
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < raw.length && j <= i + 3 &&
+                raw.charAt(j) >= '0' && raw.charAt(j) <= '7') {
+              v = v * 8 + (raw.charAt(j) - '0'); j += 1
+            }
+            out.append((v & 0xff).toChar); i = j
+          case other => out.append(other); i += 2
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Inflate with a hard output bound; Left on corrupt/truncated
+    * deflate data (the quarantine signal). */
+  private def inflateBounded(data: Array[Byte],
+      maxOut: Int): Either[String, Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val bos = new ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && bos.size() < maxOut) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.finished()) ()
+          else return Left(
+            "truncated Flate stream (inflater stalled before finish)")
+        } else bos.write(buf, 0, n)
+      }
+      Right(bos.toByteArray)
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        Left(s"corrupt Flate stream: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** Extract the text shown by a PDF's content streams — every
+    * `(…) Tj` / `[…] TJ` literal string, unescaped, in stream order,
+    * pages joined as encountered. Uncompressed and /FlateDecode
+    * streams are read (the two encodings the reference's pypdf
+    * archives actually emit); other filters are skipped. Structure
+    * errors (bad header, missing %%EOF) and corrupt Flate data
+    * return Left — quarantine, never a task failure. A valid PDF
+    * with no text operators returns Right("") (an image-only page is
+    * not corrupt). Bounded: [[PdfMaxStreamBytes]] per stream,
+    * [[PdfMaxTextChars]] total. */
+  def pdfText(bytes: Array[Byte],
+      maxChars: Int = PdfMaxTextChars): Either[String, String] = {
+    if (!isPdf(bytes)) Left("not a PDF (missing %PDF- header)")
+    else {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (!s.contains("%%EOF")) Left("truncated PDF (no %%EOF)")
+      else {
+        val out = new StringBuilder
+        var idx = 0
+        var done = false
+        var err: String = null
+        while (!done && err == null && out.length < maxChars) {
+          val st = s.indexOf("stream", idx)
+          if (st < 0) done = true
+          else {
+            // content begins after the keyword's EOL (PDF: CRLF or LF)
+            var cs = st + "stream".length
+            if (cs < s.length && s.charAt(cs) == '\r') cs += 1
+            if (cs < s.length && s.charAt(cs) == '\n') cs += 1
+            val en = s.indexOf("endstream", cs)
+            if (en < 0) err = "unterminated content stream"
+            else {
+              // the object dict sits just before the keyword — a
+              // bounded look-back CUT AT THE OBJECT BOUNDARY reads
+              // its /Filter without bleeding the previous object's in
+              val back = s.substring(math.max(0, st - 300), st)
+              val dict = back.lastIndexOf("obj") match {
+                case -1 => back
+                case k => back.substring(k)
+              }
+              val content: Either[String, String] =
+                if (dict.contains("/FlateDecode"))
+                  inflateBounded(
+                    s.substring(cs, en).getBytes(
+                      java.nio.charset.StandardCharsets.ISO_8859_1),
+                    PdfMaxStreamBytes).map(b => new String(b,
+                    java.nio.charset.StandardCharsets.ISO_8859_1))
+                else if (dict.contains("/Filter")) Right("") // skipped
+                else Right(s.substring(cs, en))
+              content match {
+                case Left(reason) => err = reason
+                case Right(c) =>
+                  PdfTjRe.findAllMatchIn(c).foreach(m =>
+                    out.append(pdfUnescape(m.group(1))))
+                  PdfTjArrRe.findAllMatchIn(c).foreach(arr =>
+                    PdfStrRe.findAllMatchIn(arr.group(1)).foreach(m =>
+                      out.append(pdfUnescape(m.group(1)))))
+                  idx = en + "endstream".length
+              }
+            }
+          }
+        }
+        if (err != null) Left(err)
+        else Right(out.toString.take(maxChars))
+      }
+    }
+  }
+
+  /** One extracted-text row per document payload — ok=false carries
+    * the quarantine reason, text is "" there. */
+  case class PdfTextRow(media_id: Long, text: String, ok: Boolean,
+      err: String)
+
+  /** Text extraction over a media dataset's PDF rows (non-PDF rows
+    * quarantine with their reason — route them like
+    * [[extractFeatures]]' quarantine view). A pure typed projection:
+    * no shuffle, bounded memory per row. */
+  def pdfTexts(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[PdfTextRow] = {
+    import spark.implicits._
+    media.map { r =>
+      pdfText(r.bytes) match {
+        case Right(t) => PdfTextRow(r.media_id, t, ok = true, err = null)
+        case Left(reason) => PdfTextRow(r.media_id, "", ok = false,
+          err = reason)
+      }
+    }
+  }
+
+  /** Valid PDF with one TEXT content stream per page (`BT (…) Tj ET`),
+    * optionally /FlateDecode-compressed — the fixture generator for
+    * the text-extraction round trip (and a real single-font one-column
+    * PDF any viewer opens). Deterministic bytes given inputs. */
+  private[graft] def syntheticTextPdf(pageTexts: Seq[String],
+      compress: Boolean): Array[Byte] = {
+    require(pageTexts.nonEmpty, "syntheticTextPdf: at least one page")
+    def esc(t: String): String = t
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val bos = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def raw(str: String): Unit = bos.write(
+      str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def obj(body: String): Unit = { offsets += bos.size(); raw(body) }
+    raw("%PDF-1.4\n")
+    val n = pageTexts.size
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    obj(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pageTexts.zipWithIndex.foreach { case (t, i) =>
+      val pageId = 3 + 2 * i
+      val contId = pageId + 1
+      obj(s"$pageId 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents $contId 0 R " +
+        "/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica >> >> >> >> endobj\n")
+      val content = s"BT /F1 12 Tf 72 720 Td (${esc(t)}) Tj ET"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val payload =
+        if (!compress) content
+        else {
+          val d = new java.util.zip.Deflater()
+          d.setInput(content); d.finish()
+          val cb = new ByteArrayOutputStream(content.length)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) cb.write(buf, 0, d.deflate(buf))
+          d.end()
+          cb.toByteArray
+        }
+      offsets += bos.size()
+      raw(s"$contId 0 obj << /Length ${payload.length}" +
+        (if (compress) " /Filter /FlateDecode" else "") +
+        " >> stream\n")
+      bos.write(payload)
+      raw("\nendstream endobj\n")
+    }
+    val xrefAt = bos.size()
+    raw(s"xref\n0 ${offsets.size + 1}\n")
+    raw("0000000000 65535 f \n")
+    offsets.foreach(o => raw(f"$o%010d 00000 n \n"))
+    raw(s"trailer << /Size ${offsets.size + 1} /Root 1 0 R >>\n")
+    raw(s"startxref\n$xrefAt\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** The quarantine view: rows whose payload failed its codec. Pipe to
     * a side sink; the main pipeline continues on `ok` rows. */
   def quarantine(feats: Dataset[MediaFeatures]): Dataset[MediaFeatures] =

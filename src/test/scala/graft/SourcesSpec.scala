@@ -379,6 +379,56 @@ class SourcesSpec extends SparkSpec {
     assert(!feats(2L).ok && feats(2L).err.contains("truncated"))
   }
 
+  test("Multimodal PDF text: round trips, escapes, quarantine classes") {
+    implicit val s = spark
+    import spark.implicits._
+    // exact round trip, multi-page, both stream encodings
+    val pages = Seq("first page words", "second page words here")
+    for (compress <- Seq(false, true)) {
+      val pdf = Multimodal.syntheticTextPdf(pages, compress)
+      assert(Multimodal.pdfMeta(pdf).toOption.get.nPages === 2,
+        s"generator must emit a structurally valid PDF (compress=$compress)")
+      assert(Multimodal.pdfText(pdf) === Right(pages.mkString),
+        s"compress=$compress")
+    }
+    // special chars in the text survive the escape/unescape pair
+    val tricky = "parens (nested) and \\backslash\\ and (more)"
+    assert(Multimodal.pdfText(Multimodal.syntheticTextPdf(
+      Seq(tricky), compress = true)) === Right(tricky))
+    // octal + named escapes in a hand-written content stream
+    assert(Multimodal.pdfUnescape("""a\) b\( c\\ d\n e\101""") ===
+      "a) b( c\\ d\n e" + "A")
+    // TJ arrays (kerned text) are read too
+    val tj = ("%PDF-1.4\n1 0 obj << /Length 44 >> stream\n" +
+      "BT [(ab) -120 (cd)] TJ ET\nendstream endobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Multimodal.pdfText(tj) === Right("abcd"))
+    // quarantine classes: truncated file, corrupt Flate, non-PDF;
+    // a VALID text-less PDF is Right("") — empty, not corrupt
+    val good = Multimodal.syntheticTextPdf(Seq("payload"), compress = true)
+    assert(Multimodal.pdfText(good.dropRight(8)).isLeft) // no %%EOF
+    val corrupt = good.clone()
+    val streamAt = new String(corrupt,
+      java.nio.charset.StandardCharsets.ISO_8859_1).indexOf("stream\n")
+    (streamAt + 8 until streamAt + 16).foreach(i =>
+      corrupt(i) = (corrupt(i) ^ 0x5a).toByte)
+    val cErr = Multimodal.pdfText(corrupt)
+    assert(cErr.isLeft && cErr.swap.toOption.get.toLowerCase
+      .contains("flate"))
+    assert(Multimodal.pdfText("plain text".getBytes).isLeft)
+    assert(Multimodal.pdfText(Multimodal.syntheticPdf(2)) === Right(""))
+    // dataset projection: ok rows carry text, quarantine carries err
+    val rows = Seq(
+      Multimodal.MediaRow(1L, good,
+        Multimodal.MediaMeta("document", 0, 0, 0, 0L)),
+      Multimodal.MediaRow(2L, corrupt,
+        Multimodal.MediaMeta("document", 0, 0, 0, 0L))).toDS()
+    val texts = Multimodal.pdfTexts(rows).collect()
+      .map(t => t.media_id -> t).toMap
+    assert(texts(1L).ok && texts(1L).text === "payload")
+    assert(!texts(2L).ok && texts(2L).err != null)
+  }
+
   test("Multimodal image decode is real: pixel features + dims, parquet round-trip") {
     implicit val s = spark
     import spark.implicits._
