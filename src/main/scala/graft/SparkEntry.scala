@@ -2647,6 +2647,36 @@ object SparkEntry {
         round(col("n_tokens") / col("n_words"), 4).as("fertility"))
   }
 
+  /** q182: FOUR-WAY TOKENIZER COMPARISON — q164's one-scan fertility
+    * profile with BYTE-level BPE (q179's family) as the fourth row.
+    * The corpus text is lowercase [a-z ]-only, so the byte pipeline's
+    * \S+ words coincide with q164's [a-z]+ stream — same word
+    * multiset, which is what makes the byte row's fertility DIRECTLY
+    * comparable to the char-level rows (the merges differ: BbpeMerges
+    * trained with the punctuation fixture vs BpeMerges without). All
+    * four encodes stay pure codegen'd projections over ONE exploded
+    * word stream — one aggregate exchange total. Oracle composes the
+    * four unrolled replay chains (prefixed CTEs) — hash-exact. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val w = Bpe.words(Tables(s, dir).documents.select(col("text")), "text")
+      .select(
+        size(Bpe.encodeCol(col("word"), BpeMerges)).cast("long").as("b"),
+        size(Bpe.encodeBytesCol(col("word"), BbpeMerges)).cast("long")
+          .as("bb"),
+        size(WordPiece.encodeCol(col("word"), WpVocab)).cast("long")
+          .as("wp"),
+        size(UnigramLm.encodeCol(col("word"), UgPieces, UgLogps))
+          .cast("long").as("u"))
+    w.agg(count(lit(1)).as("n_words"), sum(col("b")).as("bt"),
+        sum(col("bb")).as("bbt"), sum(col("wp")).as("wt"),
+        sum(col("u")).as("ut"))
+      .select(expr("stack(4, 'bpe', bt, 'byte_bpe', bbt, " +
+        "'unigram', ut, 'wordpiece', wt) AS (tokenizer, n_tokens)"),
+        col("n_words"))
+      .select(col("tokenizer"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words"), 4).as("fertility"))
+  }
+
   /** q166: DSIR IMPORTANCE RESAMPLE (Corpus.dsirWeights →
     * Corpus.gumbelTopK) — the second half of the DSIR paper: the
     * q163 log-weights drive a Gumbel-top-k draw (sampling ∝
@@ -3603,7 +3633,8 @@ object SparkEntry {
     "q178_vote_index" -> (q178 _),
     "q179_bbpe_encode" -> (q179 _),
     "q180_bbpe_train" -> (q180 _),
-    "q181_pdf_text" -> (q181 _)
+    "q181_pdf_text" -> (q181 _),
+    "q182_tokenizer_compare4" -> (q182 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6012,7 +6043,34 @@ object SparkEntry {
     // the oracle IS the source column, which makes the generator,
     // Flate inflater and string unescape all hash-checked.
     "q181_pdf_text" ->
-      "SELECT doc_id, text AS pdf_text FROM documents"
+      "SELECT doc_id, text AS pdf_text FROM documents",
+    // q182: q164's three chains + the byte-BPE chain (same [a-z]+
+    // word stream — the corpus is lowercase-only, so \S+ ≡ [a-z]+
+    // and byte symbols ≡ chars; only the merge table differs).
+    "q182_tokenizer_compare4" -> ("WITH " +
+      bpeUnrolledSteps(BpeMerges, steps = 11, prefix = "b_") +
+      bpeUnrolledSteps(BbpeMerges, steps = 11, prefix = "bb_") +
+      wordpieceUnrolledSteps(WpVocab, steps = 12, prefix = "w_") +
+      unigramUnrolledSteps(UgPieces, UgLogps, steps = 12,
+        maxPieceLen = 6, prefix = "u_") +
+      """bt AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM b_t11),
+        |bbt AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM bb_t11),
+        |wt AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM w_t12),
+        |ut AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(CASE WHEN tk[length(w) + 1] IS NULL
+        |    THEN ['[UNK]'] ELSE tk[length(w) + 1] END)) AS BIGINT)
+        |    AS n_tokens FROM u_t12)
+        |SELECT 'bpe' AS tokenizer, n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) AS fertility FROM bt
+        |UNION ALL SELECT 'byte_bpe', n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) FROM bbt
+        |UNION ALL SELECT 'wordpiece', n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) FROM wt
+        |UNION ALL SELECT 'unigram', n_words, n_tokens,
+        |  round(n_tokens / n_words, 4) FROM ut""".stripMargin)
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query
