@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "q35_ann_bruteforce", "q36_ann_ivf", "q45_ann_ivf_pruned",
     "q61_ann_ivf_trained", "q66_ann_ivfpq", "q165_ann_ivfpq_residual",
     "q176_ann_opq", // q66's search shape on the rotated space
+    "q177_ann_opq_saved", // q176's search shape off the loaded index
     "q97_key_profile", "q134_pmi_bigrams")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {
@@ -238,6 +239,16 @@ class PlanAuditSpec extends SparkSpec {
       "q164_tokenizer_compare" -> 1, // three codegen'd encodes ride
                                // ONE word scan; a single 1-row agg
                                // exchange, stack is a projection
+      "q178_vote_index" -> 0,  // pure projection: html kernels +
+                               // table extraction + the vote-index
+                               // arithmetic all ride the scan
+      "q179_bbpe_encode" -> 1, // byte_symbols ∘ bpe_encode is a pure
+                               // projection; one token-count agg,
+                               // top-30 is TakeOrdered
+      "q181_pdf_text" -> 0,    // typed map projection (generate +
+                               // parse per row); zero exchanges
+      "q182_tokenizer_compare4" -> 1, // FOUR codegen'd encodes, still
+                               // ONE word scan + one 1-row agg
       "q166_dsir_resample" -> 1, // q163's per-doc sum exchange; the
                                // k-row rank window rides the
                                // TakeOrdered single partition
