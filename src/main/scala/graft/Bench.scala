@@ -313,7 +313,17 @@ object Bench {
       // q170's signals + the model lang columns, one scan (r14)
       "q175_quality_signals_model",
       // OPQ-guarded IVF-PQ on an anisotropic view (r14)
-      "q176_ann_opq"
+      "q176_ann_opq",
+      // persisted OPQ index: build + save + load + search (r15)
+      "q177_ann_opq_saved",
+      // billtrack50 vote-index normalization (r15)
+      "q178_vote_index",
+      // byte-level BPE encode + train (r15)
+      "q179_bbpe_encode", "q180_bbpe_train",
+      // PDF text extraction round trip (r15)
+      "q181_pdf_text",
+      // four-family tokenizer bake-off incl. byte BPE (r15)
+      "q182_tokenizer_compare4"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged
