@@ -1024,8 +1024,14 @@ object Multimodal {
   val PdfMaxStreamBytes: Int = 4 << 20
   val PdfMaxTextChars: Int = 200000
 
+  // All alternations are character-DISJOINT (the catch-all classes
+  // exclude every char the other branches start with), so the Java
+  // regex engine never backtracks — a crafted 4 MB stream of '(((('
+  // must not be able to hang an executor (SourcesSpec pins a
+  // pathological input completing fast).
   private val PdfTjRe = """(?s)\(((?:\\.|[^\\()])*)\)\s*Tj""".r
-  private val PdfTjArrRe = """(?s)\[((?:\((?:\\.|[^\\()])*\)|[^\]])*)\]\s*TJ""".r
+  private val PdfTjArrRe =
+    """(?s)\[((?:\((?:\\.|[^\\()])*\)|[^\]()])*)\]\s*TJ""".r
   private val PdfStrRe = """(?s)\(((?:\\.|[^\\()])*)\)""".r
 
   /** PDF literal-string unescape: \( \) \\ \n \r \t \b \f and

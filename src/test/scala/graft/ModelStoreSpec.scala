@@ -20,6 +20,23 @@ class ModelStoreSpec extends SparkSpec {
     assert(Bpe.loadMerges(spark, dir) == merges)
   }
 
+  test("byte-level BPE merge list round-trips (alphabet can't collide with '|')") {
+    // ByteAlphabet remaps 0x7C out of the identity range precisely so
+    // the "left|right" persistence format stays unambiguous for ANY
+    // trained byte merge list — including ones over unicode corpora
+    import graft.functions.ByteAlphabet
+    val wc = Seq("Dr.!", "café", "x=42;", "日本", "a|b").map(w =>
+      (ByteAlphabet.toSymbols(w), 5L))
+    val merges = Bpe.trainFromCounts(wc, numMerges = 8)
+    val dir = tmp("bbpe")
+    Bpe.saveMerges(spark, merges, dir)
+    assert(Bpe.loadMerges(spark, dir) == merges)
+    // and the frozen q179 list itself round-trips
+    val dir2 = tmp("bbpe_frozen")
+    Bpe.saveMerges(spark, SparkEntry.BbpeMerges, dir2)
+    assert(Bpe.loadMerges(spark, dir2) == SparkEntry.BbpeMerges)
+  }
+
   test("WordPiece vocabulary round-trips in id order") {
     val vocab = WordPiece.trainFromCounts(
       Seq(("join", 10L), ("joint", 4L)), numMerges = 5)

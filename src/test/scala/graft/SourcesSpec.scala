@@ -427,6 +427,17 @@ class SourcesSpec extends SparkSpec {
       .map(t => t.media_id -> t).toMap
     assert(texts(1L).ok && texts(1L).text === "payload")
     assert(!texts(2L).ok && texts(2L).err != null)
+    // adversarial: a long unbalanced paren run inside a TJ-looking
+    // bracket must not catastrophically backtrack (the regexes are
+    // built alternation-disjoint) — complete in well under a second
+    val evil = ("%PDF-1.4\n1 0 obj << /Length 99 >> stream\n[" +
+      "(" * 20000 + "] TJ\nendstream endobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val t0 = System.nanoTime()
+    val r = Multimodal.pdfText(evil)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "pathological parens backtracked")
+    assert(r === Right("")) // no well-formed text operator matched
   }
 
   test("Multimodal image decode is real: pixel features + dims, parquet round-trip") {
