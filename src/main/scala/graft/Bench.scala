@@ -323,7 +323,9 @@ object Bench {
       // PDF text extraction round trip (r15)
       "q181_pdf_text",
       // four-family tokenizer bake-off incl. byte BPE (r15)
-      "q182_tokenizer_compare4"
+      "q182_tokenizer_compare4",
+      // UniMax waterfilling budget allocation (r15)
+      "q183_unimax_mix"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

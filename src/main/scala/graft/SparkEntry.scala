@@ -738,6 +738,25 @@ object SparkEntry {
       }.toDF("doc_id", "pdf_text")
   }
 
+  /** q183: UNIMAX MIXING ALLOCATION (Corpus.unimaxAllocation; Chung
+    * et al. 2023) — the published answer to "how many tokens of each
+    * source": distribute a token budget as uniformly as possible
+    * under a per-source EPOCH CAP, i.e. the waterfilling
+    * alloc_s = min(n_s·maxEpochs, θ) with θ solving Σ alloc = budget.
+    * Fills the gap between q68's by-fiat target weights and q117's
+    * per-source quality cuts. Fully in-plan: one per-source aggregate,
+    * one bounded global window (#sources rows), two broadcast scalar
+    * rows — no driver loop at any corpus size. budget = 1.0 × total
+    * corpus tokens at maxEpochs 1.2, so smaller-than-average sources
+    * cap at 1.2 epochs and the freed budget waterfills into the
+    * larger ones — the actual UniMax shape. Oracle replays the
+    * sorted-prefix characterization with identical op order —
+    * hash-exact. */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    Corpus.unimaxAllocation(Tables(s, dir).documents, "source",
+      TextStats.wsTokenCount(col("text")), maxEpochs = 1.2,
+      budgetFraction = 1.0)
+
   /** q48: corpus n-gram frequency table (top bigrams by doc frequency —
     * shingles are per-doc distinct). Explode → hash-agg with map-side
     * combine; vocabulary-bounded output at any corpus size. */
@@ -3634,7 +3653,8 @@ object SparkEntry {
     "q179_bbpe_encode" -> (q179 _),
     "q180_bbpe_train" -> (q180 _),
     "q181_pdf_text" -> (q181 _),
-    "q182_tokenizer_compare4" -> (q182 _)
+    "q182_tokenizer_compare4" -> (q182 _),
+    "q183_unimax_mix" -> (q183 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6070,7 +6090,38 @@ object SparkEntry {
         |UNION ALL SELECT 'wordpiece', n_words, n_tokens,
         |  round(n_tokens / n_words, 4) FROM wt
         |UNION ALL SELECT 'unigram', n_words, n_tokens,
-        |  round(n_tokens / n_words, 4) FROM ut""".stripMargin)
+        |  round(n_tokens / n_words, 4) FROM ut""".stripMargin),
+    // q183: the waterfilling replayed via the sorted-prefix
+    // characterization — capped iff prefix + cap·(n−rn+1) ≤ B, fill
+    // level θ = (B − Σ_capped cap)/(n − K); identical op order, and
+    // every operand is an exact small double (long sums ×1.2 / ×1.0),
+    // so only θ and epochs carry float bits — folded identically.
+    "q183_unimax_mix" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+        |    AS DOUBLE) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT source, n_tokens, n_tokens * 1.2 AS cap FROM s),
+        |t AS (SELECT sum(n_tokens) * 1.0 AS B, count(*) AS n FROM z),
+        |c AS (SELECT source, n_tokens, cap,
+        |    row_number() OVER (ORDER BY cap, source) AS rn,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix
+        |  FROM z),
+        |g AS (SELECT c.*, t.B, t.n,
+        |    (prefix + cap * (n - rn + 1)) <= B AS capped FROM c, t),
+        |l AS (SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+        |    AS capsum,
+        |  coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS k FROM g)
+        |SELECT g.source, g.n_tokens, round(g.cap, 4) AS cap,
+        |  round(CASE WHEN g.capped THEN g.cap
+        |    ELSE (g.B - l.capsum) / CAST(g.n - l.k AS DOUBLE) END, 4)
+        |    AS allocation,
+        |  round(CASE WHEN g.capped THEN g.cap
+        |    ELSE (g.B - l.capsum) / CAST(g.n - l.k AS DOUBLE) END
+        |    / g.n_tokens, 4) AS epochs
+        |FROM g, l""".stripMargin
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

@@ -719,6 +719,74 @@ object Corpus {
       CurationMetrics(gatesObs, outObs))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): given a token budget and an EPOCH CAP, distribute
+    * the budget as uniformly as possible across sources without any
+    * source repeating more than `maxEpochs` times — the closed-form
+    * WATERFILLING alloc_s = min(cap_s, θ) with cap_s = n_s·maxEpochs
+    * and θ the fill level solving Σ min(cap_s, θ) = budget. The
+    * alternative mixing recipes over/under-sample by fiat
+    * ([[mixSources]]' fixed targets) — UniMax is the published answer
+    * to "how much of each source", and the allocation this emits is
+    * exactly what [[mixSources]]-style sampling consumes downstream.
+    *
+    * Fully IN-PLAN (no driver loop, unlike the published reference
+    * implementations): per-source token totals are one map-side-
+    * combined aggregate; the waterfilling level comes from the classic
+    * sorted-prefix characterization — under caps ascending, source i
+    * is CAPPED iff prefix_i + cap_i·(n−i+1) ≤ B (even granting every
+    * remaining source cap_i wouldn't exhaust the budget), and
+    * θ = (B − Σ_capped cap)/(n − K). That is one global window over
+    * the #sources-row frame (bounded by construction — the
+    * trainCentroids LIMIT-k precedent) plus one broadcast scalar
+    * aggregate. If the budget exceeds Σ cap the budget is unfillable
+    * under the epoch cap and every source allocates its cap.
+    *
+    * `budgetFraction` sets B = fraction · Σ n_s (scale-independent —
+    * the same query is meaningful at any sf); all arithmetic is
+    * plain IEEE doubles with a fixed op order, so a SQL oracle
+    * replays it hash-exactly. Returns (source, n_tokens, cap,
+    * allocation, epochs) — epochs = allocation/n_s ∈ (0, maxEpochs].
+    */
+  def unimaxAllocation(
+      docs: DataFrame, sourceCol: String, tokenCol: Column,
+      maxEpochs: Double, budgetFraction: Double): DataFrame = {
+    require(maxEpochs > 0, "unimaxAllocation: maxEpochs > 0")
+    require(budgetFraction > 0, "unimaxAllocation: budgetFraction > 0")
+    val sizes = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCol.cast("long")).cast("double").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    // bounded global window: #sources rows (the LIMIT-k precedent)
+    val w = Window.orderBy(col("cap"), col("source"))
+    val staged = sizes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prefix", coalesce(
+        sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+    // budget + source count as ONE broadcast scalar row (q97's
+    // in-plan scalar pattern — no driver collect)
+    val totals = sizes.agg(
+      (sum(col("n_tokens")) * budgetFraction).as("__B"),
+      count(lit(1)).as("__n"))
+    val leveled = staged.crossJoin(broadcast(totals))
+      .withColumn("capped",
+        col("prefix") + col("cap") * (col("__n") - col("rn") + 1)
+          <= col("__B"))
+    val level = leveled.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0.0))
+        .as("__capsum"),
+      coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("__k"))
+    val alloc = when(col("capped"), col("cap"))
+      .otherwise((col("__B") - col("__capsum")) /
+        (col("__n") - col("__k")).cast("double"))
+    leveled.crossJoin(broadcast(level))
+      .select(col("source"), col("n_tokens"), round(col("cap"), 4).as("cap"),
+        round(alloc, 4).as("allocation"),
+        round(alloc / col("n_tokens"), 4).as("epochs"))
+  }
+
   /** Re-weight a multi-source corpus to target proportions (training-
     * data mixing: N raw sources → one corpus at chosen weights) by
     * DETERMINISTIC hash sampling — stable across runs, cluster layouts

@@ -850,4 +850,64 @@ class CorpusSpec extends SparkSpec {
     // both terms score identically in both docs → "a" wins rank 1
     assert(got === Map(1L -> "a", 2L -> "a"))
   }
+
+  // --- UniMax waterfilling (q183) ---
+
+  private def unimaxOf(sizes: Map[String, Int], maxEpochs: Double,
+      frac: Double): Map[String, (Double, Double, Double)] = {
+    // (n_tokens, allocation, epochs) per source from a fixture where
+    // each doc is `n` single-char words
+    val docs = sizes.toSeq.flatMap { case (src, n) =>
+      Seq((src, ("x " * (n - 1) + "x")))
+    }.toDF("source", "text")
+    Corpus.unimaxAllocation(docs, "source",
+      graft.operators.TextStats.wsTokenCount(col("text")),
+      maxEpochs, frac)
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+  }
+
+  test("unimaxAllocation: hand-computed waterfilling on a known fixture") {
+    // sizes 10/20/70, budget = 1.0 × 100, maxEpochs 1.2:
+    // caps 12/24/84 ascending; src a: 0 + 12·3 = 36 ≤ 100 → capped;
+    // src b: 12 + 24·2 = 60 ≤ 100 → capped; src c: 36 + 84 ≤ 100?
+    // 120 > 100 → uncapped. θ = (100 − 36)/1 = 64.
+    val got = unimaxOf(Map("a" -> 10, "b" -> 20, "c" -> 70),
+      maxEpochs = 1.2, frac = 1.0)
+    assert(got("a") === ((10.0, 12.0, 1.2)))
+    assert(got("b") === ((20.0, 24.0, 1.2)))
+    assert(got("c")._2 === 64.0)
+    assert(math.abs(got("c")._3 - 64.0 / 70) < 1e-4)
+    // allocations exhaust the budget exactly
+    assert(got.values.map(_._2).sum === 100.0)
+  }
+
+  test("unimaxAllocation: invariants — caps respected, budget exhausted") {
+    val sizes = Map("s1" -> 5, "s2" -> 13, "s3" -> 42, "s4" -> 40,
+      "s5" -> 100)
+    val maxEpochs = 2.0
+    val got = unimaxOf(sizes, maxEpochs, frac = 0.8)
+    val budget = sizes.values.sum * 0.8
+    got.foreach { case (s, (n, alloc, epochs)) =>
+      assert(alloc <= n * maxEpochs + 1e-9, s"$s over its cap")
+      assert(epochs <= maxEpochs + 1e-9 && epochs > 0, s"$s epochs")
+    }
+    // allocations come back round(,4)-ed, so the sum carries up to
+    // #sources × 5e-5 of display rounding
+    assert(math.abs(got.values.map(_._2).sum - budget) < 1e-3,
+      "allocations must exhaust the budget when it fits under Σcap")
+    // uncapped sources share one fill level
+    val thetas = got.collect {
+      case (s, (n, alloc, _)) if alloc < n * maxEpochs - 1e-9 => alloc
+    }
+    assert(thetas.toSeq.distinct.size <= 1, "uncapped allocs differ")
+  }
+
+  test("unimaxAllocation: unfillable budget allocates every cap") {
+    // budget 3× total but epochs capped at 1.5 → alloc = cap for all
+    val got = unimaxOf(Map("a" -> 10, "b" -> 30), maxEpochs = 1.5,
+      frac = 3.0)
+    assert(got("a")._2 === 15.0 && got("b")._2 === 45.0)
+    assert(got("a")._3 === 1.5 && got("b")._3 === 1.5)
+  }
 }
