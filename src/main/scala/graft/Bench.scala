@@ -324,8 +324,8 @@ object Bench {
       "q181_pdf_text",
       // four-family tokenizer bake-off incl. byte BPE (r15)
       "q182_tokenizer_compare4",
-      // UniMax waterfilling budget allocation (r15)
-      "q183_unimax_mix"
+      // UniMax waterfilling budget allocation + applied sample (r15)
+      "q183_unimax_mix", "q184_unimax_sample"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

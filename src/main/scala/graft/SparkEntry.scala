@@ -757,6 +757,22 @@ object SparkEntry {
       TextStats.wsTokenCount(col("text")), maxEpochs = 1.2,
       budgetFraction = 1.0)
 
+  /** q184: UNIMAX SAMPLED CORPUS (Corpus.unimaxMix) — q183's
+    * waterfilled allocation APPLIED: each doc repeats
+    * floor(epochs_s) times plus one more with probability
+    * frac(epochs_s) under the md5-seeded deterministic uniform
+    * (q110's esKey construction — cross-engine replayable, which is
+    * what lets THIS mix query be hash-exact where q68's xxhash64 mix
+    * stays rows-only). Expected sampled tokens per source equal the
+    * allocation exactly. Rates join broadcast; the mix is a pure
+    * projection + explode — the corpus never shuffles. */
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    Corpus.unimaxMix(Tables(s, dir).documents, "doc_id", "source",
+      TextStats.wsTokenCount(col("text")), maxEpochs = 1.2,
+      budgetFraction = 1.0)
+      .select(col("doc_id"), col("source"), col("copy").cast("long")
+        .as("copy"))
+
   /** q48: corpus n-gram frequency table (top bigrams by doc frequency —
     * shingles are per-doc distinct). Explode → hash-agg with map-side
     * combine; vocabulary-bounded output at any corpus size. */
@@ -3654,7 +3670,8 @@ object SparkEntry {
     "q180_bbpe_train" -> (q180 _),
     "q181_pdf_text" -> (q181 _),
     "q182_tokenizer_compare4" -> (q182 _),
-    "q183_unimax_mix" -> (q183 _)
+    "q183_unimax_mix" -> (q183 _),
+    "q184_unimax_sample" -> (q184 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6121,7 +6138,46 @@ object SparkEntry {
         |  round(CASE WHEN g.capped THEN g.cap
         |    ELSE (g.B - l.capsum) / CAST(g.n - l.k AS DOUBLE) END
         |    / g.n_tokens, 4) AS epochs
-        |FROM g, l""".stripMargin
+        |FROM g, l""".stripMargin,
+    // q184: q183's unrounded rates + the md5-seeded per-doc uniform
+    // (q110/q166's construction), identical copy arithmetic.
+    "q184_unimax_sample" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+        |    AS DOUBLE) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT source, n_tokens, n_tokens * 1.2 AS cap FROM s),
+        |t AS (SELECT sum(n_tokens) * 1.0 AS B, count(*) AS n FROM z),
+        |c AS (SELECT source, n_tokens, cap,
+        |    row_number() OVER (ORDER BY cap, source) AS rn,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix
+        |  FROM z),
+        |g AS (SELECT c.*, t.B, t.n,
+        |    (prefix + cap * (n - rn + 1)) <= B AS capped FROM c, t),
+        |l AS (SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+        |    AS capsum,
+        |  coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS k FROM g),
+        |r AS (SELECT g.source,
+        |    (CASE WHEN g.capped THEN g.cap
+        |     ELSE (g.B - l.capsum) / CAST(g.n - l.k AS DOUBLE) END)
+        |     / g.n_tokens AS rate
+        |  FROM g, l),
+        |d AS (SELECT doc_id, source,
+        |    (CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |m AS (SELECT d.doc_id, d.source,
+        |    CAST(floor(r.rate) AS INT) + CASE
+        |      WHEN d.u < r.rate - floor(r.rate) THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM d JOIN r USING (source))
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT)
+        |    AS copy
+        |FROM m WHERE copies > 0""".stripMargin
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

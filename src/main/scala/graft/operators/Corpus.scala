@@ -751,6 +751,18 @@ object Corpus {
     */
   def unimaxAllocation(
       docs: DataFrame, sourceCol: String, tokenCol: Column,
+      maxEpochs: Double, budgetFraction: Double): DataFrame =
+    unimaxRaw(docs, sourceCol, tokenCol, maxEpochs, budgetFraction)
+      .select(col("source"), col("n_tokens"),
+        round(col("cap"), 4).as("cap"),
+        round(col("__alloc"), 4).as("allocation"),
+        round(col("__alloc") / col("n_tokens"), 4).as("epochs"))
+
+  /** The UNROUNDED waterfilling frame (one row per source, __alloc at
+    * full double precision) — [[unimaxAllocation]] is its display
+    * projection, [[unimaxMix]] consumes its exact rates. */
+  private def unimaxRaw(
+      docs: DataFrame, sourceCol: String, tokenCol: Column,
       maxEpochs: Double, budgetFraction: Double): DataFrame = {
     require(maxEpochs > 0, "unimaxAllocation: maxEpochs > 0")
     require(budgetFraction > 0, "unimaxAllocation: budgetFraction > 0")
@@ -778,13 +790,42 @@ object Corpus {
       coalesce(sum(when(col("capped"), col("cap"))), lit(0.0))
         .as("__capsum"),
       coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("__k"))
-    val alloc = when(col("capped"), col("cap"))
-      .otherwise((col("__B") - col("__capsum")) /
-        (col("__n") - col("__k")).cast("double"))
     leveled.crossJoin(broadcast(level))
-      .select(col("source"), col("n_tokens"), round(col("cap"), 4).as("cap"),
-        round(alloc, 4).as("allocation"),
-        round(alloc / col("n_tokens"), 4).as("epochs"))
+      .withColumn("__alloc", when(col("capped"), col("cap"))
+        .otherwise((col("__B") - col("__capsum")) /
+          (col("__n") - col("__k")).cast("double")))
+  }
+
+  /** The full UniMax pipeline: [[unimaxAllocation]]'s waterfilled
+    * per-source token budgets APPLIED as a deterministic document
+    * sample — each doc repeats floor(epochs_s) times plus one more
+    * with probability frac(epochs_s), so expected sampled tokens per
+    * source equal the allocation exactly. The uniform comes from the
+    * id's seed-salted md5 ([[weightedSample]]'s esKey construction —
+    * never rand(), stable across runs/layouts and REPLAYABLE in the
+    * SQL oracle, unlike mixSources' xxhash64 which keeps q68
+    * rows-only). Rates join back broadcast (#sources rows); the mix
+    * itself is a pure projection + explode — no corpus shuffle.
+    * Returns (idCol, sourceCol, copy) with copy 0-based. */
+  def unimaxMix(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCol: Column, maxEpochs: Double, budgetFraction: Double,
+      seed: String = ""): DataFrame = {
+    val rates = unimaxRaw(docs, sourceCol, tokenCol, maxEpochs,
+      budgetFraction)
+      .select(col("source").as("__src"),
+        (col("__alloc") / col("n_tokens")).as("__rate"))
+    val u = (conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val copies = (floor(col("__rate")).cast("int") +
+      when(u < col("__rate") - floor(col("__rate")), 1).otherwise(0))
+    // empty-sequence guard (the mixSources lesson: sequence(0, -1)
+    // DESCENDS instead of emitting an empty array)
+    val idx = when(copies > 0, sequence(lit(0), copies - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    docs.join(broadcast(rates), col(sourceCol) === col("__src"))
+      .select(col(idCol), col(sourceCol), explode(idx).as("copy"))
   }
 
   /** Re-weight a multi-source corpus to target proportions (training-

@@ -910,4 +910,35 @@ class CorpusSpec extends SparkSpec {
     assert(got("a")._2 === 15.0 && got("b")._2 === 45.0)
     assert(got("a")._3 === 1.5 && got("b")._3 === 1.5)
   }
+
+  test("unimaxMix: per-source sampled tokens track the allocation") {
+    // many equal-sized docs per source so the fractional-epoch draw
+    // averages out; expected per-source docs = epochs_s × n_docs_s
+    val docs = Seq("a" -> 40, "b" -> 160).flatMap { case (src, n) =>
+      (0 until n).map(i => (src.hashCode.toLong * 1000 + i, src,
+        "w w w w w"))
+    }.toDF("doc_id", "source", "text")
+    val out = Corpus.unimaxMix(docs, "doc_id", "source",
+      graft.operators.TextStats.wsTokenCount(col("text")),
+      maxEpochs = 1.2, budgetFraction = 1.0)
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // caps 240/960 tokens; B = 1000; a capped (0+240·2 ≤ 1000) →
+    // epochs 1.2; b uncapped: θ = (1000−240)/1 = 760 → epochs 0.95
+    assert(math.abs(bySrc("a") - 1.2 * 40) <= 6,
+      s"source a drew ${bySrc("a")}, want ≈48")
+    assert(math.abs(bySrc("b") - 0.95 * 160) <= 12,
+      s"source b drew ${bySrc("b")}, want ≈152")
+    // copy numbering: epochs 1.2 → copies ∈ {1,2}, never 0 for a
+    val aCopies = out.filter(col("source") === "a")
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(aCopies.forall(c => c._2 == 1 || c._2 == 2))
+    assert(aCopies.length === 40, "capped source must keep every doc")
+    // determinism
+    val again = Corpus.unimaxMix(docs, "doc_id", "source",
+      graft.operators.TextStats.wsTokenCount(col("text")),
+      maxEpochs = 1.2, budgetFraction = 1.0)
+      .collect().toSet
+    assert(again === out.collect().toSet)
+  }
 }

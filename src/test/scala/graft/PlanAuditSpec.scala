@@ -40,9 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     "q176_ann_opq", // q66's search shape on the rotated space
     "q177_ann_opq_saved", // q176's search shape off the loaded index
     "q97_key_profile", "q134_pmi_bigrams",
-    // q183 crosses the per-source frame with TWO broadcast one-row
+    // q183/q184 cross the per-source frame with TWO broadcast one-row
     // scalars (budget/count + fill level) — the same in-plan pattern
-    "q183_unimax_mix")
+    "q183_unimax_mix", "q184_unimax_sample")
 
   test("no registered query plans a cartesian product; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -91,9 +91,10 @@ class PlanAuditSpec extends SparkSpec {
     // q165/q166: the same bounded shapes — centroid-seed numbering
     // over a LIMIT-k sample / rank over the 50 rows TakeOrdered kept
     "q165_ann_ivfpq_residual", "q166_dsir_resample",
-    // q183: the waterfilling prefix window runs over the per-SOURCE
-    // frame — #sources rows by construction, never the corpus
-    "q183_unimax_mix")
+    // q183/q184: the waterfilling prefix window runs over the
+    // per-SOURCE frame — #sources rows by construction, never the
+    // corpus
+    "q183_unimax_mix", "q184_unimax_sample")
 
   test("no registered query windows over a single partition") {
     // an empty partitionSpec funnels the whole input through ONE task —
