@@ -1005,12 +1005,18 @@ object SparkEntry {
   /** q68: training-corpus source mixing — re-weight three sources to
     * 40/40/20 by deterministic hash sampling (src0/src1 land at rate
     * 1.0, src2 at 0.5 — both the exact and the Bernoulli path run).
-    * rows-only (xxhash64 sampling is engine-specific); CorpusSpec pins
-    * proportions, determinism, upsampling copy numbering. */
+    * r15: re-registered on the REPLAYABLE md5-seeded uniform (q110's
+    * esKey construction) with source-name-ordered normalization, so
+    * the whole mix — per-source counts, the rate fold, the Bernoulli
+    * keep — is now ORACLE-CHECKED hash-exact instead of rows-only;
+    * CorpusSpec still pins proportions, determinism, upsampling copy
+    * numbering. */
   private def q68(s: SparkSession, dir: String): DataFrame =
     Corpus.mixSources(Tables(s, dir).documents, "doc_id", "source",
-      Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2))
-      .select(col("doc_id"), col("source"), col("copy"))
+      Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2),
+      replayableUniform = true)
+      .select(col("doc_id"), col("source"),
+        col("copy").cast("long").as("copy"))
 
   /** q51: near-dup clustering — connected components over the verified
     * MinHash near-dup pairs (q33's graph), alternating large-star/
@@ -6139,6 +6145,30 @@ object SparkEntry {
         |    ELSE (g.B - l.capsum) / CAST(g.n - l.k AS DOUBLE) END
         |    / g.n_tokens, 4) AS epochs
         |FROM g, l""".stripMargin,
+    // q68 (r15 upgrade from rows-only): the whole mix replayed — the
+    // source-name-ordered weight normalization, per-source counts,
+    // total = min(maxRepeat·cnt/t), rate = t·total/cnt, and the
+    // md5-seeded Bernoulli keep. Literals CAST to DOUBLE (DuckDB
+    // parses bare decimals as DECIMAL); op order mirrors the Scala
+    // fold exactly.
+    "q68_mix_sources" ->
+      """WITH n AS (SELECT source, count(*) AS cnt FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |w AS (SELECT source, cnt,
+        |    (CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+        |      WHEN 'src1' THEN CAST(0.4 AS DOUBLE)
+        |      ELSE CAST(0.2 AS DOUBLE) END)
+        |    / ((CAST(0.4 AS DOUBLE) + CAST(0.4 AS DOUBLE))
+        |       + CAST(0.2 AS DOUBLE)) AS t
+        |  FROM n),
+        |tot AS (SELECT min((1 * cnt) / t) AS total FROM w),
+        |r AS (SELECT source, (w.t * tot.total) / w.cnt AS rate
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source, CAST(0 AS BIGINT) AS copy
+        |FROM documents d JOIN r USING (source)
+        |WHERE (CAST(concat('0x', substring(
+        |    md5(CAST(d.doc_id AS VARCHAR) || '0'), 1, 8)) AS UBIGINT)
+        |  + 0.5) / 4294967296.0 < r.rate""".stripMargin,
     // q184: q183's unrounded rates + the md5-seeded per-doc uniform
     // (q110/q166's construction), identical copy arithmetic.
     "q184_unimax_sample" ->

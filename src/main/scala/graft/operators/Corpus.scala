@@ -796,6 +796,19 @@ object Corpus {
           (col("__n") - col("__k")).cast("double")))
   }
 
+  /** The frozen per-source epoch rates (alloc_s / n_s at FULL double
+    * precision) as a driver map — the #sources-sized artifact the
+    * streaming twin ([[graft.streaming.StreamUnimax]]) embeds as a
+    * plan literal; dividing the collected unrounded values reproduces
+    * [[unimaxMix]]'s in-plan rates bit-for-bit, so streaming and
+    * batch sampling agree decision-for-decision. */
+  def unimaxRates(docs: DataFrame, sourceCol: String, tokenCol: Column,
+      maxEpochs: Double, budgetFraction: Double): Map[String, Double] =
+    unimaxRaw(docs, sourceCol, tokenCol, maxEpochs, budgetFraction)
+      .select(col("source"),
+        (col("__alloc") / col("n_tokens")).as("__r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
   /** The full UniMax pipeline: [[unimaxAllocation]]'s waterfilled
     * per-source token budgets APPLIED as a deterministic document
     * sample — each doc repeats floor(epochs_s) times plus one more
@@ -849,27 +862,43 @@ object Corpus {
   def mixSources(
       docs: DataFrame, idCol: String, sourceCol: String,
       targets: Map[String, Double], seed: Long = 0L,
-      maxRepeat: Int = 1): DataFrame = {
+      maxRepeat: Int = 1, replayableUniform: Boolean = false): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
       targets.values.sum > 0, "mixSources: need nonnegative weights, sum > 0")
     require(maxRepeat >= 1, "mixSources: maxRepeat >= 1")
-    val wsum = targets.values.sum
-    val weighted = targets.collect {
+    // fold in SOURCE-NAME order: a Map's iteration order is an
+    // implementation detail, and double addition isn't associative —
+    // sorting first makes wsum (and so every rate) a pure function of
+    // the targets, run to run and Scala version to Scala version, and
+    // is what lets an oracle replay the normalization bit-for-bit
+    val ordered = targets.toSeq.sortBy(_._1)
+    val wsum = ordered.map(_._2).sum
+    val weighted = ordered.collect {
       case (s, w) if w > 0 => s -> w / wsum
     }
     val counts = docs
-      .filter(col(sourceCol).isin(weighted.keys.toSeq.map(lit): _*))
+      .filter(col(sourceCol).isin(weighted.map(_._1).map(lit): _*))
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missing = weighted.keySet -- counts.keySet
+    val missing = weighted.map(_._1).toSet -- counts.keySet
     require(missing.isEmpty,
       s"mixSources: weighted sources absent from corpus: ${missing.mkString(", ")}")
     val total = weighted.map { case (s, t) => maxRepeat * counts(s) / t }.min
     val rates = weighted.map { case (s, t) => s -> t * total / counts(s) }
+      .toMap
     val rate = coalesce(
       element_at(typedlit(rates), col(sourceCol)), lit(0.0))
-    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
-      .cast("double") / 1000000.0
+    // the md5-seeded uniform (weightedSample's esKey construction) is
+    // SQL-replayable — what upgrades the q68 mix from rows-only to
+    // hash-exact; the xxhash64 default is kept for existing callers
+    // (cheaper per row, same distribution)
+    val u =
+      if (replayableUniform)
+        (conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(seed.toString))), 1, 8), 16, 10)
+          .cast("long") + lit(0.5)) / lit(4294967296.0)
+      else pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+        .cast("double") / 1000000.0
     if (maxRepeat == 1)
       docs.filter(u < rate).withColumn("copy", lit(0))
     else {

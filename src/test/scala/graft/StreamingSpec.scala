@@ -203,6 +203,55 @@ class StreamingSpec extends SparkSpec {
     assert(meter.contains((2L, 1L)), s"meter rows: ${meter.toSeq}")
   }
 
+  test("streaming UniMax sampling equals the batch mix decision-for-decision") {
+    implicit val sqlCtx = spark.sqlContext
+    // the planning batch: uneven sources so the waterfilling is
+    // nontrivial (small source capped, big source at the fill level)
+    val docs = (Seq.tabulate(8)(i => (i.toLong, "a", "w w w")) ++
+      Seq.tabulate(40)(i => (100L + i, "b", "w w w")))
+      .toDF("doc_id", "source", "text")
+    val tok = graft.operators.TextStats.wsTokenCount(col("text"))
+    val rates = graft.operators.Corpus.unimaxRates(
+      docs, "source", tok, maxEpochs = 1.5, budgetFraction = 1.0)
+    assert(rates("a") == 1.5 && rates("b") < 1.0, s"rates: $rates")
+    val batch = graft.operators.Corpus.unimaxMix(
+      docs, "doc_id", "source", tok, maxEpochs = 1.5,
+      budgetFraction = 1.0)
+      .as[(Long, String, Int)].collect().toSet
+    // stream the same rows through the frozen rates
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "source")
+    input.addData(Seq.tabulate(8)(i => (ts(1), i.toLong, "a")))
+    input.addData(Seq.tabulate(40)(i => (ts(2), 100L + i, "b")) :+
+      ((ts(45), 999L, "unplanned"))) // unknown source → rate 0
+    val q1 = graft.streaming.StreamUnimax.sampled(
+        df, "doc_id", "source", rates)
+      .select("doc_id", "source", "copy")
+      .writeStream.format("memory").queryName("unimax_sampled")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    val streamed = spark.table("unimax_sampled")
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed === batch,
+      "streaming sample diverged from the batch mix")
+    assert(!streamed.exists(_._2 == "unplanned"),
+      "an unbudgeted source leaked through")
+    // the windowed meter finalizes and reports the realized rates
+    val q2 = graft.streaming.StreamUnimax.intakeMeter(df, "ts",
+        "doc_id", "source", rates, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("unimax_meter")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val meter = spark.table("unimax_meter")
+      .select("source", "n_in", "n_sampled")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(meter("a")._1 == 8L &&
+      meter("a")._2 == batch.count(_._2 == "a"))
+    assert(meter("b")._1 == 40L &&
+      meter("b")._2 == batch.count(_._2 == "b"))
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
