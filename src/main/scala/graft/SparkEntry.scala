@@ -994,12 +994,14 @@ object SparkEntry {
       n = 3)
   }
 
-  /** q50: deterministic train/val/test split by id hash — stable across
-    * runs and layouts, pure projection. rows-only (xxhash64 is
-    * engine-specific); CorpusSpec pins determinism, coverage and
-    * proportions. */
+  /** q50: deterministic train/val/test split by id hash — stable
+    * across runs and layouts, pure projection. r15: re-registered on
+    * the REPLAYABLE md5-prefix bucket, so the whole assignment is
+    * ORACLE-CHECKED hash-exact instead of rows-only; CorpusSpec still
+    * pins determinism, coverage and proportions. */
   private def q50(s: SparkSession, dir: String): DataFrame =
-    Corpus.splitAssign(Tables(s, dir).documents, "doc_id")
+    Corpus.splitAssign(Tables(s, dir).documents, "doc_id",
+      replayableUniform = true)
       .select(col("doc_id"), col("split"))
 
   /** q68: training-corpus source mixing — re-weight three sources to
@@ -1193,12 +1195,17 @@ object SparkEntry {
       TextStats.wsTokenCount(col("text")).cast("long").as("n_ws"),
       TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
 
-  /** q40: rolling-hash document fingerprint. rows-only (engine-specific
-    * xxhash64 inside). */
+  /** q40: rolling-hash document fingerprint — order-sensitive
+    * polynomial over per-word hashes mod the largest 32-bit prime.
+    * r15: re-registered on the REPLAYABLE md5-prefix word hash, so
+    * the full polynomial is ORACLE-CHECKED hash-exact instead of
+    * rows-only (the prepend-0 list_reduce replays the identical
+    * fold). */
   private def q40(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
       col("doc_id"),
-      TextStats.fingerprint(col("text")).as("fingerprint"))
+      TextStats.fingerprint(col("text"), replayableWordHash = true)
+        .as("fingerprint"))
 
   /** q41: embedding near-dup via random-hyperplane LSH buckets + exact
     * cosine verify, MULTI-PROBE (Lv et al. 2007): each vector also
@@ -6145,6 +6152,31 @@ object SparkEntry {
         |    ELSE (g.B - l.capsum) / CAST(g.n - l.k AS DOUBLE) END
         |    / g.n_tokens, 4) AS epochs
         |FROM g, l""".stripMargin,
+    // q40 (r15 upgrade from rows-only): the rolling polynomial with
+    // md5-prefix word values replayed via the prepend-0 list_reduce
+    // (DuckDB's reduce has no init — the prepended 0 IS the init:
+    // (0·31 + h1) % P reproduces the Spark fold's first step). All
+    // integer arithmetic under 2^38 — exact both engines.
+    "q40_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(CAST(concat('0x', substring(md5(w), 1, 8))
+        |          AS UBIGINT) % 4294967291 AS BIGINT))),
+        |    (acc, h) -> (acc * 31 + h) % 4294967291) AS fingerprint
+        |FROM documents""".stripMargin,
+    // q50 (r15 upgrade from rows-only): the md5-prefix bucket + the
+    // same boundary CASE fold (train < 80, val < 90, else test).
+    "q50_split_assign" ->
+      """SELECT doc_id, CASE
+        |    WHEN CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR) || '0'), 1, 8))
+        |      AS UBIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR) || '0'), 1, 8))
+        |      AS UBIGINT) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     // q68 (r15 upgrade from rows-only): the whole mix replayed — the
     // source-name-ordered weight normalization, per-source counts,
     // total = min(maxRepeat·cnt/t), rate = t·total/cnt, and the

@@ -1403,10 +1403,18 @@ object Corpus {
   def splitAssign(
       docs: DataFrame, idCol: String,
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L, replayableUniform: Boolean = false): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 100,
       "split weights must sum to <= 100")
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100)).cast("int")
+    // the md5-prefix bucket is SQL-replayable (the mixSources/q110
+    // construction) — what upgrades q50 from rows-only to hash-exact;
+    // xxhash64 stays the default for existing callers
+    val bucket =
+      if (replayableUniform)
+        pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(seed.toString))), 1, 8), 16, 10).cast("long"), lit(100))
+          .cast("int")
+      else pmod(xxhash64(col(idCol), lit(seed)), lit(100)).cast("int")
     val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val assign = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)

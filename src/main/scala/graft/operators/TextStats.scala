@@ -105,12 +105,22 @@ object TextStats {
 
   /** Rolling polynomial fingerprint over words mod the largest 32-bit
     * prime: order-sensitive (unlike a bag hash) and overflow-free
-    * (acc < 2^32 so acc*31 + h < 2^38). */
-  def fingerprint(text: Column): Column = {
+    * (acc < 2^32 so acc*31 + h < 2^38). `replayableWordHash` swaps the
+    * per-word xxhash64 for the md5-prefix value the sampling family
+    * already uses — same mixing quality, but a SQL oracle can replay
+    * the whole polynomial (what upgrades q40 from rows-only to
+    * hash-exact); xxhash64 stays the default for existing callers
+    * (cheaper per word). */
+  def fingerprint(text: Column,
+      replayableWordHash: Boolean = false): Column = {
     val P = lit(4294967291L)
+    def wordHash(w: Column): Column =
+      if (replayableWordHash)
+        pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), P)
+      else pmod(xxhash64(w), P)
     aggregate(
       words(text),
       lit(0L),
-      (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), P), P))
+      (acc, w) => pmod(acc * 31L + wordHash(w), P))
   }
 }
