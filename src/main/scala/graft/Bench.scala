@@ -136,6 +136,23 @@ object Bench {
         None
     }
 
+  /** Repo-root anchor for COMMITTED artifacts (baselines, detail
+    * files): resolving them against the process CWD writes stray
+    * files when a main is launched from anywhere else (r14 ADVICE).
+    * SPARK_GRAFT_REPO_ROOT wins; else the nearest ancestor carrying
+    * build.sbt; else CWD (unchanged behavior for in-repo launches).
+    * Shared by Bench and the Stress* gate harnesses. */
+  private[graft] def repoRootPath: java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath)
+      .orElse {
+        Iterator.iterate(
+            java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null).take(6)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      }
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+
   /** Per-query MIN merge of an existing same-sf baseline with a new
     * run's medians: new queries join, queries absent from the run
     * keep their record, and the alloc entry follows whichever side
@@ -461,22 +478,9 @@ object Bench {
       if (as.isEmpty) -1.0 else as(as.size / 2)
     }
 
-    // ---- repo-root anchor for committed artifacts (r14 ADVICE):
-    // baseline + detail files are repo artifacts — resolving them
-    // against the process CWD writes stray files when the bench is
-    // launched from anywhere else. SPARK_GRAFT_REPO_ROOT wins; else
-    // the nearest ancestor carrying build.sbt; else CWD (unchanged
-    // behavior for in-repo launches).
-    val repoRoot: java.nio.file.Path =
-      sys.env.get("SPARK_GRAFT_REPO_ROOT")
-        .map(java.nio.file.Paths.get(_).toAbsolutePath)
-        .orElse {
-          Iterator.iterate(
-              java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
-            .takeWhile(_ != null).take(6)
-            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-        }
-        .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    // ---- repo-root anchor for committed artifacts (r14 ADVICE) —
+    // see [[repoRootPath]]
+    val repoRoot: java.nio.file.Path = repoRootPath
 
     // ---- regression gate vs the committed baseline (object scaladoc)
     // resolution order: explicit env path; the per-sf file

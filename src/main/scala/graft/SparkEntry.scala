@@ -24,6 +24,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q10(spark, "/root/testdata/sf0.001")
 
+  /** Per-JVM scratch directory for the queries whose SEMANTICS include
+    * a persistence round trip (q174's saved model, q177's saved
+    * index): each uses one FIXED subdir with mode=overwrite writes, so
+    * a bench run's warm-ups + timed passes are bounded at one artifact
+    * copy instead of leaking a fresh temp directory per invocation,
+    * and the whole tree is removed on JVM exit. */
+  private lazy val scratchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
   // ----------------------------------------------------------------
   // A. Reference ETL surface
   // ----------------------------------------------------------------
@@ -2553,8 +2572,7 @@ object SparkEntry {
     val d = langFixture(Tables(s, dir).documents)
     val trained = LangId.train(d.filter(col("doc_id") % 7 === 1),
       "text", "label", LangClasses, dims = 1024, iters = 6)
-    val mdir = java.nio.file.Files
-      .createTempDirectory("graft_q174").toString + "/model"
+    val mdir = s"$scratchDir/q174_model"
     Classifier.saveMulti(s, trained, mdir)
     val model = Classifier.loadMulti(s, mdir)
     d.filter(col("doc_id") % 7 === 0)
@@ -2636,8 +2654,7 @@ object SparkEntry {
     val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
       iters = 5, maxTrain = 4096)
     val index = Ann.buildPqIndex(e, centroids, books, "vec_id", "embedding")
-    val idir = java.nio.file.Files
-      .createTempDirectory("graft_q177").toString + "/opq_index"
+    val idir = s"$scratchDir/q177_opq_index"
     Ann.saveOpqIndex(idir, index, centroids, books, "vec_id", "embedding",
       rotation = rotation)
     val loaded = Ann.loadOpqIndex(s, idir)

@@ -221,10 +221,12 @@ object StressR14 {
     // ---- sf1 gate: diff against the committed file; MERGE on write
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val basePath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SF1_BASELINE", "bench_baseline_sf1.json"))
-      .toAbsolutePath
-    def readMaps(field: String): Map[String, Double] =
+    // repo-root anchor + same-sf guard (the Bench fold discipline;
+    // r15 — this harness predates it but merges into the same file)
+    val basePath = sys.env.get("SPARK_GRAFT_SF1_BASELINE")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath)
+      .getOrElse(Bench.repoRootPath.resolve("bench_baseline_sf1.json"))
+    def readField(field: String): Map[String, Double] =
       if (!java.nio.file.Files.exists(basePath)) Map.empty
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -237,6 +239,20 @@ object StressR14 {
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
         }
       } catch { case _: Throwable => Map.empty }
+    val baseSf =
+      if (!java.nio.file.Files.exists(basePath)) None
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        Option(om.readTree(java.nio.file.Files.readString(basePath))
+          .get("sf")).map(_.asText())
+      } catch { case _: Throwable => None }
+    val sameSf = baseSf.forall(_ == sfDir)
+    def readMaps(field: String): Map[String, Double] =
+      if (sameSf) readField(field) else Map.empty
+    if (!sameSf)
+      println(s"SCALE baseline sf ${baseSf.get} != $sfDir - gate " +
+        "skipped and merge disabled (a dev-scale run must not " +
+        "clobber the committed record)")
     val baseMed = readMaps("queries")
     if (baseMed.nonEmpty) {
       val regs = out.flatMap { m =>
@@ -252,7 +268,8 @@ object StressR14 {
       if (regs.isEmpty) println("SCALE GATE clean: all 10x medians " +
         s"with a committed point are within 2x of $basePath")
     }
-    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")
+        && sameSf) {
       // merge: keep every existing entry, overwrite/add this run's
       val mergedQ = baseMed ++ out.map(m => m.name -> m.t10)
       val mergedE = readMaps("exponents") ++

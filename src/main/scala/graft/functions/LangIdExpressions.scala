@@ -76,10 +76,9 @@ final class LangFeaturesCodec(val dims: Int, val seed: Long,
         bucket("cg:" + t.substring(starts(g), starts(g + 3)))))
       g += 1
     }
-    var i = 0
     // stopword occurrences: single-space split, multiplicity kept
     val words = t.split(" ", -1)
-    i = 0
+    var i = 0
     while (i < words.length) {
       if (stopSet.contains(words(i)))
         out.add(Integer.valueOf(bucket("sw:" + words(i))))

@@ -93,6 +93,9 @@ object Classifier {
     val dims = rows.head.getInt(4)
     require(rows.forall(_.getInt(4) == dims),
       s"loadMulti: inconsistent dims in $dir")
+    val hist = rows.head.getSeq[Double](5)
+    require(rows.forall(_.getSeq[Double](5) == hist),
+      s"loadMulti: inconsistent loss history across class rows in $dir")
     MultiModel(
       rows.toSeq.map(_.getString(1)),
       rows.map(_.getSeq[Double](2).toArray),
