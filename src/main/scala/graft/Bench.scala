@@ -342,7 +342,9 @@ object Bench {
       // four-family tokenizer bake-off incl. byte BPE (r15)
       "q182_tokenizer_compare4",
       // UniMax waterfilling budget allocation + applied sample (r15)
-      "q183_unimax_mix", "q184_unimax_sample"
+      "q183_unimax_mix", "q184_unimax_sample",
+      // byte-BPE with GPT-2-ish pre-tokenizer classes (r15)
+      "q185_bbpe_pretok"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

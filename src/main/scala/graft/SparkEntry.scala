@@ -2444,6 +2444,37 @@ object SparkEntry {
     Bpe.mergeTableBytes(bbpeFixture(Tables(s, dir).documents)
       .select(col("text")), "text", numMerges = 24)
 
+  /** FROZEN merge list for q185: `Bpe.trainBytes` over the sf0.01
+    * bbpeFixture corpus with the GPT-2-ish PRE-TOKENIZER classes
+    * (Bpe.PretokRe — letter/digit/punct runs; 24 merges). BpeSpec
+    * re-derives it so constant/trainer drift fails in CI. Differs
+    * from BbpeMerges where punctuation-glued words changed the pair
+    * statistics — exactly the effect the pre-tokenizer exists for. */
+  private[graft] val BbpePretokMerges: Seq[String] = Seq(
+    "e|r", "i|n", "o|w", "o|r", "s|t", "a|t", "m|er", "l|u", "a|r",
+    "p|ar", "i|l", "j|o", "jo|in", "a|s", "as|h", "h|ash", "r|ow",
+    "h|e", "at|c", "atc|h", "b|atch", "a|n", "c|an", "s|can")
+  // NOTE: currently coincides with BbpeMerges — at this corpus scale
+  // the top-24 pair statistics are dominated by the lowercase words
+  // both tokenizations share; the ENCODE still differs (class-split
+  // words tokenize separately). The two constants stay independent
+  // so a corpus change diverges them without cross-contamination;
+  // BpeSpec pins each against its own trainer configuration.
+
+  /** q185: BYTE-LEVEL BPE WITH GPT-2-ISH PRE-TOKENIZATION — q179's
+    * pipeline with the published pre-split: words are letter runs,
+    * digit runs and punctuation RUNS (Bpe.PretokRe) instead of bare
+    * whitespace tokens, so "votes!" tokenizes as ["votes", "!"] and
+    * numbers never merge into neighbouring words — the actual GPT-2
+    * recipe's shape (its regex adds apostrophe contractions and
+    * leading-space affinity; the class split is the load-bearing
+    * part). The alternation is branch-disjoint, so Java and RE2
+    * tokenize identically (the q39 parity class) and the unrolled
+    * replay stays hash-exact. */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenHistogramBytes(bbpeFixture(Tables(s, dir).documents),
+      "text", BbpePretokMerges, k = 30, wordRe = Bpe.PretokRe)
+
   /** q157: EXACT TOKENIZER COUNTS (Bpe.tokenCounts) — per-doc
     * (n_words, n_tokens) under the frozen merge list: the real value
     * q39's whitespace-BPE-ish approximation stands in for, and the
@@ -3701,7 +3732,8 @@ object SparkEntry {
     "q181_pdf_text" -> (q181 _),
     "q182_tokenizer_compare4" -> (q182 _),
     "q183_unimax_mix" -> (q183 _),
-    "q184_unimax_sample" -> (q184 _)
+    "q184_unimax_sample" -> (q184 _),
+    "q185_bbpe_pretok" -> (q185 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6033,6 +6065,19 @@ object SparkEntry {
         BbpeTails.map(t => "'" + t.replace("'", "''") + "'")
           .mkString("[", ", ", "]") +
         ")[CAST(doc_id % 5 + 1 AS INT)], '\\S+')) AS w FROM documents") +
+      """enc AS (SELECT unnest(l) AS token FROM t11)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
+    // q185: the pre-tokenized byte chain — words are letter/digit/
+    // punct RUNS (branch-disjoint alternation, the q39 parity class).
+    "q185_bbpe_pretok" -> ("WITH " + bpeUnrolledSteps(BbpePretokMerges,
+      steps = 11,
+      wordsSql = "SELECT doc_id, unnest(regexp_extract_all(" +
+        "text || ' ' || (" +
+        BbpeTails.map(t => "'" + t.replace("'", "''") + "'")
+          .mkString("[", ", ", "]") +
+        ")[CAST(doc_id % 5 + 1 AS INT)], " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS w FROM documents") +
       """enc AS (SELECT unnest(l) AS token FROM t11)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM enc
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin),

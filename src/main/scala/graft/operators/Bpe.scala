@@ -170,14 +170,24 @@ object Bpe {
   // the bounded word-frequency dict, encode as a pure projection.
   // ------------------------------------------------------------------
 
-  /** One byte-symbol word per row: whitespace-separated raw tokens
-    * (case preserved — byte-level tokenizers are case-sensitive),
+  /** GPT-2-ish pre-tokenizer classes: letter runs, digit runs,
+    * punctuation runs — so "votes!" splits into ["votes", "!"] and a
+    * number never merges into its neighbouring word (the published
+    * byte-BPE recipe pre-splits on exactly these classes; the
+    * whitespace-only default keeps them glued). The alternation is
+    * branch-DISJOINT, so Java and RE2 agree (the q39 parity class). */
+  val PretokRe: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** One byte-symbol word per row: raw tokens under `wordRe` (default
+    * whitespace runs; pass [[PretokRe]] for GPT-2-ish class splits;
+    * case preserved — byte-level tokenizers are case-sensitive),
     * mapped through `byte_symbols`, length bounds applied to the
     * BYTE count (= symbol count). Requires GraftExtensions. */
   def wordsBytes(df: DataFrame, textCol: String,
-      minLen: Int = 2, maxLen: Int = 12): DataFrame =
+      minLen: Int = 2, maxLen: Int = 12,
+      wordRe: String = "\\S+"): DataFrame =
     df.select(explode(
-        regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__w"))
+        regexp_extract_all(col(textCol), lit(wordRe), lit(0))).as("__w"))
       .select(call_function("byte_symbols", col("__w")).as("word"))
       .filter(length(col("word")).between(minLen, maxLen))
 
@@ -189,9 +199,9 @@ object Bpe {
     * [[graft.functions.ByteAlphabet]]). Merges/encodes downstream are
     * the same "left|right" machinery as the char-level family. */
   def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
-      maxWords: Int = 30000, minLen: Int = 2, maxLen: Int = 12)
-      : Seq[String] = {
-    val wc = wordsBytes(df, textCol, minLen, maxLen)
+      maxWords: Int = 30000, minLen: Int = 2, maxLen: Int = 12,
+      wordRe: String = "\\S+"): Seq[String] = {
+    val wc = wordsBytes(df, textCol, minLen, maxLen, wordRe)
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word"))
       .limit(maxWords) // bounded driver collect: vocabulary, not corpus
@@ -211,8 +221,8 @@ object Bpe {
   /** q179 shape: byte-level token histogram — [[tokenHistogram]] over
     * the byte-symbol word stream. One scan, one aggregate exchange. */
   def tokenHistogramBytes(docs: DataFrame, textCol: String,
-      merges: Seq[String], k: Int): DataFrame =
-    wordsBytes(docs, textCol)
+      merges: Seq[String], k: Int, wordRe: String = "\\S+"): DataFrame =
+    wordsBytes(docs, textCol, wordRe = wordRe)
       .select(explode(encodeCol(col("word"), merges)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
@@ -221,10 +231,11 @@ object Bpe {
   /** q180 shape: the trained byte-level merge table as rows
     * (rank, left, right) — [[mergeTable]]'s byte twin. */
   def mergeTableBytes(docs: DataFrame, textCol: String, numMerges: Int,
-      maxWords: Int = 30000): DataFrame = {
+      maxWords: Int = 30000, wordRe: String = "\\S+"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainBytes(docs, textCol, numMerges, maxWords).zipWithIndex.map {
+    trainBytes(docs, textCol, numMerges, maxWords,
+      wordRe = wordRe).zipWithIndex.map {
       case (p, i) =>
         val Array(a, b) = p.split("\\|", 2)
         (i, a, b)

@@ -189,6 +189,25 @@ class BpeSpec extends SparkSpec {
     assert(m1 === SparkEntry.BbpeMerges)
   }
 
+  test("pre-tokenizer classes: runs split, frozen q185 list matches trainer") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val fix = SparkEntry.bbpeFixture(docs).select(col("text"))
+    // frozen-literal drift pin for the PRETOK configuration
+    val m = Bpe.trainBytes(fix, "text", numMerges = 24,
+      wordRe = Bpe.PretokRe)
+    assert(m === SparkEntry.BbpePretokMerges)
+    // the class split is real: "NO!" is ONE \S+ word but TWO pretok
+    // words, digits detach from letters, punct runs stay grouped
+    val t = Seq("Dr. said NO!! x=42 ... ok").toDF("text")
+    val ws = Bpe.wordsBytes(t, "text", minLen = 1, maxLen = 50,
+      wordRe = Bpe.PretokRe).as[String].collect().toSeq
+    assert(ws === Seq("Dr", ".", "said", "NO", "!!", "x", "=", "42",
+      "...", "ok"))
+    val plain = Bpe.wordsBytes(t, "text", minLen = 1, maxLen = 50)
+      .as[String].collect().toSeq
+    assert(plain === Seq("Dr.", "said", "NO!!", "x=42", "...", "ok"))
+  }
+
   test("byte-level encode: no input class is dropped, no UNK possible") {
     import graft.functions.ByteAlphabet
     // q154's char-level pipeline only sees [a-z]+; the byte pipeline
