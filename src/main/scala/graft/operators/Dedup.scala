@@ -388,9 +388,10 @@ object Dedup {
       * which those files never had). */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
       val e = spark.read.parquet(s"$dir/entries")
-      MinhashIndex(
+      MinhashIndex(IndexMaintenance.dropTombstoned(
         if (e.columns.contains("shard")) e
-        else e.withColumn("shard", shardOf(col("id"))))
+        else e.withColumn("shard", shardOf(col("id"))),
+        spark, dir))
     }
   }
 
@@ -425,13 +426,19 @@ object Dedup {
     * (materialize()d) one is a LogicalRDD; in both the filter would
     * buy nothing and its driver-collected shard list would cost an
     * extra synchronous job per probe. */
-  private[operators] def isFileBacked(entries: DataFrame): Boolean = {
+  private[graft] def isFileBacked(entries: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def scanOnly(p: LogicalPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
       case u: Union => u.children.forall(scanOnly)
       case pj: Project => scanOnly(pj.child)
       case f: Filter => scanOnly(f.child)
+      // a tombstone anti-join (IndexMaintenance.dropTombstoned): the
+      // probe's shard filter pushes through the join's LEFT side to
+      // the scan, so the pruning fast path still applies
+      case j: Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        scanOnly(j.left)
       case _ => false
     }
     scanOnly(entries.queryExecution.optimizedPlan)
@@ -937,9 +944,10 @@ object Dedup {
       * (same values save() would have written). */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): EmbeddingIndex = {
       val e = spark.read.parquet(s"$dir/entries")
-      EmbeddingIndex(
+      EmbeddingIndex(IndexMaintenance.dropTombstoned(
         if (e.columns.contains("shard")) e
-        else e.withColumn("shard", embeddingShardOf(col("bucket"))))
+        else e.withColumn("shard", embeddingShardOf(col("bucket"))),
+        spark, dir))
     }
   }
 

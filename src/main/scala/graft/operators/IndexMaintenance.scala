@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle maintenance for the persisted corpus indexes
+  * ([[Dedup.MinhashIndex]], [[Dedup.EmbeddingIndex]],
+  * [[graft.operators.SetSimilarity.SetSimIndex]],
+  * [[graft.sources.Multimodal.MediaHashIndex]]): DELETION and
+  * COMPACTION — the two operations continuous ingest needs beyond
+  * build/save/load/probe/append.
+  *
+  * Deletion is by TOMBSTONE, the standard LSM/inverted-index recipe:
+  * removing a document from a 100 TB corpus index must not rewrite
+  * the index (that is a full-corpus job), so [[addTombstones]] appends
+  * the ids to a side table (`<dir>/tombstones`, one tiny parquet per
+  * call) and every `load` anti-joins it — a takedown is visible to
+  * the NEXT probe at the cost of one broadcast-sized join, with the
+  * shard-pruned scan underneath untouched (the probe's shard filter
+  * pushes through the anti-join to the file scan; `Dedup.isFileBacked`
+  * recognises the shape). Tombstoned ids stop matching probes
+  * immediately; their bytes are reclaimed by the next compaction.
+  *
+  * Compaction ([[compactMinhashIndex]] and siblings) rewrites the
+  * index without the tombstoned rows and drops the tombstone table —
+  * bounding probe-side anti-join state and reclaiming storage. It
+  * reuses each index's own `save` (so partition layout, the
+  * empty-input guard, and derived tables like SetSimIndex's postings
+  * are rebuilt by the same code that built them), writes the rewrite
+  * to `<dir>/_compact` FIRST, and only then swaps it in sub-table by
+  * sub-table. Crash discipline (the [[graft.streaming.StreamDedup
+  * .compactRoots]] contract, adapted to an in-place root): every
+  * `_compact` sub-table carries parquet's `_SUCCESS` marker, the swap
+  * runs only when every expected sub-table is complete, and
+  * [[recover]] (called on entry) finishes or discards an interrupted
+  * swap — a crash can leave the old and new data side by side but
+  * never lose the index. Run compaction while the index has no
+  * concurrent writer, like every compacting store.
+  *
+  * The streaming multi-root layout keeps its tombstones at
+  * `<indexDir>/_tombstones` (the underscore namespace indexRoots
+  * already skips) — see [[graft.streaming.StreamDedup.addTombstones]].
+  */
+object IndexMaintenance {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Mark ids as deleted: append them to `<dir>/tombstones`. `ids`
+    * must be a single column of the SAME TYPE as the index's id (a
+    * mismatched type would silently anti-join nothing). Idempotent —
+    * duplicate tombstones cost nothing beyond their bytes. */
+  def addTombstones(ids: DataFrame, dir: String): Unit =
+    addTombstonesAt(ids, s"$dir/tombstones")
+
+  /** Tombstone-table primitive at an explicit path — the streaming
+    * multi-root layout keeps its table at `<indexDir>/_tombstones`
+    * instead of inside any one root. */
+  private[graft] def addTombstonesAt(ids: DataFrame, path: String): Unit = {
+    require(ids.columns.length == 1,
+      s"addTombstones: one id column expected, got ${ids.columns.mkString(", ")}")
+    ids.toDF("id").write.mode("append").parquet(path)
+  }
+
+  /** The live tombstone set, if any. */
+  private[graft] def readTombstones(
+      spark: SparkSession, dir: String): Option[DataFrame] =
+    readTombstonesAt(spark, s"$dir/tombstones")
+
+  private[graft] def readTombstonesAt(
+      spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(path)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** `entries` minus the tombstoned ids — what every index `load`
+    * applies. The anti-join's right side is the (tiny) tombstone
+    * table; probes' shard filters still push through to the scan. */
+  private[graft] def dropTombstoned(
+      entries: DataFrame, spark: SparkSession, dir: String,
+      idCol: String = "id"): DataFrame =
+    dropTombstonedAt(entries, spark, s"$dir/tombstones", idCol)
+
+  private[graft] def dropTombstonedAt(
+      entries: DataFrame, spark: SparkSession, path: String,
+      idCol: String = "id"): DataFrame =
+    readTombstonesAt(spark, path) match {
+      case Some(t) =>
+        entries.join(t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      case None => entries
+    }
+
+  // ------------------------------------------------------------------
+  // In-place single-root compaction
+  // ------------------------------------------------------------------
+
+  /** Compact a [[Dedup.MinhashIndex]] directory: rewrite `entries`
+    * without tombstoned ids, swap it in, drop the tombstones. */
+  def compactMinhashIndex(spark: SparkSession, dir: String): Unit =
+    compactRoot(spark, dir, Seq("entries")) { tmp =>
+      Dedup.MinhashIndex.load(spark, dir).save(tmp, mode = "overwrite")
+    }
+
+  /** Compact a [[Dedup.EmbeddingIndex]] directory. */
+  def compactEmbeddingIndex(spark: SparkSession, dir: String): Unit =
+    compactRoot(spark, dir, Seq("entries")) { tmp =>
+      Dedup.EmbeddingIndex.load(spark, dir).save(tmp, mode = "overwrite")
+    }
+
+  /** Compact a [[SetSimilarity.SetSimIndex]] directory: entries and
+    * the token-keyed postings are rebuilt without tombstoned ids;
+    * `dfreq` is carried over UNCHANGED — the frozen token order is
+    * the index's correctness contract (any consistent order is valid,
+    * so deletions never force a re-count; see SetSimIndex's scaladoc
+    * on drift). */
+  def compactSetSimIndex(spark: SparkSession, dir: String): Unit =
+    compactRoot(spark, dir, Seq("entries", "dfreq", "postings")) { tmp =>
+      SetSimilarity.SetSimIndex.load(spark, dir).save(tmp, mode = "overwrite")
+    }
+
+  /** Compact a [[graft.sources.Multimodal.MediaHashIndex]] directory. */
+  def compactMediaHashIndex(spark: SparkSession, dir: String): Unit =
+    compactRoot(spark, dir, Seq("entries")) { tmp =>
+      graft.sources.Multimodal.MediaHashIndex.load(spark, dir)
+        .save(tmp, mode = "overwrite")
+    }
+
+  /** Shared compact core: recover any interrupted swap, write the
+    * rewrite (tombstones applied by the index's own `load`) under
+    * `<dir>/_compact`, swap each sub-table in, delete the old data
+    * and the tombstone table. `write` receives the tmp root and must
+    * produce every name in `subs` (a missing OPTIONAL sub — e.g. a
+    * pre-postings SetSimIndex — is skipped by the swap). */
+  private def compactRoot(spark: SparkSession, dir: String,
+      subs: Seq[String])(write: String => Unit): Unit = {
+    val fs = fsOf(spark, dir)
+    recover(spark, dir, subs)
+    val tmp = s"$dir/_compact"
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    write(tmp)
+    swapIn(spark, dir, subs, dropTombstones = true)
+  }
+
+  /** `_compact/<sub>` is complete iff parquet committed it. */
+  private def complete(spark: SparkSession, dir: String, sub: String): Boolean =
+    fsOf(spark, dir).exists(new Path(s"$dir/_compact/$sub/_SUCCESS"))
+
+  /** Move every completed `_compact` sub-table into place, then drop
+    * the trash and the `_compact` root. `dropTombstones` only on the
+    * fresh-write path: a RECOVERED rewrite may predate tombstones
+    * added after the crash, and keeping already-folded tombstones is
+    * a no-op anti-join while deleting unapplied ones would resurrect
+    * deleted ids. Only called when every live sub present in
+    * `_compact` is complete. */
+  private def swapIn(spark: SparkSession, dir: String,
+      subs: Seq[String], dropTombstones: Boolean): Unit = {
+    val fs = fsOf(spark, dir)
+    val present = subs.filter(s => fs.exists(new Path(s"$dir/_compact/$s")))
+    require(present.forall(complete(spark, dir, _)),
+      s"compact: incomplete rewrite under $dir/_compact")
+    present.foreach { s =>
+      val live = new Path(s"$dir/$s")
+      val trash = new Path(s"$dir/_trash_$s")
+      if (fs.exists(live)) require(fs.rename(live, trash),
+        s"compact: rename $live -> $trash failed")
+      require(fs.rename(new Path(s"$dir/_compact/$s"), live),
+        s"compact: rename _compact/$s -> $live failed")
+    }
+    subs.foreach(s => fs.delete(new Path(s"$dir/_trash_$s"), true))
+    fs.delete(new Path(s"$dir/_compact"), true)
+    if (dropTombstones) fs.delete(new Path(s"$dir/tombstones"), true)
+  }
+
+  /** Finish or discard an interrupted compaction. If every sub-table
+    * the interrupted run wrote is complete, the swap is REDONE in
+    * full (the rewrite already has the tombstones folded in, so
+    * finishing it is always safe); otherwise the partial rewrite is
+    * discarded, any sub-table caught mid-rename is restored from its
+    * trash copy, and the tombstones are kept (they were never
+    * applied). Idempotent; called by every compact entry. */
+  private[graft] def recover(spark: SparkSession, dir: String,
+      subs: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(s"$dir/_compact")
+    val written = subs.filter(s => fs.exists(new Path(s"$dir/_compact/$s")))
+    if (fs.exists(tmp) && written.nonEmpty &&
+        written.forall(complete(spark, dir, _))) {
+      swapIn(spark, dir, subs, dropTombstones = false)
+    } else {
+      fs.delete(tmp, true)
+      subs.foreach { s =>
+        val live = new Path(s"$dir/$s")
+        val trash = new Path(s"$dir/_trash_$s")
+        if (!fs.exists(live) && fs.exists(trash))
+          require(fs.rename(trash, live),
+            s"compact recover: rename $trash -> $live failed")
+        fs.delete(trash, true)
+      }
+    }
+  }
+}

@@ -257,7 +257,13 @@ object SetSimilarity {
       val posts =
         if (fs.exists(pPath)) Some(spark.read.parquet(pPath.toString))
         else None
-      SetSimIndex(spark.read.parquet(s"$dir/entries"),
+      // tombstones (IndexMaintenance): entries filtering alone is the
+      // correctness path — candidate generation from stale postings is
+      // discarded by the verify join's inner join back to entries;
+      // compaction rewrites the postings too
+      SetSimIndex(
+        IndexMaintenance.dropTombstoned(
+          spark.read.parquet(s"$dir/entries"), spark, dir),
         spark.read.parquet(s"$dir/dfreq"), posts)
     }
   }

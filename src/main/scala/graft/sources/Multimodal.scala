@@ -701,8 +701,9 @@ object Multimodal {
 
   object MediaHashIndex {
     def load(spark: SparkSession, dir: String): MediaHashIndex =
-      MediaHashIndex(spark.read.parquet(s"$dir/entries")
-        .select("id", "kind", "dhash"))
+      MediaHashIndex(graft.operators.IndexMaintenance.dropTombstoned(
+        spark.read.parquet(s"$dir/entries")
+          .select("id", "kind", "dhash"), spark, dir))
   }
 
   /** Build the perceptual-hash index for a (deduped) media corpus —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.storage.StorageLevel
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, IndexMaintenance}
 import graft.sources.StageSink
 
 /** Streaming incremental near-dedup: each micro-batch dedups against
@@ -40,7 +40,7 @@ object StreamDedup {
     * table), minus `exclude`. Underscore-prefixed folders are skipped —
     * that namespace is reserved for in-flight [[compact]] temp dirs, so
     * a crashed compaction never gets probed as a (partial) root. */
-  private[streaming] def indexRoots(
+  private[graft] def indexRoots(
       indexDir: String, exclude: String = ""): Seq[java.io.File] =
     Option(new java.io.File(indexDir).listFiles())
       .getOrElse(Array.empty).toIndexedSeq
@@ -48,6 +48,23 @@ object StreamDedup {
         !d.getName.startsWith("_") &&
         new java.io.File(d, "entries").exists())
       .sortBy(_.getName)
+
+  /** Mark ids as deleted across the WHOLE multi-root index: appended
+    * to `<indexDir>/_tombstones` (the underscore namespace
+    * [[indexRoots]] already skips), anti-joined by every probe union
+    * from the next micro-batch on, and rewritten away by the next
+    * [[compact]]. The per-root `<root>/tombstones` convention does
+    * not fit here — a deleted id may live in any root, and probes
+    * union the roots anyway, so one shared table filters them all. */
+  def addTombstones(ids: DataFrame, indexDir: String): Unit =
+    IndexMaintenance.addTombstonesAt(ids, s"$indexDir/_tombstones")
+
+  /** The union's tombstone filter ([[addTombstones]]'s reader). */
+  private[graft] def dropTombstoned(
+      entries: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    IndexMaintenance.dropTombstonedAt(entries, spark,
+      s"$indexDir/_tombstones")
 
   /** Fold every accumulated root (seed + deltas) into one fresh
     * `seed_b<lastBatch>` root and delete the originals — the
@@ -82,15 +99,22 @@ object StreamDedup {
       indexDir: String,
       save: (org.apache.spark.sql.DataFrame, String) => Unit): Option[String] = {
     val roots = indexRoots(indexDir)
-    if (roots.length <= 1) return None
+    // a single root still compacts when tombstones are pending —
+    // that rewrite is what reclaims their entries' bytes
+    val tombstonesPending = IndexMaintenance
+      .readTombstonesAt(spark, s"$indexDir/_tombstones").isDefined
+    if (roots.isEmpty || (roots.length == 1 && !tombstonesPending))
+      return None
     val seedEpochs = roots.map(_.getName)
       .filter(_.startsWith("seed_"))
       .flatMap(n => n.stripPrefix("seed_").toLongOption)
     val target = s"seed_${seedEpochs.maxOption.getOrElse(-1L) + 1L}"
-    val union = roots
-      .map(d => spark.read.parquet(s"${d.getPath}/entries"))
-      .reduce(_ unionByName _)
-      .dropDuplicates("id")
+    val union = dropTombstoned(
+      roots
+        .map(d => spark.read.parquet(s"${d.getPath}/entries"))
+        .reduce(_ unionByName _)
+        .dropDuplicates("id"),
+      spark, indexDir)
     val tmp = new java.io.File(indexDir, s"_compact_$target")
     save(union, tmp.getPath)
     val dest = new java.io.File(indexDir, target)
@@ -98,6 +122,9 @@ object StreamDedup {
       s"compact: rename ${tmp.getPath} -> ${dest.getPath} failed")
     roots.filter(_.getName != target)
       .foreach(d => deleteRecursively(d))
+    // the fold applied the tombstones, so they rewrite away with it —
+    // same ordering as the roots: only after the new root is in place
+    deleteRecursively(new java.io.File(indexDir, "_tombstones"))
     Some(target)
   }
 
@@ -135,9 +162,9 @@ object StreamDedup {
               // shard, and partition discovery rejects multiple
               // partitioned roots in a single read; the probe's shard
               // filter pushes down into every scan of the union
-              val index = Dedup.MinhashIndex(
+              val index = Dedup.MinhashIndex(dropTombstoned(
                 priorEntries.toIndexedSeq.map(spark.read.parquet(_))
-                  .reduce(_ unionByName _))
+                  .reduce(_ unionByName _), spark, indexDir))
               val hits = Dedup.incrementalNearDup(pinned, index, idCol,
                 textCol, shingleN, numHashes, bands, threshold)
                 .select(org.apache.spark.sql.functions.col("b_id").as(idCol))

@@ -65,9 +65,10 @@ object StreamEmbedDedup {
               Dedup.buildEmbeddingIndex(
                 pinned.limit(0), idCol, vecCol, dim, numPlanes).entries
             else
-              priorEntries.toIndexedSeq
-                .map(spark.read.parquet(_))
-                .reduce(_ unionByName _))
+              StreamDedup.dropTombstoned(
+                priorEntries.toIndexedSeq
+                  .map(spark.read.parquet(_))
+                  .reduce(_ unionByName _), spark, indexDir))
           val (survivors, delta) = Dedup.incrementalEmbeddingDedup(
             pinned, index, idCol, vecCol, dim, numPlanes, threshold)
           val pinnedSurv = survivors.persist(StorageLevel.DISK_ONLY)

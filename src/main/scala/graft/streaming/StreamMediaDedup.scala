@@ -70,9 +70,10 @@ object StreamMediaDedup {
               Multimodal.buildMediaHashIndex(
                 pinned.limit(0), idCol, bytesCol, kindCol).entries
             else
-              priorEntries.toIndexedSeq
-                .map(spark.read.parquet(_).select("id", "kind", "dhash"))
-                .reduce(_ unionByName _))
+              StreamDedup.dropTombstoned(
+                priorEntries.toIndexedSeq
+                  .map(spark.read.parquet(_).select("id", "kind", "dhash"))
+                  .reduce(_ unionByName _), spark, indexDir))
           val (survivors, delta) = Multimodal.incrementalMediaDedup(
             pinned, index, idCol, bytesCol, kindCol, maxHamming)
           val pinnedSurv = survivors.persist(StorageLevel.DISK_ONLY)
