@@ -436,7 +436,8 @@ object Ann {
       pqIndex: DataFrame, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      refine: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+      refine: Int = 0, excludeSelf: Boolean = true,
+      rerankRotation: Option[Pca.Model] = None): DataFrame = {
     requirePqKernels(pqIndex)
     val index = pqIndex.withColumnRenamed(idCol, "neighbor_id")
     val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
@@ -464,7 +465,6 @@ object Ann {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("__adc"), 4).as("cosine"))
     } else {
-      import graft.functions.VectorFunctions._
       // candidate ids only through the window; the query vector
       // re-attaches from the (broadcast-sized) probe table afterwards
       val candidates = scored
@@ -473,19 +473,46 @@ object Ann {
         .select(col("query_id"), col("neighbor_id"))
         .join(broadcast(probes.select(col("query_id"), col("__qv"),
           col("__qn")).distinct()), Seq("query_id"))
-      val exact = corpus
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-          norm(col(vecCol)).as("__cn"))
-        .join(broadcast(candidates), Seq("neighbor_id"))
-        .withColumn("__cos", cosinePrenormed(
-          dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("__cos").desc, col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(wx))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("__cos"), 4).as("cosine"))
+      exactRerank(corpus, candidates, idCol, vecCol, k, rerankRotation)
     }
+  }
+
+  /** Exact-cosine rerank of the ADC top candidates, shared by the
+    * plain and residual searches: the corpus joins the (broadcast)
+    * candidate set FIRST, so only candidate rows pay any per-row
+    * vector math — the norm, and the OPQ rotation when
+    * `rerankRotation` is set. [[searchOpqIndex]] used to rotate the
+    * WHOLE corpus before handing it to the rerank; a projection on
+    * the join's stream side runs on every corpus row before the join
+    * drops all but ~k·refine·|queries| of them, so at corpus scale
+    * that was a full-corpus dim×dim matrix multiply per search batch.
+    * Rotating AFTER the join computes the identical float values on
+    * only the survivors (AnnSpec pins the rotated disk path
+    * bit-equal to the in-memory rotated search). */
+  private def exactRerank(corpus: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      rerankRotation: Option[Pca.Model]): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // Pca.rotate's null-vector guard, preserved on the pre-join side
+    val base = if (rerankRotation.isDefined)
+      corpus.filter(col(vecCol).isNotNull) else corpus
+    val joined = base
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(candidates), Seq("neighbor_id"))
+    val rotated = rerankRotation match {
+      case Some(m) => joined.withColumn("__cv", Pca.rotateCol(col("__cv"), m))
+      case None => joined
+    }
+    val exact = rotated
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__cos", cosinePrenormed(
+        dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
   }
 
   /** Encode the corpus into the RESIDUAL IVF-PQ index: same schema
@@ -548,7 +575,8 @@ object Ann {
       pqIndex: DataFrame, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      refine: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+      refine: Int = 0, excludeSelf: Boolean = true,
+      rerankRotation: Option[Pca.Model] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     requirePqKernels(pqIndex)
     val index = pqIndex.withColumnRenamed(idCol, "neighbor_id")
@@ -576,25 +604,13 @@ object Ann {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("__adc"), 4).as("cosine"))
     } else {
-      import graft.functions.VectorFunctions.norm
       val candidates = scored
         .withColumn("__arank", row_number().over(w))
         .filter(col("__arank") <= k.toLong * refine)
         .select(col("query_id"), col("neighbor_id"))
         .join(broadcast(probes.select(col("query_id"), col("__qv"),
           col("__qn")).distinct()), Seq("query_id"))
-      val exact = corpus
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-          norm(col(vecCol)).as("__cn"))
-        .join(broadcast(candidates), Seq("neighbor_id"))
-        .withColumn("__cos", cosinePrenormed(
-          dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("__cos").desc, col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(wx))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("__cos"), 4).as("cosine"))
+      exactRerank(corpus, candidates, idCol, vecCol, k, rerankRotation)
     }
   }
 
@@ -686,25 +702,29 @@ object Ann {
   }
 
   /** Search a loaded index against RAW corpus/query vectors: when the
-    * index was built over a rotated space, both sides rotate through
-    * the stored model first (queries always; the corpus only for the
-    * exact-rerank fetch, and only candidate rows survive to it), then
-    * the plain or residual probe/ADC/rerank runs unchanged. */
+    * index was built over a rotated space, the QUERIES rotate through
+    * the stored model up front (a batch-sized projection), while the
+    * corpus stays raw — its rotation happens inside the exact-rerank
+    * AFTER the candidate join, so only the ~k·refine·|queries|
+    * surviving rows pay the dim×dim projection instead of the whole
+    * corpus (bit-identical values — AnnSpec pins the rotated path
+    * against the in-memory rotated search). */
   def searchOpqIndex(idx: PersistedPqIndex, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, refine: Int = 0,
       excludeSelf: Boolean = true): DataFrame = {
-    def rot(df: DataFrame): DataFrame = idx.rotation match {
-      case Some(r) => Pca.rotate(df, idx.idCol, idx.vecCol, r)
-      case None => df.select(col(idx.idCol), col(idx.vecCol))
+    val rotQ = idx.rotation match {
+      case Some(r) => Pca.rotate(queries, idx.idCol, idx.vecCol, r)
+      case None => queries.select(col(idx.idCol), col(idx.vecCol))
     }
+    val rawCorpus = corpus.select(col(idx.idCol), col(idx.vecCol))
     if (idx.residual)
-      searchPqIndexResidual(idx.pqIndex, rot(corpus), rot(queries),
+      searchPqIndexResidual(idx.pqIndex, rawCorpus, rotQ,
         idx.centroids, idx.codebooks, idx.idCol, idx.vecCol, k, nprobe,
-        refine, excludeSelf)
+        refine, excludeSelf, rerankRotation = idx.rotation)
     else
-      searchPqIndex(idx.pqIndex, rot(corpus), rot(queries),
+      searchPqIndex(idx.pqIndex, rawCorpus, rotQ,
         idx.centroids, idx.codebooks, idx.idCol, idx.vecCol, k, nprobe,
-        refine, excludeSelf)
+        refine, excludeSelf, rerankRotation = idx.rotation)
   }
 
   /** Top-`nprobe` centroids per query (broadcast-size output). */
