@@ -763,13 +763,22 @@ object Corpus {
     * projection, [[unimaxMix]] consumes its exact rates. */
   private def unimaxRaw(
       docs: DataFrame, sourceCol: String, tokenCol: Column,
-      maxEpochs: Double, budgetFraction: Double): DataFrame = {
+      maxEpochs: Double, budgetFraction: Double): DataFrame =
+    unimaxRawFromSizes(
+      docs.groupBy(col(sourceCol).as("source"))
+        .agg(sum(tokenCol.cast("long")).cast("double").as("n_tokens")),
+      maxEpochs, budgetFraction)
+
+  /** [[unimaxRaw]] over an ALREADY-AGGREGATED (source, n_tokens)
+    * frame — the same in-plan waterfilling, so rates computed from
+    * accumulated totals (the streaming refresh path) are bit-for-bit
+    * what a batch run over a corpus with those totals would freeze. */
+  private def unimaxRawFromSizes(
+      sizesIn: DataFrame, maxEpochs: Double,
+      budgetFraction: Double): DataFrame = {
     require(maxEpochs > 0, "unimaxAllocation: maxEpochs > 0")
     require(budgetFraction > 0, "unimaxAllocation: budgetFraction > 0")
-    val sizes = docs
-      .groupBy(col(sourceCol).as("source"))
-      .agg(sum(tokenCol.cast("long")).cast("double").as("n_tokens"))
-      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val sizes = sizesIn.withColumn("cap", col("n_tokens") * maxEpochs)
     // bounded global window: #sources rows (the LIMIT-k precedent)
     val w = Window.orderBy(col("cap"), col("source"))
     val staged = sizes
@@ -804,8 +813,31 @@ object Corpus {
     * batch sampling agree decision-for-decision. */
   def unimaxRates(docs: DataFrame, sourceCol: String, tokenCol: Column,
       maxEpochs: Double, budgetFraction: Double): Map[String, Double] =
-    unimaxRaw(docs, sourceCol, tokenCol, maxEpochs, budgetFraction)
-      .select(col("source"),
+    collectRates(
+      unimaxRaw(docs, sourceCol, tokenCol, maxEpochs, budgetFraction))
+
+  /** Frozen rates from PRE-AGGREGATED per-source token totals — the
+    * streaming refresh path ([[graft.streaming.StreamUnimax
+    * .RatesRefresher]]): an intake meter accumulates totals as a
+    * #sources-sized driver map, and a refresh re-runs the SAME
+    * in-plan waterfilling over them, so refreshed rates are
+    * bit-for-bit what [[unimaxRates]] would freeze over a corpus
+    * with those totals (sum(long).cast(double) ≡ the long → double
+    * cast applied here). */
+  def unimaxRatesFromTotals(
+      spark: org.apache.spark.sql.SparkSession,
+      totals: Map[String, Long], maxEpochs: Double,
+      budgetFraction: Double): Map[String, Double] = {
+    require(totals.nonEmpty, "unimaxRatesFromTotals: totals nonempty")
+    import spark.implicits._
+    collectRates(unimaxRawFromSizes(
+      totals.toSeq.sortBy(_._1).toDF("source", "__nt")
+        .select(col("source"), col("__nt").cast("double").as("n_tokens")),
+      maxEpochs, budgetFraction))
+  }
+
+  private def collectRates(raw: DataFrame): Map[String, Double] =
+    raw.select(col("source"),
         (col("__alloc") / col("n_tokens")).as("__r"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 

@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Corpus
 
 /** Streaming UniMax sampling: the FROZEN per-source epoch rates from a
   * batch waterfilling run ([[graft.operators.Corpus.unimaxRates]] —
@@ -20,7 +24,10 @@ import org.apache.spark.sql.functions._
   * waterfilling needs global per-source totals, which a stream only
   * ever has a prefix of — recompute it on a cadence and restart the
   * sampler with fresh rates (the same freeze-and-refresh contract as
-  * the ANN index and the DSIR model).
+  * the ANN index and the DSIR model). [[RatesRefresher]] +
+  * [[refreshingWriter]] automate that contract: the intake totals
+  * accumulate as a #sources-sized driver map and the waterfilling
+  * re-runs when the realized mix drifts past a threshold.
   */
 object StreamUnimax {
 
@@ -41,6 +48,125 @@ object StreamUnimax {
     val idx = when(copies > 0, sequence(lit(0), copies - lit(1)))
       .otherwise(array().cast("array<int>"))
     stream.withColumn("copy", explode(idx))
+  }
+
+  /** The freeze-and-refresh contract made AUTOMATIC: driver-held rate
+    * state for [[refreshingWriter]]. Holds the frozen rates, the
+    * cumulative per-source token totals (a #sources-sized map — the
+    * only state), and the totals the current rates were planned on;
+    * when the live mix's drift from the planned mix clears
+    * `driftThreshold`, the batch waterfilling re-runs over the
+    * cumulative totals ([[Corpus.unimaxRatesFromTotals]] — the SAME
+    * in-plan arithmetic as the batch planner, so a refresh is
+    * bit-for-bit the rates a batch run over that corpus would
+    * freeze).
+    *
+    * Drift is L∞ over per-source token SHARES between the cumulative
+    * intake and the planning totals (an unplanned source's planned
+    * share is 0, so a new source drifts the meter up immediately —
+    * exactly the case where re-planning matters, since unplanned
+    * sources sample at rate 0 until a refresh budgets them).
+    *
+    * Lives on the DRIVER inside foreachBatch (never shipped to
+    * executors); all methods synchronized. */
+  final class RatesRefresher(
+      spark: SparkSession, initialTotals: Map[String, Long],
+      maxEpochs: Double, budgetFraction: Double,
+      driftThreshold: Double = 0.05, replayMemory: Int = 64) {
+    require(initialTotals.nonEmpty,
+      "RatesRefresher: initialTotals nonempty (the planning corpus)")
+    require(driftThreshold > 0, "RatesRefresher: driftThreshold > 0")
+    require(replayMemory >= 1, "RatesRefresher: replayMemory >= 1")
+
+    private var totals: Map[String, Long] = initialTotals
+    private var planned: Map[String, Long] = initialTotals
+    private var rates: Map[String, Double] = Corpus.unimaxRatesFromTotals(
+      spark, initialTotals, maxEpochs, budgetFraction)
+    private var nRefreshes: Long = 0L
+    private val frozen =
+      scala.collection.mutable.LongMap.empty[Map[String, Double]]
+
+    def currentRates: Map[String, Double] = synchronized(rates)
+    def refreshCount: Long = synchronized(nRefreshes)
+    def cumulativeTotals: Map[String, Long] = synchronized(totals)
+
+    private def shares(m: Map[String, Long]): Map[String, Double] = {
+      val t = m.values.foldLeft(0.0)(_ + _.toDouble)
+      if (t <= 0) Map.empty else m.map { case (s, n) => s -> (n / t) }
+    }
+
+    /** Live-vs-planned mix gap: max per-source |token-share delta|. */
+    def drift: Double = synchronized {
+      val now = shares(totals)
+      val plan = shares(planned)
+      (now.keySet ++ plan.keySet).iterator
+        .map(s => math.abs(now.getOrElse(s, 0.0) - plan.getOrElse(s, 0.0)))
+        .foldLeft(0.0)(math.max)
+    }
+
+    /** Rates for `batchId`, replay-safe: first sight freezes the
+      * current rates for the batch, folds its totals in, and
+      * refreshes AFTERWARDS if drift clears the threshold — the batch
+      * that reveals drift is still sampled at the rates frozen before
+      * it arrived, so every batch's decisions are a pure function of
+      * the batches before it. A replay (foreachBatch is
+      * at-least-once) returns the batch's frozen rates without
+      * re-accumulating. Replay memory is bounded to the newest
+      * `replayMemory` batch ids — retries only ever target the most
+      * recent batch. */
+    def ratesFor(batchId: Long,
+        batchTotals: Map[String, Long]): Map[String, Double] =
+      synchronized {
+        frozen.get(batchId) match {
+          case Some(r) => r
+          case None =>
+            val r = rates
+            frozen(batchId) = r
+            if (frozen.size > replayMemory)
+              frozen.keys.toSeq.sorted.dropRight(replayMemory)
+                .foreach(frozen.remove)
+            totals = (totals.keySet ++ batchTotals.keySet).iterator
+              .map(s => s -> (totals.getOrElse(s, 0L) +
+                batchTotals.getOrElse(s, 0L)))
+              .toMap
+            if (drift > driftThreshold) {
+              rates = Corpus.unimaxRatesFromTotals(
+                spark, totals, maxEpochs, budgetFraction)
+              planned = totals
+              nRefreshes += 1
+            }
+            r
+        }
+      }
+  }
+
+  /** foreachBatch sampler with automatic rate refresh: each
+    * micro-batch is sampled at the refresher's frozen rates (≡
+    * [[sampled]] with those rates, decision-for-decision) and handed
+    * to `sink` with its batch id; the batch's per-source token totals
+    * (ONE #sources-row aggregate — the only extra cost per batch)
+    * accumulate in the refresher, which re-plans when the intake mix
+    * drifts. Replays re-sample at the batch's originally frozen
+    * rates, so output stays deterministic under at-least-once
+    * delivery. Callers pick the trigger and start. */
+  def refreshingWriter(
+      stream: DataFrame, idCol: String, sourceCol: String,
+      tokenCol: Column, refresher: RatesRefresher,
+      sink: (DataFrame, Long) => Unit,
+      seed: String = ""): DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val pinned = batch.persist(StorageLevel.DISK_ONLY)
+      try {
+        val batchTotals = pinned
+          .filter(col(sourceCol).isNotNull)
+          .groupBy(col(sourceCol))
+          .agg(coalesce(sum(tokenCol.cast("long")), lit(0L)).as("__nt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rates = refresher.ratesFor(batchId, batchTotals)
+        sink(sampled(pinned, idCol, sourceCol, rates, seed), batchId)
+      } finally pinned.unpersist()
+    }
+    stream.writeStream.outputMode("append").foreachBatch(exportBatch)
   }
 
   /** Windowed intake meter per (window, source): docs seen, docs

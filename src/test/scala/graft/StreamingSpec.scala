@@ -252,6 +252,76 @@ class StreamingSpec extends SparkSpec {
       meter("b")._2 == batch.count(_._2 == "b"))
   }
 
+  test("UniMax refresh-on-drift re-plans rates exactly when the mix drifts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamUnimax
+    import graft.operators.Corpus
+    // planning corpus: a 24 / b 120 tokens (3 tokens/doc)
+    val initialTotals = Map("a" -> 24L, "b" -> 120L)
+    val refresher = new StreamUnimax.RatesRefresher(
+      spark, initialTotals, maxEpochs = 1.5, budgetFraction = 1.0,
+      driftThreshold = 0.10)
+    val r0 = refresher.currentRates
+    // refresher's initial plan ≡ the batch planner over the same corpus
+    val planDocs = (Seq.tabulate(8)(i => (i.toLong, "a", "w w w")) ++
+      Seq.tabulate(40)(i => (100L + i, "b", "w w w")))
+      .toDF("doc_id", "source", "text")
+    val tok = graft.operators.TextStats.wsTokenCount(col("text"))
+    assert(r0 === Corpus.unimaxRates(planDocs, "source", tok,
+      maxEpochs = 1.5, budgetFraction = 1.0),
+      "rates-from-totals must equal the batch planner bit-for-bit")
+
+    val outputs = scala.collection.mutable.Map.empty[Long, Set[(Long, String, Int)]]
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "source", "text")
+    val q = StreamUnimax.refreshingWriter(df, "doc_id", "source", tok,
+        refresher, (sampled, batchId) => outputs(batchId) =
+          sampled.select("doc_id", "source", "copy")
+            .as[(Long, String, Int)].collect().toSet)
+      .start()
+    try {
+      // batch 0: same mix as the plan — no refresh
+      input.addData(Seq.tabulate(4)(i => (i.toLong, "a", "w w w")) ++
+        Seq.tabulate(20)(i => (100L + i, "b", "w w w")))
+      q.processAllAvailable()
+      // batch 1: a flood of a NEW source — drift way past 0.10
+      input.addData(Seq.tabulate(60)((i: Int) => (500L + i, "c", "w w w")))
+      q.processAllAvailable()
+      // batch 2: sampled under the REFRESHED rates (c now budgeted)
+      input.addData(Seq.tabulate(10)((i: Int) => (700L + i, "c", "w w w")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(refresher.refreshCount === 1L,
+      s"exactly one refresh expected (drift=${refresher.drift})")
+    // batch 0 and the drift-revealing batch 1 sampled at the OLD rates
+    // (decisions are a pure function of prior batches): c drops at 0
+    assert(outputs(0L).forall(_._2 != "c") && outputs(0L).nonEmpty)
+    assert(outputs(1L).isEmpty, "unplanned source samples at rate 0")
+    // batch 2 runs under the refreshed plan — c is budgeted now
+    assert(outputs(2L).nonEmpty && outputs(2L).forall(_._2 == "c"))
+    // refreshed rates ≡ batch planner over the totals AS OF the
+    // refresh (initial + batch 0 {a:12,b:60} + batch 1 {c:180});
+    // batch 2's tokens arrived after the re-plan
+    assert(refresher.currentRates === Corpus.unimaxRatesFromTotals(
+      spark, Map("a" -> 36L, "b" -> 180L, "c" -> 180L), 1.5, 1.0))
+    // per-batch decisions ≡ the stateless sampler at the frozen rates
+    val b2 = Seq.tabulate(10)((i: Int) => (700L + i, "c", "w w w"))
+      .toDF("doc_id", "source", "text")
+    assert(outputs(2L) === StreamUnimax.sampled(b2, "doc_id", "source",
+      refresher.currentRates).select("doc_id", "source", "copy")
+      .as[(Long, String, Int)].collect().toSet)
+    // replay: a re-fired batch id reuses its frozen rates and does not
+    // re-accumulate (at-least-once discipline)
+    val totalsBefore = refresher.cumulativeTotals
+    val replayRates = refresher.ratesFor(2L, Map("c" -> 999999L))
+    assert(replayRates === refresher.currentRates,
+      "replay must reuse the batch's frozen rates")
+    assert(refresher.cumulativeTotals === totalsBefore,
+      "replay must not double-count")
+    assert(refresher.refreshCount === 1L)
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
