@@ -151,9 +151,11 @@ object Ann {
     * shipping strategy bloats plan serialization/analysis — at that
     * scale use a broadcast-join bucket assignment instead. sqrt(N)
     * centroids for a 10^9-vector index (~31k rows of 768 floats ≈ 95 MB
-    * of literal) stays within; a 10^5 x 768 matrix does not. */
-  private val MaxCentroidRows = 65536
-  private val MaxCentroidFloats = 32L << 20 // 32M floats ≈ 128 MB
+    * of literal) stays within; a 10^5 x 768 matrix does not. Sized by
+    * the shared [[DriverBudget]] model (~8 B per literal float through
+    * analysis; the row cap reuses the training-sample row budget). */
+  private val MaxCentroidRows = DriverBudget.TrainRows
+  private val MaxCentroidFloats = DriverBudget.LiteralFloats
 
   /** Centroid model, driver-side: (id lookup literal, matrix) ordered by
     * ascending centroid id so argmax tie-breaking (lowest matrix index)
@@ -263,7 +265,8 @@ object Ann {
     * 16384 × 768 floats that is ~48 MB — k-means over a bounded sample
     * is the standard PQ training recipe (FAISS trains on a sample too);
     * ENCODING and SEARCH stay fully distributed. */
-  private val MaxPqTrainRows = 65536
+  // training-sample ceiling from the shared DriverBudget model
+  private val MaxPqTrainRows = DriverBudget.TrainRows
 
   /** Train PQ codebooks: split dim-d vectors into `m` subvectors of
     * d/m floats and run Lloyd's k-means (L2) per subspace over a

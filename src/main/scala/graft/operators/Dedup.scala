@@ -1280,8 +1280,10 @@ object Dedup {
     * of round overhead for milliseconds of actual work (measured:
     * 874 edges took ~5 s distributed, <0.1 s on the driver). Above
     * the bound the shared-nothing large-star/small-star loop runs
-    * exactly as before — the 100 TB path is untouched. */
-  val DriverCcMaxEdges: Long = 500000L
+    * exactly as before — the 100 TB path is untouched. Sized by the
+    * shared [[DriverBudget]] model (~512 B/edge transient incl. the
+    * resolve-time map state — r15 unification). */
+  val DriverCcMaxEdges: Long = DriverBudget.CcEdges
 
   def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,

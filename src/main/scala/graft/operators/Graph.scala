@@ -50,13 +50,14 @@ object Graph {
     * Driver-heap honesty (the 32 MB figure of earlier rounds was the
     * POST-conversion footprint only): the collect comes back as an
     * Array of boxed edge tuples before the primitive-array
-    * conversion, so the TRANSIENT peak at the 2M bound is
-    * ~100–200 MB (≈50–90 B per collected edge tuple/row) on top of
-    * the ~32 MB steady state — fine on the default 1 GiB driver,
-    * and the collects below go through typed tuple encoders (not
-    * Array[Row]) to keep that constant at the low end. Size
-    * `driverMaxEdges` down on drivers with less headroom. */
-  val DriverGraphMaxEdges: Long = 2000000L
+    * conversion, so the TRANSIENT peak at the bound is ~256 MB
+    * (≈128 B per collected edge tuple) on top of the ~32 MB steady
+    * state — fine on the default 1 GiB driver, and the collects
+    * below go through typed tuple encoders (not Array[Row]) to keep
+    * that constant at the low end. Size `driverMaxEdges` down on
+    * drivers with less headroom. The number itself comes from the
+    * shared [[DriverBudget]] model (r15 unification). */
+  val DriverGraphMaxEdges: Long = DriverBudget.GraphEdges
 
   /** Standard damped PageRank over an edge list.
     *

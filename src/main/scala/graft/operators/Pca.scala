@@ -34,7 +34,8 @@ object Pca {
       components: Seq[Seq[Float]], offsets: Seq[Double],
       scales: Seq[Double], eigenvalues: Seq[Double])
 
-  private val MaxTrainRows = 65536
+  // training-sample ceiling from the shared DriverBudget model
+  private val MaxTrainRows = DriverBudget.TrainRows
 
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxTrain: Int = 16384, seed: Long = 42L,
