@@ -682,8 +682,11 @@ object Ann {
   }
 
   /** Restore a [[saveOpqIndex]] directory. The encoded corpus comes
-    * back as a lazy parquet scan (never collected); centroids,
-    * codebooks and rotation are the bounded model artifacts. */
+    * back as a lazy parquet scan (never collected) minus any
+    * tombstoned ids ([[IndexMaintenance.addTombstones]] — deletion
+    * without re-encoding; [[IndexMaintenance.compactPqIndex]]
+    * reclaims the rows); centroids, codebooks and rotation are the
+    * bounded model artifacts. */
   def loadOpqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PersistedPqIndex = {
     val meta = spark.read.parquet(s"$dir/meta")
@@ -696,12 +699,44 @@ object Ann {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.toSeq.map(_.getSeq[Float](2).toSeq))
     PersistedPqIndex(
-      spark.read.parquet(s"$dir/index"),
+      IndexMaintenance.dropTombstoned(
+        spark.read.parquet(s"$dir/index"), spark, dir, idCol),
       spark.read.parquet(s"$dir/centroids")
         .select(col("id").as(idCol), col("vec").as(vecCol)),
       books,
       if (rotated) Some(Pca.load(spark, s"$dir/rotation")) else None,
       residual, idCol, vecCol)
+  }
+
+  /** FAISS `add()` for the PERSISTED directory: encode a RAW batch
+    * under the stored (frozen) centroids + codebooks — rotating it
+    * first when the index is rotated — and APPEND the codes to
+    * `dir/index`. The existing corpus is never re-read or re-encoded;
+    * encoding is deterministic under frozen models, so the grown
+    * directory searches identically to one saved whole
+    * ([[appendPqIndex]]'s contract carried to disk; AnnSpec pins the
+    * search identity, rotated path included). Same staleness note as
+    * [[appendPqIndex]]: appended vectors quantize against the
+    * ORIGINAL training distribution — retrain + rebuild when the
+    * corpus moves. The parquet append commits per job, so a crashed
+    * append leaves no visible rows. Run [[IndexMaintenance
+    * .compactPqIndex]] on the usual cadence — appends accrete files
+    * and tombstones accrete anti-join state. */
+  def appendOpqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    val idx = loadOpqIndex(spark, dir)
+    val b = idx.rotation match {
+      case Some(r) => Pca.rotate(batch, idx.idCol, idx.vecCol, r)
+      case None => batch.select(col(idx.idCol), col(idx.vecCol))
+    }
+    val delta =
+      if (idx.residual) buildPqIndexResidual(
+        b, idx.centroids, idx.codebooks, idx.idCol, idx.vecCol)
+      else buildPqIndex(b, idx.centroids, idx.codebooks, idx.idCol, idx.vecCol)
+    delta
+      .select(col(idx.idCol), col("centroid_id"), col("codes"),
+        col("vec_norm"))
+      .write.mode("append").parquet(s"$dir/index")
   }
 
   /** Search a loaded index against RAW corpus/query vectors: when the

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Lifecycle maintenance for the persisted corpus indexes
   * ([[Dedup.MinhashIndex]], [[Dedup.EmbeddingIndex]],
   * [[graft.operators.SetSimilarity.SetSimIndex]],
-  * [[graft.sources.Multimodal.MediaHashIndex]]): DELETION and
+  * [[graft.sources.Multimodal.MediaHashIndex]], and the
+  * [[Ann.saveOpqIndex]] PQ/OPQ directory): DELETION and
   * COMPACTION — the two operations continuous ingest needs beyond
   * build/save/load/probe/append.
   *
@@ -126,6 +127,17 @@ object IndexMaintenance {
     compactRoot(spark, dir, Seq("entries")) { tmp =>
       graft.sources.Multimodal.MediaHashIndex.load(spark, dir)
         .save(tmp, mode = "overwrite")
+    }
+
+  /** Compact an [[Ann.saveOpqIndex]] directory: only the encoded
+    * corpus (`index`) rewrites — centroids, codebooks, rotation and
+    * meta are frozen model artifacts deletion never touches. */
+  def compactPqIndex(spark: SparkSession, dir: String): Unit =
+    compactRoot(spark, dir, Seq("index")) { tmp =>
+      val idCol = spark.read.parquet(s"$dir/meta")
+        .select("id_col").head.getString(0)
+      dropTombstoned(spark.read.parquet(s"$dir/index"), spark, dir, idCol)
+        .write.mode("overwrite").parquet(s"$tmp/index")
     }
 
   /** Shared compact core: recover any interrupted swap, write the

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Ann
+
+/** Streaming ANN: each micro-batch of query vectors searches a FROZEN
+  * persisted PQ/OPQ index — the retrieval face of the frozen-model
+  * streaming contract (StreamDsir's scoring model, StreamLangId's
+  * weights, StreamUnimax's rates): the index directory is loaded ONCE
+  * when the stream starts (its codebooks/centroids/rotation are
+  * bounded driver artifacts; the encoded corpus stays a lazy parquet
+  * scan), and every batch's search is then a pure batch-engine job —
+  * probe + ADC + optional exact rerank — with NO streaming state.
+  * foreachBatch because the search is a multi-join aggregate no
+  * state-store operator expresses; at-least-once replays are
+  * harmless-by-construction (the search writes nothing, and `sink`
+  * receives the batch id to key its own output like StageSink does).
+  *
+  * Tombstones added to the index dir mid-stream apply from the NEXT
+  * stream start (the load is the freeze point) — same re-freeze
+  * cadence as every other frozen model. INGEST stays a batch step
+  * ([[Ann.appendOpqIndex]]): parquet appends are not idempotent
+  * under foreachBatch's at-least-once replay, so continuous ingest
+  * runs as scheduled append jobs, not a stream.
+  */
+object StreamAnn {
+
+  /** foreachBatch writer: top-`k` neighbours of each micro-batch's
+    * query vectors against the frozen `idx`. `corpus` supplies raw
+    * vectors for the exact rerank (untouched when `refine` = 0 —
+    * pure-ADC streaming search needs no corpus reads at all).
+    * `excludeSelf` defaults OFF here: live query ids and corpus ids
+    * are distinct namespaces in the streaming shape. Callers pick
+    * the trigger and start. */
+  def searchWriter(
+      stream: DataFrame, idx: Ann.PersistedPqIndex, corpus: DataFrame,
+      k: Int, nprobe: Int, refine: Int = 0,
+      excludeSelf: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      sink(Ann.searchOpqIndex(idx, corpus, batch, k, nprobe, refine,
+        excludeSelf), batchId)
+    }
+    stream.writeStream.outputMode("append").foreachBatch(exportBatch)
+  }
+}

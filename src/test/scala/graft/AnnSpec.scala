@@ -489,4 +489,45 @@ class AnnSpec extends SparkSpec {
       nprobe = 3, refine = 2)
     assert(dump(disk) == dump(mem), "rotated path")
   }
+
+  test("appendOpqIndex grows the directory ≡ an index saved whole") {
+    import graft.operators.Pca
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = e.filter(col("vec_id") % 3 =!= 0L)
+    val batch = e.filter(col("vec_id") % 3 === 0L)
+    val queries = e.filter(col("vec_id") < 5)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    // rotated + residual in one pass — the hardest composition: the
+    // append must rotate the raw batch through the STORED model before
+    // encoding, exactly like a whole-corpus save would have
+    val pca = Pca.train(e, "vec_id", "embedding", k = 8)
+    val rotation = Pca.opqModel(pca, m = 4)
+    val rot = Pca.rotate(e, "vec_id", "embedding", rotation)
+      .localCheckpoint(false)
+    val cents = Ann.trainCentroids(rot, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(rot, "vec_id", "embedding", m = 4,
+      ksub = 16, iters = 3, maxTrain = 1024)
+    def save(corpus: org.apache.spark.sql.DataFrame, name: String): String = {
+      val idx = Ann.buildPqIndexResidual(
+        Pca.rotate(corpus, "vec_id", "embedding", rotation),
+        cents, books, "vec_id", "embedding")
+      val dir = java.nio.file.Files
+        .createTempDirectory(name).toString + "/idx"
+      Ann.saveOpqIndex(dir, idx, cents, books, "vec_id", "embedding",
+        rotation = Some(rotation), residual = true)
+      dir
+    }
+    val grown = save(seed, "graft_pq_append")
+    Ann.appendOpqIndex(spark, grown, batch)
+    val whole = save(e, "graft_pq_whole")
+    val search = (d: String) => dump(Ann.searchOpqIndex(
+      Ann.loadOpqIndex(spark, d), e, queries, k = 5, nprobe = 3,
+      refine = 2))
+    assert(search(grown) == search(whole),
+      "append to disk must search identically to a whole-corpus save")
+  }
 }

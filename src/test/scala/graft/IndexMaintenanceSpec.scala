@@ -124,6 +124,41 @@ class IndexMaintenanceSpec extends SparkSpec {
       .entries.select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("pq index tombstone + compact leave models frozen, drop the entry") {
+    import graft.operators.Ann
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 4 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(vecs, "vec_id", "embedding", m = 2,
+      ksub = 4, iters = 2, maxTrain = 32)
+    val index = Ann.buildPqIndex(vecs, cents, books, "vec_id", "embedding")
+    val dir = tmp("graft_tomb_pq") + "/idx"
+    Ann.saveOpqIndex(dir, index, cents, books, "vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    def results(): Set[(Long, Long, Int)] =
+      Ann.searchOpqIndex(Ann.loadOpqIndex(spark, dir), vecs, queries,
+        k = 3, nprobe = 4, refine = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val before = results()
+    val victim = before.head._2
+    IndexMaintenance.addTombstones(Seq(victim).toDF("vec_id"), dir)
+    val after = results()
+    assert(!after.exists(_._2 == victim),
+      "tombstoned vector must stop surfacing as a neighbour")
+    assert(after !== before)
+    IndexMaintenance.compactPqIndex(spark, dir)
+    assert(!new java.io.File(dir, "tombstones").exists)
+    assert(results() === after, "compacted search ≡ tombstoned search")
+    assert(spark.read.parquet(s"$dir/index")
+      .filter(col("vec_id") === victim).isEmpty,
+      "compaction physically removed the encoded row")
+    // the model artifacts are untouched by deletion
+    assert(Ann.loadOpqIndex(spark, dir).codebooks === books)
+  }
+
   test("compact recovers a swap interrupted after the rewrite completed") {
     val dir = tmp("graft_tomb_rec")
     Dedup.buildMinhashIndex(corpus, "doc_id", "text",

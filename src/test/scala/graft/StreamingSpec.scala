@@ -322,6 +322,62 @@ class StreamingSpec extends SparkSpec {
     assert(refresher.refreshCount === 1L)
   }
 
+  test("streaming ANN search against a frozen persisted index ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.streaming.StreamAnn
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ann.trainCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(corpus, "vec_id", "embedding", m = 4,
+      ksub = 16, iters = 2, maxTrain = 1024)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann").toString + "/idx"
+    Ann.saveOpqIndex(dir,
+      Ann.buildPqIndex(corpus, cents, books, "vec_id", "embedding"),
+      cents, books, "vec_id", "embedding")
+    val idx = Ann.loadOpqIndex(spark, dir)
+
+    val qvecs = corpus.filter(col("vec_id") < 6)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val outputs =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int, Double)]]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val q = StreamAnn.searchWriter(stream, idx, corpus,
+        k = 3, nprobe = 3, refine = 2) { (res, batchId) =>
+        outputs(batchId) = res
+          .select("query_id", "neighbor_id", "rank", "cosine")
+          .as[(Long, Long, Int, Double)].collect().toSet
+      }.start()
+    try {
+      input.addData(qvecs.take(3))
+      q.processAllAvailable()
+      input.addData(qvecs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def batchSearch(qs: Seq[(Long, Seq[Float])]) = Ann.searchOpqIndex(
+      idx, corpus,
+      qs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")
+          .as("embedding")),
+      k = 3, nprobe = 3, refine = 2, excludeSelf = false)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(outputs(0L) === batchSearch(qvecs.take(3)),
+      "micro-batch 0 diverged from the batch search")
+    assert(outputs(1L) === batchSearch(qvecs.drop(3)),
+      "micro-batch 1 diverged from the batch search")
+    // excludeSelf=false: a live query that IS a corpus vector finds
+    // itself at rank 1 with cosine 1 — the streaming namespace contract
+    assert(outputs(0L).exists(r => r._1 == r._2 && r._3 == 1 && r._4 == 1.0))
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
