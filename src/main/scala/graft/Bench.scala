@@ -344,7 +344,9 @@ object Bench {
       // UniMax waterfilling budget allocation + applied sample (r15)
       "q183_unimax_mix", "q184_unimax_sample",
       // byte-BPE with GPT-2-ish pre-tokenizer classes (r15)
-      "q185_bbpe_pretok"
+      "q185_bbpe_pretok",
+      // temperature (α) sampling mix (late r15)
+      "q186_temperature_mix"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

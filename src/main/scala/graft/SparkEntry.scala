@@ -792,6 +792,25 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("copy").cast("long")
         .as("copy"))
 
+  /** q186: TEMPERATURE (α = 0.5) SAMPLING — the mT5/mC4 α-sampling
+    * recipe as a deterministic corpus mix: per-source targets ∝
+    * share^α from ONE #sources count aggregate
+    * (Corpus.temperatureTargets), applied by mixSources with
+    * upsampling allowed (maxRepeat 3 — scarce sources repeat, the
+    * point of flattening). α = 0.5 keeps the power a correctly-
+    * rounded sqrt so DuckDB replays every double; the md5-seeded
+    * uniform keeps the per-doc decisions replayable (hash-exact, the
+    * q68/q184 discipline). The third published mixing policy beside
+    * fixed-target (q68) and UniMax (q183/q184). */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    Corpus.mixSources(docs, "doc_id", "source",
+      Corpus.temperatureTargets(docs, "source", alpha = 0.5),
+      maxRepeat = 3, replayableUniform = true)
+      .select(col("doc_id"), col("source"), col("copy").cast("long")
+        .as("copy"))
+  }
+
   /** q48: corpus n-gram frequency table (top bigrams by doc frequency —
     * shingles are per-doc distinct). Explode → hash-agg with map-side
     * combine; vocabulary-bounded output at any corpus size. */
@@ -3733,7 +3752,8 @@ object SparkEntry {
     "q182_tokenizer_compare4" -> (q182 _),
     "q183_unimax_mix" -> (q183 _),
     "q184_unimax_sample" -> (q184 _),
-    "q185_bbpe_pretok" -> (q185 _)
+    "q185_bbpe_pretok" -> (q185 _),
+    "q186_temperature_mix" -> (q186 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6292,6 +6312,40 @@ object SparkEntry {
         |    (CAST(concat('0x', substring(
         |      md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |      / 4294967296.0 AS u
+        |  FROM documents),
+        |m AS (SELECT d.doc_id, d.source,
+        |    CAST(floor(r.rate) AS INT) + CASE
+        |      WHEN d.u < r.rate - floor(r.rate) THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM d JOIN r USING (source))
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT)
+        |    AS copy
+        |FROM m WHERE copies > 0""".stripMargin,
+    // q186: temperatureTargets (share^0.5 / Σ share^0.5 — sqrt is
+    // correctly rounded in both engines) + mixSources' own wsum
+    // re-normalization, total and rate arithmetic in the same op
+    // order, then the q68/q184 md5 uniform + copy explode. Counts
+    // are integers so N is exact under any summation order; the two
+    // non-integral folds (z, wsum) are a handful of like-magnitude
+    // doubles (empirically order-insensitive — the q183 bet).
+    "q186_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS cnt FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |nn AS (SELECT sum(CAST(cnt AS DOUBLE)) AS N FROM n),
+        |p AS (SELECT source, cnt, sqrt(CAST(cnt AS DOUBLE) / nn.N)
+        |    AS pw FROM n, nn),
+        |zz AS (SELECT sum(pw) AS z FROM p),
+        |t0 AS (SELECT source, cnt, pw / zz.z AS t0 FROM p, zz),
+        |ws AS (SELECT sum(t0) AS wsum FROM t0),
+        |w AS (SELECT source, cnt, t0 / ws.wsum AS t FROM t0, ws),
+        |tot AS (SELECT min((3 * cnt) / t) AS total FROM w),
+        |r AS (SELECT source, (w.t * tot.total) / w.cnt AS rate
+        |  FROM w, tot),
+        |d AS (SELECT doc_id, source,
+        |    (CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '0'), 1, 8)) AS UBIGINT)
+        |      + 0.5) / 4294967296.0 AS u
         |  FROM documents),
         |m AS (SELECT d.doc_id, d.source,
         |    CAST(floor(r.rate) AS INT) + CASE

@@ -891,6 +891,37 @@ object Corpus {
     * Ann's centroids); the mix itself is a pure projection/filter.
     * Mix AFTER dedup: upsampled copies are intentional exact dups.
     */
+  /** TEMPERATURE (α) SAMPLING targets — the third published mixing
+    * recipe beside [[mixSources]]' fixed targets and [[unimaxMix]]'s
+    * epoch-capped waterfilling (Conneau & Lample 2019 §3.1; the
+    * mT5/mC4 α-sampling): t_s ∝ p_s^α over the observed source
+    * shares p_s = n_s / N. α = 1 keeps natural proportions; smaller α
+    * flattens toward uniform, upweighting low-resource sources (the
+    * published sweet spots sit in [0.2, 0.7]). One #sources-row count
+    * aggregate; every driver-side fold (N, the power normalizer, and
+    * mixSources' own wsum downstream) runs in SOURCE-NAME order so an
+    * oracle can replay the doubles. α = 0.5 computes the power as
+    * sqrt — correctly rounded in IEEE, so both engines agree to the
+    * bit; other α go through pow, whose last-ulp rounding is
+    * engine-specific (fine for sampling; pick 0.5 for hash-exact
+    * cross-engine replay). Feed the result straight to
+    * [[mixSources]]. */
+  def temperatureTargets(docs: DataFrame, sourceCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, "temperatureTargets: 0 < alpha <= 1")
+    val counts = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureTargets: no sources")
+    val total = counts.map(_._2.toDouble).sum
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val pows = counts.map { case (s, n) => s -> powA(n / total) }
+    val z = pows.map(_._2).sum
+    pows.map { case (s, w) => s -> w / z }.toMap
+  }
+
   def mixSources(
       docs: DataFrame, idCol: String, sourceCol: String,
       targets: Map[String, Double], seed: Long = 0L,

@@ -418,6 +418,32 @@ class CorpusSpec extends SparkSpec {
       .select("copy").distinct().as[Int].collect().sorted.toSeq === Seq(0, 1, 2, 3))
   }
 
+  test("temperatureTargets flatten toward uniform and drive the mix") {
+    val docs = (Seq.tabulate(90)(i => (i.toLong, "big")) ++
+      Seq.tabulate(10)(i => (100L + i, "small")))
+      .toDF("doc_id", "source")
+    // α = 1: natural proportions exactly
+    val t1 = graft.operators.Corpus.temperatureTargets(docs, "source", 1.0)
+    assert(math.abs(t1("big") - 0.9) < 1e-12 &&
+      math.abs(t1("small") - 0.1) < 1e-12)
+    // α = 0.5: hand-computed sqrt shares (0.75 / 0.25 in the reals)
+    val t5 = graft.operators.Corpus.temperatureTargets(docs, "source", 0.5)
+    val eb = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert(math.abs(t5("big") - eb) < 1e-12)
+    assert(t5("small") > t1("small") && t5("big") < t1("big"),
+      "lower temperature must upweight the scarce source")
+    // α → 0 approaches uniform
+    val t0 = graft.operators.Corpus.temperatureTargets(docs, "source", 0.05)
+    assert(math.abs(t0("small") - 0.5) < 0.06)
+    // the flattened mix upsamples: rates land on 1.0 (big) and 3.0
+    // (small) up to ulps, both safely inside the uniform's granularity
+    val mixed = graft.operators.Corpus.mixSources(docs, "doc_id",
+      "source", t5, maxRepeat = 3, replayableUniform = true)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("big") === 90L && mixed("small") === 30L)
+  }
+
   test("mixSources validates weights and presence") {
     intercept[IllegalArgumentException] {
       Corpus.mixSources(spark.range(1).toDF("id")
