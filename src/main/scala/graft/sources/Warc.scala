@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) web-archive ingest — the standard container for
+  * web crawls (Common Crawl ships petabytes of `.warc.gz`), and the
+  * raw input face of an LLM data pipeline: WARC → text extraction
+  * (q120 main content / CssExtract) → quality/dedup/mixing.
+  *
+  * Scale shape: files arrive via `sparkContext.binaryFiles`, whose
+  * `PortableDataStream` is OPENED LAZILY per task — records are
+  * stream-parsed off the (optionally gzip) input one at a time, so a
+  * multi-GB archive never materializes in executor memory; the only
+  * per-record allocation is its own payload, and even that is capped
+  * at `maxPayloadBytes` (oversized bodies truncate with a flag —
+  * the multimodal decode-cap discipline). Parallelism is per-file
+  * (WARC is a concatenation format with no split points mid-stream;
+  * real deployments shard into many ~1 GB files, which is exactly
+  * the layout binaryFiles parallelises over).
+  *
+  * Gzip: `.warc.gz` files are read through GZIPInputStream, which
+  * consumes CONCATENATED members — both the per-record-member layout
+  * Common Crawl uses and whole-file compression decode identically.
+  *
+  * Quarantine discipline (the Multimodal corrupt-bytes contract): a
+  * malformed record emits one `ok = false` row carrying the error
+  * and parsing of that FILE stops — WARC has no mid-stream resync
+  * point (a scan for the next `WARC/` magic could land inside a
+  * payload), so truncation is surfaced, never silently skipped.
+  *
+  * HTTP response records additionally pre-split into status /
+  * headers' content-type / body at parse time (the payload is
+  * already in hand — splitting later in SQL would re-scan it).
+  *
+  * Reference counterpart: none (the reference scrapes live HTML);
+  * this is the archival-input face a 100 TB pipeline starts from.
+  */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("record_index", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("url", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    // the HTTP entity body for parsed response records, the raw WARC
+    // payload otherwise — one binary column, never both copies
+    StructField("body", BinaryType, nullable = true),
+    StructField("truncated", BooleanType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("err", StringType, nullable = false)))
+
+  /** Read a WARC path (glob ok; `.gz` names decompress) into one row
+    * per record. `maxPayloadBytes` caps what a record may allocate —
+    * longer payloads truncate (flagged) but the stream stays aligned
+    * because the remainder is SKIPPED, not read. */
+  def read(spark: SparkSession, path: String,
+      maxPayloadBytes: Int = 16 << 20): DataFrame = {
+    require(maxPayloadBytes > 0, "Warc.read: maxPayloadBytes > 0")
+    val cap = maxPayloadBytes
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (name, pds) =>
+        val base: InputStream = pds.open()
+        val in = new DataInputStream(new BufferedInputStream(
+          if (name.toLowerCase.endsWith(".gz")) new GZIPInputStream(base)
+          else base, 1 << 16))
+        recordIterator(name, in, cap)
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Lazily parse records off one stream; closes it at exhaustion or
+    * first error. */
+  private[sources] def recordIterator(file: String, in: DataInputStream,
+      cap: Int): Iterator[Row] = new Iterator[Row] {
+    private var idx = 0
+    private var done = false
+    private var pending: Row = _
+
+    private def close(): Unit = { done = true; try in.close() catch { case _: Exception => () } }
+
+    override def hasNext: Boolean = {
+      if (pending != null) return true
+      if (done) return false
+      pending = readRecord()
+      pending != null
+    }
+
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
+
+    /** null = clean end of stream. */
+    private def readRecord(): Row =
+      try {
+        // skip inter-record blank lines; EOF here is a clean end
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) { close(); return null }
+        if (!line.startsWith("WARC/"))
+          throw new WarcFormat(s"expected WARC/ version line, got '${line.take(40)}'")
+        // header block to the first blank line
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var h = readLine(in)
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i <= 0) throw new WarcFormat(s"malformed header '${h.take(40)}'")
+          headers(h.substring(0, i).trim.toLowerCase) =
+            h.substring(i + 1).trim
+          h = readLine(in)
+        }
+        if (h == null) throw new WarcFormat("EOF inside header block")
+        val len = headers.get("content-length").flatMap(_.toLongOption)
+          .getOrElse(throw new WarcFormat("missing Content-Length"))
+        if (len < 0) throw new WarcFormat(s"negative Content-Length $len")
+        val take = math.min(len, cap.toLong).toInt
+        val payload = new Array[Byte](take)
+        in.readFully(payload)
+        var remaining = len - take
+        while (remaining > 0) {
+          val s = in.skip(remaining)
+          if (s <= 0) {
+            if (in.read() < 0) throw new EOFException("payload")
+            remaining -= 1
+          } else remaining -= s
+        }
+        val warcType = headers.get("warc-type").orNull
+        val (status, mime, body) =
+          if (warcType == "response" &&
+              headers.get("content-type").exists(_.startsWith("application/http")))
+            splitHttp(payload)
+          else (null, null, payload)
+        val r = Row(file, idx, warcType, headers.get("warc-record-id").orNull,
+          headers.get("warc-target-uri").orNull,
+          headers.get("warc-date").orNull,
+          headers.get("content-type").orNull, len,
+          status, mime, body, len > take, true, "")
+        idx += 1
+        r
+      } catch {
+        case e: EOFException =>
+          close()
+          Row(file, idx, null, null, null, null, null, null, null, null,
+            null, false, false, s"truncated record: ${e.getMessage}")
+        case e: WarcFormat =>
+          close()
+          Row(file, idx, null, null, null, null, null, null, null, null,
+            null, false, false, e.getMessage)
+      }
+
+    /** One CRLF (or LF) terminated ISO-8859-1 line; null at EOF. */
+    private def readLine(s: DataInputStream): String = {
+      val sb = new java.lang.StringBuilder(96)
+      var c = s.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = s.read() }
+      sb.toString
+    }
+  }
+
+  private final class WarcFormat(msg: String) extends Exception(msg)
+
+  /** Split an HTTP/1.x response payload into (status, content-type,
+    * body). A payload that is not parseable HTTP comes back whole as
+    * the body with null status — never an error (the WARC record
+    * itself was fine). */
+  private[sources] def splitHttp(
+      payload: Array[Byte]): (Integer, String, Array[Byte]) = {
+    val sep = indexOfDoubleCrlf(payload)
+    if (sep < 0) return (null, null, payload)
+    val head = new String(payload, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (null, null, payload)
+    val status = lines(0).split(" ").lift(1).flatMap(_.toIntOption)
+      .map(Integer.valueOf).orNull
+    val mime = lines.iterator.drop(1)
+      .map(_.split(":", 2))
+      .collectFirst { case Array(k, v) if k.equalsIgnoreCase("content-type") => v.trim }
+      .orNull
+    val bodyStart = sep + 4
+    (status, mime, java.util.Arrays.copyOfRange(payload, math.min(bodyStart, payload.length), payload.length))
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+}
