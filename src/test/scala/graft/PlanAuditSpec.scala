@@ -275,6 +275,12 @@ class PlanAuditSpec extends SparkSpec {
                                // run EAGERLY inside train(); the
                                // returned apply plan is a pure
                                // projection over the holdout scan
+      "q186_temperature_mix" -> 0, // targets + rates collect EAGERLY
+                               // inside temperatureTargets/mixSources
+                               // (two #sources-row jobs); the
+                               // returned plan is a pure literal-map
+                               // projection + copy explode — the
+                               // corpus never shuffles
       "q129_exact_median" -> 1) // the r13 drift watch (VERDICT #5):
                                // the returned plan is the bracket
                                // scan into globalRank's ONE
