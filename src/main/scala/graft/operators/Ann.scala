@@ -689,6 +689,7 @@ object Ann {
     * bounded model artifacts. */
   def loadOpqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PersistedPqIndex = {
+    IndexMaintenance.healUnreadable(spark, dir, Seq("index"))
     val meta = spark.read.parquet(s"$dir/meta")
       .select("residual", "rotated", "id_col", "vec_col").head
     val (residual, rotated) = (meta.getBoolean(0), meta.getBoolean(1))
@@ -724,6 +725,10 @@ object Ann {
     * and tombstones accrete anti-join state. */
   def appendOpqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
+    // resolve any interrupted compaction BEFORE appending: a stale
+    // completed rewrite swapped in later would silently drop every
+    // row appended after the crash
+    IndexMaintenance.healForWrite(spark, dir, Seq("index"))
     val idx = loadOpqIndex(spark, dir)
     val b = idx.rotation match {
       case Some(r) => Pca.rotate(batch, idx.idCol, idx.vecCol, r)

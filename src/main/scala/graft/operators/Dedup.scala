@@ -387,6 +387,7 @@ object Dedup {
       * written, so probes work unchanged (without partition pruning,
       * which those files never had). */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
+      IndexMaintenance.healUnreadable(spark, dir, Seq("entries"))
       val e = spark.read.parquet(s"$dir/entries")
       MinhashIndex(IndexMaintenance.dropTombstoned(
         if (e.columns.contains("shard")) e
@@ -943,6 +944,7 @@ object Dedup {
     /** Pre-shard saves load with the shard backfilled from the bucket
       * (same values save() would have written). */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): EmbeddingIndex = {
+      IndexMaintenance.healUnreadable(spark, dir, Seq("entries"))
       val e = spark.read.parquet(s"$dir/entries")
       EmbeddingIndex(IndexMaintenance.dropTombstoned(
         if (e.columns.contains("shard")) e

@@ -51,7 +51,16 @@ object IndexMaintenance {
   /** Mark ids as deleted: append them to `<dir>/tombstones`. `ids`
     * must be a single column of the SAME TYPE as the index's id (a
     * mismatched type would silently anti-join nothing). Idempotent —
-    * duplicate tombstones cost nothing beyond their bytes. */
+    * duplicate tombstones cost nothing beyond their bytes.
+    *
+    * A tombstone means "this id must never surface again": it is
+    * ID-ONLY (the indexes carry no per-row sequence numbers), so a
+    * row RE-APPENDED under a tombstoned id is also filtered, and a
+    * compaction running after the re-append drops the new row
+    * physically while clearing the tombstone. Re-ingesting corrected
+    * content takes a NEW id (the content-addressed ids the dedup
+    * stack already favors make this natural) — never a tombstoned
+    * one. */
   def addTombstones(ids: DataFrame, dir: String): Unit =
     addTombstonesAt(ids, s"$dir/tombstones")
 
@@ -152,8 +161,37 @@ object IndexMaintenance {
     recover(spark, dir, subs)
     val tmp = s"$dir/_compact"
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    // snapshot the tombstone FILES before the rewrite: a takedown
+    // appended while the rewrite runs lands as a NEW file, which the
+    // swap must NOT delete (it was never anti-joined) — only the
+    // files the rewrite actually folded in are reclaimed
+    val folded = tombstoneFiles(spark, dir)
     write(tmp)
-    swapIn(spark, dir, subs, dropTombstones = true)
+    swapIn(spark, dir, subs, dropTombstoneFiles = folded)
+  }
+
+  /** The tombstone table's current part files (empty when absent). */
+  private[graft] def tombstoneFiles(
+      spark: SparkSession, dir: String): Seq[Path] =
+    tombstoneFilesAt(spark, s"$dir/tombstones")
+
+  private[graft] def tombstoneFilesAt(
+      spark: SparkSession, path: String): Seq[Path] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath)
+  }
+
+  /** Delete exactly `files` from a tombstone table, and the table
+    * directory itself only when nothing newer remains. */
+  private[graft] def reclaimTombstoneFiles(
+      spark: SparkSession, tablePath: String, files: Seq[Path]): Unit = {
+    if (files.isEmpty) return
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach(f => fs.delete(f, false))
+    if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
   }
 
   /** `_compact/<sub>` is complete iff parquet committed it. */
@@ -161,14 +199,17 @@ object IndexMaintenance {
     fsOf(spark, dir).exists(new Path(s"$dir/_compact/$sub/_SUCCESS"))
 
   /** Move every completed `_compact` sub-table into place, then drop
-    * the trash and the `_compact` root. `dropTombstones` only on the
-    * fresh-write path: a RECOVERED rewrite may predate tombstones
-    * added after the crash, and keeping already-folded tombstones is
-    * a no-op anti-join while deleting unapplied ones would resurrect
-    * deleted ids. Only called when every live sub present in
-    * `_compact` is complete. */
+    * the trash and the `_compact` root. `dropTombstoneFiles` is the
+    * pre-rewrite snapshot of the tombstone table — ONLY those files
+    * are reclaimed (tombstones appended after the snapshot were never
+    * anti-joined; deleting them would resurrect deleted ids). The
+    * recovery path passes the empty snapshot for the same reason: a
+    * recovered rewrite may predate any of the live tombstones, and
+    * keeping already-folded tombstones is a harmless no-op anti-join.
+    * Only called when every live sub present in `_compact` is
+    * complete. */
   private def swapIn(spark: SparkSession, dir: String,
-      subs: Seq[String], dropTombstones: Boolean): Unit = {
+      subs: Seq[String], dropTombstoneFiles: Seq[Path]): Unit = {
     val fs = fsOf(spark, dir)
     val present = subs.filter(s => fs.exists(new Path(s"$dir/_compact/$s")))
     require(present.forall(complete(spark, dir, _)),
@@ -183,8 +224,32 @@ object IndexMaintenance {
     }
     subs.foreach(s => fs.delete(new Path(s"$dir/_trash_$s"), true))
     fs.delete(new Path(s"$dir/_compact"), true)
-    if (dropTombstones) fs.delete(new Path(s"$dir/tombstones"), true)
+    reclaimTombstoneFiles(spark, s"$dir/tombstones", dropTombstoneFiles)
   }
+
+  /** Reader-side healing: if a crash between [[swapIn]]'s two renames
+    * left a live sub-table MISSING (the only state that makes a load
+    * fail), finish or discard the interrupted swap so the index is
+    * readable again. Deliberately narrower than [[recover]]-on-entry:
+    * loads are concurrent, and mutating renames from a read path must
+    * only happen when the alternative is an unreadable index. The
+    * fast path (everything present) is one exists() per sub. */
+  private[graft] def healUnreadable(spark: SparkSession, dir: String,
+      subs: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val missing = subs.filter(s => !fs.exists(new Path(s"$dir/$s")))
+    if (missing.nonEmpty &&
+        (fs.exists(new Path(s"$dir/_compact")) ||
+          missing.exists(s => fs.exists(new Path(s"$dir/_trash_$s")))))
+      recover(spark, dir, subs)
+  }
+
+  /** Writer-side healing for disk-mutating entry points outside this
+    * object (e.g. [[Ann.appendOpqIndex]]): resolve any interrupted
+    * compaction BEFORE mutating, so a stale completed rewrite can
+    * never later leapfrog rows appended after the crash. */
+  private[graft] def healForWrite(spark: SparkSession, dir: String,
+      subs: Seq[String]): Unit = recover(spark, dir, subs)
 
   /** Finish or discard an interrupted compaction. If every sub-table
     * the interrupted run wrote is complete, the swap is REDONE in
@@ -200,7 +265,7 @@ object IndexMaintenance {
     val written = subs.filter(s => fs.exists(new Path(s"$dir/_compact/$s")))
     if (fs.exists(tmp) && written.nonEmpty &&
         written.forall(complete(spark, dir, _))) {
-      swapIn(spark, dir, subs, dropTombstones = false)
+      swapIn(spark, dir, subs, dropTombstoneFiles = Seq.empty)
     } else {
       fs.delete(tmp, true)
       subs.foreach { s =>

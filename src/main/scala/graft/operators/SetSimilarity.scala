@@ -246,6 +246,10 @@ object SetSimilarity {
   object SetSimIndex {
     def load(spark: org.apache.spark.sql.SparkSession,
         dir: String): SetSimIndex = {
+      // dfreq/postings heal too — on a pre-postings index the check
+      // is a no-op (recover only acts on _compact/_trash leftovers)
+      IndexMaintenance.healUnreadable(spark, dir,
+        Seq("entries", "dfreq", "postings"))
       // postings appeared after the first saved indexes — ABSENT is
       // legal (probes fall back to exploding entries). But only true
       // absence may degrade: an existence check, not a blanket

@@ -700,10 +700,12 @@ object Multimodal {
   }
 
   object MediaHashIndex {
-    def load(spark: SparkSession, dir: String): MediaHashIndex =
+    def load(spark: SparkSession, dir: String): MediaHashIndex = {
+      graft.operators.IndexMaintenance.healUnreadable(spark, dir, Seq("entries"))
       MediaHashIndex(graft.operators.IndexMaintenance.dropTombstoned(
         spark.read.parquet(s"$dir/entries")
           .select("id", "kind", "dhash"), spark, dir))
+    }
   }
 
   /** Build the perceptual-hash index for a (deduped) media corpus —

@@ -73,6 +73,13 @@ object Warc {
         val in = new DataInputStream(new BufferedInputStream(
           if (name.toLowerCase.endsWith(".gz")) new GZIPInputStream(base)
           else base, 1 << 16))
+        // a limit/take may abandon the iterator mid-file — close the
+        // handle (and the gzip inflater's native buffer) at task end,
+        // not at GC, or a wide scan exhausts file descriptors
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Exception => () }
+          })
         recordIterator(name, in, cap)
       }
     spark.createDataFrame(rdd, schema)
@@ -150,8 +157,10 @@ object Warc {
       } catch {
         case e: EOFException =>
           close()
+          // JDK readFully throws EOFException with a NULL message
+          val where = Option(e.getMessage).getOrElse("unexpected EOF")
           Row(file, idx, null, null, null, null, null, null, null, null,
-            null, false, false, s"truncated record: ${e.getMessage}")
+            null, false, false, s"truncated record: $where")
         case e: WarcFormat =>
           close()
           Row(file, idx, null, null, null, null, null, null, null, null,

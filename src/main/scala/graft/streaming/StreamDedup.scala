@@ -109,6 +109,11 @@ object StreamDedup {
       .filter(_.startsWith("seed_"))
       .flatMap(n => n.stripPrefix("seed_").toLongOption)
     val target = s"seed_${seedEpochs.maxOption.getOrElse(-1L) + 1L}"
+    // snapshot the tombstone FILES before the fold reads them: a
+    // takedown appended while the fold runs lands as a new file the
+    // cleanup below must keep (it was never anti-joined)
+    val folded = IndexMaintenance.tombstoneFilesAt(
+      spark, s"$indexDir/_tombstones")
     val union = dropTombstoned(
       roots
         .map(d => spark.read.parquet(s"${d.getPath}/entries"))
@@ -122,9 +127,11 @@ object StreamDedup {
       s"compact: rename ${tmp.getPath} -> ${dest.getPath} failed")
     roots.filter(_.getName != target)
       .foreach(d => deleteRecursively(d))
-    // the fold applied the tombstones, so they rewrite away with it —
-    // same ordering as the roots: only after the new root is in place
-    deleteRecursively(new java.io.File(indexDir, "_tombstones"))
+    // only the tombstone files the fold actually applied rewrite away
+    // (same ordering as the roots: after the new root is in place);
+    // files appended since the snapshot stay live
+    IndexMaintenance.reclaimTombstoneFiles(
+      spark, s"$indexDir/_tombstones", folded)
     Some(target)
   }
 

@@ -68,23 +68,51 @@ object StreamUnimax {
     * sources sample at rate 0 until a refresh budgets them).
     *
     * Lives on the DRIVER inside foreachBatch (never shipped to
-    * executors); all methods synchronized. */
-  final class RatesRefresher(
+    * executors); all methods synchronized. State is IN-MEMORY: the
+    * replay guarantee below holds within one driver session. Across a
+    * QUERY RESTART a fresh refresher re-plans from its initialTotals
+    * — deterministic going forward, but the boundary batch Spark
+    * replays may sample at different rates than its pre-crash
+    * delivery, and pre-restart intake leaves the drift meter. Streams
+    * that need restart-exact replay persist [[state]] alongside their
+    * sink's batch-keyed output and resume via [[RatesRefresher
+    * .restore]] — the same keep-your-own-state contract as every
+    * foreachBatch writer here (StageSink's batch folders, the index
+    * delta roots). */
+  final class RatesRefresher private (
       spark: SparkSession, initialTotals: Map[String, Long],
       maxEpochs: Double, budgetFraction: Double,
-      driftThreshold: Double = 0.05, replayMemory: Int = 64) {
+      driftThreshold: Double, replayMemory: Int,
+      restoreFrom: Option[RefresherState]) {
+
+    def this(spark: SparkSession, initialTotals: Map[String, Long],
+        maxEpochs: Double, budgetFraction: Double,
+        driftThreshold: Double = 0.05, replayMemory: Int = 64) =
+      this(spark, initialTotals, maxEpochs, budgetFraction,
+        driftThreshold, replayMemory, None)
     require(initialTotals.nonEmpty,
       "RatesRefresher: initialTotals nonempty (the planning corpus)")
     require(driftThreshold > 0, "RatesRefresher: driftThreshold > 0")
     require(replayMemory >= 1, "RatesRefresher: replayMemory >= 1")
 
-    private var totals: Map[String, Long] = initialTotals
-    private var planned: Map[String, Long] = initialTotals
-    private var rates: Map[String, Double] = Corpus.unimaxRatesFromTotals(
-      spark, initialTotals, maxEpochs, budgetFraction)
-    private var nRefreshes: Long = 0L
+    private var totals: Map[String, Long] =
+      restoreFrom.map(_.totals).getOrElse(initialTotals)
+    private var planned: Map[String, Long] =
+      restoreFrom.map(_.planned).getOrElse(initialTotals)
+    private var rates: Map[String, Double] = restoreFrom.map(_.rates)
+      .getOrElse(Corpus.unimaxRatesFromTotals(
+        spark, initialTotals, maxEpochs, budgetFraction))
+    private var nRefreshes: Long =
+      restoreFrom.map(_.refreshes).getOrElse(0L)
     private val frozen =
       scala.collection.mutable.LongMap.empty[Map[String, Double]]
+    restoreFrom.foreach(_.frozen.foreach { case (b, r) => frozen(b) = r })
+
+    /** Snapshot for restart-exact resumption — persist beside the
+      * sink's batch-keyed output and hand to [[RatesRefresher
+      * .restore]] on the next start. */
+    def state: RefresherState = synchronized(
+      RefresherState(totals, planned, rates, nRefreshes, frozen.toMap))
 
     def currentRates: Map[String, Double] = synchronized(rates)
     def refreshCount: Long = synchronized(nRefreshes)
@@ -138,6 +166,27 @@ object StreamUnimax {
             r
         }
       }
+  }
+
+  /** A [[RatesRefresher]]'s full resumable state (a few #sources-sized
+    * maps) — plain Scala data so callers persist it however their sink
+    * persists (JSON, parquet, an object store blob). */
+  final case class RefresherState(
+      totals: Map[String, Long], planned: Map[String, Long],
+      rates: Map[String, Double], refreshes: Long,
+      frozen: Map[Long, Map[String, Double]])
+
+  object RatesRefresher {
+    /** Resume from a [[RatesRefresher#state]] snapshot: cumulative
+      * totals, the planned baseline, the live rates and the frozen
+      * per-batch replay memory all carry over, so the boundary batch
+      * a restart replays samples at exactly its pre-crash rates. */
+    def restore(spark: SparkSession, state: RefresherState,
+        maxEpochs: Double, budgetFraction: Double,
+        driftThreshold: Double = 0.05,
+        replayMemory: Int = 64): RatesRefresher =
+      new RatesRefresher(spark, state.totals, maxEpochs, budgetFraction,
+        driftThreshold, replayMemory, Some(state))
   }
 
   /** foreachBatch sampler with automatic rate refresh: each

@@ -198,6 +198,66 @@ class IndexMaintenanceSpec extends SparkSpec {
       .entries.select("id").as[Long].collect().toSet === Set(0L, 1L, 2L))
   }
 
+  test("tombstones appended after the rewrite snapshot survive the reclaim") {
+    // the primitive behind both compact paths: only the snapshotted
+    // files delete, so a takedown racing a compaction stays live
+    val dir = tmp("graft_tomb_race")
+    IndexMaintenance.addTombstones(Seq(1L).toDF("id"), dir)
+    val snapshot = IndexMaintenance.tombstoneFiles(spark, dir)
+    IndexMaintenance.addTombstones(Seq(2L).toDF("id"), dir)
+    IndexMaintenance.reclaimTombstoneFiles(
+      spark, s"$dir/tombstones", snapshot)
+    val left = IndexMaintenance.readTombstones(spark, dir)
+      .get.as[Long].collect().toSet
+    assert(left === Set(2L),
+      "the unapplied tombstone must survive; the folded one must not")
+    // reclaiming the remainder empties and removes the table
+    IndexMaintenance.reclaimTombstoneFiles(spark, s"$dir/tombstones",
+      IndexMaintenance.tombstoneFiles(spark, dir))
+    assert(IndexMaintenance.readTombstones(spark, dir).isEmpty)
+  }
+
+  test("a load heals an index left unreadable by a mid-swap crash") {
+    val dir = tmp("graft_tomb_heal")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16).save(dir)
+    // crash window: live renamed away, replacement not yet in place
+    assert(new java.io.File(dir, "entries")
+      .renameTo(new java.io.File(dir, "_trash_entries")))
+    val loaded = Dedup.MinhashIndex.load(spark, dir) // must not throw
+    assert(loaded.entries.select("id").as[Long].collect().toSet ===
+      Set(0L, 1L, 2L))
+    assert(!new java.io.File(dir, "_trash_entries").exists)
+  }
+
+  test("appendOpqIndex heals a stale completed rewrite before appending") {
+    import graft.operators.Ann
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.cos(i * 4 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(vecs, "vec_id", "embedding", m = 2,
+      ksub = 4, iters = 2, maxTrain = 32)
+    val dir = tmp("graft_tomb_stale") + "/idx"
+    Ann.saveOpqIndex(dir,
+      Ann.buildPqIndex(vecs, cents, books, "vec_id", "embedding"),
+      cents, books, "vec_id", "embedding")
+    // crash leftover: a COMPLETE rewrite that was never swapped in
+    spark.read.parquet(s"$dir/index").write.parquet(s"$dir/_compact/index")
+    assert(new java.io.File(s"$dir/_compact/index/_SUCCESS").exists)
+    // append after the crash: without healing first, the next compact
+    // would swap the stale rewrite in and silently drop this batch
+    val batch = Seq((100L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    Ann.appendOpqIndex(spark, dir, batch)
+    IndexMaintenance.compactPqIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/index")
+      .filter(col("vec_id") === 100L).count() === 1L,
+      "the appended row must survive the recovered compaction")
+    assert(!new java.io.File(s"$dir/_compact").exists)
+  }
+
   test("streaming multi-root tombstones filter the union and compact away") {
     val indexDir = tmp("graft_tomb_roots")
     Dedup.buildMinhashIndex(corpus.filter($"doc_id" < 2), "doc_id", "text",

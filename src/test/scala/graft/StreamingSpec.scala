@@ -320,6 +320,19 @@ class StreamingSpec extends SparkSpec {
     assert(refresher.cumulativeTotals === totalsBefore,
       "replay must not double-count")
     assert(refresher.refreshCount === 1L)
+    // restart-exact resumption: a restored refresher carries the
+    // rates, totals, refresh count AND the frozen replay memory — the
+    // boundary batch a restart replays samples at its original rates
+    val resumed = StreamUnimax.RatesRefresher.restore(spark,
+      refresher.state, maxEpochs = 1.5, budgetFraction = 1.0,
+      driftThreshold = 0.10)
+    assert(resumed.currentRates === refresher.currentRates)
+    assert(resumed.cumulativeTotals === refresher.cumulativeTotals)
+    assert(resumed.refreshCount === 1L)
+    assert(resumed.ratesFor(2L, Map("c" -> 999999L)) ===
+      refresher.currentRates, "frozen replay memory must carry over")
+    assert(resumed.cumulativeTotals === refresher.cumulativeTotals,
+      "a replayed batch must not re-accumulate after restore either")
   }
 
   test("streaming ANN search against a frozen persisted index ≡ batch") {
