@@ -682,11 +682,19 @@ object Ann {
   }
 
   /** Restore a [[saveOpqIndex]] directory. The encoded corpus comes
-    * back as a lazy parquet scan (never collected) minus any
-    * tombstoned ids ([[IndexMaintenance.addTombstones]] — deletion
-    * without re-encoding; [[IndexMaintenance.compactPqIndex]]
-    * reclaims the rows); centroids, codebooks and rotation are the
-    * bounded model artifacts. */
+    * back as a lazy parquet scan (never collected) — the base table
+    * unioned with any committed streaming-ingest delta roots — minus
+    * any tombstoned ids ([[IndexMaintenance.addTombstones]] — deletion
+    * without re-encoding; [[IndexMaintenance.compactPqIndex]] folds
+    * deltas in and reclaims tombstoned rows); centroids, codebooks
+    * and rotation are the bounded model artifacts.
+    *
+    * With deltas present the union also DEDUPES on id: a compaction
+    * that crashed between swapping its fold in and deleting the
+    * folded deltas leaves the same rows in both (identical bytes —
+    * encoding is deterministic under frozen models), and the dedup
+    * heals that at one extra exchange until the next compact removes
+    * it. Delta-free indexes — the steady state — pay nothing. */
   def loadOpqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PersistedPqIndex = {
     IndexMaintenance.healUnreadable(spark, dir, Seq("index"))
@@ -699,9 +707,16 @@ object Ann {
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.toSeq.map(_.getSeq[Float](2).toSeq))
+    val deltas = deltaRoots(spark, dir)
+    val encoded = {
+      val base = spark.read.parquet(s"$dir/index")
+      if (deltas.isEmpty) base
+      else (base +: deltas.map(spark.read.parquet(_)))
+        .reduce(_ unionByName _)
+        .dropDuplicates(idCol)
+    }
     PersistedPqIndex(
-      IndexMaintenance.dropTombstoned(
-        spark.read.parquet(s"$dir/index"), spark, dir, idCol),
+      IndexMaintenance.dropTombstoned(encoded, spark, dir, idCol),
       spark.read.parquet(s"$dir/centroids")
         .select(col("id").as(idCol), col("vec").as(vecCol)),
       books,
@@ -730,6 +745,16 @@ object Ann {
     // row appended after the crash
     IndexMaintenance.healForWrite(spark, dir, Seq("index"))
     val idx = loadOpqIndex(spark, dir)
+    encodeForIndex(idx, batch)
+      .write.mode("append").parquet(s"$dir/index")
+  }
+
+  /** Encode a RAW batch into the (id, centroid_id, codes, vec_norm)
+    * rows of a persisted index, under its frozen models — the shared
+    * projection behind [[appendOpqIndex]] and the streaming ingest
+    * ([[graft.streaming.StreamAnn.ingestWriter]]). */
+  private[graft] def encodeForIndex(idx: PersistedPqIndex,
+      batch: DataFrame): DataFrame = {
     val b = idx.rotation match {
       case Some(r) => Pca.rotate(batch, idx.idCol, idx.vecCol, r)
       case None => batch.select(col(idx.idCol), col(idx.vecCol))
@@ -738,10 +763,26 @@ object Ann {
       if (idx.residual) buildPqIndexResidual(
         b, idx.centroids, idx.codebooks, idx.idCol, idx.vecCol)
       else buildPqIndex(b, idx.centroids, idx.codebooks, idx.idCol, idx.vecCol)
-    delta
-      .select(col(idx.idCol), col("centroid_id"), col("codes"),
-        col("vec_norm"))
-      .write.mode("append").parquet(s"$dir/index")
+    delta.select(col(idx.idCol), col("centroid_id"), col("codes"),
+      col("vec_norm"))
+  }
+
+  /** Streaming-ingest delta roots under `dir/index_delta` — one
+    * batch-id-keyed folder per micro-batch ([[graft.streaming
+    * .StreamAnn.ingestWriter]] overwrites its own folder on replay,
+    * which is what makes streaming appends idempotent where
+    * `mode("append")` into `dir/index` is not). Only folders with a
+    * committed `_SUCCESS` count: a folder mid-(re)write is invisible
+    * to concurrent loads and becomes visible atomically. */
+  private[graft] def deltaRoots(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/index_delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
   }
 
   /** Search a loaded index against RAW corpus/query vectors: when the

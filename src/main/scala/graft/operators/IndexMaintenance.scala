@@ -138,16 +138,27 @@ object IndexMaintenance {
         .save(tmp, mode = "overwrite")
     }
 
-  /** Compact an [[Ann.saveOpqIndex]] directory: only the encoded
-    * corpus (`index`) rewrites — centroids, codebooks, rotation and
-    * meta are frozen model artifacts deletion never touches. */
-  def compactPqIndex(spark: SparkSession, dir: String): Unit =
+  /** Compact an [[Ann.saveOpqIndex]] directory: the encoded corpus
+    * (`index`) rewrites with the streaming-ingest delta roots folded
+    * in and the tombstoned ids dropped — centroids, codebooks,
+    * rotation and meta are frozen model artifacts deletion never
+    * touches. Folded deltas delete only AFTER the swap (a crash
+    * between leaves duplicates, which load's id-dedup heals and the
+    * next compact removes — never loses rows). */
+  def compactPqIndex(spark: SparkSession, dir: String): Unit = {
+    val foldedDeltas = Ann.deltaRoots(spark, dir) // snapshot pre-rewrite
     compactRoot(spark, dir, Seq("index")) { tmp =>
-      val idCol = spark.read.parquet(s"$dir/meta")
-        .select("id_col").head.getString(0)
-      dropTombstoned(spark.read.parquet(s"$dir/index"), spark, dir, idCol)
+      // loadOpqIndex's pqIndex IS the fold: base ∪ deltas, id-deduped,
+      // tombstones dropped
+      Ann.loadOpqIndex(spark, dir).pqIndex
         .write.mode("overwrite").parquet(s"$tmp/index")
     }
+    val fs = fsOf(spark, dir)
+    foldedDeltas.foreach(d => fs.delete(new Path(d), true))
+    val deltaDir = new Path(s"$dir/index_delta")
+    if (fs.exists(deltaDir) && fs.listStatus(deltaDir).isEmpty)
+      fs.delete(deltaDir, true)
+  }
 
   /** Shared compact core: recover any interrupted swap, write the
     * rewrite (tombstones applied by the index's own `load`) under

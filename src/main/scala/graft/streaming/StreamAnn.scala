@@ -20,12 +20,38 @@ import graft.operators.Ann
   *
   * Tombstones added to the index dir mid-stream apply from the NEXT
   * stream start (the load is the freeze point) — same re-freeze
-  * cadence as every other frozen model. INGEST stays a batch step
-  * ([[Ann.appendOpqIndex]]): parquet appends are not idempotent
-  * under foreachBatch's at-least-once replay, so continuous ingest
-  * runs as scheduled append jobs, not a stream.
+  * cadence as every other frozen model.
+  *
+  * INGEST ([[ingestWriter]]) follows the StreamDedup delta-root
+  * discipline instead of `mode("append")` (which is NOT idempotent
+  * under foreachBatch's at-least-once replay): each micro-batch
+  * encodes under the frozen models and OVERWRITES its own
+  * batch-id-keyed folder under `<dir>/index_delta`, so a replay
+  * rewrites identical bytes instead of doubling rows, and a folder
+  * becomes visible to loads atomically via its `_SUCCESS` marker.
+  * [[graft.operators.IndexMaintenance.compactPqIndex]] folds the
+  * accumulated deltas into the base on the usual cadence. The
+  * models stay frozen for the stream's lifetime — FAISS add()
+  * semantics: new vectors quantize against the ORIGINAL training
+  * distribution; retrain + rebuild when the corpus moves.
   */
 object StreamAnn {
+
+  /** foreachBatch ingest: encode each micro-batch of raw vectors
+    * under `idx`'s frozen models and commit it as the batch's own
+    * delta root under `indexDir/index_delta`. Empty batches write
+    * nothing. Callers pick the trigger and start; searches pick the
+    * grown corpus up at their next [[Ann.loadOpqIndex]]. */
+  def ingestWriter(stream: DataFrame, idx: Ann.PersistedPqIndex,
+      indexDir: String): DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (batch.take(1).nonEmpty)
+        Ann.encodeForIndex(idx, batch)
+          .write.mode("overwrite")
+          .parquet(f"$indexDir/index_delta/b$batchId%010d")
+    }
+    stream.writeStream.outputMode("append").foreachBatch(exportBatch)
+  }
 
   /** foreachBatch writer: top-`k` neighbours of each micro-batch's
     * query vectors against the frozen `idx`. `corpus` supplies raw

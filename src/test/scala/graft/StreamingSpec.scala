@@ -391,6 +391,77 @@ class StreamingSpec extends SparkSpec {
     assert(outputs(0L).exists(r => r._1 == r._2 && r._3 == 1 && r._4 == 1.0))
   }
 
+  test("streaming ANN ingest grows the persisted index, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, IndexMaintenance}
+    import graft.streaming.StreamAnn
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = e.filter(col("vec_id") % 3 =!= 0L)
+    val grow = e.filter(col("vec_id") % 3 === 0L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    // models trained on the FULL corpus so grown ≡ saved-whole holds
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 4,
+      ksub = 16, iters = 2, maxTrain = 1024)
+    def save(corpus: org.apache.spark.sql.DataFrame, name: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(name).toString + "/idx"
+      Ann.saveOpqIndex(dir,
+        Ann.buildPqIndex(corpus, cents, books, "vec_id", "embedding"),
+        cents, books, "vec_id", "embedding")
+      dir
+    }
+    val dir = save(seed, "graft_sann_grow")
+    val whole = save(e, "graft_sann_whole")
+    val idx = Ann.loadOpqIndex(spark, dir) // the stream's frozen models
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = StreamAnn.ingestWriter(stream, idx, dir).start()
+    try {
+      input.addData(grow.take(grow.size / 2))
+      q.processAllAvailable()
+      input.addData(grow.drop(grow.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = e.filter(col("vec_id") < 5)
+    def dump(d: String) = Ann.searchOpqIndex(
+      Ann.loadOpqIndex(spark, d), e, queries, k = 5, nprobe = 3,
+      refine = 2)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val grown = dump(dir)
+    assert(grown === dump(whole),
+      "streamed-in corpus must search ≡ an index saved whole")
+    // replay: re-committing a batch's delta folder rewrites identical
+    // bytes — no duplicate rows, searches unchanged
+    Ann.encodeForIndex(idx, grow.take(grow.size / 2)
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")))
+      .write.mode("overwrite").parquet(s"$dir/index_delta/b0000000000")
+    assert(Ann.loadOpqIndex(spark, dir).pqIndex.count() ===
+      e.count(), "replay must not double rows")
+    assert(dump(dir) === grown)
+    // compact folds the deltas into the base and removes them
+    IndexMaintenance.compactPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/index_delta").exists)
+    assert(dump(dir) === grown)
+    assert(spark.read.parquet(s"$dir/index").count() === e.count())
+    // crash window: a folded delta left behind duplicates rows; the
+    // load's id-dedup heals it until the next compact reclaims it
+    Ann.encodeForIndex(idx, seed.limit(3))
+      .write.mode("overwrite").parquet(s"$dir/index_delta/b9999999999")
+    assert(Ann.loadOpqIndex(spark, dir).pqIndex.count() === e.count())
+    assert(dump(dir) === grown)
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
