@@ -346,7 +346,9 @@ object Bench {
       // byte-BPE with GPT-2-ish pre-tokenizer classes (r15)
       "q185_bbpe_pretok",
       // temperature (α) sampling mix (late r15)
-      "q186_temperature_mix"
+      "q186_temperature_mix",
+      // WARC write→read round trip (late r15)
+      "q187_warc_roundtrip"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -757,6 +757,48 @@ object SparkEntry {
       }.toDF("doc_id", "pdf_text")
   }
 
+  /** q187: WARC INGEST ROUND TRIP — every document serialized into
+    * real multi-record `.warc.gz` shards (one gzip archive per
+    * partition, written EXECUTOR-side like a crawler's output), read
+    * back through the streaming WARC source (file parallelism, gzip
+    * member decode, record framing, HTTP pre-split), and the
+    * recovered bodies checked against the source column — the q181
+    * PDF discipline applied to the archival-input face: the writer,
+    * the reader and the HTTP split are all on the oracle's hash. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchDir/q187_warc"
+    val od = new java.io.File(out)
+    if (od.exists()) {
+      val walk = java.nio.file.Files.walk(od.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    od.mkdirs()
+    Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      .repartition(8, col("doc_id"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(out, f"part$pid%03d.warc.gz")
+        val o = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(f))
+        try rows.foreach { r =>
+          val id = r.getLong(0)
+          o.write(graft.sources.Warc.responseRecord(
+            s"http://corpus.example/$id", "2024-01-01T00:00:00Z",
+            s"urn:doc:$id",
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            httpContentType = "text/plain; charset=utf-8"))
+        } finally o.close()
+      }
+    graft.sources.Warc.read(s, s"$out/*.warc.gz")
+      .filter(col("ok") && col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("body").cast("string").as("text"))
+  }
+
   /** q183: UNIMAX MIXING ALLOCATION (Corpus.unimaxAllocation; Chung
     * et al. 2023) — the published answer to "how many tokens of each
     * source": distribute a token budget as uniformly as possible
@@ -3753,7 +3795,8 @@ object SparkEntry {
     "q183_unimax_mix" -> (q183 _),
     "q184_unimax_sample" -> (q184 _),
     "q185_bbpe_pretok" -> (q185 _),
-    "q186_temperature_mix" -> (q186 _)
+    "q186_temperature_mix" -> (q186 _),
+    "q187_warc_roundtrip" -> (q187 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6355,7 +6398,12 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT)
         |    AS copy
-        |FROM m WHERE copies > 0""".stripMargin
+        |FROM m WHERE copies > 0""".stripMargin,
+    // q187: the round trip's oracle is the SOURCE COLUMN — writer,
+    // gzip, framing and HTTP split all sit on the hash (q181's
+    // discipline for the archival-input face)
+    "q187_warc_roundtrip" ->
+      "SELECT doc_id, text FROM documents"
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

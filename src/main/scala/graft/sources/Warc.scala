@@ -85,6 +85,26 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Serialize ONE HTTP-response record — the WRITE face, enough to
+    * build valid archives for round trips, fixtures and staging
+    * (a full crawler writer is out of scope). The framing is exactly
+    * what [[read]] parses: version line, headers, Content-Length'd
+    * payload, blank-line separator. */
+  def responseRecord(url: String, date: String, recordId: String,
+      body: Array[Byte],
+      httpContentType: String = "text/html"): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n\r\n")
+      .getBytes(iso) ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <$recordId>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+      http ++ "\r\n\r\n".getBytes(iso)
+  }
+
   /** Lazily parse records off one stream; closes it at exhaustion or
     * first error. */
   private[sources] def recordIterator(file: String, in: DataInputStream,
