@@ -187,6 +187,23 @@ object StreamUnimax {
         replayMemory: Int = 64): RatesRefresher =
       new RatesRefresher(spark, state.totals, maxEpochs, budgetFraction,
         driftThreshold, replayMemory, Some(state))
+
+    /** Persist a [[RefresherState]] snapshot as one tiny parquet
+      * directory (mode overwrite) — rates and totals at FULL double/
+      * long precision, so a restore replays bit-for-bit (the
+      * UnigramLm.saveModel discipline). Write it AFTER the sink
+      * commits each batch's output; on restart, load + [[restore]]
+      * before starting the query. */
+    def saveState(spark: SparkSession, state: RefresherState,
+        dir: String): Unit = {
+      import spark.implicits._
+      Seq(state).toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+    def loadState(spark: SparkSession, dir: String): RefresherState = {
+      import spark.implicits._
+      spark.read.parquet(dir).as[RefresherState].head()
+    }
   }
 
   /** foreachBatch sampler with automatic rate refresh: each

@@ -333,6 +333,12 @@ class StreamingSpec extends SparkSpec {
       refresher.currentRates, "frozen replay memory must carry over")
     assert(resumed.cumulativeTotals === refresher.cumulativeTotals,
       "a replayed batch must not re-accumulate after restore either")
+    // ... and the state round-trips through parquet bit-for-bit
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_unimax_state").toString + "/state"
+    StreamUnimax.RatesRefresher.saveState(spark, refresher.state, sdir)
+    assert(StreamUnimax.RatesRefresher.loadState(spark, sdir) ===
+      refresher.state)
   }
 
   test("streaming ANN search against a frozen persisted index ≡ batch") {
