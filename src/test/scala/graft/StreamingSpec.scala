@@ -397,6 +397,59 @@ class StreamingSpec extends SparkSpec {
     assert(outputs(0L).exists(r => r._1 == r._2 && r._3 == 1 && r._4 == 1.0))
   }
 
+  test("streaming set-similarity probes a frozen index ≡ batch, both faces") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SetSimilarity
+    import graft.streaming.StreamSetSim
+    val corpus = Seq(
+      (0L, Seq("alpha", "beta", "gamma", "delta")),
+      (1L, Seq("epsilon", "zeta", "eta", "theta")),
+      (2L, Seq("alpha", "beta", "gamma", "kappa", "mu", "nu", "xi", "pi")))
+      .toDF("id", "toks")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sss").toString + "/idx"
+    SetSimilarity.buildIndex(corpus, "id", col("toks")).save(dir)
+    val index = SetSimilarity.SetSimIndex.load(spark, dir)
+    val probes = Seq(
+      (10L, Seq("alpha", "beta", "gamma", "delta")),   // jaccard hit on 0
+      (11L, Seq("alpha", "beta", "gamma")),            // contained in 0 and 2
+      (12L, Seq("omega", "psi", "chi")))               // no hits
+    def collectJ(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def collectC(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "inter").as[(Long, Long, Long)]
+        .collect().toSet
+
+    val jOut = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val cOut = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long)]]
+    val in1 = MemoryStream[(Long, Seq[String])]
+    val q1 = StreamSetSim.probeWriter(in1.toDF().toDF("id", "toks"),
+      index, "id", col("toks"), 1, 2) { (res, b) => jOut(b) = collectJ(res) }
+      .start()
+    try {
+      in1.addData(probes.take(2)); q1.processAllAvailable()
+      in1.addData(probes.drop(2)); q1.processAllAvailable()
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, Seq[String])]
+    val q2 = StreamSetSim.containmentWriter(in2.toDF().toDF("id", "toks"),
+      index, "id", col("toks"), 9, 10) { (res, b) => cOut(b) = collectC(res) }
+      .start()
+    try {
+      in2.addData(probes); q2.processAllAvailable()
+    } finally q2.stop()
+
+    def batchDf(rows: Seq[(Long, Seq[String])]) = rows.toDF("id", "toks")
+    assert(jOut(0L) === collectJ(SetSimilarity.probeIndex(index,
+      batchDf(probes.take(2)), "id", col("toks"), 1, 2)))
+    assert(jOut(1L) === collectJ(SetSimilarity.probeIndex(index,
+      batchDf(probes.drop(2)), "id", col("toks"), 1, 2)))
+    assert(jOut(0L).contains((0L, 10L)) && jOut(1L).isEmpty)
+    assert(cOut(0L) === collectC(SetSimilarity.probeContainment(index,
+      batchDf(probes), "id", col("toks"), 9, 10)))
+    assert(cOut(0L).exists(p => p._1 == 0L && p._2 == 11L) &&
+      cOut(0L).exists(p => p._1 == 2L && p._2 == 11L))
+  }
+
   test("streaming ANN ingest grows the persisted index, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ann, IndexMaintenance}
