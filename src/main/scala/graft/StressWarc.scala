@@ -20,17 +20,11 @@ import graft.sources.Warc
   * {files, records, mb, sec, mb_per_sec}. */
 object StressWarc {
 
-  private def record(i: Long, body: Array[Byte]): Array[Byte] = {
-    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
-      .getBytes(ISO_8859_1) ++ body
-    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
-      s"WARC-Record-ID: <urn:uuid:$i>\r\n" +
-      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
-      s"WARC-Target-URI: http://example.com/$i\r\n" +
-      "Content-Type: application/http;msgtype=response\r\n" +
-      s"Content-Length: ${http.length}\r\n\r\n").getBytes(ISO_8859_1) ++
-      http ++ "\r\n\r\n".getBytes(ISO_8859_1)
-  }
+  // framing through the product's own write face — the stress must
+  // measure the format the library actually writes
+  private def record(i: Long, body: Array[Byte]): Array[Byte] =
+    Warc.responseRecord(s"http://example.com/$i",
+      "2024-01-01T00:00:00Z", s"urn:uuid:$i", body)
 
   /** ~2 KB of deterministic HTML per record. */
   private def body(i: Long): Array[Byte] = {
@@ -79,6 +73,10 @@ object StressWarc {
       .toFile
 
     // (files, recs/file): 1x ≈ 80 MB over 32 files, 10x ≈ 800 MB
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete()
+    }
     for ((files, recs, gz) <- Seq(
       (32, 1000, false), (32, 1000, true),
       (32, 10000, false), (32, 10000, true))) {
@@ -99,7 +97,12 @@ object StressWarc {
       val sec = runs.map(_._2).sorted.apply(1)
       val mb = bytes / 1e6
       println(f"""{"files":$files,"records":$n,"gz":$gz,"mb":$mb%.1f,"sec":$sec%.2f,"mb_per_sec":${mb / sec}%.0f}""")
+      // delete per config: peak disk stays one archive set (~1.2 GB),
+      // and repeated runs leave nothing in /tmp (the scratch-dir
+      // discipline a past round's review already had to restore once)
+      deleteRecursively(dir)
     }
+    deleteRecursively(base)
     spark.stop()
   }
 }

@@ -154,7 +154,13 @@ object IndexMaintenance {
         .write.mode("overwrite").parquet(s"$tmp/index")
     }
     val fs = fsOf(spark, dir)
-    foldedDeltas.foreach(d => fs.delete(new Path(d), true))
+    // only reclaim folders STILL committed: a folder whose _SUCCESS is
+    // gone was being rewritten underneath us — the fold may not have
+    // read it, so deleting it could lose rows (compaction should run
+    // with ingest stopped, but this keeps a violation non-destructive)
+    foldedDeltas
+      .filter(d => fs.exists(new Path(s"$d/_SUCCESS")))
+      .foreach(d => fs.delete(new Path(d), true))
     val deltaDir = new Path(s"$dir/index_delta")
     if (fs.exists(deltaDir) && fs.listStatus(deltaDir).isEmpty)
       fs.delete(deltaDir, true)

@@ -40,15 +40,25 @@ object StreamAnn {
   /** foreachBatch ingest: encode each micro-batch of raw vectors
     * under `idx`'s frozen models and commit it as the batch's own
     * delta root under `indexDir/index_delta`. Empty batches write
-    * nothing. Callers pick the trigger and start; searches pick the
-    * grown corpus up at their next [[Ann.loadOpqIndex]]. */
+    * nothing. A replay of an ALREADY-COMMITTED batch is a true no-op
+    * (encoding is deterministic under frozen models, so the bytes
+    * would be identical — and skipping keeps the committed folder
+    * visible to concurrent loads, where an overwrite would delete it
+    * before rewriting). Callers pick the trigger and start; searches
+    * pick the grown corpus up at their next [[Ann.loadOpqIndex]].
+    * Run [[graft.operators.IndexMaintenance.compactPqIndex]] only
+    * while the stream is STOPPED (between restarts) — the fold is
+    * not atomic against a concurrent ingest. */
   def ingestWriter(stream: DataFrame, idx: Ann.PersistedPqIndex,
       indexDir: String): DataStreamWriter[Row] = {
     val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      if (batch.take(1).nonEmpty)
+      val dest = f"$indexDir/index_delta/b$batchId%010d"
+      val committed = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+      val fs = committed.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(committed) && batch.take(1).nonEmpty)
         Ann.encodeForIndex(idx, batch)
-          .write.mode("overwrite")
-          .parquet(f"$indexDir/index_delta/b$batchId%010d")
+          .write.mode("overwrite").parquet(dest)
     }
     stream.writeStream.outputMode("append").foreachBatch(exportBatch)
   }

@@ -189,19 +189,38 @@ object StreamUnimax {
         driftThreshold, replayMemory, Some(state))
 
     /** Persist a [[RefresherState]] snapshot as one tiny parquet
-      * directory (mode overwrite) — rates and totals at FULL double/
-      * long precision, so a restore replays bit-for-bit (the
-      * UnigramLm.saveModel discipline). Write it AFTER the sink
-      * commits each batch's output; on restart, load + [[restore]]
-      * before starting the query. */
+      * directory — rates and totals at FULL double/long precision, so
+      * a restore replays bit-for-bit (the UnigramLm.saveModel
+      * discipline). Two-phase: the new snapshot writes BESIDE the
+      * live one (`<dir>__tmp`) and swaps in only when complete, so a
+      * crash mid-save never destroys the previous good snapshot —
+      * the failure this helper exists to recover from. Write it AFTER
+      * the sink commits each batch's output; on restart, [[loadState]]
+      * (which finishes an interrupted swap) + [[restore]] before
+      * starting the query. */
     def saveState(spark: SparkSession, state: RefresherState,
         dir: String): Unit = {
       import spark.implicits._
-      Seq(state).toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(state).toDS().coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      fs.delete(p, true)
+      require(fs.rename(tmp, p), s"saveState: rename $tmp -> $p failed")
     }
 
+    /** Read a [[saveState]] snapshot, finishing an interrupted swap
+      * (crash between the delete and the rename) from the complete
+      * `__tmp` copy when the live directory is missing. */
     def loadState(spark: SparkSession, dir: String): RefresherState = {
       import spark.implicits._
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        require(fs.rename(tmp, p), s"loadState: rename $tmp -> $p failed")
       spark.read.parquet(dir).as[RefresherState].head()
     }
   }
