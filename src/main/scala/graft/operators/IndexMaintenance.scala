@@ -244,6 +244,31 @@ object IndexMaintenance {
     reclaimTombstoneFiles(spark, s"$dir/tombstones", dropTombstoneFiles)
   }
 
+  /** Hands-off compaction trigger for a single-root index: true when
+    * the pending tombstone table exceeds `maxTombstoneBytes` — the
+    * deletion state every probe pays an anti-join for. Pair with the
+    * matching compact: `if (compactDue(spark, dir))
+    * compactMinhashIndex(spark, dir)`. The PQ directory adds a
+    * delta-root trigger — see [[pqCompactDue]]. */
+  def compactDue(spark: SparkSession, dir: String,
+      maxTombstoneBytes: Long = 64L << 20): Boolean =
+    tableBytes(spark, s"$dir/tombstones") > maxTombstoneBytes
+
+  /** [[compactDue]] for an [[Ann.saveOpqIndex]] directory: also fires
+    * when streaming-ingest delta roots accrete past `maxDeltas`
+    * (every load unions one scan per root, plus the id-dedup
+    * exchange deltas force). */
+  def pqCompactDue(spark: SparkSession, dir: String,
+      maxDeltas: Int = 8, maxTombstoneBytes: Long = 64L << 20): Boolean =
+    Ann.deltaRoots(spark, dir).size > maxDeltas ||
+      compactDue(spark, dir, maxTombstoneBytes)
+
+  private[graft] def tableBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   /** Reader-side healing: if a crash between [[swapIn]]'s two renames
     * left a live sub-table MISSING (the only state that makes a load
     * fail), finish or discard the interrupted swap so the index is

@@ -86,6 +86,21 @@ object StreamDedup {
     compactRoots(spark, indexDir,
       (union, path) => Dedup.MinhashIndex(union).save(path, mode = "overwrite"))
 
+  /** [[compact]] only when due — the hands-off cadence policy: more
+    * than `maxRoots` roots (every probe pays one parquet scan per
+    * root) or pending tombstones past `maxTombstoneBytes` (every
+    * probe pays their anti-join). Call between restarts like
+    * [[compact]] itself; returns the folded root's name when it
+    * fired. */
+  def compactIfDue(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxRoots: Int = 8,
+      maxTombstoneBytes: Long = 64L << 20): Option[String] =
+    if (indexRoots(indexDir).size > maxRoots ||
+        IndexMaintenance.tableBytes(
+          spark, s"$indexDir/_tombstones") > maxTombstoneBytes)
+      compact(spark, indexDir)
+    else None
+
   /** The shared compact core ([[compact]]'s scaladoc): fold every
     * root's entries (deduped on id — a crashed earlier compact leaves
     * the same entries in two roots, and folding them through would

@@ -258,6 +258,28 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/_compact").exists)
   }
 
+  test("compaction triggers fire on tombstone bytes and root/delta counts") {
+    val dir = tmp("graft_tomb_due")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 48, bands = 16).save(dir)
+    assert(!IndexMaintenance.compactDue(spark, dir),
+      "no tombstones: nothing due")
+    IndexMaintenance.addTombstones(Seq(0L).toDF("doc_id"), dir)
+    assert(IndexMaintenance.compactDue(spark, dir, maxTombstoneBytes = 0L))
+    assert(!IndexMaintenance.compactDue(spark, dir,
+      maxTombstoneBytes = 1L << 30))
+    // streaming: root count trigger
+    val sdir = tmp("graft_tomb_due_s")
+    for (b <- 0 to 2)
+      Dedup.buildMinhashIndex(corpus.limit(1), "doc_id", "text",
+        shingleN = 2, numHashes = 48, bands = 16)
+        .save(f"$sdir/delta_b$b%010d", mode = "overwrite")
+    assert(StreamDedup.compactIfDue(spark, sdir, maxRoots = 8).isEmpty)
+    val folded = StreamDedup.compactIfDue(spark, sdir, maxRoots = 2)
+    assert(folded.nonEmpty &&
+      StreamDedup.indexRoots(sdir).map(_.getName) === Seq(folded.get))
+  }
+
   test("streaming multi-root tombstones filter the union and compact away") {
     val indexDir = tmp("graft_tomb_roots")
     Dedup.buildMinhashIndex(corpus.filter($"doc_id" < 2), "doc_id", "text",
