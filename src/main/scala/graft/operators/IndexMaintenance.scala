@@ -244,6 +244,11 @@ object IndexMaintenance {
     reclaimTombstoneFiles(spark, s"$dir/tombstones", dropTombstoneFiles)
   }
 
+  /** The one tombstone-bytes policy default, shared by every trigger
+    * ([[compactDue]], [[pqCompactDue]], StreamDedup.compactIfDue) so
+    * a retune cannot drift the three apart. */
+  val DefaultMaxTombstoneBytes: Long = 64L << 20
+
   /** Hands-off compaction trigger for a single-root index: true when
     * the pending tombstone table exceeds `maxTombstoneBytes` — the
     * deletion state every probe pays an anti-join for. Pair with the
@@ -251,7 +256,7 @@ object IndexMaintenance {
     * compactMinhashIndex(spark, dir)`. The PQ directory adds a
     * delta-root trigger — see [[pqCompactDue]]. */
   def compactDue(spark: SparkSession, dir: String,
-      maxTombstoneBytes: Long = 64L << 20): Boolean =
+      maxTombstoneBytes: Long = DefaultMaxTombstoneBytes): Boolean =
     tableBytes(spark, s"$dir/tombstones") > maxTombstoneBytes
 
   /** [[compactDue]] for an [[Ann.saveOpqIndex]] directory: also fires
@@ -259,14 +264,21 @@ object IndexMaintenance {
     * (every load unions one scan per root, plus the id-dedup
     * exchange deltas force). */
   def pqCompactDue(spark: SparkSession, dir: String,
-      maxDeltas: Int = 8, maxTombstoneBytes: Long = 64L << 20): Boolean =
+      maxDeltas: Int = 8,
+      maxTombstoneBytes: Long = DefaultMaxTombstoneBytes): Boolean =
     Ann.deltaRoots(spark, dir).size > maxDeltas ||
       compactDue(spark, dir, maxTombstoneBytes)
 
+  /** Total bytes under a table path; 0 when absent — including a
+    * deletion racing between the existence check and the summary (a
+    * due-check is exactly the read-side poll that runs beside a
+    * compaction's reclaim). */
   private[graft] def tableBytes(spark: SparkSession, path: String): Long = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    val fs = fsOf(spark, path)
+    if (!fs.exists(p)) 0L
+    else try fs.getContentSummary(p).getLength
+    catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** Reader-side healing: if a crash between [[swapIn]]'s two renames

@@ -89,17 +89,33 @@ object StreamDedup {
   /** [[compact]] only when due — the hands-off cadence policy: more
     * than `maxRoots` roots (every probe pays one parquet scan per
     * root) or pending tombstones past `maxTombstoneBytes` (every
-    * probe pays their anti-join). Call between restarts like
-    * [[compact]] itself; returns the folded root's name when it
-    * fired. */
+    * probe pays their anti-join). The tombstone trigger arms only
+    * when a root exists to fold — with ZERO roots there is nothing a
+    * compact could reclaim (pre-seeded tombstones stay live by the
+    * never-surface-again contract), so firing would loop futilely.
+    * Call between restarts like [[compact]] itself; returns the
+    * folded root's name when it fired. */
   def compactIfDue(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, maxRoots: Int = 8,
-      maxTombstoneBytes: Long = 64L << 20): Option[String] =
-    if (indexRoots(indexDir).size > maxRoots ||
-        IndexMaintenance.tableBytes(
-          spark, s"$indexDir/_tombstones") > maxTombstoneBytes)
-      compact(spark, indexDir)
+      maxTombstoneBytes: Long = IndexMaintenance.DefaultMaxTombstoneBytes)
+      : Option[String] =
+    compactRootsIfDue(spark, indexDir, maxRoots, maxTombstoneBytes,
+      (union, path) => Dedup.MinhashIndex(union).save(path, mode = "overwrite"))
+
+  /** The saver-agnostic due-check + fold behind [[compactIfDue]] and
+    * the media/embed twins — the policy depends on nothing
+    * saver-specific, so all three layouts share it. */
+  private[streaming] def compactRootsIfDue(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxRoots: Int, maxTombstoneBytes: Long,
+      save: (org.apache.spark.sql.DataFrame, String) => Unit): Option[String] = {
+    val roots = indexRoots(indexDir)
+    if (roots.size > maxRoots ||
+        (roots.nonEmpty && IndexMaintenance.tableBytes(
+          spark, s"$indexDir/_tombstones") > maxTombstoneBytes))
+      compactRoots(spark, indexDir, save)
     else None
+  }
 
   /** The shared compact core ([[compact]]'s scaladoc): fold every
     * root's entries (deduped on id — a crashed earlier compact leaves

@@ -36,9 +36,22 @@ object StreamEmbedDedup {
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[String] =
-    StreamDedup.compactRoots(spark, indexDir,
-      (union, path) =>
-        Dedup.EmbeddingIndex(union).save(path, mode = "overwrite"))
+    StreamDedup.compactRoots(spark, indexDir, embedSaver)
+
+  /** [[compact]] behind StreamDedup's shared root-count/tombstone-
+    * bytes cadence policy. */
+  def compactIfDue(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxRoots: Int = 8,
+      maxTombstoneBytes: Long =
+        graft.operators.IndexMaintenance.DefaultMaxTombstoneBytes)
+      : Option[String] =
+    StreamDedup.compactRootsIfDue(spark, indexDir, maxRoots,
+      maxTombstoneBytes, embedSaver)
+
+  private val embedSaver:
+      (org.apache.spark.sql.DataFrame, String) => Unit =
+    (union, path) =>
+      Dedup.EmbeddingIndex(union).save(path, mode = "overwrite")
 
   /** foreachBatch writer: near-dedup each micro-batch of embedding
     * rows against the accumulated sign-bucket index, export survivors

@@ -36,9 +36,22 @@ object StreamMediaDedup {
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[String] =
-    StreamDedup.compactRoots(spark, indexDir,
-      (union, path) => Multimodal.MediaHashIndex(
-        union.select("id", "kind", "dhash")).save(path, mode = "overwrite"))
+    StreamDedup.compactRoots(spark, indexDir, mediaSaver)
+
+  /** [[compact]] behind StreamDedup's shared root-count/tombstone-
+    * bytes cadence policy. */
+  def compactIfDue(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxRoots: Int = 8,
+      maxTombstoneBytes: Long =
+        graft.operators.IndexMaintenance.DefaultMaxTombstoneBytes)
+      : Option[String] =
+    StreamDedup.compactRootsIfDue(spark, indexDir, maxRoots,
+      maxTombstoneBytes, mediaSaver)
+
+  private val mediaSaver:
+      (org.apache.spark.sql.DataFrame, String) => Unit =
+    (union, path) => Multimodal.MediaHashIndex(
+      union.select("id", "kind", "dhash")).save(path, mode = "overwrite")
 
   /** foreachBatch writer: near-dedup each micro-batch of media rows
     * against the accumulated perceptual-hash index, export survivors

@@ -278,6 +278,31 @@ class IndexMaintenanceSpec extends SparkSpec {
     val folded = StreamDedup.compactIfDue(spark, sdir, maxRoots = 2)
     assert(folded.nonEmpty &&
       StreamDedup.indexRoots(sdir).map(_.getName) === Seq(folded.get))
+    // zero roots: pre-seeded tombstones must NOT arm the trigger
+    // (nothing to fold — firing would loop futilely forever)
+    val edir = tmp("graft_tomb_due_e")
+    StreamDedup.addTombstones(Seq(9L).toDF("doc_id"), edir)
+    assert(StreamDedup.compactIfDue(spark, edir, maxRoots = 0,
+      maxTombstoneBytes = 0L).isEmpty)
+    // PQ: delta-root count trigger
+    import graft.operators.Ann
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroids(vecs, "vec_id", "embedding",
+      k = 2, iters = 1).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(vecs, "vec_id", "embedding", m = 2,
+      ksub = 4, iters = 1, maxTrain = 16)
+    val pdir = tmp("graft_tomb_due_pq") + "/idx"
+    Ann.saveOpqIndex(pdir,
+      Ann.buildPqIndex(vecs, cents, books, "vec_id", "embedding"),
+      cents, books, "vec_id", "embedding")
+    val idx = Ann.loadOpqIndex(spark, pdir)
+    for (b <- 0 to 2)
+      Ann.encodeForIndex(idx, vecs.limit(2))
+        .write.mode("overwrite").parquet(f"$pdir/index_delta/b$b%010d")
+    assert(IndexMaintenance.pqCompactDue(spark, pdir, maxDeltas = 2))
+    assert(!IndexMaintenance.pqCompactDue(spark, pdir, maxDeltas = 8))
   }
 
   test("streaming multi-root tombstones filter the union and compact away") {
