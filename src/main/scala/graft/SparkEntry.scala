@@ -778,10 +778,23 @@ object SparkEntry {
     Tables(s, dir).documents.select(col("doc_id"), col("text"))
       .repartition(8, col("doc_id"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(out, f"part$pid%03d.warc.gz")
+        // LOCAL-MODE fixture writer: `out` is a driver-local scratch
+        // path, reachable from tasks only because executors share the
+        // JVM (a cluster deployment would hand Warc a real writer /
+        // shared FS). Write-then-atomic-rename keyed on taskAttemptId:
+        // a task retry or speculative duplicate writing part$pid
+        // DIRECTLY can interleave two gzip streams into one corrupt
+        // file — per-attempt temp names can't collide, and the rename
+        // publishes whole files only (last complete attempt wins,
+        // byte-identical content either way — the writer is
+        // deterministic per partition).
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fin = new java.io.File(out, f"part$pid%03d.warc.gz")
+        val tmp = new java.io.File(out,
+          f"part$pid%03d.warc.gz.attempt${tc.taskAttemptId()}%d.tmp")
         val o = new java.util.zip.GZIPOutputStream(
-          new java.io.FileOutputStream(f))
+          new java.io.FileOutputStream(tmp))
         try rows.foreach { r =>
           val id = r.getLong(0)
           o.write(graft.sources.Warc.responseRecord(
@@ -790,6 +803,10 @@ object SparkEntry {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
             httpContentType = "text/plain; charset=utf-8"))
         } finally o.close()
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     graft.sources.Warc.read(s, s"$out/*.warc.gz")
       .filter(col("ok") && col("warc_type") === "response")

@@ -734,10 +734,21 @@ object Ann {
     * search identity, rotated path included). Same staleness note as
     * [[appendPqIndex]]: appended vectors quantize against the
     * ORIGINAL training distribution — retrain + rebuild when the
-    * corpus moves. The parquet append commits per job, so a crashed
-    * append leaves no visible rows. Run [[IndexMaintenance
-    * .compactPqIndex]] on the usual cadence — appends accrete files
-    * and tombstones accrete anti-join state. */
+    * corpus moves.
+    *
+    * IDEMPOTENT (r16, the r15 ADVICE): the encoded batch lands in its
+    * own batch-keyed DELTA ROOT (`dir/index_delta/append_<key>`, the
+    * streaming-ingest mechanism) instead of `mode("append")` into
+    * `dir/index` — a caller-level retry of a failed/ambiguous append
+    * recomputes the same content key and OVERWRITES its own folder,
+    * where a raw append would duplicate every row (duplicates survive
+    * the delta-free load path and inflate rerank/window results). The
+    * key is order-independent over the batch's ids (sum of per-id
+    * hashes + count — one tiny aggregate action), so a retry that
+    * reshuffles rows still lands on the same folder; `_SUCCESS`
+    * commits the folder atomically for concurrent loads. Run
+    * [[IndexMaintenance.compactPqIndex]] on the usual cadence — it
+    * folds delta roots into the base and reclaims tombstones. */
   def appendOpqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
     // resolve any interrupted compaction BEFORE appending: a stale
@@ -745,8 +756,15 @@ object Ann {
     // row appended after the crash
     IndexMaintenance.healForWrite(spark, dir, Seq("index"))
     val idx = loadOpqIndex(spark, dir)
+    val keyRow = batch.agg(
+      coalesce(sum(xxhash64(col(idx.idCol))), lit(0L)).as("h"),
+      count(lit(1)).as("n")).head
+    if (keyRow.getLong(1) == 0L) return // empty batch: nothing to do
+    val key = java.lang.Long.toHexString(keyRow.getLong(0)) +
+      "_" + keyRow.getLong(1)
     encodeForIndex(idx, batch)
-      .write.mode("append").parquet(s"$dir/index")
+      .write.mode("overwrite")
+      .parquet(s"$dir/index_delta/append_$key")
   }
 
   /** Encode a RAW batch into the (id, centroid_id, codes, vec_norm)

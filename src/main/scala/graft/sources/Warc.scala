@@ -69,18 +69,44 @@ object Warc {
     val cap = maxPayloadBytes
     val rdd = spark.sparkContext.binaryFiles(path)
       .flatMap { case (name, pds) =>
-        val base: InputStream = pds.open()
-        val in = new DataInputStream(new BufferedInputStream(
-          if (name.toLowerCase.endsWith(".gz")) new GZIPInputStream(base)
-          else base, 1 << 16))
-        // a limit/take may abandon the iterator mid-file — close the
-        // handle (and the gzip inflater's native buffer) at task end,
-        // not at GC, or a wide scan exhausts file descriptors
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case _: Exception => () }
-          })
-        recordIterator(name, in, cap)
+        // GZIPInputStream reads the member HEADER at construction, so
+        // a corrupt/non-gzip `.gz` throws HERE, not in the record
+        // loop — quarantine it like any malformed record (one
+        // ok=false row), or one bad shard kills the whole job at
+        // crawl scale
+        val opened: Either[String, DataInputStream] =
+          try {
+            val base: InputStream = pds.open()
+            try Right(new DataInputStream(new BufferedInputStream(
+              if (name.toLowerCase.endsWith(".gz"))
+                new GZIPInputStream(base)
+              else base, 1 << 16)))
+            catch {
+              case e: java.io.IOException =>
+                try base.close() catch { case _: Exception => () }
+                Left(s"unreadable archive: ${e.getClass.getSimpleName}:" +
+                  s" ${String.valueOf(e.getMessage).take(120)}")
+            }
+          } catch {
+            case e: java.io.IOException =>
+              Left(s"unreadable archive: ${e.getClass.getSimpleName}:" +
+                s" ${String.valueOf(e.getMessage).take(120)}")
+          }
+        opened match {
+          case Left(err) =>
+            Iterator.single(Row(name, 0, null, null, null, null, null,
+              null, null, null, null, false, false, err))
+          case Right(in) =>
+            // a limit/take may abandon the iterator mid-file — close
+            // the handle (and the gzip inflater's native buffer) at
+            // task end, not at GC, or a wide scan exhausts file
+            // descriptors
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit] { _ =>
+                try in.close() catch { case _: Exception => () }
+              })
+            recordIterator(name, in, cap)
+        }
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -185,14 +211,40 @@ object Warc {
           close()
           Row(file, idx, null, null, null, null, null, null, null, null,
             null, false, false, e.getMessage)
+        // gzip decode errors surface MID-STREAM as ZipException (bad
+        // member header after a clean member boundary, CRC mismatch at
+        // member end) or plain IOException — same quarantine contract
+        // as a framing error: one ok=false row, parsing of the file
+        // stops (no resync point exists inside a corrupt deflate run)
+        case e: java.io.IOException =>
+          close()
+          Row(file, idx, null, null, null, null, null, null, null, null,
+            null, false, false,
+            s"io error: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120))
       }
 
-    /** One CRLF (or LF) terminated ISO-8859-1 line; null at EOF. */
+    /** One CRLF (or LF) terminated ISO-8859-1 line; null at EOF.
+      * Length-capped: WARC version/header lines are short by spec, so
+      * a line past 8 KiB means the glob matched a non-WARC (or
+      * corrupt) file whose newline-free run would otherwise buffer
+      * the whole remaining stream — defeating the maxPayloadBytes
+      * bounded-allocation contract. Capped lines quarantine through
+      * the normal WarcFormat path instead of growing the builder. */
     private def readLine(s: DataInputStream): String = {
+      val maxLine = 8192
       val sb = new java.lang.StringBuilder(96)
       var c = s.read()
       if (c < 0) return null
-      while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = s.read() }
+      while (c >= 0 && c != '\n') {
+        if (c != '\r') {
+          if (sb.length() >= maxLine)
+            throw new WarcFormat(
+              s"header line exceeds $maxLine bytes — not a WARC stream")
+          sb.append(c.toChar)
+        }
+        c = s.read()
+      }
       sb.toString
     }
   }

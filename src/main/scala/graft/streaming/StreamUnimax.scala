@@ -107,6 +107,10 @@ object StreamUnimax {
     private val frozen =
       scala.collection.mutable.LongMap.empty[Map[String, Double]]
     restoreFrom.foreach(_.frozen.foreach { case (b, r) => frozen(b) = r })
+    // highest batchId ever frozen: a replay of a batch EVICTED from
+    // the bounded memory must fail loud, not silently re-accumulate
+    private var maxSeen: Long =
+      if (frozen.isEmpty) Long.MinValue else frozen.keys.max
 
     /** Snapshot for restart-exact resumption — persist beside the
       * sink's batch-keyed output and hand to [[RatesRefresher
@@ -148,8 +152,23 @@ object StreamUnimax {
         frozen.get(batchId) match {
           case Some(r) => r
           case None =>
+            // a batchId at or below the high-water mark that MISSES
+            // the frozen map is a replay of an evicted batch: treating
+            // it as first-sight would double-count its totals and
+            // could return different rates — a silent break of the
+            // determinism guarantee. Structured Streaming only ever
+            // retries the most recent batch, so hitting this means
+            // replayMemory is sized below the checkpoint's replay
+            // horizon — fail loud with the fix in hand.
+            if (batchId <= maxSeen)
+              throw new IllegalStateException(
+                s"RatesRefresher: batch $batchId replayed after " +
+                  s"eviction (high-water mark $maxSeen, replayMemory " +
+                  s"$replayMemory) — raise replayMemory above the " +
+                  "sink's replay horizon")
             val r = rates
             frozen(batchId) = r
+            maxSeen = batchId
             if (frozen.size > replayMemory)
               frozen.keys.toSeq.sorted.dropRight(replayMemory)
                 .foreach(frozen.remove)

@@ -523,6 +523,15 @@ class AnnSpec extends SparkSpec {
     }
     val grown = save(seed, "graft_pq_append")
     Ann.appendOpqIndex(spark, grown, batch)
+    // caller-level RETRY of the same batch is IDEMPOTENT: the content
+    // key is a pure function of the batch's ids, so the retry
+    // overwrites its own delta root — no duplicate id rows survive
+    // the load (r15 ADVICE: a bare mode("append") duplicated them)
+    Ann.appendOpqIndex(spark, grown, batch)
+    val loadedGrown = Ann.loadOpqIndex(spark, grown)
+    assert(loadedGrown.pqIndex.count() ===
+      loadedGrown.pqIndex.select("vec_id").distinct().count(),
+      "a retried append must not leave duplicate id rows")
     val whole = save(e, "graft_pq_whole")
     val search = (d: String) => dump(Ann.searchOpqIndex(
       Ann.loadOpqIndex(spark, d), e, queries, k = 5, nprobe = 3,

@@ -339,6 +339,22 @@ class StreamingSpec extends SparkSpec {
     StreamUnimax.RatesRefresher.saveState(spark, refresher.state, sdir)
     assert(StreamUnimax.RatesRefresher.loadState(spark, sdir) ===
       refresher.state)
+    // replay of a batch EVICTED from the bounded memory fails loud
+    // instead of silently re-accumulating (it would double-count and
+    // could return different rates): replayMemory=1 keeps only the
+    // newest batch, so replaying an older id must throw
+    val tight = new StreamUnimax.RatesRefresher(
+      spark, initialTotals, maxEpochs = 1.5, budgetFraction = 1.0,
+      driftThreshold = 0.10, replayMemory = 1)
+    tight.ratesFor(0L, Map("a" -> 3L))
+    tight.ratesFor(1L, Map("a" -> 3L)) // evicts batch 0
+    val totals1 = tight.cumulativeTotals
+    val ex = intercept[IllegalStateException] {
+      tight.ratesFor(0L, Map("a" -> 999L))
+    }
+    assert(ex.getMessage.contains("replayMemory"))
+    assert(tight.cumulativeTotals === totals1,
+      "a rejected evicted replay must not have accumulated")
   }
 
   test("streaming ANN search against a frozen persisted index ≡ batch") {

@@ -112,6 +112,50 @@ class WarcSpec extends SparkSpec {
     assert(rows(1).getAs[Array[Byte]]("body").length === 8)
   }
 
+  test("corrupt gzip quarantines — header, mid-stream and CRC classes") {
+    def gzWhole(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    // (a) bad member header: not gzip at all but named .gz — the
+    // ZipException fires at GZIPInputStream CONSTRUCTION
+    val notGz = writeTmp("bad.warc.gz",
+      "this is not gzip data at all".getBytes(ISO_8859_1))
+    val a = Warc.read(spark, notGz).collect()
+    assert(a.length === 1 && !a(0).getAs[Boolean]("ok"))
+    assert(a(0).getAs[String]("err").contains("unreadable archive"))
+    // (b) corrupt deflate mid-stream: flip bytes INSIDE the member —
+    // the ZipException fires in the record loop; one quarantine row,
+    // task survives
+    val gz = gzWhole(fixture)
+    val mid = gz.clone()
+    for (i <- gz.length / 2 until math.min(gz.length / 2 + 24, gz.length))
+      mid(i) = (mid(i) ^ 0x5a).toByte
+    val b = Warc.read(spark, writeTmp("mid.warc.gz", mid)).collect()
+    assert(b.nonEmpty && b.exists(!_.getAs[Boolean]("ok")))
+    // (c) a second healthy file in the same scan still parses — the
+    // corrupt shard quarantined instead of failing the job
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_mix")
+    for ((n, bytes) <- Seq("bad.warc.gz" ->
+        "junk".getBytes(ISO_8859_1), "good.warc.gz" -> gz)) {
+      val o = new FileOutputStream(new java.io.File(dir.toFile, n))
+      o.write(bytes); o.close()
+    }
+    val mixed = Warc.read(spark, s"$dir/*.warc.gz").collect()
+    assert(mixed.count(_.getAs[Boolean]("ok")) === 3) // the good fixture
+    assert(mixed.count(!_.getAs[Boolean]("ok")) === 1)
+  }
+
+  test("newline-free garbage quarantines at the line cap, never buffers the stream") {
+    // 1 MB of 'x' with no newline: the old readLine would buffer it
+    // all; the cap quarantines at 8 KiB through the WarcFormat path
+    val noise = Array.fill[Byte](1 << 20)('x'.toByte)
+    val rows = Warc.read(spark, writeTmp("noise.warc", noise)).collect()
+    assert(rows.length === 1 && !rows(0).getAs[Boolean]("ok"))
+    assert(rows(0).getAs[String]("err").contains("exceeds"))
+  }
+
   test("composes with the corpus operators: WARC bodies are documents") {
     val path = writeTmp("a.warc", fixture)
     val docs = Warc.read(spark, path)
