@@ -355,7 +355,10 @@ object Bench {
       // temperature (α) sampling mix (late r15)
       "q186_temperature_mix",
       // WARC write→read round trip (late r15)
-      "q187_warc_roundtrip"
+      "q187_warc_roundtrip",
+      // isolated persisted-index SEARCH (build-once fixture, r16) —
+      // the production serving number q177's lifecycle total hides
+      "q188_ann_search_saved"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -1034,14 +1034,22 @@ object SparkEntry {
 
   /** q84: model-based quality filter — the fastText-shaped classifier
     * gate (DCLM/FineWeb-Edu recipe) trained and applied in-engine:
-    * hashed-unigram logistic regression, full-batch gradient ascent
+    * hashed-unigram logistic regression, MINI-BATCH gradient ascent
     * (per-iteration shuffle ≤ (dims+1)×partitions partial sums),
     * apply as a pure projection. Fixture labels are deterministic —
     * odd doc_ids get spam-injected text (label 0), even keep raw text
-    * (label 1); train on ids ∉ 5ℤ, score the held-out rest. rows-only
-    * (training is iterative float optimization, not SQL-expressible);
-    * ClassifierSpec pins loss descent, holdout separation, and score
-    * determinism given a model. */
+    * (label 1); train on ids ∉ 5ℤ, score the held-out rest.
+    *
+    * r16: registered through `batchFraction = 0.5` (the r15 verdict's
+    * deferred routing, now that two healthy records pin the
+    * full-batch number) — each iteration scans a deterministic
+    * hash-rotated HALF of the corpus, halving the 100 TB scan bill
+    * at the same iteration count; the rotation visits the whole
+    * corpus across iterations and the linear lr-scaling rule keeps
+    * lr 12 stable (Classifier.train's scaladoc). rows-only (training
+    * is iterative float optimization, not SQL-expressible);
+    * ClassifierSpec pins loss descent, holdout separation, mini-batch
+    * determinism and fraction-1 ≡ original. */
   private def q84(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select(col("doc_id"),
       when(col("doc_id") % 2 === 1,
@@ -1050,7 +1058,8 @@ object SparkEntry {
         .otherwise(col("text")).as("text"),
       (col("doc_id") % 2 === 0).cast("int").as("label"))
     val model = Classifier.train(d.filter(col("doc_id") % 5 =!= 0),
-      "text", "label", dims = 512, iters = 8, lr = 12.0)
+      "text", "label", dims = 512, iters = 8, lr = 12.0,
+      batchFraction = 0.5)
     d.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), Classifier.score(col("text"), model).as("__s"))
       .select(col("doc_id"), round(col("__s"), 3).as("score"),
@@ -2744,12 +2753,30 @@ object SparkEntry {
     * AnnSpec pins save→load→search ≡ in-memory search bit-for-bit on
     * plain, residual and rotated indexes. */
   private def q177(s: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
-    val scaled = e0.select(col("vec_id"),
+    val scaled = opqScaledView(s, dir)
+    val idir = s"$scratchDir/q177_opq_index"
+    buildOpqDir(scaled, idir)
+    val loaded = Ann.loadOpqIndex(s, idir)
+    Ann.searchOpqIndex(loaded, corpus = scaled,
+      queries = scaled.filter(col("vec_id") < 10),
+      k = 5, nprobe = 3, refine = 4)
+  }
+
+  /** q177/q188's shared anisotropic view: a per-dimension 0.87^i decay
+    * over the raw embeddings (what makes the OPQ guard recommend a
+    * rotation on this otherwise-isotropic synthetic corpus). */
+  private def opqScaledView(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings.select(col("vec_id"),
       zip_with(col("embedding"),
         sequence(lit(0), size(col("embedding")) - 1),
         (x, i) => (x * pow(lit(0.87), i)).cast("float")).as("embedding"))
       .localCheckpoint(false)
+
+  /** Train + build + save the OPQ-guarded PQ index directory q177 and
+    * q188 share the recipe for (PCA → guarded rotation → IVF centroids
+    * → PQ codebooks → encode → saveOpqIndex). Deterministic given the
+    * input, so q188's build-once reuse is sound. */
+  private def buildOpqDir(scaled: DataFrame, idir: String): Unit = {
     val pca = Pca.train(scaled, "vec_id", "embedding", k = 64)
     val rotation =
       if (Pca.opqRecommended(pca)) Some(Pca.opqModel(pca, 16)) else None
@@ -2763,9 +2790,27 @@ object SparkEntry {
     val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
       iters = 5, maxTrain = 4096)
     val index = Ann.buildPqIndex(e, centroids, books, "vec_id", "embedding")
-    val idir = s"$scratchDir/q177_opq_index"
     Ann.saveOpqIndex(idir, index, centroids, books, "vec_id", "embedding",
       rotation = rotation)
+  }
+
+  /** q188: PERSISTED-INDEX SEARCH, isolated — q177 times the whole
+    * lifecycle (train + build + save + load + search: correct as a
+    * round-trip exerciser, but it buries the production number); this
+    * row is the steady-state serving path alone. The directory builds
+    * ONCE per JVM (fixture-style, guarded on the committed meta
+    * table) and the registered query is load + probe-pruned ADC +
+    * bounded rerank against that frozen artifact — what a deployment
+    * actually pays per query batch, and the regression gate the
+    * search path lacked while q177's train-dominated total hid it.
+    * rows-only (quantization is engine-specific); AnnSpec pins
+    * save→load→search ≡ in-memory bit-for-bit, and q188 ≡ q177's
+    * result row-for-row on the same directory recipe. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val scaled = opqScaledView(s, dir)
+    val idir = s"$scratchDir/q188_opq_index"
+    if (!new java.io.File(s"$idir/meta/_SUCCESS").exists())
+      buildOpqDir(scaled, idir)
     val loaded = Ann.loadOpqIndex(s, idir)
     Ann.searchOpqIndex(loaded, corpus = scaled,
       queries = scaled.filter(col("vec_id") < 10),
@@ -3813,7 +3858,8 @@ object SparkEntry {
     "q184_unimax_sample" -> (q184 _),
     "q185_bbpe_pretok" -> (q185 _),
     "q186_temperature_mix" -> (q186 _),
-    "q187_warc_roundtrip" -> (q187 _)
+    "q187_warc_roundtrip" -> (q187 _),
+    "q188_ann_search_saved" -> (q188 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

@@ -45,15 +45,43 @@ package graft.operators
   */
 object DriverBudget {
 
-  /** The allowance: every bounded collect's transient peak fits here. */
+  /** The allowance: every bounded collect's transient peak fits here.
+    * FIXED, not heap-derived, for the consumers whose bound feeds the
+    * MODEL (training-sample sizes, codebook ceilings): a heap-adaptive
+    * bound there would make trained artifacts — and every rows-only
+    * query derived from them — a function of -Xmx, breaking
+    * run-to-run reproducibility across differently-sized drivers. */
   val MaxTransientBytes: Long = 256L << 20
 
   /** Rows admitted under the budget at a per-row transient cost. */
   def maxRows(transientBytesPerRow: Long): Long =
     MaxTransientBytes / math.max(1L, transientBytesPerRow)
 
-  /** Graph fast-path edge bound: ~128 B/edge collected. */
-  val GraphEdges: Long = maxRows(128)
+  /** Heap-derived allowance for RESULT-IDENTICAL fast paths (r16,
+    * SURVEY's adaptive-bound item): the graph driver loops produce
+    * bit-for-bit (integer ops) or ULP-identical (q89's rounded
+    * doubles) results on both sides of the bound, so sizing the bound
+    * to the actual driver is free of reproducibility cost — a 1 GiB
+    * driver keeps the old 256 MB allowance, a 24 GiB bench JVM admits
+    * graphs the constant used to push onto the distributed loop
+    * (sf1's 12M-edge co-purchase graph pays ~22 s of wedge shuffles
+    * distributed vs a bounded driver fold), and a sub-GiB driver
+    * SHRINKS below the old constant instead of gambling on it.
+    * Quarter-heap keeps 4x headroom for the session + plans + a
+    * concurrent collect; the 64 MB floor keeps tiny test JVMs on a
+    * useful fast path; the 8 GiB ceiling bounds single-allocation GC
+    * pressure on very large heaps (a >8 GiB boxed-tuple array is an
+    * old-gen hump no fast path should force). Pure function of the
+    * heap — GraphSpec pins floor, ceiling and the quarter-heap
+    * middle. */
+  def adaptiveTransientBytes(heapBytes: Long): Long =
+    math.max(64L << 20, math.min(heapBytes / 4, 8L << 30))
+
+  /** Graph fast-path edge bound: ~128 B/edge collected, under the
+    * heap-adaptive allowance (results are path-identical, so this
+    * bound sizes PERFORMANCE only — specs pin both sides). */
+  val GraphEdges: Long =
+    adaptiveTransientBytes(Runtime.getRuntime.maxMemory()) / 128
 
   /** Union-find edge bound: ~512 B/edge incl. resolve-time map state. */
   val CcEdges: Long = maxRows(512)

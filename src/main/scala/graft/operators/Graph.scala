@@ -55,8 +55,12 @@ object Graph {
     * state — fine on the default 1 GiB driver, and the collects
     * below go through typed tuple encoders (not Array[Row]) to keep
     * that constant at the low end. Size `driverMaxEdges` down on
-    * drivers with less headroom. The number itself comes from the
-    * shared [[DriverBudget]] model (r15 unification). */
+    * drivers with less headroom. The number comes from the shared
+    * [[DriverBudget]] model (r15 unification), HEAP-ADAPTIVE since
+    * r16 ([[DriverBudget.adaptiveTransientBytes]]): ~2M edges on a
+    * default 1 GiB driver, ~50M on the 24 GiB bench JVM — safe to
+    * adapt because both sides of the bound produce the same result
+    * (GraphSpec pins driver ≡ distributed on every operator). */
   val DriverGraphMaxEdges: Long = DriverBudget.GraphEdges
 
   /** Standard damped PageRank over an edge list.
@@ -406,17 +410,24 @@ object Graph {
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    // Checkpointed ⇒ metadata-cheap count, doubling as the
-    // driver-path gate (pageRank/LPA's discipline). The count is
-    // all-integer on both paths, so the driver fold is bit-for-bit
-    // the distributed result (GraphSpec pins both paths).
-    val eCount = e.count()
+    // ONE aggregate action carries BOTH the driver-path gate (count)
+    // and the 31-bit id precondition (max) — r16: the gate used to be
+    // a count() and then a SECOND full pass for the max, and at sf1
+    // (12M edges, both paths distributed past the gate) that extra
+    // pass was most of the registered query's ~40% premium over the
+    // pinned distributed plan. The count is all-integer on both
+    // paths, so the driver fold is bit-for-bit the distributed
+    // result (GraphSpec pins both paths).
+    val gate = e.agg(count(lit(1)).as("__n"),
+      coalesce(max(col("b")), lit(0L)).as("__mx")).head
+    val eCount = gate.getLong(0)
+    val maxId = gate.getLong(1)
     if (eCount > 0L && eCount <= driverMaxEdges) {
       log.info(s"triangles: $eCount edges <= $driverMaxEdges — " +
         "resolving on the driver (distributed wedge join skipped)")
       return driverTriangles(e)
     }
-    require(e.agg(coalesce(max(col("b")), lit(0L))).head.getLong(0) < P,
+    require(maxId < P,
       "triangles: node ids must fit 31 bits — densify ids first " +
         "(the packed (deg,id) orientation key and the bloom-filtered " +
         "closing join key both ride a single long)")

@@ -265,4 +265,29 @@ class GraphSpec extends SparkSpec {
     assert(runLpa(edges, 3) === naive(3))
     assert(runLpa(edges, 5) === naive(5))
   }
+
+  test("adaptive driver-graph bound: floor, quarter-heap middle, ceiling") {
+    import graft.operators.DriverBudget
+    // small heaps SHRINK below the old 256 MB constant (a 512 MB
+    // driver must not gamble a 256 MB transient), the middle tracks
+    // quarter-heap, huge heaps cap at 8 GiB of transient allowance
+    assert(DriverBudget.adaptiveTransientBytes(256L << 20) === 64L << 20)
+    assert(DriverBudget.adaptiveTransientBytes(1L << 30) === 256L << 20)
+    assert(DriverBudget.adaptiveTransientBytes(24L << 30) === 6L << 30)
+    assert(DriverBudget.adaptiveTransientBytes(128L << 30) === 8L << 30)
+    // monotone in the heap: a bigger driver never gets a smaller bound
+    val pts = Seq(1L << 28, 1L << 30, 4L << 30, 24L << 30, 200L << 30)
+      .map(DriverBudget.adaptiveTransientBytes)
+    assert(pts === pts.sorted)
+    // the live bound is the formula over THIS JVM's heap at the
+    // measured ~128 B/edge transient cost — and both sides of it are
+    // result-identical (the driver ≡ distributed pins above), which
+    // is what makes heap-adaptivity safe where the trainer bounds
+    // (model-feeding, reproducibility-critical) stay fixed
+    assert(Graph.DriverGraphMaxEdges ===
+      DriverBudget.adaptiveTransientBytes(
+        Runtime.getRuntime.maxMemory()) / 128)
+    assert(DriverBudget.MaxTransientBytes === 256L << 20,
+      "trainer allowance stays fixed — model reproducibility")
+  }
 }
