@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.sources.{StageSink, Warc}
+
+/** Streaming WARC intake — the crawl-drop face of the archive source:
+  * a crawler (or an object-store sync) keeps dropping `.warc.gz`
+  * shards into a folder, and the pipeline ingests each NEW shard
+  * exactly once, surviving restarts and micro-batch replays. Closes
+  * the last batch-only ingest face: [[Warc.read]] stays the one
+  * parser (quarantine discipline, gzip member decode, HTTP pre-split,
+  * payload caps — all identical streaming or batch); what streams is
+  * the FILE DISCOVERY.
+  *
+  * Shape: Spark's file stream source watches the folder and emits
+  * each new file's METADATA once per file (checkpointed offsets make
+  * discovery restart-exact). The discovery frame prunes to `path` —
+  * the binaryFile format is column-pruned, so the stream never reads
+  * archive bytes; parsing happens in [[intakeWriter]]'s foreachBatch,
+  * where the batch's paths feed `Warc.read` directly — per-FILE task
+  * parallelism and lazy stream parsing, exactly the batch plan.
+  *
+  * Replay discipline (the [[StageSink.saveBatch]] contract): each
+  * micro-batch exports to the batch-id-keyed folder
+  * `<baseDir>/EXTRACT_FILES/<name>_b<batchId>`; the file source
+  * replays a retried batch with the SAME file set, parsing is
+  * deterministic per file, and an already-committed folder (parquet
+  * `_SUCCESS`) is SKIPPED on replay — a commit stays visible to
+  * concurrent readers where an overwrite would delete it first (the
+  * [[StreamAnn.ingestWriter]] rule). Corrupt/truncated shards land as
+  * their ok=false quarantine rows in the batch's export, never as a
+  * failed stream.
+  *
+  * Driver state per trigger is one Array of file PATHS (bounded by
+  * `maxFilesPerTrigger`), not file contents.
+  */
+object StreamWarc {
+
+  /** File-discovery stream over a crawl-drop folder: one metadata row
+    * per newly arrived file matching `glob`. `maxFilesPerTrigger`
+    * bounds each micro-batch's file count (and thereby the driver's
+    * per-trigger path collect). */
+  def crawlDropStream(spark: SparkSession, dir: String,
+      glob: String = "*.warc.gz",
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.format("binaryFile")
+      // the binaryFile format's fixed schema, stated explicitly —
+      // streaming sources don't infer
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      // prune to metadata — binaryFile is column-pruned, so `content`
+      // is never materialized anywhere in this plan
+      .select(col("path"), col("length"))
+
+  /** foreachBatch intake: parse the batch's discovered files through
+    * the batch WARC source and export the rows batch-keyed under
+    * `<baseDir>/EXTRACT_FILES/<name>_b<batchId>`. `onBatch` (optional)
+    * observes each batch's PARSED frame after its export commits —
+    * for metering or chained curation. Callers pick the trigger and
+    * start. */
+  def intakeWriter(discovered: DataFrame, baseDir: String, name: String,
+      maxPayloadBytes: Int = 16 << 20,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val dest = f"$baseDir/EXTRACT_FILES/${name}_b$batchId%010d"
+      val committed = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+      val fs = committed.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(committed)) {
+        // bounded driver collect: file PATHS only, capped per trigger
+        // by the discovery stream's maxFilesPerTrigger
+        val files = batch.select("path")
+          .collect().map(_.getString(0)).sorted
+        if (files.nonEmpty) {
+          val parsed =
+            Warc.read(spark, files.mkString(","), maxPayloadBytes)
+          StageSink.saveBatch(parsed, baseDir, "EXTRACT_FILES", name,
+            batchId)
+          onBatch(parsed, batchId)
+        }
+      }
+    }
+    discovered.writeStream.outputMode("append").foreachBatch(exportBatch)
+  }
+}

@@ -1269,4 +1269,77 @@ class StreamingSpec extends SparkSpec {
     want.foreach { case (l, n) =>
       assert(gotMix.getOrElse(l, 0L) == n, s"lang $l: $gotMix vs $want") }
   }
+
+  test("streaming WARC intake ≡ batch parse row-for-row, quarantine included") {
+    import graft.sources.Warc
+    import graft.streaming.StreamWarc
+    import org.apache.spark.sql.functions.regexp_extract
+    val drop = java.nio.file.Files
+      .createTempDirectory("graft_warc_drop").toString
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_warc_stage").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_warc_ckpt").toString
+    def shard(name: String, ids: Range, truncate: Boolean = false): Unit = {
+      val raw = new java.io.ByteArrayOutputStream()
+      ids.foreach(i => raw.write(Warc.responseRecord(
+        s"http://crawl.example/$i", "2024-01-01T00:00:00Z", s"urn:w:$i",
+        s"payload $i".getBytes("UTF-8"),
+        httpContentType = "text/plain")))
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(raw.toByteArray); g.close()
+      val bytes =
+        if (truncate) // cut the member to half its compressed bytes:
+          // parsing stops at the cut with ONE quarantine row,
+          // identically batch or streaming
+          java.util.Arrays.copyOf(bos.toByteArray, bos.size() / 2)
+        else bos.toByteArray
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(drop, name), bytes)
+    }
+    shard("a.warc.gz", 0 until 5)
+    shard("b.warc.gz", 5 until 9)
+    shard("bad.warc.gz", 9 until 12, truncate = true)
+    def runIntake(): Unit = {
+      val q = StreamWarc.intakeWriter(
+        StreamWarc.crawlDropStream(spark, drop, maxFilesPerTrigger = 1),
+        base, "crawl")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runIntake()
+    // row-for-row vs the batch source over the same shards, on every
+    // column that is a pure function of the file (the `file` path
+    // string differs in URI form between the two scan entries)
+    def dump(df: org.apache.spark.sql.DataFrame) = df.select(
+      regexp_extract(col("file"), "([^/]+)$", 1).as("f"),
+      col("record_index"), col("url"), col("http_status"),
+      col("body").cast("string"), col("truncated"), col("ok"),
+      col("err"))
+      .collect().map(_.toSeq).toSet
+    val streamed = spark.read.parquet(s"$base/EXTRACT_FILES/crawl_b*")
+    val batch = Warc.read(spark, s"$drop/*.warc.gz")
+    assert(dump(streamed) == dump(batch),
+      "streaming intake must parse exactly what the batch source does")
+    assert(streamed.filter(!col("ok")).count() === 1,
+      "the truncated shard quarantines one row, stream intact")
+    // the healthy shards' 9 records all parse; the truncated shard
+    // stops at the cut (its ok rows are whatever decoded before it)
+    val okN = streamed.filter(col("ok")).count()
+    assert(okN >= 9 && okN < 12,
+      s"expected 9 healthy + partial truncated-shard rows, got $okN")
+    // incremental discovery across a RESTART: a shard arriving later
+    // is picked up from the checkpoint as its own batch; nothing
+    // already exported re-parses or duplicates
+    val before = spark.read.parquet(s"$base/EXTRACT_FILES/crawl_b*")
+      .count()
+    shard("c.warc.gz", 20 until 23)
+    runIntake()
+    val after = spark.read.parquet(s"$base/EXTRACT_FILES/crawl_b*")
+    assert(after.count() === before + 3)
+    assert(dump(after) == dump(Warc.read(spark, s"$drop/*.warc.gz")),
+      "post-restart union must still equal the batch parse")
+  }
 }
