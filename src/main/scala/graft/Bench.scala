@@ -98,7 +98,7 @@ object Bench {
     * page) under a hard time budget; returns (mbTouched, seconds).
     * The chunks are dropped afterwards — the point is the PAGES, which
     * stay committed to the process for the GC to reuse, not the data. */
-  private def prewarmHeap(targetMb: Long, budgetSec: Double): (Long, Double) = {
+  private[graft] def prewarmHeap(targetMb: Long, budgetSec: Double): (Long, Double) = {
     val chunkMb = 64
     val perChunk = chunkMb * 1024 * 1024 / 8 // longs
     val keep = new java.util.ArrayList[Array[Long]]()

@@ -762,9 +762,18 @@ object Ann {
     if (keyRow.getLong(1) == 0L) return // empty batch: nothing to do
     val key = java.lang.Long.toHexString(keyRow.getLong(0)) +
       "_" + keyRow.getLong(1)
-    encodeForIndex(idx, batch)
-      .write.mode("overwrite")
-      .parquet(s"$dir/index_delta/append_$key")
+    val dest = s"$dir/index_delta/append_$key"
+    // an ALREADY-COMMITTED retry is a true no-op (the ingestWriter
+    // rule): encoding is deterministic under frozen models, so the
+    // bytes would be identical — and skipping keeps the committed
+    // folder visible to concurrent loads, where the overwrite's
+    // delete-then-rewrite window would transiently break them
+    val committed = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+    val fs = committed.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(committed))
+      encodeForIndex(idx, batch)
+        .write.mode("overwrite").parquet(dest)
   }
 
   /** Encode a RAW batch into the (id, centroid_id, codes, vec_norm)
