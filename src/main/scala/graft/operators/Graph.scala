@@ -60,8 +60,41 @@ object Graph {
     * r16 ([[DriverBudget.adaptiveTransientBytes]]): ~2M edges on a
     * default 1 GiB driver, ~50M on the 24 GiB bench JVM — safe to
     * adapt because both sides of the bound produce the same result
-    * (GraphSpec pins driver ≡ distributed on every operator). */
+    * (GraphSpec pins driver ≡ distributed on every operator).
+    *
+    * The heap bound is the SAFETY constraint; each operator also caps
+    * at its measured PERFORMANCE crossover (below), because past a
+    * few million edges the 32-way distributed plan beats the driver
+    * loop even when the heap would admit the collect. */
   val DriverGraphMaxEdges: Long = DriverBudget.GraphEdges
+
+  /** Per-operator driver-path PERFORMANCE ceilings — the measured
+    * driver-vs-distributed crossovers from the r16 sf1 replica
+    * experiment (StressR16 `sf1`, 24 GiB JVM, local[32], same inputs
+    * both paths, log-log interpolation between the 1.2M- and
+    * 12M-edge points):
+    *
+    *  - triangles: driver 3.1 s / dist 11.7 s at 1.2M edges but
+    *    38.0 s / 29.2 s at 12M — crossover ≈8M; ceiling 6M keeps
+    *    margin (the parallel wedge loop scales, the boxed-tuple
+    *    collect + sort does not).
+    *  - pageRank: ~1-3 s / 5.8 s at 1.2M but 28.5 s / 22.1 s at
+    *    11.7M — crossover ≈5M; ceiling 4M (the per-iteration edge
+    *    walk is single-threaded on the driver).
+    *  - labelPropagation: the per-node HashMap vote is far heavier
+    *    per edge — at 2.4M edges the driver loop measured 29.2 s vs
+    *    the distributed plan's 8.5 s, so the crossover sits BELOW the
+    *    old 2M constant; ceiling stays 2M (the long-validated
+    *    setting: every committed q150 point under it is healthy).
+    *
+    * The effective bound is min(driverMaxEdges, ceiling): a small
+    * heap shrinks it further, a big heap never pushes an operator
+    * past the size where its driver loop stops winning. A 1000-
+    * executor cluster would set these near zero — the distributed
+    * plans are the scale path; the ceilings size the LOCAL shortcut. */
+  val TrianglesDriverCeiling: Long = 6000000L
+  val PageRankDriverCeiling: Long = 4000000L
+  val LpaDriverCeiling: Long = 2000000L
 
   /** Standard damped PageRank over an edge list.
     *
@@ -115,8 +148,9 @@ object Graph {
     // as the driver-path gate (the Dedup.connectedComponents lesson:
     // the count the loop needs anyway decides the path for free).
     val edgeCount = e.count()
-    if (edgeCount > 0L && edgeCount <= driverMaxEdges) {
-      log.info(s"pageRank: $edgeCount edges <= $driverMaxEdges — " +
+    val bound = math.min(driverMaxEdges, PageRankDriverCeiling)
+    if (edgeCount > 0L && edgeCount <= bound) {
+      log.info(s"pageRank: $edgeCount edges <= $bound — " +
         "resolving on the driver (distributed loop skipped)")
       return driverPageRank(e, iterations, damping, undirected)
     }
@@ -298,8 +332,9 @@ object Graph {
     // driver-path gate. The vote is integer arithmetic, so the
     // driver fold is bit-for-bit the distributed result.
     val edgeCount = und.count()
-    if (edgeCount > 0L && edgeCount <= driverMaxEdges) {
-      log.info(s"labelPropagation: $edgeCount edges <= $driverMaxEdges" +
+    val bound = math.min(driverMaxEdges, LpaDriverCeiling)
+    if (edgeCount > 0L && edgeCount <= bound) {
+      log.info(s"labelPropagation: $edgeCount edges <= $bound" +
         " — resolving on the driver (distributed loop skipped)")
       return driverLabelPropagation(und, iterations)
     }
@@ -422,8 +457,9 @@ object Graph {
       coalesce(max(col("b")), lit(0L)).as("__mx")).head
     val eCount = gate.getLong(0)
     val maxId = gate.getLong(1)
-    if (eCount > 0L && eCount <= driverMaxEdges) {
-      log.info(s"triangles: $eCount edges <= $driverMaxEdges — " +
+    val bound = math.min(driverMaxEdges, TrianglesDriverCeiling)
+    if (eCount > 0L && eCount <= bound) {
+      log.info(s"triangles: $eCount edges <= $bound — " +
         "resolving on the driver (distributed wedge join skipped)")
       return driverTriangles(e)
     }

@@ -289,5 +289,15 @@ class GraphSpec extends SparkSpec {
         Runtime.getRuntime.maxMemory()) / 128)
     assert(DriverBudget.MaxTransientBytes === 256L << 20,
       "trainer allowance stays fixed — model reproducibility")
+    // per-operator PERFORMANCE ceilings (measured crossovers, r16):
+    // a big heap must never push an operator past the size where its
+    // driver loop stops beating the distributed plan — and the
+    // ceilings order by per-edge driver cost (LPA's HashMap vote >
+    // pageRank's array walk > triangles' parallel wedge probes)
+    assert(Graph.LpaDriverCeiling === 2000000L)
+    assert(Graph.PageRankDriverCeiling === 4000000L)
+    assert(Graph.TrianglesDriverCeiling === 6000000L)
+    assert(Graph.LpaDriverCeiling <= Graph.PageRankDriverCeiling &&
+      Graph.PageRankDriverCeiling <= Graph.TrianglesDriverCeiling)
   }
 }
