@@ -590,12 +590,19 @@ object Bench {
     // medians; =fold takes the per-query MIN of this run and the
     // existing same-sf baseline (new queries join, absent ones keep
     // their record — the cross-round ratcheting that used to be a
-    // manual merge). FOLD GUARD (r14 verdict): a record may only
-    // write/fold when its window was HEALTHY — prewarm hit
-    // healthy_mbps by attempt 2 AND the canary series is flat —
-    // because a just-barely-passing degraded window can still land a
-    // few lucky minima and ratchet the baseline to numbers a healthy
-    // median run can't reproduce. SPARK_GRAFT_BENCH_BASELINE_FORCE=1
+    // manual merge). FOLD GUARD (r14 verdict; conditions rebased
+    // r16): a record may only write/fold when its window was
+    // HEALTHY. r14 gated on "healthy by attempt 2", but that
+    // contradicts the retry loop's purpose — the bench WAITS for a
+    // healthy window, and how long it waited says nothing about the
+    // window it finally got (on this box the first probes now fail
+    // most runs, so the attempt-count rule starved the fold
+    // entirely). The conditions that actually describe the window:
+    // the FINAL probe is healthy, the canary series is flat, and —
+    // stricter than r14 — the gate raised ZERO flags (a window shaky
+    // enough to flag anything, even flags the rerun later cleared,
+    // can still land lucky minima elsewhere in the same run).
+    // SPARK_GRAFT_BENCH_BASELINE_FORCE=1
     // overrides (for boxes whose steady-state I/O is simply slower).
     // Non-sf0.1 runs write their per-sf file so a dev refresh can
     // never clobber the primary record.
@@ -611,14 +618,14 @@ object Bench {
       val canaryFlat = canarySecs.size < 2 ||
         canarySecs.max <= canarySecs.min * 2.0
       val healthyWindow = pwTarget <= 0 ||
-        (pwAttempts.size <= 2 && pwMbps >= pwHealthy && canaryFlat)
+        (pwMbps >= pwHealthy && canaryFlat && regressions.isEmpty)
       val force =
         sys.env.get("SPARK_GRAFT_BENCH_BASELINE_FORCE").contains("1")
       if (!healthyWindow && !force) {
         System.err.println(f"[bench] baseline ${writeMode.get} SKIPPED" +
-          f" (fold guard): prewarm ${pwAttempts.size} attempt(s) at" +
-          f" $pwMbps%.0f MB/s (healthy $pwHealthy%.0f by attempt 2)," +
-          f" canary flat=$canaryFlat - set" +
+          f" (fold guard): final prewarm $pwMbps%.0f MB/s" +
+          f" (healthy $pwHealthy%.0f), canary flat=$canaryFlat," +
+          s" flags=${regressions.size} - set" +
           " SPARK_GRAFT_BENCH_BASELINE_FORCE=1 to override")
       } else {
         val runMed = results.filter(_.err.isEmpty)
