@@ -160,6 +160,18 @@ object Bench {
       }
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
 
+  /** The fold guard's window predicate (r16 rebase — see the call
+    * site's comment): a record may write/fold the baseline only when
+    * the FINAL prewarm probe was healthy, the canary series stayed
+    * flat, and the gate raised zero flags. Wait count is deliberately
+    * NOT a condition — the retry loop exists to wait for a healthy
+    * window. Pure — BenchFoldSpec pins it. */
+  private[graft] def foldWindowHealthy(
+      prewarmDisabled: Boolean, pwMbps: Double, healthyMbps: Double,
+      canaryFlat: Boolean, nFlags: Int): Boolean =
+    prewarmDisabled ||
+      (pwMbps >= healthyMbps && canaryFlat && nFlags == 0)
+
   /** Per-query MIN merge of an existing same-sf baseline with a new
     * run's medians: new queries join, queries absent from the run
     * keep their record, and the alloc entry follows whichever side
@@ -617,8 +629,8 @@ object Bench {
       val canarySecs = canary.map(_._2.sec)
       val canaryFlat = canarySecs.size < 2 ||
         canarySecs.max <= canarySecs.min * 2.0
-      val healthyWindow = pwTarget <= 0 ||
-        (pwMbps >= pwHealthy && canaryFlat && regressions.isEmpty)
+      val healthyWindow = foldWindowHealthy(pwTarget <= 0, pwMbps,
+        pwHealthy, canaryFlat, regressions.size)
       val force =
         sys.env.get("SPARK_GRAFT_BENCH_BASELINE_FORCE").contains("1")
       if (!healthyWindow && !force) {

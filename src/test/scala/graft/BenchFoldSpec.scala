@@ -36,4 +36,24 @@ class BenchFoldSpec extends AnyFunSuite {
       Map("q" -> 2.0), Map.empty, Map("q" -> 1.0), Map.empty)
     assert(m("q") === 1.0 && a("q") === -1.0)
   }
+
+  test("fold guard: window conditions decide, wait count does not") {
+    def ok(mbps: Double, flat: Boolean = true, flags: Int = 0) =
+      Bench.foldWindowHealthy(prewarmDisabled = false, mbps,
+        healthyMbps = 500.0, canaryFlat = flat, nFlags = flags)
+    // a healthy final probe folds no matter how many retries the
+    // bench spent WAITING for it (the r14 attempt-count rule starved
+    // the fold on boxes whose first probes routinely fail)
+    assert(ok(3900.0))
+    assert(ok(500.0))
+    // the three real window conditions each veto independently
+    assert(!ok(499.0), "degraded final probe")
+    assert(!ok(3900.0, flat = false), "canary bump = mid-run window")
+    assert(!ok(3900.0, flags = 1),
+      "any gate flag — even one the rerun later cleared — means the " +
+        "window was shaky enough to land lucky minima elsewhere")
+    // prewarm disabled (dev runs) bypasses the probe conditions
+    assert(Bench.foldWindowHealthy(prewarmDisabled = true, 0.0,
+      500.0, canaryFlat = true, nFlags = 0))
+  }
 }
