@@ -252,10 +252,6 @@ object StressR16 {
       df.agg(sum(xxhash64(struct(col("*")))).as("h"),
         count(lit(1)).as("n")).head().getLong(1)
 
-    final case class M(name: String, t1: Double, t10: Double,
-        rows1: Long, rows10: Long) {
-      def exponent: Double = math.log10(t10 / t1)
-    }
     val out = scala.collection.mutable.ListBuffer.empty[M]
     def measure(name: String)(f: DataFrame => DataFrame,
         in1: DataFrame, in10: DataFrame): Unit = {
@@ -278,11 +274,44 @@ object StressR16 {
         f"  exponent ${m.exponent}%5.2f")
     }
 
-    measure("q133_triangles")(
-      li => Graph.triangles(coPurchase(li), "pa", "pb"), li1, li10)
-    measure("q133_triangles_dist")(
-      li => Graph.triangles(coPurchase(li), "pa", "pb",
-        driverMaxEdges = 0L), li1, li10)
+    // the q133 pair measures INTERLEAVED (alternating passes) — the
+    // two arms ran ~10 min apart in the first r16 run and window
+    // drift put identical 10x plans at 25 vs 41 s; pairing makes the
+    // registered/dist ratio drift-immune (the flags A/B lesson)
+    locally {
+      val reg = (li: DataFrame) => Graph.triangles(coPurchase(li), "pa", "pb")
+      val dist = (li: DataFrame) => Graph.triangles(coPurchase(li), "pa", "pb",
+        driverMaxEdges = 0L)
+      def paired(in: DataFrame, timed: Int): (Double, Double, Long) = {
+        force(reg(in)); force(dist(in)) // warm-up, both arms
+        val rs = scala.collection.mutable.ListBuffer.empty[Double]
+        val ds = scala.collection.mutable.ListBuffer.empty[Double]
+        var rows = 0L
+        for (_ <- 1 to timed) {
+          val t0 = System.nanoTime(); rows = force(reg(in))
+          rs += (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); force(dist(in))
+          ds += (System.nanoTime() - t1) / 1e9
+        }
+        (rs.sorted.apply((timed - 1) / 2), ds.sorted.apply((timed - 1) / 2),
+          rows)
+      }
+      spark.catalog.clearCache()
+      val (r1, d1, rows1) = paired(li1, 3)
+      val (r10, d10, rows10) = paired(li10, 2)
+      out += M("q133_triangles", r1, r10, rows1, rows10)
+      out += M("q133_triangles_dist", d1, d10, rows1, rows10)
+      println(f"SCALE q133_triangles       1x ${r1}%7.2f s  10x ${r10}%8.2f s" +
+        f"  (paired; ${rows10}%d rows)")
+      println(f"SCALE q133_triangles_dist  1x ${d1}%7.2f s  10x ${d10}%8.2f s" +
+        f"  (paired)")
+    }
+    // SPARK_GRAFT_R16_PAIR_ONLY=1 re-measures just the q133 pair (a
+    // targeted re-run when one arm caught a degraded stretch; the
+    // merge below overwrites only what this run measured)
+    if (sys.env.get("SPARK_GRAFT_R16_PAIR_ONLY").contains("1")) {
+      mergeSf1(out.toSeq, sfDir); return
+    }
     measure("q89_pagerank")(
       li => {
         val ord = if (li eq li10) ord10 else ord1
@@ -297,6 +326,19 @@ object StressR16 {
         Graph.labelPropagation(e, "src", "dst", iterations = 5)
       }, li1, li10)
 
+    mergeSf1(out.toSeq, sfDir)
+  }
+
+  private final case class M(name: String, t1: Double, t10: Double,
+      rows1: Long, rows10: Long) {
+    def exponent: Double = math.log10(t10 / t1)
+  }
+
+  /** Print the exponent/ratio summary and merge this run's 10x points
+    * into the committed sf1 record (StressR15's discipline: keep
+    * every existing entry, overwrite/add only what this run
+    * measured). */
+  private def mergeSf1(out: Seq[M], sfDir: String): Unit = {
     println("SCALE exponents: " +
       out.map(m => f"${m.name}=${m.exponent}%.2f").mkString(", "))
     val reg = out.find(_.name == "q133_triangles").map(_.t10)
@@ -304,8 +346,6 @@ object StressR16 {
     for (r <- reg; d <- dist)
       println(f"SCALE q133 registered/dist at 10x: ${r / d}%.2fx " +
         (if (r <= d * 1.1) "(<= 1.1x - verdict bar met)" else "(OPEN)"))
-
-    // merge into the committed sf1 record (StressR15's discipline)
     if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
       val basePath = Bench.repoRootPath.resolve("bench_baseline_sf1.json")
       def readField(field: String): Map[String, Double] =
@@ -332,7 +372,7 @@ object StressR16 {
         s"""{"sf":"$sfDir","queries":${obj(mergedQ)},""" +
           s""""exponents":${obj(mergedE)},""" +
           s""""protocol":"StressR12/R14/R15/R16 10x points """ +
-          s"""(lower of 2 passes)"}""")
+          s"""(lower of 2 passes; q133 pair interleaved)"}""")
       println(s"SCALE baseline merged: $basePath")
     }
   }
