@@ -571,9 +571,17 @@ object Bench {
         timed(fn) // warm-up (cache was cleared after the timed loop)
         val passes = scala.collection.mutable.ListBuffer.empty[Double]
         var cum = 0.0
-        while (passes.size < 3 && (passes.isEmpty || cum < 30.0)) {
-          timed(fn).foreach { p => passes += p.sec; cum += p.sec }
-          if (passes.isEmpty) cum = 31.0 // erroring rerun: stop
+        var failed = false
+        // an erroring rerun stops the loop outright (the flag stays
+        // at its original verdict with rerun -1) — retrying a failing
+        // query would loop forever, since failed passes add nothing
+        // to either exit counter
+        while (!failed && passes.size < 3 &&
+            (passes.isEmpty || cum < 30.0)) {
+          timed(fn) match {
+            case Right(p) => passes += p.sec; cum += p.sec
+            case Left(_) => failed = true
+          }
         }
         spark.catalog.clearCache()
         val sorted = passes.toList.sorted

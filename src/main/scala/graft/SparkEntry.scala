@@ -2808,7 +2808,11 @@ object SparkEntry {
     * result row-for-row on the same directory recipe. */
   private def q188(s: SparkSession, dir: String): DataFrame = {
     val scaled = opqScaledView(s, dir)
-    val idir = s"$scratchDir/q188_opq_index"
+    // fixture keyed per DATA DIR, not just per JVM: a session that
+    // runs q188 at two scale factors must not search the first
+    // corpus's frozen index with the second corpus's queries
+    val idir = s"$scratchDir/q188_opq_index_" +
+      java.lang.Integer.toHexString(dir.hashCode) // String.hashCode is spec-fixed
     if (!new java.io.File(s"$idir/meta/_SUCCESS").exists())
       buildOpqDir(scaled, idir)
     val loaded = Ann.loadOpqIndex(s, idir)

@@ -19,14 +19,21 @@ import graft.operators.{Ann, Graph, IndexMaintenance, Pca}
   *    than the 2x gate — this is the bar the r15 verdict set for
   *    closing the flags).
   *
-  * 2. `sf1` — refresh the 10x graph points under the r16
-  *    heap-adaptive driver bound ([[graft.operators.DriverBudget
-  *    .adaptiveTransientBytes]]): on this 24 GiB JVM the 12M-edge 10x
-  *    graphs now resolve on the DRIVER (the bound the old 2M constant
-  *    denied them), so q133 registered / q133 pinned-distributed /
-  *    q89 / q150 are re-measured with StressR12/R15's replica
-  *    protocol and merged into `bench_baseline_sf1.json` on
-  *    SPARK_GRAFT_BENCH_WRITE_BASELINE=1.
+  * 2. `sf1` — refresh the 10x graph points under the r16 driver
+  *    bound. History matters for reading the artifacts: the first
+  *    heap-adaptive bound (quarter-heap) put the 12M-edge 10x graphs
+  *    on the DRIVER and this harness MEASURED that losing (triangles
+  *    38.0 vs 29.2 s, pageRank 28.5 vs 22.1 s, LPA 29.2 vs 8.5 s at
+  *    2.4M), which produced the per-operator PERFORMANCE ceilings
+  *    (Graph.TrianglesDriverCeiling et al.); under those ceilings
+  *    the 10x graphs take the DISTRIBUTED plans again — the
+  *    committed sf1 numbers measure distributed 10x points and
+  *    driver 1x points. q133 registered / q133 pinned-distributed
+  *    measure INTERLEAVED (alternating passes) so window drift
+  *    cannot fake a ratio between identical plans; q89 / q150 use
+  *    StressR12/R15's replica protocol. Entries merge into
+  *    `bench_baseline_sf1.json` on SPARK_GRAFT_BENCH_WRITE_BASELINE=1
+  *    (SPARK_GRAFT_R16_PAIR_ONLY=1 re-measures just the q133 pair).
   *
   * 3. `compact` — LONG-RUN index-lifecycle stress (the r15 verdict's
   *    #8): ~50 micro-batches of continuous ingest through the
@@ -348,9 +355,13 @@ object StressR16 {
         (if (r <= d * 1.1) "(<= 1.1x - verdict bar met)" else "(OPEN)"))
     if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")) {
       val basePath = Bench.repoRootPath.resolve("bench_baseline_sf1.json")
+      // FAIL LOUD if the committed record exists but won't parse: a
+      // swallowed parse error here would merge this run's 2-6 points
+      // over an empty map and silently WIPE every prior round's
+      // committed entry when the file rewrites
       def readField(field: String): Map[String, Double] =
         if (!java.nio.file.Files.exists(basePath)) Map.empty
-        else try {
+        else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val node = om.readTree(
             java.nio.file.Files.readString(basePath)).get(field)
@@ -360,7 +371,7 @@ object StressR16 {
             node.properties().asScala
               .map(e => e.getKey -> e.getValue.asDouble()).toMap
           }
-        } catch { case _: Throwable => Map.empty }
+        }
       val mergedQ = readField("queries") ++ out.map(m => m.name -> m.t10)
       val mergedE = readField("exponents") ++
         out.map(m => m.name -> m.exponent)
@@ -400,7 +411,7 @@ object StressR16 {
 
     // deterministic per-batch ingest: 20 fresh ids per batch, vectors
     // derived from the base corpus (same dim, same distribution)
-    def batchDf(b: Int): DataFrame = base.limit(20)
+    def batchDf(b: Int): DataFrame = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + lit(10000L + b * 100L)).as("vec_id"),
         transform(col("embedding"),
           x => (x * (lit(1.0f) + lit(b) * lit(0.001f))).cast("float"))

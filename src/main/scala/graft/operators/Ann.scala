@@ -743,10 +743,16 @@ object Ann {
     * recomputes the same content key and OVERWRITES its own folder,
     * where a raw append would duplicate every row (duplicates survive
     * the delta-free load path and inflate rerank/window results). The
-    * key is order-independent over the batch's ids (sum of per-id
-    * hashes + count — one tiny aggregate action), so a retry that
-    * reshuffles rows still lands on the same folder; `_SUCCESS`
-    * commits the folder atomically for concurrent loads. Run
+    * key is order-independent over the batch's CONTENT (sum of
+    * per-row hashes over id AND vector, + count — one tiny aggregate
+    * action), so a retry that reshuffles rows still lands on the
+    * same folder, while a later batch reusing ids with DIFFERENT
+    * vectors keys to a new folder instead of being silently skipped
+    * as a retry (note: re-ingesting changed content under a live id
+    * is still the tombstone-then-new-id discipline — the id-dedup on
+    * load picks an arbitrary winner between same-id rows);
+    * `_SUCCESS` commits the folder atomically for concurrent loads.
+    * Run
     * [[IndexMaintenance.compactPqIndex]] on the usual cadence — it
     * folds delta roots into the base and reclaims tombstones. */
   def appendOpqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -757,7 +763,8 @@ object Ann {
     IndexMaintenance.healForWrite(spark, dir, Seq("index"))
     val idx = loadOpqIndex(spark, dir)
     val keyRow = batch.agg(
-      coalesce(sum(xxhash64(col(idx.idCol))), lit(0L)).as("h"),
+      coalesce(sum(xxhash64(col(idx.idCol), col(idx.vecCol))), lit(0L))
+        .as("h"),
       count(lit(1)).as("n")).head
     if (keyRow.getLong(1) == 0L) return // empty batch: nothing to do
     val key = java.lang.Long.toHexString(keyRow.getLong(0)) +

@@ -73,24 +73,26 @@ object Warc {
         // a corrupt/non-gzip `.gz` throws HERE, not in the record
         // loop — quarantine it like any malformed record (one
         // ok=false row), or one bad shard kills the whole job at
-        // crawl scale
+        // crawl scale. ONLY deterministic decode errors quarantine
+        // (ZipException = bytes are not gzip; EOFException = file
+        // truncated mid-header): a transient IOException from the
+        // underlying storage (socket timeout on HDFS/S3) must
+        // PROPAGATE so Spark's task retry can recover the data — a
+        // quarantine row there would be silent, permanent loss of a
+        // healthy shard.
         val opened: Either[String, DataInputStream] =
-          try {
+          {
             val base: InputStream = pds.open()
             try Right(new DataInputStream(new BufferedInputStream(
               if (name.toLowerCase.endsWith(".gz"))
                 new GZIPInputStream(base)
               else base, 1 << 16)))
             catch {
-              case e: java.io.IOException =>
+              case e @ (_: java.util.zip.ZipException | _: EOFException) =>
                 try base.close() catch { case _: Exception => () }
                 Left(s"unreadable archive: ${e.getClass.getSimpleName}:" +
                   s" ${String.valueOf(e.getMessage).take(120)}")
             }
-          } catch {
-            case e: java.io.IOException =>
-              Left(s"unreadable archive: ${e.getClass.getSimpleName}:" +
-                s" ${String.valueOf(e.getMessage).take(120)}")
           }
         opened match {
           case Left(err) =>
@@ -212,27 +214,35 @@ object Warc {
           Row(file, idx, null, null, null, null, null, null, null, null,
             null, false, false, e.getMessage)
         // gzip decode errors surface MID-STREAM as ZipException (bad
-        // member header after a clean member boundary, CRC mismatch at
-        // member end) or plain IOException — same quarantine contract
-        // as a framing error: one ok=false row, parsing of the file
-        // stops (no resync point exists inside a corrupt deflate run)
-        case e: java.io.IOException =>
+        // member header after a clean member boundary, CRC mismatch
+        // at member end) — same quarantine contract as a framing
+        // error: one ok=false row, parsing of the file stops (no
+        // resync point exists inside a corrupt deflate run). Other
+        // IOExceptions (transient storage faults) deliberately
+        // PROPAGATE: the task fails and Spark's retry recovers the
+        // shard — quarantining those would silently lose healthy
+        // records (EOFException, the deterministic truncation case,
+        // is handled above).
+        case e: java.util.zip.ZipException =>
           close()
           Row(file, idx, null, null, null, null, null, null, null, null,
             null, false, false,
-            s"io error: ${e.getClass.getSimpleName}: " +
+            s"corrupt gzip: ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(120))
       }
 
     /** One CRLF (or LF) terminated ISO-8859-1 line; null at EOF.
-      * Length-capped: WARC version/header lines are short by spec, so
-      * a line past 8 KiB means the glob matched a non-WARC (or
-      * corrupt) file whose newline-free run would otherwise buffer
-      * the whole remaining stream — defeating the maxPayloadBytes
-      * bounded-allocation contract. Capped lines quarantine through
-      * the normal WarcFormat path instead of growing the builder. */
+      * Length-capped at 1 MiB: a line past that means the glob
+      * matched a non-WARC (or corrupt) file whose newline-free run
+      * would otherwise buffer the whole remaining stream — defeating
+      * the maxPayloadBytes bounded-allocation contract. The cap sits
+      * far above any legitimate header (WARC imposes no line limit
+      * and real crawls carry multi-KB data:/query-string URIs, so a
+      * tight cap would amplify one long header into whole-file
+      * loss); capped lines quarantine through the normal WarcFormat
+      * path instead of growing the builder. */
     private def readLine(s: DataInputStream): String = {
-      val maxLine = 8192
+      val maxLine = 1 << 20
       val sb = new java.lang.StringBuilder(96)
       var c = s.read()
       if (c < 0) return null

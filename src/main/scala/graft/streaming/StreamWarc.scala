@@ -68,9 +68,12 @@ object StreamWarc {
   /** foreachBatch intake: parse the batch's discovered files through
     * the batch WARC source and export the rows batch-keyed under
     * `<baseDir>/EXTRACT_FILES/<name>_b<batchId>`. `onBatch` (optional)
-    * observes each batch's PARSED frame after its export commits —
-    * for metering or chained curation. Callers pick the trigger and
-    * start. */
+    * observes each batch's rows after its export commits — for
+    * metering or chained curation — with AT-LEAST-ONCE semantics: on
+    * a replay of an already-committed batch the export is skipped
+    * but onBatch still fires, fed from the committed folder (a crash
+    * between the export commit and the checkpoint commit must not
+    * lose the observation). Callers pick the trigger and start. */
   def intakeWriter(discovered: DataFrame, baseDir: String, name: String,
       maxPayloadBytes: Int = 16 << 20,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
@@ -87,13 +90,23 @@ object StreamWarc {
         val files = batch.select("path")
           .collect().map(_.getString(0)).sorted
         if (files.nonEmpty) {
-          val parsed =
-            Warc.read(spark, files.mkString(","), maxPayloadBytes)
+          // one Warc.read per file, unioned — a comma-join would let
+          // Hadoop's setInputPaths split a comma- or glob-charactered
+          // filename into nonexistent paths; per-file unions keep
+          // per-file task parallelism identically
+          val parsed = files.map(Warc.read(spark, _, maxPayloadBytes))
+            .reduce(_ unionByName _)
           StageSink.saveBatch(parsed, baseDir, "EXTRACT_FILES", name,
             batchId)
           onBatch(parsed, batchId)
         }
-      }
+      } else
+        // replayed ALREADY-COMMITTED batch: the export is a no-op,
+        // but onBatch must still observe the batch (at-least-once —
+        // a crash between the export commit and the checkpoint
+        // commit would otherwise lose the observation permanently);
+        // the committed folder IS the batch's parse, read back
+        onBatch(spark.read.parquet(dest), batchId)
     }
     discovered.writeStream.outputMode("append").foreachBatch(exportBatch)
   }

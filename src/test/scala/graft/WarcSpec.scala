@@ -148,12 +148,31 @@ class WarcSpec extends SparkSpec {
   }
 
   test("newline-free garbage quarantines at the line cap, never buffers the stream") {
-    // 1 MB of 'x' with no newline: the old readLine would buffer it
-    // all; the cap quarantines at 8 KiB through the WarcFormat path
-    val noise = Array.fill[Byte](1 << 20)('x'.toByte)
+    // 3 MB of 'x' with no newline: the old readLine would buffer it
+    // all; the cap quarantines at 1 MiB through the WarcFormat path
+    val noise = Array.fill[Byte](3 << 20)('x'.toByte)
     val rows = Warc.read(spark, writeTmp("noise.warc", noise)).collect()
     assert(rows.length === 1 && !rows(0).getAs[Boolean]("ok"))
     assert(rows(0).getAs[String]("err").contains("exceeds"))
+  }
+
+  test("a multi-KB header line (long URI) parses — the cap must not amplify") {
+    // WARC imposes no header-line limit and real crawls carry long
+    // data:/query-string URIs; a 100 KB URI must parse, not
+    // quarantine the rest of a healthy shard
+    val longUrl = "http://example.com/?q=" + "a" * 100000
+    val bytes = {
+      val out = new ByteArrayOutputStream()
+      out.write(record("response", longUrl, httpPayload,
+        extra = "Content-Type: application/http;msgtype=response\r\n"))
+      out.write(record("metadata", "http://example.com/after",
+        "ok".getBytes(ISO_8859_1)))
+      out.toByteArray
+    }
+    val rows = Warc.read(spark, writeTmp("long.warc", bytes))
+      .orderBy("record_index").collect()
+    assert(rows.length === 2 && rows.forall(_.getAs[Boolean]("ok")))
+    assert(rows(0).getAs[String]("url") === longUrl)
   }
 
   test("composes with the corpus operators: WARC bodies are documents") {
