@@ -2810,9 +2810,14 @@ object SparkEntry {
     val scaled = opqScaledView(s, dir)
     // fixture keyed per DATA DIR, not just per JVM: a session that
     // runs q188 at two scale factors must not search the first
-    // corpus's frozen index with the second corpus's queries
+    // corpus's frozen index with the second corpus's queries. Keyed
+    // by a COLLISION-RESISTANT digest of the path (r16 ADVICE: the
+    // 32-bit String.hashCode could collide between two dirs in one
+    // JVM and silently search the wrong frozen corpus)
     val idir = s"$scratchDir/q188_opq_index_" +
-      java.lang.Integer.toHexString(dir.hashCode) // String.hashCode is spec-fixed
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(12).map(b => f"$b%02x").mkString
     if (!new java.io.File(s"$idir/meta/_SUCCESS").exists())
       buildOpqDir(scaled, idir)
     val loaded = Ann.loadOpqIndex(s, idir)

@@ -743,9 +743,10 @@ object Ann {
     * recomputes the same content key and OVERWRITES its own folder,
     * where a raw append would duplicate every row (duplicates survive
     * the delta-free load path and inflate rerank/window results). The
-    * key is order-independent over the batch's CONTENT (sum of
-    * per-row hashes over id AND vector, + count — one tiny aggregate
-    * action), so a retry that reshuffles rows still lands on the
+    * key is order-independent over the batch's CONTENT (three xors
+    * of independently salted per-row hashes over id AND vector, +
+    * count — one tiny aggregate action), so a retry that reshuffles
+    * rows still lands on the
     * same folder, while a later batch reusing ids with DIFFERENT
     * vectors keys to a new folder instead of being silently skipped
     * as a retry (note: re-ingesting changed content under a live id
@@ -762,13 +763,28 @@ object Ann {
     // row appended after the crash
     IndexMaintenance.healForWrite(spark, dir, Seq("index"))
     val idx = loadOpqIndex(spark, dir)
+    // Content key: ORDER-INDEPENDENT 192-bit reduction + count. The
+    // r16 key was a single SUM of per-row hashes — one linear
+    // combination, where two distinct legitimate batches can collide
+    // and the second append is then silently skipped as a 'retry'
+    // (r16 ADVICE). Three xors of INDEPENDENTLY SALTED per-row hashes
+    // never overflow (ANSI-safe where a 64-bit sum of uniform hashes
+    // is not) and a collision now needs a simultaneous coincidence
+    // across all 192 bits plus the count; still ONE tiny aggregate
+    // action over the batch. (Each xor is GF(2)-linear in row
+    // membership — this defends against accidental collision, which
+    // is the failure mode here, not an adversary crafting batches.)
+    val h = xxhash64(col(idx.idCol), col(idx.vecCol))
     val keyRow = batch.agg(
-      coalesce(sum(xxhash64(col(idx.idCol), col(idx.vecCol))), lit(0L))
-        .as("h"),
+      coalesce(bit_xor(h), lit(0L)).as("x0"),
+      coalesce(bit_xor(xxhash64(h, lit(1L))), lit(0L)).as("x1"),
+      coalesce(bit_xor(xxhash64(h, lit(2L))), lit(0L)).as("x2"),
       count(lit(1)).as("n")).head
-    if (keyRow.getLong(1) == 0L) return // empty batch: nothing to do
+    if (keyRow.getLong(3) == 0L) return // empty batch: nothing to do
     val key = java.lang.Long.toHexString(keyRow.getLong(0)) +
-      "_" + keyRow.getLong(1)
+      "_" + java.lang.Long.toHexString(keyRow.getLong(1)) +
+      "_" + java.lang.Long.toHexString(keyRow.getLong(2)) +
+      "_" + keyRow.getLong(3)
     val dest = s"$dir/index_delta/append_$key"
     // an ALREADY-COMMITTED retry is a true no-op (the ingestWriter
     // rule): encoding is deterministic under frozen models, so the

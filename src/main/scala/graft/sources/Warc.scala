@@ -92,6 +92,14 @@ object Warc {
                 try base.close() catch { case _: Exception => () }
                 Left(s"unreadable archive: ${e.getClass.getSimpleName}:" +
                   s" ${String.valueOf(e.getMessage).take(120)}")
+              case e: Throwable =>
+                // transient open failure (storage IOException etc.):
+                // it must PROPAGATE to the task retry — but the
+                // already-opened handle must not leak across retries
+                // (the completion listener is only registered on the
+                // success path)
+                try base.close() catch { case _: Exception => () }
+                throw e
             }
           }
         opened match {

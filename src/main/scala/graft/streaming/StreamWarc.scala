@@ -71,9 +71,11 @@ object StreamWarc {
     * observes each batch's rows after its export commits — for
     * metering or chained curation — with AT-LEAST-ONCE semantics: on
     * a replay of an already-committed batch the export is skipped
-    * but onBatch still fires, fed from the committed folder (a crash
-    * between the export commit and the checkpoint commit must not
-    * lose the observation). Callers pick the trigger and start. */
+    * but onBatch still fires (a crash between the export commit and
+    * the checkpoint commit must not lose the observation). On BOTH
+    * paths onBatch reads the COMMITTED folder back, so the
+    * observation is single-parse and byte-identical to the export.
+    * Callers pick the trigger and start. */
   def intakeWriter(discovered: DataFrame, baseDir: String, name: String,
       maxPayloadBytes: Int = 16 << 20,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ())
@@ -98,7 +100,14 @@ object StreamWarc {
             .reduce(_ unionByName _)
           StageSink.saveBatch(parsed, baseDir, "EXTRACT_FILES", name,
             batchId)
-          onBatch(parsed, batchId)
+          // observe the COMMITTED folder, not the unexecuted parse
+          // plan: feeding `parsed` would re-parse every shard a
+          // second time for the observation, and a shard mutated or
+          // deleted between the export commit and the observation's
+          // action would silently diverge from what was committed
+          // (r16 ADVICE) — reading the export back is one parquet
+          // scan and byte-consistent on BOTH paths
+          onBatch(spark.read.parquet(dest), batchId)
         }
       } else
         // replayed ALREADY-COMMITTED batch: the export is a no-op,
