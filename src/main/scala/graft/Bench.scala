@@ -62,6 +62,19 @@ import org.apache.spark.sql.SparkSession
   * gate (a degraded window, not the query), `…-confirmed` when it
   * repeats (a real regression). A driver-side record can no longer
   * carry an unadjudicated env artifact like BENCH_r15's 24x flag.
+  *
+  * Control arm + drift normalization (r17): the StressR16 interleaved
+  * control-arm protocol moved into the MAIN loop — never-flagged
+  * control queries timed at fixed stations through the run, each
+  * station's drift index (median control ratio vs baseline) on the
+  * run's own timeline. Flags AND sub-floor >2x queries adjudicate
+  * against their nearest station's drift; the run self-labels its
+  * window mode (`absolute` vs `degraded-control-relative`); each new
+  * record diffs per-FAMILY against the previous committed record
+  * (window-normalized, 1.2x bar) so creep the ratcheting minima
+  * can't see still fires; and `rebase=<names>` gives the baseline an
+  * evidence-gated path UP when a lucky-window minimum proves
+  * unreproducible. See the section comment above the pure functions.
   */
 object Bench {
 
@@ -165,12 +178,16 @@ object Bench {
     * the FINAL prewarm probe was healthy, the canary series stayed
     * flat, and the gate raised zero flags. Wait count is deliberately
     * NOT a condition — the retry loop exists to wait for a healthy
-    * window. Pure — BenchFoldSpec pins it. */
+    * window. `prewarmDisabled` (dev runs) bypasses ONLY the probe
+    * term: the canary and flag conditions are measured by the run
+    * itself and still veto (r16 ADVICE — the old short-circuit let a
+    * prewarm-disabled run fold during a flagged or canary-bumped
+    * window). Pure — BenchFoldSpec pins it. */
   private[graft] def foldWindowHealthy(
       prewarmDisabled: Boolean, pwMbps: Double, healthyMbps: Double,
       canaryFlat: Boolean, nFlags: Int): Boolean =
-    prewarmDisabled ||
-      (pwMbps >= healthyMbps && canaryFlat && nFlags == 0)
+    (prewarmDisabled || pwMbps >= healthyMbps) &&
+      canaryFlat && nFlags == 0
 
   /** Per-query MIN merge of an existing same-sf baseline with a new
     * run's medians: new queries join, queries absent from the run
@@ -194,6 +211,143 @@ object Bench {
             else bAlloc.getOrElse(k, -1.0))
     }.toMap
     (m, a)
+  }
+
+  // -------------------------------------------------------------------
+  // Control arm + window drift (r17, the r16 verdict's #2/#3/#6):
+  // StressR16 proved flags adjudicate cleanly against interleaved
+  // never-flagged controls (the flagged set moved WITH the controls,
+  // 1.98x vs 1.55x median inflation) — but the arm lived only in the
+  // one-off stress harness, so every degraded driver window still
+  // produced flags a judging round had to adjudicate by hand. The arm
+  // now lives in the MAIN loop:
+  //   - CONTROLS: cheap, historically never-flagged queries with
+  //     diverse plan shapes, timed once each at fixed STATIONS (bench
+  //     start, every `canaryEvery` queries, bench end).
+  //   - Each station's DRIFT INDEX = median control ratio vs the
+  //     folded baseline: ~1.0-1.5 in a healthy window (JVM-size
+  //     offset), 2-3x when the reclaim daemon is active.
+  //   - Every gate flag (and every sub-floor >2x query) is then
+  //     adjudicated against its NEAREST station's drift — a degraded
+  //     window carries its own per-segment evidence in the artifact.
+  //   - The run SELF-LABELS its window mode: `absolute` (healthy
+  //     final probe) vs `degraded-control-relative` (probe stayed
+  //     cold past the retry budget — read the drift-normalized
+  //     numbers, not the raw ratios).
+  // -------------------------------------------------------------------
+
+  /** The in-run control arm: never-flagged through r16, sub-second,
+    * diverse shapes (agg scan / session window / ngram explode /
+    * event pivot). q132 was in StressR16's arm but carried an r16
+    * sub-floor qualifier — dropped. */
+  private[graft] val ControlQueries = Seq(
+    "q10_pricing_summary", "q20_sessionize", "q48_ngram_freq",
+    "q121_transition_matrix")
+
+  /** One station's drift index: per-control ratio to the folded
+    * baseline median, median over the controls that have a baseline
+    * entry; -1 when none do (no gate baseline). Pure — spec-pinned. */
+  private[graft] def stationDrift(passes: Seq[(String, Double)],
+      baseMed: Map[String, Double]): Double = {
+    val rs = passes.flatMap { case (n, s) =>
+      baseMed.get(n).filter(_ > 0).map(b => s / math.max(b, 0.05))
+    }.sorted
+    if (rs.isEmpty) -1.0 else rs(rs.size / 2)
+  }
+
+  /** Window drift at timeline offset `t0`: the nearest computable
+    * station's drift; -1 when no station computed. Nearest-station
+    * (not interpolation) because the reclaim daemon's windows have
+    * sharp edges — a mid-window query saw the window, not a blend. */
+  private[graft] def driftAt(stations: Seq[(Double, Double)],
+      t0: Double): Double = {
+    val valid = stations.filter(_._2 > 0)
+    if (valid.isEmpty) -1.0
+    else valid.minBy(s => math.abs(s._1 - t0))._2
+  }
+
+  /** Drift-normalized gate ratio: divide by the window's drift index.
+    * A FAST window (drift <= 1) never amplifies a flag, and a missing
+    * drift (<= 0) normalizes nothing. Pure — spec-pinned. */
+  private[graft] def driftNormalized(ratio: Double, drift: Double): Double =
+    if (drift <= 1.0) ratio else ratio / drift
+
+  /** Query families for the record-vs-record drift gate (r16 verdict
+    * #3): the per-query fold keeps MINIMA that only ratchet down, so
+    * +15% creep spread across a family (r16: the ANN/incremental set,
+    * 109.0 -> 126.9 s) never fires the per-query 2x gate. Each new
+    * record diffs against the previous committed record, normalized
+    * by the CONTROLS' own record-to-record movement (the window
+    * shift), and any family whose geometric-mean normalized drift
+    * exceeds 1.2x flags in the artifact. */
+  private[graft] val QueryFamilies: Map[String, Seq[String]] = Map(
+    "ann" -> Seq("q34_embed_neardup", "q35_ann_bruteforce",
+      "q41_embed_lsh", "q45_ann_ivf_pruned", "q61_ann_ivf_trained",
+      "q66_ann_ivfpq", "q165_ann_ivfpq_residual", "q167_pca_whiten",
+      "q176_ann_opq", "q177_ann_opq_saved", "q188_ann_search_saved"),
+    "incremental_index" -> Seq("q63_dedup_incr_exact",
+      "q64_dedup_incremental", "q65_embed_incremental",
+      "q67_dedup_incr_bloom", "q70_simhash_incremental",
+      "q171_media_dedup_incr"),
+    "fuzzy_link" -> Seq("q08_fuzzy_match", "q43_fuzzy_link_full",
+      "q62_fuzzy_link_1034", "q100_entity_resolution"),
+    "graph" -> Seq("q89_pagerank", "q99_outlink_graph",
+      "q133_triangles", "q148_triangles_approx", "q150_communities"),
+    "dedup" -> Seq("q30_dedup_exact", "q31_dedup_minhash",
+      "q33_ngram_jaccard", "q51_dedup_cluster", "q52_repetition",
+      "q53_dedup_survivors", "q72_line_dedup", "q76_semantic_dedup",
+      "q87_span_dedup", "q123_dedup_normalized", "q124_set_similarity",
+      "q152_chunk_dedup", "q153_containment"),
+    "tokenizer_lm" -> Seq("q154_bpe_encode", "q155_bpe_train",
+      "q156_lm_bigram", "q157_bpe_token_count", "q158_lm_trigram",
+      "q159_wordpiece_encode", "q160_wordpiece_train",
+      "q161_unigram_encode", "q162_unigram_train",
+      "q164_tokenizer_compare", "q172_lm_4gram", "q179_bbpe_encode",
+      "q180_bbpe_train", "q182_tokenizer_compare4", "q185_bbpe_pretok"))
+
+  /** Record-vs-record family drift: for each family, the geometric
+    * mean over its queries present in BOTH records of (current /
+    * previous), divided by the normalizer — the CONTROLS' median
+    * record-to-record ratio, i.e. the window shift between the two
+    * records. Returns (normalizer, per-family (name, normalized gm,
+    * n queries)). Pure — spec-pinned. */
+  private[graft] def familyDrift(
+      prev: Map[String, Double], cur: Map[String, Double],
+      families: Map[String, Seq[String]], controls: Seq[String])
+      : (Double, Seq[(String, Double, Int)]) = {
+    def ratio(q: String): Option[Double] = for {
+      p <- prev.get(q); c <- cur.get(q); if p > 0.05 && c > 0
+    } yield c / p
+    val ctrl = controls.flatMap(ratio).sorted
+    val norm = if (ctrl.isEmpty) 1.0 else ctrl(ctrl.size / 2)
+    val fams = families.toSeq.sortBy(_._1).flatMap { case (f, qs) =>
+      val rs = qs.flatMap(ratio)
+      if (rs.isEmpty) None
+      else Some((f, math.exp(rs.map(math.log).sum / rs.size) /
+        math.max(norm, 0.05), rs.size))
+    }
+    (norm, fams)
+  }
+
+  /** `rebase=<q1,q2>` merge: [[foldBaseline]] for everything, except
+    * the NAMED queries take THIS run's median unconditionally — up or
+    * down. The fold's minima only ratchet down, so an entry set in a
+    * lucky window can become unreproducible (every later healthy run
+    * flags it — the r16 verdict's q176). Rebase is the evidence-gated
+    * escape: after the control-arm A/B shows the flagged query moving
+    * WITH the controls in a healthy window, its entry rebases to a
+    * number a healthy window actually reproduces. Still behind the
+    * fold guard — only a healthy-window run may rebase. Pure. */
+  private[graft] def rebaseBaseline(
+      bMed: Map[String, Double], bAlloc: Map[String, Double],
+      runMed: Map[String, Double], runAlloc: Map[String, Double],
+      names: Set[String])
+      : (Map[String, Double], Map[String, Double]) = {
+    val (m, a) = foldBaseline(bMed, bAlloc, runMed, runAlloc)
+    val m2 = m ++ names.flatMap(n => runMed.get(n).map(n -> _))
+    val a2 = a ++ names.filter(runMed.contains)
+      .map(n => n -> runAlloc.getOrElse(n, -1.0))
+    (m2, a2)
   }
 
   private def jsonStr(s: String): String =
@@ -454,6 +608,28 @@ object Bench {
     val canaryEvery = 20
     val canary = scala.collection.mutable.ListBuffer.empty[(Double, Pass)]
 
+    // Control-arm STATIONS (see the object section comment): the
+    // controls warm once up front (JIT/codegen — station 0 must
+    // measure the window, not compilation), then each station times
+    // every control one pass. Stations at bench start, beside every
+    // canary point, and after the last query.
+    val controls = ControlQueries.filter(SparkEntry.queries.contains)
+    val stations = scala.collection.mutable.ListBuffer
+      .empty[(Double, Seq[(String, Double)])]
+    def controlStation(): Unit = if (controls.nonEmpty) {
+      val off = sinceStart()
+      val passes = controls.flatMap { c =>
+        val r = timed(SparkEntry.queries(c))
+        spark.catalog.clearCache()
+        r.toOption.map(p => c -> p.sec)
+      }
+      if (passes.nonEmpty) stations += ((off, passes))
+    }
+    controls.foreach { c =>
+      timed(SparkEntry.queries(c)); spark.catalog.clearCache()
+    }
+    controlStation()
+
     val results = headline.zipWithIndex.map { case (name, qi) =>
       val fn = SparkEntry.queries(name)
       val off = sinceStart()
@@ -480,12 +656,15 @@ object Bench {
       // now starts with an empty cache; its own warm-ups re-populate
       // what its passes share.
       spark.catalog.clearCache()
-      if ((qi + 1) % canaryEvery == 0 && name != canaryName)
-        SparkEntry.queries.get(canaryName).foreach { cfn =>
-          val coff = sinceStart()
-          timed(cfn).foreach(p => canary += ((coff, p)))
-          spark.catalog.clearCache()
-        }
+      if ((qi + 1) % canaryEvery == 0) {
+        if (name != canaryName)
+          SparkEntry.queries.get(canaryName).foreach { cfn =>
+            val coff = sinceStart()
+            timed(cfn).foreach(p => canary += ((coff, p)))
+            spark.catalog.clearCache()
+          }
+        controlStation()
+      }
       val times = runs.collect { case Right(p) => p }
       val errs = runs.collect { case Left(e) => e }
       if (errs.nonEmpty)
@@ -495,6 +674,9 @@ object Bench {
         Result(name, sorted(sorted.size / 2), off, times, None)
       }
     }
+
+    // closing station: late queries need a nearby drift sample too
+    controlStation()
 
     // locale-pinned formatting: the f interpolator uses the JVM default
     // locale, and a comma-decimal locale would emit unparseable JSON
@@ -553,6 +735,46 @@ object Bench {
         f"($bm%.2f s) - $v")
     }
 
+    // Per-station drift indices vs the gate baseline, and the run's
+    // self-label (the r16 verdict's #6): a final probe that stayed
+    // cold past the retry budget means the raw ratios below were
+    // taken in a degraded window — the drift-normalized numbers are
+    // the comparable ones, and the artifact says so itself.
+    val baseMedGate: Map[String, Double] =
+      gated.map(_._2).getOrElse(Map.empty)
+    val driftStations: Seq[(Double, Double)] = stations.toSeq
+      .map { case (off, ps) => (off, stationDrift(ps, baseMedGate)) }
+    val windowMode =
+      if (pwTarget <= 0) "prewarm-disabled"
+      else if (pwMbps >= pwHealthy) "absolute"
+      else "degraded-control-relative"
+    driftStations.filter(_._2 > 0).foreach { case (off, d) =>
+      System.err.println(f"[bench] DRIFT station @${off}%.0f s: " +
+        f"${d}%.2fx baseline (controls)")
+    }
+
+    // Sub-floor adjudication (the r16 verdict's six >2x-but-unflagged
+    // queries): a sub-second query over 2x baseline sits under the
+    // gate's +0.5 s absolute noise floor by design, but the judge
+    // still has to adjudicate it by hand without evidence. Each one
+    // now carries its nearest station's drift and the normalized
+    // ratio — `self-cleared` when the window explains it.
+    val subfloor: Seq[(String, Double, Double, Double)] =
+      results.filter(_.err.isEmpty).flatMap { r =>
+        baseMedGate.get(r.name).flatMap { bm =>
+          val ratio = r.median / math.max(bm, 0.05)
+          if (ratio > 2.0 && r.median - bm <= 0.5) {
+            val qd = driftAt(driftStations, r.t0)
+            Some((r.name, ratio, qd, driftNormalized(ratio, qd)))
+          } else None
+        }
+      }.sortBy(-_._2)
+    subfloor.foreach { case (n, ratio, qd, nr) =>
+      System.err.println(f"[bench] SUBFLOOR $n: ${ratio}%.1fx baseline," +
+        f" window drift ${qd}%.2fx, normalized ${nr}%.1fx - " +
+        (if (nr <= 2.0) "self-cleared" else "open"))
+    }
+
     // SELF-HEALING RERUN (r16, the r15 verdict's #1): every flagged
     // query re-runs once HERE, in the same JVM, minutes after its
     // timed passes — if the flag was a degraded-I/O window (BENCH_r15
@@ -587,22 +809,36 @@ object Bench {
         val sorted = passes.toList.sorted
         name -> (if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2))
     }.toMap
-    val adjudicated: Seq[(String, Double, Double, String, Double)] =
+    // Adjudication order (r17): a clearing RERUN wins (the query
+    // itself re-measured inside the gate); otherwise the WINDOW DRIFT
+    // can clear — the r16 lesson is that the rerun runs minutes later
+    // in the SAME degraded window (q176's rerun confirmed a flag the
+    // healthy committed record sat at 1.40x on), so a rerun that
+    // repeats while the controls show the window 2x+ inflated is
+    // window evidence, not regression evidence. Only a flag neither
+    // clears is `-confirmed`.
+    val adjudicated: Seq[(String, Double, Double, String, Double, Double)] =
       regressions.map { case (n, ratio, bm, v) =>
         val rr = rerunMed.getOrElse(n, -1.0)
+        val qd = driftAt(driftStations,
+          results.find(_.name == n).map(_.t0).getOrElse(0.0))
+        val nr = driftNormalized(ratio, qd)
         val verdict =
-          if (rr < 0) v
-          else if (rr / math.max(bm, 0.05) <= 2.0 || rr - bm <= 0.5)
+          if (rr >= 0 &&
+            (rr / math.max(bm, 0.05) <= 2.0 || rr - bm <= 0.5))
             s"$v-cleared"
+          else if (qd > 0 && nr <= 2.0) s"$v-window-drift-cleared"
+          else if (rr < 0) v
           else s"$v-confirmed"
-        (n, ratio, bm, verdict, rr)
+        (n, ratio, bm, verdict, rr, qd)
       }
-    adjudicated.filter(_._5 >= 0).foreach { case (n, ratio, bm, v, rr) =>
+    adjudicated.filter(_._5 >= 0).foreach { case (n, ratio, bm, v, rr, qd) =>
       System.err.println(f"[bench] RERUN $n: flagged ${ratio}%.1fx, " +
-        f"rerun $rr%.2f s vs baseline $bm%.2f s - $v")
+        f"rerun $rr%.2f s vs baseline $bm%.2f s, drift ${qd}%.2fx - $v")
     }
-    val regJson = adjudicated.map { case (n, ratio, bm, v, rr) =>
-      jsonStr(n) + s""":[${num(ratio)},${num(bm)},${jsonStr(v)},${num(rr)}]"""
+    val regJson = adjudicated.map { case (n, ratio, bm, v, rr, qd) =>
+      jsonStr(n) + s""":[${num(ratio)},${num(bm)},${jsonStr(v)},""" +
+        s"""${num(rr)},${num(qd)}]"""
     }.mkString("{", ",", "}")
 
     // refresh the committed baseline from THIS run when asked.
@@ -632,7 +868,7 @@ object Bench {
         if (sfName == "sf0.1") "bench_baseline.json"
         else s"bench_baseline_$sfName.json"))
     val writeMode = sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE")
-      .filter(m => m == "1" || m == "fold")
+      .filter(m => m == "1" || m == "fold" || m.startsWith("rebase="))
     if (writeMode.nonEmpty) {
       val canarySecs = canary.map(_._2.sec)
       val canaryFlat = canarySecs.size < 2 ||
@@ -652,12 +888,24 @@ object Bench {
           .map(r => r.name -> r.median).toMap
         val runAlloc = results.filter(_.err.isEmpty)
           .map(r => r.name -> allocMedian(r)).toMap
+        // `rebase=<q1,q2>`: fold everything, but the named queries
+        // take THIS run's median even when HIGHER — the evidence-
+        // gated escape from an unreproducible lucky-window minimum
+        // (see [[rebaseBaseline]]); still behind the fold guard above
+        val rebaseNames = writeMode.filter(_.startsWith("rebase="))
+          .map(_.stripPrefix("rebase=").split(",")
+            .filter(_.nonEmpty).toSet)
         val (med, alloc) =
-          if (writeMode.contains("fold") &&
+          if ((writeMode.contains("fold") || rebaseNames.nonEmpty) &&
               java.nio.file.Files.exists(writePath))
             readBaseline(writePath) match {
               case Some((bsf, bMed, bAlloc)) if bsf == sfDir =>
-                foldBaseline(bMed, bAlloc, runMed, runAlloc)
+                rebaseNames match {
+                  case Some(ns) =>
+                    rebaseBaseline(bMed, bAlloc, runMed, runAlloc, ns)
+                  case None =>
+                    foldBaseline(bMed, bAlloc, runMed, runAlloc)
+                }
               case Some((bsf, _, _)) =>
                 System.err.println(s"[bench] fold: baseline sf $bsf" +
                   s" != $sfDir - overwriting instead")
@@ -729,6 +977,41 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "target/bench_detail.json")).toAbsolutePath
+
+    // Record-vs-record FAMILY drift (r16 verdict #3): read the
+    // previous committed record BEFORE this run overwrites it,
+    // normalize each family's record-to-record movement by the
+    // CONTROLS' movement (the window shift), flag > 1.2x. The r16
+    // creep this gate exists for: ANN/incremental +15% between two
+    // healthy records while every per-query ratio stayed under the
+    // 2x gate (minima ratchet down; records drifted up unseen).
+    val prevRecord: Map[String, Double] =
+      readBaseline(repoRoot.resolve("bench_detail_latest.json"))
+        .filter(_._1 == sfDir).map(_._2).getOrElse(Map.empty)
+    val curMed: Map[String, Double] = results.filter(_.err.isEmpty)
+      .map(r => r.name -> r.median).toMap
+    val (famNorm, famDrifts) =
+      if (prevRecord.isEmpty) (1.0, Seq.empty[(String, Double, Int)])
+      else familyDrift(prevRecord, curMed, QueryFamilies, controls)
+    famDrifts.foreach { case (f, d, n) =>
+      if (d > 1.2)
+        System.err.println(f"[bench] FAMILY DRIFT $f: ${d}%.2fx vs " +
+          f"previous record (window-normalized by ${famNorm}%.2fx, " +
+          f"$n queries) - over the 1.2x bar")
+    }
+    val famJson = famDrifts.map { case (f, d, n) =>
+      jsonStr(f) + s":[${num(d)},$n]"
+    }.mkString("{", ",", "}")
+    val stationsJson = stations.toSeq.zip(driftStations).map {
+      case ((off, ps), (_, d)) =>
+        s"[${num(off)},${num(d)}," + ps.map { case (n, s) =>
+          jsonStr(n) + ":" + num(s)
+        }.mkString("{", ",", "}") + "]"
+    }.mkString("[", ",", "]")
+    val subfloorJson = subfloor.map { case (n, ratio, qd, nr) =>
+      jsonStr(n) + s":[${num(ratio)},${num(qd)},${num(nr)}]"
+    }.mkString("{", ",", "}")
+
     val detailJson =
       s"""{"sf":${jsonStr(sfDir)},"queries":$qs,""" +
         s""""spread_min_max_passes":$spread,""" +
@@ -736,16 +1019,26 @@ object Bench {
         s""""canary":{"name":${jsonStr(canaryName)},"every":$canaryEvery,""" +
         s""""samples_t0_sec_gcms_allocmb":$canaryDetail},""" +
         s""""prewarm":$prewarmJson,"iters":$iters,""" +
+        s""""window_mode":${jsonStr(windowMode)},""" +
+        s""""drift_stations_t0_drift_passes":$stationsJson,""" +
+        s""""subfloor_over2x_ratio_drift_normalized":$subfloorJson,""" +
+        s""""family_drift_vs_prev_record":{"window_norm":${num(famNorm)},""" +
+        s""""families_gm_n":$famJson},""" +
         s""""gate_baseline":${jsonStr(if (gated.nonEmpty) baselinePath.toString else "")},""" +
-        s""""regressions_ratio_base_verdict_rerun":$regJson}"""
+        s""""regressions_ratio_base_verdict_rerun_drift":$regJson}"""
     // The parsed summary line clips to the driver's ~2000-char tail, so
     // the per-query medians of past rounds were lost unless someone
     // copied target/bench_detail.json in time. Write the SAME detail to
     // a committed repo-root path too (target/ is gitignored) — every
     // round's full medians then land in history with the round commit,
     // and regression diffs keep the head queries the tail clips.
-    val detailTargets = Seq(detailPath,
-      repoRoot.resolve("bench_detail_latest.json"))
+    // a dev SUBSET run (SPARK_GRAFT_BENCH_ONLY) must never clobber
+    // the committed full-suite record — it writes only its explicit
+    // detail path (r17; a 6-query smoke run overwrote the 157-query
+    // record the family-drift gate diffs against)
+    val detailTargets =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq(detailPath)
+      else Seq(detailPath, repoRoot.resolve("bench_detail_latest.json"))
     detailTargets.distinct.foreach { p =>
       try {
         Option(p.getParent)
@@ -775,10 +1068,17 @@ object Bench {
     // localises a degradation window without opening the detail file)
     val canaryLine = canary.map(c => num(c._2.sec)).mkString("[", ",", "]")
     // capped gate summary in the parsed line: count + worst 3 flags,
-    // each carrying its ADJUDICATED verdict and same-JVM rerun median
-    val regLine = adjudicated.take(3).map { case (n, ratio, _, v, rr) =>
-      jsonStr(n) + s""":[${num(ratio)},${jsonStr(v)},${num(rr)}]"""
+    // each carrying its ADJUDICATED verdict, same-JVM rerun median,
+    // and the window drift at its point on the timeline
+    val regLine = adjudicated.take(3).map { case (n, ratio, _, v, rr, qd) =>
+      jsonStr(n) + s""":[${num(ratio)},${jsonStr(v)},${num(rr)},${num(qd)}]"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"prewarm_attempts":${pwAttempts.size},"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"sf":"$sfDir"}""")
+    // window self-label + the per-station drift series (the r16
+    // verdict's #2/#6): a degraded record now says "read me control-
+    // relative" in the line the driver parses, with the evidence
+    val driftLine = driftStations.map(s => num(s._2))
+      .mkString("[", ",", "]")
+    val subfloorCleared = subfloor.count(_._4 <= 2.0)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"prewarm_attempts":${pwAttempts.size},"window_mode":"$windowMode","drift":$driftLine,"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"subfloor_n":${subfloor.size},"subfloor_cleared_n":$subfloorCleared,"family_drift_n":${famDrifts.count(_._2 > 1.2)},"sf":"$sfDir"}""")
   }
 }

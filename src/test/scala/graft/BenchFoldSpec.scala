@@ -52,8 +52,17 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(!ok(3900.0, flags = 1),
       "any gate flag — even one the rerun later cleared — means the " +
         "window was shaky enough to land lucky minima elsewhere")
-    // prewarm disabled (dev runs) bypasses the probe conditions
+    // prewarm disabled (dev runs) bypasses ONLY the probe term — the
+    // canary and flag conditions are measured by the run itself and
+    // still veto (r16 ADVICE: the old short-circuit let a
+    // prewarm-disabled run fold during a flagged window)
     assert(Bench.foldWindowHealthy(prewarmDisabled = true, 0.0,
       500.0, canaryFlat = true, nFlags = 0))
+    assert(!Bench.foldWindowHealthy(prewarmDisabled = true, 0.0,
+      500.0, canaryFlat = false, nFlags = 0),
+      "canary bump vetoes even with prewarm disabled")
+    assert(!Bench.foldWindowHealthy(prewarmDisabled = true, 0.0,
+      500.0, canaryFlat = true, nFlags = 2),
+      "gate flags veto even with prewarm disabled")
   }
 }
