@@ -2826,6 +2826,41 @@ object SparkEntry {
       k = 5, nprobe = 3, refine = 4)
   }
 
+  /** q189: SCALAR-QUANTIZED (SQ8) ANN — the FAISS ScalarQuantizer
+    * QT_8bit rung of the compression ladder, between exact floats
+    * (q35) and PQ (q66): per-dimension affine [min,max] → uint8
+    * codes (4x smaller than float32; at 100 TB the quantized corpus
+    * IS the scan), approximate scoring on the dequantized
+    * reconstruction, exact rerank of the top k·refine survivors.
+    * Final scores/ranks are exact cosine — quantization decides only
+    * which candidates reach the rerank, and SQ8's per-dimension
+    * error is ≤ step/2 ≈ 0.2% of the range, so the true top-k
+    * survives the refine margin on any realistic corpus. Oracle:
+    * the exact brute-force top-k SQL (the q36 discipline: checked
+    * hash-exact because the OUTPUT is exact; AnnSpec additionally
+    * pins sq8TopK ≡ bruteForceTopK at both gate SFs). */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    Ann.sq8TopK(corpus = e, queries = e.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", k = 5, refine = 4)
+  }
+
+  /** q190: IVF-SQ8 — q189's codes behind q61's trained-centroid IVF
+    * pruning: probe the 3 nearest buckets per query, approximate-
+    * score only those buckets' codes, exact-rerank the survivors.
+    * The production shape of the SQ8 path (prune → cheap scan →
+    * bounded rerank). rows-only like q45/q61/q66 (approximate by
+    * construction at bounded nprobe); AnnSpec pins full-probe ≡
+    * brute force and the registered shape's recall on the gate
+    * corpus. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    Ann.sq8IvfTopK(e, e.filter(col("vec_id") < 10), centroids,
+      "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+  }
+
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
     * signals with the q174 trained model's language prediction and
     * confidence appended as columns 13-14, still ONE shared text scan
@@ -3868,7 +3903,9 @@ object SparkEntry {
     "q185_bbpe_pretok" -> (q185 _),
     "q186_temperature_mix" -> (q186 _),
     "q187_warc_roundtrip" -> (q187 _),
-    "q188_ann_search_saved" -> (q188 _)
+    "q188_ann_search_saved" -> (q188 _),
+    "q189_ann_sq8" -> (q189 _),
+    "q190_ann_sq8_ivf" -> (q190 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6475,7 +6512,12 @@ object SparkEntry {
     // gzip, framing and HTTP split all sit on the hash (q181's
     // discipline for the archival-input face)
     "q187_warc_roundtrip" ->
-      "SELECT doc_id, text FROM documents"
+      "SELECT doc_id, text FROM documents",
+    // q189: SQ8 search exact-reranks its candidates, so the OUTPUT is
+    // the exact brute-force top-k — same oracle as q35/q36 (the
+    // quantization decides only which candidates reach the rerank;
+    // AnnSpec pins the equality at both gate SFs)
+    "q189_ann_sq8" -> annTopkSql
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

@@ -65,6 +65,10 @@ object StressR17 {
     "q62_fuzzy_link_1034", "q89_pagerank", "q66_ann_ivfpq",
     "q64_dedup_incremental", "q76_semantic_dedup")
 
+  /** r17's new SQ8 rows also get 10x points while the harness is here
+    * (they read only the embeddings table, like the OPQ trio). */
+  private val Sf1Extra = Seq("q189_ann_sq8", "q190_ann_sq8_ivf")
+
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
@@ -355,7 +359,8 @@ object StressR17 {
     }
 
     val out = scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
-    OpqQueries.foreach { q =>
+    (OpqQueries ++ Sf1Extra.filter(SparkEntry.queries.contains))
+      .foreach { q =>
       val t1 = run(q, sfDir, timed = 3)
       val t10 = run(q, tmp, timed = 2)
       out += ((q, t1, t10))

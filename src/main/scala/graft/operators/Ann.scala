@@ -862,6 +862,140 @@ object Ann {
   }
 
   /** Top-`nprobe` centroids per query (broadcast-size output). */
+  // ------------------------------------------------------------------
+  // SQ8: scalar-quantized search (the FAISS ScalarQuantizer QT_8bit
+  // recipe — cf. faiss/impl/ScalarQuantizer.h: per-dimension affine
+  // [min, max] → uint8 codes). PQ compresses harder (q66/q176 family)
+  // but SQ8 is the standard first rung: 4x smaller than float32 with
+  // near-exact recall and a trivial, data-independent-cost encoder —
+  // at 100 TB the quantized corpus IS the scan, so the 4x shows up
+  // directly in bytes read and shuffled.
+  // ------------------------------------------------------------------
+
+  /** Train per-dimension SQ8 scales over the corpus: (min_i, step_i =
+    * (max_i − min_i)/255). ONE scan — posexplode + hash aggregate,
+    * whose partial aggregation reduces the exchange to partitions × dim
+    * rows (corpus rows never move). The model is dim-sized and lives
+    * on the driver (same budget class as an IVF centroid table); it
+    * ships into encode/dequant projections as plan literals. Constant
+    * dimensions get step 0 and encode to code 0 (dequant returns the
+    * constant). */
+  def trainSq8(corpus: DataFrame, vecCol: String)
+      : (Seq[Double], Seq[Double]) = {
+    val mm = corpus.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .orderBy(col("__i"))
+      .collect()
+    require(mm.nonEmpty, "trainSq8: empty corpus")
+    val mins = mm.map(_.getFloat(1).toDouble).toSeq
+    val steps = mm.map { r =>
+      val mn = r.getFloat(1).toDouble; val mx = r.getFloat(2).toDouble
+      if (mx > mn) (mx - mn) / 255.0 else 0.0
+    }.toSeq
+    (mins, steps)
+  }
+
+  /** Encode one vector column to SQ8 codes (array<int> in [0,255]):
+    * code_i = round((x_i − min_i)/step_i) clamped. A pure projection —
+    * the model rides as array literals, no join, no shuffle. */
+  def sq8EncodeCol(vec: Column, mins: Seq[Double], steps: Seq[Double])
+      : Column = {
+    val mn = typedLit(mins); val st = typedLit(steps)
+    transform(vec, (x, i) => {
+      val s = element_at(st, (i + 1).cast("int"))
+      when(s <= 0.0, lit(0)).otherwise(
+        least(greatest(round((x.cast("double") -
+          element_at(mn, (i + 1).cast("int"))) / s, 0), lit(0.0)),
+          lit(255.0))).cast("int")
+    })
+  }
+
+  /** Dequantize SQ8 codes back to array<float>: min_i + code_i·step_i.
+    * Float elements so the native `dot_f`/`norm_f` kernels apply to
+    * the reconstruction directly. */
+  def sq8DequantCol(codes: Column, mins: Seq[Double], steps: Seq[Double])
+      : Column = {
+    val mn = typedLit(mins); val st = typedLit(steps)
+    transform(codes, (c, i) =>
+      (element_at(mn, (i + 1).cast("int")) +
+        c.cast("double") * element_at(st, (i + 1).cast("int")))
+        .cast("float"))
+  }
+
+  /** Brute-force SQ8 top-k: approximate-score every (query, code) pair
+    * on the dequantized reconstruction, keep the top k·refine
+    * candidates per query, EXACT-rerank those against the raw corpus
+    * (the [[searchPqIndex]] refine discipline). Final scores and
+    * ranks are exact cosine over the true vectors — the quantization
+    * decides only which candidates reach the rerank, and SQ8's
+    * per-dimension error is ≤ step/2 (≲0.2% of the range), so the
+    * true top-k survives any realistic refine margin (AnnSpec pins
+    * equality with [[bruteForceTopK]] on the test corpora). */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && refine >= 1, "sq8TopK: k > 0, refine >= 1")
+    val (mins, steps) = trainSq8(corpus, vecCol)
+    val deq = Parallelism.ensure(
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("neighbor_id"),
+          sq8EncodeCol(col(vecCol), mins, steps).as("__codes")))
+      .withColumn("__dv", sq8DequantCol(col("__codes"), mins, steps))
+      .withColumn("__dn", norm(col("__dv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+    val cond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val cand = deq.join(q, cond)
+      .withColumn("__approx", cosinePrenormed(
+        dot(col("__qv"), col("__dv")), col("__qn"), col("__dn")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"),
+        col("__qn"))
+    exactRerank(corpus, cand, idCol, vecCol, k, None)
+  }
+
+  /** IVF-bucketed SQ8 top-k: probe the `nprobe` nearest buckets per
+    * query (the [[ivfTopK]] pruning), approximate-score only the
+    * probed buckets' codes, exact-rerank the survivors. Approximate
+    * by construction at bounded nprobe (a true neighbor can live in
+    * an unprobed bucket) — the registered row is rows-only like
+    * q45/q61/q66; AnnSpec pins full-probe ≡ [[bruteForceTopK]]. */
+  def sq8IvfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && nprobe > 0 && refine >= 1,
+      "sq8IvfTopK: k > 0, nprobe > 0, refine >= 1")
+    val (mins, steps) = trainSq8(corpus, vecCol)
+    val deq = assignBuckets(
+        Parallelism.ensure(corpus.select(col(idCol), col(vecCol))),
+        centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        sq8EncodeCol(col(vecCol), mins, steps).as("__codes"))
+      .withColumn("__dv", sq8DequantCol(col("__codes"), mins, steps))
+      .withColumn("__dn", norm(col("__dv")))
+    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val cand = deq.join(broadcast(probes), Seq("centroid_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .withColumn("__approx", cosinePrenormed(
+        dot(col("__qv"), col("__dv")), col("__qn"), col("__dn")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"),
+        col("__qn"))
+    exactRerank(corpus, cand, idCol, vecCol, k, None)
+  }
+
   private def assignProbes(
       queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nprobe: Int): DataFrame = {

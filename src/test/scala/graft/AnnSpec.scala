@@ -556,4 +556,69 @@ class AnnSpec extends SparkSpec {
     assert(q188a == q177, "isolated search must equal the lifecycle query")
     assert(q188b == q188a, "build-once reuse must be deterministic")
   }
+
+  test("SQ8 encode/dequant: codes in [0,255], per-dim error <= step/2") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (mins, steps) = Ann.trainSq8(e, "embedding")
+    assert(mins.size === steps.size && steps.forall(_ >= 0.0))
+    val rows = e.select(col("embedding"),
+      Ann.sq8EncodeCol(col("embedding"), mins, steps).as("codes"),
+      Ann.sq8DequantCol(
+        Ann.sq8EncodeCol(col("embedding"), mins, steps),
+        mins, steps).as("deq"))
+      .as[(Array[Float], Array[Int], Array[Float])].collect()
+    rows.foreach { case (v, c, d) =>
+      assert(c.forall(x => x >= 0 && x <= 255))
+      v.indices.foreach { i =>
+        // float reconstruction adds <= 1 ulp on top of the step/2
+        // quantization bound
+        val bound = steps(i) / 2.0 + math.abs(v(i)) * 1e-6 + 1e-7
+        assert(math.abs(v(i) - d(i)) <= bound,
+          s"dim $i: |${v(i)} - ${d(i)}| > $bound (step ${steps(i)})")
+      }
+    }
+  }
+
+  test("sq8TopK ≡ bruteForceTopK at both gate SFs (exact output after rerank)") {
+    // the oracle bet q189 registers: quantization decides only which
+    // candidates reach the exact rerank, so the OUTPUT is the exact
+    // brute-force top-k — pinned at the driver's correctness SF
+    // (0.01) and the spec SF (0.001)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = Tables(spark, sf).embeddings
+      val q = e.filter(col("vec_id") < 10)
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank", "cosine")
+          .as[(Long, Long, Int, Double)].collect().toSet
+      val sq8 = dump(Ann.sq8TopK(e, q, "vec_id", "embedding",
+        k = 5, refine = 4))
+      val bf = dump(Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+      assert(sq8 === bf, s"sq8TopK diverged from brute force at $sf")
+    }
+  }
+
+  test("sq8IvfTopK: full probe + generous refine ≡ brute force; pruned recalls") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val bf = dump(Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val full = dump(Ann.sq8IvfTopK(e, q, centroids, "vec_id",
+      "embedding", k = 5, nprobe = Int.MaxValue, refine = 4))
+    assert(full === bf, "full-probe IVF-SQ8 must equal brute force")
+    // the registered q190 shape (nprobe=3 of 20): approximate by
+    // construction. The test embeddings are clusterless gaussians
+    // (the existing ivfTopK pin's rationale), where IVF recall is
+    // bounded near nprobe/ncentroids = 0.15 — trained centroids
+    // measured 0.46, pinned at 2x the clusterless bound
+    val pruned = dump(Ann.sq8IvfTopK(e, q, centroids, "vec_id",
+      "embedding", k = 5, nprobe = 3, refine = 4))
+    val recall = (pruned.map(t => (t._1, t._2)) intersect
+      bf.map(t => (t._1, t._2))).size.toDouble / bf.size
+    assert(recall >= 0.3, f"IVF-SQ8 nprobe=3 recall $recall%.2f < 0.3")
+  }
 }

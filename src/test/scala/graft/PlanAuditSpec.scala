@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q176_ann_opq", // q66's search shape on the rotated space
     "q177_ann_opq_saved", // q176's search shape off the loaded index
     "q188_ann_search_saved", // q177's search path, build-once fixture
+    "q189_ann_sq8", // SQ8 candidates + the exact rerank, both broadcast
+    "q190_ann_sq8_ivf", // q189's shape behind the IVF probe pruning
     "q97_key_profile", "q134_pmi_bigrams",
     // q183/q184 cross the per-source frame with TWO broadcast one-row
     // scalars (budget/count + fill level) — the same in-plan pattern
