@@ -525,8 +525,8 @@ object Bench {
       // isolated persisted-index SEARCH (build-once fixture, r16) —
       // the production serving number q177's lifecycle total hides
       "q188_ann_search_saved",
-      // SQ8 scalar quantization: brute + IVF-pruned (r17)
-      "q189_ann_sq8", "q190_ann_sq8_ivf"
+      // SQ8 scalar quantization: brute + IVF-pruned + persisted (r17)
+      "q189_ann_sq8", "q190_ann_sq8_ivf", "q191_ann_sq8_saved"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

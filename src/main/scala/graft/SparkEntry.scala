@@ -2861,6 +2861,30 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
   }
 
+  /** q191: PERSISTED SQ8 INDEX — the SQ8 rung's disk face, completing
+    * lifecycle parity with the PQ/OPQ family: train scales (one agg)
+    * + IVF centroids, encode, save the directory (index + scales +
+    * centroids + meta), load it back and search with RAW query
+    * vectors (probe-pruned dequant scoring + exact rerank — the
+    * sq8IvfTopK plan off the persisted codes). Tombstones, content-
+    * keyed delta-root appends and compaction all reuse the generic
+    * IndexMaintenance machinery (compactSq8Index shares
+    * compactPqIndex's fold-swap-reclaim cycle). rows-only; AnnSpec
+    * pins save→load→search ≡ the in-memory search row-for-row, and
+    * append-retry idempotency + tombstone + compact exactness. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val (mins, steps) = Ann.trainSq8(e, "embedding")
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    val idir = s"$scratchDir/q191_sq8_index"
+    Ann.saveSq8Index(idir, e, centroids, mins, steps, "vec_id", "embedding")
+    val loaded = Ann.loadSq8Index(s, idir)
+    Ann.searchSq8Index(loaded, corpus = e,
+      queries = e.filter(col("vec_id") < 10),
+      k = 5, nprobe = 3, refine = 4)
+  }
+
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
     * signals with the q174 trained model's language prediction and
     * confidence appended as columns 13-14, still ONE shared text scan
@@ -3905,7 +3929,8 @@ object SparkEntry {
     "q187_warc_roundtrip" -> (q187 _),
     "q188_ann_search_saved" -> (q188 _),
     "q189_ann_sq8" -> (q189 _),
-    "q190_ann_sq8_ivf" -> (q190 _)
+    "q190_ann_sq8_ivf" -> (q190 _),
+    "q191_ann_sq8_saved" -> (q191 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

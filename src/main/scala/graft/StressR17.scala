@@ -67,7 +67,8 @@ object StressR17 {
 
   /** r17's new SQ8 rows also get 10x points while the harness is here
     * (they read only the embeddings table, like the OPQ trio). */
-  private val Sf1Extra = Seq("q189_ann_sq8", "q190_ann_sq8_ivf")
+  private val Sf1Extra = Seq("q189_ann_sq8", "q190_ann_sq8_ivf",
+    "q191_ann_sq8_saved")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -763,29 +763,9 @@ object Ann {
     // row appended after the crash
     IndexMaintenance.healForWrite(spark, dir, Seq("index"))
     val idx = loadOpqIndex(spark, dir)
-    // Content key: ORDER-INDEPENDENT 192-bit reduction + count. The
-    // r16 key was a single SUM of per-row hashes — one linear
-    // combination, where two distinct legitimate batches can collide
-    // and the second append is then silently skipped as a 'retry'
-    // (r16 ADVICE). Three xors of INDEPENDENTLY SALTED per-row hashes
-    // never overflow (ANSI-safe where a 64-bit sum of uniform hashes
-    // is not) and a collision now needs a simultaneous coincidence
-    // across all 192 bits plus the count; still ONE tiny aggregate
-    // action over the batch. (Each xor is GF(2)-linear in row
-    // membership — this defends against accidental collision, which
-    // is the failure mode here, not an adversary crafting batches.)
-    val h = xxhash64(col(idx.idCol), col(idx.vecCol))
-    val keyRow = batch.agg(
-      coalesce(bit_xor(h), lit(0L)).as("x0"),
-      coalesce(bit_xor(xxhash64(h, lit(1L))), lit(0L)).as("x1"),
-      coalesce(bit_xor(xxhash64(h, lit(2L))), lit(0L)).as("x2"),
-      count(lit(1)).as("n")).head
-    if (keyRow.getLong(3) == 0L) return // empty batch: nothing to do
-    val key = java.lang.Long.toHexString(keyRow.getLong(0)) +
-      "_" + java.lang.Long.toHexString(keyRow.getLong(1)) +
-      "_" + java.lang.Long.toHexString(keyRow.getLong(2)) +
-      "_" + keyRow.getLong(3)
-    val dest = s"$dir/index_delta/append_$key"
+    val keyOpt = batchContentKey(batch, idx.idCol, idx.vecCol)
+    if (keyOpt.isEmpty) return // empty batch: nothing to do
+    val dest = s"$dir/index_delta/append_${keyOpt.get}"
     // an ALREADY-COMMITTED retry is a true no-op (the ingestWriter
     // rule): encoding is deterministic under frozen models, so the
     // bytes would be identical — and skipping keeps the committed
@@ -797,6 +777,32 @@ object Ann {
     if (!fs.exists(committed))
       encodeForIndex(idx, batch)
         .write.mode("overwrite").parquet(dest)
+  }
+
+  /** Order-independent append idempotency key over a batch's (id,
+    * vec) CONTENT + count, shared by [[appendOpqIndex]] and
+    * [[appendSq8Index]]. Three xors of INDEPENDENTLY SALTED per-row
+    * hashes — never overflow (ANSI-safe where a 64-bit sum of uniform
+    * hashes is not), and a collision needs a simultaneous coincidence
+    * across all 192 bits plus the count (the r16 key was a single
+    * linear sum two distinct batches could collide on, silently
+    * skipping the second as a 'retry' — r16 ADVICE). Each xor is
+    * GF(2)-linear in row membership — this defends against accidental
+    * collision, the failure mode here, not crafted batches. ONE tiny
+    * aggregate action; None for an empty batch. */
+  private[graft] def batchContentKey(batch: DataFrame, idCol: String,
+      vecCol: String): Option[String] = {
+    val h = xxhash64(col(idCol), col(vecCol))
+    val keyRow = batch.agg(
+      coalesce(bit_xor(h), lit(0L)).as("x0"),
+      coalesce(bit_xor(xxhash64(h, lit(1L))), lit(0L)).as("x1"),
+      coalesce(bit_xor(xxhash64(h, lit(2L))), lit(0L)).as("x2"),
+      count(lit(1)).as("n")).head
+    if (keyRow.getLong(3) == 0L) None
+    else Some(java.lang.Long.toHexString(keyRow.getLong(0)) +
+      "_" + java.lang.Long.toHexString(keyRow.getLong(1)) +
+      "_" + java.lang.Long.toHexString(keyRow.getLong(2)) +
+      "_" + keyRow.getLong(3))
   }
 
   /** Encode a RAW batch into the (id, centroid_id, codes, vec_norm)
@@ -994,6 +1000,131 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("__qv"),
         col("__qn"))
     exactRerank(corpus, cand, idCol, vecCol, k, None)
+  }
+
+  /** A [[saveSq8Index]] directory restored: `codes` is a LAZY parquet
+    * scan (base ∪ committed delta roots, id-deduped, tombstones
+    * dropped — the [[loadOpqIndex]] discipline); scales and centroids
+    * are the bounded model artifacts. */
+  final case class PersistedSq8Index(
+      codes: DataFrame, centroids: DataFrame,
+      mins: Seq[Double], steps: Seq[Double],
+      idCol: String, vecCol: String)
+
+  /** Encode the corpus into (id, centroid_id, codes) SQ8 index rows
+    * under frozen scales + centroids — the shared projection behind
+    * [[saveSq8Index]] and [[appendSq8Index]]. Pure projection over a
+    * broadcast-centroid assignment: no shuffle. */
+  def buildSq8Index(corpus: DataFrame, centroids: DataFrame,
+      mins: Seq[Double], steps: Seq[Double],
+      idCol: String, vecCol: String): DataFrame =
+    assignBuckets(
+        corpus.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)),
+        centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"),
+        sq8EncodeCol(col(vecCol), mins, steps).as("codes"))
+
+  /** Persist an SQ8 index directory: the encoded corpus (`index`, the
+    * only corpus-sized piece — keeps its partitioning), IVF centroids,
+    * the per-dimension scales and the column metadata. Same directory
+    * discipline as [[saveOpqIndex]], so the generic lifecycle tools
+    * apply unchanged: [[IndexMaintenance.addTombstones]] deletes
+    * without re-encoding, [[appendSq8Index]] grows it through
+    * content-keyed delta roots, [[IndexMaintenance.compactSq8Index]]
+    * folds and reclaims. */
+  def saveSq8Index(dir: String, corpus: DataFrame, centroids: DataFrame,
+      mins: Seq[Double], steps: Seq[Double],
+      idCol: String, vecCol: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildSq8Index(corpus, centroids, mins, steps, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    mins.indices.map(i => (i, mins(i), steps(i)))
+      .toDF("i", "min", "step")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scales")
+    Seq((idCol, vecCol)).toDF("id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Restore a [[saveSq8Index]] directory (lazy codes scan; see
+    * [[PersistedSq8Index]]). */
+  def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PersistedSq8Index = {
+    IndexMaintenance.healUnreadable(spark, dir, Seq("index"))
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("id_col", "vec_col").head
+    val (idCol, vecCol) = (meta.getString(0), meta.getString(1))
+    val scales = spark.read.parquet(s"$dir/scales")
+      .select("i", "min", "step").collect().sortBy(_.getInt(0))
+    val deltas = deltaRoots(spark, dir)
+    val codes = {
+      val base = spark.read.parquet(s"$dir/index")
+      if (deltas.isEmpty) base
+      else (base +: deltas.map(spark.read.parquet(_)))
+        .reduce(_ unionByName _)
+        .dropDuplicates(idCol)
+    }
+    PersistedSq8Index(
+      IndexMaintenance.dropTombstoned(codes, spark, dir, idCol),
+      spark.read.parquet(s"$dir/centroids")
+        .select(col("id").as(idCol), col("vec").as(vecCol)),
+      scales.map(_.getDouble(1)).toSeq, scales.map(_.getDouble(2)).toSeq,
+      idCol, vecCol)
+  }
+
+  /** Search a loaded SQ8 index against RAW corpus/query vectors —
+    * [[sq8IvfTopK]]'s exact plan off the persisted codes (same
+    * dequant scoring, same probe pruning, same exact rerank), so a
+    * save→load→search round trip is bit-identical to the in-memory
+    * search under the same scales/centroids (AnnSpec pins it). */
+  def searchSq8Index(idx: PersistedSq8Index, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, refine: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && nprobe > 0 && refine >= 1,
+      "searchSq8Index: k > 0, nprobe > 0, refine >= 1")
+    val deq = idx.codes
+      .select(col(idx.idCol).as("neighbor_id"), col("centroid_id"),
+        sq8DequantCol(col("codes"), idx.mins, idx.steps).as("__dv"))
+      .withColumn("__dn", norm(col("__dv")))
+    val probes = assignProbes(queries, idx.centroids, idx.idCol,
+      idx.vecCol, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val cand = deq.join(broadcast(probes), Seq("centroid_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .withColumn("__approx", cosinePrenormed(
+        dot(col("__qv"), col("__dv")), col("__qn"), col("__dn")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"),
+        col("__qn"))
+    exactRerank(corpus, cand, idx.idCol, idx.vecCol, k, None)
+  }
+
+  /** Grow a persisted SQ8 directory by one RAW batch under its frozen
+    * scales + centroids — [[appendOpqIndex]]'s contract verbatim:
+    * heal-before-write, the [[batchContentKey]] idempotent delta
+    * root, skip-if-committed. Appended vectors quantize against the
+    * ORIGINAL [min,max] ranges (values outside them clamp to 0/255) —
+    * retrain + rebuild when the distribution moves, the same
+    * staleness note as the PQ path. */
+  def appendSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    IndexMaintenance.healForWrite(spark, dir, Seq("index"))
+    val idx = loadSq8Index(spark, dir)
+    batchContentKey(batch, idx.idCol, idx.vecCol).foreach { key =>
+      val dest = s"$dir/index_delta/append_$key"
+      val committed = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+      val fs = committed.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(committed))
+        buildSq8Index(batch, idx.centroids, idx.mins, idx.steps,
+          idx.idCol, idx.vecCol)
+          .write.mode("overwrite").parquet(dest)
+    }
   }
 
   private def assignProbes(

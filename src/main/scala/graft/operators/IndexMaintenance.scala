@@ -145,13 +145,30 @@ object IndexMaintenance {
     * touches. Folded deltas delete only AFTER the swap (a crash
     * between leaves duplicates, which load's id-dedup heals and the
     * next compact removes — never loses rows). */
-  def compactPqIndex(spark: SparkSession, dir: String): Unit = {
-    val foldedDeltas = Ann.deltaRoots(spark, dir) // snapshot pre-rewrite
-    compactRoot(spark, dir, Seq("index")) { tmp =>
+  def compactPqIndex(spark: SparkSession, dir: String): Unit =
+    compactEncodedIndex(spark, dir) {
       // loadOpqIndex's pqIndex IS the fold: base ∪ deltas, id-deduped,
       // tombstones dropped
       Ann.loadOpqIndex(spark, dir).pqIndex
-        .write.mode("overwrite").parquet(s"$tmp/index")
+    }
+
+  /** [[compactPqIndex]] for an [[Ann.saveSq8Index]] directory — same
+    * layout (`index` + content-keyed delta roots + tombstones + frozen
+    * model artifacts), same fold-swap-reclaim cycle; only the loader
+    * differs. */
+  def compactSq8Index(spark: SparkSession, dir: String): Unit =
+    compactEncodedIndex(spark, dir) {
+      Ann.loadSq8Index(spark, dir).codes
+    }
+
+  /** Shared compact cycle for encoded-corpus index directories (PQ and
+    * SQ8): rewrite `index` from the loader's folded view, swap in,
+    * then reclaim the folded delta roots. */
+  private def compactEncodedIndex(spark: SparkSession, dir: String)(
+      fold: => org.apache.spark.sql.DataFrame): Unit = {
+    val foldedDeltas = Ann.deltaRoots(spark, dir) // snapshot pre-rewrite
+    compactRoot(spark, dir, Seq("index")) { tmp =>
+      fold.write.mode("overwrite").parquet(s"$tmp/index")
     }
     val fs = fsOf(spark, dir)
     // only reclaim folders STILL committed: a folder whose _SUCCESS is

@@ -621,4 +621,69 @@ class AnnSpec extends SparkSpec {
       bf.map(t => (t._1, t._2))).size.toDouble / bf.size
     assert(recall >= 0.3, f"IVF-SQ8 nprobe=3 recall $recall%.2f < 0.3")
   }
+
+  test("SQ8 index: save→load→search ≡ in-memory; append idempotent; tombstone+compact exact") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+    val (mins, steps) = Ann.trainSq8(e, "embedding")
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq8idx").toString + "/idx"
+    Ann.saveSq8Index(dir, e, centroids, mins, steps,
+      "vec_id", "embedding")
+    val disk = dump(Ann.searchSq8Index(Ann.loadSq8Index(spark, dir),
+      e, q, k = 5, nprobe = 3, refine = 4))
+    val mem = dump(Ann.sq8IvfTopK(e, q, centroids, "vec_id",
+      "embedding", k = 5, nprobe = 3, refine = 4))
+    assert(disk === mem,
+      "persisted SQ8 search must equal the in-memory search")
+
+    // append a fresh batch TWICE (caller retry): the content-keyed
+    // delta root makes the retry a no-op — no duplicate id rows
+    val batch = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Ann.appendSq8Index(spark, dir, batch)
+    Ann.appendSq8Index(spark, dir, batch)
+    val grown = Ann.loadSq8Index(spark, dir)
+    assert(grown.codes.count() ===
+      grown.codes.select("vec_id").distinct().count(),
+      "a retried append must not leave duplicate id rows")
+    assert(grown.codes.filter(col("vec_id") >= 100000L).count() > 0)
+
+    // tombstone half the appended ids, compact, and check EXACTNESS:
+    // live set preserved, tombstoned ids gone, delta roots folded
+    val dead = (0L until 20L by 2).map(_ + 100000L)
+    graft.operators.IndexMaintenance.addTombstones(
+      dead.toDF("vec_id"), dir)
+    graft.operators.IndexMaintenance.compactSq8Index(spark, dir)
+    val compacted = Ann.loadSq8Index(spark, dir)
+    val ids = compacted.codes.select("vec_id").as[Long].collect().toSet
+    assert(dead.forall(!ids.contains(_)), "a tombstoned id survived")
+    val expected = e.select("vec_id").as[Long].collect().toSet ++
+      (1L until 20L by 2).map(_ + 100000L)
+    assert(ids === expected, "compact lost or resurrected rows")
+    assert(Ann.deltaRoots(spark, dir).isEmpty,
+      "compact must fold and reclaim the delta roots")
+    // the grown-then-compacted directory must search identically to a
+    // WHOLE-corpus save over the same live rows under the same frozen
+    // models (the appendOpqIndex discipline carried to SQ8)
+    val liveCorpus = e.unionByName(
+      batch.filter(col("vec_id") % 2 === 1))
+    val whole = java.nio.file.Files
+      .createTempDirectory("graft_sq8whole").toString + "/idx"
+    Ann.saveSq8Index(whole, liveCorpus, centroids, mins, steps,
+      "vec_id", "embedding")
+    assert(
+      dump(Ann.searchSq8Index(compacted, liveCorpus, q,
+        k = 5, nprobe = 3, refine = 4)) ===
+      dump(Ann.searchSq8Index(Ann.loadSq8Index(spark, whole),
+        liveCorpus, q, k = 5, nprobe = 3, refine = 4)),
+      "grown+compacted dir must search ≡ a whole-corpus save")
+  }
 }

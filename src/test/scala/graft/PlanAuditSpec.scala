@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "q188_ann_search_saved", // q177's search path, build-once fixture
     "q189_ann_sq8", // SQ8 candidates + the exact rerank, both broadcast
     "q190_ann_sq8_ivf", // q189's shape behind the IVF probe pruning
+    "q191_ann_sq8_saved", // q190's search path off the persisted codes
     "q97_key_profile", "q134_pmi_bigrams",
     // q183/q184 cross the per-source frame with TWO broadcast one-row
     // scalars (budget/count + fill level) — the same in-plan pattern
