@@ -81,4 +81,41 @@ object StreamAnn {
     }
     stream.writeStream.outputMode("append").foreachBatch(exportBatch)
   }
+
+  /** [[ingestWriter]] for a persisted SQ8 directory ([[Ann
+    * .saveSq8Index]]) — identical batch-id-keyed delta-root
+    * discipline; each micro-batch encodes under the FROZEN scales +
+    * centroids via [[Ann.buildSq8Index]]. Same compaction rule:
+    * [[graft.operators.IndexMaintenance.compactSq8Index]] only while
+    * the stream is stopped. */
+  def sq8IngestWriter(stream: DataFrame, idx: Ann.PersistedSq8Index,
+      indexDir: String): DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val dest = f"$indexDir/index_delta/b$batchId%010d"
+      val committed = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+      val fs = committed.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(committed) && batch.take(1).nonEmpty)
+        Ann.buildSq8Index(batch, idx.centroids, idx.mins, idx.steps,
+          idx.idCol, idx.vecCol)
+          .write.mode("overwrite").parquet(dest)
+    }
+    stream.writeStream.outputMode("append").foreachBatch(exportBatch)
+  }
+
+  /** [[searchWriter]] against a frozen persisted SQ8 index. `refine`
+    * defaults to 4 (not 0): SQ8 scoring is candidate SELECTION by
+    * contract — the exact rerank is what makes the output exact
+    * cosine, so a pure-ADC mode does not exist on this path. */
+  def sq8SearchWriter(
+      stream: DataFrame, idx: Ann.PersistedSq8Index, corpus: DataFrame,
+      k: Int, nprobe: Int, refine: Int = 4,
+      excludeSelf: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      sink(Ann.searchSq8Index(idx, corpus, batch, k, nprobe, refine,
+        excludeSelf), batchId)
+    }
+    stream.writeStream.outputMode("append").foreachBatch(exportBatch)
+  }
 }

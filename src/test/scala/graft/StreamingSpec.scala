@@ -537,6 +537,95 @@ class StreamingSpec extends SparkSpec {
     assert(dump(dir) === grown)
   }
 
+  test("streaming SQ8: search ≡ batch per micro-batch; ingest grows replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, IndexMaintenance}
+    import graft.streaming.StreamAnn
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = e.filter(col("vec_id") % 3 =!= 0L)
+    val grow = e.filter(col("vec_id") % 3 === 0L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    // frozen models trained on the FULL corpus so grown ≡ saved-whole
+    val (mins, steps) = Ann.trainSq8(e, "embedding")
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    def save(corpus: org.apache.spark.sql.DataFrame, name: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(name).toString + "/idx"
+      Ann.saveSq8Index(dir, corpus, cents, mins, steps,
+        "vec_id", "embedding")
+      dir
+    }
+    val dir = save(seed, "graft_ssq8_grow")
+    val whole = save(e, "graft_ssq8_whole")
+    val idx = Ann.loadSq8Index(spark, dir) // the stream's frozen models
+
+    // SEARCH face: per-micro-batch results ≡ the batch search
+    val qvecs = e.filter(col("vec_id") < 5)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val outputs =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int, Double)]]
+    val sIn = MemoryStream[(Long, Seq[Float])]
+    val sStream = sIn.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val sq = StreamAnn.sq8SearchWriter(sStream, idx, e,
+        k = 3, nprobe = 3, refine = 2) { (res, batchId) =>
+        outputs(batchId) = res
+          .select("query_id", "neighbor_id", "rank", "cosine")
+          .as[(Long, Long, Int, Double)].collect().toSet
+      }.start()
+    try {
+      sIn.addData(qvecs.take(2)); sq.processAllAvailable()
+      sIn.addData(qvecs.drop(2)); sq.processAllAvailable()
+    } finally sq.stop()
+    def batchSearch(qs: Seq[(Long, Seq[Float])]) =
+      Ann.searchSq8Index(idx, e,
+        qs.toDF("vec_id", "embedding").select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+        k = 3, nprobe = 3, refine = 2, excludeSelf = false)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    assert(outputs(0L) === batchSearch(qvecs.take(2)))
+    assert(outputs(1L) === batchSearch(qvecs.drop(2)))
+
+    // INGEST face: stream the held-out third in, two micro-batches
+    val gIn = MemoryStream[(Long, Seq[Float])]
+    val gStream = gIn.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val gq = StreamAnn.sq8IngestWriter(gStream, idx, dir).start()
+    try {
+      gIn.addData(grow.take(grow.size / 2)); gq.processAllAvailable()
+      gIn.addData(grow.drop(grow.size / 2)); gq.processAllAvailable()
+    } finally gq.stop()
+    val queries = e.filter(col("vec_id") < 5)
+    def dump(d: String) = Ann.searchSq8Index(
+      Ann.loadSq8Index(spark, d), e, queries, k = 5, nprobe = 3,
+      refine = 2)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val grown = dump(dir)
+    assert(grown === dump(whole),
+      "streamed-in corpus must search ≡ an index saved whole")
+    // replay of an already-committed delta: identical bytes, no dupes
+    Ann.buildSq8Index(grow.take(grow.size / 2)
+        .toDF("vec_id", "embedding").select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+      idx.centroids, idx.mins, idx.steps, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/index_delta/b0000000000")
+    assert(Ann.loadSq8Index(spark, dir).codes.count() === e.count(),
+      "replay must not double rows")
+    assert(dump(dir) === grown)
+    // compact folds deltas into the base
+    IndexMaintenance.compactSq8Index(spark, dir)
+    assert(!new java.io.File(s"$dir/index_delta").exists)
+    assert(dump(dir) === grown)
+    assert(spark.read.parquet(s"$dir/index").count() === e.count())
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
