@@ -903,32 +903,43 @@ object Ann {
     (mins, steps)
   }
 
-  /** Encode one vector column to SQ8 codes (array<int> in [0,255]):
-    * code_i = round((x_i − min_i)/step_i) clamped. A pure projection —
-    * the model rides as array literals, no join, no shuffle. */
-  def sq8EncodeCol(vec: Column, mins: Seq[Double], steps: Seq[Double])
-      : Column = {
-    val mn = typedLit(mins); val st = typedLit(steps)
-    transform(vec, (x, i) => {
-      val s = element_at(st, (i + 1).cast("int"))
-      when(s <= 0.0, lit(0)).otherwise(
-        least(greatest(round((x.cast("double") -
-          element_at(mn, (i + 1).cast("int"))) / s, 0), lit(0.0)),
-          lit(255.0))).cast("int")
-    })
-  }
+  private def requireSq8Kernels(df: DataFrame): Unit =
+    require(df.sparkSession.catalog.functionExists("sq8_encode"),
+      "SQ8 kernels need graft.plans.GraftExtensions installed " +
+        "(spark.sql.extensions=graft.plans.GraftExtensions)")
 
-  /** Dequantize SQ8 codes back to array<float>: min_i + code_i·step_i.
-    * Float elements so the native `dot_f`/`norm_f` kernels apply to
-    * the reconstruction directly. */
+  /** Encode one vector column to SQ8 codes (BINARY — raw uint8 bytes,
+    * the true 4x-vs-float32 representation in storage, shuffle and
+    * memory): code_i = round((x_i − min_i)/step_i) clamped to [0,255].
+    * A pure codegen'd projection (native `sq8_encode` kernel — the
+    * per-row encode hot path, where Spark's `transform` HOF is
+    * interpreted); the model rides as foldable literals, no join, no
+    * shuffle. */
+  def sq8EncodeCol(vec: Column, mins: Seq[Double], steps: Seq[Double])
+      : Column =
+    call_function("sq8_encode", vec, typedLit(mins), typedLit(steps))
+
+  /** Dequantize SQ8 codes back to array<float>: min_i + code_i·step_i
+    * (native kernel). The scoring paths never materialise this — they
+    * use the fused [[sq8DotCol]]/[[sq8NormCol]] — but tests and
+    * downstream consumers reconstruct through it. */
   def sq8DequantCol(codes: Column, mins: Seq[Double], steps: Seq[Double])
-      : Column = {
-    val mn = typedLit(mins); val st = typedLit(steps)
-    transform(codes, (c, i) =>
-      (element_at(mn, (i + 1).cast("int")) +
-        c.cast("double") * element_at(st, (i + 1).cast("int")))
-        .cast("float"))
-  }
+      : Column =
+    call_function("sq8_dequant", codes, typedLit(mins), typedLit(steps))
+
+  /** Σ qᵢ·reconstructionᵢ with the dequant FUSED into the loop —
+    * bit-identical to `dot(q, sq8DequantCol(codes))` (each dimension
+    * reconstructs to float first; Sq8ExprSpec pins the equality), one
+    * pass over the bytes, no intermediate array per pair. */
+  def sq8DotCol(q: Column, codes: Column,
+      mins: Seq[Double], steps: Seq[Double]): Column =
+    call_function("sq8_dot", q, codes, typedLit(mins), typedLit(steps))
+
+  /** ‖reconstruction‖₂ straight off the codes (fused like
+    * [[sq8DotCol]]). */
+  def sq8NormCol(codes: Column,
+      mins: Seq[Double], steps: Seq[Double]): Column =
+    call_function("sq8_norm", codes, typedLit(mins), typedLit(steps))
 
   /** Brute-force SQ8 top-k: approximate-score every (query, code) pair
     * on the dequantized reconstruction, keep the top k·refine
@@ -944,13 +955,13 @@ object Ann {
       idCol: String, vecCol: String, k: Int, refine: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && refine >= 1, "sq8TopK: k > 0, refine >= 1")
+    requireSq8Kernels(corpus)
     val (mins, steps) = trainSq8(corpus, vecCol)
     val deq = Parallelism.ensure(
       corpus.filter(col(vecCol).isNotNull)
         .select(col(idCol).as("neighbor_id"),
           sq8EncodeCol(col(vecCol), mins, steps).as("__codes")))
-      .withColumn("__dv", sq8DequantCol(col("__codes"), mins, steps))
-      .withColumn("__dn", norm(col("__dv")))
+      .withColumn("__dn", sq8NormCol(col("__codes"), mins, steps))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
     val cond =
@@ -959,7 +970,8 @@ object Ann {
       .orderBy(col("__approx").desc, col("neighbor_id"))
     val cand = deq.join(q, cond)
       .withColumn("__approx", cosinePrenormed(
-        dot(col("__qv"), col("__dv")), col("__qn"), col("__dn")))
+        sq8DotCol(col("__qv"), col("__codes"), mins, steps),
+        col("__qn"), col("__dn")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k * refine)
       .select(col("query_id"), col("neighbor_id"), col("__qv"),
@@ -979,14 +991,14 @@ object Ann {
       refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && nprobe > 0 && refine >= 1,
       "sq8IvfTopK: k > 0, nprobe > 0, refine >= 1")
+    requireSq8Kernels(corpus)
     val (mins, steps) = trainSq8(corpus, vecCol)
     val deq = assignBuckets(
         Parallelism.ensure(corpus.select(col(idCol), col(vecCol))),
         centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         sq8EncodeCol(col(vecCol), mins, steps).as("__codes"))
-      .withColumn("__dv", sq8DequantCol(col("__codes"), mins, steps))
-      .withColumn("__dn", norm(col("__dv")))
+      .withColumn("__dn", sq8NormCol(col("__codes"), mins, steps))
     val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__approx").desc, col("neighbor_id"))
@@ -994,7 +1006,8 @@ object Ann {
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
       .withColumn("__approx", cosinePrenormed(
-        dot(col("__qv"), col("__dv")), col("__qn"), col("__dn")))
+        sq8DotCol(col("__qv"), col("__codes"), mins, steps),
+        col("__qn"), col("__dn")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k * refine)
       .select(col("query_id"), col("neighbor_id"), col("__qv"),
@@ -1017,12 +1030,14 @@ object Ann {
     * broadcast-centroid assignment: no shuffle. */
   def buildSq8Index(corpus: DataFrame, centroids: DataFrame,
       mins: Seq[Double], steps: Seq[Double],
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String): DataFrame = {
+    requireSq8Kernels(corpus)
     assignBuckets(
         corpus.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)),
         centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"),
         sq8EncodeCol(col(vecCol), mins, steps).as("codes"))
+  }
 
   /** Persist an SQ8 index directory: the encoded corpus (`index`, the
     * only corpus-sized piece — keeps its partitioning), IVF centroids,
@@ -1084,10 +1099,11 @@ object Ann {
       excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && nprobe > 0 && refine >= 1,
       "searchSq8Index: k > 0, nprobe > 0, refine >= 1")
+    requireSq8Kernels(idx.codes)
     val deq = idx.codes
       .select(col(idx.idCol).as("neighbor_id"), col("centroid_id"),
-        sq8DequantCol(col("codes"), idx.mins, idx.steps).as("__dv"))
-      .withColumn("__dn", norm(col("__dv")))
+        col("codes"))
+      .withColumn("__dn", sq8NormCol(col("codes"), idx.mins, idx.steps))
     val probes = assignProbes(queries, idx.centroids, idx.idCol,
       idx.vecCol, nprobe)
     val w = Window.partitionBy(col("query_id"))
@@ -1096,7 +1112,8 @@ object Ann {
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
       .withColumn("__approx", cosinePrenormed(
-        dot(col("__qv"), col("__dv")), col("__qn"), col("__dn")))
+        sq8DotCol(col("__qv"), col("codes"), idx.mins, idx.steps),
+        col("__qn"), col("__dn")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k * refine)
       .select(col("query_id"), col("neighbor_id"), col("__qv"),

@@ -98,6 +98,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("norm_f",
       es => NormF(es.head),
       "norm_f(a) - L2 norm of an array<float> in double"))
+    ext.injectFunction(fn("sq8_encode",
+      es => Sq8Encode(es.head, es(1), es(2)),
+      "sq8_encode(vec, mins, steps) - per-dimension affine uint8 codes as binary"))
+    ext.injectFunction(fn("sq8_dequant",
+      es => Sq8Dequant(es.head, es(1), es(2)),
+      "sq8_dequant(codes, mins, steps) - float reconstruction of SQ8 codes"))
+    ext.injectFunction(fn("sq8_dot",
+      es => Sq8Dot(es.head, es(1), es(2), es(3)),
+      "sq8_dot(q, codes, mins, steps) - dot against the SQ8 reconstruction, dequant fused"))
+    ext.injectFunction(fn("sq8_norm",
+      es => Sq8Norm(es.head, es(1), es(2)),
+      "sq8_norm(codes, mins, steps) - L2 norm of the SQ8 reconstruction"))
     ext.injectFunction(fn("simhash64",
       es => SimHash64(es.head),
       "simhash64(shingles) - 64-bit SimHash of a string array"))

@@ -557,7 +557,7 @@ class AnnSpec extends SparkSpec {
     assert(q188b == q188a, "build-once reuse must be deterministic")
   }
 
-  test("SQ8 encode/dequant: codes in [0,255], per-dim error <= step/2") {
+  test("SQ8 encode/dequant: one byte per dim, per-dim error <= step/2") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
       .select(col("vec_id"), col("embedding"))
     val (mins, steps) = Ann.trainSq8(e, "embedding")
@@ -567,9 +567,12 @@ class AnnSpec extends SparkSpec {
       Ann.sq8DequantCol(
         Ann.sq8EncodeCol(col("embedding"), mins, steps),
         mins, steps).as("deq"))
-      .as[(Array[Float], Array[Int], Array[Float])].collect()
+      .as[(Array[Float], Array[Byte], Array[Float])].collect()
     rows.foreach { case (v, c, d) =>
-      assert(c.forall(x => x >= 0 && x <= 255))
+      // BINARY codes: exactly one byte per dimension — the true 4x
+      // representation (the first formulation held 8-bit codes in
+      // array<int>)
+      assert(c.length === v.length)
       v.indices.foreach { i =>
         // float reconstruction adds <= 1 ulp on top of the step/2
         // quantization bound
@@ -577,6 +580,33 @@ class AnnSpec extends SparkSpec {
         assert(math.abs(v(i) - d(i)) <= bound,
           s"dim $i: |${v(i)} - ${d(i)}| > $bound (step ${steps(i)})")
       }
+    }
+  }
+
+  test("SQ8 fused kernels: sq8_dot/sq8_norm ≡ dot/norm over the dequant, exactly") {
+    // the fused score path reconstructs each dimension to FLOAT first,
+    // so fusing the dequant away can never change a score — pinned as
+    // EXACT equality, not a tolerance
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (mins, steps) = Ann.trainSq8(e, "embedding")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val paired = e.crossJoin(broadcast(q))
+      .select(
+        Ann.sq8EncodeCol(col("embedding"), mins, steps).as("codes"),
+        col("qv"))
+    val rows = paired.select(
+      Ann.sq8DotCol(col("qv"), col("codes"), mins, steps).as("fd"),
+      graft.functions.VectorFunctions.dot(col("qv"),
+        Ann.sq8DequantCol(col("codes"), mins, steps)).as("ud"),
+      Ann.sq8NormCol(col("codes"), mins, steps).as("fn"),
+      graft.functions.VectorFunctions.norm(
+        Ann.sq8DequantCol(col("codes"), mins, steps)).as("un"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (fd, ud, fn, un) =>
+      assert(fd === ud, s"fused dot $fd != unfused $ud")
+      assert(fn === un, s"fused norm $fn != unfused $un")
     }
   }
 
