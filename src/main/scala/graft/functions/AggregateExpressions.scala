@@ -274,3 +274,182 @@ case class TopKPairs(
       f: Expression, s: Expression, t: Expression): TopKPairs =
     copy(first = f, second = s, third = t)
 }
+
+/** [[TopKAny]]'s mutable buffer: up to k (ord, payload) pairs plus a
+  * cached index of the current WORST pair, so the common update case —
+  * a candidate that loses to the incumbent k-th — is one comparison
+  * instead of an O(k) scan. `worst` is -1 while the buffer is not yet
+  * full (inserts just append) or after deserialization (recomputed on
+  * first need). */
+final class TopKAnyBuffer(
+    val items: scala.collection.mutable.ArrayBuffer[(Double, Any)],
+    var worst: Int)
+
+/** `topk_any(ord, payload, k)` — [[TopKPairs]] generalised to a DOUBLE
+  * ordinal and an arbitrary ORDERABLE payload: per-group top-k by
+  * (ord DESC, payload ASC tie-break) as a bounded aggregate. Built for
+  * the ANN candidate selects (score double, neighbor id of whatever
+  * type the caller indexed — long, string, …): the `row_number()`
+  * window form shuffles and SORTS every scored (query, candidate)
+  * pair to its query's partition before the `<= k` cut — at corpus
+  * scale the probed-bucket scorings dominate that exchange — while
+  * this buffer holds k pairs per group per task and map-side combines
+  * like `max` (the r17 verdict's #2; same argument as [[TopKPairs]]).
+  *
+  * Ordering matches Spark's sort exactly where row-identity with the
+  * window form needs it (AnnSpec pins both forms equal per rung):
+  * NaN sorts GREATEST — first under DESC — and -0.0 == 0.0, both via
+  * the `x == y` short-circuit + `java.lang.Double.compare`; payload
+  * ties break by the type's interpreted sort ordering, ascending.
+  * Rows with a null ord or payload are SKIPPED (the window form ranks
+  * null-ord rows last under DESC, so they differ only when a group
+  * has fewer than k non-null candidates — ANN scores of non-null
+  * vectors are never null). Returns array<struct<ord, payload>>
+  * best-first (rank = array position + 1); null for empty groups.
+  */
+case class TopKAny(
+    first: Expression, second: Expression, third: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[TopKAnyBuffer]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType,
+    StructField, StructType}
+  import scala.collection.mutable.ArrayBuffer
+
+  override def prettyName: String = "topk_any"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", DoubleType, nullable = false),
+    StructField("payload", second.dataType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, <orderable>, int)")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(second.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: payload type ${second.dataType.sql} is not orderable")
+    else if (!third.foldable || third.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a literal int")
+    else {
+      val kv = third.eval().asInstanceOf[java.lang.Integer]
+      if (kv == null || kv < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: k >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  private lazy val k: Int = third.eval().asInstanceOf[Int]
+
+  @transient private lazy val payloadOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(second.dataType).asInstanceOf[Ordering[Any]]
+
+  /** Spark's double sort order: ±0.0 equal, NaN greatest (== handles
+    * the zeros; Double.compare handles NaN and everything else). */
+  private def cmpOrd(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** a strictly better than b under (ord DESC, payload ASC). */
+  private def better(a: (Double, Any), b: (Double, Any)): Boolean = {
+    val c = cmpOrd(a._1, b._1)
+    c > 0 || (c == 0 && payloadOrdering.compare(a._2, b._2) < 0)
+  }
+
+  override def createAggregationBuffer(): TopKAnyBuffer =
+    new TopKAnyBuffer(ArrayBuffer.empty, -1)
+
+  private def worstIndex(items: ArrayBuffer[(Double, Any)]): Int = {
+    var wi = 0
+    var i = 1
+    while (i < items.size) {
+      if (better(items(wi), items(i))) wi = i
+      i += 1
+    }
+    wi
+  }
+
+  private def insert(buf: TopKAnyBuffer, x: (Double, Any)): Unit = {
+    val items = buf.items
+    if (items.size < k) {
+      items += x
+      if (items.size == k) buf.worst = worstIndex(items)
+    } else {
+      if (buf.worst < 0) buf.worst = worstIndex(items)
+      if (better(x, items(buf.worst))) {
+        items(buf.worst) = x
+        buf.worst = worstIndex(items)
+      }
+    }
+  }
+
+  override def update(buf: TopKAnyBuffer, input: InternalRow): TopKAnyBuffer = {
+    val o = first.eval(input)
+    val p = second.eval(input)
+    if (o != null && p != null)
+      insert(buf, (o.asInstanceOf[Double], InternalRow.copyValue(p)))
+    buf
+  }
+
+  override def merge(a: TopKAnyBuffer, b: TopKAnyBuffer): TopKAnyBuffer = {
+    b.items.foreach(insert(a, _))
+    a
+  }
+
+  override def eval(buf: TopKAnyBuffer): Any =
+    if (buf.items.isEmpty) null
+    else new GenericArrayData(buf.items.sortWith(better).map {
+      case (o, p) => InternalRow(o, p)
+    }.toArray[Any])
+
+  @transient private lazy val pairProjection: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](DoubleType, second.dataType))
+
+  override def serialize(buf: TopKAnyBuffer): Array[Byte] = {
+    val rows = buf.items.map { case (o, p) =>
+      pairProjection(InternalRow(o, p)).copy()
+    }
+    val total = 4 + rows.map(4 + _.getSizeInBytes).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(rows.size)
+    rows.foreach { r =>
+      bb.putInt(r.getSizeInBytes)
+      bb.put(r.getBytes)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKAnyBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val items = ArrayBuffer.empty[(Double, Any)]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val rowBytes = new Array[Byte](len)
+      bb.get(rowBytes)
+      val row = new UnsafeRow(2)
+      row.pointTo(rowBytes, len)
+      items += ((row.getDouble(0),
+        InternalRow.copyValue(row.get(1, second.dataType))))
+      i += 1
+    }
+    new TopKAnyBuffer(items, -1)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): TopKAny =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKAny =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TopKAny =
+    copy(first = f, second = s, third = t)
+}

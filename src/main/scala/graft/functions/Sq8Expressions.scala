@@ -18,7 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * `dot_f(q, sq8_dequant(codes))` / `norm_f(sq8_dequant(codes))` — so
   * fusing the dequant away can never change a score (AnnSpec pins the
   * equality). Rounding is `Math.round` on a non-negative operand,
-  * identical to the HALF_UP the Column `round()` formulation used. */
+  * identical to the HALF_UP the Column `round()` formulation used.
+  *
+  * Null-ELEMENT contract (r17 ADVICE): a null element inside an input
+  * array reads as 0.0f through `ArrayData.getFloat` and encodes as a
+  * real code near round((0 − min_i)/step_i) — it does not fail and
+  * does not propagate null. This matches the VectorExpressions
+  * kernels' long-standing convention (dot_f/norm_f/vec_sub_f read
+  * primitively for codegen speed); vectors with null DIMENSIONS are
+  * malformed inputs that callers filter upstream — the Ann paths
+  * filter null VECTORS explicitly, and the embeddings data model has
+  * containsNull only as parquet schema conservatism, never actual
+  * nulls. Kept over a checkInputDataTypes rejection because real
+  * parquet array columns routinely carry containsNull = true schemas
+  * for null-free data, and rejecting the TYPE would break them. */
 final class Sq8Model(val mins: Array[Double], val steps: Array[Double])
     extends Serializable {
   require(mins.length == steps.length && mins.nonEmpty,

@@ -11,8 +11,10 @@ import graft.functions.VectorFunctions._
   *
   * - `bruteForceTopK`: the exactness baseline. The query set is small →
   *   broadcast it over the (huge) corpus: a broadcast nested-loop join
-  *   with NO shuffle of the corpus; per-partition scoring then a top-k
-  *   window on the query id. Corpus row norms are computed once in a
+  *   with NO shuffle of the corpus; per-partition scoring then a
+  *   BOUNDED per-query top-k aggregate (`topk_any` — k rows per query
+  *   per task map-side, never a full row_number window sort of the
+  *   scored pairs). Corpus row norms are computed once in a
   *   projection before the join, not per pair.
   * - `ivfTopK`: IVF-style pruning. A fixed set of centroid rows
   *   partitions the corpus into buckets (one pass, broadcast centroids,
@@ -43,15 +45,10 @@ object Ann {
     val joinCond =
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
     val scored = c.join(q, joinCond)
-      .withColumn("__cos",
-        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("__cos"), 4).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"),
+          col("__cn")).as("__cos"))
+    finishTopK(scored, "__cos", k)
   }
 
   /** Assign every corpus row to its nearest centroid (argmax cosine,
@@ -246,15 +243,10 @@ object Ann {
     val scored = bucketed
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("__cos",
-        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("__cos"), 4).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"),
+          col("__cn")).as("__cos"))
+    finishTopK(scored, "__cos", k)
   }
 
   // ------------------------------------------------------------------
@@ -446,38 +438,17 @@ object Ann {
     val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
       .withColumn("__lut",
         call_function("pq_lut", col("__qv"), typedlit(codebooks)))
-    // score, then PRUNE before the top-k window: the LUT (m·ksub
-    // doubles — 32 KB at 16×256) and query vector exist only to
-    // compute __adc; letting them ride into the window would multiply
-    // the rank shuffle's payload ~1000× (32 KB vs ~30 B per candidate
-    // row — ~20 GB for 625k candidates), exactly the column-pruning
-    // miss the plan audit exists to catch
-    val scored = index
-      .join(broadcast(probes), Seq("centroid_id"))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
-              else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorFunctions.cosinePrenormed(
-          call_function("pq_adc", col("codes"), col("__lut")),
-          col("__qn"), col("vec_norm")).as("__adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("neighbor_id"))
-    if (refine <= 0) {
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("__adc"), 4).as("cosine"))
-    } else {
-      // candidate ids only through the window; the query vector
-      // re-attaches from the (broadcast-sized) probe table afterwards
-      val candidates = scored
-        .withColumn("__arank", row_number().over(w))
-        .filter(col("__arank") <= k.toLong * refine)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(broadcast(probes.select(col("query_id"), col("__qv"),
-          col("__qn")).distinct()), Seq("query_id"))
-      exactRerank(corpus, candidates, idCol, vecCol, k, rerankRotation)
-    }
+    // probeSearch scores then PRUNES to (ids, score) before the
+    // bounded top-k select: the LUT (m·ksub doubles — 32 KB at
+    // 16×256) and query vector exist only to compute the ADC score;
+    // letting them ride into the selection would multiply its
+    // payload ~1000× (32 KB vs ~30 B per candidate row), exactly the
+    // column-pruning miss the plan audit exists to catch
+    probeSearch(index, corpus, probes,
+      graft.functions.VectorFunctions.cosinePrenormed(
+        call_function("pq_adc", col("codes"), col("__lut")),
+        col("__qn"), col("vec_norm")),
+      idCol, vecCol, k, refine, excludeSelf, rerankRotation)
   }
 
   /** Exact-cosine rerank of the ADC top candidates, shared by the
@@ -508,14 +479,10 @@ object Ann {
     }
     val exact = rotated
       .withColumn("__cn", norm(col("__cv")))
-      .withColumn("__cos", cosinePrenormed(
-        dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-    val wx = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(wx))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("__cos"), 4).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"),
+          col("__cn")).as("__cos"))
+    finishTopK(exact, "__cos", k)
   }
 
   /** Encode the corpus into the RESIDUAL IVF-PQ index: same schema
@@ -591,30 +558,11 @@ object Ann {
       .withColumn("__lut",
         call_function("pq_lut", col("__qv"), typedlit(codebooks)))
       .drop("__cent")
-    val scored = index
-      .join(broadcast(probes), Seq("centroid_id"))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
-              else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
-        cosinePrenormed(
-          col("__qc") + call_function("pq_adc", col("codes"), col("__lut")),
-          col("__qn"), col("vec_norm")).as("__adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("neighbor_id"))
-    if (refine <= 0) {
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("__adc"), 4).as("cosine"))
-    } else {
-      val candidates = scored
-        .withColumn("__arank", row_number().over(w))
-        .filter(col("__arank") <= k.toLong * refine)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(broadcast(probes.select(col("query_id"), col("__qv"),
-          col("__qn")).distinct()), Seq("query_id"))
-      exactRerank(corpus, candidates, idCol, vecCol, k, rerankRotation)
-    }
+    probeSearch(index, corpus, probes,
+      cosinePrenormed(
+        col("__qc") + call_function("pq_adc", col("codes"), col("__lut")),
+        col("__qn"), col("vec_norm")),
+      idCol, vecCol, k, refine, excludeSelf, rerankRotation)
   }
 
   /** Residual IVF-PQ end to end: encode + search (the q165 shape). */
@@ -744,8 +692,9 @@ object Ann {
     * where a raw append would duplicate every row (duplicates survive
     * the delta-free load path and inflate rerank/window results). The
     * key is order-independent over the batch's CONTENT (three xors
-    * of independently salted per-row hashes over id AND vector, +
-    * count — one tiny aggregate action), so a retry that reshuffles
+    * of independently salted per-row hashes over id AND vector, + a
+    * multiplicity-sensitive decimal hash sum + count — one tiny
+    * aggregate action), so a retry that reshuffles
     * rows still lands on the
     * same folder, while a later batch reusing ids with DIFFERENT
     * vectors keys to a new folder instead of being silently skipped
@@ -782,14 +731,19 @@ object Ann {
   /** Order-independent append idempotency key over a batch's (id,
     * vec) CONTENT + count, shared by [[appendOpqIndex]] and
     * [[appendSq8Index]]. Three xors of INDEPENDENTLY SALTED per-row
-    * hashes — never overflow (ANSI-safe where a 64-bit sum of uniform
-    * hashes is not), and a collision needs a simultaneous coincidence
-    * across all 192 bits plus the count (the r16 key was a single
-    * linear sum two distinct batches could collide on, silently
-    * skipping the second as a 'retry' — r16 ADVICE). Each xor is
-    * GF(2)-linear in row membership — this defends against accidental
-    * collision, the failure mode here, not crafted batches. ONE tiny
-    * aggregate action; None for an empty batch. */
+    * hashes PLUS a multiplicity-sensitive DECIMAL(38,0) sum of the
+    * same hashes. The xors alone are GF(2)-linear in row membership,
+    * so they are multiplicity-blind mod 2: duplicate rows cancel in
+    * all three salted xors simultaneously, and two distinct
+    * same-count batches differing only by even-multiplicity rows
+    * collide ({A,A,B} vs {C,C,B} both xor to hB-derived values — the
+    * r17 ADVICE). The decimal sum restores multiplicity sensitivity
+    * (each copy adds its hash again) and cannot overflow where a
+    * 64-bit sum can: 38 digits absorb ~1e19 rows of extreme hashes.
+    * A collision now needs a simultaneous coincidence across the
+    * 192 xor bits AND the exact hash sum AND the count — accidental-
+    * collision defence, not crafted-batch defence. ONE tiny aggregate
+    * action; None for an empty batch. */
   private[graft] def batchContentKey(batch: DataFrame, idCol: String,
       vecCol: String): Option[String] = {
     val h = xxhash64(col(idCol), col(vecCol))
@@ -797,12 +751,15 @@ object Ann {
       coalesce(bit_xor(h), lit(0L)).as("x0"),
       coalesce(bit_xor(xxhash64(h, lit(1L))), lit(0L)).as("x1"),
       coalesce(bit_xor(xxhash64(h, lit(2L))), lit(0L)).as("x2"),
+      coalesce(sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
       count(lit(1)).as("n")).head
-    if (keyRow.getLong(3) == 0L) None
+    if (keyRow.getLong(4) == 0L) None
     else Some(java.lang.Long.toHexString(keyRow.getLong(0)) +
       "_" + java.lang.Long.toHexString(keyRow.getLong(1)) +
       "_" + java.lang.Long.toHexString(keyRow.getLong(2)) +
-      "_" + keyRow.getLong(3))
+      "_" + keyRow.getDecimal(3).toBigInteger.toString(16) +
+      "_" + keyRow.getLong(4))
   }
 
   /** Encode a RAW batch into the (id, centroid_id, codes, vec_norm)
@@ -867,7 +824,6 @@ object Ann {
         refine, excludeSelf, rerankRotation = idx.rotation)
   }
 
-  /** Top-`nprobe` centroids per query (broadcast-size output). */
   // ------------------------------------------------------------------
   // SQ8: scalar-quantized search (the FAISS ScalarQuantizer QT_8bit
   // recipe — cf. faiss/impl/ScalarQuantizer.h: per-dimension affine
@@ -966,17 +922,14 @@ object Ann {
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
     val cond =
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__approx").desc, col("neighbor_id"))
-    val cand = deq.join(q, cond)
-      .withColumn("__approx", cosinePrenormed(
-        sq8DotCol(col("__qv"), col("__codes"), mins, steps),
-        col("__qn"), col("__dn")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= k * refine)
-      .select(col("query_id"), col("neighbor_id"), col("__qv"),
-        col("__qn"))
-    exactRerank(corpus, cand, idCol, vecCol, k, None)
+    val scored = deq.join(q, cond)
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(
+          sq8DotCol(col("__qv"), col("__codes"), mins, steps),
+          col("__qn"), col("__dn")).as("__approx"))
+    selectAndRerank(scored,
+      q.select(col("query_id"), col("__qv"), col("__qn")),
+      corpus, idCol, vecCol, k, refine, None)
   }
 
   /** IVF-bucketed SQ8 top-k: probe the `nprobe` nearest buckets per
@@ -1000,19 +953,11 @@ object Ann {
         sq8EncodeCol(col(vecCol), mins, steps).as("__codes"))
       .withColumn("__dn", sq8NormCol(col("__codes"), mins, steps))
     val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__approx").desc, col("neighbor_id"))
-    val cand = deq.join(broadcast(probes), Seq("centroid_id"))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
-        else lit(true))
-      .withColumn("__approx", cosinePrenormed(
+    probeSearch(deq, corpus, probes,
+      cosinePrenormed(
         sq8DotCol(col("__qv"), col("__codes"), mins, steps),
-        col("__qn"), col("__dn")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= k * refine)
-      .select(col("query_id"), col("neighbor_id"), col("__qv"),
-        col("__qn"))
-    exactRerank(corpus, cand, idCol, vecCol, k, None)
+        col("__qn"), col("__dn")),
+      idCol, vecCol, k, refine, excludeSelf, None)
   }
 
   /** A [[saveSq8Index]] directory restored: `codes` is a LAZY parquet
@@ -1106,19 +1051,11 @@ object Ann {
       .withColumn("__dn", sq8NormCol(col("codes"), idx.mins, idx.steps))
     val probes = assignProbes(queries, idx.centroids, idx.idCol,
       idx.vecCol, nprobe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__approx").desc, col("neighbor_id"))
-    val cand = deq.join(broadcast(probes), Seq("centroid_id"))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
-        else lit(true))
-      .withColumn("__approx", cosinePrenormed(
+    probeSearch(deq, corpus, probes,
+      cosinePrenormed(
         sq8DotCol(col("__qv"), col("codes"), idx.mins, idx.steps),
-        col("__qn"), col("__dn")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= k * refine)
-      .select(col("query_id"), col("neighbor_id"), col("__qv"),
-        col("__qn"))
-    exactRerank(corpus, cand, idx.idCol, idx.vecCol, k, None)
+        col("__qn"), col("__dn")),
+      idx.idCol, idx.vecCol, k, refine, excludeSelf, None)
   }
 
   /** Grow a persisted SQ8 directory by one RAW batch under its frozen
@@ -1144,22 +1081,148 @@ object Ann {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Shared bounded candidate selection (r17 verdict #2/#6): every rung
+  // used to cut its top k(·refine) per query with a row_number()
+  // window, which shuffles and SORTS every scored (query, candidate)
+  // pair to its query's partition before the cut — at 100× the
+  // probed-bucket scorings dominate that exchange. The `topk_any`
+  // bounded aggregate (functions/AggregateExpressions.scala) holds k
+  // pairs per query per task and map-side combines like `max`, so the
+  // exchange carries k·refine rows per query per partition instead of
+  // every scored pair. One selection helper, every rung; AnnSpec pins
+  // the aggregate form row-identical to the window form (ties: score
+  // desc, neighbor_id asc — topk_any matches Spark's sort ordering
+  // incl. NaN-greatest and ±0.0 equality).
+  // ------------------------------------------------------------------
+
+  private def hasTopKAny(df: DataFrame): Boolean =
+    !forceWindow.get() && df.sparkSession.catalog.functionExists("topk_any")
+
+  /** Test hook: plans constructed inside `body` (on this thread) take
+    * the window fallback even with the extensions installed, so
+    * AnnSpec can pin the aggregate path row-identical END TO END per
+    * rung, not just at the selection helper. */
+  private[graft] def withWindowSelect[T](body: => T): T = {
+    forceWindow.set(true)
+    try body finally forceWindow.set(false)
+  }
+  private val forceWindow = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Per-query top-k of a scored candidate table by (`scoreCol` desc,
+    * neighbor_id asc): (query_id, neighbor_id, rank, __score). Uses
+    * the bounded `topk_any` aggregate when the graft extensions are
+    * installed; falls back to the window form otherwise (a session
+    * without GraftExtensions keeps the float-only rungs usable). */
+  private[graft] def topKSelect(
+      scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    if (hasTopKAny(scored)) topKSelectAgg(scored, scoreCol, k)
+    else topKSelectWindow(scored, scoreCol, k)
+
+  private[graft] def topKSelectAgg(
+      scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_any",
+        col(scoreCol).cast("double"), col("neighbor_id"), lit(k))
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.payload").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.ord").as("__score"))
+
+  /** The reference window form — kept as the no-extensions fallback
+    * and the row-identity oracle AnnSpec pins the aggregate against. */
+  private[graft] def topKSelectWindow(
+      scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col(scoreCol).cast("double").as("__score"))
+  }
+
+  /** Final-output shape shared by the exact rungs and the refine=0 PQ
+    * paths: top-k, rank 1-based, score rounded into `cosine`. */
+  private def finishTopK(
+      scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    topKSelect(scored, scoreCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__score"), 4).as("cosine"))
+
+  /** Bounded candidate cut + exact rerank shared by every approximate
+    * rung: top k·refine per query by the approximate score, re-attach
+    * the query vectors from the (broadcast-sized) query table — only
+    * ids travel through the selection exchange — then exact-rerank. */
+  private def selectAndRerank(
+      scored: DataFrame, queryVecs: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int,
+      rerankRotation: Option[Pca.Model]): DataFrame = {
+    val cand = topKSelect(scored, "__approx", k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
+    exactRerank(corpus, cand, idCol, vecCol, k, rerankRotation)
+  }
+
+  /** The probe→score→select→rerank spine every IVF-bucketed rung
+    * shares (PQ, residual PQ, OPQ-rotated, SQ8 — r17 verdict #6:
+    * sq8IvfTopK / searchSq8Index / searchOpqIndex repeated this shape
+    * verbatim, differing only in how `score` is computed): join the
+    * encoded index to its probed buckets, score each candidate with
+    * the rung's `score` column, then either emit the top-k directly
+    * (refine <= 0 — the score IS the reported cosine) or bounded-cut
+    * k·refine candidates and exact-rerank them. */
+  private def probeSearch(
+      index: DataFrame, corpus: DataFrame, probes: DataFrame,
+      score: Column, idCol: String, vecCol: String, k: Int, refine: Int,
+      excludeSelf: Boolean, rerankRotation: Option[Pca.Model]): DataFrame = {
+    val scored = index
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"), score.as("__approx"))
+    if (refine <= 0) finishTopK(scored, "__approx", k)
+    else selectAndRerank(scored,
+      probes.select(col("query_id"), col("__qv"), col("__qn")).distinct(),
+      corpus, idCol, vecCol, k, refine, rerankRotation)
+  }
+
+  /** Top-`nprobe` centroids per query (broadcast-size output). The
+    * query row's vector and norm ride through the same aggregate
+    * (first() within the query_id group — constant per group), so the
+    * probe table needs no second join. */
   private def assignProbes(
       queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val c = centroids.select(
       col(idCol).as("centroid_id"), col(vecCol).as("__ev"),
       norm(col(vecCol)).as("__en"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__pcos").desc, col("centroid_id"))
-    queries
+    val scored = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))
       .join(broadcast(c))
       .withColumn("__pcos",
         cosinePrenormed(dot(col("__qv"), col("__ev")), col("__qn"), col("__en")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("centroid_id"), col("query_id"), col("__qv"), col("__qn"))
+    if (hasTopKAny(queries))
+      scored.groupBy(col("query_id"))
+        .agg(call_function("topk_any",
+          col("__pcos"), col("centroid_id"), lit(nprobe)).as("__top"),
+          first(col("__qv")).as("__qv"), first(col("__qn")).as("__qn"))
+        .select(explode(col("__top")).as("__e"),
+          col("query_id"), col("__qv"), col("__qn"))
+        .select(col("__e.payload").as("centroid_id"), col("query_id"),
+          col("__qv"), col("__qn"))
+    else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__pcos").desc, col("centroid_id"))
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("centroid_id"), col("query_id"), col("__qv"), col("__qn"))
+    }
   }
 }

@@ -156,6 +156,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("topk_pairs",
       es => TopKPairs(es.head, es(1), es(2)),
       "topk_pairs(ord, payload, k) - per-group top-k (ord desc, payload asc) as a bounded aggregate"))
+    ext.injectFunction(fn("topk_any",
+      es => TopKAny(es.head, es(1), es(2)),
+      "topk_any(ord, payload, k) - per-group top-k (double ord desc, orderable payload asc) as a bounded aggregate"))
     ext.injectFunction(fn("bucket_search",
       es => BucketSearch(es.head, es(1)),
       "bucket_search(value, bounds) - upper-bound binary search bucket index over a sorted literal array<double>"))

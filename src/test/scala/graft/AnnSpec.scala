@@ -716,4 +716,160 @@ class AnnSpec extends SparkSpec {
         liveCorpus, q, k = 5, nprobe = 3, refine = 4)),
       "grown+compacted dir must search ≡ a whole-corpus save")
   }
+
+  test("topk_any select ≡ the row_number window form: ties, NaN, ±0.0, short groups, string ids") {
+    // the r17 verdict's #2: every rung's candidate cut moved from a
+    // row_number window to the bounded topk_any aggregate — this is
+    // the row-identity pin for the selection itself, on exactly the
+    // orderings where the two could diverge: score ties broken by
+    // neighbor_id, NaN (sorts GREATEST, first under desc), -0.0 vs
+    // 0.0 (equal under Spark's SQLOrderingUtil.compareDoubles — the
+    // tie-break must kick in), and a group smaller than k.
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.8), (1L, 13L, 0.8),
+      (1L, 14L, 0.7),
+      (2L, 20L, 0.5), (2L, 21L, 0.4), // short group (k = 3)
+      (3L, 30L, Double.NaN), (3L, 31L, 2.0), (3L, 32L, 1.0),
+      (3L, 33L, 0.5),
+      (4L, 40L, 0.0), (4L, 41L, -0.0), (4L, 42L, -0.1), (4L, 43L, 0.1)
+    ).toDF("query_id", "neighbor_id", "s")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "__score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val agg = dump(Ann.topKSelectAgg(scored, "s", 3))
+    val win = dump(Ann.topKSelectWindow(scored, "s", 3))
+    assert(agg === win, "aggregate select diverged from the window form")
+    // the crafted orderings actually exercised what they claim:
+    assert(agg.filter(_._1 == 1L).map(t => (t._3, t._2)) ===
+      Set((1, 10L), (2, 11L), (3, 12L)), "tie-break by neighbor_id")
+    assert(agg.filter(_._1 == 3L).find(_._3 == 1).map(_._2) ===
+      Some(30L), "NaN must rank first under desc (Spark sort order)")
+    assert(agg.filter(_._1 == 4L).map(t => (t._3, t._2)) ===
+      Set((1, 43L), (2, 40L), (3, 41L)),
+      "-0.0 must tie with 0.0 and fall to the neighbor_id tie-break")
+    assert(agg.filter(_._1 == 2L).size === 2, "short group keeps its rows")
+    // generic payload: string neighbor ids order like Spark's sort
+    val s2 = Seq((1L, "b", 1.0), (1L, "a", 1.0), (1L, "c", 0.5))
+      .toDF("query_id", "neighbor_id", "s")
+    def dumpS(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(dumpS(Ann.topKSelectAgg(s2, "s", 2)) ===
+      dumpS(Ann.topKSelectWindow(s2, "s", 2)))
+    assert(dumpS(Ann.topKSelectAgg(s2, "s", 2)) ===
+      Set((1L, "a", 1), (1L, "b", 2)))
+  }
+
+  test("every rung's bounded select ≡ its window form end to end (sf0.001)") {
+    // belt-and-braces over the per-rung plumbing: run brute force,
+    // IVF, IVF-PQ (refine 0 AND refined), residual PQ and SQ8 with
+    // the aggregate select (extensions installed — the default path),
+    // and pin each against the same rung re-run through the window
+    // fallback. Row-for-row, rank-for-rank.
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val q = e.filter(col("vec_id") < 5)
+    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 10, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val books = Ann.trainPq(e, "vec_id", "embedding", m = 8, ksub = 32,
+      iters = 3, maxTrain = 2048)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val rungs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("bruteforce", () =>
+        Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)),
+      ("ivf", () => Ann.ivfTopK(e, q, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 3)),
+      ("ivfpq_adc", () => Ann.ivfPqTopK(e, q, centroids, books,
+        "vec_id", "embedding", k = 5, nprobe = 3, refine = 0)),
+      ("ivfpq_refined", () => Ann.ivfPqTopK(e, q, centroids, books,
+        "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)),
+      ("sq8", () => Ann.sq8TopK(e, q, "vec_id", "embedding",
+        k = 5, refine = 4)),
+      ("sq8_ivf", () => Ann.sq8IvfTopK(e, q, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)))
+    for ((name, rung) <- rungs) {
+      val withAgg = dump(rung())
+      val withWindow = Ann.withWindowSelect { dump(rung()) }
+      assert(withAgg === withWindow,
+        s"rung $name: aggregate select diverged from the window form")
+    }
+  }
+
+  test("IVF-SQ8 on a CLUSTERED corpus: nprobe=3 recall >= 0.9, curve monotone in nprobe") {
+    // The r17 verdict's #3: the existing q190 pin runs on clusterless
+    // gaussians, where recall >= 0.3 only certifies "better than the
+    // 0.15 floor". This fixture PLANTS the structure IVF exists for —
+    // 8 well-separated direction clusters, tight within-cluster noise
+    // — so the trained index must actually find the planted neighbors:
+    // nprobe=3 recall >= 0.9, and recall must be monotone in nprobe up
+    // to full probe (candidate buckets are nested per query; the
+    // generous refine keeps the approximate cut from reordering them).
+    // The gaussian pin stays in the q190 test above as the adversarial
+    // floor; this is the "IVF works" bound.
+    val dim = 16
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    val rows = for {
+      c <- 0 until 8
+      i <- 0 until 40
+    } yield {
+      val base = Array.fill(dim)(0.0f)
+      base((2 * c) % dim) = 0.8f
+      base((2 * c + 1) % dim) = if (c < 4) 0.6f else -0.6f
+      val noisy = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (c * 1000L + i, noisy)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").repartition(8)
+      .localCheckpoint(false)
+    val queries = corpus.filter(col("vec_id") % 1000 === 0)
+    val centroids = Ann.trainCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 4).withColumnRenamed("centroid_id", "vec_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val bf = pairs(Ann.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5))
+    def recallAt(np: Int): Double =
+      (pairs(Ann.sq8IvfTopK(corpus, queries, centroids,
+        "vec_id", "embedding", k = 5, nprobe = np, refine = 4)) & bf)
+        .size.toDouble / bf.size
+    val curve = Seq(1, 2, 3, 8).map(np => np -> recallAt(np))
+    val at3 = curve.find(_._1 == 3).get._2
+    assert(at3 >= 0.9,
+      f"planted-cluster recall at nprobe=3 is $at3%.2f < 0.9 ($curve)")
+    for (Seq((np1, r1), (np2, r2)) <- curve.sliding(2)) {
+      assert(r2 >= r1,
+        s"recall not monotone in nprobe: $curve ($np1→$np2)")
+    }
+    assert(curve.last._2 === 1.0, "full probe + refine must be exact")
+  }
+
+  test("batchContentKey: multiplicity-sensitive, order-independent, content-keyed") {
+    import org.apache.spark.sql.DataFrame
+    def key(df: DataFrame) = Ann.batchContentKey(df, "vec_id", "embedding")
+    val aab = Seq((1L, Array(1f, 2f)), (1L, Array(1f, 2f)),
+      (2L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val ccb = Seq((3L, Array(5f, 6f)), (3L, Array(5f, 6f)),
+      (2L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    // the r17 ADVICE collision class: same count, even-multiplicity
+    // rows cancelling in every salted xor — the decimal hash sum must
+    // now separate them
+    assert(key(aab) !== key(ccb),
+      "{A,A,B} and {C,C,B} must not share an append key")
+    val aa = Seq((1L, Array(1f, 2f)), (1L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val cc = Seq((3L, Array(5f, 6f)), (3L, Array(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    assert(key(aa) !== key(cc),
+      "two fully-duplicated batches of equal size must not collide")
+    // a retry that reshuffles rows still lands on the same folder
+    val shuffled = aab.orderBy(col("vec_id").desc).repartition(7)
+    assert(key(aab) === key(shuffled), "key must be order-independent")
+    // different content under the same ids keys differently
+    val changed = Seq((1L, Array(9f, 9f)), (1L, Array(1f, 2f)),
+      (2L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    assert(key(aab) !== key(changed))
+    assert(key(aab.limit(0)) === None, "empty batch has no key")
+  }
 }
