@@ -282,9 +282,11 @@ object Bench {
     * exceeds 1.2x flags in the artifact. */
   private[graft] val QueryFamilies: Map[String, Seq[String]] = Map(
     "ann" -> Seq("q34_embed_neardup", "q35_ann_bruteforce",
-      "q41_embed_lsh", "q45_ann_ivf_pruned", "q61_ann_ivf_trained",
-      "q66_ann_ivfpq", "q165_ann_ivfpq_residual", "q167_pca_whiten",
-      "q176_ann_opq", "q177_ann_opq_saved", "q188_ann_search_saved"),
+      "q36_ann_ivf", "q41_embed_lsh", "q45_ann_ivf_pruned",
+      "q61_ann_ivf_trained", "q66_ann_ivfpq", "q165_ann_ivfpq_residual",
+      "q167_pca_whiten", "q176_ann_opq", "q177_ann_opq_saved",
+      "q188_ann_search_saved", "q189_ann_sq8", "q190_ann_sq8_ivf",
+      "q191_ann_sq8_saved", "q192_ann_sq8_search_saved"),
     "incremental_index" -> Seq("q63_dedup_incr_exact",
       "q64_dedup_incremental", "q65_embed_incremental",
       "q67_dedup_incr_bloom", "q70_simhash_incremental",
@@ -307,13 +309,23 @@ object Bench {
 
   /** Record-vs-record family drift: for each family, the geometric
     * mean over its queries present in BOTH records of (current /
-    * previous), divided by the normalizer — the CONTROLS' median
-    * record-to-record ratio, i.e. the window shift between the two
-    * records. Returns (normalizer, per-family (name, normalized gm,
+    * previous), each member normalized by its NEAREST STATION's drift
+    * (`driftOf` — the r17 verdict's #1: the run-global control median
+    * reads 1.0 while individual stations sit at 1.9-6.4x, so queries
+    * landing in a degraded STRETCH inflated their family's gm with no
+    * normalization at all; q133/q150 produced exactly that open flag).
+    * A query with no computable station drift (driftOf <= 0) falls
+    * back to the run-global normalizer — the CONTROLS' median
+    * record-to-record ratio, returned as the artifact's window_norm
+    * for context either way. A fast window (drift <= 1) never
+    * DEFLATES a member ([[driftNormalized]]'s floor), so a healthy
+    * run cannot hide real creep behind sub-1.0 drift readings.
+    * Returns (global normalizer, per-family (name, normalized gm,
     * n queries)). Pure — spec-pinned. */
   private[graft] def familyDrift(
       prev: Map[String, Double], cur: Map[String, Double],
-      families: Map[String, Seq[String]], controls: Seq[String])
+      families: Map[String, Seq[String]], controls: Seq[String],
+      driftOf: String => Double = _ => -1.0)
       : (Double, Seq[(String, Double, Int)]) = {
     def ratio(q: String): Option[Double] = for {
       p <- prev.get(q); c <- cur.get(q); if p > 0.05 && c > 0
@@ -321,12 +333,49 @@ object Bench {
     val ctrl = controls.flatMap(ratio).sorted
     val norm = if (ctrl.isEmpty) 1.0 else ctrl(ctrl.size / 2)
     val fams = families.toSeq.sortBy(_._1).flatMap { case (f, qs) =>
-      val rs = qs.flatMap(ratio)
+      val rs = qs.flatMap { q =>
+        ratio(q).map { r =>
+          val d = driftOf(q)
+          if (d > 0) driftNormalized(r, d) else r / math.max(norm, 0.05)
+        }
+      }
       if (rs.isEmpty) None
-      else Some((f, math.exp(rs.map(math.log).sum / rs.size) /
-        math.max(norm, 0.05), rs.size))
+      else Some((f, math.exp(rs.map(math.log).sum / rs.size), rs.size))
     }
     (norm, fams)
+  }
+
+  /** One flag's adjudicated verdict label (r17 ADVICE: the old order
+    * let window drift clear a flag whose same-JVM rerun CONFIRMED the
+    * regression, with no trace of the rerun in the label, and never
+    * consulted the drift at the RERUN's own point on the timeline).
+    *
+    * - the rerun landing back inside the gate wins: `-cleared`.
+    * - window drift may clear the ORIGINAL ratio only if the rerun's
+    *   own drift-normalized ratio also clears (the rerun usually runs
+    *   minutes later in the SAME degraded window — r16's q176): a
+    *   repeating rerun then labels `-rerun-repeated-window-drift-
+    *   cleared`, keeping the repeat visible in the verdict itself.
+    * - a repeating rerun whose own window was healthy enough that
+    *   drift cannot explain it: `-confirmed`, even when the original
+    *   ratio would have drift-cleared.
+    * - no rerun evidence (errored): drift may clear alone
+    *   (`-window-drift-cleared`), else the base verdict stands.
+    * Pure — spec-pinned. */
+  private[graft] def adjudicateFlag(
+      base: String, ratio: Double, bm: Double, rr: Double,
+      qd: Double, rerunDrift: Double): String = {
+    val rerunClears = rr >= 0 &&
+      (rr / math.max(bm, 0.05) <= 2.0 || rr - bm <= 0.5)
+    val origDriftClears = qd > 0 && driftNormalized(ratio, qd) <= 2.0
+    val rerunDriftClears = rr >= 0 && rerunDrift > 0 &&
+      driftNormalized(rr / math.max(bm, 0.05), rerunDrift) <= 2.0
+    if (rerunClears) s"$base-cleared"
+    else if (rr < 0) {
+      if (origDriftClears) s"$base-window-drift-cleared" else base
+    } else if (origDriftClears && rerunDriftClears)
+      s"$base-rerun-repeated-window-drift-cleared"
+    else s"$base-confirmed"
   }
 
   /** `rebase=<q1,q2>` merge: [[foldBaseline]] for everything, except
@@ -350,6 +399,76 @@ object Bench {
     (m2, a2)
   }
 
+  /** Pin the bench's parquet inputs on a tmpfs (r17 verdict #5: every
+    * driver BENCH since r15 ran through degraded-I/O stretches — the
+    * box's storage shares a reclaim daemon the harness can't control,
+    * so each round burned judge cycles adjudicating env flags that
+    * the same-JVM reruns then cleared. The data is small — sf0.1 is
+    * well under a GB — and the box carries a 126 GiB /dev/shm, so the
+    * timed section simply should not touch the contended device).
+    *
+    * Returns (effective data dir, optional (copied MB, seconds,
+    * dest)). The copy is content-synced per file (path + length), so
+    * repeat runs on a live box hit the cache and copy nothing. Falls
+    * back to the original dir — loudly — when the tmpfs is missing,
+    * unwritable, or would be filled past half its free space.
+    * Disable with SPARK_GRAFT_BENCH_RAMDISK=0 (the artifact records
+    * which mode ran; baselines folded from ramdisk runs are only
+    * comparable to ramdisk runs, so the default stays ON for every
+    * run on this box). */
+  private[graft] def setupRamdisk(sfDir: String)
+      : (String, Option[(Long, Double, String)]) = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    if (sys.env.get("SPARK_GRAFT_BENCH_RAMDISK").contains("0"))
+      return (sfDir, None)
+    val base = Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_RAMDISK_DIR", "/dev/shm"))
+    val src = Paths.get(sfDir)
+    try {
+      if (!Files.isDirectory(base) || !Files.isWritable(base) ||
+          !Files.isDirectory(src)) {
+        System.err.println(s"[bench] ramdisk unavailable ($base) - " +
+          "timing against the original data dir")
+        return (sfDir, None)
+      }
+      val files: Seq[Path] = {
+        val walk = Files.walk(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        } finally walk.close()
+      }
+      val total = files.map(Files.size).sum
+      if (total * 2 > base.toFile.getUsableSpace) {
+        System.err.println(s"[bench] ramdisk skipped: $total B won't " +
+          s"fit half of $base's free space")
+        return (sfDir, None)
+      }
+      val dest = base.resolve("graft_bench").resolve(src.getFileName)
+      val t0 = System.nanoTime()
+      var copied = 0L
+      files.foreach { f =>
+        val rel = src.relativize(f)
+        val to = dest.resolve(rel.toString)
+        if (!Files.exists(to) || Files.size(to) != Files.size(f)) {
+          Option(to.getParent).foreach(Files.createDirectories(_))
+          Files.copy(f, to, StandardCopyOption.REPLACE_EXISTING)
+          copied += Files.size(f)
+        }
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ramdisk: $sfDir -> $dest " +
+        f"(${copied / 1024 / 1024} MB copied in $sec%.1f s, " +
+        f"${files.size} files, ${total / 1024 / 1024} MB total)")
+      (dest.toString, Some((copied / 1024 / 1024, sec, dest.toString)))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ramdisk setup failed ($e) - " +
+          "timing against the original data dir")
+        (sfDir, None)
+    }
+  }
+
   private def jsonStr(s: String): String =
     // truncate BEFORE escaping: a cut after escaping can land mid
     // escape-pair (lone trailing backslash) and emit invalid JSON
@@ -360,7 +479,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val spark = SparkSession.builder()
+    // Inputs move to tmpfs BEFORE the session exists (see
+    // [[setupRamdisk]]); Spark's shuffle scratch and the queries'
+    // java.io.tmpdir fixtures (persisted-index directories) follow it
+    // there, so the timed section never touches the contended device.
+    // All baseline/gate bookkeeping stays keyed on the ORIGINAL sfDir.
+    val (effSfDir, ramdisk) = setupRamdisk(sfDir)
+    val scratchBase = ramdisk.map { case (_, _, dest) =>
+      val p = java.nio.file.Paths.get(dest).getParent.resolve("scratch")
+      java.nio.file.Files.createDirectories(p)
+      System.setProperty("java.io.tmpdir", p.toString)
+      p.toString
+    }
+    val sparkBuilder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -368,6 +499,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val spark = scratchBase
+      .fold(sparkBuilder)(p => sparkBuilder.config("spark.local.dir", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -377,6 +510,19 @@ object Bench {
       "q20_sessionize", "q21_tumbling_agg", "q30_dedup_exact",
       "q31_dedup_minhash", "q33_ngram_jaccard", "q34_embed_neardup",
       "q35_ann_bruteforce", "q37_lang_id",
+      // the 22 registered-but-unbenched queries (r17 verdict #4:
+      // "every registered query has a perf record" is the gate's own
+      // contract) — sub-second ETL/analytics shapes, plus q78 whose
+      // registered buckets=1 oracle form is still worth a record even
+      // though StressR8 times the real bucketed path
+      "q01_name_parse", "q02_party_state_district", "q03_normalize",
+      "q05_election_candidates", "q06_incumbents_by_term",
+      "q07_reference_lists", "q09_unpivot_scores", "q12_topk_per_group",
+      "q13_json_extract", "q15_anti_join", "q17_moments",
+      "q18_moving_avg", "q32_dedup_simhash", "q36_ann_ivf",
+      "q38_quality_score", "q39_token_count", "q40_fingerprint",
+      "q42_fuzzy_jaro_winkler", "q44_roster_query", "q50_split_assign",
+      "q56_approx_stats", "q78_pack_greedy",
       // LLM-pipeline + linkage paths (added r4 — invisible before)
       "q41_embed_lsh", "q43_fuzzy_link_full", "q45_ann_ivf_pruned",
       // corpus-curation + extraction paths (added r4)
@@ -526,7 +672,10 @@ object Bench {
       // the production serving number q177's lifecycle total hides
       "q188_ann_search_saved",
       // SQ8 scalar quantization: brute + IVF-pruned + persisted (r17)
-      "q189_ann_sq8", "q190_ann_sq8_ivf", "q191_ann_sq8_saved"
+      "q189_ann_sq8", "q190_ann_sq8_ivf", "q191_ann_sq8_saved",
+      // isolated persisted-SQ8 SEARCH (build-once fixture, r18) —
+      // the q188 serving-only gate carried to the SQ8 rung
+      "q192_ann_sq8_search_saved"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged
@@ -587,7 +736,7 @@ object Bench {
       try {
         val gc0 = gcMillis(); val al0 = allocatedBytes()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, effSfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         val gc = gcMillis() - gc0
         val al = if (al0 < 0) -1L
@@ -737,6 +886,46 @@ object Bench {
         f"($bm%.2f s) - $v")
     }
 
+    // SELF-HEALING RERUN (r16, the r15 verdict's #1): every flagged
+    // query re-runs once HERE, in the same JVM, minutes after its
+    // timed passes — if the flag was a degraded-I/O window (BENCH_r15
+    // carried a 24x env artifact that took a whole judging round to
+    // adjudicate), the rerun usually lands back at baseline and the
+    // artifact closes its own flag with evidence. Each rerun: one
+    // warm-up + up to 3 timed passes under a 30 s budget, median.
+    // Runs BEFORE the drift stations are finalized (r18): the rerun's
+    // own timeline offset is recorded and one more control station
+    // follows the rerun block, so adjudication can consult the drift
+    // at the RERUN's point on the timeline, not just the original's
+    // (the r17 ADVICE). The original median stays the reported number.
+    val rerunMed: Map[String, (Double, Double)] = regressions.map {
+      case (name, _, _, _) =>
+        val fn = SparkEntry.queries(name)
+        val rerunT0 = sinceStart()
+        timed(fn) // warm-up (cache was cleared after the timed loop)
+        val passes = scala.collection.mutable.ListBuffer.empty[Double]
+        var cum = 0.0
+        var failed = false
+        // an erroring rerun stops the loop outright (the flag stays
+        // at its original verdict with rerun -1) — retrying a failing
+        // query would loop forever, since failed passes add nothing
+        // to either exit counter
+        while (!failed && passes.size < 3 &&
+            (passes.isEmpty || cum < 30.0)) {
+          timed(fn) match {
+            case Right(p) => passes += p.sec; cum += p.sec
+            case Left(_) => failed = true
+          }
+        }
+        spark.catalog.clearCache()
+        val sorted = passes.toList.sorted
+        name -> ((if (sorted.isEmpty) -1.0
+                  else sorted(sorted.size / 2)), rerunT0)
+    }.toMap
+    // a drift sample NEXT TO the reruns, so their adjudication reads
+    // the window they actually ran in
+    if (regressions.nonEmpty) controlStation()
+
     // Per-station drift indices vs the gate baseline, and the run's
     // self-label (the r16 verdict's #6): a final probe that stayed
     // cold past the retry budget means the raw ratios below were
@@ -777,62 +966,22 @@ object Bench {
         (if (nr <= 2.0) "self-cleared" else "open"))
     }
 
-    // SELF-HEALING RERUN (r16, the r15 verdict's #1): every flagged
-    // query re-runs once HERE, in the same JVM, minutes after its
-    // timed passes — if the flag was a degraded-I/O window (BENCH_r15
-    // carried a 24x env artifact that took a whole judging round to
-    // adjudicate), the rerun usually lands back at baseline and the
-    // artifact closes its own flag with evidence. Each rerun: one
-    // warm-up + up to 3 timed passes under a 30 s budget, median.
-    // A flag whose rerun CLEARS the gate (<= 2x baseline or within
-    // +0.5 s absolute) is adjudicated `…-cleared`; one that repeats
-    // is `…-confirmed` — a real regression, not the box. The original
-    // median stays the reported number (the protocol is unchanged);
-    // the rerun is the attribution evidence beside it.
-    val rerunMed: Map[String, Double] = regressions.map {
-      case (name, _, _, _) =>
-        val fn = SparkEntry.queries(name)
-        timed(fn) // warm-up (cache was cleared after the timed loop)
-        val passes = scala.collection.mutable.ListBuffer.empty[Double]
-        var cum = 0.0
-        var failed = false
-        // an erroring rerun stops the loop outright (the flag stays
-        // at its original verdict with rerun -1) — retrying a failing
-        // query would loop forever, since failed passes add nothing
-        // to either exit counter
-        while (!failed && passes.size < 3 &&
-            (passes.isEmpty || cum < 30.0)) {
-          timed(fn) match {
-            case Right(p) => passes += p.sec; cum += p.sec
-            case Left(_) => failed = true
-          }
-        }
-        spark.catalog.clearCache()
-        val sorted = passes.toList.sorted
-        name -> (if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2))
-    }.toMap
-    // Adjudication order (r17): a clearing RERUN wins (the query
-    // itself re-measured inside the gate); otherwise the WINDOW DRIFT
-    // can clear — the r16 lesson is that the rerun runs minutes later
-    // in the SAME degraded window (q176's rerun confirmed a flag the
-    // healthy committed record sat at 1.40x on), so a rerun that
-    // repeats while the controls show the window 2x+ inflated is
-    // window evidence, not regression evidence. Only a flag neither
-    // clears is `-confirmed`.
+    // Adjudication order (r17, label semantics tightened r18 — see
+    // [[adjudicateFlag]]): a clearing RERUN wins; window drift may
+    // clear otherwise, but only when the drift at the RERUN's own
+    // timeline offset also explains the repeat — a repeating rerun in
+    // a window the controls say was healthy is `-confirmed` even if
+    // the original pass sat in a degraded stretch, and a drift-
+    // cleared repeat keeps the repeat visible in its label.
     val adjudicated: Seq[(String, Double, Double, String, Double, Double)] =
       regressions.map { case (n, ratio, bm, v) =>
-        val rr = rerunMed.getOrElse(n, -1.0)
+        val (rr, rrT0) = rerunMed.getOrElse(n, (-1.0, -1.0))
         val qd = driftAt(driftStations,
           results.find(_.name == n).map(_.t0).getOrElse(0.0))
-        val nr = driftNormalized(ratio, qd)
-        val verdict =
-          if (rr >= 0 &&
-            (rr / math.max(bm, 0.05) <= 2.0 || rr - bm <= 0.5))
-            s"$v-cleared"
-          else if (qd > 0 && nr <= 2.0) s"$v-window-drift-cleared"
-          else if (rr < 0) v
-          else s"$v-confirmed"
-        (n, ratio, bm, verdict, rr, qd)
+        val rrDrift =
+          if (rrT0 >= 0) driftAt(driftStations, rrT0) else -1.0
+        (n, ratio, bm, adjudicateFlag(v, ratio, bm, rr, qd, rrDrift),
+          rr, qd)
       }
     adjudicated.filter(_._5 >= 0).foreach { case (n, ratio, bm, v, rr, qd) =>
       System.err.println(f"[bench] RERUN $n: flagged ${ratio}%.1fx, " +
@@ -992,9 +1141,15 @@ object Bench {
         .filter(_._1 == sfDir).map(_._2).getOrElse(Map.empty)
     val curMed: Map[String, Double] = results.filter(_.err.isEmpty)
       .map(r => r.name -> r.median).toMap
+    // per-member normalization by the NEAREST station's drift (r17
+    // verdict #1): a family member timed inside a degraded stretch is
+    // corrected by the stretch's own control reading, not the
+    // run-global median that reads 1.0 while stations sit at 2-6x
+    val t0Of: Map[String, Double] = results.map(r => r.name -> r.t0).toMap
     val (famNorm, famDrifts) =
       if (prevRecord.isEmpty) (1.0, Seq.empty[(String, Double, Int)])
-      else familyDrift(prevRecord, curMed, QueryFamilies, controls)
+      else familyDrift(prevRecord, curMed, QueryFamilies, controls,
+        q => t0Of.get(q).map(driftAt(driftStations, _)).getOrElse(-1.0))
     famDrifts.foreach { case (f, d, n) =>
       if (d > 1.2)
         System.err.println(f"[bench] FAMILY DRIFT $f: ${d}%.2fx vs " +
@@ -1014,8 +1169,15 @@ object Bench {
       jsonStr(n) + s":[${num(ratio)},${num(qd)},${num(nr)}]"
     }.mkString("{", ",", "}")
 
+    val ramdiskJson = ramdisk match {
+      case Some((mb, sec, dest)) =>
+        s"""{"enabled":true,"copied_mb":$mb,"sec":${num(sec)},""" +
+          s""""dest":${jsonStr(dest)}}"""
+      case None => """{"enabled":false}"""
+    }
     val detailJson =
       s"""{"sf":${jsonStr(sfDir)},"queries":$qs,""" +
+        s""""ramdisk":$ramdiskJson,""" +
         s""""spread_min_max_passes":$spread,""" +
         s""""passes_sec_gcms_allocmb":$passes,"t0_sec":$offs,""" +
         s""""canary":{"name":${jsonStr(canaryName)},"every":$canaryEvery,""" +
@@ -1081,6 +1243,6 @@ object Bench {
     val driftLine = driftStations.map(s => num(s._2))
       .mkString("[", ",", "]")
     val subfloorCleared = subfloor.count(_._4 <= 2.0)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"prewarm_attempts":${pwAttempts.size},"window_mode":"$windowMode","drift":$driftLine,"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"subfloor_n":${subfloor.size},"subfloor_cleared_n":$subfloorCleared,"family_drift_n":${famDrifts.count(_._2 > 1.2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_n":${results.size},"errors_n":${errResults.size},"errors":$errs,"slowest":$slowest,"prewarm_mbps":${num(pwMbps)},"prewarm_attempts":${pwAttempts.size},"window_mode":"$windowMode","ramdisk":${ramdisk.nonEmpty},"drift":$driftLine,"canary":$canaryLine,"regressions_n":${regressions.size},"regressions":$regLine,"subfloor_n":${subfloor.size},"subfloor_cleared_n":$subfloorCleared,"family_drift_n":${famDrifts.count(_._2 > 1.2)},"sf":"$sfDir"}""")
   }
 }

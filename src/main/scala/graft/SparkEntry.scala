@@ -2885,6 +2885,36 @@ object SparkEntry {
       k = 5, nprobe = 3, refine = 4)
   }
 
+  /** q192: PERSISTED SQ8 SEARCH, isolated — q188's serving-only gate
+    * carried to the SQ8 rung (the r17 verdict's #7): q191 times the
+    * whole lifecycle (train + encode + save + load + search), which
+    * is the right round-trip exerciser but buries the number a
+    * deployment actually pays per query batch. The index directory
+    * builds ONCE per (JVM, data dir) — fixture-style, keyed by a
+    * collision-resistant digest of the path like q188 — and the
+    * registered query is load + probe-pruned fused-dequant scoring +
+    * bounded exact rerank against that frozen artifact. rows-only;
+    * AnnSpec pins q192 ≡ q191 row-for-row (same recipe, same
+    * parameters, one lifecycle apart). */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val idir = s"$scratchDir/q192_sq8_index_" +
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(12).map(b => f"$b%02x").mkString
+    if (!new java.io.File(s"$idir/meta/_SUCCESS").exists()) {
+      val (mins, steps) = Ann.trainSq8(e, "embedding")
+      val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+      Ann.saveSq8Index(idir, e, centroids, mins, steps,
+        "vec_id", "embedding")
+    }
+    val loaded = Ann.loadSq8Index(s, idir)
+    Ann.searchSq8Index(loaded, corpus = e,
+      queries = e.filter(col("vec_id") < 10),
+      k = 5, nprobe = 3, refine = 4)
+  }
+
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
     * signals with the q174 trained model's language prediction and
     * confidence appended as columns 13-14, still ONE shared text scan
@@ -3930,7 +3960,8 @@ object SparkEntry {
     "q188_ann_search_saved" -> (q188 _),
     "q189_ann_sq8" -> (q189 _),
     "q190_ann_sq8_ivf" -> (q190 _),
-    "q191_ann_sq8_saved" -> (q191 _)
+    "q191_ann_sq8_saved" -> (q191 _),
+    "q192_ann_sq8_search_saved" -> (q192 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —

@@ -78,6 +78,69 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(fams.head._2 === 2.0 && fams.head._3 === 1)
   }
 
+  test("familyDrift: members normalize by their NEAREST STATION's drift (r17 #1)") {
+    // this round's own artifact as the fixture: run-global control
+    // median 1.0 (controls ran in healthy stretches) while the graph
+    // family's queries landed inside a 3x degraded stretch. The old
+    // normalizer divided by 1.0 and flagged the family at 3.0x; the
+    // per-station normalizer corrects each member by the stretch it
+    // actually ran in and the family reads 1.0.
+    val prev = Map("c1" -> 1.0, "c2" -> 1.0, "g1" -> 2.0, "g2" -> 2.0)
+    val cur = Map("c1" -> 1.0, "c2" -> 1.0, "g1" -> 6.0, "g2" -> 6.0)
+    val driftOf: String => Double =
+      Map("g1" -> 3.0, "g2" -> 3.0).withDefaultValue(-1.0)
+    val (norm, fams) = Bench.familyDrift(prev, cur,
+      Map("graph" -> Seq("g1", "g2")), controls = Seq("c1", "c2"), driftOf)
+    assert(norm === 1.0)
+    assert(math.abs(fams.head._2 - 1.0) < 1e-9,
+      s"per-station normalization should clear the stretch: $fams")
+    // without the per-station drift the same numbers flag at 3x —
+    // the exact false positive this fixes
+    val (_, old) = Bench.familyDrift(prev, cur,
+      Map("graph" -> Seq("g1", "g2")), controls = Seq("c1", "c2"))
+    assert(math.abs(old.head._2 - 3.0) < 1e-9)
+    // a member with no computable station drift falls back to the
+    // run-global normalizer; a FAST window (drift < 1) never deflates
+    val (_, mixed) = Bench.familyDrift(
+      Map("c1" -> 1.0, "m1" -> 1.0, "m2" -> 1.0),
+      Map("c1" -> 2.0, "m1" -> 4.0, "m2" -> 4.0),
+      Map("F" -> Seq("m1", "m2")), controls = Seq("c1"),
+      Map("m1" -> 0.5).withDefaultValue(-1.0))
+    // m1: drift 0.5 <= 1 -> raw 4.0; m2: no drift -> 4.0 / norm 2.0
+    assert(math.abs(mixed.head._2 - math.sqrt(4.0 * 2.0)) < 1e-9)
+  }
+
+  test("adjudicateFlag: rerun outcome survives the label; rerun-window drift consulted") {
+    // rerun back inside the gate: cleared, whatever the drift said
+    assert(Bench.adjudicateFlag("env-suspect", 3.0, 1.0,
+      rr = 1.5, qd = 4.0, rerunDrift = 1.0) === "env-suspect-cleared")
+    // rerun within +0.5 s absolute clears too (the gate's own floor)
+    assert(Bench.adjudicateFlag("regressed", 3.0, 0.2,
+      rr = 0.6, qd = -1.0, rerunDrift = -1.0) === "regressed-cleared")
+    // repeating rerun + both windows degraded enough to explain it:
+    // drift may clear, but the label keeps the repeat visible
+    assert(Bench.adjudicateFlag("env-suspect", 3.0, 1.0,
+      rr = 2.8, qd = 2.0, rerunDrift = 2.0) ===
+      "env-suspect-rerun-repeated-window-drift-cleared")
+    // repeating rerun in a HEALTHY rerun window: confirmed, even
+    // though the original ratio alone would have drift-cleared (the
+    // r17 ADVICE's exact hole: qd cleared before the rerun was heard)
+    assert(Bench.adjudicateFlag("regressed", 3.0, 1.0,
+      rr = 2.8, qd = 2.0, rerunDrift = 1.0) === "regressed-confirmed")
+    assert(Bench.adjudicateFlag("regressed", 3.0, 1.0,
+      rr = 2.8, qd = 2.0, rerunDrift = -1.0) === "regressed-confirmed")
+    // no rerun evidence (errored): drift may clear alone
+    assert(Bench.adjudicateFlag("env-suspect", 3.0, 1.0,
+      rr = -1.0, qd = 2.0, rerunDrift = -1.0) ===
+      "env-suspect-window-drift-cleared")
+    // nothing clears: base verdict stands for an errored rerun,
+    // -confirmed for a repeating one
+    assert(Bench.adjudicateFlag("regressed", 3.0, 1.0,
+      rr = -1.0, qd = 1.1, rerunDrift = -1.0) === "regressed")
+    assert(Bench.adjudicateFlag("regressed", 3.0, 1.0,
+      rr = 2.8, qd = 1.1, rerunDrift = 1.1) === "regressed-confirmed")
+  }
+
   test("rebaseBaseline: named queries take the run's median UP, rest still fold") {
     val bMed = Map("q176" -> 2.29, "q10" -> 0.50)
     val bAlloc = Map("q176" -> 1000.0, "q10" -> 100.0)

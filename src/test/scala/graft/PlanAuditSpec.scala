@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q189_ann_sq8", // SQ8 candidates + the exact rerank, both broadcast
     "q190_ann_sq8_ivf", // q189's shape behind the IVF probe pruning
     "q191_ann_sq8_saved", // q190's search path off the persisted codes
+    "q192_ann_sq8_search_saved", // q191's search, build-once fixture
     "q97_key_profile", "q134_pmi_bigrams",
     // q183/q184 cross the per-source frame with TWO broadcast one-row
     // scalars (budget/count + fill level) — the same in-plan pattern
@@ -99,6 +100,27 @@ class PlanAuditSpec extends SparkSpec {
     // per-SOURCE frame — #sources rows by construction, never the
     // corpus
     "q183_unimax_mix", "q184_unimax_sample")
+
+  test("ANN search plans select candidates by bounded aggregate — zero WindowExec") {
+    // the r17 verdict's #2, pinned structurally: every scored
+    // (query, candidate) pair used to shuffle to its query's
+    // partition for a row_number sort before the <= k·refine cut;
+    // selection now runs through the topk_any aggregate (map-side
+    // combine to k rows per query per task), so the search plans
+    // must contain NO window at all — any WindowExec reappearing in
+    // an ANN path is the regression this test exists to catch
+    val annSearch = Seq("q35_ann_bruteforce", "q36_ann_ivf",
+      "q45_ann_ivf_pruned", "q189_ann_sq8", "q190_ann_sq8_ivf",
+      "q191_ann_sq8_saved", "q192_ann_sq8_search_saved",
+      "q176_ann_opq", "q177_ann_opq_saved", "q188_ann_search_saved")
+    val offenders = annSearch.flatMap { name =>
+      val nodes = allNodes(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      if (nodes.exists(_.isInstanceOf[WindowExec]))
+        Seq(s"$name: WindowExec in an ANN search plan") else Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 
   test("no registered query windows over a single partition") {
     // an empty partitionSpec funnels the whole input through ONE task —
