@@ -286,7 +286,8 @@ object Bench {
       "q61_ann_ivf_trained", "q66_ann_ivfpq", "q165_ann_ivfpq_residual",
       "q167_pca_whiten", "q176_ann_opq", "q177_ann_opq_saved",
       "q188_ann_search_saved", "q189_ann_sq8", "q190_ann_sq8_ivf",
-      "q191_ann_sq8_saved", "q192_ann_sq8_search_saved"),
+      "q191_ann_sq8_saved", "q192_ann_sq8_search_saved",
+      "q193_hybrid_rrf"),
     "incremental_index" -> Seq("q63_dedup_incr_exact",
       "q64_dedup_incremental", "q65_embed_incremental",
       "q67_dedup_incr_bloom", "q70_simhash_incremental",
@@ -675,7 +676,9 @@ object Bench {
       "q189_ann_sq8", "q190_ann_sq8_ivf", "q191_ann_sq8_saved",
       // isolated persisted-SQ8 SEARCH (build-once fixture, r18) —
       // the q188 serving-only gate carried to the SQ8 rung
-      "q192_ann_sq8_search_saved"
+      "q192_ann_sq8_search_saved",
+      // hybrid lexical+dense retrieval via reciprocal rank fusion (r18)
+      "q193_hybrid_rrf"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -2915,6 +2915,34 @@ object SparkEntry {
       k = 5, nprobe = 3, refine = 4)
   }
 
+  /** q193: HYBRID RETRIEVAL via RECIPROCAL RANK FUSION — the
+    * published RRF recipe (Cormack/Clarke/Buettcher 2009, the fusion
+    * modern RAG and training-data retrieval stacks run): a LEXICAL
+    * arm (word-set Jaccard top-20, exact, the q124 family's
+    * similarity on the q35 broadcast discipline) and a DENSE arm
+    * (exact cosine top-20 over the aligned embeddings) fuse as
+    * score(d) = Σ 1/(60 + rank_arm(d)), fused top-10 per query.
+    * Ranks not raw scores, so the arms need no calibration; a doc
+    * missing from one arm just contributes one term. Arm-agnostic by
+    * construction ([[graft.operators.Retrieval.rrfFuse]]): at corpus
+    * scale the all-pairs test arms swap for the q71 BM25 postings /
+    * the IVF-SQ8 index without touching the fusion, whose input is
+    * |queries|·k·#arms rows — nothing in the fusion grows with the
+    * corpus. Oracle: both arms AND the fusion replay exactly in SQL
+    * (set Jaccard = integer counts, one double division; RRF = sums
+    * of 1/(60+r)), so the row is hash-exact like q35/q189. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val lex = Retrieval.lexicalJaccardTopK(
+      docs, docs.filter(col("doc_id") < 10), "doc_id", "text", k = 20)
+    val e = t.embeddings
+    val dense = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+  }
+
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
     * signals with the q174 trained model's language prediction and
     * confidence appended as columns 13-14, still ONE shared text scan
@@ -3961,7 +3989,8 @@ object SparkEntry {
     "q189_ann_sq8" -> (q189 _),
     "q190_ann_sq8_ivf" -> (q190 _),
     "q191_ann_sq8_saved" -> (q191 _),
-    "q192_ann_sq8_search_saved" -> (q192 _)
+    "q192_ann_sq8_search_saved" -> (q192 _),
+    "q193_hybrid_rrf" -> (q193 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6573,7 +6602,45 @@ object SparkEntry {
     // the exact brute-force top-k — same oracle as q35/q36 (the
     // quantization decides only which candidates reach the rerank;
     // AnnSpec pins the equality at both gate SFs)
-    "q189_ann_sq8" -> annTopkSql
+    "q189_ann_sq8" -> annTopkSql,
+    // q193: both arms and the fusion replay exactly — set Jaccard is
+    // integer intersection/union counts (one double division, same
+    // value both engines), the dense arm is the q35 cosine, RRF sums
+    // two 1/(60+rank) doubles (order-free), ties break by neighbor
+    "q193_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS words
+        |  FROM documents),
+        |q AS (SELECT doc_id, words FROM d WHERE doc_id < 10),
+        |lex AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    CAST(len(list_intersect(q.words, c.words)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(q.words, c.words))) AS sim
+        |  FROM q JOIN d c ON c.doc_id != q.doc_id),
+        |lr AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+        |  FROM lex),
+        |v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |s AS (SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([CAST(qv.embedding[i] AS DOUBLE)*c.embedding[i]
+        |      for i in generate_series(1,64)])/(qv.nrm*c.nrm) AS cos
+        |  FROM v qv JOIN v c ON qv.vec_id < 10 AND c.vec_id != qv.vec_id),
+        |vr AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+        |  FROM s),
+        |u AS (
+        |  SELECT query_id, neighbor_id, 1.0/(60+r) AS c FROM lr WHERE r <= 20
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1.0/(60+r) AS c FROM vr WHERE r <= 20),
+        |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf
+        |  FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+        |  FROM f)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |  round(rrf, 6) AS rrf_score
+        |FROM fr WHERE rank <= 10""".stripMargin
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

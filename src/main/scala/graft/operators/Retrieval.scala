@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse independent per-query rankings (a lexical
+  * arm, a dense-vector arm, …) with RECIPROCAL RANK FUSION — the
+  * published recipe (Cormack, Clarke & Buettcher, SIGIR 2009:
+  * score(d) = Σ_arms 1/(k + rank_arm(d)), k = 60) that modern
+  * RAG / training-data retrieval stacks use to combine BM25-style and
+  * embedding-based candidates without score calibration (ranks, not
+  * raw scores, so arms with incomparable score scales fuse cleanly).
+  *
+  * Reference ties: the engine already owns both arm families — q71's
+  * BM25 / the prefix-filter set-similarity join (q124) on the lexical
+  * side, the whole Ann ladder (q35…q192) on the dense side. This
+  * operator is deliberately ARM-AGNOSTIC: any DataFrame of
+  * (query_id, neighbor_id, rank) fuses, so the 100 TB deployment
+  * swaps the all-pairs test arm for an indexed one without touching
+  * the fusion.
+  *
+  * Scale shape: each arm is already cut to its own top-k, so the
+  * fusion input is |queries| · k · #arms rows — one unionByName (no
+  * shuffle), one hash aggregate keyed (query_id, neighbor_id), then
+  * the same bounded `topk_any` per-query select every ANN rung uses.
+  * Nothing here grows with the corpus.
+  */
+object Retrieval {
+
+  /** Fuse per-query rank lists by RRF. Every arm must carry
+    * (query_id, neighbor_id, rank) with rank 1-based (extra columns
+    * are ignored); a document missing from an arm simply contributes
+    * nothing for that arm (the standard RRF convention). Output:
+    * (query_id, neighbor_id, rank, rrf_score) — the fused top `k`
+    * per query, ties broken by neighbor_id ascending, rrf_score
+    * rounded to 6 places (sums of 1/(kRrf+rank) are exact in double
+    * for two-digit ranks, so the rounding is presentational). */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: at least one arm")
+    require(k > 0 && kRrf >= 0, "rrfFuse: k > 0, kRrf >= 0")
+    val contributions = arms.map(_.select(
+      col("query_id"), col("neighbor_id"),
+      (lit(1.0) / (lit(kRrf) + col("rank"))).as("__c")))
+    val fused = contributions.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__c")).as("__rrf"))
+    Ann.topKSelect(fused, "__rrf", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__score"), 6).as("rrf_score"))
+  }
+
+  /** The test-scale LEXICAL arm: per-query word-set Jaccard top-k via
+    * the native `jaccard_shingles` kernel — query set broadcast over
+    * the corpus (the bruteForceTopK discipline: the corpus never
+    * moves), bounded `topk_any` select. At corpus scale swap in the
+    * q71 BM25 postings or the q124 prefix-filter join as the arm;
+    * this form exists because it is EXACT and SQL-replayable, so the
+    * hybrid row keeps a DuckDB hash-exact oracle. */
+  def lexicalJaccardTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val words = (c: Column) => array_distinct(split(c, " "))
+    val d = corpus.select(col(idCol).as("neighbor_id"),
+      words(col(textCol)).as("__dw"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      words(col(textCol)).as("__qw")))
+    val cond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = d.join(q, cond)
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("jaccard_shingles", col("__qw"), col("__dw"))
+          .as("__sim"))
+    Ann.topKSelect(scored, "__sim", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

@@ -44,6 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     "q190_ann_sq8_ivf", // q189's shape behind the IVF probe pruning
     "q191_ann_sq8_saved", // q190's search path off the persisted codes
     "q192_ann_sq8_search_saved", // q191's search, build-once fixture
+    "q193_hybrid_rrf", // both test arms broadcast queries over the corpus
     "q97_key_profile", "q134_pmi_bigrams",
     // q183/q184 cross the per-source frame with TWO broadcast one-row
     // scalars (budget/count + fill level) — the same in-plan pattern
@@ -120,6 +121,33 @@ class PlanAuditSpec extends SparkSpec {
         Seq(s"$name: WindowExec in an ANN search plan") else Nil
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("topk_any selection map-side combines: partial aggregate BEFORE the exchange") {
+    // the scale claim behind the r18 selection rework, pinned on the
+    // physical plan: the selection must run as a two-phase
+    // ObjectHashAggregate with the PARTIAL TopKAny below the shuffle —
+    // the exchange then carries one k-pair buffer per (query,
+    // partition) instead of every scored candidate row. If Spark ever
+    // plans it single-phase (Complete mode above the exchange), the
+    // bounded-exchange argument is gone and this fails.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Partial}
+    import graft.functions.TopKAny
+    val e = Tables(spark, sf).embeddings
+    val plan = graft.operators.Ann.bruteForceTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+      .queryExecution.executedPlan
+    val aggs = allNodes(plan).collect {
+      case o: ObjectHashAggregateExec => o
+    }
+    val partial = aggs.exists(_.aggregateExpressions.exists(ae =>
+      ae.mode == Partial && ae.aggregateFunction.isInstanceOf[TopKAny]))
+    val complete = aggs.exists(_.aggregateExpressions.exists(ae =>
+      ae.mode == Complete && ae.aggregateFunction.isInstanceOf[TopKAny]))
+    assert(partial && !complete,
+      s"topk_any must plan as partial+final (partial=$partial, complete=$complete)")
   }
 
   test("no registered query windows over a single partition") {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Retrieval}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fuse(arms: Seq[org.apache.spark.sql.DataFrame], k: Int) =
+    Retrieval.rrfFuse(arms, k).orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+  test("rrfFuse: both-arm documents beat single-arm documents at equal ranks") {
+    // doc 100 is rank 1 in BOTH arms; doc 200 is rank 1 lexical only;
+    // doc 300 is rank 1 dense only. RRF must put 100 first with
+    // 2/(60+1), and 200/300 tie at 1/61 broken by neighbor_id.
+    val lex = Seq((1L, 100L, 1), (1L, 200L, 1), (1L, 101L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val dense = Seq((1L, 100L, 1), (1L, 300L, 1), (1L, 101L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = fuse(Seq(lex, dense), k = 4)
+    assert(out.map(_._2).toSeq === Seq(100L, 101L, 200L, 300L))
+    assert(math.abs(out.head._4 - 2.0 / 61) < 2e-6) // rrf_score rounds to 6 places
+    // 101: 1/62 + 1/63 > 1/61 — two mid ranks beat one top rank here
+    assert(math.abs(out(1)._4 - (1.0 / 62 + 1.0 / 63)) < 2e-6)
+    assert(out(2)._4 === out(3)._4, "single-arm rank-1 docs tie")
+    assert(out.map(_._3).toSeq === Seq(1, 2, 3, 4), "ranks are 1-based dense")
+  }
+
+  test("rrfFuse: arm order does not matter; k cuts; kRrf shifts the denominator") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val ab = fuse(Seq(a, b), k = 10)
+    val ba = fuse(Seq(b, a), k = 10)
+    assert(ab.toSet === ba.toSet, "fusion must be arm-order independent")
+    assert(fuse(Seq(a, b), k = 1).map(_._2).toSeq === Seq(11L),
+      "11 is in both arms (1/62 + 1/61 > 1/61) and k=1 keeps only it")
+    val shifted = Retrieval.rrfFuse(Seq(a, b), k = 1, kRrf = 0).collect()
+    assert(math.abs(shifted.head.getDouble(3) - (1.0 / 2 + 1.0 / 1)) < 1e-9)
+  }
+
+  test("lexicalJaccardTopK ranks by word-set Jaccard, self excluded") {
+    val docs = Seq(
+      (0L, "spark shuffle join hash"),
+      (1L, "spark shuffle join scan"),   // 3/5 with doc 0
+      (2L, "spark shuffle filter scan"), // 2/6 with doc 0
+      (3L, "python pandas numpy")        // 0 with doc 0
+    ).toDF("doc_id", "text")
+    val out = Retrieval.lexicalJaccardTopK(
+      docs, docs.filter($"doc_id" === 0), "doc_id", "text", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("q193's hybrid beats either single arm on a planted fixture") {
+    // the operator's reason to exist, measured: a corpus where the
+    // lexically-nearest doc and the dense-nearest doc DISAGREE, and
+    // the doc that is GOOD IN BOTH arms (never #1 in either) wins
+    // the fusion — exactly the calibration-free blend RRF promises.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma epsilon"), // lexical #1 vs 0
+      (2L, "alpha beta zeta eta"),      // lexical #2, dense #2 — hybrid #1
+      (3L, "unrelated words entirely")  // dense #1 vs 0 (planted below)
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal: dense last
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // dense #2
+      (3L, Array(0.95f, 0.05f, 0.0f))  // dense #1
+    ).toDF("vec_id", "embedding")
+    val q = docs.filter($"doc_id" === 0)
+    // k=2 arms: each specialist's favourite appears in ONE arm only
+    // (doc 1 lexical-only, doc 3 dense-only), while doc 2 places
+    // second in both — one top rank loses to two second ranks
+    // (1/61 < 1/62 + 1/62)
+    val lex = Retrieval.lexicalJaccardTopK(docs, q, "doc_id", "text", k = 2)
+    val dense = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    assert(lex.filter($"rank" === 1).head.getLong(1) === 1L)
+    assert(dense.filter($"rank" === 1).head.getLong(1) === 3L)
+    val fused = fuse(Seq(lex, dense), k = 4)
+    assert(fused.head._2 === 2L,
+      s"the good-in-both-arms doc must win the fusion: ${fused.toSeq}")
+    // the two single-arm rank-1 docs tie at 1/61, broken by id
+    assert(fused.map(_._2).toSeq === Seq(2L, 1L, 3L))
+  }
+}
