@@ -36,12 +36,14 @@ import graft.operators.Ann
 object StressR18 {
 
   /** The reworked family: every ANN rung with a bench row, plus the
-    * two persisted serving rows and r18's q192. */
+    * two persisted serving rows, r18's q192 and the q193 hybrid (its
+    * lexical arm reads the replicated documents table). */
   private val AnnFamily = Seq(
     "q35_ann_bruteforce", "q45_ann_ivf_pruned", "q61_ann_ivf_trained",
     "q66_ann_ivfpq", "q165_ann_ivfpq_residual", "q176_ann_opq",
     "q177_ann_opq_saved", "q188_ann_search_saved", "q189_ann_sq8",
-    "q190_ann_sq8_ivf", "q191_ann_sq8_saved", "q192_ann_sq8_search_saved")
+    "q190_ann_sq8_ivf", "q191_ann_sq8_saved", "q192_ann_sq8_search_saved",
+    "q193_hybrid_rrf")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -104,6 +106,15 @@ object StressR18 {
         col("label"))
       .repartition(32)
       .write.parquet(s"$tmp/embeddings.parquet")
+    // documents too (q193's lexical arm): fresh ids per copy, a
+    // per-copy suffix word so replicated docs don't tie pair-for-pair
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .crossJoin(copies)
+      .select((col("doc_id") + col("__copy") * 100000000L).as("doc_id"),
+        concat(col("text"), lit(" copyword"), col("__copy")).as("text"))
+      .repartition(32)
+      .write.parquet(s"$tmp/documents.parquet")
     tmp
   }
 

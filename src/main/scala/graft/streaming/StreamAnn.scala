@@ -118,4 +118,38 @@ object StreamAnn {
     }
     stream.writeStream.outputMode("append").foreachBatch(exportBatch)
   }
+
+  /** HYBRID streaming retrieval — q193's fusion as a stream face:
+    * each micro-batch of query DOCUMENTS (id, text, vector) runs the
+    * lexical arm against a frozen document corpus and the dense arm
+    * against a frozen persisted SQ8 index, then fuses by reciprocal
+    * rank ([[graft.operators.Retrieval.rrfFuse]]). Both corpora are
+    * frozen for the stream's lifetime (the load is the freeze point —
+    * the same contract as every other frozen-model stream here); NO
+    * streaming state, so at-least-once replays are harmless and the
+    * sink keys its output by batch id. `excludeSelf` is off: live
+    * query ids and corpus ids are distinct namespaces. */
+  def hybridSearchWriter(
+      stream: DataFrame, corpusDocs: DataFrame,
+      idx: Ann.PersistedSq8Index, corpusVecs: DataFrame,
+      idCol: String, textCol: String, vecCol: String,
+      kPerArm: Int, k: Int, nprobe: Int, refine: Int = 4)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Retrieval
+    val exportBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val lex = Retrieval.lexicalJaccardTopK(
+        corpusDocs, batch.select(col(idCol), col(textCol)),
+        idCol, textCol, kPerArm, excludeSelf = false)
+      // the index speaks its own column names (idx.idCol/idx.vecCol,
+      // e.g. vec_id/embedding); the stream's query schema maps onto
+      // them here so one writer serves any (id, text, vector) stream
+      val dense = Ann.searchSq8Index(idx, corpusVecs,
+        batch.select(col(idCol).as(idx.idCol), col(vecCol).as(idx.vecCol)),
+        kPerArm, nprobe, refine, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      sink(Retrieval.rrfFuse(Seq(lex, dense), k), batchId)
+    }
+    stream.writeStream.outputMode("append").foreachBatch(exportBatch)
+  }
 }

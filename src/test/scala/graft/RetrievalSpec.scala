@@ -86,4 +86,25 @@ class RetrievalSpec extends SparkSpec {
     // the two single-arm rank-1 docs tie at 1/61, broken by id
     assert(fused.map(_._2).toSeq === Seq(2L, 1L, 3L))
   }
+
+  test("topk_any rejects bad inputs loudly (types, unorderable payload, k)") {
+    // the aggregate behind every ANN candidate select — its analysis
+    // errors must be immediate and named, not runtime ClassCastExceptions
+    val df = Seq((1L, 2L, 0.5)).toDF("query_id", "neighbor_id", "s")
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](
+        df.groupBy("query_id").agg(expr(sql)).collect())
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"expected '$frag' in: ${e.getMessage.take(300)}")
+    }
+    fails("topk_any(neighbor_id, s, 3)", "double")      // ord must be double
+    fails("topk_any(s, neighbor_id, 0)", "k >= 1")      // k lower bound
+    fails("topk_any(s, neighbor_id, s)", "literal")     // k must be literal
+    fails("topk_any(s, map('a', 1), 3)", "orderable")   // payload orderable
+    // rrfFuse's own guards
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq.empty, k = 5))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(df.withColumn("rank", lit(1))), k = 0))
+  }
 }

@@ -626,6 +626,78 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").count() === e.count())
   }
 
+  test("streaming hybrid RRF: per-micro-batch fusion ≡ the batch fusion") {
+    // q193's stream face: each micro-batch of query documents runs
+    // the lexical arm against the frozen doc corpus and the dense arm
+    // against the frozen persisted SQ8 index, fuses by RRF — and must
+    // equal the batch-side fusion on the same query rows exactly
+    // (frozen-model contract: no state, replays harmless)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, Retrieval}
+    import graft.streaming.StreamAnn
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (mins, steps) = Ann.trainSq8(e, "embedding")
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2).withColumnRenamed("centroid_id", "vec_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shyb").toString + "/idx"
+    Ann.saveSq8Index(dir, e, cents, mins, steps, "vec_id", "embedding")
+    val idx = Ann.loadSq8Index(spark, dir)
+
+    // query documents: text + the aligned embedding, live-id namespace
+    val qRows = docs.join(e, col("doc_id") === col("vec_id"))
+      .filter(col("doc_id") < 4)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("embedding"))
+      .as[(Long, String, Seq[Float])].collect().toSeq
+    val outputs =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int, Double)]]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val qStream = in.toDF().toDF("doc_id", "text", "embedding")
+      .select(col("doc_id"), col("text"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = StreamAnn.hybridSearchWriter(qStream, docs, idx, e,
+        "doc_id", "text", "embedding",
+        kPerArm = 10, k = 5, nprobe = 3) { (res, batchId) =>
+        outputs(batchId) = res
+          .select("query_id", "neighbor_id", "rank", "rrf_score")
+          .as[(Long, Long, Int, Double)].collect().toSet
+      }.start()
+    try {
+      in.addData(qRows.take(2)); q.processAllAvailable()
+      in.addData(qRows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+
+    def batchFuse(qs: Seq[(Long, String, Seq[Float])]) = {
+      val qdf = qs.toDF("doc_id", "text", "embedding")
+        .select(col("doc_id"), col("text"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val lex = Retrieval.lexicalJaccardTopK(docs,
+        qdf.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 10, excludeSelf = false)
+      val dense = Ann.searchSq8Index(idx, e,
+        qdf.select(col("doc_id").as("vec_id"), col("embedding")),
+        k = 10, nprobe = 3, refine = 4, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 5)
+        .select("query_id", "neighbor_id", "rank", "rrf_score")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    }
+    assert(outputs(0L) === batchFuse(qRows.take(2)))
+    assert(outputs(1L) === batchFuse(qRows.drop(2)))
+    // each query got exactly k fused rows (both arms are non-empty
+    // on this corpus), ranks dense 1..k
+    for ((_, rows) <- outputs; qid <- rows.map(_._1)) {
+      val ranks = rows.filter(_._1 == qid).map(_._3).toSeq.sorted
+      assert(ranks === (1 to 5), s"ranks for $qid: $ranks")
+    }
+  }
+
   test("dd sketch aggregates run under streaming windowed aggregation") {
     // the custom TypedImperativeAggregate must survive the streaming
     // agg's partial/merge/state-store serialize cycle — the path a
