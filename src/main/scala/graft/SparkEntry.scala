@@ -2943,6 +2943,91 @@ object SparkEntry {
     Retrieval.rrfFuse(Seq(lex, dense), k = 10)
   }
 
+  /** q194: MMR DIVERSIFICATION RERANK (Carbonell & Goldstein 1998) —
+    * the retrieval-time face of the dedup family: the q35 exact
+    * top-20 candidates per query greedily re-select to 5 by
+    * score = λ·rel − (1−λ)·max cosine to the already-selected
+    * (λ = 0.7), so near-duplicate candidates can't crowd the final
+    * list. The greedy runs as one codegen'd `mmr_select` expression
+    * per query over the bounded collect_list'd candidates (tens of
+    * rows — never the corpus). Oracle: the greedy UNROLLS into k
+    * CTE steps ([[mmrOracleSql]], generated by the same loop
+    * discipline as the PageRank and BPE oracles so step count and
+    * arithmetic can't drift), with the λ and 1−λ literals rendered
+    * as exact doubles — hash-exact because every similarity
+    * accumulates in the same order both engines. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    // UNROUNDED relevance (denseCosineTopK, not bruteForceTopK's
+    // 4-decimal presentation value): λ × a short-decimal rel lands
+    // exactly on round-half boundaries where the two engines round
+    // apart — see the denseCosineTopK scaladoc
+    val cand = Retrieval.denseCosineTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rel"))
+    val withVec = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    Retrieval.mmrRerank(withVec, lambda = 0.7, k = 5)
+  }
+
+  /** q194's oracle: the MMR greedy unrolled into `k` CTE steps —
+    * generated by a loop so the Spark greedy and the SQL replay
+    * cannot drift in step count, tie-breaks, or the λ arithmetic
+    * (the 1−λ literal is rendered as the EXACT double Scala
+    * computes, e.g. 0.30000000000000004 — a hand-written 0.3 would
+    * hash-mismatch every selection that depends on it). */
+  private def mmrOracleSql(lam: Double, k: Int, n: Int): String = {
+    val l = java.lang.Double.toString(lam)
+    val oml = java.lang.Double.toString(1.0 - lam)
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm
+      |  FROM embeddings),
+      |s0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+      |      for i in generate_series(1,64)])/(q.nrm*c.nrm) AS cos
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |cand AS (SELECT query_id, neighbor_id, cos AS rel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS r FROM s0) WHERE r <= $n),
+      |p AS (SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+      |    list_sum([CAST(va.embedding[i] AS DOUBLE)*vb.embedding[i]
+      |      for i in generate_series(1,64)])/(va.nrm*vb.nrm) AS sim
+      |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+      |    AND a.neighbor_id != b.neighbor_id
+      |  JOIN v va ON va.vec_id = a.neighbor_id
+      |  JOIN v vb ON vb.vec_id = b.neighbor_id),
+      |m1 AS (SELECT query_id, neighbor_id, $l*rel AS mmr FROM cand),
+      |s1 AS (SELECT query_id, neighbor_id, mmr, 1 AS rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY mmr DESC, neighbor_id) AS rn FROM m1) WHERE rn = 1),
+      |sel1 AS (SELECT * FROM s1)""".stripMargin
+    for (t <- 2 to k) {
+      sb ++= s""",
+        |m$t AS (SELECT c.query_id, c.neighbor_id,
+        |    $l*c.rel - $oml*max(p.sim) AS mmr
+        |  FROM cand c
+        |  JOIN sel${t - 1} s ON s.query_id = c.query_id
+        |  JOIN p ON p.query_id = c.query_id AND p.i = c.neighbor_id
+        |    AND p.j = s.neighbor_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+        |    WHERE x.query_id = c.query_id
+        |      AND x.neighbor_id = c.neighbor_id)
+        |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+        |s$t AS (SELECT query_id, neighbor_id, mmr, $t AS rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, neighbor_id) AS rn FROM m$t) WHERE rn = 1),
+        |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+        .stripMargin
+    }
+    sb ++= s"""
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+      |  round(mmr, 4) AS mmr_score
+      |FROM sel$k""".stripMargin
+    sb.toString
+  }
+
   /** q175: QUALITY SIGNALS + MODEL LANG — q170's twelve one-scan
     * signals with the q174 trained model's language prediction and
     * confidence appended as columns 13-14, still ONE shared text scan
@@ -3990,7 +4075,8 @@ object SparkEntry {
     "q190_ann_sq8_ivf" -> (q190 _),
     "q191_ann_sq8_saved" -> (q191 _),
     "q192_ann_sq8_search_saved" -> (q192 _),
-    "q193_hybrid_rrf" -> (q193 _)
+    "q193_hybrid_rrf" -> (q193 _),
+    "q194_mmr_rerank" -> (q194 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6640,7 +6726,8 @@ object SparkEntry {
         |  FROM f)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |  round(rrf, 6) AS rrf_score
-        |FROM fr WHERE rank <= 10""".stripMargin
+        |FROM fr WHERE rank <= 10""".stripMargin,
+    "q194_mmr_rerank" -> mmrOracleSql(lam = 0.7, k = 5, n = 20)
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

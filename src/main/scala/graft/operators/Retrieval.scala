@@ -74,4 +74,63 @@ object Retrieval {
     Ann.topKSelect(scored, "__sim", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Dense cosine arm with the UNROUNDED score exposed as `rel` —
+    * what [[mmrRerank]] consumes. [[Ann.bruteForceTopK]] rounds its
+    * reported cosine to 4 places (presentation contract), but a
+    * 4-decimal relevance times a short-decimal λ lands EXACTLY on
+    * 5-decimal half-boundaries, where Spark (HALF_UP over the
+    * shortest decimal string) and DuckDB (exact binary) round
+    * opposite ways — q194's first hash mismatch was literally
+    * round(0.7·0.3985, 4). Full-precision doubles put the boundary
+    * probability back at measure zero, the same footing as every
+    * other hash-exact double in the suite. */
+  def denseCosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val c = Parallelism.ensure(corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv")))
+      .withColumn("__cn", norm(col("__cv")))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val cond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = c.join(q, cond)
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("__qv"), col("__cv")), col("__qn"),
+          col("__cn")).as("__cos"))
+    Ann.topKSelect(scored, "__cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__score").as("rel"))
+  }
+
+  /** Maximal-marginal-relevance diversification rerank (Carbonell &
+    * Goldstein 1998) — the retrieval-time face of the dedup family:
+    * after candidate generation, greedily re-select k of the top-N so
+    * near-duplicate candidates don't crowd the final list
+    * (score = λ·rel − (1−λ)·max cosine to the already-selected).
+    *
+    * `candidates` carries (query_id, neighbor_id bigint, rel double,
+    * vec array<float>) — the upstream top-N cut, BOUNDED by
+    * construction, so the greedy runs as one codegen'd expression per
+    * query over a collect_list'd struct array (tens of rows, a few KB
+    * — never the corpus; the only exchange is the bounded group-by).
+    * Ties break on the lowest neighbor_id at every step; similarity
+    * accumulation matches the `dot_f`/oracle replay bit-for-bit, so
+    * q194 stays DuckDB hash-exact (see [[graft.functions.MmrImpl]]'s
+    * determinism contract). */
+  def mmrRerank(candidates: DataFrame, lambda: Double, k: Int): DataFrame =
+    candidates
+      .groupBy(col("query_id"))
+      .agg(call_function("mmr_select",
+        collect_list(struct(col("neighbor_id"), col("rel"), col("vec"))),
+        lit(lambda), lit(k)).as("__sel"))
+      .select(col("query_id"),
+        posexplode(col("__sel")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        round(col("__e.mmr"), 4).as("mmr_score"))
 }

@@ -156,6 +156,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("topk_pairs",
       es => TopKPairs(es.head, es(1), es(2)),
       "topk_pairs(ord, payload, k) - per-group top-k (ord desc, payload asc) as a bounded aggregate"))
+    ext.injectFunction(fn("mmr_select",
+      es => MmrSelect(es.head, es(1), es(2)),
+      "mmr_select(candidates, lambda, k) - maximal-marginal-relevance greedy selection over array<struct<id, rel, vec>>"))
     ext.injectFunction(fn("topk_any",
       es => TopKAny(es.head, es(1), es(2)),
       "topk_any(ord, payload, k) - per-group top-k (double ord desc, orderable payload asc) as a bounded aggregate"))

@@ -87,6 +87,44 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.map(_._2).toSeq === Seq(2L, 1L, 3L))
   }
 
+  test("mmrRerank: λ=1 is pure relevance order; near-duplicates get deferred at λ<1") {
+    // candidates for one query: 10 and 11 are IDENTICAL vectors
+    // (the near-dup crowding MMR exists to break), 12 orthogonal,
+    // 13 opposite to 10
+    val cands = Seq(
+      (1L, 10L, 0.90, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 11L, 0.89, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 12L, 0.50, Array(0.0f, 1.0f, 0.0f)),
+      (1L, 13L, 0.10, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("query_id", "neighbor_id", "rel", "vec")
+    def order(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // λ=1: the diversity term vanishes — pure relevance order
+    assert(order(Retrieval.mmrRerank(cands, lambda = 1.0, k = 3)) ===
+      Seq(10L, 11L, 12L))
+    // λ=0.7: 10 first (top rel). Step 2 — the identical 11 scores
+    // 0.7·0.89 − 0.3·1.0 = 0.323, orthogonal 12 scores 0.35, and
+    // OPPOSITE 13 scores 0.07 − 0.3·(−1) = 0.37: the anti-similar
+    // candidate's unclamped max-sim earns a genuine diversity bonus
+    // and wins (the −inf-init contract the q194 oracle divergence
+    // pinned — a 0-floor on max-sim would have ranked 12 here).
+    // Step 3 — 12 (0.35, sims to {10,13} both 0) beats the dup 11.
+    assert(order(Retrieval.mmrRerank(cands, lambda = 0.7, k = 3)) ===
+      Seq(10L, 13L, 12L))
+    // input order never matters (argmax scan, not a fold)
+    assert(order(Retrieval.mmrRerank(
+      cands.orderBy(col("neighbor_id").desc).repartition(5),
+      lambda = 0.7, k = 3)) === Seq(10L, 13L, 12L))
+    // k beyond the candidate count returns them all, ranked; the
+    // near-duplicate of the top pick comes LAST — the crowding cut
+    val all = order(Retrieval.mmrRerank(cands, lambda = 0.7, k = 10))
+    assert(all === Seq(10L, 13L, 12L, 11L))
+    val scores = Retrieval.mmrRerank(cands, lambda = 0.7, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(math.abs(scores(13L) - (0.7 * 0.10 + 0.3 * 1.0)) < 1e-4,
+      s"opposite vector must earn the diversity bonus: $scores")
+  }
+
   test("topk_any rejects bad inputs loudly (types, unorderable payload, k)") {
     // the aggregate behind every ANN candidate select — its analysis
     // errors must be immediate and named, not runtime ClassCastExceptions
