@@ -287,7 +287,8 @@ object Bench {
       "q167_pca_whiten", "q176_ann_opq", "q177_ann_opq_saved",
       "q188_ann_search_saved", "q189_ann_sq8", "q190_ann_sq8_ivf",
       "q191_ann_sq8_saved", "q192_ann_sq8_search_saved",
-      "q193_hybrid_rrf", "q194_mmr_rerank"),
+      "q193_hybrid_rrf", "q194_mmr_rerank", "q195_bm25_search",
+      "q196_hybrid_bm25"),
     "incremental_index" -> Seq("q63_dedup_incr_exact",
       "q64_dedup_incremental", "q65_embed_incremental",
       "q67_dedup_incr_bloom", "q70_simhash_incremental",
@@ -680,7 +681,9 @@ object Bench {
       // hybrid lexical+dense retrieval via reciprocal rank fusion (r18)
       "q193_hybrid_rrf",
       // MMR diversification rerank over the dense top-20 (r18)
-      "q194_mmr_rerank"
+      "q194_mmr_rerank",
+      // per-query BM25 postings search + the weighted hybrid (r18)
+      "q195_bm25_search", "q196_hybrid_bm25"
     ).filter(SparkEntry.queries.contains)
       // dev-only subset filter for local iteration; the driver sets
       // neither env var, so its protocol is unchanged

@@ -2971,6 +2971,64 @@ object SparkEntry {
     Retrieval.mmrRerank(withVec, lambda = 0.7, k = 5)
   }
 
+  /** q195: PER-QUERY BM25 SEARCH — q71's Okapi scoring generalized
+    * from one fixed term list to one term set per query document,
+    * i.e. real multi-query lexical retrieval over an inverted
+    * postings shape: postings build once, the queries' term union
+    * broadcasts to prune them, scores join on TERM (an equi-join —
+    * never doc×query all-pairs, which is what makes this the 100 TB
+    * lexical arm where q193's Jaccard arm is the exact test-scale
+    * one). Ranking by the ROUNDED score (q71's own discipline: a
+    * float sum's last ulp is addition-order-dependent, so the
+    * rounded value is the rankable one), ties by neighbor_id. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 10),
+      "doc_id", "text", k = 10)
+  }
+
+  /** q196: WEIGHTED HYBRID — the q193 fusion with the INDEX-BACKED
+    * lexical arm (q195's per-query BM25) instead of the all-pairs
+    * Jaccard arm, and per-arm weights (dense trusted 1.5:1) through
+    * [[Retrieval.rrfFuseWeighted]] — the production hybrid shape:
+    * both arms are the scalable ones, and the weights exercise the
+    * tuned-fusion path under the oracle. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val lex = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 10),
+      "doc_id", "text", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val e = t.embeddings
+    val dense = Retrieval.denseCosineTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    Retrieval.rrfFuseWeighted(Seq(lex -> 1.0, dense -> 1.5), k = 10)
+  }
+
+  /** q195/q196's shared oracle CTE prefix: per-query BM25 rank lists
+    * (the q71 arithmetic verbatim, per query). */
+  private val bm25PerQuerySql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(words)) AS avgdl
+      |  FROM d),
+      |w AS (SELECT doc_id, len(words) AS len, unnest(words) AS term FROM d),
+      |q AS (SELECT doc_id AS query_id, unnest(list_distinct(words)) AS term
+      |  FROM d WHERE doc_id < 10),
+      |h AS (SELECT w.doc_id, w.term, count(*) AS tf, max(w.len) AS len
+      |  FROM w JOIN (SELECT DISTINCT term FROM q) t USING (term)
+      |  GROUP BY 1, 2),
+      |i AS (SELECT term, count(DISTINCT doc_id) AS nt FROM h GROUP BY 1),
+      |s AS (SELECT q.query_id, h.doc_id AS neighbor_id,
+      |    round(sum(ln((g.n - i.nt + 0.5)/(i.nt + 0.5) + 1.0) * h.tf * 2.2 /
+      |      (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.len / g.avgdl))), 4) AS score
+      |  FROM q JOIN h USING (term) JOIN i USING (term), g
+      |  WHERE h.doc_id != q.query_id
+      |  GROUP BY 1, 2),
+      |lr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)""".stripMargin
+
   /** q194's oracle: the MMR greedy unrolled into `k` CTE steps —
     * generated by a loop so the Spark greedy and the SQL replay
     * cannot drift in step count, tie-breaks, or the λ arithmetic
@@ -4076,7 +4134,9 @@ object SparkEntry {
     "q191_ann_sq8_saved" -> (q191 _),
     "q192_ann_sq8_search_saved" -> (q192 _),
     "q193_hybrid_rrf" -> (q193 _),
-    "q194_mmr_rerank" -> (q194 _)
+    "q194_mmr_rerank" -> (q194 _),
+    "q195_bm25_search" -> (q195 _),
+    "q196_hybrid_bm25" -> (q196 _)
   )
 
   /** q89 oracle: the same 10 PageRank iterations unrolled as CTEs —
@@ -6727,7 +6787,38 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |  round(rrf, 6) AS rrf_score
         |FROM fr WHERE rank <= 10""".stripMargin,
-    "q194_mmr_rerank" -> mmrOracleSql(lam = 0.7, k = 5, n = 20)
+    "q194_mmr_rerank" -> mmrOracleSql(lam = 0.7, k = 5, n = 20),
+    "q195_bm25_search" -> (bm25PerQuerySql + """
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+      |FROM lr WHERE rank <= 10""".stripMargin),
+    // q196: the q195 rank list (top-20) fused with the q35-cosine
+    // rank list (top-20) under weights 1.0 / 1.5 — both arms and the
+    // weighted sum replay exactly (1.5 is binary-exact)
+    "q196_hybrid_bm25" -> (bm25PerQuerySql + """,
+      |v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(x AS DOUBLE)*x for x in embedding])) AS nrm
+      |  FROM embeddings),
+      |sc AS (SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum([CAST(qv.embedding[ix] AS DOUBLE)*c.embedding[ix]
+      |      for ix in generate_series(1,64)])/(qv.nrm*c.nrm) AS cos
+      |  FROM v qv JOIN v c ON qv.vec_id < 10 AND c.vec_id != qv.vec_id),
+      |vr AS (SELECT query_id, neighbor_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM sc),
+      |u AS (
+      |  SELECT query_id, neighbor_id, 1.0/(60+rank) AS c FROM lr
+      |  WHERE rank <= 20
+      |  UNION ALL
+      |  SELECT query_id, neighbor_id, 1.5/(60+rank) AS c FROM vr
+      |  WHERE rank <= 20),
+      |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf
+      |  FROM u GROUP BY 1, 2),
+      |fr AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+      |  FROM f)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+      |  round(rrf, 6) AS rrf_score
+      |FROM fr WHERE rank <= 10""".stripMargin)
   )
 
   /** q167 oracle, BUILT from the same frozen constants the query

@@ -35,12 +35,26 @@ object Retrieval {
     * per query, ties broken by neighbor_id ascending, rrf_score
     * rounded to 6 places (sums of 1/(kRrf+rank) are exact in double
     * for two-digit ranks, so the rounding is presentational). */
-  def rrfFuse(arms: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+  def rrfFuse(arms: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame =
+    rrfFuseWeighted(arms.map(_ -> 1.0), k, kRrf)
+
+  /** [[rrfFuse]] with per-arm weights — the standard tuned variant
+    * (score(d) = Σ w_arm / (kRrf + rank_arm(d))): a stack that trusts
+    * its dense arm 2:1 passes `Seq(lex -> 1.0, dense -> 2.0)` without
+    * touching either arm. Weights multiply the rank contribution, so
+    * they stay calibration-free like the ranks themselves. Weight
+    * literals render into the plan as exact doubles (the q194
+    * rounding lesson: the caller's double IS the arithmetic both
+    * engines must replay). */
+  def rrfFuseWeighted(arms: Seq[(DataFrame, Double)], k: Int,
+      kRrf: Int = 60): DataFrame = {
     require(arms.nonEmpty, "rrfFuse: at least one arm")
     require(k > 0 && kRrf >= 0, "rrfFuse: k > 0, kRrf >= 0")
-    val contributions = arms.map(_.select(
-      col("query_id"), col("neighbor_id"),
-      (lit(1.0) / (lit(kRrf) + col("rank"))).as("__c")))
+    require(arms.forall(_._2 > 0), "rrfFuse: weights must be positive")
+    val contributions = arms.map { case (a, w) =>
+      a.select(col("query_id"), col("neighbor_id"),
+        (lit(w) / (lit(kRrf) + col("rank"))).as("__c"))
+    }
     val fused = contributions.reduce(_ unionByName _)
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__c")).as("__rrf"))
@@ -73,6 +87,64 @@ object Retrieval {
           .as("__sim"))
     Ann.topKSelect(scored, "__sim", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Per-query BM25 top-k — the INDEX-BACKED lexical arm (Okapi
+    * BM25, the q71 scoring verbatim, generalized from one fixed term
+    * list to one term set PER QUERY document): corpus postings build
+    * once ((doc, term, tf, len) — the only corpus-sized exchange,
+    * map-side combined, checkpointed because both the document-
+    * frequency aggregate and the score join consume it — the q107
+    * lesson), the union of all queries' terms broadcasts to prune
+    * the postings (an equi-join on term — never an all-pairs
+    * doc×query comparison, which is what makes this the 100 TB
+    * lexical arm where [[lexicalJaccardTopK]] is the test-scale
+    * exact one), and each (query, doc) score sums the matched terms'
+    * BM25 contributions.
+    *
+    * Ranking uses the ROUNDED score (round 4, the q71 discipline)
+    * with the id tie-break: a float sum's last ulp depends on
+    * addition order, which no engine pair reproduces — rounding
+    * before ranking is what keeps the rank lists (and q196's fusion
+    * of them) hash-exact. */
+  def bm25TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = true): DataFrame = {
+    val words = Parallelism.ensure(
+      corpus.select(col(idCol).as("neighbor_id"), col(textCol).as("__t")))
+      .select(col("neighbor_id"),
+        size(split(col("__t"), " ")).as("__len"),
+        explode(split(col("__t"), " ")).as("term"))
+    val globals = corpus
+      .select(size(split(col(textCol), " ")).as("l"))
+      .agg(count(lit(1)).as("n"), avg(col("l")).as("avgdl")).head()
+    val n = globals.getLong(0)
+    val avgdl = globals.getDouble(1)
+    val qterms = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("term"))
+    val hits = words
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("neighbor_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("__len")).as("len"))
+      .localCheckpoint(false)
+    val dfreq = hits.groupBy(col("term"))
+      .agg(countDistinct(col("neighbor_id")).as("nt"))
+    val idf = log((lit(n.toDouble) - col("nt") + 0.5) /
+      (col("nt") + 0.5) + 1.0)
+    val scored = hits
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .withColumn("__s", idf * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgdl)))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("__s")), 4).as("__bm"))
+    Ann.topKSelect(scored, "__bm", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__score").as("score"))
   }
 
   /** Dense cosine arm with the UNROUNDED score exposed as `rel` —

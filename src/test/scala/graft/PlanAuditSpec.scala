@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "q192_ann_sq8_search_saved", // q191's search, build-once fixture
     "q193_hybrid_rrf", // both test arms broadcast queries over the corpus
     "q194_mmr_rerank", // the dense candidate arm, same broadcast shape
+    "q196_hybrid_bm25", // its dense arm broadcasts queries; BM25 arm equi-joins
     "q97_key_profile", "q134_pmi_bigrams",
     // q183/q184 cross the per-source frame with TWO broadcast one-row
     // scalars (budget/count + fill level) — the same in-plan pattern
@@ -115,7 +116,8 @@ class PlanAuditSpec extends SparkSpec {
       "q45_ann_ivf_pruned", "q189_ann_sq8", "q190_ann_sq8_ivf",
       "q191_ann_sq8_saved", "q192_ann_sq8_search_saved",
       "q176_ann_opq", "q177_ann_opq_saved", "q188_ann_search_saved",
-      "q193_hybrid_rrf", "q194_mmr_rerank")
+      "q193_hybrid_rrf", "q194_mmr_rerank",
+      "q195_bm25_search", "q196_hybrid_bm25")
     val offenders = annSearch.flatMap { name =>
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)

@@ -87,6 +87,52 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.map(_._2).toSeq === Seq(2L, 1L, 3L))
   }
 
+  test("bm25TopK with one query ≡ Corpus.bm25Search on the same term set") {
+    // the per-query generalization must reproduce the q71 machinery
+    // exactly when there is one query: same postings, same df, same
+    // Okapi arithmetic, same rounded-score ranking
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("hash", "join", "filter", "scan")
+    val query = Seq((999999L, terms.mkString(" "))).toDF("doc_id", "text")
+    val perQuery = Retrieval.bm25TopK(docs, query, "doc_id", "text", k = 25)
+      .select(col("neighbor_id").as("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val fixed = graft.operators.Corpus.bm25Search(
+      docs, "doc_id", "text", terms, topK = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(perQuery === fixed,
+      "single-query bm25TopK must equal the fixed-term bm25Search")
+    // two queries with different term sets rank independently
+    val q2 = Seq((999999L, "hash join"), (999998L, "filter scan"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, q2, "doc_id", "text", k = 5)
+    assert(out.select("query_id").distinct().count() === 2)
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
+  test("rrfFuseWeighted: weights break arm ties and scale contributions") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("query_id", "neighbor_id", "rank")
+    // equal weights: 10 and 20 tie at 1/61, id breaks it
+    val eq = Retrieval.rrfFuseWeighted(Seq(a -> 1.0, b -> 1.0), k = 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(eq === Seq(10L, 20L, 11L, 21L))
+    // trust arm b 2:1 — its rank-1 doc now wins outright, and even
+    // its rank-2 doc (2/62) beats arm a's rank-1 (1/61)
+    val w = Retrieval.rrfFuseWeighted(Seq(a -> 1.0, b -> 2.0), k = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(w.map(_._1).toSeq === Seq(20L, 21L, 10L, 11L))
+    assert(math.abs(w.head._2 - 2.0 / 61) < 2e-6)
+    // unweighted rrfFuse ≡ all-ones weights
+    val plain = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(plain === eq)
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuseWeighted(Seq(a -> 0.0), k = 1))
+  }
+
   test("mmrRerank: λ=1 is pure relevance order; near-duplicates get deferred at λ<1") {
     // candidates for one query: 10 and 11 are IDENTICAL vectors
     // (the near-dup crowding MMR exists to break), 12 orthogonal,
@@ -123,6 +169,33 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
     assert(math.abs(scores(13L) - (0.7 * 0.10 + 0.3 * 1.0)) < 1e-4,
       s"opposite vector must earn the diversity bonus: $scores")
+  }
+
+  test("topk_any survives the sort-based aggregation fallback exactly") {
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold —
+    // the path that exercises serialize/deserialize on EVERY buffer
+    // (a spilling 100 TB aggregation lives there, not in the happy
+    // hash path). Force the fallback at threshold 2 and pin the
+    // selection identical to the window form on a many-group input.
+    val scored = (1 to 50).flatMap { q =>
+      (1 to 30).map(n => (q.toLong, (q * 1000 + n).toLong,
+        ((n * 7919 + q * 104729) % 1000) / 1000.0))
+    }.toDF("query_id", "neighbor_id", "s").repartition(8)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2")
+      val agg = dump(Ann.topKSelectAgg(scored, "s", 5))
+      spark.conf.set(key, prev)
+      val win = dump(Ann.topKSelectWindow(scored, "s", 5))
+      assert(agg === win,
+        "fallback-path selection diverged from the window form")
+      assert(agg.size === 250)
+    } finally spark.conf.set(key, prev)
   }
 
   test("topk_any rejects bad inputs loudly (types, unorderable payload, k)") {
