@@ -43,7 +43,7 @@ object StressR18 {
     "q66_ann_ivfpq", "q165_ann_ivfpq_residual", "q176_ann_opq",
     "q177_ann_opq_saved", "q188_ann_search_saved", "q189_ann_sq8",
     "q190_ann_sq8_ivf", "q191_ann_sq8_saved", "q192_ann_sq8_search_saved",
-    "q193_hybrid_rrf")
+    "q193_hybrid_rrf", "q195_bm25_search", "q196_hybrid_bm25")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
