@@ -452,7 +452,13 @@ object Bench {
       files.foreach { f =>
         val rel = src.relativize(f)
         val to = dest.resolve(rel.toString)
-        if (!Files.exists(to) || Files.size(to) != Files.size(f)) {
+        // size alone can miss a regenerated input that kept its byte
+        // count — also recopy when the source is newer than the copy
+        // (r18 ADVICE: a stale same-size file would silently time old
+        // data)
+        if (!Files.exists(to) || Files.size(to) != Files.size(f) ||
+            Files.getLastModifiedTime(f)
+              .compareTo(Files.getLastModifiedTime(to)) > 0) {
           Option(to.getParent).foreach(Files.createDirectories(_))
           Files.copy(f, to, StandardCopyOption.REPLACE_EXISTING)
           copied += Files.size(f)

@@ -142,7 +142,10 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression)
       else {
         val lam = second.eval().asInstanceOf[java.lang.Double]
         val kv = third.eval().asInstanceOf[java.lang.Integer]
-        if (lam == null || lam < 0.0 || lam > 1.0)
+        // NaN must be rejected explicitly: NaN < 0.0 and NaN > 1.0 are
+        // both false, and a NaN lambda would poison every MMR score
+        // (and interpolate as an invalid 'NaN' Java literal in codegen)
+        if (lam == null || lam.isNaN || lam < 0.0 || lam > 1.0)
           TypeCheckResult.TypeCheckFailure(
             "mmr_select: lambda must be in [0, 1]")
         else if (kv == null || kv < 1)

@@ -337,7 +337,14 @@ object Ann {
     require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
     require(sample.forall(_.length == dim), "trainPq: ragged vectors")
     val dsub = dim / m
-    (0 until m).map { j =>
+    // the m subspaces are INDEPENDENT Lloyd's problems — train them in
+    // parallel on the JDK common pool (the driverTriangles discipline;
+    // r19: the sequential loop serialised ~170M distance mults onto one
+    // core per PQ training, paid by every IVF-PQ/OPQ lifecycle query).
+    // Per-subspace arithmetic and iteration order are untouched, so the
+    // codebooks are bit-identical to the sequential loop's.
+    val books = new Array[Seq[Seq[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
       val off = j * dsub
       val subs = sample.map(v =>
         java.util.Arrays.copyOfRange(v, off, off + dsub))
@@ -369,8 +376,9 @@ object Ann {
           else Array.tabulate(dsub)(i => (sums(c)(i) / ns(c)).toFloat)
         }
       }
-      cents.map(_.toSeq).toSeq
+      books(j) = cents.map(_.toSeq).toSeq
     }
+    books.toSeq
   }
 
   /** Encode the corpus into the IVF-PQ index: (id, centroid_id, codes,
@@ -743,7 +751,17 @@ object Ann {
     * A collision now needs a simultaneous coincidence across the
     * 192 xor bits AND the exact hash sum AND the count — accidental-
     * collision defence, not crafted-batch defence. ONE tiny aggregate
-    * action; None for an empty batch. */
+    * action; None for an empty batch.
+    *
+    * FORMAT COMPATIBILITY (r18 ADVICE): the key format changed in r18
+    * (the decimal-sum segment was added), so delta folders persisted
+    * under the r17 3-xor key no longer match keys computed by this
+    * code — a cross-version retry of a batch already appended by an
+    * r17 build keys to a NEW folder and duplicates the batch's rows.
+    * The duplicates are healed at read time (loadOpqIndex/loadSq8Index
+    * dedupe on id across delta roots) and removed permanently by the
+    * next compaction, but the retry is not the no-op it is within one
+    * version. Appending across an engine upgrade: compact first. */
   private[graft] def batchContentKey(batch: DataFrame, idCol: String,
       vecCol: String): Option[String] = {
     val h = xxhash64(col(idCol), col(vecCol))

@@ -121,9 +121,12 @@ object Graph {
     val dir = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+    // ONE distinct either way (r19): the undirected path used to
+    // distinct `dir` first and then distinct the symmetrised union —
+    // the outer distinct subsumes the inner (set semantics), so the
+    // inner one was a pure extra exchange of the whole edge set.
     val und =
-      if (!undirected) dir
+      if (!undirected) dir.distinct()
       else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     // Weighted adjacency (src, dst, 1/outDeg) is joined ONCE, outside

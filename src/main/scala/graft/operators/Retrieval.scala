@@ -33,8 +33,12 @@ object Retrieval {
     * nothing for that arm (the standard RRF convention). Output:
     * (query_id, neighbor_id, rank, rrf_score) — the fused top `k`
     * per query, ties broken by neighbor_id ascending, rrf_score
-    * rounded to 6 places (sums of 1/(kRrf+rank) are exact in double
-    * for two-digit ranks, so the rounding is presentational). */
+    * rounded to 6 places. The 1/(kRrf+rank) terms are NOT exact in
+    * double (1/61 has no finite binary expansion) — a two-arm sum is
+    * order-free regardless, but with 3+ arms the unrounded sum's last
+    * ulp depends on addition order, so the fusion RANKS the rounded
+    * score in that case (the q71/q195 rounded-rank discipline) to
+    * keep tie behaviour engine-reproducible. */
   def rrfFuse(arms: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame =
     rrfFuseWeighted(arms.map(_ -> 1.0), k, kRrf)
 
@@ -55,9 +59,18 @@ object Retrieval {
       a.select(col("query_id"), col("neighbor_id"),
         (lit(w) / (lit(kRrf) + col("rank"))).as("__c"))
     }
-    val fused = contributions.reduce(_ unionByName _)
+    val fusedRaw = contributions.reduce(_ unionByName _)
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__c")).as("__rrf"))
+    // 3+ arms: rank the ROUNDED sum — a 3-term double sum's last ulp
+    // is addition-order-dependent (see scaladoc), and ranking the raw
+    // value would make tie order nondeterministic across engines. Two
+    // arms (every registered fusion) sum order-free; their unrounded
+    // ranking is kept bit-for-bit as before.
+    val fused =
+      if (arms.size >= 3)
+        fusedRaw.withColumn("__rrf", round(col("__rrf"), 6))
+      else fusedRaw
     Ann.topKSelect(fused, "__rrf", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__score"), 6).as("rrf_score"))
@@ -112,23 +125,32 @@ object Retrieval {
       idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true): DataFrame = {
-    val words = Parallelism.ensure(
+    // (n, avgdl) fold into the postings pass via an Observation on the
+    // pre-explode projection (r18 verdict: the old separate
+    // corpus.agg(...).head() re-read and re-split every document — a
+    // second full corpus scan that at 100 TB costs as much as the
+    // postings build itself). The checkpoint below is EAGER so the
+    // metrics are available here; same aggregate arithmetic
+    // (count + double-sum avg), so n/avgdl are the values the old scan
+    // produced. The corpus is now scanned exactly once.
+    val obs = new org.apache.spark.sql.Observation()
+    val docs = Parallelism.ensure(
       corpus.select(col(idCol).as("neighbor_id"), col(textCol).as("__t")))
-      .select(col("neighbor_id"),
-        size(split(col("__t"), " ")).as("__len"),
-        explode(split(col("__t"), " ")).as("term"))
-    val globals = corpus
-      .select(size(split(col(textCol), " ")).as("l"))
-      .agg(count(lit(1)).as("n"), avg(col("l")).as("avgdl")).head()
-    val n = globals.getLong(0)
-    val avgdl = globals.getDouble(1)
+      .select(col("neighbor_id"), split(col("__t"), " ").as("__ws"))
+      .observe(obs, count(lit(1)).as("n"), avg(size(col("__ws"))).as("avgdl"))
+    val words = docs.select(col("neighbor_id"),
+      size(col("__ws")).as("__len"),
+      explode(col("__ws")).as("term"))
     val qterms = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(split(col(textCol), " "))).as("term"))
     val hits = words
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("neighbor_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("__len")).as("len"))
-      .localCheckpoint(false)
+      .localCheckpoint() // eager: materialises postings AND fills obs
+    val metrics = obs.get
+    val n = metrics("n").asInstanceOf[Long]
+    val avgdl = metrics("avgdl").asInstanceOf[Double]
     val dfreq = hits.groupBy(col("term"))
       .agg(countDistinct(col("neighbor_id")).as("nt"))
     val idf = log((lit(n.toDouble) - col("nt") + 0.5) /
