@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   * search) show where their seconds actually go. */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // args: <query>[,<query>...] [sfDir] — comma-list profiles several
+    // queries in one JVM (one warm + one instrumented pass each)
+    val names = args(0).split(',').toSeq
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,43 +22,45 @@ object ProfileJobs {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    // warm pass (JIT + codegen + any per-JVM fixture builds)
-    fn(spark, dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // warm pass (JIT + codegen + any per-JVM fixture builds)
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
 
-    final case class Job(id: Int, var start: Long = 0L, var end: Long = 0L,
-        var site: String = "", var stages: Int = 0)
-    val jobs = scala.collection.concurrent.TrieMap.empty[Int, Job]
-    val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val j = jobs.getOrElseUpdate(e.jobId, Job(e.jobId))
-        j.start = e.time
-        j.site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+      final case class Job(id: Int, var start: Long = 0L, var end: Long = 0L,
+          var site: String = "", var stages: Int = 0)
+      val jobs = scala.collection.concurrent.TrieMap.empty[Int, Job]
+      val listener = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val j = jobs.getOrElseUpdate(e.jobId, Job(e.jobId))
+          j.start = e.time
+          j.site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit =
+          jobs.get(e.jobId).foreach(_.end = e.time)
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        jobs.get(e.jobId).foreach(_.end = e.time)
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(500) // let the listener bus drain
+      println(f"PROFILE $name total $total%.3f s, ${jobs.size} jobs")
+      val ordered = jobs.values.toSeq.sortBy(_.id)
+      var prevEnd = 0L
+      ordered.foreach { j =>
+        val dur = (j.end - j.start) / 1e3
+        val gap = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, j.end)
+        println(f"  job ${j.id}%3d ${dur}%7.3f s  (gap before ${gap}%6.3f s)  ${j.site}")
+      }
+      val sumJobs = ordered.map(j => (j.end - j.start) / 1e3).sum
+      println(f"  sum of job durations ${sumJobs}%.3f s " +
+        f"(driver/plan gaps ${total - sumJobs}%.3f s)")
     }
-    spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
-    fn(spark, dir).write.format("noop").mode("overwrite").save()
-    val total = (System.nanoTime() - t0) / 1e9
-    spark.sparkContext.removeSparkListener(listener)
-    Thread.sleep(500) // let the listener bus drain
-    println(f"PROFILE $name total $total%.3f s, ${jobs.size} jobs")
-    val ordered = jobs.values.toSeq.sortBy(_.id)
-    var prevEnd = 0L
-    ordered.foreach { j =>
-      val dur = (j.end - j.start) / 1e3
-      val gap = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e3
-      prevEnd = math.max(prevEnd, j.end)
-      println(f"  job ${j.id}%3d ${dur}%7.3f s  (gap before ${gap}%6.3f s)  ${j.site}")
-    }
-    val sumJobs = ordered.map(j => (j.end - j.start) / 1e3).sum
-    println(f"  sum of job durations ${sumJobs}%.3f s " +
-      f"(driver/plan gaps ${total - sumJobs}%.3f s)")
     spark.stop()
   }
 }

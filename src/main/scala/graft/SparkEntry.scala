@@ -500,10 +500,13 @@ object SparkEntry {
     * probe. */
   private def q66(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
-      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
-    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
-      iters = 5, maxTrain = 4096)
+    // the IVF k-means and the PQ codebook sample are independent
+    // trainings over the same input — overlap their jobs (guide §2.6)
+    val (centroids, books) = Parallelism.join2(
+      Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id"),
+      Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+        iters = 5, maxTrain = 4096))
     Ann.ivfPqTopK(
       corpus = e, queries = e.filter(col("vec_id") < 10),
       centroids = centroids, codebooks = books,
@@ -2729,10 +2732,12 @@ object SparkEntry {
         Pca.rotateOpq(scaled, "vec_id", "embedding", pca, m = 16)
           .localCheckpoint(false)
       else scaled
-    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
-      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
-    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
-      iters = 5, maxTrain = 4096)
+    // independent trainings over the rotated corpus — overlap (§2.6)
+    val (centroids, books) = Parallelism.join2(
+      Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id"),
+      Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+        iters = 5, maxTrain = 4096))
     Ann.ivfPqTopK(
       corpus = e, queries = e.filter(col("vec_id") < 10),
       centroids = centroids, codebooks = books,
@@ -2785,10 +2790,12 @@ object SparkEntry {
         .localCheckpoint(false)
       case None => scaled
     }
-    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
-      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
-    val books = Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
-      iters = 5, maxTrain = 4096)
+    // independent trainings over the rotated corpus — overlap (§2.6)
+    val (centroids, books) = Parallelism.join2(
+      Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id"),
+      Ann.trainPq(e, "vec_id", "embedding", m = 16, ksub = 128,
+        iters = 5, maxTrain = 4096))
     val index = Ann.buildPqIndex(e, centroids, books, "vec_id", "embedding")
     Ann.saveOpqIndex(idir, index, centroids, books, "vec_id", "embedding",
       rotation = rotation)
@@ -2855,10 +2862,15 @@ object SparkEntry {
     * corpus. */
   private def q190(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
-      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    // SQ8 scales and IVF k-means are independent trainings — overlap
+    // (§2.6) and hand the scales in so sq8IvfTopK skips its own pass
+    val (centroids, scales) = Parallelism.join2(
+      Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id"),
+      Ann.trainSq8(e.select(col("vec_id"), col("embedding")), "embedding"))
     Ann.sq8IvfTopK(e, e.filter(col("vec_id") < 10), centroids,
-      "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+      "vec_id", "embedding", k = 5, nprobe = 3, refine = 4,
+      scales = Some(scales))
   }
 
   /** q191: PERSISTED SQ8 INDEX — the SQ8 rung's disk face, completing
@@ -2874,9 +2886,11 @@ object SparkEntry {
     * append-retry idempotency + tombstone + compact exactness. */
   private def q191(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
-    val (mins, steps) = Ann.trainSq8(e, "embedding")
-    val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
-      k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+    // independent trainings — overlap their jobs (guide §2.6)
+    val ((mins, steps), centroids) = Parallelism.join2(
+      Ann.trainSq8(e, "embedding"),
+      Ann.trainCentroids(e, "vec_id", "embedding",
+        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id"))
     val idir = s"$scratchDir/q191_sq8_index"
     Ann.saveSq8Index(idir, e, centroids, mins, steps, "vec_id", "embedding")
     val loaded = Ann.loadSq8Index(s, idir)
@@ -2903,9 +2917,11 @@ object SparkEntry {
         .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(12).map(b => f"$b%02x").mkString
     if (!new java.io.File(s"$idir/meta/_SUCCESS").exists()) {
-      val (mins, steps) = Ann.trainSq8(e, "embedding")
-      val centroids = Ann.trainCentroids(e, "vec_id", "embedding",
-        k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id")
+      // independent trainings — overlap their jobs (guide §2.6)
+      val ((mins, steps), centroids) = Parallelism.join2(
+        Ann.trainSq8(e, "embedding"),
+        Ann.trainCentroids(e, "vec_id", "embedding",
+          k = 20, iters = 3).withColumnRenamed("centroid_id", "vec_id"))
       Ann.saveSq8Index(idir, e, centroids, mins, steps,
         "vec_id", "embedding")
     }

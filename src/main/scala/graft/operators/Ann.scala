@@ -620,21 +620,26 @@ object Ann {
     val spark = pqIndex.sparkSession
     import spark.implicits._
     // the encoded corpus is the only corpus-sized piece — it keeps
-    // its partitioning; everything else coalesces to one file
-    pqIndex
-      .select(col(idCol), col("centroid_id"), col("codes"),
-        col("vec_norm"))
-      .write.mode("overwrite").parquet(s"$dir/index")
-    centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (cv, c) => (s, c, cv) }
-    }.toDF("sub", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    rotation.foreach(Pca.save(spark, _, s"$dir/rotation"))
-    Seq((residual, rotation.isDefined, idCol, vecCol))
-      .toDF("residual", "rotated", "id_col", "vec_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // its partitioning; everything else coalesces to one file. The
+    // five artifacts land in DISJOINT subdirectories, so their write
+    // jobs are independent — run them concurrently (guide §2.6) so
+    // the tiny model writes back-fill the encode write's tail instead
+    // of each paying its own full job latency in sequence.
+    Parallelism.runAll(Seq(
+      () => pqIndex
+        .select(col(idCol), col("centroid_id"), col("codes"),
+          col("vec_norm"))
+        .write.mode("overwrite").parquet(s"$dir/index"),
+      () => centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => codebooks.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cv, c) => (s, c, cv) }
+      }.toDF("sub", "code", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"),
+      () => rotation.foreach(Pca.save(spark, _, s"$dir/rotation")),
+      () => Seq((residual, rotation.isDefined, idCol, vecCol))
+        .toDF("residual", "rotated", "id_col", "vec_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")))
   }
 
   /** Restore a [[saveOpqIndex]] directory. The encoded corpus comes
@@ -654,15 +659,18 @@ object Ann {
   def loadOpqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PersistedPqIndex = {
     IndexMaintenance.healUnreadable(spark, dir, Seq("index"))
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select("residual", "rotated", "id_col", "vec_col").head
+    // meta and codebooks live in disjoint files — read both model
+    // artifacts concurrently (guide §2.6)
+    val (meta, books) = Parallelism.join2(
+      spark.read.parquet(s"$dir/meta")
+        .select("residual", "rotated", "id_col", "vec_col").head,
+      spark.read.parquet(s"$dir/codebooks")
+        .select("sub", "code", "vec").orderBy(col("sub"), col("code"))
+        .collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.toSeq.map(_.getSeq[Float](2).toSeq)))
     val (residual, rotated) = (meta.getBoolean(0), meta.getBoolean(1))
     val (idCol, vecCol) = (meta.getString(2), meta.getString(3))
-    val books = spark.read.parquet(s"$dir/codebooks")
-      .select("sub", "code", "vec").orderBy(col("sub"), col("code"))
-      .collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.toSeq.map(_.getSeq[Float](2).toSeq))
     val deltas = deltaRoots(spark, dir)
     val encoded = {
       val base = spark.read.parquet(s"$dir/index")
@@ -959,11 +967,15 @@ object Ann {
   def sq8IvfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      refine: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      refine: Int = 4, excludeSelf: Boolean = true,
+      scales: Option[(Seq[Double], Seq[Double])] = None): DataFrame = {
     require(k > 0 && nprobe > 0 && refine >= 1,
       "sq8IvfTopK: k > 0, nprobe > 0, refine >= 1")
     requireSq8Kernels(corpus)
-    val (mins, steps) = trainSq8(corpus, vecCol)
+    // callers that train their own centroids pass pre-trained scales
+    // so both models train CONCURRENTLY (guide §2.6) instead of the
+    // scales pass serialising behind the k-means here
+    val (mins, steps) = scales.getOrElse(trainSq8(corpus, vecCol))
     val deq = assignBuckets(
         Parallelism.ensure(corpus.select(col(idCol), col(vecCol))),
         centroids, idCol, vecCol)
@@ -1015,15 +1027,18 @@ object Ann {
       idCol: String, vecCol: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    buildSq8Index(corpus, centroids, mins, steps, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$dir/index")
-    centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    mins.indices.map(i => (i, mins(i), steps(i)))
-      .toDF("i", "min", "step")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scales")
-    Seq((idCol, vecCol)).toDF("id_col", "vec_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // disjoint artifact directories ⇒ independent write jobs — run
+    // them concurrently (guide §2.6), same as [[saveOpqIndex]]
+    Parallelism.runAll(Seq(
+      () => buildSq8Index(corpus, centroids, mins, steps, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$dir/index"),
+      () => centroids.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => mins.indices.map(i => (i, mins(i), steps(i)))
+        .toDF("i", "min", "step")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/scales"),
+      () => Seq((idCol, vecCol)).toDF("id_col", "vec_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")))
   }
 
   /** Restore a [[saveSq8Index]] directory (lazy codes scan; see
@@ -1031,11 +1046,13 @@ object Ann {
   def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
       dir: String): PersistedSq8Index = {
     IndexMaintenance.healUnreadable(spark, dir, Seq("index"))
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select("id_col", "vec_col").head
+    // meta and scales are disjoint model files — read concurrently
+    val (meta, scales) = Parallelism.join2(
+      spark.read.parquet(s"$dir/meta")
+        .select("id_col", "vec_col").head,
+      spark.read.parquet(s"$dir/scales")
+        .select("i", "min", "step").collect().sortBy(_.getInt(0)))
     val (idCol, vecCol) = (meta.getString(0), meta.getString(1))
-    val scales = spark.read.parquet(s"$dir/scales")
-      .select("i", "min", "step").collect().sortBy(_.getInt(0))
     val deltas = deltaRoots(spark, dir)
     val codes = {
       val base = spark.read.parquet(s"$dir/index")

@@ -205,6 +205,59 @@ object Graph {
     ranks
   }
 
+  /** Distributed DataFrame over two parallel driver arrays — the
+    * driver paths' RESULT encode. `Seq.toDF` serializes every row to
+    * InternalRow EAGERLY ON THE DRIVER THREAD (~0.4 s single-threaded
+    * at 1.2M nodes, r19 profile); shipping the primitive arrays once
+    * via broadcast and encoding rows inside `defaultParallelism`
+    * range tasks moves that work onto the executor pool. Row VALUES
+    * are identical; row order is not contractual (callers
+    * sort/aggregate or the oracle compare sorts). */
+  private def arraysToDF(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: Array[Long], longVals: Array[Long], dblVals: Array[Double],
+      col1: String, col2: String): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val n = ids.length
+    val slices = math.max(1, math.min(sc.defaultParallelism, n / 8192))
+    val bIds = sc.broadcast(ids)
+    if (dblVals == null) {
+      val bV = sc.broadcast(longVals)
+      sc.range(0L, n.toLong, numSlices = slices)
+        .map(i => (bIds.value(i.toInt), bV.value(i.toInt)))
+        .toDF(col1, col2)
+    } else {
+      val bV = sc.broadcast(dblVals)
+      sc.range(0L, n.toLong, numSlices = slices)
+        .map(i => (bIds.value(i.toInt), bV.value(i.toInt)))
+        .toDF(col1, col2)
+    }
+  }
+
+  /** Sorted-unique node id array over both endpoint arrays — the
+    * driver paths' canonical id table, built with primitive sort +
+    * in-place dedup. r19: the SortedSet/zipWithIndex.toMap version of
+    * this (boxed RB-tree inserts + a boxed HashMap per endpoint
+    * lookup) was ~2 s of the q89 driver gap at 1.17M edges; the
+    * primitive form is two arraycopies, one sort and one scan, and
+    * id→index lookups become binarySearch against the result. */
+  private def sortedUniqueIds(
+      srcL: Array[Long], dstL: Array[Long]): Array[Long] = {
+    val m = srcL.length
+    val all = new Array[Long](2 * m)
+    System.arraycopy(srcL, 0, all, 0, m)
+    System.arraycopy(dstL, 0, all, m, m)
+    java.util.Arrays.sort(all)
+    var w = 0
+    var i = 0
+    while (i < all.length) {
+      if (w == 0 || all(w - 1) != all(i)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(all, w)
+  }
+
   /** Driver PageRank over a bounded, already-canonicalised (and, when
     * undirected, already-symmetrised) edge frame — the identical
     * formula as the distributed loop: per-edge weight 1/outDeg,
@@ -222,21 +275,34 @@ object Graph {
     // footprint is the driver-path bound's real cost (object doc)
     val raw = e.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
-    // deterministic edge order — the accumulation order of the sums
-    val pairs = raw.sortBy(identity)
-    val ids = {
-      val s = scala.collection.mutable.SortedSet.empty[Long]
-      pairs.foreach { case (u, v) => s += u; s += v }
-      s.toArray
-    }
-    val idx = ids.zipWithIndex.toMap
-    val n = ids.length
-    val src = new Array[Int](pairs.length)
-    val dst = new Array[Int](pairs.length)
-    val outDeg = new Array[Int](n)
+    val m = raw.length
+    val srcL = new Array[Long](m)
+    val dstL = new Array[Long](m)
     var k = 0
-    while (k < pairs.length) {
-      src(k) = idx(pairs(k)._1); dst(k) = idx(pairs(k)._2)
+    while (k < m) { srcL(k) = raw(k)._1; dstL(k) = raw(k)._2; k += 1 }
+    val ids = sortedUniqueIds(srcL, dstL)
+    val n = ids.length
+    // deterministic edge order — the accumulation order of the sums.
+    // Index order IS id order (ids sorted), so sorting the packed
+    // (srcIdx, dstIdx) longs reproduces the old boxed
+    // `pairs.sortBy(identity)` order exactly; indices fit 31 bits by
+    // the driver-path edge bound.
+    val packed = new Array[Long](m)
+    k = 0
+    while (k < m) {
+      val si = java.util.Arrays.binarySearch(ids, srcL(k)).toLong
+      val di = java.util.Arrays.binarySearch(ids, dstL(k)).toLong
+      packed(k) = (si << 32) | di
+      k += 1
+    }
+    java.util.Arrays.sort(packed)
+    val src = new Array[Int](m)
+    val dst = new Array[Int](m)
+    val outDeg = new Array[Int](n)
+    k = 0
+    while (k < m) {
+      src(k) = (packed(k) >>> 32).toInt
+      dst(k) = (packed(k) & 0xffffffffL).toInt
       outDeg(src(k)) += 1; k += 1
     }
     val w = src.map(s => 1.0 / outDeg(s))
@@ -245,7 +311,7 @@ object Graph {
     for (_ <- 1 to iterations) {
       val contrib = new Array[Double](n)
       var j = 0
-      while (j < pairs.length) {
+      while (j < m) {
         contrib(dst(j)) += ranks(src(j)) * w(j); j += 1
       }
       val next = new Array[Double](n)
@@ -264,7 +330,7 @@ object Graph {
       }
       ranks = next
     }
-    ids.indices.map(i => (ids(i), ranks(i))).toDF("id", "rank")
+    arraysToDF(spark, ids, null, ranks, "id", "rank")
   }
 
   /** Community detection by synchronous LABEL PROPAGATION (Raghavan
@@ -373,46 +439,74 @@ object Graph {
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("__w").cast("long"))
       .as[(Long, Long, Long)].collect()
-    val ids = {
-      val s = scala.collection.mutable.SortedSet.empty[Long]
-      triples.foreach { case (u, v, _) => s += u; s += v }
-      s.toArray
-    }
-    val idx = ids.zipWithIndex.toMap
-    val n = ids.length
-    val src = new Array[Int](triples.length)
-    val dst = new Array[Int](triples.length)
-    val w = new Array[Long](triples.length)
+    val m = triples.length
+    val srcL = new Array[Long](m)
+    val dstL = new Array[Long](m)
+    val wL = new Array[Long](m)
     var k = 0
-    while (k < triples.length) {
-      src(k) = idx(triples(k)._1); dst(k) = idx(triples(k)._2)
-      w(k) = triples(k)._3; k += 1
+    while (k < m) {
+      srcL(k) = triples(k)._1; dstL(k) = triples(k)._2
+      wL(k) = triples(k)._3; k += 1
+    }
+    val ids = sortedUniqueIds(srcL, dstL)
+    val n = ids.length
+    // CSR by RECEIVING node (symmetrised ⇒ incoming = neighbours):
+    // per-node vote segments make the round loop parallel over nodes
+    // (the driverTriangles discipline) where the old one-HashMap-per-
+    // node array was a single-threaded boxed walk of every edge.
+    val inDeg = new Array[Int](n)
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    k = 0
+    while (k < m) {
+      srcI(k) = java.util.Arrays.binarySearch(ids, srcL(k))
+      dstI(k) = java.util.Arrays.binarySearch(ids, dstL(k))
+      inDeg(dstI(k)) += 1; k += 1
+    }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + inDeg(i); i += 1 }
+    val nbrSrc = new Array[Int](m)
+    val nbrW = new Array[Long](m)
+    val fill = new Array[Int](n)
+    k = 0
+    while (k < m) {
+      val d = dstI(k)
+      val p = off(d) + fill(d)
+      nbrSrc(p) = srcI(k); nbrW(p) = wL(k)
+      fill(d) += 1; k += 1
     }
     var labels: Array[Long] = ids.clone()
     for (_ <- 1 to iterations) {
-      // votes(dst): label -> summed weight; winner = max weight,
-      // ties to the smallest label — min by (-weight, label),
-      // exactly the distributed min(struct(-c, label)) aggregate
-      val votes = Array.fill(n)(
-        scala.collection.mutable.HashMap.empty[Long, Long])
-      var j = 0
-      while (j < triples.length) {
-        val m = votes(dst(j))
-        val lab = labels(src(j))
-        m.update(lab, m.getOrElse(lab, 0L) + w(j))
-        j += 1
-      }
+      // per-node vote: label -> summed weight; winner = max weight,
+      // ties to the smallest label — exactly the distributed
+      // min(struct(-c, label)) aggregate. Long-keyed specialized map,
+      // one small map per node, nodes independent ⇒ parallel.
       val next = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        // symmetrised ⇒ every node has ≥1 neighbour, votes nonempty
-        next(i) = votes(i).minBy { case (lab, c) => (-c, lab) }._1
-        i += 1
+      java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
+        val s = off(u); val t = off(u + 1)
+        // symmetrised ⇒ every node has ≥1 neighbour, segment nonempty
+        val votes = new scala.collection.mutable.LongMap[Long](
+          math.max(8, (t - s) * 2))
+        var p = s
+        while (p < t) {
+          val lab = labels(nbrSrc(p))
+          votes(lab) = votes.getOrElse(lab, 0L) + nbrW(p)
+          p += 1
+        }
+        var bestLab = 0L
+        var bestC = Long.MinValue
+        var first = true
+        votes.foreachEntry { (lab, c) =>
+          if (first || c > bestC || (c == bestC && lab < bestLab)) {
+            bestLab = lab; bestC = c; first = false
+          }
+        }
+        next(u) = bestLab
       }
       labels = next
     }
-    ids.indices.map(i => (ids(i), labels(i)))
-      .toDF("node_id", "community")
+    arraysToDF(spark, ids, labels, null, "node_id", "community")
   }
 
   /** Exact triangle counting by DEGREE ORIENTATION — the classic trick
@@ -569,20 +663,20 @@ object Graph {
     val spark = e.sparkSession
     import spark.implicits._
     val raw = e.select(col("a"), col("b")).as[(Long, Long)].collect()
-    val ids = {
-      val s = scala.collection.mutable.SortedSet.empty[Long]
-      raw.foreach { case (u, v) => s += u; s += v }
-      s.toArray
-    }
+    val m = raw.length
+    val aL = new Array[Long](m)
+    val bL = new Array[Long](m)
+    var k = 0
+    while (k < m) { aL(k) = raw(k)._1; bL(k) = raw(k)._2; k += 1 }
+    val ids = sortedUniqueIds(aL, bL)
     val n = ids.length
     def idxOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
-    val m = raw.length
     val ea = new Array[Int](m)
     val eb = new Array[Int](m)
     val deg = new Array[Int](n)
-    var k = 0
+    k = 0
     while (k < m) {
-      ea(k) = idxOf(raw(k)._1); eb(k) = idxOf(raw(k)._2)
+      ea(k) = idxOf(aL(k)); eb(k) = idxOf(bL(k))
       deg(ea(k)) += 1; deg(eb(k)) += 1; k += 1
     }
     // rank = position under the (degree, id) total order; idx order
@@ -643,7 +737,17 @@ object Graph {
         a += 1
       }
     }
-    ids.indices.collect { case u if tri(u) > 0 => (ids(u), tri(u)) }
-      .toDF("node_id", "tri_n")
+    var cnt = 0
+    var u = 0
+    while (u < n) { if (tri(u) > 0) cnt += 1; u += 1 }
+    val outIds = new Array[Long](cnt)
+    val outTri = new Array[Long](cnt)
+    var w = 0
+    u = 0
+    while (u < n) {
+      if (tri(u) > 0) { outIds(w) = ids(u); outTri(w) = tri(u); w += 1 }
+      u += 1
+    }
+    arraysToDF(spark, outIds, outTri, null, "node_id", "tri_n")
   }
 }

@@ -35,4 +35,52 @@ object Parallelism {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (estimatedSplits(df) < target) df.repartition(target) else df
   }
+
+  /** Evaluate two INDEPENDENT action-bearing thunks concurrently —
+    * the optimization guide's "overlap independent jobs" (§2.6):
+    * Spark's scheduler happily runs several jobs at once inside one
+    * application; lifecycle operators (train model A + train model B
+    * over the same input, or the N artifact writes of an index save)
+    * were only sequential because the driver called their actions
+    * sequentially, each paying its own scheduling/stage-tail latency.
+    * `b` runs on a fresh daemon thread, `a` on the caller's; both
+    * always complete (the join sits in a finally) and either side's
+    * exception propagates. Use ONLY for truly independent work — no
+    * shared mutable state, no result-order dependence. */
+  def join2[A, B](a: => A, b: => B): (A, B) = {
+    @volatile var rb: Either[Throwable, B] = null
+    val t = new Thread(() => {
+      rb = try Right(b) catch { case e: Throwable => Left(e) }
+    }, "graft-join2")
+    t.setDaemon(true)
+    t.start()
+    val ra =
+      try a
+      finally t.join()
+    rb match {
+      case Right(v) => (ra, v)
+      case Left(e) => throw e
+    }
+  }
+
+  /** Run every thunk concurrently (first on the caller's thread, the
+    * rest on fresh daemon threads), wait for all, rethrow the first
+    * failure — the N-way [[join2]] for independent side-effecting
+    * actions (e.g. the per-artifact writes of an index save, which
+    * target disjoint directories). */
+  def runAll(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.isEmpty) return
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = tasks.tail.map { task =>
+      val th = new Thread(() => {
+        try task() catch { case e: Throwable => errs.add(e) }
+      }, "graft-runAll")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    try tasks.head() catch { case e: Throwable => errs.add(e) }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 }
