@@ -2196,7 +2196,7 @@ object SparkEntry {
       (col("__cents") * lit(4294967296L) + col("__lid")).as("__key"),
       col("__cents"))
     val n = keyed.count() // one driver scalar
-    Stats.kthSmallest(keyed, "__key", k = (n + 1) / 2)
+    Stats.kthSmallest(keyed, "__key", k = (n + 1) / 2, knownN = Some(n))
       .select(col("__cents").as("median_cents"))
   }
 

@@ -110,22 +110,28 @@ object Corpus {
       reference.select(split(col(refTextCol), " ").as("__ws")))
     // model tables j = 1..n: vocabulary-sized counts, each consumed by
     // broadcast scoring joins (+ the T/V scalar for j=1) —
-    // localCheckpoint pins each so the reference scans once per table
-    val tables: Map[Int, DataFrame] = (1 to n).map { j =>
-      val t =
-        if (j == 1)
-          refW.select(explode(col("__ws")).as("w1"))
-            .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-            .localCheckpoint()
-        else
-          refW.filter(size(col("__ws")) >= j)
-            .select(explode(expr(transExpr(j))).as("__p"))
-            .select((1 to j).map(k => col(s"__p.w$k").as(s"w$k")): _*)
-            .groupBy((1 to j).map(k => col(s"w$k")): _*)
-            .agg(count(lit(1)).as(s"__c$j"))
-            .localCheckpoint()
-      j -> t
-    }.toMap
+    // localCheckpoint pins each so the reference scans once per table.
+    // The n builds are INDEPENDENT eager jobs over the same reference
+    // slice — run them concurrently (guide §2.6; sequentially they
+    // were ~1 s of the q172 order-4 profile at sf0.1).
+    val tables: Map[Int, DataFrame] = {
+      val built = new Array[DataFrame](n)
+      Parallelism.runAll((1 to n).map(j => () => {
+        built(j - 1) =
+          if (j == 1)
+            refW.select(explode(col("__ws")).as("w1"))
+              .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+              .localCheckpoint()
+          else
+            refW.filter(size(col("__ws")) >= j)
+              .select(explode(expr(transExpr(j))).as("__p"))
+              .select((1 to j).map(k => col(s"__p.w$k").as(s"w$k")): _*)
+              .groupBy((1 to j).map(k => col(s"w$k")): _*)
+              .agg(count(lit(1)).as(s"__c$j"))
+              .localCheckpoint()
+      }))
+      (1 to n).map(j => j -> built(j - 1)).toMap
+    }
     val g = tables(1)
       .agg(sum(col("__c1")).as("t"), count(lit(1)).as("v")).head()
     val tv = (g.getLong(0) + g.getLong(1)).toDouble
@@ -254,19 +260,24 @@ object Corpus {
         case None => fs
       }
     }
-    val tCounts = features(target, targetTextCol)
-      .groupBy(col("f")).agg(count(lit(1)).as("__ct"))
-      .localCheckpoint()
-    val rCounts = features(docs, textCol)
-      .groupBy(col("f")).agg(count(lit(1)).as("__cr"))
-      .localCheckpoint()
-    val tg = tCounts.agg(sum(col("__ct"))).head().getLong(0)
-    val rg = rCounts.agg(sum(col("__cr"))).head().getLong(0)
-    val v = hashBuckets match {
-      case Some(b) => b.toLong
-      case None => tCounts.select(col("f"))
-        .union(rCounts.select(col("f"))).distinct().count()
-    }
+    // the two feature models are independent eager builds — overlap
+    // them, then overlap their total-count scalars (guide §2.6)
+    val (tCounts, rCounts) = Parallelism.join2(
+      features(target, targetTextCol)
+        .groupBy(col("f")).agg(count(lit(1)).as("__ct"))
+        .localCheckpoint(),
+      features(docs, textCol)
+        .groupBy(col("f")).agg(count(lit(1)).as("__cr"))
+        .localCheckpoint())
+    val ((tg, rg), v) = Parallelism.join2(
+      Parallelism.join2(
+        tCounts.agg(sum(col("__ct"))).head().getLong(0),
+        rCounts.agg(sum(col("__cr"))).head().getLong(0)),
+      hashBuckets match {
+        case Some(b) => b.toLong
+        case None => tCounts.select(col("f"))
+          .union(rCounts.select(col("f"))).distinct().count()
+      })
     val tvT = (tg + v).toDouble
     val tvR = (rg + v).toDouble
     val docFeats = docs
@@ -1028,13 +1039,32 @@ object Corpus {
     prefixSum(df.withColumn("__one", lit(1L)), orderCol, "__one", outCol,
       buckets).drop("__one")
 
+  /** [[globalRank]] that ALSO returns the exact row count, derived
+    * from the per-bucket totals the prefix scan collects anyway —
+    * callers that need n alongside the rank (q131's bucket math,
+    * q146's target-index formula) skip their own full count scan
+    * (r19). */
+  def globalRankAndCount(df: DataFrame, orderCol: String, outCol: String,
+      buckets: Int = 64): (DataFrame, Long) = {
+    val (ranked, total) = prefixSumAndTotal(
+      df.withColumn("__one", lit(1L)), orderCol, "__one", outCol, buckets)
+    (ranked.drop("__one"), total)
+  }
+
   // relErr shapes only the BALANCE of the range buckets (offsets are
   // recomputed from exact per-bucket totals, so results are exact at
   // any sketch precision); 0.01 keeps the GK summary an order of
   // magnitude cheaper than 0.001 for a worst-case ±1% task-size skew
   def prefixSum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String,
-      buckets: Int = 64, relErr: Double = 0.01): DataFrame = {
+      buckets: Int = 64, relErr: Double = 0.01): DataFrame =
+    prefixSumAndTotal(df, orderCol, valueCol, outCol, buckets, relErr)._1
+
+  /** [[prefixSum]] plus the exact grand total (the sum of the bucket
+    * totals it collects anyway) — see [[globalRankAndCount]]. */
+  def prefixSumAndTotal(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      buckets: Int = 64, relErr: Double = 0.01): (DataFrame, Long) = {
     val bounds = rangeBounds(df, orderCol, buckets, relErr)
     val withB = df.withColumn("__bkt",
       graft.functions.LayoutFunctions.quantileBucket(col(orderCol), bounds))
@@ -1046,12 +1076,13 @@ object Corpus {
       ids.zip(ids.scanLeft(0L)(_ + totals(_)).init).toMap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(col(orderCol))
-    withB
+    (withB
       .withColumn(outCol,
         sum(col(valueCol).cast("long")).over(w) +
           element_at(typedlit(offsets), col("__bkt")) -
           col(valueCol).cast("long"))
-      .drop("__bkt")
+      .drop("__bkt"),
+      totals.values.sum)
   }
 
   /** GPT-style sequence packing layout: documents concatenate in id

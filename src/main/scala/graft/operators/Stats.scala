@@ -248,8 +248,10 @@ object Stats {
       df: DataFrame, keyCol: String, valCol: Column,
       buckets: Int): DataFrame = {
     require(buckets >= 1, "equiDepthHistogram: buckets >= 1")
-    val n = df.count() // one driver scalar, as q96/q129
-    Corpus.globalRank(df, keyCol, "__rank0")
+    // n comes from the rank's own bucket totals — the separate
+    // df.count() scan this used to pay is redundant (r19)
+    val (ranked, n) = Corpus.globalRankAndCount(df, keyCol, "__rank0")
+    ranked
       .groupBy(expr(s"(__rank0 * $buckets) div $n").as("bucket"))
       .agg(count(lit(1)).as("n_rows"), min(valCol).as("lo"),
         max(valCol).as("hi"), sum(valCol).as("sum_val"))
@@ -310,10 +312,10 @@ object Stats {
   def quantileNormalize(
       df: DataFrame, groupCol: String, keyCol: String, valCol: String,
       normCol: String): DataFrame = {
-    val n = df.count() // one driver scalar, as q96/q129
-    val global = Corpus.globalRank(
-        df.select(col(keyCol), col(valCol)), keyCol, "__gidx")
-      .select(col("__gidx"), col(valCol).as(normCol))
+    // n from the global rank's bucket totals — no separate count (r19)
+    val (ranked, n) = Corpus.globalRankAndCount(
+      df.select(col(keyCol), col(valCol)), keyCol, "__gidx")
+    val global = ranked.select(col("__gidx"), col(valCol).as(normCol))
     val wr = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
     val ws = Window.partitionBy(col(groupCol))
     df.withColumn("__r0", row_number().over(wr).cast("long") - 1)
@@ -325,10 +327,13 @@ object Stats {
       .drop("__r0", "__m", "__tgt", "__gidx")
   }
 
+  /** `knownN`: callers that already counted the frame (q129 computes
+    * n to pick the median k) pass it through instead of paying a
+    * second full count scan here (r19). */
   def kthSmallest(df: DataFrame, keyCol: String, k: Long,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000, knownN: Option[Long] = None): DataFrame = {
     require(k >= 1, s"kthSmallest: k must be >= 1, got $k")
-    val n = df.count()
+    val n = knownN.getOrElse(df.count())
     require(k <= n, s"kthSmallest: k=$k beyond row count $n")
     val eps = math.max(1L, n / accuracy)
     val qLo = math.max(0.0, (k - eps).toDouble / n)
@@ -338,8 +343,20 @@ object Stats {
       percentile_approx(col(keyCol), lit(qHi), lit(accuracy)).as("hi"))
       .head
     val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val nLo = df.filter(col(keyCol) < lo).count()
-    val bracket = df.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    // ONE scan yields both the below-bracket rank offset (via observe)
+    // and the materialized bracket — r19: nLo used to be its own full
+    // count scan, and the lazy bracket then re-scanned the full input
+    // for EACH of the rank's three passes (range bounds, bucket
+    // totals, the ranked window); the checkpoint pins the ~2·eps-row
+    // bracket so those passes read it instead.
+    val obs = org.apache.spark.sql.Observation()
+    val bracket = df
+      .filter(col(keyCol) <= hi)
+      .observe(obs, coalesce(
+        sum(when(col(keyCol) < lo, 1L).otherwise(0L)), lit(0L)).as("nlo"))
+      .filter(col(keyCol) >= lo)
+      .localCheckpoint()
+    val nLo = obs.get("nlo").toString.toLong
     Corpus.globalRank(bracket, keyCol, "__r0")
       .filter(col("__r0") === k - nLo - 1) // rank0 is 0-based
       .drop("__r0")
