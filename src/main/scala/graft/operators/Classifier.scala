@@ -234,7 +234,7 @@ object Classifier {
     // a 1/7 slice), so the checkpoint is sample-sized, not
     // corpus-sized.
     val feats = docs.select(idsCol.as("__f"), labelCol.as("__y"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy — the count materializes it (r19)
       // the mini-batch slice key reads the MATERIALIZED id array, so
       // batching never re-runs the featurization
       .withColumn("__sl", pmod(xxhash64(col("__f")), lit(1000000L)))
@@ -349,7 +349,7 @@ object Classifier {
       col(labelCol).cast("double").as("__y"),
       pmod(xxhash64(col(textCol), lit(seed ^ 0x517cc1b7L)),
         lit(1000000L)).as("__s"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy — the count materializes it (r19)
     val n = feats.count().toDouble
     require(n > 0, "train: empty input")
     val cut = math.round(batchFraction * 1000000L)

@@ -506,7 +506,7 @@ object Corpus {
     val probeGrams = probes
       .select(explode(Dedup.shingles(col(probeTextCol), n)).as("ngram"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy — the count materializes it (r19)
     val nProbe = probeGrams.count()
     // Empty probe set ⇒ nothing can be contaminated: short-circuit
     // instead of building a sketch over zero rows (bloomAgg over an

@@ -146,10 +146,10 @@ object Graph {
     // a single node: ~2 s/run of disk-backed block writes (q89 3.0 →
     // 5.2 s, flat GC/alloc — the checkpoint I/O, not compute); the
     // persist alternative's eviction mode measured 22-64 s on q133.
-    val e = und.localCheckpoint()
-    // Checkpointed ⇒ this count is a metadata-cheap scan; it doubles
-    // as the driver-path gate (the Dedup.connectedComponents lesson:
-    // the count the loop needs anyway decides the path for free).
+    // LAZY checkpoint + count: the count action materializes the
+    // pinned blocks AND gates the driver path in ONE job (the eager
+    // checkpoint ran its own materialization job first — r19)
+    val e = und.localCheckpoint(false)
     val edgeCount = e.count()
     val bound = math.min(driverMaxEdges, PageRankDriverCeiling)
     if (edgeCount > 0L && edgeCount <= bound) {
@@ -163,7 +163,8 @@ object Graph {
       .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
       .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false) // lazy — the count materializes it
     val n = nodes.count() // one tiny driver scalar, outside the loop
     val base = (1.0 - damping) / n
 
@@ -235,6 +236,62 @@ object Graph {
     }
   }
 
+  /** Collect a two-long-column frame as flat primitive arrays: each
+    * task packs its rows into one `Array[Long]` (s,d interleaved), so
+    * row decode runs IN PARALLEL ON THE EXECUTORS and the driver only
+    * concatenates a few long arrays — the boxed per-row tuple decode
+    * of `as[(Long,Long)].collect()` was ~0.3 s of single-threaded
+    * driver time at 1.2M edges (r19 profile). */
+  private def collectPairs(df: DataFrame, c1: String, c2: String)
+      : (Array[Long], Array[Long]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df.select(col(c1).cast("long"), col(c2).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { p => buf += p._1; buf += p._2 }
+        Iterator.single(buf.result())
+      }.collect()
+    val m = chunks.iterator.map(_.length).sum / 2
+    val a = new Array[Long](m)
+    val b = new Array[Long](m)
+    var w = 0
+    chunks.foreach { ch =>
+      var i = 0
+      while (i < ch.length) { a(w) = ch(i); b(w) = ch(i + 1); i += 2; w += 1 }
+    }
+    (a, b)
+  }
+
+  /** [[collectPairs]] for three long columns (LPA's weighted edges). */
+  private def collectTriples(df: DataFrame, c1: String, c2: String,
+      c3: String): (Array[Long], Array[Long], Array[Long]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df
+      .select(col(c1).cast("long"), col(c2).cast("long"),
+        col(c3).cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { p => buf += p._1; buf += p._2; buf += p._3 }
+        Iterator.single(buf.result())
+      }.collect()
+    val m = chunks.iterator.map(_.length).sum / 3
+    val a = new Array[Long](m)
+    val b = new Array[Long](m)
+    val c = new Array[Long](m)
+    var w = 0
+    chunks.foreach { ch =>
+      var i = 0
+      while (i < ch.length) {
+        a(w) = ch(i); b(w) = ch(i + 1); c(w) = ch(i + 2); i += 3; w += 1
+      }
+    }
+    (a, b, c)
+  }
+
   /** Sorted-unique node id array over both endpoint arrays — the
     * driver paths' canonical id table, built with primitive sort +
     * in-place dedup. r19: the SortedSet/zipWithIndex.toMap version of
@@ -248,7 +305,7 @@ object Graph {
     val all = new Array[Long](2 * m)
     System.arraycopy(srcL, 0, all, 0, m)
     System.arraycopy(dstL, 0, all, m, m)
-    java.util.Arrays.sort(all)
+    java.util.Arrays.parallelSort(all)
     var w = 0
     var i = 0
     while (i < all.length) {
@@ -270,16 +327,11 @@ object Graph {
       e: DataFrame, iterations: Int, damping: Double,
       undirected: Boolean): DataFrame = {
     val spark = e.sparkSession
-    import spark.implicits._
-    // typed tuple encoder, not Array[Row]: the transient collect
-    // footprint is the driver-path bound's real cost (object doc)
-    val raw = e.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    val m = raw.length
-    val srcL = new Array[Long](m)
-    val dstL = new Array[Long](m)
+    // per-partition packed collect: executor-parallel row decode, the
+    // transient footprint stays the driver-path bound's real cost
+    val (srcL, dstL) = collectPairs(e, "src", "dst")
+    val m = srcL.length
     var k = 0
-    while (k < m) { srcL(k) = raw(k)._1; dstL(k) = raw(k)._2; k += 1 }
     val ids = sortedUniqueIds(srcL, dstL)
     val n = ids.length
     // deterministic edge order — the accumulation order of the sums.
@@ -288,14 +340,15 @@ object Graph {
     // `pairs.sortBy(identity)` order exactly; indices fit 31 bits by
     // the driver-path edge bound.
     val packed = new Array[Long](m)
-    k = 0
-    while (k < m) {
-      val si = java.util.Arrays.binarySearch(ids, srcL(k)).toLong
-      val di = java.util.Arrays.binarySearch(ids, dstL(k)).toLong
-      packed(k) = (si << 32) | di
-      k += 1
+    // id→index mapping is integer-exact and index-disjoint — parallel;
+    // parallelSort yields the identical sorted array, so the float
+    // accumulation order downstream is unchanged
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+      val si = java.util.Arrays.binarySearch(ids, srcL(j)).toLong
+      val di = java.util.Arrays.binarySearch(ids, dstL(j)).toLong
+      packed(j) = (si << 32) | di
     }
-    java.util.Arrays.sort(packed)
+    java.util.Arrays.parallelSort(packed)
     val src = new Array[Int](m)
     val dst = new Array[Int](m)
     val outDeg = new Array[Int](n)
@@ -396,10 +449,8 @@ object Graph {
     // persist would re-run the symmetrise+distinct per round. The
     // captured src-hash partitioning keeps the per-round join
     // exchange-free on the edge side.
-    val und = und0.repartition(col("src")).localCheckpoint()
-    // Checkpointed ⇒ metadata-cheap count, doubling as the
-    // driver-path gate. The vote is integer arithmetic, so the
-    // driver fold is bit-for-bit the distributed result.
+    // lazy checkpoint + count — one materialization job (see pageRank)
+    val und = und0.repartition(col("src")).localCheckpoint(false)
     val edgeCount = und.count()
     val bound = math.min(driverMaxEdges, LpaDriverCeiling)
     if (edgeCount > 0L && edgeCount <= bound) {
@@ -434,20 +485,9 @@ object Graph {
   private def driverLabelPropagation(
       und: DataFrame, iterations: Int): DataFrame = {
     val spark = und.sparkSession
-    import spark.implicits._
-    val triples = und
-      .select(col("src").cast("long"), col("dst").cast("long"),
-        col("__w").cast("long"))
-      .as[(Long, Long, Long)].collect()
-    val m = triples.length
-    val srcL = new Array[Long](m)
-    val dstL = new Array[Long](m)
-    val wL = new Array[Long](m)
+    val (srcL, dstL, wL) = collectTriples(und, "src", "dst", "__w")
+    val m = srcL.length
     var k = 0
-    while (k < m) {
-      srcL(k) = triples(k)._1; dstL(k) = triples(k)._2
-      wL(k) = triples(k)._3; k += 1
-    }
     val ids = sortedUniqueIds(srcL, dstL)
     val n = ids.length
     // CSR by RECEIVING node (symmetrised ⇒ incoming = neighbours):
@@ -457,12 +497,14 @@ object Graph {
     val inDeg = new Array[Int](n)
     val srcI = new Array[Int](m)
     val dstI = new Array[Int](m)
-    k = 0
-    while (k < m) {
-      srcI(k) = java.util.Arrays.binarySearch(ids, srcL(k))
-      dstI(k) = java.util.Arrays.binarySearch(ids, dstL(k))
-      inDeg(dstI(k)) += 1; k += 1
+    // parallel integer-exact id→index mapping (disjoint writes);
+    // degree counting stays a cheap sequential pass (write conflicts)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+      srcI(j) = java.util.Arrays.binarySearch(ids, srcL(j))
+      dstI(j) = java.util.Arrays.binarySearch(ids, dstL(j))
     }
+    k = 0
+    while (k < m) { inDeg(dstI(k)) += 1; k += 1 }
     val off = new Array[Int](n + 1)
     var i = 0
     while (i < n) { off(i + 1) = off(i) + inDeg(i); i += 1 }
@@ -541,7 +583,9 @@ object Graph {
     val e = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    // (lazy: the gate aggregate below materializes the pinned blocks
+    // in the same job — r19)
     // ONE aggregate action carries BOTH the driver-path gate (count)
     // and the 31-bit id precondition (max) — r16: the gate used to be
     // a count() and then a SECOND full pass for the max, and at sf1
@@ -578,8 +622,8 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("__db") * P + col("b"))
           .otherwise(col("__da") * P + col("a")).as("vk"))
-      .localCheckpoint()
-    val nEdges = oriented.count() // checkpointed — a metadata-cheap scan
+      .localCheckpoint(false) // lazy — the count materializes it
+    val nEdges = oriented.count()
     if (nEdges == 0)
       return oriented.select(col("u").as("node_id"),
         lit(0L).as("tri_n")).limit(0)
@@ -661,24 +705,22 @@ object Graph {
     * full-range node ids. */
   private def driverTriangles(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    import spark.implicits._
-    val raw = e.select(col("a"), col("b")).as[(Long, Long)].collect()
-    val m = raw.length
-    val aL = new Array[Long](m)
-    val bL = new Array[Long](m)
+    val (aL, bL) = collectPairs(e, "a", "b")
+    val m = aL.length
     var k = 0
-    while (k < m) { aL(k) = raw(k)._1; bL(k) = raw(k)._2; k += 1 }
     val ids = sortedUniqueIds(aL, bL)
     val n = ids.length
     def idxOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
     val ea = new Array[Int](m)
     val eb = new Array[Int](m)
     val deg = new Array[Int](n)
-    k = 0
-    while (k < m) {
-      ea(k) = idxOf(aL(k)); eb(k) = idxOf(bL(k))
-      deg(ea(k)) += 1; deg(eb(k)) += 1; k += 1
+    // parallel integer-exact id→index mapping (disjoint writes);
+    // degree counting stays a cheap sequential pass (write conflicts)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+      ea(j) = idxOf(aL(j)); eb(j) = idxOf(bL(j))
     }
+    k = 0
+    while (k < m) { deg(ea(k)) += 1; deg(eb(k)) += 1; k += 1 }
     // rank = position under the (degree, id) total order; idx order
     // IS id order (ids sorted), so packing (deg << 31 | idx) and
     // sorting yields exactly the distributed deg·2³¹+id orientation
@@ -716,10 +758,9 @@ object Graph {
       oriented.add(u.toLong * n + v)
       k += 1
     }
-    i = 0
-    while (i < n) {
-      java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1
-    }
+    // per-segment sorts are independent — parallel over apexes
+    java.util.stream.IntStream.range(0, n).parallel()
+      .forEach(u => java.util.Arrays.sort(adj, off(u), off(u + 1)))
     // wedge loop: apexes are disjoint, so parallel per-u writes to
     // tri are contention-free
     val tri = new Array[Long](n)
