@@ -26,14 +26,30 @@ abstract class FuzzyScoreExpression extends BinaryExpression {
   /** Fully-qualified static method on FuzzyImpl to invoke. */
   protected def method: String
 
+  /** Memoized scorers take the raw UTF8String operands (their memo
+    * probes on bytes, so a hit allocates nothing — r19); the rest
+    * decode to String at the call. */
+  protected def passUtf8: Boolean = false
+
   protected def score(a: String, b: String): Double
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    score(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    if (passUtf8)
+      scoreUtf8(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    else
+      score(l.asInstanceOf[UTF8String].toString,
+        r.asInstanceOf[UTF8String].toString)
+
+  protected def scoreUtf8(a: UTF8String, b: UTF8String): Double =
+    score(a.toString, b.toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.FuzzyImpl.$method($a.toString(), $b.toString())")
+    if (passUtf8)
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.FuzzyImpl.$method($a, $b)")
+    else
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.FuzzyImpl.$method($a.toString(), $b.toString())")
 }
 
 case class JaroWinkler(left: Expression, right: Expression)
@@ -82,9 +98,13 @@ case class PartialRatio(left: Expression, right: Expression)
 
 case class PartialTokenRatio(left: Expression, right: Expression)
     extends FuzzyScoreExpression {
-  // memoized: linkage re-scores identical pairs across a block
+  // memoized: linkage re-scores identical pairs across a block;
+  // raw-UTF8String entry keeps memo hits allocation-free
   override protected def method: String = "partialTokenRatioCached"
+  override protected def passUtf8: Boolean = true
   override protected def score(a: String, b: String): Double =
+    FuzzyImpl.partialTokenRatio(a, b)
+  override protected def scoreUtf8(a: UTF8String, b: UTF8String): Double =
     FuzzyImpl.partialTokenRatioCached(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -94,9 +114,13 @@ case class PartialTokenRatio(left: Expression, right: Expression)
 
 case class WRatio(left: Expression, right: Expression)
     extends FuzzyScoreExpression {
-  // memoized: linkage re-scores identical pairs across a block
+  // memoized: linkage re-scores identical pairs across a block;
+  // raw-UTF8String entry keeps memo hits allocation-free
   override protected def method: String = "wRatioCached"
+  override protected def passUtf8: Boolean = true
   override protected def score(a: String, b: String): Double =
+    FuzzyImpl.wRatio(a, b)
+  override protected def scoreUtf8(a: UTF8String, b: UTF8String): Double =
     FuzzyImpl.wRatioCached(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

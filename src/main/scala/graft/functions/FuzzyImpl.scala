@@ -203,4 +203,52 @@ object FuzzyImpl {
   /** Memoized [[partialTokenRatio]]. */
   def partialTokenRatioCached(a: String, b: String): Double =
     ptMemo.get().getOrCompute(a, b, partialTokenRatio)
+
+  /** [[Memo]] keyed on raw UTF8String operands — the codegen entry
+    * path (r19). The String-keyed memo still paid two
+    * UTF8String.toString DECODE ALLOCATIONS per scorer call even on
+    * a hit (~18 per joined pair across q43's 9 scorer calls); probing
+    * on the UTF8String itself makes a hit allocation-free. Stored
+    * keys are CLONED — codegen hands UTF8Strings that point into
+    * reused UnsafeRow buffers, so a retained reference would see its
+    * bytes rewritten by the next row (probe-side equality is safe:
+    * it compares bytes eagerly). */
+  private final class Utf8Memo {
+    val mask: Int = (1 << 16) - 1
+    val ka = new Array[org.apache.spark.unsafe.types.UTF8String](1 << 16)
+    val kb = new Array[org.apache.spark.unsafe.types.UTF8String](1 << 16)
+    val vs = new Array[Double](1 << 16)
+
+    @inline def getOrCompute(
+        a: org.apache.spark.unsafe.types.UTF8String,
+        b: org.apache.spark.unsafe.types.UTF8String,
+        f: (String, String) => Double): Double = {
+      val h = (a.hashCode * 31 + b.hashCode) & mask
+      if (a.equals(ka(h)) && b.equals(kb(h))) vs(h)
+      else {
+        val v = f(a.toString, b.toString)
+        ka(h) = a.clone(); kb(h) = b.clone(); vs(h) = v
+        v
+      }
+    }
+  }
+
+  private val wMemo8: ThreadLocal[Utf8Memo] = new ThreadLocal[Utf8Memo] {
+    override def initialValue(): Utf8Memo = new Utf8Memo
+  }
+  private val ptMemo8: ThreadLocal[Utf8Memo] = new ThreadLocal[Utf8Memo] {
+    override def initialValue(): Utf8Memo = new Utf8Memo
+  }
+
+  /** Memoized [[wRatio]] over raw UTF8String operands — identical
+    * values to [[wRatioCached]], allocation-free on memo hits. */
+  def wRatioCached(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Double =
+    wMemo8.get().getOrCompute(a, b, wRatio)
+
+  /** Memoized [[partialTokenRatio]] over raw UTF8String operands. */
+  def partialTokenRatioCached(
+      a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Double =
+    ptMemo8.get().getOrCompute(a, b, partialTokenRatio)
 }
