@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.LongType
   */
 final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.cached(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -39,4 +39,27 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Lazy-HANDLE cache: one resolved parquet relation per (session,
+    * path). `spark.read.parquet` re-runs relation resolution (file
+    * listing + footer schema read, driver-side) on EVERY call, and a
+    * bench pass constructs each input table fresh per query per
+    * iteration. This caches only the unexecuted PLAN — schema + file
+    * list — never data or results: every action still scans the
+    * parquet from disk. Safe precisely because the driver-generated
+    * test tables are immutable per path; do not route mutable
+    * directories through [[Tables]]. */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def cached(spark: SparkSession, path: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
+  }
 }
