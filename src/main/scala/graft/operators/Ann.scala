@@ -621,10 +621,14 @@ object Ann {
     import spark.implicits._
     // the encoded corpus is the only corpus-sized piece — it keeps
     // its partitioning; everything else coalesces to one file. The
-    // five artifacts land in DISJOINT subdirectories, so their write
+    // data artifacts land in DISJOINT subdirectories, so their write
     // jobs are independent — run them concurrently (guide §2.6) so
     // the tiny model writes back-fill the encode write's tail instead
-    // of each paying its own full job latency in sequence.
+    // of each paying its own full job latency in sequence. `meta`
+    // ALONE writes after the rest: its _SUCCESS doubles as the
+    // directory's commit marker (q188/q192's build-once guards key on
+    // it), so it must not become visible while a crash could still
+    // leave the other artifacts half-written.
     Parallelism.runAll(Seq(
       () => pqIndex
         .select(col(idCol), col("centroid_id"), col("codes"),
@@ -636,10 +640,10 @@ object Ann {
         book.zipWithIndex.map { case (cv, c) => (s, c, cv) }
       }.toDF("sub", "code", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"),
-      () => rotation.foreach(Pca.save(spark, _, s"$dir/rotation")),
-      () => Seq((residual, rotation.isDefined, idCol, vecCol))
-        .toDF("residual", "rotated", "id_col", "vec_col")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")))
+      () => rotation.foreach(Pca.save(spark, _, s"$dir/rotation"))))
+    Seq((residual, rotation.isDefined, idCol, vecCol))
+      .toDF("residual", "rotated", "id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Restore a [[saveOpqIndex]] directory. The encoded corpus comes
@@ -1028,7 +1032,9 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     // disjoint artifact directories ⇒ independent write jobs — run
-    // them concurrently (guide §2.6), same as [[saveOpqIndex]]
+    // them concurrently (guide §2.6), same as [[saveOpqIndex]]; meta
+    // writes LAST (its _SUCCESS is the directory's commit marker —
+    // see saveOpqIndex)
     Parallelism.runAll(Seq(
       () => buildSq8Index(corpus, centroids, mins, steps, idCol, vecCol)
         .write.mode("overwrite").parquet(s"$dir/index"),
@@ -1036,9 +1042,9 @@ object Ann {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
       () => mins.indices.map(i => (i, mins(i), steps(i)))
         .toDF("i", "min", "step")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/scales"),
-      () => Seq((idCol, vecCol)).toDF("id_col", "vec_col")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/scales")))
+    Seq((idCol, vecCol)).toDF("id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Restore a [[saveSq8Index]] directory (lazy codes scan; see
