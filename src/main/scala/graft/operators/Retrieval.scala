@@ -149,6 +149,23 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("__len")).as("len"))
       .localCheckpoint() // eager: materialises postings AND fills obs
     val metrics = obs.get
+    // Empty-side guard (r19 review): with NO query terms AQE's
+    // empty-relation propagation prunes the whole observed corpus
+    // subtree, so the Observation comes back EMPTY (not zero) — and
+    // with an empty corpus avgdl is null. In every such case `hits`
+    // is itself empty, so finish the pipeline with inert scalars: it
+    // evaluates over zero rows and preserves the exact output schema
+    // the pre-observation code returned.
+    if (!metrics.contains("n") || metrics("n").asInstanceOf[Long] == 0L ||
+        metrics("avgdl") == null) {
+      val scored0 = hits
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(round(sum(lit(0.0)), 4).as("__bm"))
+      return Ann.topKSelect(scored0, "__bm", k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("__score").as("score"))
+    }
     val n = metrics("n").asInstanceOf[Long]
     val avgdl = metrics("avgdl").asInstanceOf[Double]
     val dfreq = hits.groupBy(col("term"))

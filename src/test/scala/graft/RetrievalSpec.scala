@@ -112,6 +112,24 @@ class RetrievalSpec extends SparkSpec {
       .forall(_.getLong(1) === 5L))
   }
 
+  test("bm25TopK: empty queries and empty corpus return empty, not a crash") {
+    // r19 regression guard: the single-scan (n, avgdl) Observation is
+    // pruned by AQE's empty-relation propagation when the query side
+    // is empty — obs.get returns an empty map, which used to throw
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"))
+    val noQueries = docs.filter(col("doc_id") < 0)
+    val out1 = Retrieval.bm25TopK(docs, noQueries, "doc_id", "text", k = 5)
+    assert(out1.count() === 0L)
+    assert(out1.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "rank", "score"))
+    // empty corpus (avgdl comes back null)
+    val q = Seq((1L, "hash join")).toDF("doc_id", "text")
+    val out2 = Retrieval.bm25TopK(
+      docs.filter(col("doc_id") < 0), q, "doc_id", "text", k = 5)
+    assert(out2.count() === 0L)
+  }
+
   test("rrfFuseWeighted: weights break arm ties and scale contributions") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
     val b = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("query_id", "neighbor_id", "rank")
