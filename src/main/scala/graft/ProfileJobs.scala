@@ -36,7 +36,10 @@ object ProfileJobs {
           val j = jobs.getOrElseUpdate(e.jobId, Job(e.jobId))
           j.start = e.time
           j.site = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+            .flatMap(p => Option(p.getProperty("callSite.short"))
+              .orElse(Option(p.getProperty("spark.job.description"))))
+            .getOrElse("")
+          j.stages = e.stageIds.size
         }
         override def onJobEnd(e: SparkListenerJobEnd): Unit =
           jobs.get(e.jobId).foreach(_.end = e.time)

@@ -85,53 +85,70 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
     require(k > 0 && iters >= 0, "trainCentroids: k > 0, iters >= 0")
+    val spark = corpus.sparkSession
+    import graft.functions.VectorFunctions.nearestCentroid
     val vecs = Parallelism.ensure(
       corpus.filter(col(vecCol).isNotNull)
         .select(col(idCol).as("__id"), col(vecCol).as("__v")))
-    // deterministic init: k lowest content-hashes
-    var centroids = vecs
-      .orderBy(xxhash64(col("__id"), lit(seed)))
+    // The model is k×dim floats — the same driver budget class
+    // collectCentroids enforces on every consumer — so the Lloyd's
+    // state lives on the DRIVER between iterations: one TakeOrdered
+    // job seeds it, then each iteration is exactly ONE aggregate job
+    // (assignment projection + map-side-combined sum/count collect).
+    // The previous DataFrame-resident loop paid a collect + a join +
+    // a localCheckpoint per iteration — 2-3 extra jobs' scheduling
+    // latency each — to keep state the driver had to collect anyway.
+    //
+    // deterministic init: k lowest content-hashes, centroid_id =
+    // hash rank (the row order is re-sorted on the driver — sorted
+    // output order through collect is not contractual)
+    var cents: Array[Seq[Float]] = vecs
+      .select(xxhash64(col("__id"), lit(seed)).as("__h"), col("__v"))
+      .orderBy(col("__h"))
       .limit(k)
-      .select(
-        (row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(xxhash64(col("__id"), lit(seed)))) - 1)
-          .as("centroid_id"),
-        col("__v"))
-    val nativeSum = corpus.sparkSession.catalog.functionExists("vector_sum_f")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1))
+    val nativeSum = spark.catalog.functionExists("vector_sum_f")
     for (_ <- 1 to iters) {
-      val assigned = assignBuckets(vecs, centroids, "centroid_id", "__v")
-      // per-dimension mean. Native path: ONE ObjectHashAggregate whose
-      // shuffle carries a single dim-length sum vector per (centroid,
-      // partition) — the posexplode fallback multiplies shuffled rows
-      // by dim and pays a second exchange to re-assemble the array.
-      val means =
-        if (nativeSum)
-          assigned
-            .groupBy(col("centroid_id"))
-            .agg(call_function("vector_sum_f", col("__v")).as("__sum"),
-              count(col("__v")).as("__n"))
-            .select(col("centroid_id"),
-              transform(col("__sum"), s => (s / col("__n")).cast("float"))
-                .as("__mv"))
-        else assigned
-          .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      // same assignment expression as assignBuckets over the same
+      // matrix (row index = centroid id), so buckets are identical
+      val cid = (nearestCentroid(col("__v"), cents.toSeq.map(_.toSeq))
+        .cast("int") - 1).as("centroid_id")
+      // per-dimension mean, arithmetic unchanged from the DataFrame
+      // form: double sums / long count, divided as doubles, cast to
+      // float — the native kernel's ONE ObjectHashAggregate, or the
+      // posexplode per-dimension avg fallback. Empty clusters keep
+      // their previous centroid (missing group id = no update).
+      val next = cents.map(identity) // copy: unassigned ids persist
+      if (nativeSum)
+        vecs.groupBy(cid)
+          .agg(call_function("vector_sum_f", col("__v")).as("__sum"),
+            count(col("__v")).as("__n"))
+          .collect()
+          .foreach { r =>
+            val id = r.getInt(0)
+            val s = r.getSeq[Double](1)
+            val n = r.getLong(2)
+            next(id) = s.map(x => (x / n).toFloat)
+          }
+      else {
+        val byId = vecs
+          .select(cid, posexplode(col("__v")).as(Seq("__p", "__x")))
           .groupBy(col("centroid_id"), col("__p"))
           .agg(avg(col("__x")).as("__m"))
-          .groupBy(col("centroid_id"))
-          .agg(array_sort(collect_list(struct(col("__p"), col("__m"))))
-            .as("__pm"))
-          .select(col("centroid_id"),
-            transform(col("__pm"), e => e.getField("__m").cast("float"))
-              .as("__mv"))
-      // empty clusters keep their previous centroid
-      centroids = centroids
-        .join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("__mv"), col("__v")).as("__v"))
-        .localCheckpoint(false)
+          .collect()
+          .groupBy(_.getInt(0))
+        byId.foreach { case (id, rows) =>
+          val m = rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          next(id) = m.toSeq
+        }
+      }
+      cents = next
     }
-    centroids.select(col("centroid_id"), col("__v").as(vecCol))
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("centroid_id", vecCol)
   }
 
   def assignBuckets(
