@@ -355,13 +355,20 @@ object Corpus {
     require(sk >= topK, s"heavyHitters: sketchK $sk < topK $topK")
     def grams = Parallelism.ensure(docs.select(col(textCol).as("__t")))
       .select(explode(Dedup.shingles(col("__t"), n)).as("ngram"))
+    // Candidates collect ONCE (sk strings — driver-bounded by
+    // construction, the sketch's whole point). The exact-count pass
+    // then filters with an InSet literal: the previous broadcast
+    // semi join's build side re-ran the entire sketch pass, so the
+    // corpus was scanned three times for a two-pass algorithm
+    // (guide §1.2 step 1 — don't compute things twice).
     val candidates = grams
       .agg(call_function("approx_top_k",
         col("ngram"), lit(sk), lit(maxTracked)).as("e"))
       .select(explode(col("e")).as("x"))
       .select(col("x.item").as("ngram"))
+      .collect().map(_.getString(0)).toSeq
     grams
-      .join(broadcast(candidates), Seq("ngram"), "left_semi")
+      .filter(col("ngram").isInCollection(candidates))
       .groupBy("ngram")
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram"))
