@@ -217,6 +217,44 @@ object JaccardImpl {
     * no string hashing. Duplicates within an input are collapsed
     * (set semantics, matching the string form over distinct shingles).
     */
+  private def isSortedAsc(xs: Array[Long]): Boolean = {
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i - 1) > xs(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** |distinct(a) ∩ distinct(b)| over two long arrays — the COUNT
+    * `size(array_intersect(a, b))` computes, without the boxed
+    * OpenHashSet and the result-array allocation the builtin pays per
+    * pair. Inputs already sorted ascending (the set builders sort once
+    * per ROW; verify joins then score many PAIRS per row) skip the
+    * sort via a linear check; unsorted inputs (e.g. the persisted
+    * df-ordered `ord` arrays of pre-existing indexes) sort a copy, so
+    * the value is order-independent either way. */
+  def interCountLongs(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    if (!isSortedAsc(xs)) java.util.Arrays.sort(xs)
+    if (!isSortedAsc(ys)) java.util.Arrays.sort(ys)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i)
+      val y = ys(j)
+      if (x == y) {
+        inter += 1
+        while (i < xs.length && xs(i) == x) i += 1
+        while (j < ys.length && ys(j) == x) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
     val xs = a.toLongArray()
     val ys = b.toLongArray()
@@ -291,6 +329,38 @@ case class JaccardShingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "jaccard_shingles"
+}
+
+/** `inter_longs(a, b)` — |distinct(a) ∩ distinct(b)| over two
+  * array<bigint> columns: the value of size(array_intersect(a, b))
+  * as a primitive merge-count (see [[JaccardImpl.interCountLongs]]). */
+case class InterCountLongs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"inter_longs requires two array<bigint>, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaccardImpl.interCountLongs(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardImpl.interCountLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "inter_longs"
 }
 
 /** `jaccard_longs(a, b)` — set Jaccard over two array<bigint> columns

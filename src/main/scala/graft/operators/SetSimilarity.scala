@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object SetSimilarity {
 
+  /** |distinct(a) ∩ distinct(b)| for the verify joins — the native
+    * merge-count kernel when GraftExtensions is installed (no boxed
+    * hash set, no result-array allocation per pair; sorted inputs
+    * skip the sort), `size(array_intersect)` otherwise. Values are
+    * identical (MinHashSpec pins the kernel to the builtin). */
+  private def interCount(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("inter_longs")))
+      call_function("inter_longs", a, b)
+    else size(array_intersect(a, b)).cast("long")
+
   /** All pairs (a_id < b_id) whose distinct-token Jaccard is ≥
     * tauNum/tauDen. Output: (a_id, b_id, inter, uni) — integer
     * intersection/union sizes (callers derive the float ratio).
@@ -64,10 +75,15 @@ object SetSimilarity {
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"jaccardJoin: need 0 < tau <= 1, got $tauNum/$tauDen")
-    // distinct hashed tokens + size; empty sets match nothing at τ>0
+    // distinct hashed tokens + size; empty sets match nothing at τ>0.
+    // Sorted ONCE per row so the verify kernel's merge skips its sort
+    // on every pair the row participates in (order never affects any
+    // output: downstream reads are explodes, counts and the df-ordered
+    // re-sort).
     val sets = df
       .select(col(idCol).as("__id"),
-        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__ts"))
+        array_sort(
+          array_distinct(transform(tokensCol, t => xxhash64(t)))).as("__ts"))
       .withColumn("__n", size(col("__ts")))
       .filter(col("__n") > 0)
       .localCheckpoint(false) // 4 consumers; token arrays derive from
@@ -112,8 +128,7 @@ object SetSimilarity {
     val fa = sets.select(col("__id").as("a_id"), col("__ts").as("__ta"))
     val fb = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"))
     cand.join(fa, "a_id").join(fb, "b_id")
-      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
-        .cast("long"))
+      .withColumn("inter", interCount(col("__ta"), col("__tb")))
       .withColumn("uni",
         (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
       .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
@@ -143,9 +158,11 @@ object SetSimilarity {
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"containmentJoin: need 0 < tau <= 1, got $tauNum/$tauDen")
+    // sorted once per row — see jaccardJoin's set build
     val sets = df
       .select(col(idCol).as("__id"),
-        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__ts"))
+        array_sort(
+          array_distinct(transform(tokensCol, t => xxhash64(t)))).as("__ts"))
       .withColumn("__n", size(col("__ts")))
       .filter(col("__n") > 0)
       .localCheckpoint(false)
@@ -167,9 +184,12 @@ object SetSimilarity {
       .withColumnsRenamed(Map("pos" -> "__ia", "col" -> "__t"))
       .select(col("__id").as("a_id"), col("__n").as("__na"),
         col("__ia"), col("__t"))
-    val b = tok.select(col("__id").as("b_id"), col("__t"))
-      .join(sets.select(col("__id").as("b_id"), col("__n").as("__nb")),
-        "b_id")
+    // B's size rides the token explode directly — the previous
+    // re-join of `tok` against `sets` to fetch __nb was a second
+    // exchange of every corpus token for a column the exploding row
+    // already had
+    val b = sets.select(col("__id").as("b_id"), col("__n").as("__nb"),
+      explode(col("__ts")).as("__t"))
     val cand = a.join(b, "__t")
       .filter(col("a_id") =!= col("b_id") &&
         col("__nb") * tauDen >= col("__na") * tauNum &&
@@ -181,8 +201,7 @@ object SetSimilarity {
     val fb = sets.select(col("__id").as("b_id"), col("__ts").as("__tb"),
       col("__n").as("n_b"))
     cand.join(fa, "a_id").join(fb, "b_id")
-      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
-        .cast("long"))
+      .withColumn("inter", interCount(col("__ta"), col("__tb")))
       .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("n_a"))
       .select(col("a_id"), col("b_id"), col("inter"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
@@ -312,7 +331,8 @@ object SetSimilarity {
     def maybeB(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val bsets = batch
       .select(col(idCol).as("b_id"),
-        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__bts"))
+        array_sort(array_distinct(
+          transform(tokensCol, t => xxhash64(t)))).as("__bts"))
       .filter(size(col("__bts")) > 0)
       .localCheckpoint(false) // reorder + verify both consume
     // batch tokens in the FROZEN order; unseen tokens: df 0, by token
@@ -352,13 +372,15 @@ object SetSimilarity {
           .distinct().collect().map(_.getInt(0)).toSeq
         index.entries.filter(col("shard").isin(shards: _*))
       }
-    val fa = pruned.select(col("id").as("a_id"), col("ord").as("__ta"),
-      col("n").as("__na"))
+    // ord (df-ordered, the index format) sorts ONCE per A row below
+    // the join, so the verify kernel's merge sees sorted operands on
+    // every pair the row participates in
+    val fa = pruned.select(col("id").as("a_id"),
+      array_sort(col("ord")).as("__ta"), col("n").as("__na"))
     cand.join(fa, "a_id")
       .join(maybeB(bsets.select(col("b_id"), col("__bts").as("__tb"))),
         "b_id")
-      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
-        .cast("long"))
+      .withColumn("inter", interCount(col("__ta"), col("__tb")))
       .withColumn("uni",
         (col("__na") + size(col("__tb"))).cast("long") - col("inter"))
       .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("uni"))
@@ -412,7 +434,8 @@ object SetSimilarity {
     def maybeB(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val bsets = batch
       .select(col(idCol).as("b_id"),
-        array_distinct(transform(tokensCol, t => xxhash64(t))).as("__bts"))
+        array_sort(array_distinct(
+          transform(tokensCol, t => xxhash64(t)))).as("__bts"))
       .filter(size(col("__bts")) > 0)
       .localCheckpoint(false)
     val bord = bsets.select(col("b_id"), explode(col("__bts")).as("t"))
@@ -460,13 +483,13 @@ object SetSimilarity {
           .distinct().collect().map(_.getInt(0)).toSeq
         index.entries.filter(col("shard").isin(shards: _*))
       }
-    val fa = pruned.select(col("id").as("a_id"), col("ord").as("__ta"),
-      col("n").as("__na"))
+    // see probeIndex: ord sorts once per A row for the merge kernel
+    val fa = pruned.select(col("id").as("a_id"),
+      array_sort(col("ord")).as("__ta"), col("n").as("__na"))
     cand.join(fa, "a_id")
       .join(maybeB(bsets.select(col("b_id"), col("__bts").as("__tb"))),
         "b_id")
-      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb")))
-        .cast("long"))
+      .withColumn("inter", interCount(col("__ta"), col("__tb")))
       .withColumn("n_b", size(col("__tb")).cast("long"))
       .filter(col("inter") * tauDen >= lit(tauNum.toLong) * col("n_b"))
       .select(col("b_id"), col("a_id"), col("inter"), col("n_b"),

@@ -119,6 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("jaccard_longs",
       es => JaccardLongs(es.head, es(1)),
       "jaccard_longs(a, b) - set Jaccard similarity of two bigint arrays"))
+    ext.injectFunction(fn("inter_longs",
+      es => InterCountLongs(es.head, es(1)),
+      "inter_longs(a, b) - distinct intersection count of two bigint arrays"))
     ext.injectFunction(fn("minhash_signature",
       es => MinHashSignature(es.head, litInt("minhash_signature", 1, es(1))),
       "minhash_signature(shingles, numHashes) - MinHash signature as array<bigint>"))

@@ -50,6 +50,26 @@ class MinHashExprSpec extends SparkSpec {
     assert(both.map(_._2).toSeq === Seq(3, 1)) // 'the' x2 + quick; now
   }
 
+  test("inter_longs matches size(array_intersect) on every input shape") {
+    // unsorted, duplicated, disjoint, empty, and identical operands —
+    // the kernel's sorted fast path and its sort-copy fallback must
+    // both reproduce the builtin's distinct-intersection count
+    val cases = Seq(
+      (Seq(3L, 1L, 2L), Seq(2L, 3L, 9L)),          // unsorted
+      (Seq(1L, 1L, 2L, 2L), Seq(2L, 2L, 2L, 5L)),  // duplicates
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),              // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)),              // empty side
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L)),          // identical sorted
+      (Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MaxValue, Long.MinValue)))        // extremes
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      call_function("inter_longs", col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (k, ref) => assert(k === ref) }
+  }
+
   test("empty shingle array yields MaxValue sentinels") {
     val sig = Seq("x").toDF("t")
       .select(call_function("minhash_signature",
