@@ -479,6 +479,18 @@ object Dedup {
     // verify join — materialise once
     val feat = minhashFeatures(batch, idCol, textCol, shingleN, numHashes)
       .localCheckpoint(false)
+    incrementalNearDupFeat(feat, index, numHashes, bands, threshold,
+      broadcastBatch)
+  }
+
+  /** [[incrementalNearDup]] over an already-materialized batch feature
+    * frame (id, shingles, __sig) — split out so [[incrementalDedup]]
+    * featurizes the batch ONCE for the corpus probe, the within-batch
+    * dedup and the delta index instead of three times. */
+  private def incrementalNearDupFeat(
+      feat: DataFrame, index: MinhashIndex,
+      numHashes: Int, bands: Int,
+      threshold: Double, broadcastBatch: Boolean): DataFrame = {
     def maybeB(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val batchBands = feat.select(col("id").as("b_id"),
       explode(bandBucketStructs(col("__sig"), bands, numHashes / bands))
@@ -516,7 +528,7 @@ object Dedup {
       .join(maybeB(feat.select(col("id").as("b_id"),
         col("shingles").as("__shb"))), "b_id")
       .withColumn("jaccard",
-        round(jaccardLongsCol(batch, col("__sha"), col("__shb")), 4))
+        round(jaccardLongsCol(feat, col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -538,14 +550,54 @@ object Dedup {
       batch: DataFrame, index: MinhashIndex, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, broadcastBatch: Boolean = true): (DataFrame, MinhashIndex) = {
-    val vsCorpus = incrementalNearDup(batch, index, idCol, textCol,
-      shingleN, numHashes, bands, threshold, broadcastBatch)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    // The batch is shingled + signed ONCE; the corpus probe, the
+    // within-batch dedup and the returned delta index all read this
+    // materialized frame. (It used to be featurized three times: by
+    // incrementalNearDup, by dropNearDuplicates' fresh
+    // minhashNearDup, and by the delta buildMinhashIndex — same
+    // deterministic hashes each time, guide §1.2 step 1.)
+    val feat = minhashFeatures(batch, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint(false)
+    val vsCorpus = incrementalNearDupFeat(feat, index, numHashes, bands,
+      threshold, broadcastBatch)
       .select(col("b_id").as(idCol))
     val inBatch = batch.join(vsCorpus, Seq(idCol), "left_anti")
-    val survivors = dropNearDuplicates(inBatch, idCol, textCol,
-      shingleN, numHashes, bands, threshold)
+    // within-batch near-dup over the surviving rows' SAME features —
+    // identical band keys / shingles as a fresh minhashNearDup of
+    // inBatch (the featurization is a pure deterministic projection)
+    val bfeat = feat.join(vsCorpus.select(col(idCol).as("id")),
+      Seq("id"), "left_anti")
+    val rowsPerBand = numHashes / bands
+    val buckets = bfeat.select(col("id").as("__id"),
+      explode(bandBucketStructs(col("__sig"), bands, rowsPerBand)).as("__bk"))
+      .select(col("__id"), col("__bk.band"), col("__bk.bucket"))
+    val keyed = buckets.repartition(col("band"), col("bucket"))
+    val l = keyed.select(col("__id").as("a_id"), col("band"), col("bucket"))
+    val r = keyed.select(col("__id").as("b_id"), col("band").as("band2"),
+      col("bucket").as("bucket2"))
+    val pairs = l.join(r,
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(bfeat.select(col("id").as("a_id"), col("shingles").as("__sha")),
+        "a_id")
+      .join(bfeat.select(col("id").as("b_id"), col("shingles").as("__shb")),
+        "b_id")
+      .withColumn("jaccard",
+        round(jaccardLongsCol(feat, col("__sha"), col("__shb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+    val cc = connectedComponents(pairs, "a_id", "b_id")
+    val losers = cc.filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    val survivors = inBatch.join(losers, Seq(idCol), "left_anti")
+    val sfeat = bfeat.join(losers.select(col(idCol).as("id")),
+      Seq("id"), "left_anti")
     (survivors,
-      buildMinhashIndex(survivors, idCol, textCol, shingleN, numHashes, bands))
+      MinhashIndex(sfeat.select(col("id"), shardOf(col("id")).as("shard"),
+        col("shingles"),
+        bandBucketStructs(col("__sig"), bands, rowsPerBand).as("bands"))))
   }
 
   /** Exact incremental dedup: drop batch rows whose content already
