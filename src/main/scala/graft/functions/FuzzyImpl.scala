@@ -16,8 +16,8 @@ object FuzzyImpl {
     if (a.isEmpty) return b.length
     if (b.isEmpty) return a.length
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
-    val prev = new Array[Int](s.length + 1)
-    val cur = new Array[Int](s.length + 1)
+    var prev = new Array[Int](s.length + 1)
+    var cur = new Array[Int](s.length + 1)
     var i = 0
     while (i <= s.length) { prev(i) = i; i += 1 }
     var j = 1
@@ -29,7 +29,8 @@ object FuzzyImpl {
         cur(k) = math.min(math.min(cur(k - 1) + 1, prev(k) + 1), prev(k - 1) + cost)
         k += 1
       }
-      System.arraycopy(cur, 0, prev, 0, s.length + 1)
+      // row swap, not arraycopy — same values, one O(n) copy less/row
+      val tmp = prev; prev = cur; cur = tmp
       j += 1
     }
     prev(s.length)
@@ -94,18 +95,28 @@ object FuzzyImpl {
     100.0 * (j + prefix * 0.1 * (1.0 - j))
   }
 
+  // String.split recompiles a multi-char regex per call — the scorer
+  // cascade splits each operand several times per pair, so precompile
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   private def sortedTokens(s: String): Array[String] =
-    s.trim.split("\\s+").filter(_.nonEmpty).sorted
+    Ws.split(s.trim).filter(_.nonEmpty).sorted
 
   /** rapidfuzz token_sort_ratio: ratio over whitespace tokens sorted. */
   def tokenSortRatio(a: String, b: String): Double =
-    ratio(sortedTokens(a).mkString(" "), sortedTokens(b).mkString(" "))
+    tokenSortRatioPre(sortedTokens(a), sortedTokens(b))
+
+  private def tokenSortRatioPre(ta: Array[String], tb: Array[String]): Double =
+    ratio(ta.mkString(" "), tb.mkString(" "))
 
   /** rapidfuzz token_set_ratio: max ratio over (∩, ∩+restA, ∩+restB)
     * pairings of sorted token sets. */
-  def tokenSetRatio(a: String, b: String): Double = {
-    val sa = sortedTokens(a).toSet
-    val sb = sortedTokens(b).toSet
+  def tokenSetRatio(a: String, b: String): Double =
+    tokenSetRatioPre(sortedTokens(a), sortedTokens(b))
+
+  private def tokenSetRatioPre(ta: Array[String], tb: Array[String]): Double = {
+    val sa = ta.toSet
+    val sb = tb.toSet
     val inter = (sa & sb).toSeq.sorted.mkString(" ")
     val diffA = (sa -- sb).toSeq.sorted.mkString(" ")
     val diffB = (sb -- sa).toSeq.sorted.mkString(" ")
@@ -147,8 +158,12 @@ object FuzzyImpl {
   def wRatio(a: String, b: String): Double = {
     if (a.isEmpty || b.isEmpty) return 0.0
     val full = ratio(a, b)
-    val ts = tokenSortRatio(a, b) * 0.95
-    val tset = tokenSetRatio(a, b) * 0.95
+    // split + sort each operand ONCE for both token scorers (the
+    // cascade used to re-split per scorer; values identical)
+    val ta = sortedTokens(a)
+    val tb = sortedTokens(b)
+    val ts = tokenSortRatioPre(ta, tb) * 0.95
+    val tset = tokenSetRatioPre(ta, tb) * 0.95
     val lenRatio =
       if (a.isEmpty || b.isEmpty) 1.0
       else math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
