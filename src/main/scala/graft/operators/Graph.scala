@@ -656,40 +656,6 @@ object Graph {
       .agg(count(lit(1)).as("tri_n"))
   }
 
-  /** Open-addressing primitive long set (linear probing, murmur
-    * finalizer) — the driver triangle path's oriented-edge membership
-    * structure. Keys must be ≥ 0 (−1 is the empty sentinel); built
-    * single-threaded, then read-only from the parallel wedge loop. */
-  private final class LongSet(expected: Int) {
-    private val cap: Int = {
-      var c = 16
-      while (c < expected * 2) c <<= 1
-      c
-    }
-    private val mask = cap - 1
-    private val keys = Array.fill[Long](cap)(-1L)
-    private def slot(k: Long): Int = {
-      var h = k * -7046029254386353131L
-      h ^= h >>> 32
-      (h & mask).toInt
-    }
-    def add(k: Long): Unit = {
-      var i = slot(k)
-      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
-      keys(i) = k
-    }
-    def contains(k: Long): Boolean = {
-      var i = slot(k)
-      while (true) {
-        val v = keys(i)
-        if (v == k) return true
-        if (v == -1L) return false
-        i = (i + 1) & mask
-      }
-      false
-    }
-  }
-
   /** Driver triangle count over a bounded, already-canonicalised
     * (a < b, distinct, loop-free) edge frame — the identical
     * algorithm as the distributed plan: orient every edge from its
@@ -748,31 +714,35 @@ object Graph {
     while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
     val adj = new Array[Long](m)
     val fill = new Array[Int](n)
-    val oriented = new LongSet(m)
     k = 0
     while (k < m) {
       val (u, v) =
         if (rank(ea(k)) < rank(eb(k))) (ea(k), eb(k)) else (eb(k), ea(k))
       adj(off(u) + fill(u)) = (rank(v).toLong << 32) | v.toLong
       fill(u) += 1
-      oriented.add(u.toLong * n + v)
       k += 1
     }
     // per-segment sorts are independent — parallel over apexes
     java.util.stream.IntStream.range(0, n).parallel()
       .forEach(u => java.util.Arrays.sort(adj, off(u), off(u + 1)))
     // wedge loop: apexes are disjoint, so parallel per-u writes to
-    // tri are contention-free
+    // tri are contention-free. Closing-edge membership (v→w oriented)
+    // is a binary search in v's SORTED adjacency segment for the
+    // packed (rank(w), w) key — the r19 LongSet build this replaces
+    // was m sequential hash inserts on the driver thread (the last
+    // single-threaded m-scaled pass of this path); the segments are
+    // already sorted for the wedge order, so membership rides them
+    // for free.
     val tri = new Array[Long](n)
     java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
       val s = off(u); val t = off(u + 1)
       var a = s
       while (a < t) {
-        val v = (adj(a) & 0xffffffffL)
+        val v = (adj(a) & 0xffffffffL).toInt
         var b = a + 1
         while (b < t) {
-          val w = (adj(b) & 0xffffffffL).toInt
-          if (oriented.contains(v * n + w)) tri(u) += 1
+          if (java.util.Arrays.binarySearch(
+              adj, off(v), off(v + 1), adj(b)) >= 0) tri(u) += 1
           b += 1
         }
         a += 1
