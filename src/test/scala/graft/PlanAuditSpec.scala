@@ -422,20 +422,36 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dim-join queries broadcast their dimensions") {
-    // q69: the sketch's candidate set broadcasts into the exact-count
-    // semi-join; q71: per-term doc frequencies broadcast back into the
+    // q71: per-term doc frequencies broadcast back into the
     // hit frame; q49: the distinct probe n-grams broadcast into the
     // corpus-gram join (r11 verdict asked this pinned); q156: both LM
     // model tables broadcast into the scoring joins — in all, the big
-    // side must never shuffle for the join
+    // side must never shuffle for the join. (q69 left this list in
+    // r20: its candidate set now enters the count pass as an InSet
+    // literal — no join at all; pinned below.)
     for (name <- Seq("q05_election_candidates", "q07_reference_lists",
       "q11_ship_priority", "q14_rollup", "q44_roster_query",
-      "q49_contamination", "q69_heavy_hitters", "q71_bm25",
+      "q49_contamination", "q71_bm25",
       "q156_lm_bigram", "q158_lm_trigram", "q163_dsir_weights")) {
       val nodes = allNodes(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
         s"$name: no BroadcastHashJoin in plan")
     }
+  }
+
+  test("q69: exact-count pass filters candidates with no join") {
+    // r20: the sketch's candidate strings collect once (sk-bounded)
+    // and the exact-count pass keeps only candidate grams via an
+    // In/InSet predicate — the old broadcast semi-join re-ran the
+    // whole sketch pass inside its build side (a third corpus scan).
+    // Pinned: no join of any kind in the final plan.
+    val nodes = allNodes(SparkEntry.queries("q69_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "q69: the count pass should filter via InSet, not join")
   }
 }
