@@ -58,7 +58,7 @@ object ProfileJobs {
         val dur = (j.end - j.start) / 1e3
         val gap = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e3
         prevEnd = math.max(prevEnd, j.end)
-        println(f"  job ${j.id}%3d ${dur}%7.3f s  (gap before ${gap}%6.3f s)  ${j.site}")
+        println(f"  job ${j.id}%3d ${dur}%7.3f s  (gap before ${gap}%6.3f s)  ${j.stages}%2d stages  ${j.site}")
       }
       val sumJobs = ordered.map(j => (j.end - j.start) / 1e3).sum
       println(f"  sum of job durations ${sumJobs}%.3f s " +

@@ -164,9 +164,9 @@ object FuzzyImpl {
     val tb = sortedTokens(b)
     val ts = tokenSortRatioPre(ta, tb) * 0.95
     val tset = tokenSetRatioPre(ta, tb) * 0.95
+    // operands are non-empty here (guarded at entry)
     val lenRatio =
-      if (a.isEmpty || b.isEmpty) 1.0
-      else math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
+      math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
     val partial =
       if (lenRatio > 1.5) partialRatio(a, b) * 0.9 else 0.0
     math.max(math.max(full, ts), math.max(tset, partial))

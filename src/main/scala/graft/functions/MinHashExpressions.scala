@@ -226,6 +226,25 @@ object JaccardImpl {
     true
   }
 
+  /** Non-null longs of an array column value, plus whether a null
+    * element was present — `toLongArray` would silently coerce null
+    * elements to 0L and diverge from array_intersect. */
+  private def nonNullLongs(a: ArrayData): (Array[Long], Boolean) = {
+    val n = a.numElements()
+    var i = 0
+    var nulls = false
+    while (i < n && !nulls) { if (a.isNullAt(i)) nulls = true; i += 1 }
+    if (!nulls) return (a.toLongArray(), false)
+    val out = new Array[Long](n)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(w) = a.getLong(i); w += 1 }
+      i += 1
+    }
+    (java.util.Arrays.copyOf(out, w), true)
+  }
+
   /** |distinct(a) ∩ distinct(b)| over two long arrays — the COUNT
     * `size(array_intersect(a, b))` computes, without the boxed
     * OpenHashSet and the result-array allocation the builtin pays per
@@ -233,10 +252,13 @@ object JaccardImpl {
     * per ROW; verify joins then score many PAIRS per row) skip the
     * sort via a linear check; unsorted inputs (e.g. the persisted
     * df-ordered `ord` arrays of pre-existing indexes) sort a copy, so
-    * the value is order-independent either way. */
+    * the value is order-independent either way. Null ELEMENTS follow
+    * array_intersect: null intersects null (one distinct match), and
+    * never matches a value. */
   def interCountLongs(a: ArrayData, b: ArrayData): Long = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    val (xs, nullA) = nonNullLongs(a)
+    val (ys, nullB) = nonNullLongs(b)
+    val nullMatch = if (nullA && nullB) 1L else 0L
     if (!isSortedAsc(xs)) java.util.Arrays.sort(xs)
     if (!isSortedAsc(ys)) java.util.Arrays.sort(ys)
     var i = 0
@@ -252,7 +274,7 @@ object JaccardImpl {
       } else if (x < y) i += 1
       else j += 1
     }
-    inter
+    inter + nullMatch
   }
 
   def jaccardLongs(a: ArrayData, b: ArrayData): Double = {

@@ -85,6 +85,13 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
     require(k > 0 && iters >= 0, "trainCentroids: k > 0, iters >= 0")
+    // the DataFrame-resident loop enforced the plan-literal budget
+    // through assignBuckets -> collectCentroids every iteration; the
+    // driver-resident loop ships the same matrix literal, so it keeps
+    // the same fail-fast caps (k up front, k x dim after init)
+    require(k <= MaxCentroidRows,
+      s"trainCentroids: k=$k exceeds $MaxCentroidRows — " +
+        "ship the model as a broadcast join, not a plan literal")
     val spark = corpus.sparkSession
     import graft.functions.VectorFunctions.nearestCentroid
     val vecs = Parallelism.ensure(
@@ -109,6 +116,9 @@ object Ann {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1))
+    require(cents.iterator.map(_.size.toLong).sum <= MaxCentroidFloats,
+      s"trainCentroids: centroid matrix exceeds $MaxCentroidFloats " +
+        "floats — use a broadcast-join assignment instead")
     val nativeSum = spark.catalog.functionExists("vector_sum_f")
     for (_ <- 1 to iters) {
       // same assignment expression as assignBuckets over the same

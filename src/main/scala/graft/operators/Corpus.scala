@@ -348,6 +348,14 @@ object Corpus {
     * and overwhelmingly likely otherwise with the default 4× headroom;
     * CorpusSpec pins equality on a Zipf corpus. Same column contract
     * as ngramFreq (doc-distinct n-grams, freq-then-text ordering). */
+  /** Candidate-count bound for shipping [[heavyHitters]]' exact-count
+    * filter as an In/InSet plan literal; above it the (already
+    * collected) candidates travel as a broadcast LocalRelation
+    * instead — multi-word shingle strings are heavier per entry than
+    * the DriverBudget float model, so this sits well under
+    * [[DriverBudget.TrainRows]]. */
+  private val MaxInSetCandidates = 4096
+
   def heavyHitters(
       docs: DataFrame, textCol: String, n: Int, topK: Int,
       sketchK: Int = 0, maxTracked: Int = 100000): DataFrame = {
@@ -357,18 +365,27 @@ object Corpus {
       .select(explode(Dedup.shingles(col("__t"), n)).as("ngram"))
     // Candidates collect ONCE (sk strings — driver-bounded by
     // construction, the sketch's whole point). The exact-count pass
-    // then filters with an InSet literal: the previous broadcast
-    // semi join's build side re-ran the entire sketch pass, so the
-    // corpus was scanned three times for a two-pass algorithm
-    // (guide §1.2 step 1 — don't compute things twice).
+    // then keeps candidate grams via an InSet literal — or, past the
+    // plan-literal budget for large sketchK, via a broadcast semi
+    // join against the DRIVER-LOCAL relation (no re-run of the
+    // sketch either way). The previous broadcast semi join's build
+    // side re-ran the entire sketch pass, so the corpus was scanned
+    // three times for a two-pass algorithm (guide §1.2 step 1).
     val candidates = grams
       .agg(call_function("approx_top_k",
         col("ngram"), lit(sk), lit(maxTracked)).as("e"))
       .select(explode(col("e")).as("x"))
       .select(col("x.item").as("ngram"))
       .collect().map(_.getString(0)).toSeq
-    grams
-      .filter(col("ngram").isInCollection(candidates))
+    val pruned =
+      if (candidates.size <= MaxInSetCandidates)
+        grams.filter(col("ngram").isInCollection(candidates))
+      else {
+        import docs.sparkSession.implicits._
+        grams.join(
+          broadcast(candidates.toDF("ngram")), Seq("ngram"), "left_semi")
+      }
+    pruned
       .groupBy("ngram")
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram"))

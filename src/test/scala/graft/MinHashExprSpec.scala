@@ -68,6 +68,20 @@ class MinHashExprSpec extends SparkSpec {
       size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
       .as[(Long, Long)].collect()
     got.foreach { case (k, ref) => assert(k === ref) }
+    // null ELEMENTS follow array_intersect: null matches null (one
+    // distinct hit), never a value — toLongArray would have coerced
+    // them to 0L
+    val nulls = spark.range(1).selectExpr(
+      "inter_longs(array(cast(null as bigint), 1L)," +
+        " array(cast(null as bigint), 2L)) as both_null",
+      "inter_longs(array(cast(null as bigint)), array(0L)) as null_vs_zero",
+      "size(array_intersect(array(cast(null as bigint), 1L)," +
+        " array(cast(null as bigint), 2L))) as ref_both",
+      "size(array_intersect(array(cast(null as bigint)), array(0L)))" +
+        " as ref_zero")
+      .head
+    assert(nulls.getLong(0) === nulls.getInt(2).toLong) // 1
+    assert(nulls.getLong(1) === nulls.getInt(3).toLong) // 0
   }
 
   test("empty shingle array yields MaxValue sentinels") {
